@@ -1,13 +1,132 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{CdcApply, Changelog}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md sec 7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md sec 2 exposes a declared query
+  * here; `oracleSql` carries the DuckDB-equivalent SQL the driver uses as
+  * the correctness oracle at sf0.01. Column names/aliases match pairwise
+  * (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Micro-batch window for the CDC replay: small enough that even
+    * sf0.001's 1000 events span several batches, so batch-boundary
+    * semantics (deletes-after-upserts within a batch, resurrection across
+    * batches) are actually exercised — and the final state is non-empty
+    * (with one giant batch, every user's trailing delete would win). */
+  private val CdcBatchSize = 64L
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the SURVEY
+    * sec 7.2 end-to-end slice — events → changelog → CDC final state. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    cdcUserState(spark, "/root/testdata/sf0.001")
+
+  /** events → op-log → final keyed state (SURVEY sec 2: S2/D8 + A1/A2 +
+    * K1/K2 ordering), the engine's single most load-bearing semantic. */
+  private def cdcUserState(spark: SparkSession, sfDir: String): DataFrame = {
+    val changelog = Changelog.fromEvents(Tables.events(spark, sfDir))
+    CdcApply
+      .finalStateDeclarative(
+        changelog,
+        pkCols = Seq("user_id"),
+        valueCols = Seq("last_ts", "total_value", "n_events"),
+        batchSize = CdcBatchSize)
+      .withColumn("total_value", round(col("total_value"), 6))
+  }
+
+  /** One per implemented operator from SURVEY.md sec 2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_user_state" -> ((s, dir) => cdcUserState(s, dir)),
+
+    // A1 last-wins dedup alone: latest event per user (max_by over seq).
+    "dedup_last_wins" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(
+          max(col("event_id")).as("last_event_id"),
+          max_by(col("event_type"), col("event_id")).as("last_event_type"))
+    }),
+
+    // A4/P4 write counters: per-op event counts after route classification.
+    "route_counts" -> ((s, dir) => {
+      val typed = Changelog.fromEvents(Tables.events(s, dir))
+      typed.groupBy(col("op")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Q1-style snapshot aggregation (S1 scan path): decimal sums keep the
+    // result order-independent, then cast to double for a stable schema.
+    "q1_agg" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "cdc_user_state" ->
+      s"""WITH typed AS (
+         |  SELECT event_id AS seq,
+         |         CASE WHEN event_type = 'signup' THEN 'I'
+         |              WHEN event_type = 'error' THEN 'D'
+         |              ELSE 'U' END AS op,
+         |         user_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |  FROM events
+         |), ups AS (
+         |  SELECT seq, op, user_id, ts AS last_ts,
+         |         sum(value) OVER w AS total_value,
+         |         count(*) OVER w AS n_events
+         |  FROM typed WHERE op <> 'D'
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY seq
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), log AS (
+         |  SELECT seq, op, user_id, last_ts, total_value, n_events,
+         |         seq // $CdcBatchSize AS batch FROM ups
+         |  UNION ALL
+         |  SELECT seq, op, user_id, NULL, NULL, NULL, seq // $CdcBatchSize
+         |  FROM typed WHERE op = 'D'
+         |), perkey AS (
+         |  SELECT user_id,
+         |         max(CASE WHEN op IN ('I','U') THEN seq END) AS lu,
+         |         max(CASE WHEN op IN ('I','U') THEN batch END) AS lub,
+         |         max(CASE WHEN op = 'D' THEN batch END) AS ldb
+         |  FROM log GROUP BY user_id
+         |)
+         |SELECT u.user_id, u.last_ts, round(u.total_value, 6) AS total_value,
+         |       u.n_events
+         |FROM ups u JOIN perkey p ON u.user_id = p.user_id AND u.seq = p.lu
+         |WHERE p.lu IS NOT NULL AND (p.ldb IS NULL OR p.lub > p.ldb)
+         |""".stripMargin,
+
+    "dedup_last_wins" ->
+      """SELECT user_id, max(event_id) AS last_event_id,
+        |       arg_max(event_type, event_id) AS last_event_type
+        |FROM events GROUP BY user_id
+        |""".stripMargin,
+
+    "route_counts" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'I'
+        |            WHEN event_type = 'error' THEN 'D'
+        |            ELSE 'U' END AS op,
+        |       count(*) AS n
+        |FROM events GROUP BY 1
+        |""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |""".stripMargin
+  )
 }

@@ -1,0 +1,64 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog derivation from the driver's `events` app-event table
+  * (FIXTURES.md §A.1): a deterministic CDC op-log over a keyed state table
+  * `user_state(user_id PK, last_ts, total_value, n_events)`.
+  *
+  *  - `seq` = `event_id` (monotone; plays the WAL LSN — SURVEY §2 S2)
+  *  - op: `signup` → I, `click|view|purchase` → U (full after-image,
+  *    UpdateLookup-style — SURVEY §2 S4), `error` → D (key only —
+  *    SURVEY §2 D8)
+  *  - after-image at an upsert event e = (user_id, last_ts = e.ts,
+  *    total_value = running sum of value, n_events = running count) over
+  *    the user's upsert events ordered by seq.
+  *
+  * One shuffle (partitionBy user_id); the running aggregates are computed
+  * with an ordered window, which keeps double addition order deterministic
+  * for oracle parity.
+  */
+object Changelog {
+
+  val OpInsert = "I"
+  val OpUpdate = "U"
+  val OpDelete = "D"
+  val OpTruncate = "T"
+
+  def fromEvents(events: DataFrame): DataFrame = {
+    val typed = events.withColumn(
+      "op",
+      when(col("event_type") === "signup", OpInsert)
+        .when(col("event_type") === "error", OpDelete)
+        .otherwise(OpUpdate)
+    )
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val ups = typed
+      .filter(col("op") =!= OpDelete)
+      .withColumn("last_ts", col("ts"))
+      .withColumn("total_value", sum(col("value")).over(w))
+      .withColumn("n_events", count(lit(1)).over(w))
+
+    val dels = typed
+      .filter(col("op") === OpDelete)
+      .withColumn("last_ts", lit(null).cast("timestamp"))
+      .withColumn("total_value", lit(null).cast("double"))
+      .withColumn("n_events", lit(null).cast("long"))
+
+    ups.unionByName(dels)
+      .select(
+        col("event_id").as("seq"),
+        col("op"),
+        col("user_id"),
+        col("last_ts"),
+        col("total_value"),
+        col("n_events")
+      )
+  }
+}

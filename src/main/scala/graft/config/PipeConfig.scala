@@ -1,0 +1,125 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import graft.ddl.TableOptions
+
+/** Pipeline configuration, mirroring the reference's JSON config model
+  * (reference: `src/config.rs:3-293`). Field names match the reference's
+  * snake_case JSON keys; defaults match the reference's default fns
+  * (reference: `src/config.rs:99-186`).
+  */
+case class PipeConfig(
+    source: SourceConfig,
+    target: TargetConfig,
+    // Option + accessor (not Scala default args): Jackson leaves missing
+    // primitive fields 0, which would silently zero every sleep/limit knob.
+    // contentAs is required: erasure makes Jackson box small JSON ints as
+    // Integer inside Option, which then fails the Long unbox at use time.
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    sleep_millis_when_peek_failed: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    sleep_millis_when_peek_is_empty: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    sleep_millis_when_write_failed: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    sleep_millis_after_sync_iteration: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    sleep_millis_after_sync_write: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    peek_changes_limit: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    peek_changes_timeout_millis: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    copy_batch_size: Option[Int] = None,
+    disable_sync_loop: Option[Boolean] = None
+) {
+  def sleepWhenPeekFailed: Long    = sleep_millis_when_peek_failed.getOrElse(5000L)
+  def sleepWhenPeekIsEmpty: Long   = sleep_millis_when_peek_is_empty.getOrElse(5000L)
+  def sleepWhenWriteFailed: Long   = sleep_millis_when_write_failed.getOrElse(5000L)
+  def sleepAfterSyncIteration: Long = sleep_millis_after_sync_iteration.getOrElse(100L)
+  def sleepAfterSyncWrite: Long    = sleep_millis_after_sync_write.getOrElse(100L)
+  def peekChangesLimit: Long       = peek_changes_limit.getOrElse(65536L)
+  def peekChangesTimeoutMillis: Long = peek_changes_timeout_millis.getOrElse(5000L)
+  def copyBatchSize: Int           = copy_batch_size.getOrElse(100000)
+  def disableSyncLoop: Boolean     = disable_sync_loop.getOrElse(false)
+}
+
+case class SourceConfig(
+    source_type: String, // "postgres" | "mongodb" | "parquet" (test replay)
+    postgres: Option[PostgresConfig] = None,
+    mongodb: Option[MongoConfig] = None,
+    parquet_dir: Option[String] = None
+)
+
+case class TargetConfig(
+    target_type: String, // "clickhouse" | "parquet" (test state sink)
+    clickhouse: Option[ClickHouseConfig] = None,
+    parquet_dir: Option[String] = None
+)
+
+case class PostgresConfig(
+    connection: ConnectionConfig,
+    tables: Seq[TableSource] = Seq.empty,
+    publication_name: String = "clockpipe_publication",
+    replication_slot_name: String = "clockpipe_slot"
+)
+
+case class MongoConfig(
+    connection: ConnectionConfig,
+    collections: Seq[TableSource] = Seq.empty,
+    resume_token_path: Option[String] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    copy_batch_size: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    peek_timeout_millis: Option[Long] = None
+) {
+  def resumeTokenPath: String  = resume_token_path.getOrElse("./resume_token.json")
+  def copyBatchSize: Int       = copy_batch_size.getOrElse(1000)
+  def peekTimeoutMillis: Long  = peek_timeout_millis.getOrElse(5000L)
+}
+
+case class ClickHouseConfig(connection: ConnectionConfig)
+
+case class ConnectionConfig(
+    host: String = "localhost",
+    port: Int = 0,
+    username: String = "",
+    password: String = "",
+    database: String = "default"
+)
+
+/** One replicated table/collection (reference: `src/config.rs:224-234`,
+  * `89-97`): masking + copy-skip + per-table sink options.
+  */
+case class TableSource(
+    schema_name: String = "public",
+    table_name: String,
+    skip_copy: Boolean = false,
+    mask_columns: Seq[String] = Seq.empty,
+    storage_policy: Option[String] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    granularity: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    min_age_to_force_merge_seconds: Option[Long] = None
+) {
+  def tableOptions: TableOptions =
+    TableOptions(granularity, min_age_to_force_merge_seconds, storage_policy)
+  def qualifiedName: String = s"$schema_name.$table_name"
+}
+
+object PipeConfig {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def fromJson(json: String): PipeConfig =
+    mapper.readValue(json, classOf[PipeConfig])
+
+  def fromFile(path: String): PipeConfig =
+    fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+}

@@ -1,0 +1,185 @@
+package graft.pipe
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.CdcApply
+import graft.config.PipeConfig
+import graft.ddl.{Ddl, TableOptions}
+import graft.ops.CoreOps
+import graft.types.CHColumn
+
+/** A CDC change source: snapshot + peeked (non-consuming) change batches,
+  * addressed by a monotone sequence number (the LSN analogue).
+  * (reference: S1/S2 — `src/adapter/postgres.rs:787-910`).
+  */
+trait CdcSource {
+  /** Full snapshot of the current table contents (S1/S3). */
+  def snapshot(): DataFrame
+  /** Next ≤ limit changelog rows with seq > after, WAL-ordered (S2/S4).
+    * Peeking does NOT consume: the same rows return until committed. */
+  def peekChanges(after: Long, limit: Long): DataFrame
+  /** Max seq in a peeked batch (the offset to commit after writes). */
+  def maxSeq(batch: DataFrame): Option[Long] =
+    batch.agg(max(col("seq"))).collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+}
+
+/** Replays a changelog DataFrame (derived from the `events` parquet) as a
+  * CDC source — the test/bench stand-in for a live pgoutput slot.
+  */
+class ChangelogReplaySource(changelog: DataFrame, snapshotDf: Option[DataFrame] = None)
+    extends CdcSource {
+  private val log = changelog.cache()
+  def snapshot(): DataFrame = snapshotDf.getOrElse(log.sparkSession.emptyDataFrame)
+  def peekChanges(after: Long, limit: Long): DataFrame = {
+    // WAL-ordered window: sort only the filtered tail, bounded by `limit`.
+    log.filter(col("seq") > after).orderBy(col("seq")).limit(limit.toInt)
+  }
+}
+
+/** The at-least-once commit point: the offset is persisted only after the
+  * batch's writes succeed (reference: `src/pipes/postgres.rs:487-499`,
+  * resume-token file `src/pipes/mongodb.rs:259-302`).
+  */
+class FileOffsetStore(path: String) {
+  def read(): Long = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong else -1L
+  }
+  def write(offset: Long): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, offset.toString.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+}
+
+/** ReplacingMergeTree-emulating state sink over parquet: storage is an
+  * append-only changelog (cheap, partition-parallel writes — the analogue
+  * of batched INSERTs into a ReplacingMergeTree part), and the *read* is
+  * the same last-wins collapse the merge would perform
+  * ([[CdcApply.finalStateDeclarative]] — one shuffle). `compact()` is the
+  * forced merge (reference: `min_age_to_force_merge_seconds`,
+  * `src/config.rs:113-116`).
+  */
+class ParquetStateSink(
+    val path: String,
+    pkCols: Seq[String],
+    valueCols: Seq[String]
+)(implicit spark: SparkSession) {
+  private def logDir = s"$path/log"
+
+  def isEmpty: Boolean = !Files.exists(Paths.get(logDir)) // K6 emptiness probe
+
+  /** K1/K2/K3 realized as one append: upserts, tombstones and truncate
+    * markers all land in the log, stamped with the batch id; the
+    * deletes-after-upserts / truncate-at-routing ordering lives entirely in
+    * the collapse ([[CdcApply.finalState]]).
+    * `batchId` must be monotone across appends (the pipe uses the batch's
+    * max seq, which is monotone by WAL order).
+    */
+  def appendBatch(batch: DataFrame, batchId: Long): Unit = {
+    val cols = Seq("op", "seq") ++ pkCols ++ valueCols
+    batch.select(cols.map(col): _*)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("append").parquet(logDir)
+  }
+
+  /** Current table contents (merge-time view): one shuffle on the PK. */
+  def read(): DataFrame = {
+    require(!isEmpty, s"state sink $path is empty")
+    CdcApply.finalState(
+      spark.read.parquet(logDir), pkCols, valueCols, col("__batch"))
+  }
+
+  /** Force-merge: rewrite the log as a single snapshot batch. */
+  def compact(): Unit = {
+    val snap = read()
+      .withColumn("op", lit("I"))
+      .withColumn("seq", lit(0L))
+      .withColumn("__batch", lit(0L))
+    val tmp = s"$path/compact_tmp"
+    snap.select((Seq("op", "seq") ++ pkCols ++ valueCols :+ "__batch").map(col): _*)
+      .write.mode("overwrite").parquet(tmp)
+    // swap
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val logPath = new org.apache.hadoop.fs.Path(logDir)
+    fs.delete(logPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), logPath)
+  }
+}
+
+/** The pipe lifecycle — initialize → first_sync → sync_loop
+  * (reference: `src/pipes/mod.rs:11-16`), over abstract source/sink.
+  */
+class Pipe(
+    config: PipeConfig,
+    source: CdcSource,
+    sink: ParquetStateSink,
+    offsets: FileOffsetStore,
+    targetColumns: Seq[CHColumn],
+    maskColumns: Set[String] = Set.empty,
+    tableName: String = "t",
+    database: String = "default",
+    tableOptions: TableOptions = TableOptions()
+)(implicit spark: SparkSession) {
+
+  /** Emit the DDL the reference would run (K4); with a file-based sink the
+    * "table" is the sink directory, so DDL is recorded, not executed. */
+  def initialize(): String = {
+    val ddl = Ddl.createTableQuery(database, tableName, targetColumns, tableOptions)
+    val p = Paths.get(s"${sink.path}/_ddl.sql")
+    Files.createDirectories(p.getParent)
+    Files.write(p, ddl.getBytes("UTF-8"))
+    ddl
+  }
+
+  /** Bulk snapshot copy (EP2): skipped when the target is non-empty (K6,
+    * reference: `src/pipes/postgres.rs:145-160`). Alignment, masking and
+    * casts run before the write (P1/P2/P5-P14).
+    */
+  def firstSync(): Boolean = {
+    if (!sink.isEmpty) return false // re-running first_sync is a no-op
+    val snap = source.snapshot()
+    if (snap.isEmpty) return false
+    val aligned = CoreOps.alignToTarget(snap, targetColumns, maskColumns)
+      .withColumn("op", lit("I"))
+      .withColumn("seq", lit(0L))
+    sink.appendBatch(aligned, batchId = 0L)
+    true
+  }
+
+  /** CDC loop (EP3): peek → apply → commit offset. Bounded iterations for
+    * tests; `Long.MaxValue` ≙ the reference's run-forever loop.
+    */
+  def syncLoop(maxIterations: Long = Long.MaxValue): Long = {
+    var applied = 0L
+    var iter = 0L
+    var offset = offsets.read()
+    var drained = false
+    while (iter < maxIterations && !drained) {
+      val batch = source.peekChanges(offset, config.peekChangesLimit).cache()
+      val last = source.maxSeq(batch)
+      last match {
+        case None => drained = true // empty peek: tests stop; live mode sleeps
+        case Some(maxSeq) =>
+          // batch id = the batch's max seq: monotone across appends by WAL
+          // order, which is all finalState's collapse requires.
+          sink.appendBatch(batch, batchId = maxSeq)
+          offsets.write(maxSeq) // commit point: after successful write
+          offset = maxSeq
+          applied += batch.count()
+      }
+      batch.unpersist()
+      iter += 1
+    }
+    applied
+  }
+
+  def run(maxIterations: Long = Long.MaxValue): Unit = {
+    initialize()
+    firstSync()
+    if (!config.disableSyncLoop) syncLoop(maxIterations)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local SparkSession for specs. One session per JVM (tests fork a
+  * single JVM), UTC, small shuffle parallelism so tiny-data specs stay fast.
+  */
+trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
+  lazy val spark: SparkSession = SparkTestBase.session
+  implicit def implicitSpark: SparkSession = spark
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

@@ -1,0 +1,102 @@
+package graft.pipe
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.cdc.Changelog
+import graft.config.{PipeConfig, SourceConfig, TargetConfig}
+import graft.types.{CHColumn, CHType}
+
+/** End-to-end slice (SURVEY.md §7.2): events parquet → changelog → replay
+  * source → pipe loop → parquet state sink, checked against an independent
+  * plain-Scala fold of the same semantics (upserts deduped last-wins, then
+  * deletes, per batch).
+  */
+class PipeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def cfg(peekLimit: Long) = PipeConfig(
+    SourceConfig("parquet", parquet_dir = Some(sfDir)),
+    TargetConfig("parquet"),
+    peek_changes_limit = Some(peekLimit))
+
+  private val targetCols = Seq(
+    CHColumn("user_id", CHType.Int64, isPrimaryKey = true),
+    CHColumn("last_ts", CHType.CHDateTime().nullable),
+    CHColumn("total_value", CHType.Float64.nullable),
+    CHColumn("n_events", CHType.Int64.nullable)
+  )
+
+  // Independent oracle: collect the changelog and fold it on the driver
+  // with the reference's batch semantics (dedup-last-wins upserts applied
+  // first, deletes second, batches = consecutive `peekLimit`-sized windows).
+  private def driverOracle(
+      rows: Seq[(Long, String, Long)], peekLimit: Int): Set[Long] = {
+    var state = Set.empty[Long]
+    rows.sortBy(_._1).grouped(peekLimit).foreach { batch =>
+      val ups = batch.filter(e => e._2 == "I" || e._2 == "U").map(_._3)
+      val dels = batch.filter(_._2 == "D").map(_._3).toSet
+      state = (state ++ ups) -- dels
+    }
+    state
+  }
+
+  test("pipe end-to-end on sf0.001 events matches driver-side fold; re-run is a no-op") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val changelog = Changelog.fromEvents(events).cache()
+
+    val tmp = Files.createTempDirectory("graft-pipe").toString
+    val sink = new ParquetStateSink(s"$tmp/state", Seq("user_id"),
+      Seq("last_ts", "total_value", "n_events"))
+    val offsets = new FileOffsetStore(s"$tmp/offset")
+    val source = new ChangelogReplaySource(changelog)
+    val pipe = new Pipe(cfg(100L), source, sink, offsets, targetCols,
+      tableName = "user_state")
+
+    pipe.run()
+    val got = sink.read().select("user_id").collect().map(_.getLong(0)).toSet
+
+    val raw = changelog.select("seq", "op", "user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = driverOracle(raw, 100)
+    assert(got == want)
+    assert(got.nonEmpty)
+
+    // values: per surviving key, the after-image of its max-seq upsert
+    val lastUp = raw.filter(e => e._2 != "D").groupBy(_._3).map { case (k, es) => k -> es.map(_._1).max }
+    val imgs = changelog.filter(col("op") =!= "D")
+      .select("user_id", "seq", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotVals = sink.read().select("user_id", "n_events")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gotVals.foreach { case (k, n) => assert(n == imgs((k, lastUp(k))), s"key $k") }
+
+    // re-run: firstSync skips (non-empty sink), syncLoop finds no new seq
+    val before = sink.read().count()
+    pipe.run()
+    assert(sink.read().count() == before)
+
+    // DDL got recorded
+    val ddl = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/state/_ddl.sql")), "UTF-8")
+    assert(ddl.contains("ReplacingMergeTree"))
+    assert(ddl.contains("ORDER BY (user_id)"))
+  }
+
+  test("compact preserves state") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val changelog = Changelog.fromEvents(events)
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val sink = new ParquetStateSink(s"$tmp/state", Seq("user_id"),
+      Seq("last_ts", "total_value", "n_events"))
+    val offsets = new FileOffsetStore(s"$tmp/offset")
+    val pipe = new Pipe(cfg(250L), new ChangelogReplaySource(changelog), sink,
+      offsets, targetCols)
+    pipe.run()
+    val before = sink.read().orderBy("user_id").collect().toSeq
+    sink.compact()
+    val after = sink.read().orderBy("user_id").collect().toSeq
+    assert(before.map(_.getLong(0)) == after.map(_.getLong(0)))
+  }
+}
