@@ -1,24 +1,89 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{CdcApply, Changelog}
+import graft.ops.CoreOps
+import graft.sources.Tables
+
+/** Per-round benchmark: headline declared queries + the BASELINE.md
+  * throughput metrics (snapshot rows/s, CDC events/s, dedup overhead),
+  * printed as ONE JSON line. Work is forced with the `noop` sink so
+  * column computation cannot be pruned the way a bare count() allows.
+  */
 object Bench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warm the JVM/codegen paths once with a tiny action
+    Tables.read(spark, sfDir, "region").count()
+
+    val headline = Seq(
+      "cdc_user_state", "q1_agg", "q3_join", "q5_region",
+      "dedup_exact_docs", "minhash_pairs", "simhash_docs",
+      "embed_topk", "embed_topk_lsh", "text_metrics", "doc_fingerprint")
+
+    val queryTimes = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        name -> time(force(fn(spark, sfDir)))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // BASELINE.md metrics -------------------------------------------------
+    // Snapshot copy path (S1→P1/P2/casts→K1): full lineitem through
+    // projection+cast, forced.
+    val lineitem = Tables.read(spark, sfDir, "lineitem")
+    val nLineitem = lineitem.count()
+    val snapSec = time {
+      force(CoreOps.alignToTarget(lineitem,
+        lineitem.schema.fields.map(f => graft.types.CHColumn(f.name,
+          graft.types.CHType.fromSparkType(f.dataType, f.nullable))).toSeq))
+    }
+
+    // CDC apply path (S2→A1→K1/K2): events → changelog → final state.
+    val events = Tables.events(spark, sfDir)
+    val nEvents = events.count()
+    val cdcSec = time {
+      force(CdcApply.finalStateDeclarative(
+        Changelog.fromEvents(events),
+        Seq("user_id"), Seq("last_ts", "total_value", "n_events"),
+        batchSize = 65536L))
+    }
+
+    // Dedup (A1) overhead vs plain append at the same volume.
+    val plainSec = time(force(events))
+    val dedupSec = time(force(CoreOps.dedupLastWins(events, Seq("user_id"), "event_id")))
+
+    val all = queryTimes ++ Seq(
+      "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${all.map(_._2).sum}%.3f"
+    val extra =
+      f""""snapshot_rows_per_s":${nLineitem / math.max(snapSec, 1e-9)}%.0f,""" +
+        f""""cdc_events_per_s":${nEvents / math.max(cdcSec, 1e-9)}%.0f,""" +
+        f""""dedup_overhead_x":${dedupSec / math.max(plainSec, 1e-9)}%.2f"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,182 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.GraftFunctions
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact: one hash-shuffle on a 64-bit fingerprint (never on the full
+  *    text — grouping on a long keeps shuffle rows tiny; full-text equality
+  *    is only confirmed within the tiny fingerprint-collision groups).
+  *  - MinHash+LSH: signature in one scan pass (custom codegen'd
+  *    expression), banding explode of b rows/doc, shuffle on (band, key) —
+  *    candidate generation never goes quadratic; exact Jaccard only on
+  *    candidate pairs.
+  *  - SimHash: one 64-bit signature per doc; near-dup = identical signature
+  *    band keys (Hamming blocking by 16-bit quarters).
+  *  - embedding cosine: random-hyperplane LSH bucketing; exact cosine only
+  *    within buckets.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Exact duplicate groups: canonical id = min(id) per identical text.
+    * Output one row per distinct text: (canonical id, n_dups).
+    * The shuffle key is fingerprint64(text) — 8 bytes — not the text;
+    * text equality is re-checked inside each fingerprint group, so hash
+    * collisions cannot merge distinct texts. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol),
+        GraftFunctions.fingerprint64(col(textCol)).as("__fp"))
+      .groupBy(col("__fp"), col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .select(col("canonical_id"), col("n_dups"))
+
+  /** Exact-dedup projection: keep only the min-id row per identical text. */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(GraftFunctions.fingerprint64(col(textCol)), col(textCol))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------
+
+  /** Per-doc MinHash signature over character shingles: one scan, no
+    * shuffle. k = bands * rowsPerBand lanes. */
+  def withMinhashSignature(
+      df: DataFrame, textCol: String, shingleSize: Int, k: Int): DataFrame =
+    df.withColumn("__sig",
+      GraftFunctions.minhashSignature(
+        TextOps.charShingles(col(textCol), shingleSize), k))
+
+  /** LSH banding: explode each doc into `bands` rows keyed by the hash of
+    * its band slice; docs sharing any band key are candidates. Estimated
+    * Jaccard = matching lanes / k over the full signatures. */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = withMinhashSignature(df, textCol, shingleSize, k)
+      .select(col(idCol).as("id"), col("__sig"))
+      .cache()
+
+    val banded = sig.select(
+      col("id"), col("__sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+    // Self-join within (band, band_key); id< id2 avoids mirror pairs; the
+    // distinct collapses docs that collide in several bands.
+    val a = banded.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("__sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("__sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast(DoubleType) / lit(k.toDouble))
+      .filter(col("est_jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  // -------------------------------------------------------------------
+  // Exact n-gram Jaccard (verification / small-candidate-set refinement)
+  // -------------------------------------------------------------------
+
+  /** Exact Jaccard similarity between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val uni = size(array_union(a, b)).cast(DoubleType)
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Exact word-n-gram Jaccard for a candidate pair set: join texts back,
+    * compute set overlap. `pairs` must have (id_a, id_b). */
+  def verifyPairsJaccard(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      TextOps.wordShingles(col(textCol), ngram).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .drop("sh_a", "sh_b")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash per doc + quarter-band keys for Hamming blocking:
+    * docs within Hamming distance 3 share at least one identical 16-bit
+    * quarter (pigeonhole), so blocking on quarters finds all near pairs
+    * with one shuffle. */
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", GraftFunctions.simhash64(TextOps.tokens(col(textCol))))
+
+  def simhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = withSimhash(df, textCol)
+      .select(col(idCol).as("id"), col("simhash")).cache()
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "qkey")
+    val a = banded.select(col("quarter"), col("qkey"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("quarter"), col("qkey"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("quarter", "qkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding near-dup (cosine)
+  // -------------------------------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, blocked by
+    * random-hyperplane sign buckets (see [[graft.sim.Similarity]] for the
+    * hyperplane machinery). Exact cosine runs only within buckets. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val bucketed = graft.sim.Similarity.withHyperplaneBucket(df, vecCol, planes, seed)
+    val a = bucketed.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = bucketed.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, "__bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.sim.Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registration + Column-API surface for the custom Catalyst expressions.
+  *
+  * Two entry points:
+  *  - config-time: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *  - runtime: `GraftFunctions.register(spark)` (used by Verify/Bench and
+  *    tests), which installs the same builders into the session's
+  *    FunctionRegistry.
+  *
+  * Either way the functions are usable from SQL text and, via the helpers
+  * below, the Column API — all without leaving whole-stage codegen.
+  */
+object GraftFunctions {
+
+  private def kOf(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"minhash_signature(shingles, k): k must be an int literal, got $other")
+  }
+
+  val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
+      (exprs: Seq[Expression]) => Fingerprint64(exprs.head)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, kOf(exprs(1))))
+  )
+
+  /** Install into an existing session (idempotent) for SQL-text call
+    * sites; the Column helpers below do not need this. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    builders.foreach { case (ident, info, builder) =>
+      registry.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+      val _ = info // ExpressionInfo used by the extensions path
+    }
+  }
+
+  // Column-API helpers: build the Catalyst expression directly — no
+  // registry lookup, no SQL text, usable in any session.
+  import org.apache.spark.sql.GraftColumnShim.{column, expression}
+  def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def minhashSignature(c: Column, k: Int): Column =
+    column(MinHashSignature(expression(c), k))
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach(ext.injectFunction)
+}

@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video payloads ride as opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extract / frame-sample run per partition in
+  * batches.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): `stubDecode*` produce deterministic fake features derived
+  * from the bytes. Everything Spark-side — schema, partitioning, batch
+  * iteration shape, null discipline — is real and tested, so swapping the
+  * stub for a JNI/ONNX decoder changes one function body, not the plan.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every payload. */
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("byte_len", LongType, nullable = false)))
+
+  /** Magic-byte MIME sniffing — real (not stubbed): dispatch on payload
+    * prefixes, pure column expression, stays in codegen. */
+  def sniffMime(data: Column): Column = {
+    def prefix(hex: String): Column =
+      hex_to_prefix(data, hex)
+    when(data.isNull, lit(null).cast(StringType))
+      .when(prefix("89504e47"), lit("image/png"))
+      .when(prefix("ffd8ff"), lit("image/jpeg"))
+      .when(prefix("47494638"), lit("image/gif"))
+      .when(prefix("52494646"), lit("audio/wav")) // RIFF (wav/avi family)
+      .when(prefix("494433"), lit("audio/mpeg")) // ID3
+      .when(prefix("1a45dfa3"), lit("video/webm"))
+      .otherwise(lit("application/octet-stream"))
+  }
+
+  private def hex_to_prefix(data: Column, hexPrefix: String): Column =
+    lower(hex(substring(data, 1, hexPrefix.length / 2))) === hexPrefix
+
+  /** Attach the metadata struct (sniffed mime + byte length; dimensions
+    * null until a real decoder fills them). */
+  def withMediaMeta(df: DataFrame, dataCol: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      sniffMime(col(dataCol)).as("mime"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"),
+      coalesce(length(col(dataCol)).cast(LongType), lit(0L)).as("byte_len")))
+
+  /** STUB image decode → fixed-size feature vector. Deterministic fake:
+    * features are byte-histogram-ish moments of the payload. The real
+    * implementation would decode pixels here; the mapPartitions batch
+    * shape, output schema and null handling are what the pipeline relies
+    * on and they are real.
+    */
+  def stubDecodeFeatures(
+      df: DataFrame, dataCol: String, featureDim: Int = 16): DataFrame = {
+    val outSchema = df.schema.add(StructField("features",
+      ArrayType(FloatType, containsNull = false), nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val dataIdx = df.schema.fieldIndex(dataCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload = if (row.isNullAt(dataIdx)) null else row.getAs[Array[Byte]](dataIdx)
+        val feats: Array[Float] =
+          if (payload == null) null
+          else {
+            // ??? real decoder goes here; deterministic stand-in:
+            val f = new Array[Float](featureDim)
+            var i = 0
+            while (i < payload.length) {
+              f(i % featureDim) += (payload(i) & 0xff) / 255.0f
+              i += 1
+            }
+            val n = math.max(1, payload.length / featureDim)
+            f.map(_ / n)
+          }
+        Row.fromSeq(row.toSeq :+ (if (feats == null) null else feats.toSeq))
+      }
+    }(enc).toDF(outSchema.fieldNames: _*)
+  }
+
+  /** Frame sampling for video-ish payloads: emit `n` (frame_idx, offset)
+    * slices per payload — pure column math (sequence + transform +
+    * posexplode), no decoder needed to test the plumbing. Real decoding
+    * would map each offset to a frame grab. */
+  def sampleFrames(df: DataFrame, dataCol: String, n: Int): DataFrame = {
+    val len = length(col(dataCol)).cast(LongType)
+    df.withColumn("__offsets",
+        transform(sequence(lit(0), lit(n - 1)),
+          i => floor(i.cast(LongType) * len / n).cast(LongType)))
+      .select(col("*"), posexplode(col("__offsets")))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "byte_offset")
+      .drop("__offsets")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language ID, fingerprinting.
+  *
+  * All built from codegen'd `org.apache.spark.sql.functions` higher-order
+  * functions — no UDFs — so they inline into whole-stage codegen and scale
+  * linearly with the scan: no shuffle is introduced by any scalar op here.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; empty/blank text → empty array (split on a
+    * blank string would otherwise yield [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + punctuation runs counted
+    * separately (a cheap stand-in for a real tokenizer's fertility). */
+  def subwordCountEstimate(text: Column): Column =
+    size(tokens(text)) +
+      size(filter(split(text, ""), c => c.rlike("[.,!?;:'\"()\\[\\]{}]")))
+
+  /** Character n-gram shingles (distinct), the MinHash input. One pass via
+    * sequence+transform; distinct via array_distinct. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array(text))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
+  /** Word n-gram shingles (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Punctuation character class — deliberately simple and documented so
+    * the DuckDB oracle can restate it verbatim. */
+  val PunctClass = "[.,!?;:]"
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty).
+    * Counted with the regex-strip length delta (one codegen'd
+    * regexp_replace, no array materialization). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0)).otherwise(
+      (n - length(regexp_replace(text, PunctClass, ""))).cast(DoubleType)
+        / n.cast(DoubleType))
+  }
+
+  /** Stopword ratio over a fixed (deterministic, documented) list. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "was", "at", "by", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isInCollection(Stopwords))).cast(DoubleType)
+        / size(toks).cast(DoubleType))
+  }
+
+  /** Mean token length in characters (0 for empty text). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType)
+        / size(toks).cast(DoubleType))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation noise and a natural stopword rate. Deterministic linear
+    * blend — the point is a reproducible scalar pipeline, not linguistics.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast(DoubleType) / lit(100.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(greatest(lit(0.0),
+      lenScore * 0.5 + stopScore * 0.3 - punctPenalty * 0.2 + lit(0.2)), 6)
+  }
+
+  /** Language-marker word lists for the n-gram/stopword language-ID
+    * heuristic. Occurrence counting is done with the portable
+    * "length delta / marker length" trick, so the DuckDB oracle can
+    * reproduce it exactly. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " to "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "fr" -> Seq(" le ", " et ", " la ", " est "),
+    "es" -> Seq(" el ", " y ", " la ", " es "),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  private def occurrences(hay: Column, needle: String): Column =
+    (length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), "")))
+      ./(lit(needle.length))
+
+  /** Predicted language = argmax of marker occurrences; ties and all-zero
+    * scores fall back to "und" (deterministic: first max in list order). */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scored = LangMarkers.map { case (lang, markers) =>
+      val score = markers.map(m => occurrences(padded, m)).reduce(_ + _)
+      struct(score.cast(LongType).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct orders lexicographically by (score, lang); to make
+    // ties resolve by list order instead, tag with a priority index.
+    val tagged = LangMarkers.zipWithIndex.map { case ((lang, markers), idx) =>
+      val score = markers.map(m => occurrences(padded, m)).reduce(_ + _)
+      struct(score.cast(LongType).as("score"),
+        lit(LangMarkers.size - idx).as("prio"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(tagged: _*))
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+}

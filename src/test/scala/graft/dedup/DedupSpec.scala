@@ -1,0 +1,83 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docsWithDups = {
+    import spark.implicits._
+    val base = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    // plant controlled duplicates: exact copies (id+10000) and near copies
+    // (id+20000, one word appended) of the first 20 docs
+    val firstTexts = base.filter($"doc_id" < 20)
+    val exact = firstTexts.select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val near = firstTexts.select(($"doc_id" + 20000).as("doc_id"),
+      concat($"text", lit(" appended")).as("text"))
+    base.unionByName(exact).unionByName(near).cache()
+  }
+
+  test("exact dedup: planted copies collapse to min id") {
+    val deduped = Dedup.dedupExact(docsWithDups, "doc_id", "text")
+    assert(deduped.count() == docsWithDups.count() - 20)
+    // canonical row for a planted dup is the original (min id)
+    val kept = deduped.filter(col("doc_id") === 10005).count()
+    assert(kept == 0) // 10005 is the copy; 5 survives
+    assert(deduped.filter(col("doc_id") === 5).count() == 1)
+
+    val groups = Dedup.exactDupGroups(docsWithDups, "doc_id", "text")
+    assert(groups.filter(col("n_dups") === 2).count() == 20)
+  }
+
+  test("minhash LSH finds planted near-duplicates with no quadratic blowup") {
+    val pairs = Dedup.minhashCandidatePairs(
+      docsWithDups, "doc_id", "text",
+      shingleSize = 5, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)
+      .collect()
+    // exact copies must be found (est jaccard 1.0); note (10000+x, 20000+x)
+    // pairs also differ by 10000, so anchor on id_a < 20
+    val exactPairs = pairs.filter(p =>
+      p.getLong(0) < 20 && p.getLong(1) == p.getLong(0) + 10000)
+    assert(exactPairs.length == 20, s"found ${exactPairs.length} of 20 exact pairs")
+    exactPairs.foreach(p => assert(p.getDouble(2) == 1.0))
+    // near copies (one appended word) should mostly surface
+    val nearPairs = pairs.count(p =>
+      p.getLong(0) < 20 && p.getLong(1) == p.getLong(0) + 20000)
+    assert(nearPairs >= 15, s"found $nearPairs of 20 near pairs")
+  }
+
+  test("exact jaccard verification of candidate pairs") {
+    import spark.implicits._
+    val pairs = Seq((0L, 10000L), (0L, 20000L)).toDF("id_a", "id_b")
+    val verified = Dedup.verifyPairsJaccard(pairs, docsWithDups, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(verified((0L, 10000L)) == 1.0)
+    assert(verified((0L, 20000L)) > 0.8 && verified((0L, 20000L)) < 1.0)
+  }
+
+  test("simhash blocking finds exact and near copies") {
+    val pairs = Dedup.simhashCandidatePairs(docsWithDups, "doc_id", "text", maxHamming = 6)
+      .collect()
+    val exactPairs = pairs.filter(p =>
+      p.getLong(0) < 20 && p.getLong(1) == p.getLong(0) + 10000)
+    assert(exactPairs.length == 20)
+    exactPairs.foreach(p => assert(p.getAs[Int]("hamming") == 0))
+  }
+
+  test("embedding near-dup via hyperplane buckets") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    // plant exact-duplicate vectors
+    val dups = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val all = emb.unionByName(dups)
+    val pairs = Dedup.embeddingNearDupPairs(all, "vec_id", "embedding",
+      threshold = 0.999, planes = 8)
+      .collect()
+    val planted = pairs.count(p => p.getLong(1) == p.getLong(0) + 10000)
+    assert(planted == 10, s"found $planted of 10 planted vector dups")
+  }
+}

