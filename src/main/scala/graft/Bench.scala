@@ -69,9 +69,15 @@ object Bench {
         batchSize = 65536L))
     }
 
-    // Dedup (A1) overhead vs plain append at the same volume.
-    val plainSec = time(force(events))
-    val dedupSec = time(force(CoreOps.dedupLastWins(events, Seq("user_id"), "event_id")))
+    // Dedup (A1) overhead vs plain append at the same volume — both sides
+    // do a real parquet append so the ratio reflects pipeline cost, not
+    // scan noise (BASELINE.md: "≤ 2× plain append").
+    val benchTmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val plainSec = time(
+      events.write.mode("overwrite").parquet(s"$benchTmp/plain"))
+    val dedupSec = time(
+      CoreOps.dedupLastWinsAgg(events, Seq("user_id"), "event_id")
+        .write.mode("overwrite").parquet(s"$benchTmp/dedup"))
 
     val all = queryTimes ++ Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec)

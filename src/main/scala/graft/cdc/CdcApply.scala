@@ -40,8 +40,10 @@ object CdcApply {
     val hasTruncate = !batch.filter(col(opCol) === Changelog.OpTruncate).isEmpty
     val base = if (hasTruncate) state.limit(0) else state
 
+    // agg-based dedup: map-side combine, no per-partition sort (WAL seqs
+    // are distinct per key, so max_by is exact)
     val ups = CoreOps
-      .dedupLastWins(CoreOps.upserts(batch, opCol), pkCols, seqCol)
+      .dedupLastWinsAgg(CoreOps.upserts(batch, opCol), pkCols, seqCol)
       .select(stateCols.map(col): _*)
 
     // ReplacingMergeTree emulation: new version replaces prior row per PK.

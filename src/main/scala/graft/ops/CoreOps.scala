@@ -196,6 +196,21 @@ object CoreOps {
       .drop("__rn")
   }
 
+  /** Same result as [[dedupLastWins]] via hash aggregation (`max_by` over
+    * a struct of the non-PK columns) instead of a window: partial
+    * aggregation combines map-side, so the shuffle carries one row per
+    * (partition, key) rather than every event, and no sort happens.
+    * Preferred at scale; requires `seqCol` values to be distinct per key
+    * (true for WAL positions). Column order is preserved. */
+  def dedupLastWinsAgg(df: DataFrame, pkCols: Seq[String], seqCol: String): DataFrame = {
+    val others = df.columns.filterNot(pkCols.contains).toIndexedSeq
+    val packed = df.groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(seqCol)).as("__row"))
+    packed.select(
+      (pkCols.map(col) ++ others.map(c => col(s"__row.$c").as(c))): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** PK string extraction: values of the PK columns `|`-joined, NULL
     * rendered as the literal "NULL"
     * (reference: `src/pipes/postgres.rs:789-802`).

@@ -126,6 +126,7 @@ object CHType {
     }
     base match {
       case Unknown       => Unknown // never wrapped; column creation deferred
+      case a: CHArray    => a // ClickHouse forbids Nullable(Array)
       case t if fieldName == "_id" => t // `_id` stays non-nullable
       case t             => t.nullable
     }
@@ -164,7 +165,9 @@ object CHType {
       case StringType            => CHStr
       case _: DecimalType        => CHDecimal
       case DateType              => CHDate
-      case TimestampType         => CHDateTime()
+      // parquet timestamps without UTC adjustment surface as NTZ; the
+      // target type is the same second-precision DateTime either way
+      case TimestampType | TimestampNTZType => CHDateTime()
       case ArrayType(inner, _)   => CHArray(fromSparkType(inner, nullable = false).stripNullable)
       case BinaryType            => CHStr
       case _                     => CHStr

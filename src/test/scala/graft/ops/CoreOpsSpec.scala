@@ -131,6 +131,24 @@ class CoreOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((1L, "c"), (2L, "x")))
   }
 
+  test("dedupLastWinsAgg agrees with the window variant (incl. column order)") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 30L, "c"), (1L, 20L, "b"), (2L, 5L, "x")
+    ).toDF("id", "seq", "v")
+    val viaWindow = CoreOps.dedupLastWins(df, Seq("id"), "seq")
+    val viaAgg = CoreOps.dedupLastWinsAgg(df, Seq("id"), "seq")
+    assert(viaAgg.columns.toSeq == viaWindow.columns.toSeq)
+    assert(viaAgg.orderBy("id").collect().toSeq ==
+      viaWindow.orderBy("id").collect().toSeq)
+    // events-scale agreement
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val a = CoreOps.dedupLastWinsAgg(ev, Seq("user_id"), "event_id")
+      .orderBy("user_id").collect().toSeq
+    val w = CoreOps.dedupLastWins(ev, Seq("user_id"), "event_id")
+      .orderBy("user_id").collect().toSeq
+    assert(a == w)
+  }
+
   test("pkString joins with | and renders NULL (pipes/postgres.rs:789-802)") {
     val df = Seq((Some(1L), Some("a")), (Some(2L), None)).toDF("k1", "k2")
     val out = df.select(CoreOps.pkString(Seq("k1", "k2")).as("pk"))
