@@ -39,17 +39,12 @@ object SparkEntry {
     cdcUserState(spark, "/root/testdata/sf0.001")
 
   /** events → op-log → final keyed state (SURVEY sec 2: S2/D8 + A1/A2 +
-    * K1/K2 ordering), the engine's single most load-bearing semantic. */
-  private def cdcUserState(spark: SparkSession, sfDir: String): DataFrame = {
-    val changelog = Changelog.fromEvents(Tables.events(spark, sfDir))
-    CdcApply
-      .finalStateDeclarative(
-        changelog,
-        pkCols = Seq("user_id"),
-        valueCols = Seq("last_ts", "total_value", "n_events"),
-        batchSize = CdcBatchSize)
+    * K1/K2 ordering), the engine's single most load-bearing semantic.
+    * Uses the fused one-shuffle plan; equivalence with the generic
+    * changelog → finalState composition is pinned by CdcApplySpec. */
+  private def cdcUserState(spark: SparkSession, sfDir: String): DataFrame =
+    Changelog.userStateFused(Tables.events(spark, sfDir), CdcBatchSize)
       .withColumn("total_value", round(col("total_value"), 6))
-  }
 
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")

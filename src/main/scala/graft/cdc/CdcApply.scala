@@ -126,16 +126,25 @@ object CdcApply {
     val isUpsert = col(opCol).isin(Changelog.OpInsert, Changelog.OpUpdate)
     val isDelete = col(opCol) === Changelog.OpDelete
 
-    // batch(max-seq upsert) == max batch over upserts, by monotonicity —
-    // so one aggregation pass computes everything per key.
-    val perKey = changelog
+    // batch(max-seq upsert) == max batch over upserts, by monotonicity.
+    // Upserts and deletes aggregate SEPARATELY: when the changelog arrives
+    // already hash-partitioned by PK (e.g. straight out of the
+    // after-image window), the wide upsert aggregation reuses that
+    // partitioning with no new exchange; only the narrow (pk, batch)
+    // delete stream shuffles. A union would invalidate the partitioning
+    // and re-shuffle the full-width rows.
+    val perKeyUps = changelog
+      .filter(isUpsert)
       .groupBy(pkCols.map(col): _*)
       .agg(
-        max(when(isUpsert, col(seqCol))).as("__lu"),
-        max(when(isUpsert, batchCol)).as("__lub"),
-        max(when(isDelete, batchCol)).as("__ldb"),
-        max_by(struct(valueCols.map(col): _*), when(isUpsert, col(seqCol))).as("__img")
-      )
+        max(col(seqCol)).as("__lu"),
+        max(batchCol).as("__lub"),
+        max_by(struct(valueCols.map(col): _*), col(seqCol)).as("__img"))
+
+    val perKeyDel = changelog
+      .filter(isDelete)
+      .groupBy(pkCols.map(col): _*)
+      .agg(max(batchCol).as("__ldb"))
 
     // Truncates are rare, table-wide events: aggregate to a single row and
     // broadcast it — no second shuffle.
@@ -143,11 +152,11 @@ object CdcApply {
       .filter(col(opCol) === Changelog.OpTruncate)
       .agg(max(batchCol).as("__ltb"))
 
-    perKey
+    perKeyUps
+      .join(perKeyDel, pkCols, "left_outer")
       .crossJoin(broadcast(lt))
       .filter(
-        col("__lu").isNotNull &&
-          (col("__ldb").isNull || col("__lub") > col("__ldb")) &&
+        (col("__ldb").isNull || col("__lub") > col("__ldb")) &&
           (col("__ltb").isNull || col("__lub") >= col("__ltb"))
       )
       .select(pkCols.map(col) ++ valueCols.map(v => col(s"__img.$v").as(v)): _*)

@@ -61,4 +61,44 @@ object Changelog {
         col("n_events")
       )
   }
+
+  /** Changelog derivation + CDC final state FUSED into one window pass —
+    * the plan you want at scale: the running after-image aggregates and
+    * the whole-partition last-upsert/last-delete markers are conditional
+    * window functions over the SAME hash partitioning (user_id), so the
+    * whole computation is ONE exchange + one sort, no union, no join, no
+    * re-aggregation. Result provably equals
+    * `CdcApply.finalStateDeclarative(fromEvents(events), ...)`:
+    * the kept row is the max-seq upsert, its running aggregates are the
+    * after-image, and the batch comparisons reproduce the
+    * deletes-after-upserts / resurrection rules (SURVEY.md sec 3 EP3).
+    */
+  def userStateFused(events: DataFrame, batchSize: Long): DataFrame = {
+    val typed = events.withColumn(
+      "op",
+      when(col("event_type") === "signup", OpInsert)
+        .when(col("event_type") === "error", OpDelete)
+        .otherwise(OpUpdate))
+    val isUpsert = col("op") =!= OpDelete
+    val isDelete = col("op") === OpDelete
+    val batch = floor(col("event_id") / batchSize)
+
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("user_id"))
+
+    typed
+      .select(
+        col("user_id"), col("event_id"), col("op"), col("ts"),
+        sum(when(isUpsert, col("value"))).over(wRun).as("total_value"),
+        count(when(isUpsert, lit(1))).over(wRun).as("n_events"),
+        max(when(isUpsert, col("event_id"))).over(wAll).as("__lu"),
+        max(when(isUpsert, batch)).over(wAll).as("__lub"),
+        max(when(isDelete, batch)).over(wAll).as("__ldb"))
+      .filter(
+        col("event_id") === col("__lu") &&
+          (col("__ldb").isNull || col("__lub") > col("__ldb")))
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("total_value"), col("n_events"))
+  }
 }

@@ -81,4 +81,17 @@ class CdcApplySpec extends AnyFunSuite with SparkTestBase {
       assert(declared == looped, s"batchSize=$batchSize")
     }
   }
+
+  test("fused one-shuffle user state ≡ changelog → declarative final state") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    for (batchSize <- Seq(64L, 200L)) {
+      val fused = graft.cdc.Changelog.userStateFused(events, batchSize)
+        .orderBy("user_id").collect().toSeq
+      val generic = CdcApply.finalStateDeclarative(
+        graft.cdc.Changelog.fromEvents(events),
+        Seq("user_id"), Seq("last_ts", "total_value", "n_events"), batchSize)
+        .orderBy("user_id").collect().toSeq
+      assert(fused == generic, s"batchSize=$batchSize")
+    }
+  }
 }
