@@ -229,6 +229,16 @@ object SparkEntry {
       val bin = docs(s, dir).withColumn("payload", col("text").cast("binary"))
       Multimodal.sampleFrames(bin, "payload", n = 4)
         .select(col("doc_id"), col("frame_idx"), col("byte_offset"))
+    }),
+
+    // P8/P10 BSON renders: second-precision datetime text, base64, epoch.
+    "bson_render" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        graft.mongo.BsonRender.datetimeText(col("ts")).as("ts_text"),
+        graft.mongo.BsonRender.binaryBase64(col("event_type").cast("binary")).as("b64"),
+        graft.mongo.BsonRender.epochMillisToTimestamp(
+          (unix_timestamp(col("ts")) * 1000)).as("ts_from_millis"))
     })
   )
 
@@ -467,6 +477,14 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |       CAST(floor(i * CAST(octet_length(encode(text)) AS BIGINT) / 4.0) AS BIGINT) AS byte_offset
         |FROM documents, range(0, 4) r(i)
+        |""".stripMargin,
+
+    "bson_render" ->
+      """SELECT event_id,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_text,
+        |       to_base64(encode(event_type)) AS b64,
+        |       date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_from_millis
+        |FROM events
         |""".stripMargin
   )
 }

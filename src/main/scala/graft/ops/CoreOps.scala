@@ -218,6 +218,30 @@ object CoreOps {
   def pkString(pkCols: Seq[String]): Column =
     concat_ws("|", pkCols.map(c => coalesce(col(c).cast(StringType), lit("NULL"))): _*)
 
+  /** Two-phase (salted) last-wins dedup for skewed keys: phase 1
+    * aggregates per (key, salt) — the shuffle spreads a hot key over
+    * `saltBuckets` reducers — phase 2 collapses the (at most
+    * `saltBuckets`) survivors per key. Same result as [[dedupLastWinsAgg]]
+    * (max_by is associative); use when a single PK can dominate a batch
+    * (e.g. one row updated millions of times between merges). The salt is
+    * derived from `seqCol`, so it is deterministic. */
+  def dedupLastWinsSalted(
+      df: DataFrame, pkCols: Seq[String], seqCol: String,
+      saltBuckets: Int = 32): DataFrame = {
+    val others = df.columns.filterNot(pkCols.contains).toIndexedSeq
+    val salted = df.withColumn("__salt", pmod(col(seqCol), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((pkCols :+ "__salt").map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(seqCol)).as("__row"))
+      .select(pkCols.map(col) ++ others.map(c => col(s"__row.$c").as(c)): _*)
+    val phase2 = phase1
+      .groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(seqCol)).as("__row"))
+    phase2
+      .select(pkCols.map(col) ++ others.map(c => col(s"__row.$c").as(c)): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   // ---------------------------------------------------------------------
   // P3/P4: filtering + routing
   // ---------------------------------------------------------------------

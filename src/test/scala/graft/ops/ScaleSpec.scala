@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Scale-shape pins: the physical-plan properties the engine relies on at
+  * 100 TB — salted dedup equivalence, bucketed co-located joins, scalar
+  * pipelines staying shuffle-free, scan pruning/pushdown.
+  */
+class ScaleSpec extends AnyFunSuite with SparkTestBase {
+
+  test("salted two-phase dedup ≡ plain agg dedup (incl. a hot key)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 90% of events hit key 1 (hot), rest spread over 100 keys
+    val rows = (1L to 5000L).map { seq =>
+      val k = if (rnd.nextInt(10) < 9) 1L else rnd.nextInt(100).toLong + 2
+      (k, seq, s"v$seq")
+    }
+    val df = rows.toDF("id", "seq", "v")
+    val plain = CoreOps.dedupLastWinsAgg(df, Seq("id"), "seq")
+      .orderBy("id").collect().toSeq
+    val salted = CoreOps.dedupLastWinsSalted(df, Seq("id"), "seq", saltBuckets = 16)
+      .orderBy("id").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // warehouse dir is a static conf, set in SparkTestBase
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    val sf = "/root/testdata/sf0.001"
+    graft.sources.Tables.read(spark, sf, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    graft.sources.Tables.read(spark, sf, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+
+    // disable auto-broadcast so the join would otherwise shuffle
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("snapshot cast/mask pipeline is a single scan stage: pruned, no shuffle") {
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.read(spark, sf, "lineitem")
+    val projected = CoreOps.alignToTarget(
+      li.filter(col("l_orderkey") > 100),
+      graft.sources.Introspect.table(spark, sf, "lineitem").map(_._2)
+        .filter(c => Set("l_orderkey", "l_linenumber", "l_quantity").contains(c.name)))
+    val plan = projected.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_orderkey,100)"),
+      s"filter not pushed:\n$plan")
+    // column pruning: only the three projected columns are read
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"scan not pruned:\n$plan")
+  }
+}
