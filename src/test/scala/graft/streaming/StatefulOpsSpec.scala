@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.SparkTestBase
+
+class StatefulOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("mapGroupsWithState user state: batch delete rule + resurrection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-state").toString
+
+    val input = MemoryStream[ChangeEvent]
+    // one continuous query: the memory sink cannot recover a checkpoint,
+    // so batches are driven with processAllAvailable between addData calls
+    val q = StatefulOps.userStateStream(input.toDS())
+      .writeStream.format("memory").queryName("user_state_mem")
+      .outputMode("update")
+      .start()
+
+    // batch 1: user 1 upserts then delete (delete wins), user 2 plain upsert
+    input.addData(
+      ChangeEvent("I", 1, 1, ts("2025-01-01 00:00:00"), 1.0, 1),
+      ChangeEvent("U", 2, 1, ts("2025-01-01 00:00:01"), 3.0, 2),
+      ChangeEvent("D", 3, 1, null, 0.0, 0),
+      ChangeEvent("I", 4, 2, ts("2025-01-01 00:00:02"), 2.0, 1))
+    q.processAllAvailable()
+
+    val s1 = spark.table("user_state_mem").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(s1(1L) == -1L) // tombstone: delete won the batch
+    assert(s1(2L) == 1L)
+
+    // batch 2: user 1 resurrects
+    input.addData(ChangeEvent("I", 5, 1, ts("2025-01-01 00:01:00"), 9.0, 1))
+    q.processAllAvailable()
+    q.stop()
+    val s2 = spark.table("user_state_mem").collect()
+      .filter(r => r.getLong(0) == 1L && r.getLong(3) > 0)
+    assert(s2.nonEmpty && s2.last.getLong(3) == 1L && s2.last.getDouble(2) == 9.0)
+    val _ = tmp
+  }
+
+  test("flatMapGroupsWithState dedup: first occurrence only, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-ddstate").toString
+
+    val input = MemoryStream[SeenDoc]
+    val q = StatefulOps.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_mem")
+      .outputMode("append")
+      .start()
+
+    input.addData(
+      SeenDoc(1, 100L, "alpha"), SeenDoc(2, 100L, "alpha"), // dup in batch
+      SeenDoc(3, 200L, "beta"))
+    q.processAllAvailable()
+    input.addData(
+      SeenDoc(4, 100L, "alpha"),   // dup across batches
+      SeenDoc(5, 100L, "gamma"),   // fp collision, different text -> kept
+      SeenDoc(6, 300L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("dedup_mem").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L))
+    val _ = tmp
+  }
+
+  test("watermarked windowed counts finalize deterministically (AvailableNow)") {
+    val tmp = Files.createTempDirectory("graft-window").toString
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(s"$tmp/events")
+
+    val stream = spark.readStream.schema(
+      spark.read.parquet(s"$tmp/events").schema).parquet(s"$tmp/events")
+    val q = StatefulOps.windowedCounts(stream, "ts", "1 hour", "1 day")
+      .writeStream.format("memory").queryName("win_mem")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // append-mode emits only windows the watermark closed; every emitted
+    // window must match the batch-mode count for the same window
+    val got = spark.table("win_mem").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
+  }
+}
