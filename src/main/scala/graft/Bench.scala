@@ -69,6 +69,30 @@ object Bench {
         batchSize = 65536L))
     }
 
+    // Text/dedup throughput at real volume: amplify the documents table to
+    // ~20k docs with id offsets (each copy is an exact dup of its base, so
+    // the dedup ops do real duplicate-cluster work) and measure rows/s
+    // through the heaviest pipeline ops.
+    val docsBase = Tables.read(spark, sfDir, "documents")
+    val baseCount = docsBase.count()
+    val reps = math.max(1L, 20000L / math.max(baseCount, 1L))
+    val amplified = spark.range(0, reps).toDF("__rep")
+      .crossJoin(docsBase)
+      .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"), col("text"))
+      .cache()
+    val nDocs = amplified.count()
+    val textSec = time {
+      force(amplified.select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).as("nt"),
+        graft.text.TextOps.qualityScore(col("text")).as("q"),
+        graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp")))
+    }
+    val minhashSec = time {
+      force(graft.dedup.Dedup.minhashCandidatePairs(
+        amplified, "doc_id", "text", jaccardThreshold = 0.9))
+    }
+    amplified.unpersist()
+
     // Dedup (A1) overhead vs plain append at the same volume — both sides
     // do a real parquet append so the ratio reflects pipeline cost, not
     // scan noise (BASELINE.md: "≤ 2× plain append").
@@ -80,14 +104,17 @@ object Bench {
         .write.mode("overwrite").parquet(s"$benchTmp/dedup"))
 
     val all = queryTimes ++ Seq(
-      "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec)
+      "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
+      "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
     val extra =
       f""""snapshot_rows_per_s":${nLineitem / math.max(snapSec, 1e-9)}%.0f,""" +
         f""""cdc_events_per_s":${nEvents / math.max(cdcSec, 1e-9)}%.0f,""" +
-        f""""dedup_overhead_x":${dedupSec / math.max(plainSec, 1e-9)}%.2f"""
+        f""""dedup_overhead_x":${dedupSec / math.max(plainSec, 1e-9)}%.2f,""" +
+        f""""text_docs_per_s":${nDocs / math.max(textSec, 1e-9)}%.0f,""" +
+        f""""minhash_docs_per_s":${nDocs / math.max(minhashSec, 1e-9)}%.0f"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
     spark.stop()

@@ -54,16 +54,25 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Per-doc MinHash signature over character shingles: one scan, no
-    * shuffle. k = bands * rowsPerBand lanes. */
+    * shuffle, allocation-free (the signature is computed directly over
+    * the text's byte windows — materializing a shingle array first costs
+    * ~5x in allocation pressure at corpus scale). k = bands * rowsPerBand
+    * lanes. */
   def withMinhashSignature(
       df: DataFrame, textCol: String, shingleSize: Int, k: Int): DataFrame =
     df.withColumn("__sig",
-      GraftFunctions.minhashSignature(
-        TextOps.charShingles(col(textCol), shingleSize), k))
+      GraftFunctions.minhashText(col(textCol), shingleSize, k))
 
   /** LSH banding: explode each doc into `bands` rows keyed by the hash of
     * its band slice; docs sharing any band key are candidates. Estimated
-    * Jaccard = matching lanes / k over the full signatures. */
+    * Jaccard = matching lanes / k over the full signatures.
+    *
+    * Run [[dedupExact]] FIRST on real corpora: an n-way exact-duplicate
+    * cluster shares every band, so its candidate pairs are quadratic in n
+    * by construction — collapsing exact dups first keeps buckets small.
+    * `maxBucketSize` (0 = unlimited) is the safety valve for remaining
+    * degenerate buckets: oversized ones are dropped (boilerplate/empty
+    * texts), which is standard LSH hygiene at corpus scale. */
   def minhashCandidatePairs(
       df: DataFrame,
       idCol: String,
@@ -71,8 +80,11 @@ object Dedup {
       shingleSize: Int = 5,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      jaccardThreshold: Double = 0.7): DataFrame = {
+      jaccardThreshold: Double = 0.7,
+      maxBucketSize: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
+    // (id, sig) is consumed three times (banding + both signature joins);
+    // cache the narrow projection rather than recomputing the scan
     val sig = withMinhashSignature(df, textCol, shingleSize, k)
       .select(col(idCol).as("id"), col("__sig"))
       .cache()
@@ -84,18 +96,30 @@ object Dedup {
         b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
 
-    // Self-join within (band, band_key); id< id2 avoids mirror pairs; the
-    // distinct collapses docs that collide in several bands.
-    val a = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("__sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("__sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
+    // ONE shuffle on (band, band_key): bucket member IDS are collected and
+    // pairs exploded in place — half the shuffle volume of a self-join and
+    // no join build side. Pairs carry ids ONLY (16 bytes each): carrying
+    // signatures through the quadratic in-bucket explosion would blow
+    // memory on hot buckets; signatures are joined back afterwards, once
+    // per distinct candidate pair.
+    val bucketFilter =
+      if (maxBucketSize > 0) size(col("members")).between(2, maxBucketSize)
+      else size(col("members")) > 1
+    val candidates = banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(collect_list(col("id")).as("members"))
+      .filter(bucketFilter)
+      .select(explode(filter(
+        flatten(transform(col("members"), a =>
+          transform(col("members"), b =>
+            struct(a.as("id_a"), b.as("id_b"))))),
+        p => p.getField("id_a") < p.getField("id_b"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b") // same pair from several bands
 
-    pairs
+    candidates
+      .join(sig.select(col("id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("__sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast(DoubleType) / lit(k.toDouble))
@@ -143,18 +167,28 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = withSimhash(df, textCol)
-      .select(col(idCol).as("id"), col("simhash")).cache()
+      .select(col(idCol).as("id"), col("simhash"))
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "qkey")
-    val a = banded.select(col("quarter"), col("qkey"),
-      col("id").as("id_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("quarter"), col("qkey"),
-      col("id").as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("quarter", "qkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    // same one-shuffle bucket-explode shape as minhashCandidatePairs;
+    // the signature here is a single long, so pairs can carry both
+    val banded2 = banded.select(col("quarter"), col("qkey"),
+      struct(col("id"), col("simhash")).as("m"))
+    banded2
+      .groupBy(col("quarter"), col("qkey"))
+      .agg(collect_list(col("m")).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(filter(
+        flatten(transform(col("members"), a =>
+          transform(col("members"), b => struct(
+            a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            a.getField("simhash").as("sig_a"), b.getField("simhash").as("sig_b"))))),
+        p => p.getField("id_a") < p.getField("id_b"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

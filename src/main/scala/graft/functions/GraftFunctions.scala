@@ -32,7 +32,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimHash64(exprs.head)),
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, kOf(exprs(1))))
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, kOf(exprs(1)))),
+    (FunctionIdentifier("minhash_text"),
+      new ExpressionInfo(classOf[MinHashText].getName, "minhash_text"),
+      (exprs: Seq[Expression]) => MinHashText(exprs.head, kOf(exprs(1)), kOf(exprs(2))))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -53,6 +56,8 @@ object GraftFunctions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def minhashSignature(c: Column, k: Int): Column =
     column(MinHashSignature(expression(c), k))
+  def minhashText(c: Column, shingleSize: Int, k: Int): Column =
+    column(MinHashText(expression(c), shingleSize, k))
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -79,6 +79,38 @@ object GraftHash {
     best
   }
 
+  /** MinHash signature straight from the text: k lanes over all
+    * `shingle`-byte windows of the UTF-8 payload, zero intermediate
+    * allocations (no shingle array, no per-shingle strings) — the form
+    * that survives a 100 TB scan. Duplicate windows cannot change a min,
+    * so no distinct step is needed. Texts shorter than one window hash
+    * the whole payload. */
+  def minhashTextSignature(s: UTF8String, shingle: Int, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val best = new Array[Long](k)
+    java.util.Arrays.fill(best, Long.MaxValue)
+    val n = bytes.length
+    val windows = if (n <= shingle) 1 else n - shingle + 1
+    val winLen = math.min(shingle, n)
+    var i = 0
+    while (i < windows) {
+      var h0 = 0xcbf29ce484222325L
+      var b = 0
+      while (b < winLen) { h0 ^= (bytes(i + b) & 0xff); h0 *= 0x100000001b3L; b += 1 }
+      var lane = 0
+      while (lane < k) {
+        var z = h0 + lane * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z < best(lane)) best(lane) = z
+        lane += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(best)
+  }
+
   /** Full MinHash signature (k lanes) in ONE pass over the shingle array —
     * the scalable form: cost O(shingles * k) arithmetic but a single
     * traversal, no per-lane re-materialization of the array. */
@@ -159,4 +191,24 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
   override def prettyName: String = "minhash_signature"
+}
+
+/** `minhash_text(text, shingleSize, k)` — MinHash signature computed
+  * directly over the text's byte windows: no shingle-array
+  * materialization, allocation-free inner loop, codegen'd. Prefer this
+  * over `minhash_signature(charShingles(...), k)` on large corpora. */
+case class MinHashText(child: Expression, shingleSize: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && k <= 512, s"minhash lane count out of range: $k")
+  require(shingleSize > 0 && shingleSize <= 64, s"shingle size out of range: $shingleSize")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.minhashTextSignature(input.asInstanceOf[UTF8String], shingleSize, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHash.minhashTextSignature($c, $shingleSize, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashText =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_text"
 }
