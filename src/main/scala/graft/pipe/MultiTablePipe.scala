@@ -1,0 +1,96 @@
+package graft.pipe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.PipeConfig
+import graft.ops.CoreOps
+import graft.types.CHColumn
+
+/** Per-table routing of a multi-table changelog (SURVEY.md sec 2.4 A3 —
+  * the reference buckets each batch's events into per-table queues:
+  * `src/pipes/postgres.rs:295-420`, `itertools.chunk_by` in
+  * `src/pipes/mongodb.rs:294-303`).
+  *
+  * One [[ParquetStateSink]] per configured table; a batch is applied by
+  * filtering the shared changelog per table (P3) and appending each slice
+  * with the same batch id. Unknown tables are dropped with the reference's
+  * warn-and-skip behavior (`pipes/postgres.rs:316-326`). Per-table,
+  * per-op counters (A4) are observable from [[lastCounters]].
+  */
+class MultiTablePipe(
+    config: PipeConfig,
+    source: CdcSource,
+    tables: Map[String, TableSpec],
+    offsets: FileOffsetStore,
+    tableCol: String = "table"
+)(implicit spark: SparkSession) {
+
+  @volatile var lastCounters: Seq[(String, String, Long)] = Seq.empty
+
+  def firstSync(snapshots: Map[String, DataFrame]): Unit =
+    tables.foreach { case (name, spec) =>
+      if (spec.sink.isEmpty) { // K6: skip non-empty targets
+        snapshots.get(name).filter(!_.isEmpty).foreach { snap =>
+          val aligned = CoreOps
+            .alignToTarget(snap, spec.columns, spec.maskColumns)
+            .withColumn("op", lit("I"))
+            .withColumn("seq", lit(0L))
+          spec.sink.appendBatch(aligned, batchId = 0L)
+        }
+      }
+    }
+
+  /** One sync iteration: peek → route per table → append → commit. */
+  def syncOnce(): Long = {
+    val offset = offsets.read()
+    val batch = source.peekChanges(offset, config.peekChangesLimit).cache()
+    try {
+      val last = source.maxSeq(batch)
+      last match {
+        case None => 0L
+        case Some(maxSeq) =>
+          // A4 counters computed once over the whole batch
+          lastCounters = CoreOps.writeCounters(batch, tableCol, "op")
+            .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+          // A3: per-table routing; unknown tables warn + skip
+          val known = tables.keySet
+          batch.select(col(tableCol)).distinct().collect().map(_.getString(0))
+            .filterNot(known.contains)
+            .foreach(t => System.err.println(s"[pipe] unknown table '$t': skipped"))
+          tables.foreach { case (name, spec) =>
+            val slice = CoreOps
+              .filterTables(batch, tableCol, Seq(name))
+              .drop(tableCol)
+            if (!slice.isEmpty) {
+              val aligned = slice.select(
+                (Seq(col("op"), col("seq")) ++
+                  spec.columns.map(c => col(c.name))): _*)
+              spec.sink.appendBatch(
+                CoreOps.maskColumns(aligned, spec.maskColumns), batchId = maxSeq)
+            }
+          }
+          offsets.write(maxSeq) // commit AFTER all table writes (at-least-once)
+          batch.count()
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Drain the source (test/replay mode). */
+  def syncLoop(maxIterations: Long = Long.MaxValue): Long = {
+    var total = 0L
+    var iter = 0L
+    var drained = false
+    while (iter < maxIterations && !drained) {
+      val n = syncOnce()
+      if (n == 0) drained = true else total += n
+      iter += 1
+    }
+    total
+  }
+}
+
+/** Target spec of one routed table. */
+case class TableSpec(
+    columns: Seq[CHColumn],
+    sink: ParquetStateSink,
+    maskColumns: Set[String] = Set.empty)

@@ -18,6 +18,12 @@ import graft.types.{CHColumn, CHType}
   * ([[insertStatements]] returns a Dataset of statements). Execution is
   * the caller's (a JDBC/HTTP client per partition in live mode; collected
   * and asserted in tests).
+  *
+  * K7 note: the reference doubles `?` to `??` to defeat its HTTP client's
+  * parameter binding (reference: `src/adapter/clickhouse.rs:222-232`).
+  * That quirk belongs to that specific client; with JDBC prepared
+  * statements or the HTTP interface it must NOT be applied — recorded
+  * here so a live-sink implementation doesn't reintroduce it.
   */
 object ClickHouseSql {
 
