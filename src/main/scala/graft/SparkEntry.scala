@@ -231,6 +231,22 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), col("byte_offset"))
     }),
 
+    // P3 collection/table filter: keep only configured "tables" (the
+    // event_type plays the collection name on this single-stream fixture).
+    "filter_tables" -> ((s, dir) => {
+      CoreOps.filterTables(
+        Tables.events(s, dir), "event_type", Seq("click", "purchase"))
+        .select(col("event_id"), col("event_type"))
+    }),
+
+    // Embedding near-dup pairs via hyperplane blocking: rows-only check
+    // (bucketing isn't portable SQL); recall pinned by DedupSpec.
+    "embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(
+        emb(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.95, planes = 6)
+    }),
+
     // P8/P10 BSON renders: second-precision datetime text, base64, epoch.
     "bson_render" -> ((s, dir) => {
       Tables.events(s, dir).select(
@@ -477,6 +493,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |       CAST(floor(i * CAST(octet_length(encode(text)) AS BIGINT) / 4.0) AS BIGINT) AS byte_offset
         |FROM documents, range(0, 4) r(i)
+        |""".stripMargin,
+
+    "filter_tables" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type IN ('click', 'purchase')
         |""".stripMargin,
 
     "bson_render" ->

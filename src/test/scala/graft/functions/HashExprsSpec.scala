@@ -69,6 +69,32 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(hamming(sig(base), sig(far)) > 12)
   }
 
+  test("minhash_text kernel: byte-window reference equality, short-text degrade") {
+    def ref(s: String, shingle: Int, k: Int): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8")
+      val windows =
+        if (bytes.length <= shingle) Seq(bytes.take(math.min(shingle, bytes.length)))
+        else bytes.sliding(shingle).toSeq
+      (0 until k).map { lane =>
+        windows.map { w =>
+          val h0 = w.foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ (b & 0xff)) * 0x100000001b3L)
+          var z = h0 + lane * 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }.min
+      }
+    }
+    for (s <- Seq("hello world, this is a longer text", "ab", "abcde", "x")) {
+      val got = GraftHash.minhashTextSignature(UTF8String.fromString(s), 5, 16)
+      assert((0 until 16).map(got.getLong) == ref(s, 5, 16), s"text '$s'")
+    }
+    // identical texts share full signatures; disjoint texts share ~none
+    val a = GraftHash.minhashTextSignature(UTF8String.fromString("a" * 500), 5, 64)
+    val b = GraftHash.minhashTextSignature(UTF8String.fromString("b" * 500), 5, 64)
+    assert((0 until 64).count(i => a.getLong(i) == b.getLong(i)) == 0)
+  }
+
   test("minhash signature estimates Jaccard") {
     val a = (1 to 1000).map(i => s"sh$i")
     val b = (1 to 1000).map(i => if (i <= 800) s"sh$i" else s"zz$i") // J = 800/1200
