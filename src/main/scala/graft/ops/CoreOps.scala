@@ -90,7 +90,10 @@ object CoreOps {
     */
   def parseNumericArray(c: Column, elementType: DataType): Column = {
     val inner = regexp_replace(regexp_replace(c, "^\\{", ""), "\\}$", "")
-    transform(split(inner, ","), e => trim(e).cast(elementType))
+    // try_cast: ANSI-independent; '{}' yields an empty array, not a
+    // single-element array of a failed cast
+    when(length(trim(inner)) === 0, array().cast(ArrayType(elementType)))
+      .otherwise(transform(split(inner, ","), e => trim(e).try_cast(elementType)))
   }
 
   // ---------------------------------------------------------------------
