@@ -82,6 +82,40 @@ class CdcApplySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: declarative ≡ loop for random logs and batch sizes") {
+    import org.scalacheck.{Gen, Prop}
+    // Spark jobs per case are expensive: few cases, larger logs. The
+    // per-case driver fold below is an independent plain-Scala oracle.
+    val genLog: Gen[List[(Long, String, Long, String)]] = for {
+      n <- Gen.chooseNum(1, 60)
+      ops <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.const("I"), 5 -> Gen.const("U"),
+        3 -> Gen.const("D"), 1 -> Gen.const("T")))
+      keys <- Gen.listOfN(n, Gen.chooseNum(1L, 6L))
+    } yield ops.zip(keys).zipWithIndex.map { case ((op, k), i) =>
+      (i.toLong + 1, op, k, s"v${i + 1}")
+    }
+
+    def scalaOracle(log: List[(Long, String, Long, String)], batchSize: Long): Map[Long, String] = {
+      var state = Map.empty[Long, String]
+      log.groupBy(e => e._1 / batchSize).toSeq.sortBy(_._1).foreach { case (_, batch) =>
+        if (batch.exists(_._2 == "T")) state = Map.empty
+        val ups = batch.filter(e => e._2 == "I" || e._2 == "U")
+          .groupBy(_._3).map { case (k, es) => k -> es.maxBy(_._1)._4 }
+        state = state ++ ups
+        state = state -- batch.filter(_._2 == "D").map(_._3)
+      }
+      state
+    }
+
+    graft.PropCheck.check(Prop.forAll(genLog, Gen.oneOf(3L, 10L, 100L)) {
+      (log: List[(Long, String, Long, String)], batchSize: Long) =>
+        val df = log.toDF("seq", "op", "id", "v")
+        val got = result(CdcApply.finalStateDeclarative(df, pk, vals, batchSize))
+        got == scalaOracle(log, batchSize).toSet.map((kv: (Long, String)) => (kv._1, kv._2))
+    }, minSuccessful = 12)
+  }
+
   test("fused one-shuffle user state ≡ changelog → declarative final state") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     for (batchSize <- Seq(64L, 200L)) {
