@@ -199,6 +199,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, planes = 4)
     }),
 
+    // IVF ANN with a trained k-means coarse quantizer, multi-probe:
+    // rows-only; recall vs brute force pinned by SimilaritySpec.
+    "embed_topk_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = Similarity.ivfTrain(e, "embedding", nLists = 8)
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, centroids, nProbe = 3)
+    }),
+
     // --------------------------------------------------------- text ops
     "text_metrics" -> ((s, dir) => {
       docs(s, dir).select(

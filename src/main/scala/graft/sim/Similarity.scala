@@ -121,6 +121,71 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Train an IVF coarse quantizer: k-means (MLlib) over a sample of the
+    * corpus; returns the centroid matrix. At 100 TB the sample fraction
+    * keeps training driver-bounded while the assignment below stays a
+    * pure scan. */
+  def ivfTrain(
+      corpus: DataFrame, vecCol: String, nLists: Int,
+      sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled =
+      (if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed))
+        .select(array_to_vector(col(vecCol).cast(ArrayType(DoubleType))).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(sampled)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** Assign each row its IVF list id = argmin distance to a centroid.
+    * Centroids are embedded as literals (tiny: nLists × dim doubles), so
+    * assignment is a pure scan — no shuffle, no model object on
+    * executors. Squared L2 via the dot-product identity keeps it one
+    * `aggregate` per centroid. */
+  def withIvfList(
+      df: DataFrame, vecCol: String, centroids: Array[Array[Double]],
+      listCol: String = "__list"): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cCol = array(c.map(lit): _*)
+      val negHalfCC = -0.5 * c.map(x => x * x).sum
+      // argmin ||v - c||^2 == argmax (v·c - 0.5·c·c); v·v is constant per row
+      struct((dot(col(vecCol), cCol) + negHalfCC).as("score"), lit(i).as("list"))
+    }
+    df.withColumn(listCol, array_max(array(scored: _*)).getField("list"))
+  }
+
+  /** IVF ANN top-k with multi-probe: queries search their own list plus
+    * the `nProbe - 1` next-nearest lists, exact cosine ranks within the
+    * probed set. At 100 TB the corpus is written partitioned by the list
+    * id, so each probe is a file-pruned shard scan. */
+  def ivfTopKTrained(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+    val c = withIvfList(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "__cv", centroids)
+    // queries probe their nProbe nearest centroids
+    val scored = centroids.zipWithIndex.map { case (cen, i) =>
+      val cCol = array(cen.map(lit): _*)
+      val negHalfCC = -0.5 * cen.map(x => x * x).sum
+      struct((dot(col("__qv"), cCol) + negHalfCC).as("score"), lit(i).as("list"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__probe", explode(slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
+        .getField("list")))
+    val joined = c.join(broadcast(q), col("__list") === col("__probe"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** IVF-style top-k using a precomputed coarse-partition column (e.g. a
     * cluster/centroid id): queries only scan their own partition. The
     * partition column plays the inverted-file list id; at 100 TB the

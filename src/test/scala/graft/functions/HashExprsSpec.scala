@@ -57,6 +57,20 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql("a")._1 == refFingerprint("the quick brown fox"))
   }
 
+  test("GraftExtensions injects every builder with working constructors") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+    // builders construct the right expressions from raw children
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val byName = GraftFunctions.builders.map(b => b._1.funcName -> b._3).toMap
+    assert(byName.keySet == Set("fingerprint64", "simhash64", "minhash_signature", "minhash_text"))
+    assert(byName("fingerprint64")(Seq(Literal("x"))).isInstanceOf[Fingerprint64])
+    val mh = byName("minhash_text")(Seq(Literal("x"), Literal(5), Literal(64)))
+    assert(mh == MinHashText(Literal("x"), 5, 64))
+    intercept[IllegalArgumentException](
+      byName("minhash_signature")(Seq(Literal("x"), Literal("not-an-int"))))
+  }
+
   test("simhash: near-duplicate token sets land within small Hamming distance") {
     val base = (1 to 200).map(i => s"w$i")
     val nearDup = base.updated(5, "CHANGED").updated(100, "ALSO")

@@ -57,6 +57,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     got.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1))))
   }
 
+  test("trained IVF: k-means lists partition the corpus; multi-probe recall beats 1-probe") {
+    val centroids = Similarity.ivfTrain(emb, "embedding", nLists = 8)
+    assert(centroids.length == 8 && centroids.head.length == 64)
+
+    val listed = Similarity.withIvfList(emb, "embedding", centroids)
+    val counts = listed.groupBy("__list").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf((0 until 8).toSet) && counts.size >= 4)
+    assert(counts.values.sum == emb.count())
+
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int): Double = {
+      val approx = Similarity.ivfTopKTrained(emb, queries, "vec_id", "embedding",
+        5, centroids, nProbe).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"multi-probe recall $r4 < single-probe $r1")
+    assert(r4 > 0.4, s"4-probe recall too low: $r4")
+  }
+
   test("hyperplane bucketing is deterministic and splits the corpus") {
     val b1 = Similarity.withHyperplaneBucket(emb, "embedding", 8, 42L)
       .select("vec_id", "__bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
