@@ -256,6 +256,12 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.95, planes = 6)
     }),
 
+    // Composed curation pipeline: exact dedup + language + quality filters
+    // in one shuffle (the operators' end-to-end use case).
+    "curate_docs" -> ((s, dir) =>
+      graft.text.TrainingPipeline.curate(
+        docs(s, dir), "doc_id", "text", lang = "en", minQuality = 0.5)),
+
     // P8/P10 BSON renders: second-precision datetime text, base64, epoch.
     "bson_render" -> ((s, dir) => {
       Tables.events(s, dir).select(
@@ -502,6 +508,56 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |       CAST(floor(i * CAST(octet_length(encode(text)) AS BIGINT) / 4.0) AS BIGINT) AS byte_offset
         |FROM documents, range(0, 4) r(i)
+        |""".stripMargin,
+
+    "curate_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         length(text) AS n_chars,
+        |         concat(' ', lower(text), ' ') AS h
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+        |         CASE WHEN n_chars = 0 THEN 0.0
+        |              ELSE CAST(n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |                   / n_chars END AS punct_ratio,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be'], x))) AS DOUBLE)
+        |                   / len(toks) END AS stop_ratio,
+        |    CAST((length(h)-length(replace(h,' the ','')))/5 + (length(h)-length(replace(h,' and ','')))/5
+        |       + (length(h)-length(replace(h,' of ','')))/4 + (length(h)-length(replace(h,' to ','')))/4 AS BIGINT) AS s_en,
+        |    CAST((length(h)-length(replace(h,' der ','')))/5 + (length(h)-length(replace(h,' und ','')))/5
+        |       + (length(h)-length(replace(h,' die ','')))/5 + (length(h)-length(replace(h,' ist ','')))/5 AS BIGINT) AS s_de,
+        |    CAST((length(h)-length(replace(h,' le ','')))/4 + (length(h)-length(replace(h,' et ','')))/4
+        |       + (length(h)-length(replace(h,' la ','')))/4 + (length(h)-length(replace(h,' est ','')))/5 AS BIGINT) AS s_fr,
+        |    CAST((length(h)-length(replace(h,' el ','')))/4 + (length(h)-length(replace(h,' y ','')))/3
+        |       + (length(h)-length(replace(h,' la ','')))/4 + (length(h)-length(replace(h,' es ','')))/4 AS BIGINT) AS s_es,
+        |    CAST((length(h)-length(replace(h,'的','')))/1 + (length(h)-length(replace(h,'是','')))/1
+        |       + (length(h)-length(replace(h,'了','')))/1 + (length(h)-length(replace(h,'在','')))/1 AS BIGINT) AS s_zh
+        |  FROM t
+        |), scored AS (
+        |  SELECT doc_id, text, n_tokens,
+        |         round(greatest(0.0,
+        |           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |           + least(stop_ratio * 4.0, 1.0) * 0.3
+        |           - least(punct_ratio * 5.0, 1.0) * 0.2 + 0.2), 6) AS quality,
+        |         CASE WHEN s_en <= 0 AND s_de <= 0 AND s_fr <= 0 AND s_es <= 0 AND s_zh <= 0 THEN 'und'
+        |              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |              WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |              WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |              WHEN s_es >= s_zh THEN 'es'
+        |              ELSE 'zh' END AS lang_pred
+        |  FROM m
+        |), surviving AS (
+        |  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5
+        |), deduped AS (
+        |  SELECT min(doc_id) AS doc_id FROM surviving GROUP BY text
+        |)
+        |SELECT s.doc_id, s.n_tokens, s.quality, s.lang_pred
+        |FROM surviving s JOIN deduped d ON s.doc_id = d.doc_id
         |""".stripMargin,
 
     "filter_tables" ->

@@ -1,0 +1,48 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** The composed training-data curation pipeline — the end-to-end use case
+  * the individual operators exist for: exact dedup, then language filter,
+  * then quality filter, emitting per-doc stats for the survivors.
+  *
+  * Plan shape: the scalar stages (langId, quality, token count) fuse into
+  * the dedup scan's projection — the whole pipeline is ONE shuffle (the
+  * dedup fingerprint groupBy); filters run before the shuffle so
+  * low-quality/wrong-language rows never shuffle at all when
+  * `filtersFirst` (the default, correct because exact dedup keeps the
+  * min-id row and identical texts score identically — filtering commutes
+  * with dedup).
+  */
+object TrainingPipeline {
+
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      filtersFirst: Boolean = true): DataFrame = {
+    val text = col(textCol)
+    def passes(df: DataFrame): DataFrame = df
+      .filter(TextOps.langId(text) === lang)
+      .filter(TextOps.qualityScore(text) >= minQuality)
+    val filtered = if (filtersFirst) passes(docs) else docs
+    val deduped = Dedup.dedupExact(filtered, idCol, textCol)
+    val survivors = if (filtersFirst) deduped else passes(deduped)
+    survivors.select(
+      col(idCol),
+      TextOps.tokenCount(text).as("n_tokens"),
+      TextOps.qualityScore(text).as("quality"),
+      TextOps.langId(text).as("lang_pred"))
+  }
+
+  /** Corpus-level stats of a curated set (one aggregation). */
+  def stats(curated: DataFrame): DataFrame =
+    curated.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      round(avg(col("quality")), 6).as("avg_quality"))
+}
