@@ -40,7 +40,8 @@ object Bench {
     val headline = Seq(
       "cdc_user_state", "q1_agg", "q3_join", "q5_region",
       "dedup_exact_docs", "minhash_pairs", "simhash_docs",
-      "embed_topk", "embed_topk_lsh", "text_metrics", "doc_fingerprint")
+      "embed_topk", "embed_topk_lsh", "embed_topk_ivf",
+      "text_metrics", "doc_fingerprint", "curate_docs")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
