@@ -34,32 +34,25 @@ object Changelog {
         .when(col("event_type") === "error", OpDelete)
         .otherwise(OpUpdate)
     )
+    // Single pass — no union (a union would scan the source twice and
+    // destroy the window's partitioning for downstream consumers): the
+    // running after-image aggregates are CONDITIONAL window functions, so
+    // delete rows ride along in the same partition and simply carry null
+    // values, exactly what the delete-event shape requires (D8: key only).
+    val isUpsert = col("op") =!= OpDelete
     val w = Window
       .partitionBy(col("user_id"))
       .orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val ups = typed
-      .filter(col("op") =!= OpDelete)
-      .withColumn("last_ts", col("ts"))
-      .withColumn("total_value", sum(col("value")).over(w))
-      .withColumn("n_events", count(lit(1)).over(w))
-
-    val dels = typed
-      .filter(col("op") === OpDelete)
-      .withColumn("last_ts", lit(null).cast("timestamp"))
-      .withColumn("total_value", lit(null).cast("double"))
-      .withColumn("n_events", lit(null).cast("long"))
-
-    ups.unionByName(dels)
-      .select(
-        col("event_id").as("seq"),
-        col("op"),
-        col("user_id"),
-        col("last_ts"),
-        col("total_value"),
-        col("n_events")
-      )
+    typed.select(
+      col("event_id").as("seq"),
+      col("op"),
+      col("user_id"),
+      when(isUpsert, col("ts")).as("last_ts"),
+      when(isUpsert, sum(when(isUpsert, col("value"))).over(w)).as("total_value"),
+      when(isUpsert, count(when(isUpsert, lit(1))).over(w)).as("n_events")
+    )
   }
 
   /** Changelog derivation + CDC final state FUSED into one window pass —

@@ -161,7 +161,7 @@ object Dedup {
     * quarter (pigeonhole), so blocking on quarters finds all near pairs
     * with one shuffle. */
   def withSimhash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("simhash", GraftFunctions.simhash64(TextOps.tokens(col(textCol))))
+    df.withColumn("simhash", GraftFunctions.simhashText(col(textCol)))
 
   def simhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,

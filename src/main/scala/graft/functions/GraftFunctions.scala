@@ -35,7 +35,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head, kOf(exprs(1)))),
     (FunctionIdentifier("minhash_text"),
       new ExpressionInfo(classOf[MinHashText].getName, "minhash_text"),
-      (exprs: Seq[Expression]) => MinHashText(exprs.head, kOf(exprs(1)), kOf(exprs(2))))
+      (exprs: Seq[Expression]) => MinHashText(exprs.head, kOf(exprs(1)), kOf(exprs(2)))),
+    (FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
+      (exprs: Seq[Expression]) => SimHashText(exprs.head))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -58,6 +61,7 @@ object GraftFunctions {
     column(MinHashSignature(expression(c), k))
   def minhashText(c: Column, shingleSize: Int, k: Int): Column =
     column(MinHashText(expression(c), shingleSize, k))
+  def simhashText(c: Column): Column = column(SimHashText(expression(c)))
 }
 
 /** `spark.sql.extensions` entry point. */

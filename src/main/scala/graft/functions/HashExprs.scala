@@ -79,6 +79,39 @@ object GraftHash {
     best
   }
 
+  /** SimHash straight from the text: tokens are maximal runs of
+    * non-whitespace bytes (ASCII whitespace — matches `\s+` splitting for
+    * the corpora this runs on), each FNV-1a hashed in place; per-bit
+    * majority vote as in [[simhash64]]. No token array is materialized. */
+  def simhashText(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      // skip whitespace run
+      while (i < n && isSpace(bytes(i))) i += 1
+      if (i < n) {
+        var h = 0xcbf29ce484222325L
+        while (i < n && !isSpace(bytes(i))) {
+          h ^= (bytes(i) & 0xff); h *= 0x100000001b3L; i += 1
+        }
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
+
   /** MinHash signature straight from the text: k lanes over all
     * `shingle`-byte windows of the UTF-8 payload, zero intermediate
     * allocations (no shingle array, no per-shingle strings) — the form
@@ -191,6 +224,22 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
   override def prettyName: String = "minhash_signature"
+}
+
+/** `simhash_text(text)` — SimHash computed directly over the text's
+  * whitespace-delimited byte tokens: no token array, codegen'd. Agrees
+  * with `simhash64(split(text, whitespace))` on ASCII-whitespace text. */
+case class SimHashText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.simhashText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.simhashText($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_text"
 }
 
 /** `minhash_text(text, shingleSize, k)` — MinHash signature computed

@@ -63,7 +63,8 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     // builders construct the right expressions from raw children
     import org.apache.spark.sql.catalyst.expressions.Literal
     val byName = GraftFunctions.builders.map(b => b._1.funcName -> b._3).toMap
-    assert(byName.keySet == Set("fingerprint64", "simhash64", "minhash_signature", "minhash_text"))
+    assert(byName.keySet == Set(
+      "fingerprint64", "simhash64", "minhash_signature", "minhash_text", "simhash_text"))
     assert(byName("fingerprint64")(Seq(Literal("x"))).isInstanceOf[Fingerprint64])
     val mh = byName("minhash_text")(Seq(Literal("x"), Literal(5), Literal(64)))
     assert(mh == MinHashText(Literal("x"), 5, 64))
@@ -107,6 +108,17 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     val a = GraftHash.minhashTextSignature(UTF8String.fromString("a" * 500), 5, 64)
     val b = GraftHash.minhashTextSignature(UTF8String.fromString("b" * 500), 5, 64)
     assert((0 until 64).count(i => a.getLong(i) == b.getLong(i)) == 0)
+  }
+
+  test("simhash_text agrees with simhash64 over split tokens") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for (s <- Seq("the quick  brown\tfox", " leading and trailing ", "single", "",
+        "a\nb\rc", "x" * 100 + " " + "y" * 50)) {
+      val viaTokens = GraftHash.simhash64(ArrayData.toArrayData(
+        s.trim.split("\\s+").filter(_.nonEmpty).map(UTF8String.fromString)))
+      val direct = GraftHash.simhashText(UTF8String.fromString(s))
+      assert(direct == viaTokens, s"text '$s'")
+    }
   }
 
   test("minhash signature estimates Jaccard") {
