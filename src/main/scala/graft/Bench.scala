@@ -61,7 +61,18 @@ object Bench {
     }
 
     // CDC apply path (S2→A1→K1/K2): events → changelog → final state.
-    val events = Tables.events(spark, sfDir)
+    // Amplified 10x (seq/user offsets keep keys disjoint per replica) so
+    // the rate reflects steady-state work, not fixed job overhead.
+    val eventsBase = Tables.events(spark, sfDir)
+    val baseSpan = eventsBase.agg(max(col("event_id"))).head.getLong(0) + 1
+    val events = spark.range(0, 10).toDF("__rep")
+      .crossJoin(eventsBase)
+      .select(
+        (col("event_id") + col("__rep") * baseSpan).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__rep") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .cache()
     val nEvents = events.count()
     val cdcSec = time {
       force(CdcApply.finalStateDeclarative(
@@ -69,6 +80,7 @@ object Bench {
         Seq("user_id"), Seq("last_ts", "total_value", "n_events"),
         batchSize = 65536L))
     }
+    events.unpersist()
 
     // Text/dedup throughput at real volume: amplify the documents table to
     // ~20k docs with id offsets (each copy is an exact dup of its base, so
