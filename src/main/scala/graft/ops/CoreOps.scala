@@ -267,4 +267,22 @@ object CoreOps {
     * (reference: `src/pipes/mod.rs:23-28`). */
   def writeCounters(df: DataFrame, tableCol: String, opCol: String): DataFrame =
     df.groupBy(col(tableCol), col(opCol)).agg(count(lit(1)).as("n"))
+
+  /** A4 without an extra pass: piggyback the op counters on whatever
+    * action consumes `df` via `observe` — the engine collects the metrics
+    * while the data flows, the way the reference counts during its writes
+    * rather than re-scanning. Read the counts from the returned
+    * Observation after an action on the returned frame. */
+  def withObservedCounters(
+      df: DataFrame, opCol: String = "op"
+  ): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(
+      obs,
+      count(when(col(opCol) === "I", 1)).as("inserts"),
+      count(when(col(opCol) === "U", 1)).as("updates"),
+      count(when(col(opCol) === "D", 1)).as("deletes"),
+      count(when(col(opCol) === "T", 1)).as("truncates"))
+    (observed, obs)
+  }
 }

@@ -149,6 +149,17 @@ class CoreOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == w)
   }
 
+  test("observed counters ride the consuming action (A4, no extra pass)") {
+    val df = Seq(
+      ("I", 1L), ("U", 2L), ("U", 3L), ("D", 4L), ("T", 5L), ("I", 6L)
+    ).toDF("op", "seq")
+    val (observed, obs) = CoreOps.withObservedCounters(df)
+    observed.write.format("noop").mode("overwrite").save() // the real action
+    val m = obs.get
+    assert(m("inserts") == 2L && m("updates") == 2L &&
+      m("deletes") == 1L && m("truncates") == 1L)
+  }
+
   test("pkString joins with | and renders NULL (pipes/postgres.rs:789-802)") {
     val df = Seq((Some(1L), Some("a")), (Some(2L), None)).toDF("k1", "k2")
     val out = df.select(CoreOps.pkString(Seq("k1", "k2")).as("pk"))
