@@ -45,4 +45,22 @@ object StreamingCdc {
     q.awaitTermination()
     q
   }
+
+  /** Same micro-batch engine driving the LIVE statement sink: each batch
+    * applies as the reference's truncate → deduped INSERTs → DELETE
+    * sequence ([[graft.sinks.StatementSink]]); checkpointed offsets give
+    * commit-after-write at-least-once, and ReplacingMergeTree's last-wins
+    * collapse makes replays converge — the full reference contract on
+    * Structured Streaming. */
+  def statementWriter(
+      changelog: DataFrame,
+      sink: graft.sinks.StatementSink,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    changelog.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { val _ = sink.applyBatch(batch) }
+      }
 }

@@ -7,12 +7,32 @@ import graft.types.{CHColumn, CHType}
 /** The live-sink seam end-to-end with a collecting executor: statement
   * kinds, reference write order (truncate → inserts → deletes), in-batch
   * dedup, masking. */
+case class Ch(op: String, seq: Long, id: Long, v: String)
+
 class StatementSinkSpec extends AnyFunSuite with SparkTestBase {
 
   private val cols = Seq(
     CHColumn("id", CHType.Int64, isPrimaryKey = true),
     CHColumn("v", CHType.CHStr.nullable),
     CHColumn("secret", CHType.CHStr.nullable))
+
+  test("streaming foreachBatch drives the statement sink per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val executed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sink = new StatementSink("db", "t",
+      cols.filterNot(_.name == "secret"), executed.synchronized { executed += _ })(spark)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ch]
+    val q = graft.streaming.StreamingCdc.statementWriter(
+      input.toDF(), sink, java.nio.file.Files.createTempDirectory("graft-stw").toString)
+      .start()
+    input.addData(Ch("I", 1, 1, "a"), Ch("D", 2, 2, null))
+    q.processAllAvailable(); q.stop()
+
+    assert(executed.exists(_.startsWith("INSERT INTO db.t")))
+    assert(executed.exists(_.startsWith("ALTER TABLE db.t DELETE WHERE (id = 2)")))
+  }
 
   test("batch applies as truncate → deduped inserts → deletes; masked col NULL") {
     import spark.implicits._
