@@ -50,6 +50,19 @@ class ClickHouseSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "ALTER TABLE db.t DELETE WHERE (id = 1) OR (id = 7)")
   }
 
+  test("property: escaped strings never leak an unescaped quote") {
+    import org.scalacheck.{Gen, Prop}
+    graft.PropCheck.check(Prop.forAll(Gen.asciiPrintableStr) { (s: String) =>
+      val esc = ClickHouseSql.escapeString(s)
+      // every quote in the escaped output is doubled: rendering '<esc>'
+      // can never terminate the literal early
+      !("(^|[^'])'([^']|$)".r.findFirstIn(esc.replace("''", "")).isDefined)
+    })
+    // the reference's own order: quotes first, then backslashes
+    assert(ClickHouseSql.escapeString("""a'b\c""") == """a''b\\c""")
+    assert(ClickHouseSql.escapeString("line1\nline2") == "line1\\nline2")
+  }
+
   test("distributed statement generation respects batch size") {
     import spark.implicits._
     val d = (1 to 10).map(i => (i.toLong, s"n$i")).toDF("id", "name")
