@@ -49,6 +49,9 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
 
+  private val ivfCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   /** One per implemented operator from SURVEY.md sec 2 + pipeline layer. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----------------------------------------------------------------- CDC
@@ -203,7 +206,9 @@ object SparkEntry {
     // rows-only; recall vs brute force pinned by SimilaritySpec.
     "embed_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = Similarity.ivfTrain(e, "embedding", nLists = 8)
+      // centroids are session-independent doubles; train once per dir
+      val centroids = ivfCentroids.computeIfAbsent(dir,
+        _ => Similarity.ivfTrain(e, "embedding", nLists = 8))
       Similarity.ivfTopKTrained(e, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, centroids, nProbe = 3)
     }),

@@ -55,6 +55,42 @@ class FileOffsetStore(path: String) {
   }
 }
 
+/** Opaque-string cursor store — the Mongo resume-token shape (the token
+  * is a server-issued blob, not a number; persisted as a JSON file after
+  * each committed batch — reference: `src/adapter/mongodb.rs:259-302`).
+  */
+class ResumeTokenStore(path: String) {
+  def read(): Option[String] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else {
+      val raw = new String(Files.readAllBytes(p), "UTF-8").trim
+      // stored as {"resume_token": "..."} like the reference's file
+      val m = """\{\s*"resume_token"\s*:\s*"(.*)"\s*\}""".r
+      raw match {
+        case m(tok) =>
+          // undo the JSON escaping: '\' + c → c
+          val sb = new StringBuilder
+          var i = 0
+          while (i < tok.length) {
+            if (tok(i) == '\\' && i + 1 < tok.length) { sb += tok(i + 1); i += 2 }
+            else { sb += tok(i); i += 1 }
+          }
+          Some(sb.toString)
+        case _ => None
+      }
+    }
+  }
+  def write(token: String): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val escaped = token.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(p, s"""{"resume_token": "$escaped"}""".getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+}
+
 /** ReplacingMergeTree-emulating state sink over parquet: storage is an
   * append-only changelog (cheap, partition-parallel writes — the analogue
   * of batched INSERTs into a ReplacingMergeTree part), and the *read* is
@@ -152,8 +188,16 @@ class Pipe(
 
   /** CDC loop (EP3): peek → apply → commit offset. Bounded iterations for
     * tests; `Long.MaxValue` ≙ the reference's run-forever loop.
+    *
+    * `live = true` honors the reference's cadence (sleep after each
+    * iteration, longer sleep on empty peek, stay alive — reference:
+    * `src/config.rs:156-179`); the default drains and stops on the first
+    * empty peek (replay/test mode). `sleeper` is injectable for tests.
     */
-  def syncLoop(maxIterations: Long = Long.MaxValue): Long = {
+  def syncLoop(
+      maxIterations: Long = Long.MaxValue,
+      live: Boolean = false,
+      sleeper: Long => Unit = Thread.sleep): Long = {
     var applied = 0L
     var iter = 0L
     var offset = offsets.read()
@@ -162,7 +206,9 @@ class Pipe(
       val batch = source.peekChanges(offset, config.peekChangesLimit).cache()
       val last = source.maxSeq(batch)
       last match {
-        case None => drained = true // empty peek: tests stop; live mode sleeps
+        case None =>
+          if (live) sleeper(config.sleepWhenPeekIsEmpty)
+          else drained = true // empty peek: replay mode stops
         case Some(maxSeq) =>
           // batch id = the batch's max seq: monotone across appends by WAL
           // order, which is all finalState's collapse requires.
@@ -170,6 +216,7 @@ class Pipe(
           offsets.write(maxSeq) // commit point: after successful write
           offset = maxSeq
           applied += batch.count()
+          if (live) sleeper(config.sleepAfterSyncIteration)
       }
       batch.unpersist()
       iter += 1

@@ -84,6 +84,28 @@ class PipeSpec extends AnyFunSuite with SparkTestBase {
     assert(ddl.contains("ORDER BY (user_id)"))
   }
 
+  test("live cadence: sleeps after iterations and on empty peek; resume token round-trips") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val changelog = Changelog.fromEvents(events).limit(150).cache()
+    val tmp = Files.createTempDirectory("graft-live").toString
+    val sink = new ParquetStateSink(s"$tmp/state", Seq("user_id"),
+      Seq("last_ts", "total_value", "n_events"))
+    val pipe = new Pipe(cfg(100L), new ChangelogReplaySource(changelog), sink,
+      new FileOffsetStore(s"$tmp/offset"), targetCols)
+
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    pipe.initialize(); pipe.firstSync()
+    pipe.syncLoop(maxIterations = 4, live = true, sleeper = sleeps += _)
+    // 2 data iterations (150 events / peek 100) then empty peeks
+    assert(sleeps.count(_ == 100L) == 2, s"sleeps: $sleeps")  // after-iteration
+    assert(sleeps.count(_ == 5000L) == 2, s"sleeps: $sleeps") // empty-peek
+
+    val tokens = new ResumeTokenStore(s"$tmp/token.json")
+    assert(tokens.read().isEmpty)
+    tokens.write("""82649B3C00:  "quoted" \ token""")
+    assert(tokens.read().contains("""82649B3C00:  "quoted" \ token"""))
+  }
+
   test("compact preserves state") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val changelog = Changelog.fromEvents(events)
