@@ -56,6 +56,31 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fused CDC user-state plan has exactly one shuffle exchange") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val plan = graft.cdc.Changelog.userStateFused(events, 64L)
+      .queryExecution.executedPlan.toString
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 shuffle:\n$plan")
+    assert(!plan.contains("BroadcastExchange"), s"no joins expected:\n$plan")
+  }
+
+  test("dimension joins broadcast: fact table never shuffles for the dims") {
+    val sf = "/root/testdata/sf0.001"
+    val cust = graft.sources.Tables.read(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val li = graft.sources.Tables.read(spark, sf, "lineitem")
+    val orders = graft.sources.Tables.read(spark, sf, "orders")
+    val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // the only allowed non-broadcast exchange is the final aggregation's
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"fact table re-shuffled:\n$plan")
+  }
+
   test("snapshot cast/mask pipeline is a single scan stage: pruned, no shuffle") {
     val sf = "/root/testdata/sf0.001"
     val li = graft.sources.Tables.read(spark, sf, "lineitem")
