@@ -123,12 +123,32 @@ object SparkEntry {
 
     // ----------------------------------------------------- snapshot / OLAP
     "q1_agg" -> ((s, dir) => {
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val tax = col("l_tax").cast("decimal(18,2)")
+      val one = lit(1).cast("decimal(18,2)")
       Tables.read(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_price"),
+          sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // Per-group top-k via window: top 3 orders by value per market segment.
+    "topk_orders_by_segment" -> ((s, dir) => {
+      val joined = Tables.read(s, dir, "orders")
+        .join(broadcast(Tables.read(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
     }),
 
     // Join + agg with a broadcast dimension (customer is the small side).
@@ -371,8 +391,23 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |""".stripMargin,
+
+    "topk_orders_by_segment" ->
+      """SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rk <= 3
         |""".stripMargin,
 
     "q3_join" ->
