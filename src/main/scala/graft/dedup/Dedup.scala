@@ -195,6 +195,63 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Near-dup clustering (connected components over candidate pairs)
+  // -------------------------------------------------------------------
+
+  /** Connected components over an undirected pair set (id_a, id_b):
+    * assigns every node the MIN id of its component — the canonical-doc
+    * choice for a near-dup cluster. Min-label propagation: each round
+    * every node adopts the smallest label among itself and its
+    * neighbors; converges in O(component diameter) rounds (near-dup
+    * clusters are shallow — dup chains longer than `maxIters` hops are
+    * split, which is the safe failure mode). Each round is one
+    * aggregation over the edge list; labels are checkpointed to keep
+    * plan depth bounded.
+    */
+  def clusterPairs(
+      pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.sql.functions.{min => fmin}
+    // symmetric edge list + self-loops (keeps isolated-after-filter nodes)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(fmin("label").as("label"))
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIters) {
+      // propagate: each node takes min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(fmin("label").as("label"))
+        .localCheckpoint(eager = true)
+      changed = !next.join(labels,
+        next("id") === labels("id") && next("label") === labels("label"),
+        "left_anti").isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Full near-dup dedup: candidate pairs → clusters → keep one doc per
+    * cluster (the min id); docs in no pair survive untouched. */
+  def dedupNearByClusters(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .filter(col("cluster_id").isNull || col(idCol) === col("cluster_id"))
+      .drop("cluster_id")
+  }
+
+  // -------------------------------------------------------------------
   // Embedding near-dup (cosine)
   // -------------------------------------------------------------------
 

@@ -66,6 +66,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     exactPairs.foreach(p => assert(p.getAs[Int]("hamming") == 0))
   }
 
+  test("cluster pairs: chains collapse to min id; full near-dedup keeps one per cluster") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, isolated pair-free 99
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.dedupNearByClusters(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L))
+
+    // end-to-end: minhash candidates over planted dups collapse correctly
+    val mh = Dedup.minhashCandidatePairs(docsWithDups, "doc_id", "text",
+      jaccardThreshold = 0.9)
+    val dedupedNear = Dedup.dedupNearByClusters(
+      docsWithDups.select("doc_id"), "doc_id", mh)
+      .collect().map(_.getLong(0)).toSet
+    // a planted exact copy always clusters with its (smaller) base id, so
+    // no copy can ever be a cluster canonical; the base itself may merge
+    // into an even smaller organic near-dup cluster, which is correct.
+    (0L until 20L).foreach { id =>
+      assert(!dedupedNear.contains(id + 10000))
+    }
+    assert(dedupedNear.size < docsWithDups.count())
+    assert(dedupedNear.nonEmpty)
+  }
+
   test("embedding near-dup via hyperplane buckets") {
     import spark.implicits._
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
