@@ -247,6 +247,16 @@ object SparkEntry {
     "lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
+    // PII scrub over synthesized contact lines (the corpus itself carries
+    // none, so both sides build identical inputs, then ours scrubs).
+    "pii_scrub" -> ((s, dir) => {
+      val synthesized = concat(
+        substring(col("text"), 1, 30), lit(" mail "), col("source"),
+        lit("@example.com tel +1 (555) 123-4567 done"))
+      docs(s, dir).select(col("doc_id"),
+        TextOps.scrubPii(synthesized).as("clean"))
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         GraftFunctions.fingerprint64(col("text")).as("fp"))),
@@ -526,6 +536,17 @@ object SparkEntry {
         |       WHEN s_es >= s_zh THEN 'es'
         |       ELSE 'zh' END AS lang_pred
         |FROM s
+        |""".stripMargin,
+
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           concat(substr(text, 1, 30), ' mail ', source,
+        |                  '@example.com tel +1 (555) 123-4567 done'),
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM documents
         |""".stripMargin,
 
     "doc_fingerprint" ->

@@ -90,6 +90,21 @@ object TextOps {
       lenScore * 0.5 + stopScore * 0.3 - punctPenalty * 0.2 + lit(0.2)), 6)
   }
 
+  /** PII scrubbing patterns — deliberately simple, portable regex (no
+    * lookaround/backrefs, identical semantics in Java regex and RE2) so
+    * the DuckDB oracle can restate them verbatim. Replacement order
+    * matters: emails first (a phone scrub could otherwise eat digits in
+    * a mailbox name). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+  /** Replace emails and phone numbers with sentinels — the curation
+    * pipeline's PII pass; pure scalar, stays in the scan. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Language-marker word lists for the n-gram/stopword language-ID
     * heuristic. Occurrence counting is done with the portable
     * "length delta / marker length" trick, so the DuckDB oracle can

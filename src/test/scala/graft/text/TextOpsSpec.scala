@@ -51,6 +51,16 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(one[String](langId(col("t")), "这是在的了") == "zh")
   }
 
+  test("pii scrub: emails before phones, multiples, clean text untouched") {
+    assert(one[String](scrubPii(col("t")),
+      "mail a.b+c@ex-1.org or x@y.io call +1 (555) 123-4567 now") ==
+      "mail <EMAIL> or <EMAIL> call <PHONE> now")
+    assert(one[String](scrubPii(col("t")), "no pii here 42") == "no pii here 42")
+    // email scrub runs first so the mailbox digits don't trip the phone rule
+    assert(one[String](scrubPii(col("t")), "x 12345678901@host.com y") ==
+      "x <EMAIL> y")
+  }
+
   test("text metrics run over the documents table without shuffle") {
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
     val out = docs.select(col("doc_id"),
