@@ -261,6 +261,19 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         GraftFunctions.fingerprint64(col("text")).as("fp"))),
 
+    // Deterministic content-hash sampling (reproducible train/eval split).
+    "sample_deterministic" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(TextOps.deterministicSampleFilter(col("text"), keep = 3, outOf = 10))
+        .select(col("doc_id"))),
+
+    // Corpus length distribution: token-count histogram, one aggregation.
+    "token_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(TextOps.tokenHistogramBucket(col("text"), width = 20, maxBucket = 9)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // -------------------------------------------------------- multimodal
     "media_meta" -> ((s, dir) => {
       val bin = docs(s, dir).withColumn("payload", col("text").cast("binary"))
@@ -557,6 +570,22 @@ object SparkEntry {
         |             c -> CAST(ord(c) AS BIGINT))),
         |         (h, c) -> (h * 31 + c) % 1000000007) AS fp
         |FROM documents
+        |""".stripMargin,
+
+    "sample_deterministic" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(regexp_split_to_array(text, ''),
+        |            c -> CAST(ord(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000007) % 10 < 3
+        |""".stripMargin,
+
+    "token_histogram" ->
+      """SELECT least(CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) / 20.0) AS BIGINT),
+        |             9) AS bucket,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1
         |""".stripMargin,
 
     "media_meta" ->

@@ -105,6 +105,19 @@ object TextOps {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Deterministic content-hash sampling: keep a row iff
+    * fingerprint64(text) mod `outOf` < `keep`. Reproducible across runs,
+    * partitionings and engines (unlike `df.sample`, whose RNG depends on
+    * partition layout) — the right shape for train/eval splits and
+    * ablation subsets at corpus scale. */
+  def deterministicSampleFilter(text: Column, keep: Int, outOf: Int): Column =
+    graft.functions.GraftFunctions.fingerprint64(text) % outOf < keep
+
+  /** Token-count histogram bucket: floor(n_tokens / width), capped at
+    * `maxBucket` — corpus length-distribution stats in one aggregation. */
+  def tokenHistogramBucket(text: Column, width: Int, maxBucket: Int): Column =
+    least(floor(tokenCount(text) / width), lit(maxBucket)).cast("long")
+
   /** Language-marker word lists for the n-gram/stopword language-ID
     * heuristic. Occurrence counting is done with the portable
     * "length delta / marker length" trick, so the DuckDB oracle can
