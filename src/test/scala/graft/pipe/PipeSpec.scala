@@ -106,6 +106,28 @@ class PipeSpec extends AnyFunSuite with SparkTestBase {
     assert(tokens.read().contains("""82649B3C00:  "quoted" \ token"""))
   }
 
+  test("compact mid-stream: continuing CDC after a force-merge converges identically") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val changelog = Changelog.fromEvents(events).cache()
+    def runPipe(compactAfter: Option[Long]): Seq[org.apache.spark.sql.Row] = {
+      val tmp = Files.createTempDirectory("graft-midcompact").toString
+      val sink = new ParquetStateSink(s"$tmp/state", Seq("user_id"),
+        Seq("last_ts", "total_value", "n_events"))
+      val pipe = new Pipe(cfg(200L), new ChangelogReplaySource(changelog), sink,
+        new FileOffsetStore(s"$tmp/offset"), targetCols)
+      pipe.initialize(); pipe.firstSync()
+      compactAfter match {
+        case Some(n) =>
+          pipe.syncLoop(maxIterations = n)
+          sink.compact() // force-merge mid-stream (min_age_to_force_merge analogue)
+          pipe.syncLoop() // drain the rest against the compacted log
+        case None => pipe.syncLoop()
+      }
+      sink.read().orderBy("user_id").collect().toSeq
+    }
+    assert(runPipe(Some(2L)) == runPipe(None))
+  }
+
   test("compact preserves state") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val changelog = Changelog.fromEvents(events)
