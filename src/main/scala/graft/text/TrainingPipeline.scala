@@ -45,4 +45,26 @@ object TrainingPipeline {
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"),
       round(avg(col("quality")), 6).as("avg_quality"))
+
+  /** The full curation chain including near-dedup: filters + exact dedup
+    * ([[curate]]), then MinHash+LSH candidate pairs resolved into
+    * clusters with one canonical survivor each ([[Dedup
+    * .dedupNearByClusters]]). Near-dedup runs LAST, on the already-curated
+    * (smallest) set — candidate generation cost scales with what
+    * survived, not the raw corpus. */
+  def curateWithNearDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val curated = curate(docs, idCol, textCol, lang, minQuality)
+    val survivingDocs = docs.join(curated.select(idCol), Seq(idCol), "left_semi")
+    val pairs = Dedup.minhashCandidatePairs(
+      survivingDocs, idCol, textCol, jaccardThreshold = jaccardThreshold)
+    curated.join(
+      Dedup.dedupNearByClusters(survivingDocs.select(idCol), idCol, pairs),
+      Seq(idCol), "left_semi")
+  }
 }

@@ -40,4 +40,22 @@ class TrainingPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.getLong(0) == rows.length)
     assert(stats.getLong(1) > 0)
   }
+
+  test("near-dedup stage: planted exact copies never survive the full chain") {
+    val full = TrainingPipeline.curateWithNearDedup(docs, "doc_id", "text",
+      lang = "en", minQuality = 0.5, jaccardThreshold = 0.9)
+      .collect()
+    assert(full.nonEmpty)
+    val ids = full.map(_.getLong(0)).toSet
+    // planted copies (id+50000) cluster with their smaller base id
+    assert(ids.forall(_ < 50000))
+    // near-dedup only removes rows relative to the filtered+exact stage
+    val exactOnly = TrainingPipeline.curate(docs, "doc_id", "text",
+      lang = "en", minQuality = 0.5).count()
+    assert(full.length <= exactOnly)
+    full.foreach { r =>
+      assert(r.getAs[String]("lang_pred") == "en")
+      assert(r.getAs[Double]("quality") >= 0.5)
+    }
+  }
 }
