@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import graft.cdc.Changelog
-import graft.config.PipeConfig
-import graft.pipe.{ChangelogReplaySource, FileOffsetStore, ParquetStateSink, Pipe}
-import graft.sources.Tables
+import graft.config.{JdbcSourceConfig, JdbcTargetConfig, PipeConfig}
+import graft.live.{JdbcChangelogSource, JdbcClient, JdbcConnInfo, PgOutputJdbcSource, PgRelation}
+import graft.pipe.{CdcSource, ChangelogReplaySource, FileOffsetStore, ParquetStateSink, Pipe, StatementPipe}
+import graft.sinks.{AnsiDialect, ClickHouseDialect, StatementSink}
+import graft.sources.{CatalogSql, Tables}
 import graft.types.{CHColumn, CHType}
 
 /** CLI entry point — the analogue of the reference's only command,
@@ -43,12 +45,160 @@ object Main {
   /** Dispatch by source type (reference: `src/main.rs:38-49`). */
   def runWith(spark: SparkSession, config: PipeConfig): Unit =
     config.source.source_type match {
-      case "parquet" => runParquetReplay(spark, config)
+      case "parquet"  => runParquetReplay(spark, config)
+      case "jdbc"     => runJdbc(spark, config)
+      case "postgres" => runPostgres(spark, config)
       case other =>
-        // postgres/mongodb need live endpoints; the pipe seam is the same.
+        // mongodb needs a live change-stream client (no BSON wire driver
+        // in this build); the pipe seam is the same.
         throw new IllegalArgumentException(
-          s"source_type '$other' requires a live endpoint; configure 'parquet' replay")
+          s"source_type '$other' not supported; use postgres | jdbc | parquet")
     }
+
+  private def connInfo(url: String, user: String, password: String,
+      driver: Option[String]): JdbcConnInfo =
+    JdbcConnInfo(url, user, password, driver)
+
+  /** Generic live JDBC changelog pipe (integration-tested against embedded
+    * Derby): peeks a seq-addressed changelog table, executes the statement
+    * sequence against a JDBC target or appends to a parquet state sink. */
+  private def runJdbc(spark: SparkSession, config: PipeConfig): Unit = {
+    implicit val s: SparkSession = spark
+    val sc = config.source.jdbc.getOrElse(
+      throw new IllegalArgumentException("source.jdbc required"))
+    val srcInfo = connInfo(sc.url, sc.user, sc.password, sc.driver)
+    val client = new JdbcClient(srcInfo)
+    try {
+      val source = new JdbcChangelogSource(
+        client,
+        JdbcChangelogSource.tablePeekSql(sc.changelog_table, sc.seq_column),
+        sc.snapshot_table match {
+          case Some(t) => JdbcChangelogSource.snapshotScan(
+            spark, srcInfo, t, sc.partition_column, sc.num_partitions.getOrElse(8))
+          case None => () => spark.emptyDataFrame
+        })
+      // target schema = changelog columns minus the envelope (seq, op);
+      // PKs from JDBC metadata (portable information_schema analogue)
+      val envelope = Set(sc.seq_column, "op")
+      val pkTable = sc.snapshot_table.getOrElse(sc.changelog_table)
+      val pks = client.primaryKeys(None, pkTable.toUpperCase) match {
+        case Seq() => client.primaryKeys(None, pkTable)
+        case found => found
+      }
+      val targetCols = client.tableColumns(None, sc.changelog_table.toUpperCase) match {
+        case Seq() => client.tableColumns(None, sc.changelog_table)
+        case found => found
+      }
+      val columns = targetCols.filterNot { case (n, _, _) => envelope.contains(n) }
+        .map { case (n, dt, nullable) =>
+          val pk = pks.contains(n)
+          CHColumn(n, CHType.fromSparkType(dt, nullable && !pk), isPrimaryKey = pk)
+        }
+      runToTarget(spark, config, source, columns, pipeName = sc.changelog_table,
+        offsetPath = sc.offset_path)
+    } finally client.close()
+  }
+
+  /** Live Postgres logical-replication pipe: pgoutput frames peeked over
+    * JDBC (`pg_logical_slot_peek_binary_changes`), decoded on executors,
+    * slot advanced after each committed batch. Needs the PG JDBC driver on
+    * the classpath and a reachable server. */
+  private def runPostgres(spark: SparkSession, config: PipeConfig): Unit = {
+    implicit val s: SparkSession = spark
+    val pg = config.source.postgres.getOrElse(
+      throw new IllegalArgumentException("source.postgres required"))
+    val conn = pg.connection
+    val url = s"jdbc:postgresql://${conn.host}:${conn.port}/${conn.database}"
+    val info = connInfo(url, conn.username, conn.password, Some("org.postgresql.Driver"))
+    val client = new JdbcClient(info)
+    try {
+      pg.tables.foreach { tbl =>
+        // S5: column list + PK membership through the reference's catalog SQL
+        val colsDf = client.query(CatalogSql.pgColumns(tbl.schema_name, tbl.table_name))._2
+        val columns = colsDf.map { r =>
+          CHColumn(r.getString(0),
+            CHType.fromPgUdt(r.getString(1),
+              nullable = r.getBoolean(2) && !r.getBoolean(4)),
+            isPrimaryKey = r.getBoolean(4))
+        }
+        val relId = client.query(
+          CatalogSql.pgRelationIds(tbl.schema_name, Seq(tbl.table_name)))._2
+          .headOption.map(_.get(0).toString.toLong).getOrElse(
+            throw new IllegalArgumentException(s"relation ${tbl.qualifiedName} not found"))
+        val rel = PgRelation(relId, tbl.table_name, columns.map(_.name))
+        val source = new PgOutputJdbcSource(
+          client, pg.replication_slot_name, pg.publication_name, Seq(rel),
+          JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName))
+        val decoded = PgOutputJdbcSource.tableSlice _
+        // route this table's slice through the statement pipe
+        val sliced = new CdcSource {
+          def snapshot() = source.snapshot()
+          def peekChanges(after: Long, limit: Long) =
+            decoded(source.peekChanges(after, limit), rel)
+        }
+        runToTarget(spark, config, sliced, columns,
+          pipeName = tbl.qualifiedName,
+          advance = seq => source.advance(seq),
+          maskColumns = tbl.mask_columns.toSet)
+      }
+    } finally client.close()
+  }
+
+  /** Wire a source to the configured target (executing JDBC/ClickHouse
+    * sink, or the parquet state sink). */
+  private def runToTarget(
+      spark: SparkSession, config: PipeConfig, source: CdcSource,
+      columns: Seq[CHColumn], pipeName: String,
+      advance: Long => Unit = _ => (),
+      maskColumns: Set[String] = Set.empty,
+      offsetPath: Option[String] = None): Unit = {
+    implicit val s: SparkSession = spark
+    config.target.target_type match {
+      case "jdbc" | "clickhouse" =>
+        val tc: JdbcTargetConfig = config.target.target_type match {
+          case "jdbc" => config.target.jdbc.getOrElse(
+            throw new IllegalArgumentException("target.jdbc required"))
+          case _ =>
+            val ch = config.target.clickhouse.getOrElse(
+              throw new IllegalArgumentException("target.clickhouse required")).connection
+            JdbcTargetConfig(
+              url = s"jdbc:clickhouse://${ch.host}:${ch.port}/${ch.database}",
+              user = ch.username, password = ch.password,
+              database = ch.database, table = pipeName.split('.').last)
+        }
+        val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
+        val client = new JdbcClient(info)
+        try {
+          val dialect = if (tc.dialect == "ansi") AnsiDialect else ClickHouseDialect
+          val sink = new StatementSink(tc.database, tc.table, columns,
+            client.execute, maskColumns, config.copyBatchSize, dialect,
+            insertExec = if (tc.distributed_inserts) Some(info) else None)
+          val offsets = new FileOffsetStore(
+            offsetPath.getOrElse(s"./offsets/$pipeName.offset"))
+          val probe = () => client.queryScalar(
+            s"SELECT COUNT(*) FROM ${tc.database}.${tc.table}")
+            .exists(_.toString.toLong > 0)
+          val pipe = new StatementPipe(config, source, sink, offsets, columns,
+            maskColumns, targetNonEmpty = probe, advance = advance)
+          // CREATE TABLE DDL is ClickHouse dialect; generic JDBC targets
+          // bring their own table (the spec creates it natively)
+          if (config.target.target_type == "clickhouse") pipe.initialize()
+          pipe.firstSync()
+          if (!config.disableSyncLoop) pipe.syncLoop()
+        } finally client.close()
+      case "parquet" =>
+        val outDir = config.target.parquet_dir.getOrElse(
+          throw new IllegalArgumentException("target.parquet_dir required"))
+        val valueCols = columns.filterNot(_.isPrimaryKey).map(_.name)
+        val sink = new ParquetStateSink(s"$outDir/$pipeName",
+          columns.filter(_.isPrimaryKey).map(_.name), valueCols)
+        val offsets = new FileOffsetStore(s"$outDir/$pipeName.offset")
+        new Pipe(config, source, sink, offsets, columns,
+          maskColumns, tableName = pipeName).run()
+      case other =>
+        throw new IllegalArgumentException(s"target_type '$other' not supported")
+    }
+  }
 
   private def runParquetReplay(spark: SparkSession, config: PipeConfig): Unit = {
     implicit val s: SparkSession = spark

@@ -47,16 +47,53 @@ case class PipeConfig(
 }
 
 case class SourceConfig(
-    source_type: String, // "postgres" | "mongodb" | "parquet" (test replay)
+    source_type: String, // "postgres" | "mongodb" | "jdbc" | "parquet" (test replay)
     postgres: Option[PostgresConfig] = None,
     mongodb: Option[MongoConfig] = None,
-    parquet_dir: Option[String] = None
+    parquet_dir: Option[String] = None,
+    jdbc: Option[JdbcSourceConfig] = None
 )
 
 case class TargetConfig(
-    target_type: String, // "clickhouse" | "parquet" (test state sink)
+    target_type: String, // "clickhouse" | "jdbc" | "parquet" (test state sink)
     clickhouse: Option[ClickHouseConfig] = None,
-    parquet_dir: Option[String] = None
+    parquet_dir: Option[String] = None,
+    jdbc: Option[JdbcTargetConfig] = None
+)
+
+/** Generic live JDBC changelog source: any endpoint exposing a
+  * seq-addressed changelog table peeks through the same bounded
+  * non-consuming protocol as `pg_logical_slot_peek_binary_changes`
+  * (reference: `src/adapter/postgres.rs:787-812`). Integration-tested
+  * against embedded Derby; a live Postgres uses `source_type: postgres`
+  * with the pgoutput decode path instead. */
+case class JdbcSourceConfig(
+    url: String,
+    user: String = "",
+    password: String = "",
+    driver: Option[String] = None,
+    changelog_table: String = "changelog",
+    seq_column: String = "seq",
+    snapshot_table: Option[String] = None,
+    partition_column: Option[String] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    num_partitions: Option[Int] = None,
+    offset_path: Option[String] = None
+)
+
+/** Live executing JDBC target. `dialect` picks the statement text:
+  * "clickhouse" (the reference's, byte-compatible) or "ansi" (portable —
+  * Derby/PG/DuckDB). `distributed_inserts` executes INSERT statements
+  * per-partition on executors. */
+case class JdbcTargetConfig(
+    url: String,
+    user: String = "",
+    password: String = "",
+    driver: Option[String] = None,
+    database: String = "default",
+    table: String = "t",
+    dialect: String = "clickhouse",
+    distributed_inserts: Boolean = true
 )
 
 case class PostgresConfig(

@@ -1,0 +1,232 @@
+package graft.live
+
+import java.sql.{Connection, DriverManager, ResultSet, Types}
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable.ArrayBuffer
+
+/** Connection coordinates for a live JDBC endpoint — serializable so
+  * executors can open their own connections for per-partition statement
+  * execution (the one piece of the reference's client model that must NOT
+  * be a shared driver object).
+  *
+  * The reference holds one client per endpoint for the pipe's lifetime
+  * (PG pool: `src/adapter/postgres.rs:55-58`; CH HTTP client:
+  * `src/adapter/clickhouse.rs:95-124`; Mongo: `src/adapter/mongodb.rs:39-61`).
+  * Driver-side we mirror that with a single long-lived [[JdbcClient]];
+  * executor-side each partition opens/closes its own.
+  *
+  * @param queryTimeoutMillis per-statement timeout; 0 = none. This is the
+  *   live realization of `peek_changes_timeout_millis`
+  *   (reference: `src/config.rs:151-154`).
+  */
+case class JdbcConnInfo(
+    url: String,
+    user: String = "",
+    password: String = "",
+    driver: Option[String] = None,
+    queryTimeoutMillis: Long = 0L
+) {
+  def connect(): Connection = {
+    driver.foreach(Class.forName)
+    val props = new Properties()
+    if (user.nonEmpty) props.setProperty("user", user)
+    if (password.nonEmpty) props.setProperty("password", password)
+    DriverManager.getConnection(url, props)
+  }
+}
+
+/** A single long-lived JDBC connection with the three verbs the reference's
+  * adapters expose: `ping`, `execute_query` (no result), and a row-returning
+  * query (reference: `src/adapter/clickhouse.rs:161-232` `ping`/
+  * `execute_query`, `src/adapter/postgres.rs:787-829` peek/advance).
+  *
+  * Driver-side by design: the CDC peek protocol is inherently a single
+  * ordered conversation with one replication slot — the parallelism belongs
+  * to what happens AFTER the peek (decode, cast, route all run distributed),
+  * and each peek is bounded by `peek_changes_limit` (65,536 default), so the
+  * driver never holds more than one bounded batch.
+  */
+class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
+  private var connOpt: Option[Connection] = None
+
+  private def conn: Connection = synchronized {
+    connOpt match {
+      case Some(c) if !c.isClosed => c
+      case _ =>
+        val c = info.connect()
+        connOpt = Some(c)
+        c
+    }
+  }
+
+  /** Liveness probe (reference: `clickhouse.rs:161-188` sends SELECT 1). */
+  def ping(): Boolean =
+    try conn.isValid(5)
+    catch { case _: Exception => false }
+
+  private def applyTimeout(st: java.sql.Statement): Unit =
+    if (info.queryTimeoutMillis > 0)
+      st.setQueryTimeout(math.max(1, (info.queryTimeoutMillis / 1000L).toInt))
+
+  /** Execute a statement, discarding any result (DDL / INSERT / DELETE /
+    * TRUNCATE — the sink verb). */
+  def execute(sql: String): Unit = {
+    val st = conn.createStatement()
+    try { applyTimeout(st); st.execute(sql); () }
+    finally st.close()
+  }
+
+  /** Row-returning query → (schema, rows). Bounded use only (catalog reads,
+    * CDC peeks ≤ peek limit); never a table scan. */
+  def query(sql: String): (StructType, Vector[Row]) = {
+    val st = conn.createStatement()
+    try {
+      applyTimeout(st)
+      val rs = st.executeQuery(sql)
+      try {
+        val schema = JdbcRows.schemaOf(rs)
+        val out = ArrayBuffer.empty[Row]
+        while (rs.next()) out += JdbcRows.rowOf(rs, schema)
+        (schema, out.toVector)
+      } finally rs.close()
+    } finally st.close()
+  }
+
+  /** Single-value convenience (emptiness probes, row estimates —
+    * reference: `clickhouse.rs:234-253`, `postgres.rs:760-785`). */
+  def queryScalar(sql: String): Option[Any] =
+    query(sql)._2.headOption.map(_.get(0))
+
+  /** Query → distributed DataFrame. The driver materializes ≤ one peeked
+    * batch (bounded by the SQL's own LIMIT), then hands it to Spark. */
+  def queryDf(spark: SparkSession, sql: String): DataFrame = {
+    val (schema, rows) = query(sql)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Catalog introspection through JDBC metadata (S5) — the portable
+    * counterpart of the reference's `information_schema` reads
+    * (`src/adapter/postgres.rs:696-758`). Works on any compliant driver
+    * (Derby in specs; PG/ClickHouse live). */
+  def tableColumns(schemaPattern: Option[String], table: String): Seq[(String, org.apache.spark.sql.types.DataType, Boolean)] = {
+    val md = conn.getMetaData
+    val rs = md.getColumns(null, schemaPattern.orNull, table, null)
+    try {
+      val out = ArrayBuffer.empty[(Int, (String, org.apache.spark.sql.types.DataType, Boolean))]
+      while (rs.next()) {
+        out += ((rs.getInt("ORDINAL_POSITION"), (
+          rs.getString("COLUMN_NAME").toLowerCase,
+          JdbcRows.sparkType(rs.getInt("DATA_TYPE"),
+            math.max(rs.getInt("COLUMN_SIZE"), 1),
+            math.max(rs.getInt("DECIMAL_DIGITS"), 0)),
+          rs.getInt("NULLABLE") != java.sql.ResultSetMetaData.columnNoNulls)))
+      }
+      out.sortBy(_._1).map(_._2).toSeq
+    } finally rs.close()
+  }
+
+  /** Primary-key column names, in key order (S5 PK membership —
+    * `DatabaseMetaData.getPrimaryKeys` is the portable PK query). */
+  def primaryKeys(schemaPattern: Option[String], table: String): Seq[String] = {
+    val rs = conn.getMetaData.getPrimaryKeys(null, schemaPattern.orNull, table)
+    try {
+      val out = ArrayBuffer.empty[(Short, String)]
+      while (rs.next()) out += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME").toLowerCase))
+      out.sortBy(_._1).map(_._2).toSeq
+    } finally rs.close()
+  }
+
+  override def close(): Unit = synchronized {
+    connOpt.foreach(c => if (!c.isClosed) c.close())
+    connOpt = None
+  }
+}
+
+/** JDBC ↔ Spark row/schema conversion for the bounded driver-side reads. */
+object JdbcRows {
+
+  def sparkType(jdbcType: Int, precision: Int, scale: Int): DataType =
+    jdbcType match {
+      case Types.BIT | Types.BOOLEAN       => BooleanType
+      case Types.TINYINT | Types.SMALLINT  => ShortType
+      case Types.INTEGER                   => IntegerType
+      case Types.BIGINT                    => LongType
+      case Types.REAL                      => FloatType
+      case Types.FLOAT | Types.DOUBLE      => DoubleType
+      case Types.NUMERIC | Types.DECIMAL   =>
+        DecimalType(math.min(math.max(precision, 1), 38), math.min(scale, 37))
+      case Types.DATE                      => DateType
+      case Types.TIME | Types.TIMESTAMP | Types.TIMESTAMP_WITH_TIMEZONE => TimestampType
+      case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB => BinaryType
+      case _                               => StringType
+    }
+
+  def schemaOf(rs: ResultSet): StructType = {
+    val md = rs.getMetaData
+    StructType((1 to md.getColumnCount).map { i =>
+      StructField(
+        md.getColumnLabel(i).toLowerCase,
+        sparkType(md.getColumnType(i), md.getPrecision(i), md.getScale(i)),
+        nullable = md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls)
+    })
+  }
+
+  def rowOf(rs: ResultSet, schema: StructType): Row = {
+    val values = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v: Any = f.dataType match {
+        case BooleanType => rs.getBoolean(i + 1)
+        case ShortType   => rs.getShort(i + 1)
+        case IntegerType => rs.getInt(i + 1)
+        case LongType    => rs.getLong(i + 1)
+        case FloatType   => rs.getFloat(i + 1)
+        case DoubleType  => rs.getDouble(i + 1)
+        case _: DecimalType => rs.getBigDecimal(i + 1)
+        case DateType    => rs.getDate(i + 1)
+        case TimestampType => rs.getTimestamp(i + 1)
+        case BinaryType  =>
+          rs.getObject(i + 1) match {
+            case null => null
+            case b: java.sql.Blob => b.getBytes(1, b.length().toInt)
+            case a: Array[Byte]   => a
+            case other            => other.toString.getBytes("UTF-8")
+          }
+        case _ => rs.getString(i + 1)
+      }
+      if (rs.wasNull()) null else v
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(values.toArray[Any], schema)
+  }
+}
+
+/** Executor-side statement execution: each partition of a rendered-statement
+  * Dataset opens its own connection, executes its statements in partition
+  * order, and closes. The driver never sees the statement text — only the
+  * per-partition counts come back (as the action's result).
+  *
+  * Use for the INSERT stage, which is order-free ACROSS statements within a
+  * batch (the reference also splits it into independent `copy_batch_size`
+  * chunks — `src/pipes/postgres.rs:181-216`); TRUNCATE/DELETE stay
+  * driver-sequenced because their position in the batch is a correctness
+  * contract (SURVEY.md sec 3 EP3 write order).
+  */
+object JdbcExec {
+  def executePartitions(statements: org.apache.spark.sql.Dataset[String], info: JdbcConnInfo): Long = {
+    import statements.sparkSession.implicits._
+    statements.filter(_.nonEmpty).mapPartitions { stmts =>
+      if (stmts.isEmpty) Iterator.single(0L)
+      else {
+        val conn = info.connect()
+        try {
+          var n = 0L
+          val st = conn.createStatement()
+          try stmts.foreach { s => st.execute(s); n += 1 }
+          finally st.close()
+          Iterator.single(n)
+        } finally conn.close()
+      }
+    }.reduce(_ + _)
+  }
+}

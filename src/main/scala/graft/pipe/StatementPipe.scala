@@ -1,0 +1,118 @@
+package graft.pipe
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.config.PipeConfig
+import graft.ops.CoreOps
+import graft.sinks.StatementSink
+import graft.types.CHColumn
+
+/** The pipe lifecycle — initialize → first_sync → sync_loop — over a LIVE
+  * statement-executing sink (reference: `src/pipes/mod.rs:11-16`,
+  * `src/pipes/postgres.rs:100-499`). This is the executing counterpart of
+  * [[Pipe]] (whose sink is the parquet state log): same source seam, same
+  * at-least-once contract, but writes go to a JDBC endpoint as the
+  * reference's statement sequence.
+  *
+  * Error policy matches the reference exactly
+  * (`src/pipes/postgres.rs:433-452`, knob defaults `src/config.rs:156-169`):
+  *
+  *  - peek fails → log, sleep `sleep_millis_when_peek_failed`, retry the
+  *    same offset;
+  *  - any write fails → log, sleep `sleep_millis_when_write_failed`,
+  *    re-peek the SAME offset and replay the batch (peeks are
+  *    non-consuming, so the batch returns identically). The offset
+  *    commits only after every statement of the batch succeeded, so a
+  *    replay is at-least-once, and the sink's last-wins dedup + PK upsert
+  *    semantics make it idempotent at the target.
+  *
+  * Each failed attempt consumes one iteration of `maxIterations`, so
+  * tests can bound a permanently-failing endpoint.
+  */
+class StatementPipe(
+    config: PipeConfig,
+    source: CdcSource,
+    sink: StatementSink,
+    offsets: FileOffsetStore,
+    targetColumns: Seq[CHColumn],
+    maskColumns: Set[String] = Set.empty,
+    targetNonEmpty: () => Boolean = () => false,
+    advance: Long => Unit = _ => (),
+    sleeper: Long => Unit = Thread.sleep
+)(implicit spark: SparkSession) {
+
+  @volatile var lastError: Option[Throwable] = None
+
+  def initialize(options: graft.ddl.TableOptions = graft.ddl.TableOptions()): Unit =
+    sink.createTable(options)
+
+  /** Bulk snapshot copy (EP2), skipped when the target is non-empty (K6 —
+    * reference: `src/pipes/postgres.rs:145-160`). */
+  def firstSync(): Boolean = {
+    if (targetNonEmpty()) return false
+    val snap = source.snapshot()
+    if (snap.isEmpty) return false
+    sink.bulkInsert(CoreOps.alignToTarget(snap, targetColumns, maskColumns))
+    true
+  }
+
+  /** CDC loop (EP3): peek → apply → commit offset + advance cursor.
+    * `live = true` keeps the loop alive on empty peeks with the
+    * reference's cadence; the default drains and stops (replay/test
+    * mode). Returns events applied. */
+  def syncLoop(maxIterations: Long = Long.MaxValue, live: Boolean = false): Long = {
+    var applied = 0L
+    var iter = 0L
+    var offset = offsets.read()
+    var drained = false
+    while (iter < maxIterations && !drained) {
+      iter += 1
+      val peeked =
+        try Right(source.peekChanges(offset, config.peekChangesLimit).cache())
+        catch { case e: Exception => Left(e) }
+      peeked match {
+        case Left(e) =>
+          lastError = Some(e)
+          System.err.println(s"[pipe] peek failed (${e.getMessage}); retrying")
+          sleeper(config.sleepWhenPeekFailed)
+        case Right(batch) =>
+          try {
+            val aligned = batch.select(
+              (Seq(col("op"), col("seq")) ++
+                targetColumns.map(c => col(c.name))): _*)
+            source.maxSeq(batch) match {
+              case None =>
+                if (live) sleeper(config.sleepWhenPeekIsEmpty)
+                else drained = true
+              case Some(maxSeq) =>
+                try {
+                  sink.applyBatch(CoreOps.maskColumns(aligned, maskColumns))
+                  // commit point: offset + cursor advance only after ALL
+                  // statements of the batch succeeded (at-least-once)
+                  offsets.write(maxSeq)
+                  advance(maxSeq)
+                  offset = maxSeq
+                  applied += batch.count()
+                  sleeper(config.sleepAfterSyncWrite)
+                  if (live) sleeper(config.sleepAfterSyncIteration)
+                } catch {
+                  case e: Exception =>
+                    lastError = Some(e)
+                    System.err.println(
+                      s"[pipe] write failed (${e.getMessage}); replaying batch")
+                    sleeper(config.sleepWhenWriteFailed)
+                  // offset unchanged → next peek replays the same batch
+                }
+            }
+          } finally batch.unpersist()
+      }
+    }
+    applied
+  }
+
+  def run(maxIterations: Long = Long.MaxValue, live: Boolean = false): Unit = {
+    initialize()
+    firstSync()
+    if (!config.disableSyncLoop) syncLoop(maxIterations, live)
+  }
+}

@@ -131,11 +131,12 @@ object ClickHouseSql {
   def insertStatements(
       df: DataFrame, database: String, table: String,
       columns: Seq[CHColumn], batchSize: Int = 100000,
-      maskColumns: Set[String] = Set.empty): Dataset[String] = {
+      maskColumns: Set[String] = Set.empty,
+      dialect: SqlDialect = ClickHouseDialect): Dataset[String] = {
     val cols = columns // serializable capture
     df.mapPartitions { rows =>
       rows.grouped(batchSize).map(batch =>
-        insertQuery(database, table, cols, batch.toSeq, maskColumns))
+        dialect.insertQuery(database, table, cols, batch.toSeq, maskColumns))
     }(Encoders.STRING)
   }
 }

@@ -1,0 +1,145 @@
+package graft.sinks
+
+import org.apache.spark.sql.Row
+import graft.types.{CHColumn, CHType}
+
+/** Statement-text dialect for the live sink. The reference targets exactly
+  * one sink dialect — ClickHouse SQL rendered as text and POSTed over HTTP
+  * (reference: `src/adapter/clickhouse.rs:126-232`) — but the *executing*
+  * transport here is generic JDBC, so the statement text is the only
+  * endpoint-specific part. [[ClickHouseDialect]] is byte-compatible with
+  * the reference's rendering (golden-tested in ClickHouseSqlSpec);
+  * [[AnsiDialect]] renders the same statement sequence in portable ANSI SQL
+  * so the full live path (peek → render → execute → verify) is
+  * integration-testable against any embedded JDBC engine (Derby in specs).
+  *
+  * A dialect must be Serializable: INSERT rendering runs on executors
+  * ([[ClickHouseSql.insertStatements]]).
+  */
+trait SqlDialect extends Serializable {
+
+  def renderValue(v: Any, chType: CHType): String
+
+  /** One batched multi-row INSERT. Default format matches the reference
+    * (`INSERT INTO db.t (c1, c2) VALUES(a,b), (c,d)` — no space after
+    * VALUES), which is also valid ANSI. */
+  def insertQuery(
+      database: String, table: String,
+      columns: Seq[CHColumn], rows: Seq[Row],
+      maskColumns: Set[String] = Set.empty): String = {
+    if (rows.isEmpty) return ""
+    val header = s"INSERT INTO $database.$table " +
+      columns.map(_.name).mkString("(", ", ", ")") + " VALUES"
+    val rendered = rows.map { row =>
+      columns.map { c =>
+        val idx = row.schema.fieldNames.indexOf(c.name)
+        val raw = if (idx < 0 || maskColumns.contains(c.name)) null else row.get(idx)
+        renderValue(raw, c.chType)
+      }.mkString("(", ",", ")")
+    }
+    header + rendered.mkString(", ")
+  }
+
+  /** One DELETE over the PK columns for a bounded chunk of keys. */
+  def deleteQuery(
+      database: String, table: String,
+      columns: Seq[CHColumn], keyRows: Seq[Row]): String
+
+  def truncateQuery(database: String, table: String): String
+}
+
+/** The reference's dialect: delegates to [[ClickHouseSql]] so the golden
+  * byte-compatibility specs keep pinning a single implementation. */
+object ClickHouseDialect extends SqlDialect {
+  override def renderValue(v: Any, chType: CHType): String =
+    ClickHouseSql.renderValue(v, chType)
+  override def insertQuery(
+      database: String, table: String, columns: Seq[CHColumn],
+      rows: Seq[Row], maskColumns: Set[String]): String =
+    ClickHouseSql.insertQuery(database, table, columns, rows, maskColumns)
+  override def deleteQuery(
+      database: String, table: String, columns: Seq[CHColumn],
+      keyRows: Seq[Row]): String =
+    ClickHouseSql.deleteQuery(database, table, columns, keyRows)
+  override def truncateQuery(database: String, table: String): String =
+    graft.ddl.Ddl.truncateQuery(database, table)
+}
+
+/** Portable ANSI SQL dialect for generic JDBC endpoints: standard string
+  * escaping (only `''` — backslash is NOT an escape in ANSI string
+  * literals), `TIMESTAMP '…'` / `DATE '…'` literals, `DELETE FROM` instead
+  * of ClickHouse's `ALTER TABLE … DELETE` mutation. Same statement
+  * *sequence* contract as the reference (truncate → inserts → deletes). */
+object AnsiDialect extends SqlDialect {
+  import java.time.format.DateTimeFormatter
+  import java.time.ZoneOffset
+
+  private val TsFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+  private val DateFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+
+  def escapeString(s: String): String = s.replace("'", "''")
+
+  override def renderValue(v: Any, chType: CHType): String = {
+    val inner = chType.stripNullable
+    if (v == null) {
+      if (chType.isNullable) "NULL"
+      else inner match {
+        case CHType.Float32 | CHType.Float64 => "0"
+        case CHType.Bool => "FALSE"
+        case CHType.CHStr | CHType.FixedString(_) | CHType.UUID | CHType.Unknown => "''"
+        case CHType.CHDate | CHType.Date32 => "DATE '1970-01-01'"
+        case CHType.CHDateTime(_) | CHType.DateTime64(_, _) =>
+          "TIMESTAMP '1970-01-01 00:00:00'"
+        case _ => "0"
+      }
+    } else inner match {
+      case CHType.Bool =>
+        if (v.asInstanceOf[Boolean]) "TRUE" else "FALSE"
+      case CHType.CHStr | CHType.FixedString(_) | CHType.UUID | CHType.Unknown =>
+        s"'${escapeString(v.toString)}'"
+      case CHType.CHDate | CHType.Date32 =>
+        val d = v match {
+          case d: java.sql.Date => DateFmt.format(d.toLocalDate)
+          case d: java.time.LocalDate => DateFmt.format(d)
+          case other => other.toString
+        }
+        s"DATE '$d'"
+      case CHType.CHDateTime(_) | CHType.DateTime64(_, _) =>
+        val t = v match {
+          case t: java.sql.Timestamp => TsFmt.format(t.toInstant)
+          case t: java.time.Instant => TsFmt.format(t)
+          case t: java.time.LocalDateTime => TsFmt.format(t.toInstant(ZoneOffset.UTC))
+          case other => other.toString
+        }
+        s"TIMESTAMP '$t'"
+      case CHType.CHArray(el) =>
+        // no portable array literal; render as a CH-style string
+        val elems = v match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case a: Array[_] => a.toSeq
+        }
+        s"'${escapeString(elems.map(e => renderValue(e, el)).mkString("[", ", ", "]"))}'"
+      case _ => v.toString
+    }
+  }
+
+  override def deleteQuery(
+      database: String, table: String,
+      columns: Seq[CHColumn], keyRows: Seq[Row]): String = {
+    if (keyRows.isEmpty) return ""
+    val pks = columns.filter(_.isPrimaryKey)
+    val conditions = keyRows.map { row =>
+      pks.map { c =>
+        val idx = row.schema.fieldNames.indexOf(c.name)
+        val raw = if (idx < 0) null else row.get(idx)
+        s"${c.name} = ${renderValue(raw, c.chType)}"
+      }.mkString("(", " AND ", ")")
+    }
+    s"DELETE FROM $database.$table WHERE " + conditions.mkString(" OR ")
+  }
+
+  override def truncateQuery(database: String, table: String): String =
+    s"TRUNCATE TABLE $database.$table"
+}

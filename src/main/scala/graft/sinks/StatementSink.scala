@@ -4,22 +4,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.Changelog
 import graft.ddl.Ddl
+import graft.live.{JdbcConnInfo, JdbcExec}
 import graft.ops.CoreOps
 import graft.types.CHColumn
 
-/** The live ClickHouse sink seam: applies a CDC batch as the reference's
-  * statement sequence — deduped batched INSERTs, then one DELETE
-  * mutation, truncates immediately at routing (SURVEY.md sec 2.5 and
-  * sec 3 EP3 write order: `src/pipes/postgres.rs:391-485`) — against a
-  * pluggable `execute` function (a JDBC/HTTP client in live mode; a
-  * collector in tests).
+/** The live sink: applies a CDC batch as the reference's statement
+  * sequence — deduped batched INSERTs, then one DELETE pass, truncates
+  * immediately at routing (SURVEY.md sec 2.5 and sec 3 EP3 write order:
+  * `src/pipes/postgres.rs:391-485`) — against a pluggable `execute`
+  * function (a [[graft.live.JdbcClient]] in live mode; a collector in
+  * tests).
   *
-  * Statement TEXT is rendered distributed ([[ClickHouseSql
-  * .insertStatements]]); execution is driver-sequenced because the
-  * reference's write order (truncate → inserts → deletes, then advance
-  * the cursor) is a correctness contract, not a throughput choice — the
-  * expensive part (rendering) scales out, the cheap part (statement
-  * submission) is ordered.
+  * Statement TEXT always renders distributed ([[ClickHouseSql
+  * .insertStatements]]). Execution splits by ordering requirement:
+  *
+  *  - TRUNCATE and DELETEs are driver-sequenced — their position in the
+  *    batch (truncate first, deletes after the batch's inserts) is a
+  *    correctness contract (reference write order), not a throughput
+  *    choice. DELETE keys are bounded by the peek quantum (≤
+  *    `peek_changes_limit`, 65,536 default) and are chunked into
+  *    `deleteChunkSize`-key statements so no single statement grows with
+  *    the batch.
+  *  - INSERTs within a batch are order-free ACROSS statements (the
+  *    reference itself splits them into independent `copy_batch_size`
+  *    chunks — `src/pipes/postgres.rs:181-216`), so with `insertExec`
+  *    set they execute ON EXECUTORS: each partition opens its own
+  *    connection and runs its own rendered statements
+  *    ([[JdbcExec.executePartitions]]) — the statement text never
+  *    transits the driver. Without `insertExec` (tests, non-JDBC
+  *    executors) they collect and run through `execute` in driver order.
+  *
+  * The barrier between the stages is the action itself: the INSERT stage
+  * is a Spark action that completes before the first DELETE is issued, so
+  * the reference's truncate → inserts → deletes order holds even with
+  * distributed execution.
   */
 class StatementSink(
     database: String,
@@ -27,7 +45,10 @@ class StatementSink(
     columns: Seq[CHColumn],
     execute: String => Unit,
     maskColumns: Set[String] = Set.empty,
-    copyBatchSize: Int = 100000
+    copyBatchSize: Int = 100000,
+    dialect: SqlDialect = ClickHouseDialect,
+    insertExec: Option[JdbcConnInfo] = None,
+    deleteChunkSize: Int = 100000
 )(implicit spark: SparkSession) {
 
   private val pkCols = columns.filter(_.isPrimaryKey).map(_.name)
@@ -35,31 +56,54 @@ class StatementSink(
   def createTable(options: graft.ddl.TableOptions = graft.ddl.TableOptions()): Unit =
     execute(Ddl.createTableQuery(database, table, columns, options))
 
+  def truncate(): Unit = execute(dialect.truncateQuery(database, table))
+
+  /** Bulk-load a snapshot (EP2 first_sync): deduped-by-nothing straight
+    * INSERT stream, distributed when `insertExec` is set. Returns rows
+    * written. */
+  def bulkInsert(df: DataFrame): Long = {
+    val aligned = df.select(columns.map(c => col(c.name)): _*)
+    val stmts = ClickHouseSql.insertStatements(
+      aligned, database, table, columns, copyBatchSize, maskColumns, dialect)
+    insertExec match {
+      case Some(info) => JdbcExec.executePartitions(stmts, info); aligned.count()
+      case None =>
+        stmts.collect().filter(_.nonEmpty).foreach(execute)
+        aligned.count()
+    }
+  }
+
   /** Apply one batch of changelog rows (op, seq, data...). Returns
     * (inserted, deleted, truncated) counts. */
   def applyBatch(batch: DataFrame): (Long, Long, Boolean) = {
     // K3: truncate executes immediately at routing — before the batch's
     // queued upserts and deletes
     val hasTruncate = !batch.filter(col("op") === Changelog.OpTruncate).isEmpty
-    if (hasTruncate) execute(Ddl.truncateQuery(database, table))
+    if (hasTruncate) truncate()
 
     // K1: upserts deduped last-wins per PK, rendered per partition
     val ups = CoreOps.dedupLastWinsAgg(
       CoreOps.upserts(batch), pkCols, "seq")
     val upCount = ups.count()
     if (upCount > 0) {
-      ClickHouseSql.insertStatements(
+      val stmts = ClickHouseSql.insertStatements(
         ups.select(columns.map(c => col(c.name)): _*),
-        database, table, columns, copyBatchSize, maskColumns)
-        .collect().filter(_.nonEmpty).foreach(execute)
+        database, table, columns, copyBatchSize, maskColumns, dialect)
+      insertExec match {
+        case Some(info) => JdbcExec.executePartitions(stmts, info)
+        case None => stmts.collect().filter(_.nonEmpty).foreach(execute)
+      }
     }
 
-    // K2: deletes run AFTER the inserts of the same batch, not deduped
+    // K2: deletes run AFTER the inserts of the same batch, not deduped.
+    // Keys are bounded by the peek quantum; chunked so statement size is
+    // bounded regardless of batch shape.
     val delKeys = CoreOps.deletes(batch).select(pkCols.map(col): _*)
     val delCount = delKeys.count()
     if (delCount > 0) {
-      execute(ClickHouseSql.deleteQuery(
-        database, table, columns, delKeys.collect().toSeq))
+      delKeys.collect().grouped(deleteChunkSize).foreach { chunk =>
+        execute(dialect.deleteQuery(database, table, columns, chunk.toSeq))
+      }
     }
     (upCount, delCount, hasTruncate)
   }

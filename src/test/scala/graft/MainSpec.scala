@@ -29,9 +29,49 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(sink.read().count() > 0)
   }
 
-  test("unknown source type is rejected") {
+  test("unknown source type is rejected; postgres dispatches to the live path") {
     val cfg = PipeConfig.fromJson(
-      """{"source": {"source_type": "postgres"}, "target": {"target_type": "parquet"}}""")
+      """{"source": {"source_type": "kafka"}, "target": {"target_type": "parquet"}}""")
     intercept[IllegalArgumentException](Main.runWith(spark, cfg))
+
+    // postgres is IMPLEMENTED: with a config it proceeds to the live
+    // connection (which fails here only because no server/driver exists in
+    // the sandbox — NOT with the round-1 "requires a live endpoint" error)
+    val pgCfg = PipeConfig.fromJson(
+      """{"source": {"source_type": "postgres", "postgres": {
+        |   "connection": {"host": "localhost", "port": 5432, "database": "d"},
+        |   "tables": [{"table_name": "t"}]}},
+        | "target": {"target_type": "parquet", "parquet_dir": "/tmp/never"}}""".stripMargin)
+    val e = intercept[Exception](Main.runWith(spark, pgCfg))
+    assert(!e.getMessage.contains("not supported"))
+  }
+
+  test("live jdbc config runs the full pipe end-to-end against embedded Derby") {
+    import graft.live.{JdbcClient, JdbcConnInfo}
+    val url = "jdbc:derby:memory:maindb;create=true"
+    val c = new JdbcClient(JdbcConnInfo(url))
+    val out = Files.createTempDirectory("graft-main-jdbc").toString
+    try {
+      c.execute("CREATE TABLE snap (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+      c.execute("INSERT INTO snap VALUES (1, 'a'), (2, 'b')")
+      c.execute("CREATE TABLE changelog (seq BIGINT NOT NULL, op VARCHAR(1) NOT NULL, id BIGINT, v VARCHAR(20))")
+      c.execute("INSERT INTO changelog VALUES (1, 'I', 10, 'x'), (2, 'D', 1, NULL)")
+      c.execute("CREATE TABLE target (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+
+      val cfg = PipeConfig.fromJson(
+        s"""{
+           |  "source": {"source_type": "jdbc", "jdbc": {
+           |    "url": "$url", "changelog_table": "changelog",
+           |    "snapshot_table": "snap", "offset_path": "$out/pipe.offset"}},
+           |  "target": {"target_type": "jdbc", "jdbc": {
+           |    "url": "$url", "database": "APP", "table": "target",
+           |    "dialect": "ansi"}}
+           |}""".stripMargin)
+      Main.runWith(spark, cfg)
+
+      val (_, rows) = c.query("SELECT id, v FROM target ORDER BY id")
+      assert(rows.map(r => (r.get(0), r.get(1))) ==
+        Vector((2L, "b"), (10L, "x")))
+    } finally c.close()
   }
 }

@@ -1,0 +1,202 @@
+package graft.live
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.config.{PipeConfig, SourceConfig, TargetConfig}
+import graft.pipe.{FileOffsetStore, StatementPipe}
+import graft.sinks.{AnsiDialect, StatementSink}
+import graft.types.{CHColumn, CHType}
+
+/** The live JDBC path end-to-end against EMBEDDED DERBY — a real JDBC
+  * endpoint, not a collector: peek protocol, catalog introspection via
+  * metadata, distributed INSERT execution, the full statement sequence
+  * (truncate → inserts → deletes), the at-least-once write-failure replay,
+  * and offset commit ordering.
+  *
+  * Derby in-memory databases are shared across connections within one JVM
+  * by name, so executor-side connections in local mode hit the same
+  * database — the executor-opens-its-own-connection model is exercised for
+  * real.
+  */
+class LiveJdbcSpec extends AnyFunSuite with SparkTestBase {
+
+  private def mem(name: String) = s"jdbc:derby:memory:$name;create=true"
+
+  private def freshDb(name: String): JdbcClient = {
+    val c = new JdbcClient(JdbcConnInfo(mem(name)))
+    assert(c.ping())
+    c
+  }
+
+  private val cols = Seq(
+    CHColumn("id", CHType.Int64, isPrimaryKey = true),
+    CHColumn("v", CHType.CHStr.nullable))
+
+  test("JdbcClient: execute / query / scalar / queryDf round-trip") {
+    val c = freshDb("client")
+    try {
+      c.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(50))")
+      c.execute("INSERT INTO t VALUES (1, 'a'), (2, 'it''s'), (3, NULL)")
+      assert(c.queryScalar("SELECT COUNT(*) FROM t").map(_.toString.toLong).contains(3L))
+      val (schema, rows) = c.query("SELECT id, v FROM t ORDER BY id")
+      assert(schema.fieldNames.toSeq == Seq("id", "v"))
+      assert(rows.map(r => (r.get(0), r.get(1))) ==
+        Vector((1L, "a"), (2L, "it's"), (3L, null)))
+      val df = c.queryDf(spark, "SELECT id, v FROM t ORDER BY id")
+      assert(df.count() == 3)
+      assert(df.filter("v IS NULL").count() == 1)
+    } finally c.close()
+  }
+
+  test("JdbcClient metadata introspection: columns + primary keys (S5)") {
+    val c = freshDb("meta")
+    try {
+      c.execute(
+        """CREATE TABLE snap (id BIGINT NOT NULL, ts TIMESTAMP, val DOUBLE,
+          |  name VARCHAR(20) NOT NULL, PRIMARY KEY (id))""".stripMargin)
+      val colsMeta = c.tableColumns(None, "SNAP")
+      assert(colsMeta.map(_._1) == Seq("id", "ts", "val", "name"))
+      assert(colsMeta.find(_._1 == "id").exists(!_._3)) // PK non-nullable
+      assert(colsMeta.find(_._1 == "ts").exists(_._3))
+      assert(c.primaryKeys(None, "SNAP") == Seq("id"))
+    } finally c.close()
+  }
+
+  test("JdbcExec executes rendered INSERT statements per partition on executors") {
+    val c = freshDb("exec")
+    try {
+      c.execute("CREATE TABLE sink (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+      import spark.implicits._
+      val stmts = (1 to 40).map(i => s"INSERT INTO sink VALUES ($i, 'r$i')")
+        .toDS().repartition(4)
+      val n = JdbcExec.executePartitions(stmts, JdbcConnInfo(mem("exec")))
+      assert(n == 40)
+      assert(c.queryScalar("SELECT COUNT(*) FROM sink").map(_.toString.toLong).contains(40L))
+    } finally c.close()
+  }
+
+  test("JdbcChangelogSource peeks bounded WAL-ordered batches; peek does not consume") {
+    val c = freshDb("peek")
+    try {
+      c.execute("CREATE TABLE changelog (seq BIGINT NOT NULL, op VARCHAR(1) NOT NULL, id BIGINT, v VARCHAR(20))")
+      c.execute("INSERT INTO changelog VALUES " +
+        (1 to 10).map(i => s"($i, 'I', $i, 'v$i')").mkString(", "))
+      val src = new JdbcChangelogSource(c,
+        JdbcChangelogSource.tablePeekSql("changelog"), () => spark.emptyDataFrame)(spark)
+      val b1 = src.peekChanges(0, 4)
+      assert(b1.count() == 4 && src.maxSeq(b1).contains(4L))
+      // non-consuming: the same peek returns the same rows
+      assert(src.peekChanges(0, 4).collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+      val b2 = src.peekChanges(4, 100)
+      assert(b2.count() == 6 && src.maxSeq(b2).contains(10L))
+    } finally c.close()
+  }
+
+  test("StatementPipe against Derby: snapshot + CDC batches, distributed inserts, chunked deletes") {
+    val c = freshDb("pipe")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-live").toString
+    try {
+      c.execute("CREATE TABLE snap (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+      c.execute("INSERT INTO snap VALUES (1, 'a'), (2, 'b')")
+      c.execute("CREATE TABLE changelog (seq BIGINT NOT NULL, op VARCHAR(1) NOT NULL, id BIGINT, v VARCHAR(20))")
+      // new keys only across batches (ANSI PK constraint: INSERT is not the
+      // CH append-upsert); delete of a snapshotted key; one in-batch
+      // last-wins dedup pair (id 10 appears twice in the same batch)
+      c.execute("INSERT INTO changelog VALUES " +
+        "(1, 'I', 10, 'x0'), (2, 'U', 10, 'x1'), (3, 'I', 11, 'y'), " +
+        "(4, 'D', 2, NULL), (5, 'I', 12, 'z')")
+      c.execute("CREATE TABLE target (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+
+      val info = JdbcConnInfo(mem("pipe"))
+      val src = new JdbcChangelogSource(c,
+        JdbcChangelogSource.tablePeekSql("changelog"),
+        JdbcChangelogSource.snapshotScan(spark, info, "snap"))(spark)
+      val sink = new StatementSink("APP", "target", cols, c.execute,
+        copyBatchSize = 2, dialect = AnsiDialect,
+        insertExec = Some(info), deleteChunkSize = 1)(spark)
+      val cfg = PipeConfig(SourceConfig("jdbc"), TargetConfig("jdbc"),
+        peek_changes_limit = Some(3L)) // forces 2 CDC iterations
+      val offsets = new FileOffsetStore(s"$tmp/o.offset")
+      val probe = () => c.queryScalar("SELECT COUNT(*) FROM target")
+        .exists(_.toString.toLong > 0)
+      val pipe = new StatementPipe(cfg, src, sink, offsets, cols,
+        targetNonEmpty = probe, sleeper = _ => ())(spark)
+
+      assert(pipe.firstSync())
+      assert(c.queryScalar("SELECT COUNT(*) FROM target").map(_.toString.toLong).contains(2L))
+      assert(!pipe.firstSync()) // K6: non-empty target skips the copy
+
+      val applied = pipe.syncLoop()
+      assert(applied == 5)
+      val (_, rows) = c.query("SELECT id, v FROM target ORDER BY id")
+      assert(rows.map(r => (r.get(0), r.get(1))) ==
+        Vector((1L, "a"), (10L, "x1"), (11L, "y"), (12L, "z")))
+      assert(offsets.read() == 5L)
+    } finally c.close()
+  }
+
+  test("write failure: sleep, re-peek the same offset, replay the batch (at-least-once)") {
+    val c = freshDb("retry")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retry").toString
+    try {
+      c.execute("CREATE TABLE changelog (seq BIGINT NOT NULL, op VARCHAR(1) NOT NULL, id BIGINT, v VARCHAR(20))")
+      c.execute("INSERT INTO changelog VALUES (1, 'I', 1, 'a'), (2, 'I', 2, 'b')")
+      c.execute("CREATE TABLE target (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+
+      var failures = 2
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val flakyExec: String => Unit = { sql =>
+        if (failures > 0) { failures -= 1; sys.error("endpoint down") }
+        c.execute(sql)
+      }
+      val src = new JdbcChangelogSource(c,
+        JdbcChangelogSource.tablePeekSql("changelog"), () => spark.emptyDataFrame)(spark)
+      // driver-side execution (insertExec = None) so the flaky executor is hit
+      val sink = new StatementSink("APP", "target", cols, flakyExec,
+        dialect = AnsiDialect)(spark)
+      val cfg = PipeConfig(SourceConfig("jdbc"), TargetConfig("jdbc"),
+        sleep_millis_when_write_failed = Some(77L))
+      val offsets = new FileOffsetStore(s"$tmp/o.offset")
+      val pipe = new StatementPipe(cfg, src, sink, offsets, cols,
+        sleeper = sleeps += _)(spark)
+
+      val applied = pipe.syncLoop(maxIterations = 5)
+      // two failed attempts (slept 77 each), then the replayed batch lands
+      assert(sleeps.count(_ == 77L) == 2)
+      assert(applied == 2)
+      assert(offsets.read() == 2L)
+      val (_, rows) = c.query("SELECT id, v FROM target ORDER BY id")
+      assert(rows.map(r => (r.get(0), r.get(1))) == Vector((1L, "a"), (2L, "b")))
+    } finally c.close()
+  }
+
+  test("peek failure: sleep sleepWhenPeekFailed and retry without advancing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-peekfail").toString
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var peekFailures = 2
+    val c = freshDb("peekfail")
+    try {
+      c.execute("CREATE TABLE changelog (seq BIGINT NOT NULL, op VARCHAR(1) NOT NULL, id BIGINT, v VARCHAR(20))")
+      c.execute("INSERT INTO changelog VALUES (1, 'I', 1, 'a')")
+      c.execute("CREATE TABLE target (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+      val inner = new JdbcChangelogSource(c,
+        JdbcChangelogSource.tablePeekSql("changelog"), () => spark.emptyDataFrame)(spark)
+      val flakySrc = new graft.pipe.CdcSource {
+        def snapshot() = inner.snapshot()
+        def peekChanges(after: Long, limit: Long) = {
+          if (peekFailures > 0) { peekFailures -= 1; sys.error("peek down") }
+          inner.peekChanges(after, limit)
+        }
+      }
+      val sink = new StatementSink("APP", "target", cols, c.execute,
+        dialect = AnsiDialect)(spark)
+      val cfg = PipeConfig(SourceConfig("jdbc"), TargetConfig("jdbc"),
+        sleep_millis_when_peek_failed = Some(55L))
+      val pipe = new StatementPipe(cfg, flakySrc, sink,
+        new FileOffsetStore(s"$tmp/o.offset"), cols, sleeper = sleeps += _)(spark)
+      val applied = pipe.syncLoop(maxIterations = 5)
+      assert(sleeps.count(_ == 55L) == 2)
+      assert(applied == 1)
+    } finally c.close()
+  }
+}
