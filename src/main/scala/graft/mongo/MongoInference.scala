@@ -60,30 +60,79 @@ object MongoInference {
     case _: java.lang.Double | _: java.lang.Float => BsonKind.BDouble
     case _: java.math.BigDecimal | _: scala.math.BigDecimal => BsonKind.BDecimal128
     case _: java.sql.Timestamp | _: java.time.Instant => BsonKind.BDateTime
+    case _: Array[Byte]          => BsonKind.BBinary // before the Array case
     case _: Seq[_] | _: Array[_] => BsonKind.BArray
     case _: Map[_, _] | _: Row   => BsonKind.BDocument
-    case _: Array[Byte]          => BsonKind.BBinary
     case _                       => BsonKind.BString
   }
 
-  /** Infer over a DataFrame of documents in `orderCol` order: collect each
-    * batch's (field, kind) listings to the driver IN ORDER and fold. The
-    * collect is intentional and bounded — schema inference looks at field
-    * NAMES and first-value kinds, and the reference does exactly this scan
-    * per batch on its coordinator; at scale the per-batch listing is
-    * deduplicated per partition first (aggregating distinct field names →
-    * tiny result), keeping driver traffic O(fields), not O(rows). */
+  /** BSON kind of a typed DataFrame column. In a DataFrame every column has
+    * ONE static type, so the only data-dependent part of inference is
+    * whether (and when, in `orderCol` order) a field's first NON-NULL value
+    * arrives — which is what [[inferFromDataFrame]] aggregates. */
+  def kindOfType(dt: DataType): BsonKind = dt match {
+    case StringType                 => BsonKind.BString
+    case BooleanType                => BsonKind.BBoolean
+    case ByteType | ShortType | IntegerType => BsonKind.BInt32
+    case LongType                   => BsonKind.BInt64
+    case FloatType | DoubleType     => BsonKind.BDouble
+    case _: DecimalType             => BsonKind.BDecimal128
+    case TimestampType | TimestampNTZType | DateType => BsonKind.BDateTime
+    case BinaryType                 => BsonKind.BBinary
+    case _: ArrayType               => BsonKind.BArray
+    case _: MapType | _: StructType => BsonKind.BDocument
+    case NullType                   => BsonKind.BNull
+    case _                          => BsonKind.BString
+  }
+
+  /** Infer over a DataFrame of documents in `orderCol` order, distributed:
+    * the first-typed-value position of every field is ONE aggregation over
+    * an exploded (field, order-if-non-null) projection — map-side partial
+    * min, one tiny shuffle on ≤ |fields| keys — and the driver collects
+    * exactly one row per field that has a typed value (O(fields), never
+    * O(rows)). First-type-wins order is preserved: columns append sorted by
+    * (first typed order, field position), which is the order the reference's
+    * coordinator fold would create them in (`src/pipes/mongodb.rs:588-648`).
+    * Fields whose values are all null stay deferred (Unknown), like the
+    * fold's BNull deferral. */
   def inferFromDataFrame(
       df: DataFrame, orderCol: String,
       schema: Vector[CHColumn] = initialSchema): Vector[CHColumn] = {
-    val fields = df.schema.fieldNames.filterNot(_ == orderCol)
-    val rows = df.orderBy(orderCol).collect()
-    foldBatch(schema, rows.iterator.map { r =>
-      fields.toSeq.flatMap { f =>
-        val v = r.getAs[Any](f)
-        // absent fields (null in a sparse row) behave like BNull: deferral
-        Some(f -> kindOf(v))
+    val known = schema.map(_.name).toSet
+    val fields = df.schema.fields.filterNot(_.name == orderCol)
+      .filterNot(f => known.contains(f.name))
+    if (fields.isEmpty) return schema
+    val firstTyped = firstTypedFields(df, orderCol, known)
+    val byName = fields.map(f => f.name -> f).toMap
+    firstTyped.foldLeft(schema) { (acc, name) =>
+      val f = byName(name)
+      CHType.fromBsonKind(kindOfType(f.dataType), f.name) match {
+        case CHType.Unknown => acc // all-null (NullType) columns stay deferred
+        case t              => acc :+ CHColumn(f.name, t)
       }
-    })
+    }
+  }
+
+  /** The distributed first-typed-value aggregation, exposed so specs can
+    * pin the driver-traffic bound: returns EXACTLY one element per field
+    * with at least one non-null value, ordered by (first typed order,
+    * field position) — never O(rows). */
+  private[mongo] def firstTypedFields(
+      df: DataFrame, orderCol: String, exclude: Set[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val fields = df.schema.fields.filterNot(_.name == orderCol)
+      .filterNot(f => exclude.contains(f.name))
+    val pairs = fields.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(f.name).as("f"), lit(i).as("pos"),
+        when(col(f.name).isNotNull, col(orderCol)).as("o"))
+    }
+    df.select(explode(array(pairs.toIndexedSeq: _*)).as("p"))
+      .select(col("p.f").as("f"), col("p.pos").as("pos"), col("p.o").as("o"))
+      .where(col("o").isNotNull)
+      .groupBy(col("f"), col("pos")).agg(min(col("o")).as("first_o"))
+      .orderBy(col("first_o"), col("pos"))
+      .select(col("f"))
+      .collect().map(_.getString(0)).toSeq
   }
 }
