@@ -66,7 +66,10 @@ object Main {
     implicit val s: SparkSession = spark
     val sc = config.source.jdbc.getOrElse(
       throw new IllegalArgumentException("source.jdbc required"))
+    // peek_changes_timeout_millis rides the source client as the JDBC
+    // statement timeout (reference: `src/config.rs:151-154`)
     val srcInfo = connInfo(sc.url, sc.user, sc.password, sc.driver)
+      .copy(queryTimeoutMillis = config.peekChangesTimeoutMillis)
     val client = new JdbcClient(srcInfo)
     try {
       val source = new JdbcChangelogSource(
@@ -110,6 +113,7 @@ object Main {
     val conn = pg.connection
     val url = s"jdbc:postgresql://${conn.host}:${conn.port}/${conn.database}"
     val info = connInfo(url, conn.username, conn.password, Some("org.postgresql.Driver"))
+      .copy(queryTimeoutMillis = config.peekChangesTimeoutMillis)
     val client = new JdbcClient(info)
     try {
       pg.tables.foreach { tbl =>

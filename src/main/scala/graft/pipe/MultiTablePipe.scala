@@ -40,8 +40,11 @@ class MultiTablePipe(
       }
     }
 
-  /** One sync iteration: peek → route per table → append → commit. */
-  def syncOnce(): Long = {
+  /** One sync iteration: peek → route per table → append → commit.
+    * `sleeper` paces each table's write with
+    * `sleep_millis_after_sync_write` (reference: `src/config.rs:176-179`,
+    * applied between per-table write batches). */
+  def syncOnce(sleeper: Long => Unit = _ => ()): Long = {
     val offset = offsets.read()
     val batch = source.peekChanges(offset, config.peekChangesLimit).cache()
     try {
@@ -67,6 +70,7 @@ class MultiTablePipe(
                   spec.columns.map(c => col(c.name))): _*)
               spec.sink.appendBatch(
                 CoreOps.maskColumns(aligned, spec.maskColumns), batchId = maxSeq)
+              sleeper(config.sleepAfterSyncWrite) // per-table write pacing
             }
           }
           offsets.write(maxSeq) // commit AFTER all table writes (at-least-once)
@@ -75,15 +79,27 @@ class MultiTablePipe(
     } finally batch.unpersist()
   }
 
-  /** Drain the source (test/replay mode). */
-  def syncLoop(maxIterations: Long = Long.MaxValue): Long = {
+  /** Drain the source (test/replay mode). A failed iteration sleeps
+    * `sleep_millis_when_write_failed` and retries: the offset only commits
+    * after ALL table writes, so a partial batch replays whole, and
+    * [[ParquetStateSink]] appends with the same batch id collapse
+    * idempotently (last-wins by (batch, seq)). */
+  def syncLoop(
+      maxIterations: Long = Long.MaxValue,
+      sleeper: Long => Unit = _ => ()): Long = {
     var total = 0L
     var iter = 0L
     var drained = false
     while (iter < maxIterations && !drained) {
-      val n = syncOnce()
-      if (n == 0) drained = true else total += n
       iter += 1
+      try {
+        val n = syncOnce(sleeper)
+        if (n == 0) drained = true else total += n
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[pipe] sync failed (${e.getMessage}); replaying batch")
+          sleeper(config.sleepWhenWriteFailed)
+      }
     }
     total
   }

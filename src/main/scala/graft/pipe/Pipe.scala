@@ -193,6 +193,14 @@ class Pipe(
     * iteration, longer sleep on empty peek, stay alive — reference:
     * `src/config.rs:156-179`); the default drains and stops on the first
     * empty peek (replay/test mode). `sleeper` is injectable for tests.
+    *
+    * Error policy (reference: `src/pipes/postgres.rs:433-452`): a failed
+    * peek sleeps `sleep_millis_when_peek_failed` and retries the same
+    * offset; a failed write sleeps `sleep_millis_when_write_failed` and
+    * replays the same batch (the offset is committed only after a
+    * successful write, so the re-peek returns it unchanged). Every failed
+    * attempt consumes one iteration, bounding permanently-broken endpoints
+    * in tests.
     */
   def syncLoop(
       maxIterations: Long = Long.MaxValue,
@@ -203,23 +211,40 @@ class Pipe(
     var offset = offsets.read()
     var drained = false
     while (iter < maxIterations && !drained) {
-      val batch = source.peekChanges(offset, config.peekChangesLimit).cache()
-      val last = source.maxSeq(batch)
-      last match {
-        case None =>
-          if (live) sleeper(config.sleepWhenPeekIsEmpty)
-          else drained = true // empty peek: replay mode stops
-        case Some(maxSeq) =>
-          // batch id = the batch's max seq: monotone across appends by WAL
-          // order, which is all finalState's collapse requires.
-          sink.appendBatch(batch, batchId = maxSeq)
-          offsets.write(maxSeq) // commit point: after successful write
-          offset = maxSeq
-          applied += batch.count()
-          if (live) sleeper(config.sleepAfterSyncIteration)
-      }
-      batch.unpersist()
       iter += 1
+      val peeked =
+        try Right(source.peekChanges(offset, config.peekChangesLimit).cache())
+        catch { case e: Exception => Left(e) }
+      peeked match {
+        case Left(e) =>
+          System.err.println(s"[pipe] peek failed (${e.getMessage}); retrying")
+          sleeper(config.sleepWhenPeekFailed)
+        case Right(batch) =>
+          try {
+            source.maxSeq(batch) match {
+              case None =>
+                if (live) sleeper(config.sleepWhenPeekIsEmpty)
+                else drained = true // empty peek: replay mode stops
+              case Some(maxSeq) =>
+                try {
+                  // batch id = the batch's max seq: monotone across appends
+                  // by WAL order, which is all finalState's collapse needs.
+                  sink.appendBatch(batch, batchId = maxSeq)
+                  offsets.write(maxSeq) // commit point: after successful write
+                  offset = maxSeq
+                  applied += batch.count()
+                  sleeper(config.sleepAfterSyncWrite)
+                  if (live) sleeper(config.sleepAfterSyncIteration)
+                } catch {
+                  case e: Exception =>
+                    System.err.println(
+                      s"[pipe] write failed (${e.getMessage}); replaying batch")
+                    sleeper(config.sleepWhenWriteFailed)
+                  // offset unchanged → the next peek replays this batch
+                }
+            }
+          } finally batch.unpersist()
+      }
     }
     applied
   }

@@ -1,14 +1,20 @@
 package graft.streaming
 
 import java.util
+import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import scala.jdk.CollectionConverters._
 
 /** DataSource-v2 streaming surface of the CDC peek (SURVEY.md sec 2.1 S2):
@@ -17,16 +23,18 @@ import scala.jdk.CollectionConverters._
   * reference's `peek_changes_limit` (65,536 default — `src/config.rs:146-149`)
   * via admission control, so each micro-batch is one bounded WAL peek.
   *
-  * The WAL window is materialized on the driver at stream start — the
-  * exact analogue of the reference's peek protocol, which drains a single
-  * replication-slot connection on its coordinator (a per-trigger slice is
-  * ≤ the peek limit by construction). Executors receive their partition's
-  * slice of each batch. A live Postgres implementation would swap the
-  * parquet load for `pg_logical_slot_peek_binary_changes` and keep every
-  * other piece (offsets, admission control, partitioning) unchanged.
+  * The driver holds only the log's INDEX, never its rows: the sorted seq
+  * values (8 bytes/event — the LSN index a replication slot itself
+  * maintains) for exact maxRows admission control, and per-file seq ranges
+  * (O(files)) for partition pruning. Each micro-batch's data is read ON
+  * EXECUTORS straight from the parquet files whose [minSeq, maxSeq] range
+  * intersects the batch window, with the exact `seq > from AND seq <= to`
+  * predicate applied in the partition reader. A live Postgres
+  * implementation swaps the file index for the slot conversation and keeps
+  * offsets/admission control unchanged.
   *
   * Options: `path` (parquet file/dir), `seqCol` (default "seq"),
-  * `maxEventsPerTrigger` (default 65536), `numPartitions` (default 4).
+  * `maxEventsPerTrigger` (default 65536).
   */
 class CdcSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -69,19 +77,14 @@ private[streaming] class CdcMicroBatchStream(
     with SupportsTriggerAvailableNow {
 
   private val limit = options.getOrElse("maxeventspertrigger", "65536").toLong
-  private val numPartitions = options.getOrElse("numpartitions", "4").toInt
-
-  // Driver-side WAL window, seq-sorted (see class doc for why driver-side
-  // is the faithful shape here). UnsafeRow copies are compact + serializable.
-  private lazy val rows: Array[(Long, InternalRow)] =
-    CdcSourceData.load(schema, options)
+  private lazy val index = new CdcLogIndex(schema, options)
 
   // Trigger.AvailableNow: pin the drain target so the engine keeps firing
   // bounded micro-batches (peek-limit-sized) until the log is caught up —
   // without this the trigger degrades to one all-available batch.
   @volatile private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(rows.lastOption.map(_._1).getOrElse(Long.MinValue))
+    availableNowTarget = Some(index.seqs.lastOption.getOrElse(Long.MinValue))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(limit)
 
@@ -91,83 +94,172 @@ private[streaming] class CdcMicroBatchStream(
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
+  /** Read-limit → row budget. CompositeReadLimit contributes its maxRows
+    * component; unknown limit shapes fall back to the configured peek
+    * limit (NOT unlimited — the peek quantum is the contract), while an
+    * explicit ReadAllAvailable honors its own semantics. */
+  private[streaming] def rowBudget(readLimit: ReadLimit): Long = readLimit match {
+    case rl: ReadMaxRows => rl.maxRows()
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case rl: ReadMaxRows => rl.maxRows() }
+        .getOrElse(limit)
+    case _: ReadAllAvailable => Long.MaxValue
+    case _ => limit
+  }
+
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val from = start.asInstanceOf[CdcOffset].seq
-    val max = readLimit match {
-      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
-      case _ => Long.MaxValue
+    val budget = rowBudget(readLimit)
+    index.endOfWindow(from, budget, availableNowTarget) match {
+      case Some(end) => CdcOffset(end)
+      case None => start
     }
-    val pending = rows.iterator
-      .filter { case (s, _) => s > from && availableNowTarget.forall(s <= _) }
-      .take(math.min(max, Int.MaxValue).toInt).toArray
-    if (pending.isEmpty) start else CdcOffset(pending.last._1)
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[CdcOffset].seq
-    val to = end.asInstanceOf[CdcOffset].seq
-    val slice = rows.filter { case (s, _) => s > from && s <= to }.map(_._2)
-    slice.grouped(math.max(1, (slice.length + numPartitions - 1) / numPartitions))
-      .map(chunk => CdcInputPartition(chunk): InputPartition).toArray
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    index.partitionsFor(
+      start.asInstanceOf[CdcOffset].seq, end.asInstanceOf[CdcOffset].seq)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val it = partition.asInstanceOf[CdcInputPartition].rows.iterator
-          private var current: InternalRow = _
-          override def next(): Boolean =
-            if (it.hasNext) { current = it.next(); true } else false
-          override def get(): InternalRow = current
-          override def close(): Unit = ()
-        }
-    }
+    CdcReaderFactory(index.readerFunc, index.seqIdx)
 
   override def commit(end: Offset): Unit = () // peek does not consume (S2)
   override def stop(): Unit = ()
 }
 
-private[streaming] case class CdcInputPartition(rows: Array[InternalRow])
-    extends InputPartition
+/** One parquet file (or all of it that intersects the batch window).
+  * Carries only file coordinates — rows never transit the driver. */
+private[streaming] case class CdcFilePartition(
+    url: String, size: Long, from: Long, to: Long) extends InputPartition
 
-/** Batch-read form of the same window (lets the source double as the
-  * snapshot scan in `spark.read`). */
-private[streaming] class CdcBatch(schema: StructType, options: Map[String, String])
-    extends Batch {
-  private lazy val rows = CdcSourceData.load(schema, options).map(_._2)
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(CdcInputPartition(rows))
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val it = partition.asInstanceOf[CdcInputPartition].rows.iterator
-          private var current: InternalRow = _
-          override def next(): Boolean =
-            if (it.hasNext) { current = it.next(); true } else false
-          override def get(): InternalRow = current
-          override def close(): Unit = ()
+private[streaming] case class CdcReaderFactory(
+    readerFunc: PartitionedFile => Iterator[InternalRow],
+    seqIdx: Int) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[CdcFilePartition]
+      private val it: Iterator[InternalRow] = {
+        val pf = PartitionedFile(
+          partitionValues = new GenericInternalRow(Array.empty[Any]),
+          filePath = SparkPath.fromUrlString(p.url),
+          start = 0L, length = p.size, locations = Array.empty,
+          modificationTime = 0L, fileSize = p.size)
+        // the parquet reader may yield ColumnarBatch (vectorized); flatten
+        // either shape to rows, then apply the exact window predicate
+        readerFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case r: InternalRow   => Iterator.single(r)
+        }.filter { r =>
+          val s = r.getLong(seqIdx)
+          s > p.from && s <= p.to
         }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
     }
 }
 
-private[streaming] object CdcSourceData {
-  /** Load the seq-ordered window as (seq, UnsafeRow) pairs. */
-  def load(schema: StructType, options: Map[String, String]): Array[(Long, InternalRow)] = {
-    val spark = SparkSession.active
-    val path = options("path")
-    val seqCol = options.getOrElse("seqcol", "seq")
+/** Batch-read form of the same window (lets the source double as the
+  * snapshot scan in `spark.read`): every file, unbounded window. */
+private[streaming] class CdcBatch(schema: StructType, options: Map[String, String])
+    extends Batch {
+  private lazy val index = new CdcLogIndex(schema, options)
+  override def planInputPartitions(): Array[InputPartition] =
+    index.partitionsFor(Long.MinValue, Long.MaxValue)
+  override def createReaderFactory(): PartitionReaderFactory =
+    CdcReaderFactory(index.readerFunc, index.seqIdx)
+}
+
+/** Driver-side index of the changelog: sorted seq values (admission
+  * control) + per-file seq ranges (partition pruning) + the serializable
+  * executor-side parquet reader. NO row data lives here. */
+private[streaming] class CdcLogIndex(
+    schema: StructType, options: Map[String, String]) {
+
+  private val spark = SparkSession.active
+  private val path = options("path")
+  private val seqCol = options.getOrElse("seqcol", "seq")
+  val seqIdx: Int = schema.fieldIndex(seqCol)
+
+  private case class FileMeta(url: String, size: Long, minSeq: Long, maxSeq: Long)
+
+  /** O(files) driver metadata. File sizes come from the FS listing; seq
+    * ranges from one tiny aggregation job (results keyed by file name,
+    * which is unique within a parquet output dir). */
+  private val files: Array[FileMeta] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(new org.apache.hadoop.fs.Path(path).toUri.toString),
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    val sizes = scala.collection.mutable.Map.empty[String, (String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+        sizes(name) = (st.getPath.toUri.toString, st.getLen)
+    }
     val df = spark.read.schema(schema).parquet(path)
-    val seqIdx = schema.fieldIndex(seqCol)
-    // The copy MUST happen inside the executors: toRdd rows are reused
-    // buffers, so collecting without a per-row copy yields N references
-    // to one mutable row. WAL order is then re-established on the driver
-    // (scan partition order is not the written order).
-    df.queryExecution.toRdd
-      .mapPartitions(_.map(_.copy()))
+    df.select(col(seqCol).as("s"), input_file_name().as("f"))
+      .groupBy("f").agg(min("s").as("lo"), max("s").as("hi"))
       .collect()
-      .map(row => (row.getLong(seqIdx), row))
-      .sortBy(_._1)
+      .flatMap { r =>
+        val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+        sizes.get(name).map { case (url, size) =>
+          FileMeta(url, size, r.getLong(1), r.getLong(2))
+        }
+      }
   }
+
+  /** The sorted seq index — 8 bytes/event on the driver, the same scale as
+    * the offsets a replication slot tracks. Exact-row admission control
+    * needs the values, not just ranges. */
+  val seqs: Array[Long] = {
+    import spark.implicits._
+    spark.read.schema(schema).parquet(path)
+      .select(col(seqCol)).as[Long].collect().sorted
+  }
+
+  /** End seq of the next ≤ budget events after `from` (None = caught up). */
+  def endOfWindow(from: Long, budget: Long, cap: Option[Long]): Option[Long] = {
+    var i = upperBound(from)
+    if (i >= seqs.length) return None
+    val lastIdx = math.min(i + math.min(budget, Int.MaxValue.toLong) - 1, seqs.length - 1).toInt
+    val end = cap.fold(seqs(lastIdx))(c => math.min(seqs(lastIdx), c))
+    if (end > from) Some(end) else None
+  }
+
+  /** First index with seqs(i) > target. */
+  private def upperBound(target: Long): Int = {
+    var lo = 0; var hi = seqs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (seqs(mid) <= target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Files whose seq range intersects (from, to] — one partition per file,
+    * read and filtered on executors. */
+  def partitionsFor(from: Long, to: Long): Array[InputPartition] =
+    files.filter(f => f.maxSeq > from && f.minSeq <= to)
+      .map(f => CdcFilePartition(f.url, f.size, from, to): InputPartition)
+
+  /** Spark's own parquet reader, built once; the returned closure carries a
+    * broadcast Hadoop conf and is designed to run on executors (this is
+    * exactly what FileSourceScanExec ships to FileScanRDD). */
+  val readerFunc: PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = schema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = schema,
+      filters = Nil,
+      options = Map(
+        // rows, not ColumnarBatch, regardless of the vectorized reader
+        org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
 }

@@ -15,12 +15,22 @@ case class UserState(user_id: Long, last_ts: java.sql.Timestamp,
 /** Seen-fingerprint state for streaming dedup. */
 case class SeenDoc(doc_id: Long, fp: Long, text: String)
 
+/** Dedup state per fingerprint group: ONLY the 64-bit content hashes of
+  * the texts seen so far — never the texts. State size is 8 bytes per
+  * distinct document ever seen in the group (groups are fingerprint
+  * buckets, so normally 1), bounded regardless of document length. */
+case class SeenHashes(hashes: List[Long])
+
 /** Stateful streaming operators (`KeyValueGroupedDataset` + GroupState —
   * SURVEY.md sec 2.6 maps the reference's only cross-batch state to
   * checkpoint offsets; these add the keyed-state layer a training-data
   * pipeline needs on top).
   */
 object StatefulOps {
+
+  /** Salt prepended before hashing so [[contentHash]] is independent of a
+    * caller fingerprint computed as fingerprint64 of the same text. */
+  private val SaltPrefix: String = ""
 
   /** CDC state maintained IN the streaming engine (mapGroupsWithState)
     * instead of collapse-at-read: per key and micro-batch, upserts apply
@@ -51,28 +61,49 @@ object StatefulOps {
       }
   }
 
+  /** Salted second hash of the text: independent of the caller's
+    * fingerprint (which is typically fingerprint64 of the same text), so a
+    * within-group false drop needs a simultaneous 2×64-bit collision. */
+  private[streaming] def contentHash(text: String): Long =
+    graft.functions.GraftHash.fingerprint64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(SaltPrefix + text))
+
+  /** One group's dedup step, pure and unit-testable: returns (hashes to
+    * add to state, docs to emit). State sees ONLY content hashes. */
+  private[streaming] def mergeSeen(
+      seen: Set[Long], incoming: Seq[SeenDoc]): (List[Long], List[SeenDoc]) = {
+    val seenNow = scala.collection.mutable.Set.empty[Long] ++ seen
+    val freshHashes = scala.collection.mutable.ListBuffer.empty[Long]
+    val fresh = scala.collection.mutable.ListBuffer.empty[SeenDoc]
+    incoming.sortBy(_.doc_id).foreach { d =>
+      val h = contentHash(d.text)
+      if (!seenNow.contains(h)) {
+        seenNow += h
+        freshHashes += h
+        fresh += d
+      }
+    }
+    (freshHashes.toList, fresh.toList)
+  }
+
   /** Streaming exact-dedup with keyed fingerprint state
     * (flatMapGroupsWithState): a document is emitted only the first time
-    * its fingerprint+text is seen across the whole stream; later arrivals
-    * drop. State per group is the first-seen doc (bounded: one row per
-    * distinct text). */
+    * its (fingerprint, content hash) is seen across the whole stream;
+    * later arrivals drop. State per group is the list of 64-bit content
+    * hashes — O(8 bytes × distinct docs), NEVER the document texts, so
+    * state growth is independent of corpus byte size. Distinct texts in
+    * one fingerprint group are both kept unless their salted second hash
+    * also collides (≈2⁻⁶⁴ per pair within a group). */
   def dedupStream(docs: Dataset[SeenDoc]): Dataset[SeenDoc] = {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(_.fp)
-      .flatMapGroupsWithState[List[SeenDoc], SeenDoc](
+      .flatMapGroupsWithState[SeenHashes, SeenDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (_: Long, incoming: Iterator[SeenDoc], state: GroupState[List[SeenDoc]]) =>
-          val seen = state.getOption.getOrElse(Nil)
-          val seenTexts = scala.collection.mutable.Set(seen.map(_.text): _*)
-          val fresh = scala.collection.mutable.ListBuffer.empty[SeenDoc]
-          incoming.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (!seenTexts.contains(d.text)) { // fp collision-safe
-              seenTexts += d.text
-              fresh += d
-            }
-          }
-          if (fresh.nonEmpty) state.update(seen ++ fresh)
+        (_: Long, incoming: Iterator[SeenDoc], state: GroupState[SeenHashes]) =>
+          val seen = state.getOption.map(_.hashes).getOrElse(Nil)
+          val (freshHashes, fresh) = mergeSeen(seen.toSet, incoming.toSeq)
+          if (freshHashes.nonEmpty) state.update(SeenHashes(seen ++ freshHashes))
           fresh.iterator
       }
   }

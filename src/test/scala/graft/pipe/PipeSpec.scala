@@ -96,8 +96,9 @@ class PipeSpec extends AnyFunSuite with SparkTestBase {
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
     pipe.initialize(); pipe.firstSync()
     pipe.syncLoop(maxIterations = 4, live = true, sleeper = sleeps += _)
-    // 2 data iterations (150 events / peek 100) then empty peeks
-    assert(sleeps.count(_ == 100L) == 2, s"sleeps: $sleeps")  // after-iteration
+    // 2 data iterations (150 events / peek 100) then empty peeks; each data
+    // iteration sleeps after-write AND after-iteration (both default 100ms)
+    assert(sleeps.count(_ == 100L) == 4, s"sleeps: $sleeps")
     assert(sleeps.count(_ == 5000L) == 2, s"sleeps: $sleeps") // empty-peek
 
     val tokens = new ResumeTokenStore(s"$tmp/token.json")
@@ -142,5 +143,73 @@ class PipeSpec extends AnyFunSuite with SparkTestBase {
     sink.compact()
     val after = sink.read().orderBy("user_id").collect().toSeq
     assert(before.map(_.getLong(0)) == after.map(_.getLong(0)))
+  }
+
+  test("write failure: sleep sleep_millis_when_write_failed, replay batch, identical final state") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val changelog = Changelog.fromEvents(events).limit(100).cache()
+
+    val tmp = Files.createTempDirectory("graft-pipe-retry").toString
+    var failures = 2
+    val sink = new ParquetStateSink(s"$tmp/state", Seq("user_id"),
+      Seq("last_ts", "total_value", "n_events")) {
+      override def appendBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        if (failures > 0) { failures -= 1; sys.error("sink down") }
+        super.appendBatch(batch, batchId)
+      }
+    }
+    val offsets = new FileOffsetStore(s"$tmp/offset")
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pipe = new Pipe(
+      PipeConfig(SourceConfig("parquet"), TargetConfig("parquet"),
+        peek_changes_limit = Some(50L),
+        sleep_millis_when_write_failed = Some(77L),
+        sleep_millis_after_sync_write = Some(3L)),
+      new ChangelogReplaySource(changelog), sink, offsets, targetCols,
+      tableName = "user_state")
+
+    val applied = pipe.syncLoop(maxIterations = 10, sleeper = sleeps += _)
+    // two failed attempts slept the write-failed knob, then both batches land
+    assert(sleeps.count(_ == 77L) == 2)
+    assert(sleeps.count(_ == 3L) == 2) // sleep_millis_after_sync_write per write
+    assert(applied == 100)
+
+    // final state identical to a clean run over the same changelog
+    val tmp2 = Files.createTempDirectory("graft-pipe-clean").toString
+    val cleanSink = new ParquetStateSink(s"$tmp2/state", Seq("user_id"),
+      Seq("last_ts", "total_value", "n_events"))
+    new Pipe(cfg(50L), new ChangelogReplaySource(changelog), cleanSink,
+      new FileOffsetStore(s"$tmp2/offset"), targetCols,
+      tableName = "user_state").syncLoop(sleeper = _ => ())
+    assert(sink.read().orderBy("user_id").collect().toSeq ==
+      cleanSink.read().orderBy("user_id").collect().toSeq)
+    // offset advanced to the end exactly once per batch despite retries
+    assert(offsets.read() == new FileOffsetStore(s"$tmp2/offset").read())
+  }
+
+  test("peek failure: sleep sleep_millis_when_peek_failed and retry the same offset") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val changelog = Changelog.fromEvents(events).limit(20).cache()
+    val tmp = Files.createTempDirectory("graft-pipe-peekfail").toString
+    var peekFailures = 3
+    val flaky = new CdcSource {
+      private val inner = new ChangelogReplaySource(changelog)
+      def snapshot() = inner.snapshot()
+      def peekChanges(after: Long, limit: Long) = {
+        if (peekFailures > 0) { peekFailures -= 1; sys.error("peek down") }
+        inner.peekChanges(after, limit)
+      }
+    }
+    val sink = new ParquetStateSink(s"$tmp/state", Seq("user_id"),
+      Seq("last_ts", "total_value", "n_events"))
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pipe = new Pipe(
+      PipeConfig(SourceConfig("parquet"), TargetConfig("parquet"),
+        sleep_millis_when_peek_failed = Some(55L)),
+      flaky, sink, new FileOffsetStore(s"$tmp/offset"), targetCols,
+      tableName = "user_state")
+    val applied = pipe.syncLoop(maxIterations = 10, sleeper = sleeps += _)
+    assert(sleeps.count(_ == 55L) == 3)
+    assert(applied == 20)
   }
 }

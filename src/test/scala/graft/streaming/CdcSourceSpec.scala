@@ -63,4 +63,49 @@ class CdcSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(got == wantCount)
     assert(want.nonEmpty) // runLoop sanity (not the primary oracle here)
   }
+
+  test("driver holds only the seq index; batch windows prune to intersecting files") {
+    val tmp = Files.createTempDirectory("graft-dsv2-idx").toString
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val changelog = Changelog.fromEvents(events)
+    // 4 files with disjoint seq ranges (range partition + sort)
+    changelog.repartitionByRange(4, col("seq")).sortWithinPartitions("seq")
+      .write.mode("overwrite").parquet(s"$tmp/changelog")
+
+    val schema = spark.read.parquet(s"$tmp/changelog").schema
+    val index = new CdcLogIndex(schema, Map("path" -> s"$tmp/changelog"))
+
+    // the index is seqs (Array[Long]) + per-file ranges — its public row
+    // surface is exactly the 1000 seq values, nothing row-shaped
+    assert(index.seqs.length == 1000)
+    assert(index.seqs.toSeq == index.seqs.toSeq.sorted)
+
+    // full window → all 4 files; a window inside one file's range → 1 file
+    val all = index.partitionsFor(Long.MinValue, Long.MaxValue)
+    assert(all.length == 4)
+    val lo = index.seqs(100); val hi = index.seqs(120)
+    val narrow = index.partitionsFor(lo, hi)
+    assert(narrow.length < all.length, s"expected file pruning, got ${narrow.length}")
+
+    // endOfWindow: exact maxRows admission over the index
+    assert(index.endOfWindow(Long.MinValue, 250, None).contains(index.seqs(249)))
+    assert(index.endOfWindow(index.seqs.last, 250, None).isEmpty) // caught up
+    // availableNow cap bounds the window
+    assert(index.endOfWindow(Long.MinValue, 250, Some(index.seqs(9))).contains(index.seqs(9)))
+  }
+
+  test("rowBudget: composite limits contribute maxRows; unknown shapes fall back to the peek limit") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = new CdcMicroBatchStream(
+      new org.apache.spark.sql.types.StructType().add("seq", "long"),
+      Map("path" -> "/nonexistent", "maxeventspertrigger" -> "123"))
+    assert(stream.rowBudget(ReadLimit.maxRows(50)) == 50L)
+    assert(stream.rowBudget(ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(10, 1000), ReadLimit.maxRows(77)))) == 77L)
+    // composite WITHOUT a maxRows part → configured peek limit, not unlimited
+    assert(stream.rowBudget(ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(10, 1000)))) == 123L)
+    assert(stream.rowBudget(ReadLimit.allAvailable()) == Long.MaxValue)
+    assert(stream.rowBudget(ReadLimit.minRows(10, 1000)) == 123L)
+  }
 }

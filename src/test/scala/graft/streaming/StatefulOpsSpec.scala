@@ -74,6 +74,26 @@ class StatefulOpsSpec extends AnyFunSuite with SparkTestBase {
     val _ = tmp
   }
 
+  test("dedup state holds 8-byte content hashes, never texts") {
+    // state growth is one Long per distinct doc, independent of text size
+    val big = "x" * 10000
+    val (h1, emit1) = StatefulOps.mergeSeen(Set.empty, Seq(
+      SeenDoc(1, 7L, big), SeenDoc(2, 7L, big), SeenDoc(3, 7L, "other")))
+    assert(emit1.map(_.doc_id) == List(1L, 3L)) // in-batch dup dropped
+    assert(h1.length == 2) // exactly one Long per distinct text
+    assert(h1.contains(StatefulOps.contentHash(big)))
+
+    // replay across "batches": known hashes drop without any text compare
+    val (h2, emit2) = StatefulOps.mergeSeen(h1.toSet, Seq(
+      SeenDoc(4, 7L, big), SeenDoc(5, 7L, "third")))
+    assert(emit2.map(_.doc_id) == List(5L))
+    assert(h2 == List(StatefulOps.contentHash("third")))
+
+    // collision discipline: same fp group, different texts → distinct
+    // salted hashes → both kept (pinned by the streaming test above too)
+    assert(StatefulOps.contentHash("alpha") != StatefulOps.contentHash("gamma"))
+  }
+
   test("watermarked windowed counts finalize deterministically (AvailableNow)") {
     val tmp = Files.createTempDirectory("graft-window").toString
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
