@@ -226,9 +226,10 @@ object SparkEntry {
     // rows-only; recall vs brute force pinned by SimilaritySpec.
     "embed_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      // centroids are session-independent doubles; train once per dir
+      // centroids are session-independent doubles; train once per dir, on
+      // a bounded sample (training cost stays flat as the corpus grows)
       val centroids = ivfCentroids.computeIfAbsent(dir,
-        _ => Similarity.ivfTrain(e, "embedding", nLists = 8))
+        _ => Similarity.ivfTrainAuto(e, "embedding", nLists = 8))
       Similarity.ivfTopKTrained(e, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, centroids, nProbe = 3)
     }),

@@ -83,11 +83,15 @@ object Dedup {
       jaccardThreshold: Double = 0.7,
       maxBucketSize: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
-    // (id, sig) is consumed three times (banding + both signature joins);
-    // cache the narrow projection rather than recomputing the scan
+    // (id, sig) is consumed three times (banding + both signature joins).
+    // localCheckpoint (NOT cache) materializes the narrow projection once:
+    // cache() would register it with the session CacheManager, which pins
+    // the blocks until an explicit unpersist that a lazily-returned
+    // DataFrame cannot schedule — a leak per invocation. Checkpoint blocks
+    // are dropped by the ContextCleaner when the plan is garbage-collected.
     val sig = withMinhashSignature(df, textCol, shingleSize, k)
       .select(col(idCol).as("id"), col("__sig"))
-      .cache()
+      .localCheckpoint()
 
     val banded = sig.select(
       col("id"), col("__sig"),

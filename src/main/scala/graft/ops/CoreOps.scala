@@ -26,6 +26,13 @@ object CoreOps {
   /** Text → integer with the reference's fallback: anything that does not
     * parse as a (signed or unsigned) 64-bit integer becomes 0, NOT null
     * (reference: `src/adapter/postgres/pgoutput.rs:82-89`).
+    *
+    * Known narrowing: the reference parses into u64, so text in
+    * (Long.MaxValue, 2⁶⁴) would render for a UInt64 target there but
+    * yields 0 here (try_cast to LongType overflows). PG's widest integer
+    * is int8 = i64, so no Postgres-sourced value can occupy that range —
+    * the narrowing is unreachable from the reference's own sources and is
+    * kept for an order-independent signed representation.
     */
   def intOrZero(c: Column): Column = {
     val t = trim(c)

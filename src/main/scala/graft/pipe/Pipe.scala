@@ -106,7 +106,10 @@ class ParquetStateSink(
 )(implicit spark: SparkSession) {
   private def logDir = s"$path/log"
 
-  def isEmpty: Boolean = !Files.exists(Paths.get(logDir)) // K6 emptiness probe
+  def isEmpty: Boolean = { // K6 emptiness probe
+    recoverSwap()
+    !Files.exists(Paths.get(logDir))
+  }
 
   /** K1/K2/K3 realized as one append: upserts, tombstones and truncate
     * markers all land in the log, stamped with the batch id; the
@@ -124,12 +127,21 @@ class ParquetStateSink(
 
   /** Current table contents (merge-time view): one shuffle on the PK. */
   def read(): DataFrame = {
-    require(!isEmpty, s"state sink $path is empty")
+    require(!isEmpty, s"state sink $path is empty") // isEmpty also recovers
+
     CdcApply.finalState(
       spark.read.parquet(logDir), pkCols, valueCols, col("__batch"))
   }
 
-  /** Force-merge: rewrite the log as a single snapshot batch. */
+  /** Force-merge: rewrite the log as a single snapshot batch.
+    *
+    * Crash-safe swap: the old log is renamed ASIDE (log → log_old) before
+    * the complete tmp snapshot takes its place, so every crash point
+    * leaves a recoverable state ([[recoverSwap]]): before the first
+    * rename the log is intact; between the renames both log_old and the
+    * complete tmp exist; after the second only the log_old cleanup is
+    * pending. A delete-then-rename swap would instead lose the table to a
+    * crash between the delete and the rename. */
   def compact(): Unit = {
     val snap = read()
       .withColumn("op", lit("I"))
@@ -138,11 +150,28 @@ class ParquetStateSink(
     val tmp = s"$path/compact_tmp"
     snap.select((Seq("op", "seq") ++ pkCols ++ valueCols :+ "__batch").map(col): _*)
       .write.mode("overwrite").parquet(tmp)
-    // swap
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val logPath = new org.apache.hadoop.fs.Path(logDir)
-    fs.delete(logPath, true)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/log_old")
+    fs.delete(oldPath, true) // stale leftover from a recovered crash
+    fs.rename(logPath, oldPath)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), logPath)
+    fs.delete(oldPath, true)
+  }
+
+  /** Recover from a crash mid-[[compact]] swap. Called before reads:
+    * if the log is missing, either the finished tmp snapshot (preferred —
+    * it is complete by write-then-swap order) or the renamed-aside old
+    * log is promoted back. */
+  private def recoverSwap(): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val logPath = new org.apache.hadoop.fs.Path(logDir)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/log_old")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/compact_tmp")
+    if (!fs.exists(logPath) && fs.exists(oldPath)) {
+      if (fs.exists(tmpPath)) { fs.rename(tmpPath, logPath); fs.delete(oldPath, true) }
+      else fs.rename(oldPath, logPath)
+    }
   }
 }
 
@@ -174,15 +203,26 @@ class Pipe(
   /** Bulk snapshot copy (EP2): skipped when the target is non-empty (K6,
     * reference: `src/pipes/postgres.rs:145-160`). Alignment, masking and
     * casts run before the write (P1/P2/P5-P14).
+    *
+    * `progressOut` enables the reference's percent progress reporting
+    * (`src/logger.rs:25-46`) driven by task output metrics while the
+    * distributed copy runs; the denominator is a row estimate (S6 —
+    * progress only, never correctness).
     */
-  def firstSync(): Boolean = {
+  def firstSync(progressOut: Option[String => Unit] = None): Boolean = {
     if (!sink.isEmpty) return false // re-running first_sync is a no-op
     val snap = source.snapshot()
     if (snap.isEmpty) return false
     val aligned = CoreOps.alignToTarget(snap, targetColumns, maskColumns)
       .withColumn("op", lit("I"))
       .withColumn("seq", lit(0L))
-    sink.appendBatch(aligned, batchId = 0L)
+    progressOut match {
+      case Some(out) =>
+        Progress.withCopyProgress(spark, snap.count(), out, s"copy $tableName") {
+          sink.appendBatch(aligned, batchId = 0L)
+        }
+      case None => sink.appendBatch(aligned, batchId = 0L)
+    }
     true
   }
 

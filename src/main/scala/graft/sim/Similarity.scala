@@ -125,6 +125,19 @@ object Similarity {
     * corpus; returns the centroid matrix. At 100 TB the sample fraction
     * keeps training driver-bounded while the assignment below stays a
     * pure scan. */
+  /** [[ivfTrain]] with the sample fraction derived from the corpus size:
+    * k-means sees at most `targetRows` vectors, so training cost is flat
+    * no matter how large the corpus grows (full-corpus training at 100 TB
+    * would be 10 full scans for the default 10 iterations). Small corpora
+    * (≤ targetRows) still train on everything. */
+  def ivfTrainAuto(
+      corpus: DataFrame, vecCol: String, nLists: Int,
+      targetRows: Long = 50000L, seed: Long = 42L): Array[Array[Double]] = {
+    val n = corpus.count()
+    val frac = if (n <= targetRows) 1.0 else targetRows.toDouble / n
+    ivfTrain(corpus, vecCol, nLists, frac, seed)
+  }
+
   def ivfTrain(
       corpus: DataFrame, vecCol: String, nLists: Int,
       sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Double]] = {

@@ -145,6 +145,34 @@ class PipeSpec extends AnyFunSuite with SparkTestBase {
     assert(before.map(_.getLong(0)) == after.map(_.getLong(0)))
   }
 
+  test("compact swap is crash-safe: every interruption point recovers") {
+    import org.apache.hadoop.fs.Path
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val changelog = Changelog.fromEvents(events).limit(50).cache()
+    val tmp = Files.createTempDirectory("graft-compact-crash").toString
+    val sink = new ParquetStateSink(s"$tmp/state", Seq("user_id"),
+      Seq("last_ts", "total_value", "n_events"))
+    new Pipe(cfg(50L), new ChangelogReplaySource(changelog), sink,
+      new FileOffsetStore(s"$tmp/offset"), targetCols,
+      tableName = "t").syncLoop(sleeper = _ => ())
+    val want = sink.read().orderBy("user_id").collect().toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+    // crash point A: old log renamed aside, complete tmp not yet promoted
+    sink.compact() // leaves a clean log; now simulate the torn state
+    val base = s"$tmp/state"
+    fs.rename(new Path(s"$base/log"), new Path(s"$base/compact_tmp"))
+    fs.mkdirs(new Path(s"$base/log_old")) // stale old log (content irrelevant)
+    assert(!sink.isEmpty) // recovery promotes the complete tmp
+    assert(sink.read().orderBy("user_id").collect().toSeq == want)
+    assert(!fs.exists(new Path(s"$base/log_old")))
+
+    // crash point B: old log renamed aside, tmp never finished (absent)
+    fs.rename(new Path(s"$base/log"), new Path(s"$base/log_old"))
+    assert(!sink.isEmpty) // recovery restores the old log
+    assert(sink.read().orderBy("user_id").collect().toSeq == want)
+  }
+
   test("write failure: sleep sleep_millis_when_write_failed, replay batch, identical final state") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val changelog = Changelog.fromEvents(events).limit(100).cache()
