@@ -184,6 +184,51 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    // Selective filter + global agg (TPC-H Q6 shape): every predicate
+    // reaches the parquet scan as a pushed filter — the pushdown showcase.
+    "q6_selective" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Top-k over a join with a HAVING-style pre-aggregation (TPC-H Q18
+    // shape): big orders found with ONE map-side-combinable agg on the
+    // fact table, then joined to the (much smaller) order/customer side —
+    // the agg-before-join order is the 100-TB-safe direction.
+    "q18_large_orders" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 100.0)
+      Tables.read(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.read(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Semi-join existence test (TPC-H Q4 shape): orders with at least one
+    // late-shipped line, counted per priority. LEFT SEMI keeps the probe
+    // side un-duplicated — no fact-side explosion before the agg.
+    "q4_priority" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      Tables.read(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // ------------------------------------------------------------- dedup
     "dedup_exact_docs" -> ((s, dir) =>
       Dedup.exactDupGroups(docs(s, dir), "doc_id", "text")),
@@ -457,6 +502,41 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
+        |""".stripMargin,
+
+    "q6_selective" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24
+        |""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100.0
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100
+        |""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
         |""".stripMargin,
 
     "dedup_exact_docs" ->

@@ -96,4 +96,39 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
       s"scan not pruned:\n$plan")
   }
+
+  test("q6 selective agg: every predicate pushed to the parquet scan, pruned read") {
+    val q = graft.SparkEntry.queries("q6_selective")(spark, "/root/testdata/sf0.001")
+    // read the scan node's untruncated metadata (plan toString elides
+    // lists; sparkPlan avoids the opaque AQE wrapper)
+    val scan = q.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no parquet scan in plan"))
+    val pushed = scan.metadata("PushedFilters")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount,0.03)", "LessThanOrEqual(l_discount,0.07)",
+      "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(pushed.contains(f), s"$f not pushed: $pushed")
+    }
+    // only the four referenced columns are read
+    assert(scan.schema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"scan not pruned: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
+  test("q18 shape: lineitem aggregates BEFORE the join; customer broadcasts") {
+    val q = graft.SparkEntry.queries("q18_large_orders")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"customer not broadcast:\n$plan")
+    // the HAVING filter applies to the aggregate output, not post-join
+    val aggIdx = plan.indexOf("HashAggregate")
+    val joinIdx = plan.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0, s"missing agg/join:\n$plan")
+  }
+
+  test("q4 semi-join keeps LeftSemi in the physical plan") {
+    val q = graft.SparkEntry.queries("q4_priority")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+  }
 }
