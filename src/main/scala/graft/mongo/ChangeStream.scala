@@ -1,0 +1,130 @@
+package graft.mongo
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.pipe.{CdcSource, ResumeTokenStore}
+
+/** One decoded MongoDB change-stream event — the field subset the
+  * reference consumes (`/root/reference/src/adapter/mongodb.rs:169-341`):
+  * `operationType`, `ns.{db,coll}`, `documentKey._id`, the UpdateLookup
+  * `fullDocument` after-image, and the opaque `_id._data` resume token.
+  */
+case class ChangeStreamEvent(
+    opType: String,
+    db: String,
+    collection: String,
+    documentKeyId: Option[BsonValue],
+    fullDocument: Option[BsonValue.BDoc],
+    resumeToken: Option[String])
+
+object ChangeStream {
+  import BsonValue._
+
+  /** Decode one raw change-stream document. Pure, executor-safe. */
+  def decode(bytes: Array[Byte]): ChangeStreamEvent = {
+    val doc = Bson.decodeDocument(bytes)
+    val ns = doc.get("ns").collect { case d: BDoc => d }
+    def nsStr(k: String) =
+      ns.flatMap(_.get(k)).collect { case BStr(s) => s }.getOrElse("")
+    ChangeStreamEvent(
+      opType = doc.get("operationType").collect { case BStr(s) => s }.getOrElse(""),
+      db = nsStr("db"),
+      collection = nsStr("coll"),
+      documentKeyId = doc.get("documentKey")
+        .collect { case d: BDoc => d }.flatMap(_.get("_id")),
+      fullDocument = doc.get("fullDocument").collect { case d: BDoc => d },
+      resumeToken = doc.get("_id").collect { case d: BDoc => d }
+        .flatMap(_.get("_data")).flatMap(Bson.scalarText))
+  }
+
+  /** Event → changelog row, the reference's op routing
+    * (`src/pipes/mongodb.rs:294-341`):
+    *  - insert / replace → upsert with the full document;
+    *  - update → upsert from the UpdateLookup after-image (events whose
+    *    after-image is missing — document deleted before the lookup —
+    *    drop, like the reference's warn-and-skip);
+    *  - delete → delete with the key ONLY (D8);
+    *  - drop / dropDatabase → truncate;
+    *  - anything else (invalidate, rename) → skipped.
+    * Values render positionally into `columns` with [[Bson.scalarText]];
+    * `_id` renders by the P8/P10 rules (ObjectId → hex).
+    */
+  def toChangelogRow(
+      e: ChangeStreamEvent, columns: Seq[String]): Option[(String, Seq[String])] = {
+    def fields(doc: Option[BDoc]): Seq[String] = {
+      val byName = doc.map(_.fields.toMap).getOrElse(Map.empty)
+      columns.map { c =>
+        val v = if (c == "_id") e.documentKeyId.orElse(byName.get(c)) else byName.get(c)
+        v.flatMap(Bson.scalarText).orNull
+      }
+    }
+    e.opType match {
+      case "insert" | "replace"          => Some(("I", fields(e.fullDocument)))
+      case "update" if e.fullDocument.isDefined => Some(("U", fields(e.fullDocument)))
+      case "update"                      => None // after-image gone: skip
+      case "delete"                      => Some(("D", fields(None)))
+      case "drop" | "dropDatabase"       => Some(("T", columns.map(_ => null: String)))
+      case _                             => None
+    }
+  }
+}
+
+/** Live Mongo change-stream source behind the [[CdcSource]] seam. The
+  * transport is a callback `fetch(resumeAfter, limit) → raw BSON docs` —
+  * a live client wraps its `watch` cursor there; specs drive it with
+  * [[Bson.encodeDocument]] fixtures.
+  *
+  * Offset model: Mongo orders by OPAQUE resume tokens, not numbers, so
+  * the Long seq is a per-source running index; the real recovery cursor
+  * is the resume token, persisted through [[ResumeTokenStore]] by
+  * [[commitToken]] AFTER the sink write (at-least-once, reference:
+  * `src/adapter/mongodb.rs:259-302`). A peek re-fetches from the LAST
+  * COMMITTED token, so an uncommitted batch replays identically — the
+  * same non-consuming contract as the PG slot peek.
+  *
+  * Decode runs ON EXECUTORS: the driver holds ≤ one bounded batch of raw
+  * frames (the peek quantum), ships them as a Dataset, and the BSON parse
+  * + row mapping distribute.
+  */
+class MongoChangeStreamSource(
+    fetch: (Option[String], Long) => Seq[Array[Byte]],
+    tokens: ResumeTokenStore,
+    columns: Seq[String],
+    snapshotDf: () => DataFrame
+)(implicit spark: SparkSession) extends CdcSource {
+
+  @volatile private var seqBase: Long = 0L
+  @volatile private var lastPeek: Option[(Long, String)] = None // (maxSeq, token)
+
+  override def snapshot(): DataFrame = snapshotDf()
+
+  override def peekChanges(after: Long, limit: Long): DataFrame = {
+    val raw = fetch(tokens.read(), limit)
+    seqBase = after
+    val events = raw.zipWithIndex
+    val lastToken = raw.lastOption.map(ChangeStream.decode)
+      .flatMap(_.resumeToken)
+    lastPeek = lastToken.map(t => (after + raw.length, t))
+
+    val schema = StructType(Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("table", StringType, nullable = true),
+      StructField("cols", ArrayType(StringType, containsNull = true), nullable = false)))
+    val cols = columns // serializable capture
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    import spark.implicits._
+    val base = after
+    spark.createDataset(events.map { case (b, i) => (base + i + 1, b) })
+      .flatMap { case (seq, bytes) =>
+        val e = ChangeStream.decode(bytes)
+        ChangeStream.toChangelogRow(e, cols).map { case (op, values) =>
+          Row(seq, op, e.collection, values)
+        }
+      }(enc)
+  }
+
+  /** The at-least-once commit: persist the last peeked batch's resume
+    * token once its writes succeeded. */
+  def commitToken(): Unit = lastPeek.foreach { case (_, t) => tokens.write(t) }
+}

@@ -19,19 +19,25 @@ class StatementSinkSpec extends AnyFunSuite with SparkTestBase {
   test("streaming foreachBatch drives the statement sink per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // appends happen on the stream-execution thread, asserts on this one:
+    // synchronize the append itself (not just the lambda construction)
     val executed = scala.collection.mutable.ArrayBuffer.empty[String]
     val sink = new StatementSink("db", "t",
-      cols.filterNot(_.name == "secret"), executed.synchronized { executed += _ })(spark)
+      cols.filterNot(_.name == "secret"),
+      (s: String) => executed.synchronized { executed += s })(spark)
 
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ch]
+    // AvailableNow snapshots the data available AT START — add first
+    input.addData(Ch("I", 1, 1, "a"), Ch("D", 2, 2, null))
     val q = graft.streaming.StreamingCdc.statementWriter(
       input.toDF(), sink, java.nio.file.Files.createTempDirectory("graft-stw").toString)
       .start()
-    input.addData(Ch("I", 1, 1, "a"), Ch("D", 2, 2, null))
     q.processAllAvailable(); q.stop()
 
-    assert(executed.exists(_.startsWith("INSERT INTO db.t")))
-    assert(executed.exists(_.startsWith("ALTER TABLE db.t DELETE WHERE (id = 2)")))
+    executed.synchronized {
+      assert(executed.exists(_.startsWith("INSERT INTO db.t")), s"got: $executed")
+      assert(executed.exists(_.startsWith("ALTER TABLE db.t DELETE WHERE (id = 2)")), s"got: $executed")
+    }
   }
 
   test("batch applies as truncate → deduped inserts → deletes; masked col NULL") {
