@@ -48,11 +48,10 @@ object Main {
       case "parquet"  => runParquetReplay(spark, config)
       case "jdbc"     => runJdbc(spark, config)
       case "postgres" => runPostgres(spark, config)
+      case "mongodb"  => runMongo(spark, config)
       case other =>
-        // mongodb needs a live change-stream client (no BSON wire driver
-        // in this build); the pipe seam is the same.
         throw new IllegalArgumentException(
-          s"source_type '$other' not supported; use postgres | jdbc | parquet")
+          s"source_type '$other' not supported; use postgres | mongodb | jdbc | parquet")
     }
 
   private def connInfo(url: String, user: String, password: String,
@@ -148,6 +147,50 @@ object Main {
     } finally client.close()
   }
 
+  /** Mongo change-stream pipe over the replay transport: `bson_dir`
+    * holds one `<collection>.bson` file per collection — concatenated
+    * BSON change-stream documents, the mongodump wire format. The target
+    * schema is inferred from the recorded after-images with the
+    * reference's first-type-wins fold (`src/pipes/mongodb.rs:588-648`);
+    * the resume token persists after each committed batch
+    * (`src/adapter/mongodb.rs:259-302`). A live deployment replaces the
+    * file fetch with a `watch` cursor behind the same callback. */
+  private def runMongo(spark: SparkSession, config: PipeConfig): Unit = {
+    implicit val s: SparkSession = spark
+    val mc = config.source.mongodb.getOrElse(
+      throw new IllegalArgumentException("source.mongodb required"))
+    val dir = mc.bson_dir.getOrElse(throw new IllegalArgumentException(
+      "live MongoDB needs a client driver not present in this build; " +
+        "set source.mongodb.bson_dir to replay a recorded change stream"))
+    mc.collections.foreach { coll =>
+      val raw = graft.mongo.BsonFile.readDocuments(s"$dir/${coll.table_name}.bson")
+      val events = raw.map(graft.mongo.ChangeStream.decode)
+      // first-type-wins inference over the recorded after-images
+      val columns = graft.mongo.MongoInference.foldBatch(
+        graft.mongo.MongoInference.initialSchema,
+        events.flatMap(_.fullDocument)
+          .map(_.fields.map { case (n, v) => n -> v.kind }))
+      val fetch: (Option[String], Long) => Seq[Array[Byte]] = (resume, limit) => {
+        val from = resume.map(t => events.indexWhere(_.resumeToken.contains(t)) + 1)
+          .getOrElse(0)
+        raw.slice(from, from + math.min(limit, Int.MaxValue).toInt)
+      }
+      val tokens = new graft.pipe.ResumeTokenStore(mc.resumeTokenPath)
+      val csSource = new graft.mongo.MongoChangeStreamSource(
+        fetch, tokens, columns.map(_.name), () => spark.emptyDataFrame)
+      val adapted = new CdcSource {
+        def snapshot() = csSource.snapshot()
+        def peekChanges(after: Long, limit: Long) =
+          graft.mongo.ChangeStreamRows.tableSlice(
+            csSource.peekChanges(after, limit), columns)
+      }
+      runToTarget(spark, config, adapted, columns,
+        pipeName = coll.table_name,
+        advance = _ => csSource.commitToken(),
+        maskColumns = coll.mask_columns.toSet)
+    }
+  }
+
   /** Wire a source to the configured target (executing JDBC/ClickHouse
     * sink, or the parquet state sink). */
   private def runToTarget(
@@ -196,7 +239,13 @@ object Main {
         val valueCols = columns.filterNot(_.isPrimaryKey).map(_.name)
         val sink = new ParquetStateSink(s"$outDir/$pipeName",
           columns.filter(_.isPrimaryKey).map(_.name), valueCols)
-        val offsets = new FileOffsetStore(s"$outDir/$pipeName.offset")
+        // the offset write IS the commit point; cursors that need a
+        // source-side advance (slot advance, resume-token persist) ride it
+        val offsets = new FileOffsetStore(s"$outDir/$pipeName.offset") {
+          override def write(offset: Long): Unit = {
+            super.write(offset); advance(offset)
+          }
+        }
         new Pipe(config, source, sink, offsets, columns,
           maskColumns, tableName = pipeName).run()
       case other =>

@@ -110,7 +110,12 @@ case class MongoConfig(
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
     copy_batch_size: Option[Int] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
-    peek_timeout_millis: Option[Long] = None
+    peek_timeout_millis: Option[Long] = None,
+    // Replay transport: a directory of `<collection>.bson` files holding
+    // concatenated BSON change-stream documents (the mongodump wire
+    // format). Set → the pipe runs without a live server; unset → a live
+    // client is required.
+    bson_dir: Option[String] = None
 ) {
   def resumeTokenPath: String  = resume_token_path.getOrElse("./resume_token.json")
   def copyBatchSize: Int       = copy_batch_size.getOrElse(1000)

@@ -128,3 +128,42 @@ class MongoChangeStreamSource(
     * token once its writes succeeded. */
   def commitToken(): Unit = lastPeek.foreach { case (_, t) => tokens.write(t) }
 }
+
+object ChangeStreamRows {
+  /** Project the positional `(seq, op, table, cols)` changelog into named,
+    * typed columns for a target schema (the Mongo analogue of
+    * [[graft.live.PgOutputJdbcSource.tableSlice]]). */
+  def tableSlice(
+      decoded: DataFrame,
+      columns: Seq[graft.types.CHColumn]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    decoded.select(
+      (Seq(col("seq"), col("op")) ++ columns.zipWithIndex.map { case (c, i) =>
+        element_at(col("cols"), i + 1)
+          .try_cast(graft.types.CHType.toSparkType(c.chType)).as(c.name)
+      }): _*)
+  }
+}
+
+/** mongodump-format file reader: a `.bson` file is nothing but
+  * concatenated BSON documents, each self-delimiting via its leading
+  * little-endian int32 length — the public dump/wire format. Used as the
+  * replay transport behind [[MongoChangeStreamSource]] (record a change
+  * stream once, replay it without a server). */
+object BsonFile {
+  def splitDocuments(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var off = 0
+    while (off + 4 <= bytes.length) {
+      val len = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+      require(len >= 5 && off + len <= bytes.length, s"torn BSON document at offset $off")
+      out += java.util.Arrays.copyOfRange(bytes, off, off + len)
+      off += len
+    }
+    out.result()
+  }
+
+  def readDocuments(path: String): Vector[Array[Byte]] =
+    splitDocuments(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+}

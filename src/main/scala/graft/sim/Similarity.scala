@@ -121,14 +121,10 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Train an IVF coarse quantizer: k-means (MLlib) over a sample of the
-    * corpus; returns the centroid matrix. At 100 TB the sample fraction
-    * keeps training driver-bounded while the assignment below stays a
-    * pure scan. */
   /** [[ivfTrain]] with the sample fraction derived from the corpus size:
-    * k-means sees at most `targetRows` vectors, so training cost is flat
-    * no matter how large the corpus grows (full-corpus training at 100 TB
-    * would be 10 full scans for the default 10 iterations). Small corpora
+    * training sees at most `targetRows` vectors, so its cost is flat no
+    * matter how large the corpus grows (full-corpus distributed k-means
+    * at 100 TB would be 10 full scans for 10 iterations). Small corpora
     * (≤ targetRows) still train on everything. */
   def ivfTrainAuto(
       corpus: DataFrame, vecCol: String, nLists: Int,
@@ -138,17 +134,80 @@ object Similarity {
     ivfTrain(corpus, vecCol, nLists, frac, seed)
   }
 
+  /** Train the IVF coarse quantizer: ONE distributed pass collects the
+    * bounded sample (≤ targetRows vectors — the quantizer is sample-
+    * trained by design, like every IVF implementation), then Lloyd's
+    * k-means runs ON THE DRIVER in plain arrays. A 50k × 64-dim sample is
+    * ~25 MB; iterating locally avoids 20+ tiny cluster jobs whose
+    * scheduling overhead dominates k-means at any scale. Deterministic
+    * under a fixed seed. The per-row list ASSIGNMENT ([[withIvfList]])
+    * stays a distributed pure scan. */
   def ivfTrain(
       corpus: DataFrame, vecCol: String, nLists: Int,
       sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val sampled =
+    val sample: Array[Array[Double]] =
       (if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed))
-        .select(array_to_vector(col(vecCol).cast(ArrayType(DoubleType))).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(sampled)
-    model.clusterCenters.map(_.toArray)
+        .select(col(vecCol).cast(ArrayType(DoubleType)))
+        .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    lloyd(sample, nLists, iters = 10, seed)
+  }
+
+  /** Plain Lloyd's algorithm, deterministic: seeded shuffle init, L2
+    * assignment, mean update, empty clusters reseeded to the point
+    * farthest from its centroid. */
+  private def lloyd(
+      points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val dim = points(0).length
+    val centroids = rnd.shuffle(points.indices.toVector).take(math.min(k, n))
+      .map(points(_).clone).toArray ++
+      Array.tabulate(math.max(0, k - n))(i => points(i % n).map(_ + 1e-9 * (i + 1)))
+    val assign = new Array[Int](n)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      var p = 0
+      while (p < n) { // assignment
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val dd = d2(points(p), centroids(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        assign(p) = best; p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      p = 0
+      while (p < n) { // update
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += points(p)(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } else { // empty cluster: reseed to the worst-fit point
+          var worst = 0; var worstD = -1.0; var q = 0
+          while (q < n) {
+            val dd = d2(points(q), centroids(assign(q)))
+            if (dd > worstD) { worstD = dd; worst = q }
+            q += 1
+          }
+          centroids(c) = points(worst).clone
+        }
+        c += 1
+      }
+    }
+    centroids
   }
 
   /** Assign each row its IVF list id = argmin distance to a centroid.

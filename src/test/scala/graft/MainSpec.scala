@@ -46,6 +46,56 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(!e.getMessage.contains("not supported"))
   }
 
+  test("mongodb replay config: recorded change stream → inferred schema → state, token persisted") {
+    import graft.mongo.{Bson, BsonValue}
+    import BsonValue._
+    val out = Files.createTempDirectory("graft-main-mongo").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$out/bson"))
+
+    def oid(i: Int) = BObjId(Vector.tabulate(12)(j => (i * 16 + j).toByte))
+    def ev(op: String, id: BsonValue, token: String, full: Option[BDoc]): Array[Byte] = {
+      val f = Vector.newBuilder[(String, BsonValue)]
+      f += "_id" -> BDoc(Vector("_data" -> BStr(token)))
+      f += "operationType" -> BStr(op)
+      f += "ns" -> BDoc(Vector("db" -> BStr("app"), "coll" -> BStr("users")))
+      f += "documentKey" -> BDoc(Vector("_id" -> id))
+      full.foreach(d => f += "fullDocument" -> d)
+      Bson.encodeDocument(BDoc(f.result()))
+    }
+    // the recorded stream: 2 inserts, an UpdateLookup update, a delete
+    val stream: Array[Byte] = Array(
+      ev("insert", oid(1), "t1", Some(BDoc(Vector(
+        "_id" -> oid(1), "name" -> BStr("ada"), "age" -> BInt32(36))))),
+      ev("insert", oid(2), "t2", Some(BDoc(Vector(
+        "_id" -> oid(2), "name" -> BStr("alan"), "age" -> BInt32(41))))),
+      ev("update", oid(1), "t3", Some(BDoc(Vector(
+        "_id" -> oid(1), "name" -> BStr("ada l."), "age" -> BInt32(37))))),
+      ev("delete", oid(2), "t4", None)).flatten
+    Files.write(java.nio.file.Paths.get(s"$out/bson/users.bson"), stream)
+
+    val cfg = PipeConfig.fromJson(
+      s"""{
+         |  "source": {"source_type": "mongodb", "mongodb": {
+         |    "connection": {"host": "unused", "port": 0, "database": "app"},
+         |    "collections": [{"table_name": "users"}],
+         |    "bson_dir": "$out/bson",
+         |    "resume_token_path": "$out/token.json"}},
+         |  "target": {"target_type": "parquet", "parquet_dir": "$out"},
+         |  "peek_changes_limit": 2
+         |}""".stripMargin)
+    Main.runWith(spark, cfg)
+
+    // schema inferred first-type-wins: _id PK + name + age
+    val sink = new graft.pipe.ParquetStateSink(s"$out/users",
+      Seq("_id"), Seq("name", "age"))(spark)
+    // age inferred as Int32 (first value was BInt32 — first-type-wins)
+    val state = sink.read().orderBy("_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(state == Seq((oid(1).hex, "ada l.", 37)))
+    // resume token committed through the offset-write commit point
+    assert(new graft.pipe.ResumeTokenStore(s"$out/token.json").read().contains("t4"))
+  }
+
   test("live jdbc config runs the full pipe end-to-end against embedded Derby") {
     import graft.live.{JdbcClient, JdbcConnInfo}
     val url = "jdbc:derby:memory:maindb;create=true"
