@@ -303,6 +303,26 @@ object SparkEntry {
         TextOps.scrubPii(synthesized).as("clean"))
     }),
 
+    // Gopher-style repetition signals: duplicated-token and duplicated-
+    // 2-gram fractions per doc. Pure scan, zero shuffles.
+    "rep_ratios" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.repeatedTokenRatio(col("text")).as("rep_token_ratio"),
+        TextOps.repeatedNgramRatio(col("text"), 2).as("rep_2gram_ratio"))
+    }),
+
+    // Decontamination: train docs (id % 20 != 0) sharing any distinct
+    // 3-gram with the eval split (id % 20 == 0). Eval gram set broadcasts;
+    // one shuffle on doc_id for the hit count.
+    "decontam_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.contaminationFlags(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         GraftFunctions.fingerprint64(col("text")).as("fp"))),
@@ -641,6 +661,43 @@ object SparkEntry {
         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM documents
+        |""".stripMargin,
+
+    "rep_ratios" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN []
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) <= 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                  / len(toks), 6) END AS rep_token_ratio,
+        |  CASE WHEN len(toks) - 1 <= 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(list_transform(
+        |                    range(1, len(toks)),
+        |                    i -> concat_ws(' ', toks[i], toks[i+1])))) AS DOUBLE)
+        |                  / (len(toks) - 1), 6) END AS rep_2gram_ratio
+        |FROM t
+        |""".stripMargin,
+
+    "decontam_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+        |    i -> concat_ws(' ',
+        |      regexp_split_to_array(trim(text), '\s+')[i],
+        |      regexp_split_to_array(trim(text), '\s+')[i+1],
+        |      regexp_split_to_array(trim(text), '\s+')[i+2]))) ) AS gram
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+        |)
+        |SELECT g.doc_id, count(*) AS n_shared_grams
+        |FROM g JOIN ev USING (gram)
+        |WHERE g.doc_id % 20 != 0
+        |GROUP BY g.doc_id
         |""".stripMargin,
 
     "doc_fingerprint" ->

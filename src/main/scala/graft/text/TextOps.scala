@@ -44,6 +44,56 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality
+    * filters): the fraction of duplicated tokens / word n-grams inside a
+    * document. High values mark boilerplate and degenerate generations.
+    * Pure column expressions — zero shuffles, whole-stage codegen. */
+  def repeatedTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(toks)).cast("double")
+        / size(toks).cast("double"), 6))
+  }
+
+  /** Duplicate word-n-gram fraction: 1 − distinct/total n-grams
+    * (0 when the doc has < n tokens). */
+  def repeatedNgramRatio(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val total = size(toks) - (n - 1)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(total <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(grams)).cast("double")
+        / total.cast("double"), 6))
+  }
+
+  /** Decontamination (train/eval overlap): count per train document of
+    * DISTINCT word n-grams that also occur anywhere in the eval corpus —
+    * the standard n-gram membership test for benchmark leakage.
+    *
+    * Shape at 100 TB: the eval side collapses to its distinct gram set
+    * (eval corpora are small — benchmarks, held-out splits) and
+    * BROADCASTS; the train side explodes its distinct grams and
+    * aggregates the hit count per doc. One map-side broadcast semi-match
+    * + one shuffle on the doc id, never an all-pairs join. Returns
+    * (idCol, n_shared_grams > 0 rows only).
+    */
+  def contaminationFlags(
+      train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val evalGrams = eval
+      .select(explode(wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val trainGrams = train
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
+    trainGrams
+      .join(org.apache.spark.sql.functions.broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Punctuation character class — deliberately simple and documented so
     * the DuckDB oracle can restate it verbatim. */
   val PunctClass = "[.,!?;:]"

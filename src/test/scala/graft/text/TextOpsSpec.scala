@@ -72,4 +72,39 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("repetition ratios: duplicates counted, short/empty texts are 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),    // 5 toks, 2 distinct → 0.6; 4 bigrams, 2 distinct → 0.5
+      (2L, "all words differ here"),
+      (3L, ""),
+      (4L, "one")
+    ).toDF("doc_id", "text")
+    val got = df.select(
+      col("doc_id"),
+      TextOps.repeatedTokenRatio(col("text")).as("rt"),
+      TextOps.repeatedNgramRatio(col("text"), 2).as("r2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((0.6, 0.5)))
+    assert(got(2L) == ((0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0))) // < n tokens → no n-grams → 0
+  }
+
+  test("contamination flags: shared 3-grams counted per train doc, eval side broadcast") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "the quick brown"+"quick brown fox"
+      (2L, "completely novel training content"),
+      (3L, "quick brown fox runs far")     // shares "quick brown fox"
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox sat")).toDF("doc_id", "text")
+    val flags = TextOps.contaminationFlags(train, eval, "doc_id", "text")
+    val got = flags.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L)) // doc 2 clean → absent
+    // scale shape: the eval gram set broadcasts
+    val plan = flags.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+  }
 }
