@@ -303,6 +303,18 @@ object SparkEntry {
         TextOps.scrubPii(synthesized).as("clean"))
     }),
 
+    // Incremental exact dedup: new "crawl" (id % 3 != 0) against the
+    // catalog of an existing corpus (id % 3 == 0). In-batch collapse +
+    // anti-join on (fp, text); survivors keep their min doc_id.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val catalog = graft.dedup.Dedup.dedupCatalog(
+        d.filter(col("doc_id") % 3 === 0), "text")
+      graft.dedup.Dedup.dedupIncremental(
+        d.filter(col("doc_id") % 3 =!= 0), catalog, "doc_id", "text")
+        .select(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals: duplicated-token and duplicated-
     // 2-gram fractions per doc. Pure scan, zero shuffles.
     "rep_ratios" -> ((s, dir) => {
@@ -661,6 +673,18 @@ object SparkEntry {
         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM documents
+        |""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH catalog AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
+        |), fresh AS (
+        |  SELECT min(doc_id) AS doc_id, text
+        |  FROM documents WHERE doc_id % 3 != 0 GROUP BY text
+        |)
+        |SELECT f.doc_id FROM fresh f
+        |LEFT JOIN catalog c ON f.text = c.text
+        |WHERE c.text IS NULL
         |""".stripMargin,
 
     "rep_ratios" ->

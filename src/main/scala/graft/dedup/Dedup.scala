@@ -49,6 +49,43 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Build the dedup CATALOG of a corpus: one `(fp, h2)` row per distinct
+    * document — the compact persistent state an incremental pipeline
+    * carries between crawls. `secondKey` is the collision re-check column:
+    * the raw text for byte-exact semantics (oracle-friendly), or
+    * `xxhash64` for an O(16 bytes/doc) catalog at corpus scale (false
+    * drops then need a simultaneous 2-hash collision). */
+  def dedupCatalog(
+      docs: DataFrame, textCol: String,
+      secondKey: Column => Column = identity): DataFrame =
+    docs.select(
+      GraftFunctions.fingerprint64(col(textCol)).as("fp"),
+      secondKey(col(textCol)).as("h2"))
+      .distinct()
+
+  /** Incremental exact dedup: the rows of `newDocs` that survive BOTH the
+    * in-batch collapse (first occurrence per distinct text) and the
+    * anti-join against an existing [[dedupCatalog]] — dedup a new crawl
+    * against the corpus without ever re-reading the corpus text.
+    *
+    * Scale shape: one shuffle for the in-batch collapse, one anti-join
+    * shuffled on (fp, h2) against the catalog (16 bytes/doc with hashed
+    * `secondKey`). Spark's runtime bloom-filter join optimization
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) prefilters the
+    * probe side of exactly this join shape declaratively — no hand-rolled
+    * sketch needed. */
+  def dedupIncremental(
+      newDocs: DataFrame, catalog: DataFrame, idCol: String, textCol: String,
+      secondKey: Column => Column = identity): DataFrame = {
+    val fresh = dedupExact(newDocs, idCol, textCol)
+    fresh
+      .withColumn("__fp", GraftFunctions.fingerprint64(col(textCol)))
+      .withColumn("__h2", secondKey(col(textCol)))
+      .join(catalog.select(col("fp").as("__cfp"), col("h2").as("__ch2")),
+        col("__fp") === col("__cfp") && col("__h2") === col("__ch2"), "left_anti")
+      .drop("__fp", "__h2")
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH
   // -------------------------------------------------------------------

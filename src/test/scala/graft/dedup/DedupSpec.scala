@@ -109,4 +109,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val planted = pairs.count(p => p.getLong(1) == p.getLong(0) + 10000)
     assert(planted == 10, s"found $planted of 10 planted vector dups")
   }
+
+  test("incremental dedup: in-batch collapse + catalog anti-join, collision-safe") {
+    import spark.implicits._
+    val corpus = Seq((1L, "known doc"), (2L, "another known")).toDF("doc_id", "text")
+    val catalog = Dedup.dedupCatalog(corpus, "text")
+    assert(catalog.columns.toSeq == Seq("fp", "h2"))
+
+    val crawl = Seq(
+      (10L, "known doc"),     // in catalog → dropped
+      (11L, "fresh content"), // survives
+      (12L, "fresh content"), // in-batch dup → dropped
+      (13L, "another known"), // in catalog → dropped
+      (14L, "brand new")      // survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupIncremental(crawl, catalog, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 14L))
+
+    // collision discipline: same fp, different text must NOT be dropped
+    // (the h2 re-check catches what the 1e9+7 rolling hash cannot)
+    val fp = graft.functions.GraftHash.fingerprint64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("known doc"))
+    val fakeCatalog = Seq((fp, "a DIFFERENT text with the same fp")).toDF("fp", "h2")
+    val collides = Dedup.dedupIncremental(
+      Seq((20L, "known doc")).toDF("doc_id", "text"), fakeCatalog, "doc_id", "text")
+    assert(collides.count() == 1) // kept: fp matched, h2 did not
+  }
 }
