@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 import graft.cdc.Changelog
 import graft.config.{JdbcSourceConfig, JdbcTargetConfig, PipeConfig}
 import graft.live.{JdbcChangelogSource, JdbcClient, JdbcConnInfo, PgOutputJdbcSource, PgRelation}
-import graft.pipe.{CdcSource, ChangelogReplaySource, FileOffsetStore, ParquetStateSink, Pipe, StatementPipe}
+import graft.pipe.{CdcSource, ChangelogReplaySource, FileOffsetStore, MultiTablePipe, ParquetStateSink, Pipe, StatementPipe, TableSpec}
 import graft.sinks.{AnsiDialect, ClickHouseDialect, StatementSink}
 import graft.sources.{CatalogSql, Tables}
 import graft.types.{CHColumn, CHType}
@@ -78,10 +78,12 @@ object Main {
           case Some(t) => JdbcChangelogSource.snapshotScan(
             spark, srcInfo, t, sc.partition_column, sc.num_partitions.getOrElse(8))
           case None => () => spark.emptyDataFrame
-        })
+        },
+        seqCol = sc.seq_column.toLowerCase)
       // target schema = changelog columns minus the envelope (seq, op);
-      // PKs from JDBC metadata (portable information_schema analogue)
-      val envelope = Set(sc.seq_column, "op")
+      // PKs from JDBC metadata (portable information_schema analogue).
+      // Metadata names are lowercased, so compare the knob lowercased too.
+      val envelope = Set(sc.seq_column.toLowerCase, "seq", "op")
       val pkTable = sc.snapshot_table.getOrElse(sc.changelog_table)
       val pks = client.primaryKeys(None, pkTable.toUpperCase) match {
         case Seq() => client.primaryKeys(None, pkTable)
@@ -104,7 +106,14 @@ object Main {
   /** Live Postgres logical-replication pipe: pgoutput frames peeked over
     * JDBC (`pg_logical_slot_peek_binary_changes`), decoded on executors,
     * slot advanced after each committed batch. Needs the PG JDBC driver on
-    * the classpath and a reachable server. */
+    * the classpath and a reachable server.
+    *
+    * ALL configured tables share ONE peek over the single replication
+    * slot: each batch decodes once, routes per table (A3), and the slot
+    * advances only after EVERY table's writes committed — per-table pipes
+    * over a shared slot would destroy the other tables' pending events on
+    * each advance. This is the reference's own shape (one slot, one
+    * bucketed batch loop — `src/pipes/postgres.rs:295-420`). */
   private def runPostgres(spark: SparkSession, config: PipeConfig): Unit = {
     implicit val s: SparkSession = spark
     val pg = config.source.postgres.getOrElse(
@@ -115,8 +124,8 @@ object Main {
       .copy(queryTimeoutMillis = config.peekChangesTimeoutMillis)
     val client = new JdbcClient(info)
     try {
-      pg.tables.foreach { tbl =>
-        // S5: column list + PK membership through the reference's catalog SQL
+      // S5: column list + PK membership through the reference's catalog SQL
+      val tableInfos = pg.tables.map { tbl =>
         val colsDf = client.query(CatalogSql.pgColumns(tbl.schema_name, tbl.table_name))._2
         val columns = colsDf.map { r =>
           CHColumn(r.getString(0),
@@ -128,24 +137,81 @@ object Main {
           CatalogSql.pgRelationIds(tbl.schema_name, Seq(tbl.table_name)))._2
           .headOption.map(_.get(0).toString.toLong).getOrElse(
             throw new IllegalArgumentException(s"relation ${tbl.qualifiedName} not found"))
-        val rel = PgRelation(relId, tbl.table_name, columns.map(_.name))
-        val source = new PgOutputJdbcSource(
-          client, pg.replication_slot_name, pg.publication_name, Seq(rel),
-          JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName))
-        val decoded = PgOutputJdbcSource.tableSlice _
-        // route this table's slice through the statement pipe
-        val sliced = new CdcSource {
-          def snapshot() = source.snapshot()
-          def peekChanges(after: Long, limit: Long) =
-            decoded(source.peekChanges(after, limit), rel)
-        }
-        runToTarget(spark, config, sliced, columns,
-          pipeName = tbl.qualifiedName,
-          advance = seq => source.advance(seq),
-          maskColumns = tbl.mask_columns.toSet)
+        (tbl, columns, PgRelation(relId, tbl.table_name, columns.map(_.name)))
       }
+      val relations = tableInfos.map(_._3)
+      val source = new PgOutputJdbcSource(
+        client, pg.replication_slot_name, pg.publication_name, relations,
+        () => spark.emptyDataFrame)
+      // one routed changelog: decode once, every table's slice survives
+      val routed = new CdcSource {
+        def snapshot() = spark.emptyDataFrame
+        def peekChanges(after: Long, limit: Long) =
+          PgOutputJdbcSource.multiTableSlices(
+            source.peekChanges(after, limit), relations)
+      }
+      val tables = tableInfos.map { case (tbl, columns, _) =>
+        tbl.table_name -> TableSpec(
+          columns, targetBatchSink(spark, config, columns, tbl.qualifiedName),
+          tbl.mask_columns.toSet)
+      }.toMap
+      // slot advance rides the offset commit — AFTER all table writes
+      val offsets = new FileOffsetStore(s"./offsets/${pg.replication_slot_name}.offset") {
+        override def write(offset: Long): Unit = {
+          super.write(offset); source.advance(offset)
+        }
+      }
+      val pipe = new MultiTablePipe(config, routed, tables, offsets)
+      pipe.firstSync(tableInfos.map { case (tbl, _, _) =>
+        tbl.table_name -> (if (tbl.skip_copy) spark.emptyDataFrame
+          else JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)())
+      }.toMap)
+      if (!config.disableSyncLoop) pipe.syncLoop()
     } finally client.close()
   }
+
+  /** Per-table [[graft.pipe.BatchSink]] for the configured target. */
+  private def targetBatchSink(
+      spark: SparkSession, config: PipeConfig,
+      columns: Seq[CHColumn], pipeName: String): graft.pipe.BatchSink = {
+    implicit val s: SparkSession = spark
+    config.target.target_type match {
+      case "parquet" =>
+        val outDir = config.target.parquet_dir.getOrElse(
+          throw new IllegalArgumentException("target.parquet_dir required"))
+        new ParquetStateSink(s"$outDir/$pipeName",
+          columns.filter(_.isPrimaryKey).map(_.name),
+          columns.filterNot(_.isPrimaryKey).map(_.name))
+      case "jdbc" | "clickhouse" =>
+        val (tc, dialect) = targetJdbc(config, pipeName)
+        val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
+        val client = new JdbcClient(info)
+        val sink = new StatementSink(tc.database, tc.table, columns,
+          client.execute, Set.empty, config.copyBatchSize, dialect,
+          insertExec = if (tc.distributed_inserts) Some(info) else None)
+        sink.asBatchSink(() => client
+          .queryScalar(dialect.nonEmptyProbe(tc.database, tc.table))
+          .exists(graft.sinks.SqlDialect.truthy))
+      case other =>
+        throw new IllegalArgumentException(s"target_type '$other' not supported")
+    }
+  }
+
+  private def targetJdbc(config: PipeConfig, pipeName: String): (JdbcTargetConfig, graft.sinks.SqlDialect) =
+    config.target.target_type match {
+      case "jdbc" =>
+        val tc = config.target.jdbc.getOrElse(
+          throw new IllegalArgumentException("target.jdbc required"))
+        (tc, if (tc.dialect == "ansi") AnsiDialect else ClickHouseDialect)
+      case _ =>
+        val ch = config.target.clickhouse.getOrElse(
+          throw new IllegalArgumentException("target.clickhouse required")).connection
+        (JdbcTargetConfig(
+          url = s"jdbc:clickhouse://${ch.host}:${ch.port}/${ch.database}",
+          user = ch.username, password = ch.password,
+          database = ch.database, table = pipeName.split('.').last),
+          ClickHouseDialect)
+    }
 
   /** Mongo change-stream pipe over the replay transport: `bson_dir`
     * holds one `<collection>.bson` file per collection — concatenated
@@ -175,7 +241,13 @@ object Main {
           .getOrElse(0)
         raw.slice(from, from + math.min(limit, Int.MaxValue).toInt)
       }
-      val tokens = new graft.pipe.ResumeTokenStore(mc.resumeTokenPath)
+      // one cursor per collection stream (the reference watches ONE
+      // database stream with one token; replay files are per-collection,
+      // so each gets its own token file)
+      val tokens = new graft.pipe.ResumeTokenStore(
+        if (mc.collections.lengthIs > 1)
+          s"${mc.resumeTokenPath}.${coll.table_name}"
+        else mc.resumeTokenPath)
       val csSource = new graft.mongo.MongoChangeStreamSource(
         fetch, tokens, columns.map(_.name), () => spark.emptyDataFrame)
       val adapted = new CdcSource {
@@ -202,29 +274,19 @@ object Main {
     implicit val s: SparkSession = spark
     config.target.target_type match {
       case "jdbc" | "clickhouse" =>
-        val tc: JdbcTargetConfig = config.target.target_type match {
-          case "jdbc" => config.target.jdbc.getOrElse(
-            throw new IllegalArgumentException("target.jdbc required"))
-          case _ =>
-            val ch = config.target.clickhouse.getOrElse(
-              throw new IllegalArgumentException("target.clickhouse required")).connection
-            JdbcTargetConfig(
-              url = s"jdbc:clickhouse://${ch.host}:${ch.port}/${ch.database}",
-              user = ch.username, password = ch.password,
-              database = ch.database, table = pipeName.split('.').last)
-        }
+        val (tc, dialect) = targetJdbc(config, pipeName)
         val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
         val client = new JdbcClient(info)
         try {
-          val dialect = if (tc.dialect == "ansi") AnsiDialect else ClickHouseDialect
           val sink = new StatementSink(tc.database, tc.table, columns,
             client.execute, maskColumns, config.copyBatchSize, dialect,
             insertExec = if (tc.distributed_inserts) Some(info) else None)
           val offsets = new FileOffsetStore(
             offsetPath.getOrElse(s"./offsets/$pipeName.offset"))
-          val probe = () => client.queryScalar(
-            s"SELECT COUNT(*) FROM ${tc.database}.${tc.table}")
-            .exists(_.toString.toLong > 0)
+          // K6: O(1) existence probe, never COUNT(*) over the target
+          val probe = () => client
+            .queryScalar(dialect.nonEmptyProbe(tc.database, tc.table))
+            .exists(graft.sinks.SqlDialect.truthy)
           val pipe = new StatementPipe(config, source, sink, offsets, columns,
             maskColumns, targetNonEmpty = probe, advance = advance)
           // CREATE TABLE DDL is ClickHouse dialect; generic JDBC targets

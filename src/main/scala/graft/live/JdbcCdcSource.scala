@@ -25,16 +25,21 @@ import graft.sources.CatalogSql
 class JdbcChangelogSource(
     client: JdbcClient,
     peekSqlTemplate: String,
-    snapshotFn: () => DataFrame
+    snapshotFn: () => DataFrame,
+    seqCol: String = "seq"
 )(implicit spark: SparkSession) extends CdcSource {
 
   override def snapshot(): DataFrame = snapshotFn()
 
-  override def peekChanges(after: Long, limit: Long): DataFrame =
-    client.queryDf(spark,
+  override def peekChanges(after: Long, limit: Long): DataFrame = {
+    val df = client.queryDf(spark,
       peekSqlTemplate
         .replace("{after}", after.toString)
         .replace("{limit}", limit.toString))
+    // the pipe envelope is hard-named "seq" (CdcSource.maxSeq, the pipes'
+    // aligned selects): normalize a custom seq column to it
+    if (seqCol == "seq") df else df.withColumnRenamed(seqCol, "seq")
+  }
 }
 
 object JdbcChangelogSource {
@@ -173,6 +178,17 @@ object PgOutputJdbcSource {
           rel.columns.zipWithIndex.map { case (n, i) =>
             element_at(col("cols"), i + 1).as(n)
           }: _*)
+
+  /** All relations' slices in ONE DataFrame (union schema, missing
+    * columns null), keeping the `table` routing column — the shape
+    * [[graft.pipe.MultiTablePipe]] consumes. The whole peeked batch is
+    * decoded once and every table's events survive; per-table pipes over
+    * a shared replication slot would instead drop the other tables'
+    * frames on the floor when the slot advances. */
+  def multiTableSlices(decoded: DataFrame, relations: Seq[PgRelation]): DataFrame =
+    relations.map { rel =>
+      tableSlice(decoded, rel).withColumn("table", lit(rel.table))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
 }
 
 /** PG LSN ↔ 64-bit mapping: `hi/lo` hex text is `(hi << 32) | lo`. */

@@ -93,18 +93,30 @@ class MongoChangeStreamSource(
     snapshotDf: () => DataFrame
 )(implicit spark: SparkSession) extends CdcSource {
 
-  @volatile private var seqBase: Long = 0L
-  @volatile private var lastPeek: Option[(Long, String)] = None // (maxSeq, token)
+  @volatile private var lastPeek: Option[String] = None // token to commit
 
   override def snapshot(): DataFrame = snapshotDf()
 
   override def peekChanges(after: Long, limit: Long): DataFrame = {
-    val raw = fetch(tokens.read(), limit)
-    seqBase = after
-    val events = raw.zipWithIndex
-    val lastToken = raw.lastOption.map(ChangeStream.decode)
-      .flatMap(_.resumeToken)
-    lastPeek = lastToken.map(t => (after + raw.length, t))
+    // Skip-forward: a window whose events ALL route to nothing (invalidate,
+    // rename, update with a missed lookup) produces no writes, so its token
+    // commits IMMEDIATELY — otherwise the pipe would see an empty batch,
+    // never reach its write-commit point, and refetch the same window
+    // forever. Writes-bearing windows still commit only via commitToken
+    // (after the sink write).
+    var raw = fetch(tokens.read(), limit)
+    var decoded = raw.map(ChangeStream.decode)
+    while (raw.nonEmpty &&
+        !decoded.exists(e => ChangeStream.toChangelogRow(e, columns).isDefined)) {
+      decoded.reverseIterator.flatMap(_.resumeToken).take(1)
+        .foreach(tokens.write)
+      raw = fetch(tokens.read(), limit)
+      decoded = raw.map(ChangeStream.decode)
+    }
+    // the token to persist at commit = the LAST event in the window that
+    // carries one (never a stale value from a previous peek)
+    lastPeek = decoded.reverseIterator.flatMap(_.resumeToken).take(1)
+      .toSeq.headOption
 
     val schema = StructType(Seq(
       StructField("seq", LongType, nullable = false),
@@ -115,7 +127,7 @@ class MongoChangeStreamSource(
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     import spark.implicits._
     val base = after
-    spark.createDataset(events.map { case (b, i) => (base + i + 1, b) })
+    spark.createDataset(raw.zipWithIndex.map { case (b, i) => (base + i + 1, b) })
       .flatMap { case (seq, bytes) =>
         val e = ChangeStream.decode(bytes)
         ChangeStream.toChangelogRow(e, cols).map { case (op, values) =>
@@ -126,7 +138,7 @@ class MongoChangeStreamSource(
 
   /** The at-least-once commit: persist the last peeked batch's resume
     * token once its writes succeeded. */
-  def commitToken(): Unit = lastPeek.foreach { case (_, t) => tokens.write(t) }
+  def commitToken(): Unit = lastPeek.foreach(tokens.write)
 }
 
 object ChangeStreamRows {

@@ -83,20 +83,26 @@ class MultiTablePipe(
     * `sleep_millis_when_write_failed` and retries: the offset only commits
     * after ALL table writes, so a partial batch replays whole, and
     * [[ParquetStateSink]] appends with the same batch id collapse
-    * idempotently (last-wins by (batch, seq)). */
+    * idempotently (last-wins by (batch, seq)). Deterministic failures
+    * rethrow after `maxConsecutiveFailures` retries of the same batch. */
   def syncLoop(
       maxIterations: Long = Long.MaxValue,
-      sleeper: Long => Unit = _ => ()): Long = {
+      sleeper: Long => Unit = _ => (),
+      maxConsecutiveFailures: Int = 10): Long = {
     var total = 0L
     var iter = 0L
     var drained = false
+    var failures = 0
     while (iter < maxIterations && !drained) {
       iter += 1
       try {
         val n = syncOnce(sleeper)
+        failures = 0
         if (n == 0) drained = true else total += n
       } catch {
         case e: Exception =>
+          failures += 1
+          if (failures >= maxConsecutiveFailures) throw e
           System.err.println(s"[pipe] sync failed (${e.getMessage}); replaying batch")
           sleeper(config.sleepWhenWriteFailed)
       }
@@ -105,8 +111,10 @@ class MultiTablePipe(
   }
 }
 
-/** Target spec of one routed table. */
+/** Target spec of one routed table. The sink is any [[BatchSink]] — the
+  * parquet state log, or a live executing [[graft.sinks.StatementSink]]
+  * through its adapter. */
 case class TableSpec(
     columns: Seq[CHColumn],
-    sink: ParquetStateSink,
+    sink: BatchSink,
     maskColumns: Set[String] = Set.empty)

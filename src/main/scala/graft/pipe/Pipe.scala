@@ -91,6 +91,15 @@ class ResumeTokenStore(path: String) {
   }
 }
 
+/** What a routed pipe needs from a per-table sink: apply one changelog
+  * batch, and answer the K6 emptiness probe. [[ParquetStateSink]] is the
+  * state-log implementation; [[graft.sinks.StatementSink.asBatchSink]]
+  * adapts the live executing sink. */
+trait BatchSink {
+  def appendBatch(batch: DataFrame, batchId: Long): Unit
+  def isEmpty: Boolean
+}
+
 /** ReplacingMergeTree-emulating state sink over parquet: storage is an
   * append-only changelog (cheap, partition-parallel writes — the analogue
   * of batched INSERTs into a ReplacingMergeTree part), and the *read* is
@@ -103,7 +112,7 @@ class ParquetStateSink(
     val path: String,
     pkCols: Seq[String],
     valueCols: Seq[String]
-)(implicit spark: SparkSession) {
+)(implicit spark: SparkSession) extends BatchSink {
   private def logDir = s"$path/log"
 
   def isEmpty: Boolean = { // K6 emptiness probe
@@ -206,10 +215,15 @@ class Pipe(
     *
     * `progressOut` enables the reference's percent progress reporting
     * (`src/logger.rs:25-46`) driven by task output metrics while the
-    * distributed copy runs; the denominator is a row estimate (S6 —
-    * progress only, never correctness).
+    * distributed copy runs. The denominator is a row ESTIMATE (S6 —
+    * progress only, never correctness): pass the catalog's estimate via
+    * `totalEstimate`; otherwise plan statistics are used, falling back to
+    * a count only when neither exists (for parquet that is a
+    * footer-metadata count, not a data scan).
     */
-  def firstSync(progressOut: Option[String => Unit] = None): Boolean = {
+  def firstSync(
+      progressOut: Option[String => Unit] = None,
+      totalEstimate: Option[Long] = None): Boolean = {
     if (!sink.isEmpty) return false // re-running first_sync is a no-op
     val snap = source.snapshot()
     if (snap.isEmpty) return false
@@ -218,7 +232,10 @@ class Pipe(
       .withColumn("seq", lit(0L))
     progressOut match {
       case Some(out) =>
-        Progress.withCopyProgress(spark, snap.count(), out, s"copy $tableName") {
+        val total = totalEstimate
+          .orElse(snap.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+          .getOrElse(snap.count())
+        Progress.withCopyProgress(spark, total, out, s"copy $tableName") {
           sink.appendBatch(aligned, batchId = 0L)
         }
       case None => sink.appendBatch(aligned, batchId = 0L)
@@ -239,26 +256,37 @@ class Pipe(
     * offset; a failed write sleeps `sleep_millis_when_write_failed` and
     * replays the same batch (the offset is committed only after a
     * successful write, so the re-peek returns it unchanged). Every failed
-    * attempt consumes one iteration, bounding permanently-broken endpoints
-    * in tests.
+    * attempt consumes one iteration.
+    *
+    * `live = true` retries forever, exactly the reference's run-forever
+    * loop; non-live (batch/replay) runs rethrow after
+    * `maxConsecutiveFailures` attempts at the same offset, so a
+    * DETERMINISTIC failure (rejected SQL, schema mismatch, auth) fails
+    * the job instead of hanging it.
     */
   def syncLoop(
       maxIterations: Long = Long.MaxValue,
       live: Boolean = false,
-      sleeper: Long => Unit = Thread.sleep): Long = {
+      sleeper: Long => Unit = Thread.sleep,
+      maxConsecutiveFailures: Int = 10): Long = {
     var applied = 0L
     var iter = 0L
     var offset = offsets.read()
     var drained = false
+    var failures = 0
+    def failed(e: Exception, what: String, sleepMs: Long): Unit = {
+      failures += 1
+      if (!live && failures >= maxConsecutiveFailures) throw e
+      System.err.println(s"[pipe] $what failed (${e.getMessage}); retrying")
+      sleeper(sleepMs)
+    }
     while (iter < maxIterations && !drained) {
       iter += 1
       val peeked =
         try Right(source.peekChanges(offset, config.peekChangesLimit).cache())
         catch { case e: Exception => Left(e) }
       peeked match {
-        case Left(e) =>
-          System.err.println(s"[pipe] peek failed (${e.getMessage}); retrying")
-          sleeper(config.sleepWhenPeekFailed)
+        case Left(e) => failed(e, "peek", config.sleepWhenPeekFailed)
         case Right(batch) =>
           try {
             source.maxSeq(batch) match {
@@ -273,14 +301,13 @@ class Pipe(
                   offsets.write(maxSeq) // commit point: after successful write
                   offset = maxSeq
                   applied += batch.count()
+                  failures = 0
                   sleeper(config.sleepAfterSyncWrite)
                   if (live) sleeper(config.sleepAfterSyncIteration)
                 } catch {
                   case e: Exception =>
-                    System.err.println(
-                      s"[pipe] write failed (${e.getMessage}); replaying batch")
-                    sleeper(config.sleepWhenWriteFailed)
-                  // offset unchanged → the next peek replays this batch
+                    // offset unchanged → the next peek replays this batch
+                    failed(e, "write", config.sleepWhenWriteFailed)
                 }
             }
           } finally batch.unpersist()

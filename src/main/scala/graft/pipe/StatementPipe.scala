@@ -58,23 +58,33 @@ class StatementPipe(
 
   /** CDC loop (EP3): peek → apply → commit offset + advance cursor.
     * `live = true` keeps the loop alive on empty peeks with the
-    * reference's cadence; the default drains and stops (replay/test
-    * mode). Returns events applied. */
-  def syncLoop(maxIterations: Long = Long.MaxValue, live: Boolean = false): Long = {
+    * reference's cadence and retries failures forever (the reference's
+    * run-forever loop); the default drains and stops (replay/test mode)
+    * and rethrows after `maxConsecutiveFailures` attempts at one offset,
+    * so deterministic failures fail the job rather than hang it.
+    * Returns events applied. */
+  def syncLoop(
+      maxIterations: Long = Long.MaxValue, live: Boolean = false,
+      maxConsecutiveFailures: Int = 10): Long = {
     var applied = 0L
     var iter = 0L
     var offset = offsets.read()
     var drained = false
+    var failures = 0
+    def failed(e: Exception, what: String, sleepMs: Long): Unit = {
+      lastError = Some(e)
+      failures += 1
+      if (!live && failures >= maxConsecutiveFailures) throw e
+      System.err.println(s"[pipe] $what failed (${e.getMessage}); retrying")
+      sleeper(sleepMs)
+    }
     while (iter < maxIterations && !drained) {
       iter += 1
       val peeked =
         try Right(source.peekChanges(offset, config.peekChangesLimit).cache())
         catch { case e: Exception => Left(e) }
       peeked match {
-        case Left(e) =>
-          lastError = Some(e)
-          System.err.println(s"[pipe] peek failed (${e.getMessage}); retrying")
-          sleeper(config.sleepWhenPeekFailed)
+        case Left(e) => failed(e, "peek", config.sleepWhenPeekFailed)
         case Right(batch) =>
           try {
             val aligned = batch.select(
@@ -93,15 +103,13 @@ class StatementPipe(
                   advance(maxSeq)
                   offset = maxSeq
                   applied += batch.count()
+                  failures = 0
                   sleeper(config.sleepAfterSyncWrite)
                   if (live) sleeper(config.sleepAfterSyncIteration)
                 } catch {
                   case e: Exception =>
-                    lastError = Some(e)
-                    System.err.println(
-                      s"[pipe] write failed (${e.getMessage}); replaying batch")
-                    sleeper(config.sleepWhenWriteFailed)
-                  // offset unchanged → next peek replays the same batch
+                    // offset unchanged → next peek replays the same batch
+                    failed(e, "write", config.sleepWhenWriteFailed)
                 }
             }
           } finally batch.unpersist()

@@ -142,12 +142,18 @@ object Similarity {
     * scheduling overhead dominates k-means at any scale. Deterministic
     * under a fixed seed. The per-row list ASSIGNMENT ([[withIvfList]])
     * stays a distributed pure scan. */
+  /** Hard ceiling on driver-collected training vectors — even a caller
+    * passing sampleFraction = 1.0 on a huge corpus stays driver-safe
+    * (200k × 64-dim ≈ 100 MB). */
+  final val MaxTrainRows = 200000
+
   def ivfTrain(
       corpus: DataFrame, vecCol: String, nLists: Int,
       sampleFraction: Double = 1.0, seed: Long = 42L): Array[Array[Double]] = {
     val sample: Array[Array[Double]] =
       (if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed))
         .select(col(vecCol).cast(ArrayType(DoubleType)))
+        .limit(MaxTrainRows)
         .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     lloyd(sample, nLists, iters = 10, seed)

@@ -46,6 +46,22 @@ trait SqlDialect extends Serializable {
       columns: Seq[CHColumn], keyRows: Seq[Row]): String
 
   def truncateQuery(database: String, table: String): String
+
+  /** K6 emptiness probe: a scalar query whose result is truthy iff the
+    * table has at least one row — O(1), never a COUNT(*) table scan
+    * (reference: `src/adapter/clickhouse.rs:234-253`). */
+  def nonEmptyProbe(database: String, table: String): String
+}
+
+object SqlDialect {
+  /** Interpret a probe scalar across JDBC type mappings. */
+  def truthy(v: Any): Boolean = v match {
+    case null => false
+    case b: Boolean => b
+    case n: Number => n.longValue != 0L
+    case s: String => s == "1" || s.equalsIgnoreCase("true")
+    case other => other.toString == "1"
+  }
 }
 
 /** The reference's dialect: delegates to [[ClickHouseSql]] so the golden
@@ -63,6 +79,8 @@ object ClickHouseDialect extends SqlDialect {
     ClickHouseSql.deleteQuery(database, table, columns, keyRows)
   override def truncateQuery(database: String, table: String): String =
     graft.ddl.Ddl.truncateQuery(database, table)
+  override def nonEmptyProbe(database: String, table: String): String =
+    graft.sources.CatalogSql.chTableNonEmpty(database, table)
 }
 
 /** Portable ANSI SQL dialect for generic JDBC endpoints: standard string
@@ -142,4 +160,7 @@ object AnsiDialect extends SqlDialect {
 
   override def truncateQuery(database: String, table: String): String =
     s"TRUNCATE TABLE $database.$table"
+
+  override def nonEmptyProbe(database: String, table: String): String =
+    s"SELECT COUNT(*) FROM (SELECT 1 AS one FROM $database.$table FETCH FIRST 1 ROWS ONLY) p"
 }

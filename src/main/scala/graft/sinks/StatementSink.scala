@@ -58,19 +58,29 @@ class StatementSink(
 
   def truncate(): Unit = execute(dialect.truncateQuery(database, table))
 
+  /** Count rows IN the rendering pass via an accumulator — a separate
+    * count() would re-scan the (possibly very large) source. Accumulator
+    * counts can over-report on task retries; the return value is
+    * informational (progress/logging), the write itself is exact. */
+  private def countedRows(df: DataFrame): (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val acc = spark.sparkContext.longAccumulator("statementSinkRows")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(df.schema)
+    (df.mapPartitions { it => it.map { r => acc.add(1); r } }(enc), acc)
+  }
+
   /** Bulk-load a snapshot (EP2 first_sync): deduped-by-nothing straight
     * INSERT stream, distributed when `insertExec` is set. Returns rows
-    * written. */
+    * written — counted during the single rendering pass. */
   def bulkInsert(df: DataFrame): Long = {
     val aligned = df.select(columns.map(c => col(c.name)): _*)
+    val (counted, acc) = countedRows(aligned)
     val stmts = ClickHouseSql.insertStatements(
-      aligned, database, table, columns, copyBatchSize, maskColumns, dialect)
+      counted, database, table, columns, copyBatchSize, maskColumns, dialect)
     insertExec match {
-      case Some(info) => JdbcExec.executePartitions(stmts, info); aligned.count()
-      case None =>
-        stmts.collect().filter(_.nonEmpty).foreach(execute)
-        aligned.count()
+      case Some(info) => JdbcExec.executePartitions(stmts, info)
+      case None => stmts.collect().filter(_.nonEmpty).foreach(execute)
     }
+    acc.value
   }
 
   /** Apply one batch of changelog rows (op, seq, data...). Returns
@@ -81,30 +91,38 @@ class StatementSink(
     val hasTruncate = !batch.filter(col("op") === Changelog.OpTruncate).isEmpty
     if (hasTruncate) truncate()
 
-    // K1: upserts deduped last-wins per PK, rendered per partition
+    // K1: upserts deduped last-wins per PK, rendered per partition; the
+    // upsert count rides the rendering pass (no separate count() job)
     val ups = CoreOps.dedupLastWinsAgg(
       CoreOps.upserts(batch), pkCols, "seq")
-    val upCount = ups.count()
-    if (upCount > 0) {
-      val stmts = ClickHouseSql.insertStatements(
-        ups.select(columns.map(c => col(c.name)): _*),
-        database, table, columns, copyBatchSize, maskColumns, dialect)
-      insertExec match {
-        case Some(info) => JdbcExec.executePartitions(stmts, info)
-        case None => stmts.collect().filter(_.nonEmpty).foreach(execute)
-      }
+    val (counted, acc) = countedRows(ups.select(columns.map(c => col(c.name)): _*))
+    val stmts = ClickHouseSql.insertStatements(
+      counted, database, table, columns, copyBatchSize, maskColumns, dialect)
+    insertExec match {
+      case Some(info) => JdbcExec.executePartitions(stmts, info)
+      case None => stmts.collect().filter(_.nonEmpty).foreach(execute)
     }
+    val upCount = acc.value
 
     // K2: deletes run AFTER the inserts of the same batch, not deduped.
-    // Keys are bounded by the peek quantum; chunked so statement size is
+    // Keys are bounded by the peek quantum (ONE collect serves both the
+    // count and the chunked statements); chunked so statement size is
     // bounded regardless of batch shape.
-    val delKeys = CoreOps.deletes(batch).select(pkCols.map(col): _*)
-    val delCount = delKeys.count()
-    if (delCount > 0) {
-      delKeys.collect().grouped(deleteChunkSize).foreach { chunk =>
-        execute(dialect.deleteQuery(database, table, columns, chunk.toSeq))
-      }
+    val delKeys = CoreOps.deletes(batch).select(pkCols.map(col): _*).collect()
+    delKeys.grouped(deleteChunkSize).foreach { chunk =>
+      execute(dialect.deleteQuery(database, table, columns, chunk.toSeq))
     }
-    (upCount, delCount, hasTruncate)
+    (upCount, delKeys.length.toLong, hasTruncate)
   }
+
+  /** Adapt to the routed-pipe seam ([[graft.pipe.BatchSink]]): batch ids
+    * are implicit in the statement sequence, emptiness comes from the
+    * caller's probe (K6 — `SELECT exists(...)` on the live target). */
+  def asBatchSink(nonEmptyProbe: () => Boolean): graft.pipe.BatchSink =
+    new graft.pipe.BatchSink {
+      def appendBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val _ = applyBatch(batch)
+      }
+      def isEmpty: Boolean = !nonEmptyProbe()
+    }
 }

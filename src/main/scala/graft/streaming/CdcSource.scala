@@ -187,9 +187,16 @@ private[streaming] class CdcLogIndex(
 
   private case class FileMeta(url: String, size: Long, minSeq: Long, maxSeq: Long)
 
+  /** Normalize a file reference (FS listing Path vs `input_file_name`'s
+    * URL-encoded URI) to its decoded path component, so the two sides key
+    * identically even across `file:/` vs `file:///` spellings. */
+  private def pathKey(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
   /** O(files) driver metadata. File sizes come from the FS listing; seq
-    * ranges from one tiny aggregation job (results keyed by file name,
-    * which is unique within a parquet output dir). */
+    * ranges from one tiny aggregation job. Keyed by the FULL normalized
+    * path — recursive listings may hold same-named part files in
+    * different subdirectories. */
   private val files: Array[FileMeta] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(new org.apache.hadoop.fs.Path(path).toUri.toString),
@@ -200,18 +207,24 @@ private[streaming] class CdcLogIndex(
       val st = it.next()
       val name = st.getPath.getName
       if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
-        sizes(name) = (st.getPath.toUri.toString, st.getLen)
+        sizes(pathKey(st.getPath.toUri.toString)) = (st.getPath.toUri.toString, st.getLen)
     }
     val df = spark.read.schema(schema).parquet(path)
-    df.select(col(seqCol).as("s"), input_file_name().as("f"))
+    val ranges = df.select(col(seqCol).as("s"), input_file_name().as("f"))
       .groupBy("f").agg(min("s").as("lo"), max("s").as("hi"))
       .collect()
-      .flatMap { r =>
-        val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
-        sizes.get(name).map { case (url, size) =>
-          FileMeta(url, size, r.getLong(1), r.getLong(2))
-        }
+    val metas = ranges.flatMap { r =>
+      sizes.get(pathKey(r.getString(0))).map { case (url, size) =>
+        FileMeta(url, size, r.getLong(1), r.getLong(2))
       }
+    }
+    // every file that produced rows must resolve to a listed file —
+    // a miss means the index would silently drop that file's window
+    // (empty part files legitimately appear in `sizes` only)
+    require(metas.length == ranges.length,
+      s"file index mismatch: ${ranges.length} row-bearing files vs " +
+        s"${metas.length} resolved against the listing")
+    metas
   }
 
   /** The sorted seq index — 8 bytes/event on the driver, the same scale as

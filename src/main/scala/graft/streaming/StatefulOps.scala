@@ -30,7 +30,7 @@ object StatefulOps {
 
   /** Salt prepended before hashing so [[contentHash]] is independent of a
     * caller fingerprint computed as fingerprint64 of the same text. */
-  private val SaltPrefix: String = ""
+  private val SaltPrefix: String = 1.toChar.toString // 0x01, spelled escape-free
 
   /** CDC state maintained IN the streaming engine (mapGroupsWithState)
     * instead of collapse-at-read: per key and micro-batch, upserts apply

@@ -135,6 +135,70 @@ class LiveJdbcSpec extends AnyFunSuite with SparkTestBase {
     } finally c.close()
   }
 
+  test("multi-table slot routing: one decoded batch feeds every table; advance after ALL writes") {
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    // decoded multi-relation changelog (the PgOutputJdbcSource.decodeFrames
+    // output shape): both tables interleaved in one slot window
+    val decoded = Seq(
+      (1L, "I", "users",  Seq("1", "ada")),
+      (2L, "I", "orders", Seq("10", "99.5")),
+      (3L, "U", "users",  Seq("1", "ada l.")),
+      (4L, "D", "orders", Seq("10", null))
+    ).toDF("seq", "op", "table", "cols")
+    val rels = Seq(
+      PgRelation(101L, "users", Seq("id", "name")),
+      PgRelation(102L, "orders", Seq("id", "total")))
+
+    val routed = PgOutputJdbcSource.multiTableSlices(decoded, rels)
+    // every event of BOTH tables survives the single decode
+    assert(routed.count() == 4)
+    assert(routed.columns.toSet == Set("seq", "op", "table", "id", "name", "total"))
+    assert(routed.filter(c("table") === "users").count() == 2)
+
+    // drive it through MultiTablePipe into per-table EXECUTING sinks
+    val db = freshDb("multiroute")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-multiroute").toString
+    try {
+      db.execute("CREATE TABLE users (id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(20))")
+      db.execute("CREATE TABLE orders (id BIGINT NOT NULL PRIMARY KEY, total DOUBLE)")
+      val userCols = Seq(CHColumn("id", CHType.Int64, isPrimaryKey = true),
+        CHColumn("name", CHType.CHStr.nullable))
+      val orderCols = Seq(CHColumn("id", CHType.Int64, isPrimaryKey = true),
+        CHColumn("total", CHType.Float64.nullable))
+      def sinkFor(table: String, cols: Seq[CHColumn]) =
+        new graft.sinks.StatementSink("APP", table, cols, db.execute,
+          dialect = graft.sinks.AnsiDialect)(spark)
+          .asBatchSink(() => db.queryScalar(
+            graft.sinks.AnsiDialect.nonEmptyProbe("APP", table))
+            .exists(graft.sinks.SqlDialect.truthy))
+      val tables = Map(
+        "users" -> graft.pipe.TableSpec(userCols, sinkFor("users", userCols)),
+        "orders" -> graft.pipe.TableSpec(orderCols, sinkFor("orders", orderCols)))
+
+      var advanced = List.empty[Long]
+      val offsets = new graft.pipe.FileOffsetStore(s"$tmp/o.offset") {
+        override def write(o: Long): Unit = { super.write(o); advanced ::= o }
+      }
+      val source = new graft.pipe.CdcSource {
+        def snapshot() = spark.emptyDataFrame
+        def peekChanges(after: Long, limit: Long) =
+          routed.filter(c("seq") > after).orderBy(c("seq")).limit(limit.toInt)
+      }
+      val cfg = graft.config.PipeConfig(
+        graft.config.SourceConfig("jdbc"), graft.config.TargetConfig("jdbc"))
+      val pipe = new graft.pipe.MultiTablePipe(cfg, source, tables, offsets)(spark)
+      assert(pipe.syncLoop() == 4L)
+
+      // both tables applied from the one shared batch; advance ran once,
+      // AFTER all table writes, at the batch max seq
+      assert(advanced == List(4L))
+      assert(db.query("SELECT id, name FROM users")._2
+        .map(r => (r.get(0), r.get(1))) == Vector((1L, "ada l.")))
+      assert(db.queryScalar("SELECT COUNT(*) FROM orders").map(_.toString.toLong).contains(0L))
+    } finally db.close()
+  }
+
   test("write failure: sleep, re-peek the same offset, replay the batch (at-least-once)") {
     val c = freshDb("retry")
     val tmp = java.nio.file.Files.createTempDirectory("graft-retry").toString

@@ -68,6 +68,36 @@ class ChangeStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(ChangeStream.toChangelogRow(inval, cols).isEmpty)
   }
 
+  test("all-skip window commits its token and skips forward (no livelock)") {
+    val tmp = Files.createTempDirectory("graft-cs-skip").toString
+    val cols = Seq("_id", "name")
+    // window 1 (limit 2) is ALL skippable: invalidate + after-image-less
+    // update; window 2 carries a real insert
+    val all = Seq(
+      event("invalidate", BNull, "s1"),
+      event("update", oid1, "s2"), // fullDocument missing → skip
+      event("insert", oid1, "s3",
+        Some(BDoc(Vector("_id" -> oid1, "name" -> BStr("ada"))))))
+    val fetches = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+    val fetch: (Option[String], Long) => Seq[Array[Byte]] = (resume, limit) => {
+      fetches += resume
+      val from = resume.map(t => Seq("s1", "s2", "s3").indexOf(t) + 1).getOrElse(0)
+      all.slice(from, from + limit.toInt)
+    }
+    val tokens = new graft.pipe.ResumeTokenStore(s"$tmp/token.json")
+    val source = new MongoChangeStreamSource(fetch, tokens, cols,
+      () => spark.emptyDataFrame)
+
+    val batch = source.peekChanges(0, 2)
+    // the all-skip window advanced the PERSISTED token and refetched;
+    // the returned batch carries the real event
+    assert(batch.count() == 1)
+    assert(tokens.read().contains("s2")) // skip-window token committed
+    assert(fetches.toList == List(None, Some("s2")))
+    source.commitToken()
+    assert(tokens.read().contains("s3"))
+  }
+
   test("source + pipe: fixtures through the seam, token commits after write, replay on no-commit") {
     val tmp = Files.createTempDirectory("graft-cs").toString
     val cols = Seq("_id", "name", "age")

@@ -44,13 +44,13 @@ class MultiTablePipeSpec extends AnyFunSuite with SparkTestBase {
     val applied = pipe.syncLoop()
     assert(applied == 6L)
 
-    val users = tables("users").sink.read()
+    val users = tables("users").sink.asInstanceOf[ParquetStateSink].read()
       .select("id", "v", "secret").collect()
     assert(users.length == 1)
     assert(users.head.getLong(0) == 1L && users.head.getDouble(1) == 20.0)
     assert(users.head.isNullAt(2)) // masked
 
-    val orders = tables("orders").sink.read()
+    val orders = tables("orders").sink.asInstanceOf[ParquetStateSink].read()
       .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(orders == Map(2L -> 7.0)) // order 1 deleted, order 2 present
 

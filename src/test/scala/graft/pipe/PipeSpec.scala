@@ -215,6 +215,25 @@ class PipeSpec extends AnyFunSuite with SparkTestBase {
     assert(offsets.read() == new FileOffsetStore(s"$tmp2/offset").read())
   }
 
+  test("deterministic failure rethrows after maxConsecutiveFailures (non-live only)") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val changelog = Changelog.fromEvents(events).limit(10).cache()
+    val tmp = Files.createTempDirectory("graft-pipe-permfail").toString
+    var attempts = 0
+    val sink = new ParquetStateSink(s"$tmp/state", Seq("user_id"),
+      Seq("last_ts", "total_value", "n_events")) {
+      override def appendBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        attempts += 1; sys.error("permanently broken")
+      }
+    }
+    val pipe = new Pipe(cfg(100L), new ChangelogReplaySource(changelog), sink,
+      new FileOffsetStore(s"$tmp/offset"), targetCols, tableName = "t")
+    val e = intercept[RuntimeException](
+      pipe.syncLoop(sleeper = _ => (), maxConsecutiveFailures = 3))
+    assert(e.getMessage == "permanently broken")
+    assert(attempts == 3) // retried, then failed fast — no infinite loop
+  }
+
   test("peek failure: sleep sleep_millis_when_peek_failed and retry the same offset") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val changelog = Changelog.fromEvents(events).limit(20).cache()

@@ -92,6 +92,11 @@ class StatefulOpsSpec extends AnyFunSuite with SparkTestBase {
     // collision discipline: same fp group, different texts → distinct
     // salted hashes → both kept (pinned by the streaming test above too)
     assert(StatefulOps.contentHash("alpha") != StatefulOps.contentHash("gamma"))
+    // the salt makes contentHash INDEPENDENT of fingerprint64(text): a
+    // caller whose fp IS fingerprint64 must still get a second opinion
+    assert(StatefulOps.contentHash("alpha") !=
+      graft.functions.GraftHash.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("alpha")))
   }
 
   test("watermarked windowed counts finalize deterministically (AvailableNow)") {
