@@ -303,6 +303,21 @@ object SparkEntry {
         TextOps.scrubPii(synthesized).as("clean"))
     }),
 
+    // As-of join (Spark has no native one): each click gets the latest
+    // purchase value at-or-before it per user — one shuffle, no range
+    // join. Oracled against DuckDB's native ASOF LEFT JOIN.
+    "asof_click_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("purchase_value"))
+      graft.ops.AsofJoin.asofJoin(
+        clicks, purchases, "user_id", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"), col("purchase_value"))
+    }),
+
     // Incremental exact dedup: new "crawl" (id % 3 != 0) against the
     // catalog of an existing corpus (id % 3 == 0). In-batch collapse +
     // anti-join on (fp, text); survivors keep their min doc_id.
@@ -673,6 +688,21 @@ object SparkEntry {
         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM documents
+        |""".stripMargin,
+
+    "asof_click_purchase" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         max_by(value, event_id) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+        |)
+        |SELECT c.event_id, c.user_id, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |""".stripMargin,
 
     "dedup_incremental" ->
