@@ -39,9 +39,11 @@ object Bench {
 
     val headline = Seq(
       "cdc_user_state", "q1_agg", "q3_join", "q5_region",
-      "dedup_exact_docs", "minhash_pairs", "simhash_docs",
+      "q6_selective", "q18_large_orders", "q4_priority",
+      "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf",
-      "text_metrics", "doc_fingerprint", "curate_docs")
+      "text_metrics", "rep_ratios", "decontam_overlap",
+      "doc_fingerprint", "curate_docs", "asof_click_purchase")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
