@@ -303,6 +303,19 @@ object SparkEntry {
         TextOps.scrubPii(synthesized).as("clean"))
     }),
 
+    // Sessionization: events grouped into per-user sessions with a
+    // 30-minute inactivity gap — Spark's native session_window (one
+    // shuffle, merge-on-overlap), oracled via gaps-and-islands SQL.
+    "sessionize" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("session_value"))
+    }),
+
     // As-of join (Spark has no native one): each click gets the latest
     // purchase value at-or-before it per user — one shuffle, no range
     // join. Oracled against DuckDB's native ASOF LEFT JOIN.
@@ -688,6 +701,27 @@ object SparkEntry {
         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM documents
+        |""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |), marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM numbered GROUP BY user_id, sid
         |""".stripMargin,
 
     "asof_click_purchase" ->

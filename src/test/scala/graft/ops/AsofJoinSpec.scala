@@ -50,6 +50,36 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(3) == 90.0) // max seq wins deterministically
   }
 
+  test("property: equals the brute-force per-row definition on random data") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val genRows = for {
+      nL <- Gen.chooseNum(0, 40)
+      nR <- Gen.chooseNum(0, 40)
+      ls <- Gen.listOfN(nL, Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(0L, 30L)))
+      rs <- Gen.listOfN(nR, Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(0L, 30L), Gen.chooseNum(0, 999)))
+    } yield (ls, rs)
+    graft.PropCheck.check(Prop.forAll(genRows) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "t")
+      // unique (k, t, seq) tiebreak via index as both seq and value
+      val right = rs.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong, i.toDouble) }
+        .toDF("k", "t", "seq", "v")
+      val got = AsofJoin.asofJoin(left, right, "k", "t", Seq("v"),
+        rightOrder = Some("seq"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      // brute force: per left row, max (t, seq) among right rows with
+      // same key and t <= left.t
+      val rIdx = rs.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong, i.toDouble) }
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rIdx.filter(r => r._1 == k && r._2 <= t)
+        i.toLong -> (if (cands.isEmpty) None
+          else Some(cands.maxBy(r => (r._2, r._3))._4))
+      }.toMap
+      got == want
+    })
+  }
+
   test("plan: exactly one shuffle exchange (no range-join explosion)") {
     import spark.implicits._
     val left = (1 to 100).map(i => (i.toLong, i % 5, i.toLong)).toDF("id", "k", "t")
