@@ -303,6 +303,17 @@ object SparkEntry {
         TextOps.scrubPii(synthesized).as("clean"))
     }),
 
+    // Corpus profiling: per-source document statistics (count, mean and
+    // exact interpolated median/p95 of lengths) — the dataset report a
+    // curation run starts from. One shuffle on the (small) source key.
+    "source_profile" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("mean_chars"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("median_chars"),
+        round(percentile(col("n_chars"), lit(0.95)), 6).as("p95_chars"))
+    }),
+
     // Sessionization: events grouped into per-user sessions with a
     // 30-minute inactivity gap — Spark's native session_window (one
     // shuffle, merge-on-overlap), oracled via gaps-and-islands SQL.
@@ -701,6 +712,14 @@ object SparkEntry {
         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM documents
+        |""".stripMargin,
+
+    "source_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |       round(avg(n_chars), 6) AS mean_chars,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+        |       round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+        |FROM documents GROUP BY source
         |""".stripMargin,
 
     "sessionize" ->
