@@ -43,7 +43,8 @@ object Bench {
       "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf",
       "text_metrics", "rep_ratios", "decontam_overlap",
-      "doc_fingerprint", "curate_docs", "asof_click_purchase")
+      "doc_fingerprint", "curate_docs", "asof_click_purchase",
+      "sessionize", "source_profile")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
