@@ -38,7 +38,8 @@ import scala.jdk.CollectionConverters._
   */
 class CdcSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SparkSession.active.read.parquet(options.get("path")).schema
+    SparkSession.active.read
+      .option("recursiveFileLookup", "true").parquet(options.get("path")).schema
 
   override def getTable(
       schema: StructType,
@@ -53,7 +54,7 @@ private[streaming] class CdcTable(schema: StructType, options: Map[String, Strin
   override def name(): String = s"graft-cdc(${options.getOrElse("path", "?")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -209,7 +210,11 @@ private[streaming] class CdcLogIndex(
       if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
         sizes(pathKey(st.getPath.toUri.toString)) = (st.getPath.toUri.toString, st.getLen)
     }
-    val df = spark.read.schema(schema).parquet(path)
+    // recursiveFileLookup: a rotated CDC log keeps closed segments in
+    // dated subdirectories; the FS listing above is recursive, so the
+    // row-bearing read must see the same file set
+    val df = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(path)
     val ranges = df.select(col(seqCol).as("s"), input_file_name().as("f"))
       .groupBy("f").agg(min("s").as("lo"), max("s").as("hi"))
       .collect()
@@ -232,7 +237,8 @@ private[streaming] class CdcLogIndex(
     * needs the values, not just ranges. */
   val seqs: Array[Long] = {
     import spark.implicits._
-    spark.read.schema(schema).parquet(path)
+    spark.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(path)
       .select(col(seqCol)).as[Long].collect().sorted
   }
 

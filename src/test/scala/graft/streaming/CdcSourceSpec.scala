@@ -94,6 +94,48 @@ class CdcSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(index.endOfWindow(Long.MinValue, 250, Some(index.seqs(9))).contains(index.seqs(9)))
   }
 
+  test("file index survives nested subdirectories with same-named part files") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val tmp = Files.createTempDirectory("graft-dsv2-nested").toString
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val changelog = Changelog.fromEvents(events)
+    import spark.implicits._
+    val mid = changelog.select("seq").as[Long].collect().sorted.apply(499)
+    changelog.filter(col("seq") <= mid).coalesce(1)
+      .write.parquet(s"$tmp/stage/lo")
+    changelog.filter(col("seq") > mid).coalesce(1)
+      .write.parquet(s"$tmp/stage/hi")
+
+    // a rotated-log layout: both slices live in different subdirectories
+    // under the SAME file name — a basename-keyed index would collapse them
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    def place(stage: String, dir: String): Unit = {
+      val part = fs.listStatus(new Path(s"$tmp/stage/$stage")).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.mkdirs(new Path(dir))
+      FileUtil.copy(fs, part, fs, new Path(s"$dir/data.parquet"), false, conf)
+    }
+    place("lo", s"$tmp/log/2024/01")
+    place("hi", s"$tmp/log/2024/02")
+
+    val schema = spark.read.parquet(s"$tmp/stage/lo").schema
+    val index = new CdcLogIndex(schema, Map("path" -> s"$tmp/log"))
+    assert(index.seqs.length == 1000)
+    val all = index.partitionsFor(Long.MinValue, Long.MaxValue)
+    assert(all.length == 2)
+    assert(all.map(_.asInstanceOf[CdcFilePartition].url).distinct.length == 2)
+    // a window inside the lo half prunes the hi file
+    assert(index.partitionsFor(Long.MinValue, mid).length == 1)
+
+    // executor-side read end-to-end over the nested layout (batch form)
+    val got = spark.read.format(classOf[CdcSourceProvider].getName)
+      .option("path", s"$tmp/log").load()
+    assert(got.count() == 1000)
+    assert(got.agg(min("seq"), max("seq")).collect().head ==
+      changelog.agg(min("seq"), max("seq")).collect().head)
+  }
+
   test("rowBudget: composite limits contribute maxRows; unknown shapes fall back to the peek limit") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val stream = new CdcMicroBatchStream(
