@@ -44,7 +44,8 @@ object Bench {
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf",
       "text_metrics", "rep_ratios", "decontam_overlap",
       "doc_fingerprint", "curate_docs", "asof_click_purchase",
-      "sessionize", "source_profile")
+      "sessionize", "source_profile",
+      "span_dedup", "pack_plan", "mixture_sample", "quality_select")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

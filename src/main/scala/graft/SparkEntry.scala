@@ -435,7 +435,34 @@ object SparkEntry {
         graft.mongo.BsonRender.binaryBase64(col("event_type").cast("binary")).as("b64"),
         graft.mongo.BsonRender.epochMillisToTimestamp(
           (unix_timestamp(col("ts")) * 1000)).as("ts_from_millis"))
-    })
+    }),
+
+    // Span-level corpus dedup (the C4 move): every 2-token window keeps
+    // its first corpus occurrence; docs rebuilt from surviving spans.
+    // Span width 2 only because the synthetic vocabulary is tiny — real
+    // corpora use sentence-scale spans.
+    "span_dedup" -> ((s, dir) =>
+      Dedup.dedupSpans(docs(s, dir), "doc_id", "text", spanTokens = 2)),
+
+    // Concat-and-chunk packing plan: 256-token packs per source.
+    "pack_plan" -> ((s, dir) =>
+      graft.text.Packing.packPlan(
+        docs(s, dir), "doc_id", "text", "source", tokenBudget = 256)),
+
+    // Weighted mixture sampling: per-source keep rates (200/500/800‰ by
+    // source index mod 3) through the deterministic content-hash gate.
+    "mixture_sample" -> ((s, dir) => {
+      val rates = (0 until 20).map(i => s"src$i" -> Seq(200, 500, 800)(i % 3)).toMap
+      docs(s, dir)
+        .filter(TextOps.weightedSampleFilter(
+          col("source"), col("text"), rates, defaultPermille = 500))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // Quality-ranked selection under a 400-token budget per source.
+    "quality_select" -> ((s, dir) =>
+      graft.text.Packing.selectUnderTokenBudget(
+        docs(s, dir), "doc_id", "text", "source", tokenBudget = 400))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -906,6 +933,91 @@ object SparkEntry {
         |       to_base64(encode(event_type)) AS b64,
         |       date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_from_millis
         |FROM events
+        |""".stripMargin,
+
+    // span ordering key doc_id*1000000+idx ≡ lexicographic (doc_id, idx)
+    // while idx < 1e6 — docs are far shorter than 2M tokens.
+    "span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), ex0 AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(CAST(ceil(len(toks) / 2.0) AS BIGINT), 1))) AS idx
+        |  FROM t
+        |), ex AS (
+        |  SELECT doc_id, idx,
+        |         array_to_string(toks[idx*2+1 : idx*2+2], ' ') AS span
+        |  FROM ex0
+        |), kept AS (
+        |  SELECT span, min(doc_id * 1000000 + idx) AS ord FROM ex GROUP BY span
+        |)
+        |SELECT CAST(ord // 1000000 AS BIGINT) AS doc_id,
+        |       string_agg(span, ' ' ORDER BY ord % 1000000) AS text
+        |FROM kept GROUP BY 1
+        |""".stripMargin,
+
+    "pack_plan" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM t
+        |)
+        |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum_before // 256 AS BIGINT) AS pack_id,
+        |       CAST(cum_before % 256 AS BIGINT) AS pack_offset
+        |FROM c
+        |""".stripMargin,
+
+    "mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(regexp_split_to_array(text, ''),
+        |            c -> CAST(ord(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000007) % 1000
+        |      < CASE CAST(substr(source, 4) AS INT) % 3
+        |          WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 800 END
+        |""".stripMargin,
+
+    "quality_select" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT source, doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |                   / length(text) END AS punct_ratio,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be'], x))) AS DOUBLE)
+        |                   / len(toks) END AS stop_ratio
+        |  FROM t
+        |), scored AS (
+        |  SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         round(greatest(0.0,
+        |           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |           + least(stop_ratio * 4.0, 1.0) * 0.3
+        |           - least(punct_ratio * 5.0, 1.0) * 0.2 + 0.2), 6) AS quality
+        |  FROM m
+        |), ranked AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY quality DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM scored
+        |)
+        |SELECT source, doc_id, n_tokens, quality FROM ranked WHERE cum <= 400
         |""".stripMargin
   )
 }

@@ -311,4 +311,43 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // -------------------------------------------------------------------
+  // Span-level (sub-document) dedup
+  // -------------------------------------------------------------------
+
+  /** Corpus-wide span dedup, the C4 move (Raffel et al. 2020 §2.2 dedups
+    * three-sentence spans; reference corpus ops are doc-level only): each
+    * document is cut into consecutive `spanTokens`-token windows, every
+    * span keeps exactly its FIRST corpus occurrence (min (id, position)),
+    * and documents are reassembled from their surviving spans in order.
+    * Documents whose every span appeared earlier vanish entirely.
+    *
+    * Scale shape: the keep-decision is `groupBy(span).agg(min(struct(id,
+    * idx)))` — partial map-side aggregation collapses the popular spans
+    * (boilerplate is exactly the skewed key) before the shuffle, so the
+    * exchange carries near-distinct spans; the rebuild shuffles surviving
+    * spans once on the doc id. Two exchanges total, both combiner-backed —
+    * never a window over raw text and never a self-join. */
+  def dedupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val toks = TextOps.tokens(col(textCol))
+    val nSpans = ceil(size(toks).cast("double") / spanTokens).cast("int")
+    val spans = transform(
+      sequence(lit(0), greatest(nSpans, lit(1)) - 1),
+      i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens))))
+    docs.select(col(idCol), posexplode(spans).as(Seq("__idx", "__span")))
+      .groupBy(col("__span"))
+      .agg(min(struct(col(idCol).as("id"), col("__idx").as("idx"))).as("__first"))
+      .select(col("__first.id").as(idCol), col("__first.idx").as("__idx"),
+        col("__span"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__idx"), col("__span"))))
+        .as("__spans"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__spans"), s => s.getField("__span")))
+          .as(textCol))
+  }
 }

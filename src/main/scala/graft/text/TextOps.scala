@@ -163,6 +163,25 @@ object TextOps {
   def deterministicSampleFilter(text: Column, keep: Int, outOf: Int): Column =
     graft.functions.GraftFunctions.fingerprint64(text) % outOf < keep
 
+  /** Weighted mixture sampling: per-source keep rates in permille, applied
+    * through the same content-hash gate as [[deterministicSampleFilter]] —
+    * the standard way to hit target corpus proportions (up-weight books,
+    * down-weight web) while staying reproducible across partitionings and
+    * reruns. Unknown sources fall back to `defaultPermille`.
+    *
+    * The rate table is a mixture CONFIG (tens of sources), so it inlines as
+    * a codegen'd CASE chain — no join, no shuffle, pure scan. */
+  def weightedSampleFilter(
+      source: Column, text: Column,
+      permille: Map[String, Int], defaultPermille: Int): Column = {
+    require((defaultPermille +: permille.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000), "permille rates must be in [0, 1000]")
+    val rate = permille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (src, p)) => when(source === src, lit(p)).otherwise(acc)
+    }
+    graft.functions.GraftFunctions.fingerprint64(text) % 1000 < rate
+  }
+
   /** Token-count histogram bucket: floor(n_tokens / width), capped at
     * `maxBucket` — corpus length-distribution stats in one aggregation. */
   def tokenHistogramBucket(text: Column, width: Int, maxBucket: Int): Column =

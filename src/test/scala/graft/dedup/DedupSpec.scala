@@ -136,4 +136,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       Seq((20L, "known doc")).toDF("doc_id", "text"), fakeCatalog, "doc_id", "text")
     assert(collides.count() == 1) // kept: fp matched, h2 did not
   }
+
+  test("dedupSpans: every span keeps its first corpus occurrence, in order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d"),     // spans [a b][c d] — both first occurrences
+      (2L, "a b x y"),     // [a b] dups doc1 → survives as "x y"
+      (3L, "c d x y z"),   // [c d],[x y] dup → survives as lone "z"
+      (4L, "a b"),         // every span seen before → doc vanishes
+      (5L, "b c a b")      // [b c] fresh, [a b] dup → "b c"
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(corpus, "doc_id", "text", spanTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a b c d", 2L -> "x y", 3L -> "z", 5L -> "b c"))
+
+    // corpus-wide invariant on real data: surviving spans are globally
+    // unique — re-deriving (span → occurrences) from the output finds no
+    // span kept twice, and the kept span multiset equals the distinct
+    // input span set
+    val docs = docsWithDups
+    val deduped = Dedup.dedupSpans(docs, "doc_id", "text", spanTokens = 2)
+    def spans(df: org.apache.spark.sql.DataFrame) = {
+      val toks = graft.text.TextOps.tokens(col("text"))
+      val n = ceil(size(toks).cast("double") / 2).cast("int")
+      df.select(col("doc_id"), explode(transform(
+        sequence(lit(0), greatest(n, lit(1)) - 1),
+        i => concat_ws(" ", slice(toks, i * 2 + 1, lit(2))))).as("span"))
+    }
+    val keptSpans = spans(deduped)
+    assert(keptSpans.groupBy("span").count().filter(col("count") > 1).isEmpty)
+    assert(keptSpans.select("span").distinct().count()
+      == spans(docs).select("span").distinct().count())
+  }
 }

@@ -1,0 +1,132 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class PackingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docsDf = {
+    import spark.implicits._
+    graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+  }
+
+  test("packPlan matches a sequential fold over (source, doc_id) order") {
+    val got = Packing.packPlan(docsDf, "doc_id", "text", "source", tokenBudget = 64)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset")))
+      .toMap
+
+    // reference: per source in doc_id order, running token offset
+    val rows = got.toSeq.map { case ((s, id), (n, _, _)) => (s, id, n) }
+      .sortBy { case (s, id, _) => (s, id) }
+    var cum = Map.empty[String, Long].withDefaultValue(0L)
+    rows.foreach { case (s, id, n) =>
+      val before = cum(s)
+      assert(got((s, id)) == ((n, before / 64, before % 64)),
+        s"doc $id in $s: got ${got((s, id))}, cum_before $before")
+      cum = cum.updated(s, before + n)
+    }
+    assert(got.values.forall(_._3 < 64))
+    assert(got.nonEmpty)
+  }
+
+  test("packPlanSharded: offsets bounded, pack ids disjoint across shards") {
+    val planned = Packing.packPlanSharded(
+      docsDf, "doc_id", "text", "source", tokenBudget = 64, nShards = 4)
+    val rows = planned.collect()
+    assert(rows.length == docsDf.count())
+    assert(rows.forall(_.getAs[Long]("pack_offset") < 64))
+    // every (source, pack_id) belongs to exactly one shard
+    val shardsPerPack = rows
+      .groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("pack_id")))
+      .map { case (_, g) => g.map(_.getAs[Long]("shard")).distinct.length }
+    assert(shardsPerPack.forall(_ == 1))
+    // shard pack-id RANGES are disjoint and ordered by shard within each
+    // source (ids inside a range may legitimately skip — a doc longer
+    // than the budget spans packs no later doc starts in)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, g) =>
+      val ranges = g.groupBy(_.getAs[Long]("shard")).toSeq
+        .map { case (sh, rs) =>
+          val ids = rs.map(_.getAs[Long]("pack_id"))
+          (sh, ids.min, ids.max)
+        }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, _, hiPrev), (_, loNext, _)) =>
+          assert(hiPrev < loNext, s"source $s shard ranges overlap")
+        case _ =>
+      }
+      assert(ranges.map(_._2).min == 0L, s"source $s does not start at pack 0")
+    }
+    // within a shard, same sequential-fold law as packPlan
+    val byShard = rows.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("shard")))
+    byShard.foreach { case (_, g) =>
+      val inOrder = g.sortBy(_.getAs[Long]("doc_id"))
+      var before = 0L
+      inOrder.foreach { r =>
+        assert(r.getAs[Long]("pack_offset") == before % 64)
+        before += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("selectUnderTokenBudget keeps exactly the maximal quality-ranked prefix") {
+    val budget = 200L
+    val got = Packing.selectUnderTokenBudget(
+        docsDf, "doc_id", "text", "source", tokenBudget = budget)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .toSet
+
+    val scored = docsDf.select(col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n"), r.getAs[Double]("q")))
+
+    val expected = scored.groupBy(_._1).toSeq.flatMap { case (s, g) =>
+      val ranked = g.sortBy { case (_, id, _, q) => (-q, id) }
+      var cum = 0L
+      ranked.takeWhile { case (_, _, n, _) => cum += n; cum <= budget }
+        .map { case (_, id, _, _) => (s, id) }.toSeq
+    }.toSet
+    assert(got == expected)
+    // budget actually binds: every source kept strictly fewer than all docs
+    val keptPerSource = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val allPerSource = scored.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(keptPerSource.values.sum < allPerSource.values.sum)
+  }
+
+  test("weightedSampleFilter: rate endpoints, gate parity, repartition-stable") {
+    val d = docsDf
+    val none = d.filter(TextOps.weightedSampleFilter(
+      col("source"), col("text"), Map.empty, defaultPermille = 0)).count()
+    val all = d.filter(TextOps.weightedSampleFilter(
+      col("source"), col("text"), Map.empty, defaultPermille = 1000)).count()
+    assert(none == 0 && all == d.count())
+
+    // uniform 300‰ map ≡ the raw fingerprint gate
+    val viaMap = d.filter(TextOps.weightedSampleFilter(
+      col("source"), col("text"),
+      (0 until 20).map(i => s"src$i" -> 300).toMap, defaultPermille = 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaGate = d.filter(
+      graft.functions.GraftFunctions.fingerprint64(col("text")) % 1000 < 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaMap == viaGate)
+
+    // content-hash gate is partitioning-independent (reproducible sampling)
+    val repart = d.repartition(13).filter(TextOps.weightedSampleFilter(
+      col("source"), col("text"),
+      (0 until 20).map(i => s"src$i" -> 300).toMap, defaultPermille = 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == viaMap)
+
+    require(
+      try { TextOps.weightedSampleFilter(col("s"), col("t"), Map("a" -> 1001), 0); false }
+      catch { case _: IllegalArgumentException => true })
+  }
+}
