@@ -108,6 +108,30 @@ object StatefulOps {
       }
   }
 
+  /** Streaming sessionization: Spark's native `session_window` over an
+    * unbounded event stream — sessions merge on overlap as events arrive
+    * and FINALIZE (append-mode emit) once the watermark passes the
+    * session's gap-extended end. Same output columns as the batch
+    * `sessionize` declared query, so batch/stream parity is directly
+    * testable: run both over the same events and the closed sessions must
+    * agree exactly.
+    *
+    * Scale: state per in-flight session is one (key, window, aggregates)
+    * row in the state store, merged by the engine; the watermark bounds
+    * retention — state holds only sessions still open within the lateness
+    * horizon, independent of stream length. */
+  def sessionizeStream(
+      events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("session_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
   /** Event-time windowed counts with a watermark: late events beyond the
     * watermark are dropped, windows finalize once the watermark passes.
     * (The CDC path needs no watermark — WAL order forbids lateness — but

@@ -46,6 +46,39 @@ object TrainingPipeline {
       sum(col("n_tokens")).as("total_tokens"),
       round(avg(col("quality")), 6).as("avg_quality"))
 
+  /** Streaming curation: the same filter chain as [[curate]] applied to an
+    * unbounded document stream, with exact dedup held in keyed streaming
+    * state ([[graft.streaming.StatefulOps.dedupStream]] — 8-byte content
+    * hashes per distinct doc, never texts). A doc is emitted at its FIRST
+    * arrival if it passes the language/quality gates; later identical
+    * arrivals drop, across micro-batches, forever.
+    *
+    * Filters run BEFORE the stateful dedup, so rejected docs never touch
+    * the state store — state grows with the curated rate, not the ingest
+    * rate. Emits the same per-doc stat columns as [[curate]]. */
+  def curateStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val text = col(textCol)
+    val filtered = docs
+      .filter(TextOps.langId(text) === lang)
+      .filter(TextOps.qualityScore(text) >= minQuality)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.GraftFunctions.fingerprint64(text).as("fp"),
+        text.as("text"))
+      .as(Encoders.product[graft.streaming.SeenDoc])
+    graft.streaming.StatefulOps.dedupStream(filtered)
+      .toDF()
+      .select(col("doc_id").as(idCol),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("lang_pred"))
+  }
+
   /** The full curation chain including near-dedup: filters + exact dedup
     * ([[curate]]), then MinHash+LSH candidate pairs resolved into
     * clusters with one canonical survivor each ([[Dedup

@@ -126,4 +126,83 @@ class StatefulOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
     got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
   }
+
+  test("sessionizeStream: closed sessions match batch session_window exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("user_id"), col("value"))
+    val rows = events.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    val maxTs = rows.map(_._1.getTime).max
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = StatefulOps.sessionizeStream(
+        input.toDS().toDF("ts", "user_id", "value"),
+        "ts", "user_id", "value", gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_mem")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    input.addData(rows.toSeq)
+    q.processAllAvailable()
+    // two sentinel batches: the first advances the watermark past every
+    // real session's gap-extended end, the second gives the engine a batch
+    // in which to emit the remaining closed sessions
+    val sentinel1 = (new java.sql.Timestamp(maxTs + 86400000L), -1L, 0.0)
+    val sentinel2 = (new java.sql.Timestamp(maxTs + 86500000L), -1L, 0.0)
+    input.addData(sentinel1); q.processAllAvailable()
+    input.addData(sentinel2); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_mem").collect()
+      .filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val want = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+      .select(col("user_id"), col("session_window.start"),
+        col("n_events"), col("session_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == want, s"stream ${got.size} sessions vs batch ${want.size}")
+  }
+
+  test("curateStream: streaming curation equals batch curate, dups drop across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(100).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // planted dups arrive AFTER their originals (higher ids, second batch)
+    val dups = base.take(10).map { case (id, t) => (id + 100000L, t) }
+    val corpus = (base ++ dups).sortBy(_._1)
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.text.TrainingPipeline.curateStream(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        lang = "en", minQuality = 0.5)
+      .writeStream.format("memory").queryName("curate_mem")
+      .outputMode(OutputMode.Append())
+      .start()
+    val (b1, b2) = corpus.splitAt(60)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("curate_mem").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    val want = graft.text.TrainingPipeline.curate(
+        corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        lang = "en", minQuality = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // no planted dup survived (their originals arrived first)
+    assert(!got.exists(_._1 >= 100000L))
+  }
 }
