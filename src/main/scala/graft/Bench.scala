@@ -41,7 +41,7 @@ object Bench {
       "cdc_user_state", "q1_agg", "q3_join", "q5_region",
       "q6_selective", "q18_large_orders", "q4_priority",
       "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
-      "embed_topk", "embed_topk_lsh", "embed_topk_ivf",
+      "embed_topk", "embed_topk_lsh", "embed_topk_ivf", "embed_topk_q8",
       "text_metrics", "rep_ratios", "decontam_overlap",
       "doc_fingerprint", "curate_docs", "asof_click_purchase",
       "sessionize", "source_profile",

@@ -52,6 +52,9 @@ object SparkEntry {
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  private val q8Stats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+
   /** One per implemented operator from SURVEY.md sec 2 + pipeline layer. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----------------------------------------------------------------- CDC
@@ -277,6 +280,19 @@ object SparkEntry {
         _ => Similarity.ivfTrainAuto(e, "embedding", nLists = 8))
       Similarity.ivfTopKTrained(e, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, centroids, nProbe = 3)
+    }),
+
+    // Int8-quantized brute-force top-k: the corpus scans 1-byte codes
+    // (4× scan-byte reduction at 100 TB). Rows-only; reconstruction error
+    // bound and recall vs float cosine pinned by QuantizeSpec.
+    "embed_topk_q8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (lo, hi) = q8Stats.computeIfAbsent(dir,
+        _ => graft.sim.Quantize.dimStats(e, "embedding"))
+      val coded = graft.sim.Quantize.quantize(e, "embedding", lo, hi)
+      graft.sim.Quantize.bruteForceTopKQuantized(
+        coded, coded.filter(col("vec_id") % 100 === 0),
+        "vec_id", "qcodes", lo, hi, k = 10)
     }),
 
     // --------------------------------------------------------- text ops
