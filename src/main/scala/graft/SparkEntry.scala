@@ -370,6 +370,20 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Incremental NEAR-dedup: new crawl (id % 3 != 0) against the LSH
+    // signature catalog of the existing corpus (id % 3 == 0) — corpus
+    // text never re-read. Rows-only (banding isn't portable SQL); exact
+    // drop-rule equality pinned by DedupSpec's local signature oracle.
+    "neardedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val catalog = Dedup.minhashNearCatalog(
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      Dedup.dedupNearIncremental(
+        d.filter(col("doc_id") % 3 =!= 0), catalog, "doc_id", "text",
+        jaccardThreshold = 0.8)
+        .select(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals: duplicated-token and duplicated-
     // 2-gram fractions per doc. Pure scan, zero shuffles.
     "rep_ratios" -> ((s, dir) => {

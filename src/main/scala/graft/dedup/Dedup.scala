@@ -168,6 +168,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** Persistent NEAR-dup catalog of a corpus: one (id, minhash signature)
+    * row per doc — `4k` bytes each, never the text. Signatures are
+    * sufficient state: band keys re-derive from signature slices, so the
+    * incremental path needs no separate bucket table and the catalog
+    * appends cheaply crawl over crawl. */
+  def minhashNearCatalog(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    withMinhashSignature(docs, textCol, shingleSize, bands * rowsPerBand)
+      .select(col(idCol).as("id"), col("__sig"))
+
+  private def bandKeys(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col("id"), col("__sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
+  /** Incremental near-dedup: drop new-crawl docs whose estimated Jaccard
+    * against ANY catalog doc clears the threshold, then collapse the
+    * in-batch near-dup clusters among what remains. Returns the surviving
+    * (idCol, textCol) rows; append [[minhashNearCatalog]] of the survivors
+    * to the catalog for the next crawl.
+    *
+    * Scale shape: corpus text is never read — both sides band from
+    * signatures and meet in ONE shuffle join on (band, band_key); matched
+    * pairs carry ids only and the signature re-join confirms the estimate
+    * per distinct pair. Hot buckets are a catalog-quality problem, the
+    * same valve ([[minhashCandidatePairs]] `maxBucketSize`) applies to the
+    * in-batch half; the cross join stays linear in bucket occupancy under
+    * AQE skew handling. */
+  def dedupNearIncremental(
+      newDocs: DataFrame, catalog: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val newSig = minhashNearCatalog(
+      newDocs, idCol, textCol, shingleSize, bands, rowsPerBand).localCheckpoint()
+    val newBanded = bandKeys(newSig, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col("id").as("new_id"))
+    val oldBanded = bandKeys(catalog, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col("id").as("old_id"))
+
+    val hits = newBanded.join(oldBanded, Seq("band", "band_key"))
+      .select(col("new_id"), col("old_id")).dropDuplicates("new_id", "old_id")
+      .join(newSig.select(col("id").as("new_id"), col("__sig").as("sig_n")), "new_id")
+      .join(catalog.select(col("id").as("old_id"), col("__sig").as("sig_o")), "old_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_n"), col("sig_o"), (x, y) => x === y),
+          b => b)).cast(DoubleType) / lit(k.toDouble))
+      .filter(col("est_jaccard") >= jaccardThreshold)
+      .select(col("new_id").as(idCol)).distinct()
+
+    val fresh = newDocs.join(hits, Seq(idCol), "left_anti")
+    val inBatchPairs = minhashCandidatePairs(
+      fresh, idCol, textCol, shingleSize, bands, rowsPerBand, jaccardThreshold)
+    dedupNearByClusters(fresh, idCol, inBatchPairs)
+  }
+
   // -------------------------------------------------------------------
   // Exact n-gram Jaccard (verification / small-candidate-set refinement)
   // -------------------------------------------------------------------

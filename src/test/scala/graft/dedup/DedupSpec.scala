@@ -137,6 +137,59 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(collides.count() == 1) // kept: fp matched, h2 did not
   }
 
+  test("incremental near-dedup: catalog matches drop, in-batch clusters collapse") {
+    import spark.implicits._
+    val base = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val corpus = base.filter($"doc_id" < 250)
+    val catalog = Dedup.minhashNearCatalog(corpus, "doc_id", "text")
+    assert(catalog.columns.toSeq == Seq("id", "__sig"))
+
+    // new crawl: near-copies of catalog docs (one word appended), fresh
+    // docs (ids >= 250 are distinct texts), and an in-batch near-dup pair
+    val nearOld = corpus.filter($"doc_id" < 10)
+      .select(($"doc_id" + 50000).as("doc_id"), concat($"text", lit(" appended")).as("text"))
+    val freshBase = base.filter($"doc_id" >= 250 && $"doc_id" < 300)
+    val inBatchDup = freshBase.filter($"doc_id" === 260)
+      .select(($"doc_id" + 60000).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+    val crawl = nearOld.unionByName(freshBase).unionByName(inBatchDup)
+
+    val survivors = Dedup.dedupNearIncremental(
+        crawl, catalog, "doc_id", "text", jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // every near-copy of a catalog doc dropped; the planted in-batch dup
+    // lost to its (smaller-id) original
+    assert(survivors.intersect((50000L until 50010L).toSet).isEmpty)
+    assert(!survivors.contains(60260L))
+
+    // exact-equality oracle, replicated locally from the signatures: a
+    // crawl doc drops iff it SHARES A BAND and estimates >= threshold
+    // against a catalog doc; remaining docs cluster the same way in-batch
+    // and keep the min id per component (all deterministic)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashNearCatalog(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val cSig = sigs(corpus); val nSig = sigs(crawl)
+    def bandsOf(s: Array[Long]) =
+      s.grouped(4).take(16).map(_.toSeq).zipWithIndex.map(_.swap).toSet
+    def est(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / 64.0
+    def near(a: Array[Long], b: Array[Long]) =
+      bandsOf(a).intersect(bandsOf(b)).nonEmpty && est(a, b) >= 0.8
+    val hit = nSig.keySet.filter(n => cSig.values.exists(near(nSig(n), _)))
+    val fresh = nSig.keySet -- hit
+    // union-find over in-batch near pairs
+    val parent = scala.collection.mutable.Map(fresh.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- fresh; b <- fresh if a < b && near(nSig(a), nSig(b)))
+      { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expected = fresh.filter(i => find(i) == i)
+    assert(survivors == expected,
+      s"extra=${(survivors -- expected).take(5)} missing=${(expected -- survivors).take(5)}")
+  }
+
   test("dedupSpans: every span keeps its first corpus occurrence, in order") {
     import spark.implicits._
     val corpus = Seq(
