@@ -39,7 +39,7 @@ object Bench {
 
     val headline = Seq(
       "cdc_user_state", "q1_agg", "q3_join", "q5_region",
-      "q6_selective", "q18_large_orders", "q4_priority",
+      "q6_selective", "q18_large_orders", "q4_priority", "q14_promo", "q10_returns",
       "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf", "embed_topk_q8",
       "text_metrics", "rep_ratios", "decontam_overlap",

@@ -220,6 +220,47 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Promo revenue share (TPC-H Q14 shape): one selective month of the
+    // fact table broadcast-joins the part dim; conditional decimal sums,
+    // one division at the end. Date filter reaches the scan.
+    "q14_promo" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.read(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          (lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double"))
+            / sum(rev).cast("double"), 6).as("promo_revenue_pct"))
+    }),
+
+    // Returned-item report (TPC-H Q10 shape): selective fact filter, one
+    // shuffle on the customer key, dims broadcast AFTER the agg shrinks
+    // the row count, deterministic top-20.
+    "q10_returns" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val orders = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .join(broadcast(Tables.read(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.read(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Semi-join existence test (TPC-H Q4 shape): orders with at least one
     // late-shipped line, counted per priority. LEFT SEMI keeps the probe
     // side un-duplicated — no fact-side explosion before the agg.
@@ -641,6 +682,38 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07
         |  AND l_quantity < 24
+        |""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT round(
+        |  100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |  6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'
+        |""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal, revenue FROM (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY o_custkey
+        |)
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20
         |""".stripMargin,
 
     "q18_large_orders" ->
