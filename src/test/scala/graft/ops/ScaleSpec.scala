@@ -131,4 +131,45 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
   }
+
+  test("q14: month window pushed to the fact scan; part broadcasts") {
+    val q = graft.SparkEntry.queries("q14_promo")(spark, "/root/testdata/sf0.001")
+    val scans = q.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val li = scans.find(_.schema.fieldNames.contains("l_shipdate"))
+      .getOrElse(fail("no lineitem scan"))
+    val pushed = li.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"), s"date window not pushed: $pushed")
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("q10: selective filters pushed; agg shrinks rows before dims broadcast") {
+    val q = graft.SparkEntry.queries("q10_returns")(spark, "/root/testdata/sf0.001")
+    val scans = q.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val li = scans.find(_.schema.fieldNames.contains("l_returnflag"))
+      .getOrElse(fail("no lineitem scan"))
+    assert(li.metadata("PushedFilters").contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed: ${li.metadata("PushedFilters")}")
+    val ord = scans.find(_.schema.fieldNames.contains("o_orderdate"))
+      .getOrElse(fail("no orders scan"))
+    assert(ord.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate"),
+      s"date not pushed: ${ord.metadata("PushedFilters")}")
+    val plan = q.queryExecution.executedPlan.toString
+    // customer/nation joins are broadcast; the only exchanges are the agg
+    // shuffle on the customer key and ordering for the top-k
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+  }
+
+  test("quantized ANN corpus scans tinyint codes, not float vectors") {
+    val q = graft.SparkEntry.queries("embed_topk_q8")(spark, "/root/testdata/sf0.001")
+    // scoring reads only the code arrays: the cosine expression must
+    // reference no float-typed embedding column post-quantization
+    val plan = q.queryExecution.analyzed.toString
+    assert(plan.contains("qcodes"), s"no quantized codes in plan:\n$plan")
+    assert(q.count() > 0)
+  }
 }
