@@ -132,6 +132,37 @@ object StatefulOps {
         col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: each left event pairs with every right
+    * event of the same key whose timestamp falls in
+    * `[left.ts − lookback, left.ts]` — the enrichment join (clicks × the
+    * purchases that preceded them) as a genuine two-stream join, not a
+    * static lookup. LEFT OUTER: a left event with no right match within
+    * the interval emits once with nulls after the watermark proves no
+    * match can still arrive.
+    *
+    * Scale: both sides carry watermarks and the time bound is two-sided,
+    * so the engine evicts right-side state older than `lookback` plus the
+    * lateness horizon and left-side state once matched-or-expired — state
+    * is bounded by (rate × window), not stream length. One shuffle per
+    * side on the key.
+    *
+    * Output columns: leftCols* (prefixed `l_`), rightCols* (prefixed
+    * `r_`, null for unmatched). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      lookback: String, watermark: String): DataFrame = {
+    val l = left.columns.foldLeft(left) { (d, c) => d.withColumnRenamed(c, s"l_$c") }
+      .withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right) { (d, c) => d.withColumnRenamed(c, s"r_$c") }
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $lookback") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol"),
+      "leftOuter")
+  }
+
   /** Event-time windowed counts with a watermark: late events beyond the
     * watermark are dropped, windows finalize once the watermark passes.
     * (The CDC path needs no watermark — WAL order forbids lateness — but

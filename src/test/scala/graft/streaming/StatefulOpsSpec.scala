@@ -171,6 +171,58 @@ class StatefulOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"stream ${got.size} sessions vs batch ${want.size}")
   }
 
+  test("intervalJoin: stream-stream left outer equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0).getTime
+
+    val inL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val inR = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q = StatefulOps.intervalJoin(
+        inL.toDS().toDF("event_id", "user_id", "ts"),
+        inR.toDS().toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", lookback = "1 hour", watermark = "0 seconds")
+      .select(col("l_event_id"), col("r_event_id"))
+      .writeStream.format("memory").queryName("ij_mem")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    inL.addData(clicks.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))))
+    inR.addData(purchases.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))))
+    q.processAllAvailable()
+    // sentinels drive the watermark past every real event so unmatched
+    // left rows flush; two rounds as with sessionizeStream
+    (1 to 2).foreach { i =>
+      inL.addData(Seq((-i.toLong, -1L, new java.sql.Timestamp(maxTs + i * 86400000L))))
+      inR.addData(Seq((-i.toLong, -1L, new java.sql.Timestamp(maxTs + i * 86400000L), 0.0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("ij_mem").collect()
+      .filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val want = clicks.toDF("event_id", "user_id", "ts")
+      .join(purchases.toDF("p_event_id", "p_user_id", "p_ts", "value"),
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("ts") - expr("INTERVAL 1 hour") &&
+          col("p_ts") <= col("ts"),
+        "leftOuter")
+      .select(col("event_id"), col("p_event_id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+    assert(want.exists(_._2 >= 0) && want.exists(_._2 == -1L),
+      "fixture must exercise both matched and unmatched rows")
+  }
+
   test("curateStream: streaming curation equals batch curate, dups drop across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
