@@ -42,7 +42,7 @@ object Bench {
       "q6_selective", "q18_large_orders", "q4_priority", "q14_promo", "q10_returns",
       "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf", "embed_topk_q8",
-      "text_metrics", "rep_ratios", "decontam_overlap",
+      "text_metrics", "rep_ratios", "decontam_overlap", "bm25_topk",
       "doc_fingerprint", "curate_docs", "asof_click_purchase",
       "sessionize", "source_profile",
       "span_dedup", "pack_plan", "mixture_sample", "quality_select")

@@ -449,6 +449,13 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         GraftFunctions.fingerprint64(col("text")).as("fp"))),
 
+    // BM25 keyword retrieval (the lexical half of hybrid search): top-25
+    // docs for a 3-term query, deterministic fixed-order term-score sum.
+    "bm25_topk" -> ((s, dir) =>
+      graft.text.Search.bm25TopK(
+        docs(s, dir), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 25)),
+
     // Deterministic content-hash sampling (reproducible train/eval split).
     "sample_deterministic" -> ((s, dir) =>
       docs(s, dir)
@@ -1036,6 +1043,39 @@ object SparkEntry {
         |       to_base64(encode(event_type)) AS b64,
         |       date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_from_millis
         |FROM events
+        |""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, toks, len(toks) AS dl FROM base
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d
+        |), tok AS (
+        |  SELECT doc_id, dl, unnest(toks) AS term FROM d
+        |), tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE term IN ('spark', 'window', 'merge')
+        |  GROUP BY doc_id, dl, term
+        |), dfreq AS (
+        |  SELECT term AS dterm, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        |), w AS (
+        |  SELECT doc_id, term,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * tf * (1.2 + 1.0)
+        |           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS w
+        |  FROM tf JOIN dfreq ON term = dterm CROSS JOIN stats
+        |)
+        |SELECT doc_id, round(
+        |    coalesce(sum(CASE WHEN term = 'spark' THEN w END), 0)
+        |  + coalesce(sum(CASE WHEN term = 'window' THEN w END), 0)
+        |  + coalesce(sum(CASE WHEN term = 'merge' THEN w END), 0), 6) AS score
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 25
         |""".stripMargin,
 
     // span ordering key doc_id*1000000+idx ≡ lexicographic (doc_id, idx)
