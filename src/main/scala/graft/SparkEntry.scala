@@ -449,6 +449,12 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         GraftFunctions.fingerprint64(col("text")).as("fp"))),
 
+    // Winnowing fingerprints: per-doc distinct window-min rolling hashes
+    // (position-robust substring fingerprints), exploded to (doc, fp).
+    "winnow_fp" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        explode(TextOps.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))),
+
     // BM25 keyword retrieval (the lexical half of hybrid search): top-25
     // docs for a 3-term query, deterministic fixed-order term-score sum.
     "bm25_topk" -> ((s, dir) =>
@@ -1043,6 +1049,32 @@ object SparkEntry {
         |       to_base64(encode(event_type)) AS b64,
         |       date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_from_millis
         |FROM events
+        |""".stripMargin,
+
+    "winnow_fp" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 8 THEN
+        |      [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_split_to_array(text, ''),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 1000000007)]
+        |    ELSE list_transform(range(1, length(text) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(regexp_split_to_array(substr(text, CAST(i AS INT), 8), ''),
+        |               c -> CAST(ord(c) AS BIGINT))),
+        |             (h, c) -> (h * 31 + c) % 1000000007))
+        |    END AS hashes
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hashes) <= 4 THEN [list_min(hashes)]
+        |         ELSE list_transform(range(1, len(hashes) - 2),
+        |           j -> list_min(hashes[CAST(j AS INT) : CAST(j + 3 AS INT)]))
+        |    END AS mins
+        |  FROM h
+        |)
+        |SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
         |""".stripMargin,
 
     "bm25_topk" ->

@@ -182,6 +182,31 @@ object TextOps {
     graft.functions.GraftFunctions.fingerprint64(text) % 1000 < rate
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    * hash every k-char window, then keep the MINIMUM hash of each run of
+    * `w` consecutive window hashes. The selected set is position-robust —
+    * any shared substring of length ≥ k + w − 1 guarantees a shared
+    * fingerprint — which whole-document hashing cannot give. Ties select
+    * by value alone (the set of selected values is identical either way;
+    * only positions differ, and this returns the distinct value set).
+    *
+    * Pure column expression: O(len·k) hashing + O(len·w) window minima in
+    * one codegen'd scan, no shuffle. Texts shorter than k yield the hash
+    * of the whole text. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val hashes = when(length(text) < k,
+        array(graft.functions.GraftFunctions.fingerprint64(text)))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => graft.functions.GraftFunctions.fingerprint64(text.substr(i, lit(k)))))
+    val mins = when(size(hashes) <= w, array(array_min(hashes)))
+      .otherwise(transform(
+        sequence(lit(1), size(hashes) - (w - 1)),
+        j => array_min(slice(hashes, j, lit(w)))))
+    array_distinct(mins)
+  }
+
   /** Token-count histogram bucket: floor(n_tokens / width), capped at
     * `maxBucket` — corpus length-distribution stats in one aggregation. */
   def tokenHistogramBucket(text: Column, width: Int, maxBucket: Int): Column =

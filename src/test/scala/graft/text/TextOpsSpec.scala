@@ -107,4 +107,41 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     val plan = flags.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
   }
+
+  test("winnowing: matches the local model; shared substrings guarantee overlap") {
+    import spark.implicits._
+    val k = 8; val w = 4
+    def localPoly(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    def localWinnow(s: String): Set[Long] = {
+      val hashes =
+        if (s.length < k) Seq(localPoly(s))
+        else (0 to s.length - k).map(i => localPoly(s.substring(i, i + k)))
+      val mins =
+        if (hashes.length <= w) Seq(hashes.min)
+        else hashes.sliding(w).map(_.min).toSeq
+      mins.toSet
+    }
+
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a totally different sentence with other words"),
+      // doc 3 embeds a ≥ k+w−1 = 11-char run of doc 1
+      (3L, "XYZ quick brown fox QRS"),
+      (4L, "short"),  // < k → whole-text hash
+      (5L, ""))
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.winnowFingerprints(col("text"), k, w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+    texts.foreach { case (id, t) =>
+      assert(got(id) == localWinnow(t), s"doc $id mismatch") }
+    // the winnowing guarantee: shared substring of length ≥ k+w−1 ⇒
+    // at least one shared selected fingerprint
+    assert(got(1L).intersect(got(3L)).nonEmpty)
+    // unrelated docs share nothing here
+    assert(got(1L).intersect(got(2L)).isEmpty)
+    assert(got(4L) == Set(localPoly("short")))
+  }
 }
