@@ -449,6 +449,24 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         GraftFunctions.fingerprint64(col("text")).as("fp"))),
 
+    // Dataset-card rollup: doc counts / total quality / total tokens per
+    // (source, lang) and every CUBE margin — one grouping-sets pass over
+    // a single scan (the "corpus report" a curation run publishes).
+    // Decimal-cast quality sum keeps the double aggregation exact.
+    "corpus_cube" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("lang"),
+          TextOps.qualityScore(col("text")).as("q"),
+          TextOps.tokenCount(col("text")).as("nt"))
+        .cube(col("source"), col("lang"))
+        .agg(
+          // grouping() markers must be agg expressions in Spark
+          grouping(col("source")).cast("int").as("g_source"),
+          grouping(col("lang")).cast("int").as("g_lang"),
+          count(lit(1)).as("n_docs"),
+          sum(col("q").cast("decimal(18,6)")).cast("double").as("total_quality"),
+          sum(col("nt").cast("long")).as("total_tokens"))),
+
     // Winnowing fingerprints: per-doc distinct window-min rolling hashes
     // (position-robust substring fingerprints), exploded to (doc, fp).
     "winnow_fp" -> ((s, dir) =>
@@ -1049,6 +1067,40 @@ object SparkEntry {
         |       to_base64(encode(event_type)) AS b64,
         |       date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_from_millis
         |FROM events
+        |""".stripMargin,
+
+    "corpus_cube" ->
+      """WITH t AS (
+        |  SELECT source, lang, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT source, lang,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS nt,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |                   / length(text) END AS punct_ratio,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be'], x))) AS DOUBLE)
+        |                   / len(toks) END AS stop_ratio
+        |  FROM t
+        |), scored AS (
+        |  SELECT source, lang, nt,
+        |         round(greatest(0.0,
+        |           least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.5
+        |           + least(stop_ratio * 4.0, 1.0) * 0.3
+        |           - least(punct_ratio * 5.0, 1.0) * 0.2 + 0.2), 6) AS q
+        |  FROM m
+        |)
+        |SELECT source, lang,
+        |       CAST(GROUPING(source) AS INT) AS g_source,
+        |       CAST(GROUPING(lang) AS INT) AS g_lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS total_quality,
+        |       CAST(sum(nt) AS BIGINT) AS total_tokens
+        |FROM scored
+        |GROUP BY CUBE(source, lang)
         |""".stripMargin,
 
     "winnow_fp" ->
