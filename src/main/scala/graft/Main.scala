@@ -123,6 +123,7 @@ object Main {
     val info = connInfo(url, conn.username, conn.password, Some("org.postgresql.Driver"))
       .copy(queryTimeoutMillis = config.peekChangesTimeoutMillis)
     val client = new JdbcClient(info)
+    val tableClients = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
     try {
       // S5: column list + PK membership through the reference's catalog SQL
       val tableInfos = pg.tables.map { tbl =>
@@ -152,7 +153,8 @@ object Main {
       }
       val tables = tableInfos.map { case (tbl, columns, _) =>
         tbl.table_name -> TableSpec(
-          columns, targetBatchSink(spark, config, columns, tbl.qualifiedName),
+          columns,
+          targetBatchSink(spark, config, columns, tbl.qualifiedName, tableClients),
           tbl.mask_columns.toSet)
       }.toMap
       // slot advance rides the offset commit — AFTER all table writes
@@ -167,13 +169,22 @@ object Main {
           else JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)())
       }.toMap)
       if (!config.disableSyncLoop) pipe.syncLoop()
-    } finally client.close()
+    } finally {
+      // every per-table target client alongside the source client — the
+      // sinks live as long as the pipe, so this is the one release point
+      tableClients.foreach(c => try c.close() catch { case _: Exception => () })
+      client.close()
+    }
   }
 
-  /** Per-table [[graft.pipe.BatchSink]] for the configured target. */
+  /** Per-table [[graft.pipe.BatchSink]] for the configured target. Live
+    * targets open one [[JdbcClient]] per routed table for the lifetime of
+    * the (run-forever) pipe; it is registered with `closers` so the caller
+    * can release every connection when the pipe exits. */
   private def targetBatchSink(
       spark: SparkSession, config: PipeConfig,
-      columns: Seq[CHColumn], pipeName: String): graft.pipe.BatchSink = {
+      columns: Seq[CHColumn], pipeName: String,
+      closers: scala.collection.mutable.Buffer[AutoCloseable]): graft.pipe.BatchSink = {
     implicit val s: SparkSession = spark
     config.target.target_type match {
       case "parquet" =>
@@ -186,6 +197,7 @@ object Main {
         val (tc, dialect) = targetJdbc(config, pipeName)
         val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
         val client = new JdbcClient(info)
+        closers += client
         val sink = new StatementSink(tc.database, tc.table, columns,
           client.execute, Set.empty, config.copyBatchSize, dialect,
           insertExec = if (tc.distributed_inserts) Some(info) else None)

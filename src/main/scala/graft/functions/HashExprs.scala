@@ -27,6 +27,16 @@ object GraftHash {
     h
   }
 
+  /** xxHash64 over UTF-8 bytes, seed 42 — the same function and seed as
+    * Spark's `xxhash64` SQL function, so a hash computed here (e.g. the
+    * streaming-dedup content hash) agrees with a column computed by
+    * `xxhash64(col)` (e.g. the dedup catalog's `secondKey`). Genuinely
+    * independent of [[fingerprint64]]: a base-31 polynomial collision
+    * carries no information about the xxHash64 values. */
+  def xxh64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
   /** FNV-1a 64-bit over UTF-8 bytes — the per-token hash feeding simhash. */
   def fnv1a64(s: UTF8String): Long = {
     val bytes = s.getBytes

@@ -17,6 +17,19 @@ import graft.sources.CatalogSql
   * `peek_changes_limit` rows on the driver (one slot conversation, like the
   * reference), then distributes them as a DataFrame.
   *
+  * VISIBILITY CONTRACT: the peek protocol assumes `seq` becomes visible in
+  * COMMIT order — true by construction for a replication slot (the WAL is
+  * commit-ordered), NOT automatically true for a plain changelog table
+  * written by concurrent transactions. There, a row with seq n can commit
+  * (and become visible) AFTER seq n+1 was already peeked and its offset
+  * committed — that row is then skipped forever, because every later peek
+  * starts above n. Either guarantee commit-ordered seq assignment at the
+  * endpoint (e.g. assign seq from a post-commit sequencer or a single
+  * writer), or peek behind a stability watermark —
+  * [[JdbcChangelogSource.tablePeekSql]]'s `stabilityHorizon` bounds each
+  * peek at `max(seq) - horizon`, so a transaction is safe as long as it
+  * commits before `horizon` later seqs do.
+  *
   * The snapshot (S1) does NOT go through the single client: it uses Spark's
   * own partitioned JDBC scan (`spark.read.jdbc`), so the bulk copy runs on
   * executors with pushdown — the Spark-native answer to the reference's
@@ -44,9 +57,23 @@ class JdbcChangelogSource(
 
 object JdbcChangelogSource {
   /** Standard SQL peek over a changelog table (runs on any ANSI endpoint;
-    * the integration spec drives it against embedded Derby). */
-  def tablePeekSql(table: String, seqCol: String = "seq"): String =
-    s"SELECT * FROM $table WHERE $seqCol > {after} ORDER BY $seqCol FETCH FIRST {limit} ROWS ONLY"
+    * the integration spec drives it against embedded Derby).
+    *
+    * `stabilityHorizon > 0` guards against non-commit-ordered seq
+    * visibility (see the class scaladoc): the peek reads only up to
+    * `max(seq) - horizon`, leaving the newest `horizon` seqs as an
+    * in-flight buffer for transactions that allocated a seq but have not
+    * committed yet. They are picked up by a later peek once the watermark
+    * passes them. 0 (the default) keeps the exact slot-peek protocol and
+    * REQUIRES commit-ordered seq. */
+  def tablePeekSql(
+      table: String, seqCol: String = "seq", stabilityHorizon: Long = 0L): String =
+    if (stabilityHorizon <= 0L)
+      s"SELECT * FROM $table WHERE $seqCol > {after} ORDER BY $seqCol FETCH FIRST {limit} ROWS ONLY"
+    else
+      s"SELECT * FROM $table WHERE $seqCol > {after} AND $seqCol <= " +
+        s"(SELECT MAX($seqCol) - $stabilityHorizon FROM $table) " +
+        s"ORDER BY $seqCol FETCH FIRST {limit} ROWS ONLY"
 
   /** Partitioned executor-side snapshot scan of a JDBC table. With a
     * numeric PK the scan splits into `numPartitions` range predicates —

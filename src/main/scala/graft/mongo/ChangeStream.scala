@@ -108,8 +108,16 @@ class MongoChangeStreamSource(
     var decoded = raw.map(ChangeStream.decode)
     while (raw.nonEmpty &&
         !decoded.exists(e => ChangeStream.toChangelogRow(e, columns).isDefined)) {
-      decoded.reverseIterator.flatMap(_.resumeToken).take(1)
-        .foreach(tokens.write)
+      val skipToken = decoded.reverseIterator.flatMap(_.resumeToken).take(1).toSeq
+      // a window with NO extractable resume token cannot advance the
+      // cursor: refetching would return the identical window forever.
+      // Every real change-stream document carries `_id` (the token), so
+      // this is a corrupt recording / decoder anomaly — fail loudly
+      // instead of spinning.
+      if (skipToken.isEmpty) throw new IllegalStateException(
+        s"change-stream window of ${raw.size} non-routable event(s) carries no " +
+          "resume token; cannot advance past it (corrupt stream recording?)")
+      skipToken.foreach(tokens.write)
       raw = fetch(tokens.read(), limit)
       decoded = raw.map(ChangeStream.decode)
     }

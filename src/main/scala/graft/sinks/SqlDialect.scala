@@ -45,6 +45,18 @@ trait SqlDialect extends Serializable {
       database: String, table: String,
       columns: Seq[CHColumn], keyRows: Seq[Row]): String
 
+  /** Whether K1 upserts need the batch's upsert KEYS deleted at the target
+    * before the INSERT. ClickHouse's insert-as-append is an upsert by
+    * design (ReplacingMergeTree collapses on the sort key — reference:
+    * `src/pipes/postgres.rs:391-432` just renders INSERTs), so re-sending
+    * a key is harmless there. A generic ANSI endpoint is NOT like that: a
+    * plain INSERT for a key synced in an earlier batch violates the PK
+    * constraint (deterministic write failure → endless replay) or
+    * silently duplicates rows without one. Dialects answering `true` get
+    * a delete-matching-keys pass rendered BEFORE the batch's inserts,
+    * which restores both upsert semantics and replay idempotence. */
+  def upsertRequiresDeleteFirst: Boolean = false
+
   def truncateQuery(database: String, table: String): String
 
   /** K6 emptiness probe: a scalar query whose result is truthy iff the
@@ -163,4 +175,10 @@ object AnsiDialect extends SqlDialect {
 
   override def nonEmptyProbe(database: String, table: String): String =
     s"SELECT COUNT(*) FROM (SELECT 1 AS one FROM $database.$table FETCH FIRST 1 ROWS ONLY) p"
+
+  /** ANSI upsert = delete the batch's keys, then insert: portable MERGE
+    * support is too uneven across JDBC endpoints, and delete-then-insert
+    * inside one batch gives identical final state under the pipe's
+    * last-wins dedup. */
+  override def upsertRequiresDeleteFirst: Boolean = true
 }

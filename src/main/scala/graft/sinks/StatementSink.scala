@@ -95,6 +95,20 @@ class StatementSink(
     // upsert count rides the rendering pass (no separate count() job)
     val ups = CoreOps.dedupLastWinsAgg(
       CoreOps.upserts(batch), pkCols, "seq")
+
+    // Dialects without insert-as-append upsert semantics (ANSI): clear the
+    // batch's upsert keys first, so a key synced in an earlier batch — or
+    // a replay after a partial failure — re-inserts cleanly instead of
+    // violating the PK constraint. Keys are bounded by the peek quantum
+    // and chunked like K2 deletes; runs before the inserts, after the
+    // truncate, preserving the reference's statement order otherwise.
+    if (dialect.upsertRequiresDeleteFirst && pkCols.nonEmpty) {
+      val upKeys = ups.select(pkCols.map(col): _*).collect()
+      upKeys.grouped(deleteChunkSize).foreach { chunk =>
+        execute(dialect.deleteQuery(database, table, columns, chunk.toSeq))
+      }
+    }
+
     val (counted, acc) = countedRows(ups.select(columns.map(c => col(c.name)): _*))
     val stmts = ClickHouseSql.insertStatements(
       counted, database, table, columns, copyBatchSize, maskColumns, dialect)

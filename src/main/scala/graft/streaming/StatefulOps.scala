@@ -28,9 +28,6 @@ case class SeenHashes(hashes: List[Long])
   */
 object StatefulOps {
 
-  /** Salt prepended before hashing so [[contentHash]] is independent of a
-    * caller fingerprint computed as fingerprint64 of the same text. */
-  private val SaltPrefix: String = 1.toChar.toString // 0x01, spelled escape-free
 
   /** CDC state maintained IN the streaming engine (mapGroupsWithState)
     * instead of collapse-at-read: per key and micro-batch, upserts apply
@@ -61,12 +58,18 @@ object StatefulOps {
       }
   }
 
-  /** Salted second hash of the text: independent of the caller's
-    * fingerprint (which is typically fingerprint64 of the same text), so a
-    * within-group false drop needs a simultaneous 2×64-bit collision. */
+  /** Second hash of the text, ALGORITHMICALLY independent of the caller's
+    * fingerprint: xxHash64 (seed 42, = Spark's `xxhash64`), while the group
+    * key is the base-31 polynomial fingerprint64. A salted fingerprint64
+    * is NOT independent — fingerprint64(salt+T) is a pure function of
+    * (len(T), fingerprint64(T)) mod 1e9+7, so same-length texts colliding
+    * on the group key were GUARANTEED to collide on the salted hash too,
+    * silently dropping a distinct document. With a genuinely different
+    * hash family a within-group false drop needs a simultaneous
+    * fingerprint64 + xxHash64 collision. */
   private[streaming] def contentHash(text: String): Long =
-    graft.functions.GraftHash.fingerprint64(
-      org.apache.spark.unsafe.types.UTF8String.fromString(SaltPrefix + text))
+    graft.functions.GraftHash.xxh64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
 
   /** One group's dedup step, pure and unit-testable: returns (hashes to
     * add to state, docs to emit). State sees ONLY content hashes. */
@@ -92,8 +95,10 @@ object StatefulOps {
     * later arrivals drop. State per group is the list of 64-bit content
     * hashes — O(8 bytes × distinct docs), NEVER the document texts, so
     * state growth is independent of corpus byte size. Distinct texts in
-    * one fingerprint group are both kept unless their salted second hash
-    * also collides (≈2⁻⁶⁴ per pair within a group). */
+    * one fingerprint group are both kept unless they ALSO collide under
+    * xxHash64 — an independent hash family, so the joint collision is
+    * vanishingly rare (unlike a salted fingerprint64, which same-length
+    * group-key colliders hit deterministically). */
   def dedupStream(docs: Dataset[SeenDoc]): Dataset[SeenDoc] = {
     import docs.sparkSession.implicits._
     docs

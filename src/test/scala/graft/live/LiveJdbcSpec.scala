@@ -89,6 +89,15 @@ class LiveJdbcSpec extends AnyFunSuite with SparkTestBase {
       assert(src.peekChanges(0, 4).collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
       val b2 = src.peekChanges(4, 100)
       assert(b2.count() == 6 && src.maxSeq(b2).contains(10L))
+
+      // stability watermark: horizon 2 holds back the newest 2 seqs as an
+      // in-flight buffer (non-commit-ordered writers), so the peek tops
+      // out at max(seq) - 2 = 8 regardless of the limit
+      val guarded = new JdbcChangelogSource(c,
+        JdbcChangelogSource.tablePeekSql("changelog", stabilityHorizon = 2),
+        () => spark.emptyDataFrame)(spark)
+      val g = guarded.peekChanges(0, 100)
+      assert(guarded.maxSeq(g).contains(8L) && g.count() == 8)
     } finally c.close()
   }
 
@@ -99,12 +108,14 @@ class LiveJdbcSpec extends AnyFunSuite with SparkTestBase {
       c.execute("CREATE TABLE snap (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
       c.execute("INSERT INTO snap VALUES (1, 'a'), (2, 'b')")
       c.execute("CREATE TABLE changelog (seq BIGINT NOT NULL, op VARCHAR(1) NOT NULL, id BIGINT, v VARCHAR(20))")
-      // new keys only across batches (ANSI PK constraint: INSERT is not the
-      // CH append-upsert); delete of a snapshotted key; one in-batch
-      // last-wins dedup pair (id 10 appears twice in the same batch)
+      // covers: one in-batch last-wins dedup pair (id 10 twice in batch 1),
+      // delete of a snapshotted key, and a CROSS-BATCH re-upsert (id 11
+      // inserted in batch 1, updated in batch 2) — the ANSI dialect's
+      // delete-keys-then-insert upsert makes that hit the live PK cleanly
+      // instead of violating the constraint
       c.execute("INSERT INTO changelog VALUES " +
         "(1, 'I', 10, 'x0'), (2, 'U', 10, 'x1'), (3, 'I', 11, 'y'), " +
-        "(4, 'D', 2, NULL), (5, 'I', 12, 'z')")
+        "(4, 'D', 2, NULL), (5, 'I', 12, 'z'), (6, 'U', 11, 'y2')")
       c.execute("CREATE TABLE target (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
 
       val info = JdbcConnInfo(mem("pipe"))
@@ -127,11 +138,11 @@ class LiveJdbcSpec extends AnyFunSuite with SparkTestBase {
       assert(!pipe.firstSync()) // K6: non-empty target skips the copy
 
       val applied = pipe.syncLoop()
-      assert(applied == 5)
+      assert(applied == 6)
       val (_, rows) = c.query("SELECT id, v FROM target ORDER BY id")
       assert(rows.map(r => (r.get(0), r.get(1))) ==
-        Vector((1L, "a"), (10L, "x1"), (11L, "y"), (12L, "z")))
-      assert(offsets.read() == 5L)
+        Vector((1L, "a"), (10L, "x1"), (11L, "y2"), (12L, "z")))
+      assert(offsets.read() == 6L)
     } finally c.close()
   }
 

@@ -98,6 +98,27 @@ class ChangeStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(tokens.read().contains("s3"))
   }
 
+  test("all-skip window with NO resume token fails loudly instead of spinning") {
+    val tmp = Files.createTempDirectory("graft-cs-notoken").toString
+    val cols = Seq("_id", "name")
+    // a non-routable event whose doc lacks `_id` entirely: no token can be
+    // extracted, so the cursor cannot advance past the window — refetching
+    // would loop forever on the identical window
+    val tokenless = Bson.encodeDocument(BDoc(Vector(
+      "operationType" -> BStr("invalidate"),
+      "ns" -> BDoc(Vector("db" -> BStr("app"), "coll" -> BStr("users"))))))
+    var calls = 0
+    val fetch: (Option[String], Long) => Seq[Array[Byte]] = (_, _) => {
+      calls += 1; Seq(tokenless)
+    }
+    val source = new MongoChangeStreamSource(fetch,
+      new graft.pipe.ResumeTokenStore(s"$tmp/token.json"), cols,
+      () => spark.emptyDataFrame)
+    val e = intercept[IllegalStateException](source.peekChanges(0, 2))
+    assert(e.getMessage.contains("resume token"))
+    assert(calls == 1) // failed on the first unadvanceable window, no spin
+  }
+
   test("source + pipe: fixtures through the seam, token commits after write, replay on no-commit") {
     val tmp = Files.createTempDirectory("graft-cs").toString
     val cols = Seq("_id", "name", "age")

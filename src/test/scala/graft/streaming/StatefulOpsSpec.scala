@@ -90,13 +90,33 @@ class StatefulOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(h2 == List(StatefulOps.contentHash("third")))
 
     // collision discipline: same fp group, different texts → distinct
-    // salted hashes → both kept (pinned by the streaming test above too)
+    // second hashes → both kept (pinned by the streaming test above too)
     assert(StatefulOps.contentHash("alpha") != StatefulOps.contentHash("gamma"))
-    // the salt makes contentHash INDEPENDENT of fingerprint64(text): a
-    // caller whose fp IS fingerprint64 must still get a second opinion
-    assert(StatefulOps.contentHash("alpha") !=
-      graft.functions.GraftHash.fingerprint64(
-        org.apache.spark.unsafe.types.UTF8String.fromString("alpha")))
+  }
+
+  test("content hash is independent of the fingerprint group key") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.GraftHash
+    // "bA" and "a`" are a REAL same-length fingerprint64 collision
+    // (98*31+65 = 97*31+96 = 3103): under a salted-fingerprint64 second
+    // hash these were GUARANTEED to collide too (fp64(salt+T) depends
+    // only on len(T) and fp64(T)), silently dropping a distinct doc.
+    val a = "bA"; val b = "a`"
+    assert(GraftHash.fingerprint64(UTF8String.fromString(a)) ==
+      GraftHash.fingerprint64(UTF8String.fromString(b)))
+    assert(StatefulOps.contentHash(a) != StatefulOps.contentHash(b))
+    // and the dedup step keeps BOTH distinct texts of the colliding group
+    val fp = GraftHash.fingerprint64(UTF8String.fromString(a))
+    val (_, emitted) = StatefulOps.mergeSeen(Set.empty, Seq(
+      SeenDoc(1, fp, a), SeenDoc(2, fp, b)))
+    assert(emitted.map(_.doc_id) == List(1L, 2L))
+    // pinned to Spark's xxhash64 (seed 42): agrees with the dedup
+    // catalog's xxhash64(text) secondKey column
+    import spark.implicits._
+    import org.apache.spark.sql.functions.xxhash64
+    val sparkSide = Seq(a, b).toDF("t")
+      .select(xxhash64($"t")).as[Long].collect().toSeq
+    assert(sparkSide == Seq(StatefulOps.contentHash(a), StatefulOps.contentHash(b)))
   }
 
   test("watermarked windowed counts finalize deterministically (AvailableNow)") {
