@@ -273,6 +273,192 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // Two-nation shipping volume (TPC-H Q7 shape): the fact table shuffles
+    // through orders and customer on their keys; supplier and both nation
+    // legs broadcast; the nation-pair filter applies as soon as both
+    // nation names are bound, BEFORE the group-by.
+    "q7_volume" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val n1 = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.read(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.read(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.read(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+
+    // Regional market share of one supplier nation (TPC-H Q8 shape): the
+    // ECONOMY-part and date filters shrink the fact side first; the share
+    // is two conditional decimal sums divided once at the end.
+    "q8_mktshare" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val n1 = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+      val n2 = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      Tables.read(s, dir, "lineitem")
+        .join(broadcast(Tables.read(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.read(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.read(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+        .join(broadcast(Tables.read(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n1_region") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+            / sum(rev).cast("double"), 6).as("mkt_share"))
+    }),
+
+    // Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+    // so order-less customers count as 0; two map-side-combinable aggs
+    // back to back — the second one's input is |customers| rows, tiny.
+    "q13_custdist" -> ((s, dir) => {
+      Tables.read(s, dir, "customer")
+        .join(Tables.read(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Top revenue supplier (TPC-H Q15 shape): ONE agg over the date-pruned
+    // fact table builds the per-supplier revenue; the max is a broadcast
+    // scalar joined back — no second fact scan, no window over everything.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val perSupp = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rev).cast("double").as("total_revenue"))
+      val best = perSupp.agg(max(col("total_revenue")).as("mx"))
+      perSupp
+        .join(broadcast(best), col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.read(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // Small-quantity revenue (TPC-H Q17 shape): the correlated per-part
+    // average decorrelates into one agg over the brand's lines joined
+    // back. The threshold compare avoids cross-engine division: qty *
+    // (5*count) < exact decimal sum — same IEEE ops on both sides.
+    "q17_small_qty" -> ((s, dir) => {
+      val brandParts = Tables.read(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val lines = Tables.read(s, dir, "lineitem")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val stats = lines.groupBy(col("l_partkey").as("st_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      lines.join(broadcast(stats), col("l_partkey") === col("st_partkey"))
+        .filter(col("l_quantity") * (col("cnt") * lit(5.0)) <
+          col("sum_qty").cast("double"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // Discounted-revenue OR-of-ANDs predicate (TPC-H Q19 shape): part
+    // broadcasts; the disjunction evaluates post-join in one codegen'd
+    // stage — no union of three scans.
+    "q19_disc_revenue" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      Tables.read(s, dir, "lineitem")
+        .join(broadcast(Tables.read(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+
+    // Suppliers who alone shipped late (TPC-H Q21 shape, adapted: lateness
+    // is l_shipdate > o_orderdate — the synthetic schema has no
+    // commit/receipt dates). EXISTS → LEFT SEMI on (same order, other
+    // supplier); NOT EXISTS → LEFT ANTI against the distinct late
+    // (order, supplier) set, which is derived from the SAME filtered
+    // late-lines frame — one extra exchange, no second fact scan.
+    "q21_waiting" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val fOrders = Tables.read(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val lateSupp = late
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")).distinct()
+      val natSupp = Tables.read(s, dir, "supplier")
+        .join(broadcast(Tables.read(s, dir, "nation")
+          .filter(col("n_name") === "NATION_4")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      late
+        .join(others, col("l_orderkey") === col("ok2") &&
+          col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(lateSupp, col("l_orderkey") === col("ok3") &&
+          col("l_suppkey") =!= col("sk3"), "left_anti")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // Dormant rich customers (TPC-H Q22 shape, adapted: nation names stand
+    // in for phone country codes, and "dormant" means no order since 1999
+    // — every synthetic customer has SOME order, so the literal no-orders
+    // predicate would be vacuously empty). The positive-balance average
+    // becomes a broadcast (sum, count) pair; the compare is exact decimal
+    // multiplication — no division anywhere. Anti-join drops customers
+    // with a recent order.
+    "q22_opportunity" -> ((s, dir) => {
+      val cust = Tables.read(s, dir, "customer")
+      val nations = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+      val thresh = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("bal_sum"),
+          count(lit(1)).as("bal_cnt"))
+      cust
+        .join(broadcast(Tables.read(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(nations: _*))
+        .join(broadcast(thresh),
+          col("c_acctbal").cast("decimal(18,2)") * col("bal_cnt") > col("bal_sum"))
+        .join(Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("n_name").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+    }),
+
     // ------------------------------------------------------------- dedup
     "dedup_exact_docs" -> ((s, dir) =>
       Dedup.exactDupGroups(docs(s, dir), "doc_id", "text")),
@@ -769,6 +955,132 @@ object SparkEntry {
         |  SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
+        |""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS INT) AS l_year,
+        |         CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |""".stripMargin,
+
+    "q8_mktshare" ->
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |) all_nations
+        |GROUP BY o_year
+        |""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count
+        |""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity * ((SELECT count(*) FROM lineitem l2
+        |                     WHERE l2.l_partkey = p_partkey) * 5.0)
+        |      < CAST((SELECT sum(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+        |              WHERE l2.l_partkey = p_partkey) AS DOUBLE)
+        |""".stripMargin,
+
+    "q19_disc_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        |""".stripMargin,
+
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate
+        |  AND n_name = 'NATION_4'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate)
+        |GROUP BY s_name
+        |""".stripMargin,
+
+    "q22_opportunity" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM (
+        |  SELECT n_name AS cntrycode, c_acctbal, c_custkey
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+        |    AND CAST(c_acctbal AS DECIMAL(18,2))
+        |        * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |        > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+        |           WHERE c_acctbal > 0.0)
+        |) cand
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY cntrycode
         |""".stripMargin,
 
     "dedup_exact_docs" ->
