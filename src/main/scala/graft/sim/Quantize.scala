@@ -75,9 +75,23 @@ object Quantize {
       (scaled, l) => scaled + l)
   }
 
-  /** Cosine over two quantized code columns (reconstructed in-expression —
-    * no float vectors read). */
+  /** Cosine over two quantized code columns: ONE fused codegen'd loop
+    * ([[graft.functions.QuantizedCosine]]) — dequantizes in-register, no
+    * intermediate arrays, no float vectors read. Bit-identical to
+    * [[cosineQuantizedHof]] (pinned in QuantizeSpec). */
   def cosineQuantized(
+      a: Column, b: Column, lo: Array[Double], hi: Array[Double]): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.QuantizedCosine(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        org.apache.spark.sql.GraftColumnShim.expression(b),
+        lo.clone(), steps(lo, hi)))
+
+  /** The compositional higher-order-function formulation of
+    * [[cosineQuantized]] — kept as the executable specification the fused
+    * expression is pinned against (it allocates ~7 arrays per scored
+    * pair, so the hot path uses the fused kernel). */
+  def cosineQuantizedHof(
       a: Column, b: Column, lo: Array[Double], hi: Array[Double]): Column =
     Similarity.cosine(dequantize(a, lo, hi), dequantize(b, lo, hi))
 

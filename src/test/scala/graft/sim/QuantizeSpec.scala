@@ -62,4 +62,28 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     assert(codes(emb) == codes(emb.repartition(13)))
   }
+
+  test("fused quantized cosine is bit-identical to the HOF pipeline") {
+    val (lo, hi) = Quantize.dimStats(emb, "embedding")
+    val coded = Quantize.quantize(emb, "embedding", lo, hi)
+    // all pairs of a small slice, both formulations side by side; compare
+    // raw bits, not approximate equality — the fused loop must replicate
+    // the exact double ops of dequantize + cosine
+    val a = coded.limit(20).select(col("qcodes").as("qa"))
+    val b = coded.limit(20).select(col("qcodes").as("qb"))
+    val both = a.crossJoin(b).select(
+      Quantize.cosineQuantized(col("qa"), col("qb"), lo, hi).as("fused"),
+      Quantize.cosineQuantizedHof(col("qa"), col("qb"), lo, hi).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // self-similarity sanity: fused cosine of a vector with itself ≈ 1
+    val self = coded.limit(5).select(
+      Quantize.cosineQuantized(col("qcodes"), col("qcodes"), lo, hi).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
 }
