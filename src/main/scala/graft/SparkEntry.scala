@@ -49,6 +49,54 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
 
+  /** embeddings ∪ exact copies of every 10th vector under shifted ids.
+    * The synthetic embedding table is near-orthogonal random noise (max
+    * pairwise cosine ≈ 0.51 at sf0.01), so near-dup detectors over the
+    * raw table are vacuously empty — planting deterministic duplicates
+    * makes the declared queries actually detect something while staying
+    * fully derived from the driver's testdata. */
+  private def plantedEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    e.unionByName(e.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** A deterministically "dirty" url assembled from document columns —
+    * mixed-case scheme/host, `www.`, explicit default port, tracking
+    * params interleaved with a real one, fragment, trailing slash — so
+    * the UrlOps queries have an oracle statable from the raw columns. */
+  private def dirtyUrl: Column = {
+    val tld = when(col("doc_id") % 2 === 0, lit("com")).otherwise(lit("org"))
+    concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example."),
+      upper(tld), lit(":443/"), col("lang"), lit("/doc/"),
+      col("doc_id").cast("string"), lit("/?utm_source=feed&ref="),
+      col("source"), lit("&utm_campaign=x&gclid=g#sec"))
+  }
+
+  /** A real image header (PNG / GIF89a / JPEG SOF0 rotating on doc_id % 3)
+    * with dimensions derived from doc_id, assembled via hex so the
+    * header-parse queries have a column-statable oracle. */
+  private def syntheticImage: Column = {
+    val w = (col("doc_id") % 640 + 1).cast("int")
+    val h = (col("doc_id") % 480 + 1).cast("int")
+    val wbe4 = lpad(hex(w), 8, "0")
+    val hbe4 = lpad(hex(h), 8, "0")
+    val wbe2 = lpad(hex(w), 4, "0")
+    val hbe2 = lpad(hex(h), 4, "0")
+    val wle2 = concat(substring(wbe2, 3, 2), substring(wbe2, 1, 2))
+    val hle2 = concat(substring(hbe2, 3, 2), substring(hbe2, 1, 2))
+    val png = concat(lit("89504E470D0A1A0A0000000D49484452"), wbe4, hbe4,
+      lit("0806000000"))
+    val gif = concat(lit("474946383961"), wle2, hle2, lit("F70000"))
+    // FFD8, APP0 (len 16), SOF0 (len 17: precision, height, width, 3
+    // components), EOI
+    val jpg = concat(lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      hbe2, wbe2, lit("03012200021101031101FFD9"))
+    unhex(when(col("doc_id") % 3 === 0, png)
+      .when(col("doc_id") % 3 === 1, gif)
+      .otherwise(jpg))
+  }
+
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
@@ -522,6 +570,21 @@ object SparkEntry {
         "vec_id", "qcodes", lo, hi, k = 10)
     }),
 
+    // SemDeDup semantic near-dup report (Abbas et al. 2023): k-means
+    // clusters reuse the IVF coarse quantizer (bounded-sample training),
+    // within-cluster self-join finds cosine ≥ threshold pairs, lowest id
+    // survives. Rows-only (k-means is not portable SQL); the drop rule is
+    // replicated locally and pinned by SemDedupSpec.
+    "semdedup_report" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val centroids = ivfCentroids.computeIfAbsent(dir,
+        _ => Similarity.ivfTrainAuto(e, "embedding", nLists = 8))
+      // planted corpus: copies land in their original's cluster (identical
+      // vectors), so every copy reports its lower-id original
+      graft.sim.SemDedup.semDupReport(
+        plantedEmb(s, dir), "vec_id", "embedding", centroids, threshold = 0.95)
+    }),
+
     // --------------------------------------------------------- text ops
     "text_metrics" -> ((s, dir) => {
       docs(s, dir).select(
@@ -679,6 +742,44 @@ object SparkEntry {
           .as("bucket"))
         .agg(count(lit(1)).as("n_docs"))),
 
+    // Corpus vocabulary: top word-3-grams by occurrence count — the
+    // contamination/boilerplate census. One explode + one shuffle on the
+    // gram; top-k is a global sort of the (much smaller) gram counts with
+    // a total tie order.
+    "top_ngrams" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
+        .otherwise(array().cast("array<int>"))
+      val grams = transform(idx, i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+      docs(s, dir).select(explode(grams).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(50)
+    }),
+
+    // URL normalization (UrlOps): dirty urls are BUILT from columns
+    // (upper-cased www host, default port, tracking params, fragment,
+    // trailing slash) so the oracle can state the expected canonical form
+    // directly from the same columns — any parsing/normalization bug
+    // breaks the hash match.
+    "url_normalize" -> ((s, dir) => {
+      val d = dirtyUrl
+      docs(s, dir).select(
+        col("doc_id"),
+        graft.text.UrlOps.normalizeUrl(d).as("url_norm"),
+        graft.text.UrlOps.host(d).as("host"),
+        graft.text.UrlOps.registeredDomain(graft.text.UrlOps.host(d)).as("domain"))
+    }),
+
+    // Per-registered-domain corpus stats over the normalized urls — the
+    // grouping key comes out of UrlOps, the aggregation is one shuffle.
+    "domain_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(graft.text.UrlOps.registeredDomain(
+          graft.text.UrlOps.host(dirtyUrl)).as("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
     // -------------------------------------------------------- multimodal
     "media_meta" -> ((s, dir) => {
       val bin = docs(s, dir).withColumn("payload", col("text").cast("binary"))
@@ -693,6 +794,18 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), col("byte_offset"))
     }),
 
+    // REAL header parsing (no codecs needed): PNG/GIF/JPEG payloads are
+    // BUILT byte-for-byte from doc_id via hex assembly, so the oracle
+    // states the expected mime and dimensions directly from doc_id —
+    // sniffing or header-walk bugs break the hash match.
+    "media_dims" -> ((s, dir) => {
+      val bin = docs(s, dir).withColumn("payload", syntheticImage)
+      Multimodal.withMediaMeta(bin, "payload")
+        .select(col("doc_id"), col("media_meta.mime").as("mime"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"))
+    }),
+
     // P3 collection/table filter: keep only configured "tables" (the
     // event_type plays the collection name on this single-stream fixture).
     "filter_tables" -> ((s, dir) => {
@@ -705,8 +818,7 @@ object SparkEntry {
     // (bucketing isn't portable SQL); recall pinned by DedupSpec.
     "embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(
-        emb(s, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", threshold = 0.95, planes = 6)
+        plantedEmb(s, dir), "vec_id", "embedding", threshold = 0.95, planes = 6)
     }),
 
     // Composed curation pipeline: exact dedup + language + quality filters
@@ -1309,6 +1421,46 @@ object SparkEntry {
     "media_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents
+        |""".stripMargin,
+
+    "top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+        |  FROM toks
+        |)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 50
+        |""".stripMargin,
+
+    "url_normalize" ->
+      """SELECT doc_id,
+        |       'https://' || source || '.example.' || tld || '/' || lang
+        |         || '/doc/' || CAST(doc_id AS VARCHAR) || '?ref=' || source AS url_norm,
+        |       source || '.example.' || tld AS host,
+        |       'example.' || tld AS domain
+        |FROM (SELECT doc_id, source, lang,
+        |        CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END AS tld
+        |      FROM documents) t
+        |""".stripMargin,
+
+    "domain_stats" ->
+      """SELECT 'example.' || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END AS domain,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY 1
+        |""".stripMargin,
+
+    "media_dims" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+        |            WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END AS mime,
+        |       CAST(doc_id % 640 + 1 AS INT) AS width,
+        |       CAST(doc_id % 480 + 1 AS INT) AS height
         |FROM documents
         |""".stripMargin,
 

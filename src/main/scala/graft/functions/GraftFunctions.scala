@@ -38,7 +38,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => MinHashText(exprs.head, kOf(exprs(1)), kOf(exprs(2)))),
     (FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
-      (exprs: Seq[Expression]) => SimHashText(exprs.head))
+      (exprs: Seq[Expression]) => SimHashText(exprs.head)),
+    (FunctionIdentifier("image_dims"),
+      new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
+      (exprs: Seq[Expression]) => ImageDims(exprs.head))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -62,6 +65,7 @@ object GraftFunctions {
   def minhashText(c: Column, shingleSize: Int, k: Int): Column =
     column(MinHashText(expression(c), shingleSize, k))
   def simhashText(c: Column): Column = column(SimHashText(expression(c)))
+  def imageDims(c: Column): Column = column(ImageDims(expression(c)))
 }
 
 /** `spark.sql.extensions` entry point. */

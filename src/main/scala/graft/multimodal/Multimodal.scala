@@ -44,15 +44,23 @@ object Multimodal {
   private def hex_to_prefix(data: Column, hexPrefix: String): Column =
     lower(hex(substring(data, 1, hexPrefix.length / 2))) === hexPrefix
 
-  /** Attach the metadata struct (sniffed mime + byte length; dimensions
-    * null until a real decoder fills them). */
-  def withMediaMeta(df: DataFrame, dataCol: String): DataFrame =
+  /** Attach the metadata struct: sniffed mime, byte length, and REAL
+    * image dimensions parsed from the container header
+    * ([[graft.functions.ImageDims]] — PNG/GIF/JPEG/BMP headers are
+    * published byte layouts, no codec needed; null for non-image or
+    * malformed payloads). `duration_ms` stays null until a real media
+    * demuxer fills it. */
+  def withMediaMeta(df: DataFrame, dataCol: String): DataFrame = {
+    val dims = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.ImageDims(
+        org.apache.spark.sql.GraftColumnShim.expression(col(dataCol))))
     df.withColumn("media_meta", struct(
       sniffMime(col(dataCol)).as("mime"),
-      lit(null).cast(IntegerType).as("width"),
-      lit(null).cast(IntegerType).as("height"),
+      dims.getField("width").as("width"),
+      dims.getField("height").as("height"),
       lit(null).cast(LongType).as("duration_ms"),
       coalesce(length(col(dataCol)).cast(LongType), lit(0L)).as("byte_len")))
+  }
 
   /** STUB image decode → fixed-size feature vector. Deterministic fake:
     * features are byte-histogram-ish moments of the payload. The real

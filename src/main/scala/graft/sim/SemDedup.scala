@@ -1,0 +1,78 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication over an embedding column — the SemDeDup recipe
+  * (Abbas et al. 2023, arXiv:2303.09540, public): cluster the corpus with
+  * a cheap coarse quantizer, then within each cluster drop documents
+  * whose embedding cosine to another member exceeds a threshold. Catches
+  * paraphrases and templated rewrites that lexical dedup (MinHash/SimHash
+  * over tokens) misses.
+  *
+  * Scale shape, by stage:
+  *  1. clustering reuses the IVF coarse quantizer
+  *     ([[Similarity.ivfTrainAuto]] — bounded-sample k-means, flat cost in
+  *     corpus size) and [[Similarity.withIvfList]] assignment — a pure
+  *     scan with inlined centroid literals, NO shuffle, no model object;
+  *  2. the ONLY shuffle is the within-cluster self-join on the cluster
+  *     id. Pair count is Σ m_c², so `nLists` must scale with the corpus
+  *     (the paper uses ~corpus/50k clusters at LAION scale) and
+  *     `maxClusterSize` is the safety valve: clusters larger than the cap
+  *     are SKIPPED (their members all survive) rather than exploding the
+  *     join — the same conservative failure mode as the LSH
+  *     `maxBucketSize` valve, losing recall never correctness;
+  *  3. the survivor set is one LEFT ANTI join against the distinct
+  *     dropped ids.
+  *
+  * Keep rule: within a cluster the LOWEST doc id of a duplicate pair
+  * survives (the paper keeps the member closest to the centroid; min-id
+  * is deterministic under any partitioning and independent of centroid
+  * drift, which matters for reproducible corpus builds). The rule is
+  * `dropped ⇔ ∃ lower-id member with cosine ≥ threshold`, so chains
+  * collapse toward the oldest member.
+  */
+object SemDedup {
+
+  /** Per-dropped-document report: which lower-id member it duplicates
+    * (the smallest such id), how many lower-id near-dups it has, and the
+    * strongest cosine. Deterministic; `round(…, 6)` on the emitted cosine
+    * only (the threshold compares unrounded values). */
+  def semDupReport(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val assigned = Similarity.withIvfList(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      "__v", centroids, "__cluster")
+    // the valve reads cluster sizes from a ≤ nLists-row aggregate joined
+    // back broadcast — no window sort over the corpus
+    val okClusters = assigned.groupBy(col("__cluster")).count()
+      .filter(col("count") <= maxClusterSize)
+      .select(col("__cluster").as("__cl_ok"))
+    val sized = assigned
+      .join(broadcast(okClusters), col("__cluster") === col("__cl_ok"), "left_semi")
+    val lower = sized.select(col("__cluster").as("__cl2"),
+      col("__id").as("__id_lo"), col("__v").as("__v_lo"))
+    sized
+      .join(lower, col("__cluster") === col("__cl2") &&
+        col("__id_lo") < col("__id"))
+      .withColumn("__cos", Similarity.cosine(col("__v"), col("__v_lo")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("__id").as("dropped_id"))
+      .agg(min(col("__id_lo")).as("kept_id"),
+        count(lit(1)).as("n_lower_dups"),
+        round(max(col("__cos")), 6).as("max_cosine"))
+  }
+
+  /** The corpus with semantic duplicates removed (all original columns
+    * survive; only `dropped_id` rows leave). */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val dropped = semDupReport(df, idCol, vecCol, centroids, threshold,
+      maxClusterSize).select(col("dropped_id"))
+    df.join(dropped, col(idCol) === col("dropped_id"), "left_anti")
+  }
+}

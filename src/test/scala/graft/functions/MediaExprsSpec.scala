@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.SparkTestBase
+
+class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def hexBytes(hex: String): Array[Byte] =
+    hex.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def dims(b: Array[Byte]): Option[(Int, Int)] =
+    Option(MediaKernels.imageDims(b)).map(r => (r.getInt(0), r.getInt(1)))
+
+  test("PNG: width/height from IHDR (BE32 at 16/20)") {
+    val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000")
+    assert(dims(png).contains((640, 480)))
+  }
+
+  test("GIF: logical screen descriptor (LE16 at 6/8)") {
+    val gif = hexBytes("474946383961 8002 E001 F70000")
+    assert(dims(gif).contains((640, 480)))
+    val gif87 = hexBytes("474946383761 0A00 1400 00")
+    assert(dims(gif87).contains((10, 20)))
+  }
+
+  test("JPEG: walks APP/quantization segments to SOF0/SOF2") {
+    // FFD8, APP0 (16 bytes), DQT (5-byte dummy), SOF0 h=480 w=640
+    val jpg = hexBytes(
+      "FFD8 FFE0 0010 4A46494600010100000100010000" +
+      "FFDB 0005 010203" +
+      "FFC0 0011 08 01E0 0280 03 012200 021101 031101 FFD9")
+    assert(dims(jpg).contains((640, 480)))
+    // progressive (SOF2) found the same way
+    val prog = hexBytes("FFD8 FFC2 0011 08 0064 00C8 03 012200 021101 031101")
+    assert(dims(prog).contains((200, 100)))
+    // DHT (C4) is NOT a SOF marker and must be skipped, not parsed
+    val dht = hexBytes("FFD8 FFC4 0004 0000 FFC0 0011 08 0002 0003 03 012200 021101 031101")
+    assert(dims(dht).contains((3, 2)))
+  }
+
+  test("BMP: LE32 at 18/22, negative (top-down) height → |height|") {
+    def bmp(widthLE: String, heightLE: String) = hexBytes(
+      "424D 00000000 0000 0000 36000000 28000000 " + widthLE + heightLE)
+    assert(dims(bmp("80020000", "E0010000")).contains((640, 480)))
+    assert(dims(bmp("80020000", "20FEFFFF")).contains((640, 480))) // -480
+  }
+
+  test("garbage, truncation and non-images return null, never throw") {
+    assert(dims(Array.emptyByteArray).isEmpty)
+    assert(dims("plain text".getBytes).isEmpty)
+    assert(dims(hexBytes("89504E470D0A1A0A0000")).isEmpty) // truncated PNG
+    assert(dims(hexBytes("FFD8FFE0")).isEmpty)             // truncated JPEG
+    assert(dims(hexBytes("FFD800FF")).isEmpty)             // lost sync
+  }
+
+  test("column expression: codegen path agrees with the kernel and nulls propagate") {
+    import spark.implicits._
+    val png = hexBytes("89504E470D0A1A0A0000000D49484452000000050000000A0806000000")
+    val rows = Seq(
+      (1L, png), (2L, "nope".getBytes), (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+      .select(col("id"), GraftFunctions.imageDims(col("payload")).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1) == Row(5, 10))
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+    // and through SQL registration
+    GraftFunctions.register(spark)
+    Seq(png).toDF("p").createOrReplaceTempView("imgs")
+    val viaSql = spark.sql("SELECT image_dims(p) AS d FROM imgs").collect()
+    assert(viaSql.head.getStruct(0) == Row(5, 10))
+  }
+}
