@@ -40,12 +40,16 @@ object Bench {
     val headline = Seq(
       "cdc_user_state", "q1_agg", "q3_join", "q5_region",
       "q6_selective", "q18_large_orders", "q4_priority", "q14_promo", "q10_returns",
+      "q7_volume", "q8_mktshare", "q13_custdist", "q15_top_supplier",
+      "q17_small_qty", "q19_disc_revenue", "q21_waiting", "q22_opportunity",
       "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf", "embed_topk_q8",
+      "semdedup_report",
       "text_metrics", "rep_ratios", "decontam_overlap", "bm25_topk",
       "doc_fingerprint", "curate_docs", "asof_click_purchase",
       "sessionize", "source_profile",
-      "span_dedup", "pack_plan", "mixture_sample", "quality_select")
+      "span_dedup", "pack_plan", "mixture_sample", "quality_select",
+      "top_ngrams", "url_normalize", "domain_stats", "media_dims")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

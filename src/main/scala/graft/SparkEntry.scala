@@ -103,6 +103,14 @@ object SparkEntry {
   private val q8Stats =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
 
+  /** SemDeDup wants MANY MORE clusters than the IVF probe (the paper's
+    * knob is ~corpus/50k lists at LAION scale): within-cluster pair count
+    * is Σ m², so 8 probe-sized lists over the sf0.1 corpus meant ~2M
+    * scored pairs; 64 lists cut that ~60×. Separate cache, same bounded
+    * sample training. */
+  private val semCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   /** One per implemented operator from SURVEY.md sec 2 + pipeline layer. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----------------------------------------------------------------- CDC
@@ -577,8 +585,8 @@ object SparkEntry {
     // replicated locally and pinned by SemDedupSpec.
     "semdedup_report" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val centroids = ivfCentroids.computeIfAbsent(dir,
-        _ => Similarity.ivfTrainAuto(e, "embedding", nLists = 8))
+      val centroids = semCentroids.computeIfAbsent(dir,
+        _ => Similarity.ivfTrainAuto(e, "embedding", nLists = 64))
       // planted corpus: copies land in their original's cluster (identical
       // vectors), so every copy reports its lower-id original
       graft.sim.SemDedup.semDupReport(

@@ -22,8 +22,21 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Deterministic double-precision dot product of two float-array cols. */
+  private def shimCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnShim.column(e)
+  private def shimExpr(c: Column) =
+    org.apache.spark.sql.GraftColumnShim.expression(c)
+
+  /** Deterministic double-precision dot product of two float-or-double
+    * array columns: ONE fused codegen'd loop
+    * ([[graft.functions.VecDot]]), bit-identical to [[dotHof]] (pinned in
+    * SimilaritySpec) with zero per-row array allocations. */
   def dot(a: Column, b: Column): Column =
+    shimCol(graft.functions.VecDot(shimExpr(a), shimExpr(b)))
+
+  /** The compositional higher-order-function dot — kept as the executable
+    * specification [[dot]] is pinned against. */
+  private[sim] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -31,9 +44,20 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
+  /** Cosine similarity; 0.0 when either vector has zero norm. Fused
+    * single-loop expression ([[graft.functions.VecCosine]]), bit-identical
+    * to [[cosineHof]] — per-element double ops and left-to-right
+    * accumulation are the same, so the ORACLED cosine queries stay
+    * hash-exact. The fusion matters because every ANN/semantic-dedup path
+    * scores candidate pairs with this: the HOF formulation allocated ~5
+    * intermediate arrays per scored pair. */
+  def cosine(a: Column, b: Column): Column =
+    shimCol(graft.functions.VecCosine(shimExpr(a), shimExpr(b)))
+
+  /** The compositional higher-order-function cosine — kept as the
+    * executable specification [[cosine]] is pinned against. */
+  private[sim] def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0.0, lit(0.0)).otherwise(d / nn)
   }

@@ -64,7 +64,8 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val byName = GraftFunctions.builders.map(b => b._1.funcName -> b._3).toMap
     assert(byName.keySet == Set(
-      "fingerprint64", "simhash64", "minhash_signature", "minhash_text", "simhash_text"))
+      "fingerprint64", "simhash64", "minhash_signature", "minhash_text",
+      "simhash_text", "image_dims"))
     assert(byName("fingerprint64")(Seq(Literal("x"))).isInstanceOf[Fingerprint64])
     val mh = byName("minhash_text")(Seq(Literal("x"), Literal(5), Literal(64)))
     assert(mh == MinHashText(Literal("x"), 5, 64))

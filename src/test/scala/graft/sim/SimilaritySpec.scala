@@ -81,6 +81,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r4 > 0.4, s"4-probe recall too low: $r4")
   }
 
+  test("fused dot/cosine are bit-identical to the HOF formulations, incl. mixed float/double sides") {
+    import org.apache.spark.sql.functions._
+    val pairs = emb.limit(30).select(col("embedding").as("a"))
+      .crossJoin(emb.limit(30).select(col("embedding").as("b")))
+    val both = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("fc"),
+      Similarity.cosineHof(col("a"), col("b")).as("hc"),
+      Similarity.dot(col("a"), col("b")).as("fd"),
+      Similarity.dotHof(col("a"), col("b")).as("hd"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // mixed sides: float column vs double literal array (the centroid /
+    // hyperplane scoring shape inside withIvfList and bucketing)
+    val centroid = array((0 until 64).map(i => lit(0.01 * i)): _*)
+    val mixed = emb.limit(50).select(
+      Similarity.dot(col("embedding"), centroid).as("fd"),
+      Similarity.dotHof(col("embedding"), centroid).as("hd")).collect()
+    mixed.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("hyperplane bucketing is deterministic and splits the corpus") {
     val b1 = Similarity.withHyperplaneBucket(emb, "embedding", 8, 42L)
       .select("vec_id", "__bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
