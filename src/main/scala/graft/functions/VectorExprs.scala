@@ -137,6 +137,7 @@ case class VecDot(left: Expression, right: Expression) extends FusedVectorBinary
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernelsF.dot(a.asInstanceOf[ArrayData], isFloatArr(left),
       b.asInstanceOf[ArrayData], isFloatArr(right))
+  override protected def kernelName: String = "dot"
   override def prettyName: String = "vec_dot"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -148,6 +149,7 @@ case class VecCosine(left: Expression, right: Expression) extends FusedVectorBin
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernelsF.cosine(a.asInstanceOf[ArrayData], isFloatArr(left),
       b.asInstanceOf[ArrayData], isFloatArr(right))
+  override protected def kernelName: String = "cosine"
   override def prettyName: String = "vec_cosine"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecCosine =
