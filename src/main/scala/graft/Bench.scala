@@ -42,6 +42,8 @@ object Bench {
       "q6_selective", "q18_large_orders", "q4_priority", "q14_promo", "q10_returns",
       "q7_volume", "q8_mktshare", "q13_custdist", "q15_top_supplier",
       "q17_small_qty", "q19_disc_revenue", "q21_waiting", "q22_opportunity",
+      "q2_min_cost", "q9_profit", "q11_important_value", "q12_late_priority",
+      "q16_supplier_cnt", "q20_excess_supplier",
       "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf", "embed_topk_q8",
       "semdedup_report",

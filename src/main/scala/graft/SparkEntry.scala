@@ -515,6 +515,155 @@ object SparkEntry {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
     }),
 
+    // Min-cost supplier (TPC-H Q2 shape, adapted: no partsupp table, so
+    // the supply relation derives from lineitem — supplier s supplies
+    // part p iff some line pairs them, at cost min(unit price). The
+    // derived ps is ONE shuffle on (part, supp); part/supplier/nation/
+    // region all broadcast; the per-part min joins back as a broadcast
+    // too, so the fact table is scanned once.
+    "q2_min_cost" -> ((s, dir) => {
+      val ps = Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val parts = Tables.read(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_name"))
+      val euSupp = Tables.read(s, dir, "supplier")
+        .join(broadcast(Tables.read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val eps = ps
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(euSupp), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = eps.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      eps.join(broadcast(minCost),
+          col("ps_partkey") === col("mc_partkey") &&
+            col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("ps_supplycost"))
+    }),
+
+    // Product-line profit by nation and year (TPC-H Q9 shape, adapted:
+    // cost = quantity × p_retailprice stands in for ps_supplycost).
+    // Exact decimal per-line amount (both products are scale-4 decimals),
+    // summed order-independently; dimensions broadcast, fact scanned once.
+    "q9_profit" -> ((s, dir) => {
+      val amount = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) -
+        col("l_quantity").cast("decimal(18,2)") *
+          col("p_retailprice").cast("decimal(18,2)")
+      Tables.read(s, dir, "lineitem")
+        .join(broadcast(Tables.read(s, dir, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.read(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+    }),
+
+    // Important stock value (TPC-H Q11 shape, adapted: a part's "stock
+    // value" is the revenue shipped for it by ASIA-region suppliers).
+    // Per-part decimal sum in one shuffle; the corpus total is a broadcast
+    // scalar; the > fraction·total compare runs in doubles on both sides.
+    "q11_important_value" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val asiaLines = Tables.read(s, dir, "lineitem")
+        .join(broadcast(Tables.read(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val perPart = asiaLines.groupBy(col("l_partkey").as("ps_partkey"))
+        .agg(sum(rev).cast("double").as("part_value"))
+      val total = perPart.agg(sum(col("part_value")).as("total_value"))
+      perPart.join(broadcast(total),
+          col("part_value") > col("total_value") * lit(0.001))
+        .select(col("ps_partkey"), col("part_value"))
+    }),
+
+    // Late-shipment priority counts (TPC-H Q12 shape, adapted: the
+    // synthetic schema has no shipmode/commit/receipt dates, so
+    // l_linestatus is the category and "late" = shipped >60 days after
+    // the order date). Orders projected to two columns before the join;
+    // counts are exact integers.
+    "q12_late_priority" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus").as("shipmode"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+
+    // Supplier count per part spec (TPC-H Q16 shape, adapted: supply
+    // relation from lineitem; the "complaints" exclusion becomes a
+    // deterministic suppkey predicate). DISTINCT (part, supp) collapses
+    // map-side before the count-distinct; part broadcasts.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val ps = Tables.read(s, dir, "lineitem")
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+      ps
+        .filter(col("ps_suppkey") % 7 =!= 0)
+        .join(broadcast(Tables.read(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 2, 4, 9, 16, 25, 36, 49))),
+          col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Suppliers with excess stock of small parts (TPC-H Q20 shape,
+    // adapted: availqty = total quantity the supplier ever shipped of the
+    // part; the threshold is half the part's 1997 shipped volume). Both
+    // aggregates come from the same fact scan lineage; supplier/nation
+    // broadcast; DISTINCT output per supplier.
+    "q20_excess_supplier" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val qty97 = li
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey").as("q_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+      val ps = li
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("avail_qty"))
+      ps
+        .join(broadcast(Tables.read(s, dir, "part")
+          .filter(col("p_name").like("small%")).select(col("p_partkey"))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(qty97, col("ps_partkey") === col("q_partkey"))
+        .filter(col("avail_qty") > lit(0.5) * col("total_qty"))
+        .join(broadcast(Tables.read(s, dir, "supplier")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .distinct()
+    }),
+
     // ------------------------------------------------------------- dedup
     "dedup_exact_docs" -> ((s, dir) =>
       Dedup.exactDupGroups(docs(s, dir), "doc_id", "text")),
@@ -1201,6 +1350,106 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY cntrycode
+        |""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2
+        |), eps AS (
+        |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, ps_supplycost
+        |  FROM ps
+        |  JOIN part ON ps_partkey = p_partkey
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+        |FROM eps
+        |WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM eps e2
+        |                       WHERE e2.p_partkey = eps.p_partkey)
+        |""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |              - CAST(l_quantity AS DECIMAL(18,2))
+        |                * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+        |""".stripMargin,
+
+    "q11_important_value" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |           AS part_value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY l_partkey
+        |)
+        |SELECT ps_partkey, part_value FROM per_part
+        |WHERE part_value > (SELECT sum(part_value) FROM per_part) * 0.001
+        |""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_linestatus AS shipmode,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus
+        |""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem
+        |)
+        |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 2, 4, 9, 16, 25, 36, 49)
+        |  AND ps_suppkey % 7 <> 0
+        |GROUP BY p_brand, p_type, p_size
+        |""".stripMargin,
+
+    "q20_excess_supplier" ->
+      """WITH qty97 AS (
+        |  SELECT l_partkey AS q_partkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1
+        |), ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS avail_qty
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT DISTINCT s_suppkey, s_name, n_name
+        |FROM ps
+        |JOIN part ON ps_partkey = p_partkey
+        |JOIN qty97 ON ps_partkey = q_partkey
+        |JOIN supplier ON ps_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE 'small%' AND avail_qty > 0.5 * total_qty
         |""".stripMargin,
 
     "dedup_exact_docs" ->
