@@ -51,7 +51,8 @@ object Bench {
       "doc_fingerprint", "curate_docs", "asof_click_purchase",
       "sessionize", "source_profile",
       "span_dedup", "pack_plan", "mixture_sample", "quality_select",
-      "top_ngrams", "url_normalize", "domain_stats", "media_dims")
+      "top_ngrams", "url_normalize", "domain_stats", "media_dims",
+      "wav_meta", "vocab_encode", "unigram_logppl", "kmeans_topics")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

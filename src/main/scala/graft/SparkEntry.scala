@@ -97,6 +97,36 @@ object SparkEntry {
       .otherwise(jpg))
   }
 
+  /** Little-endian hex renderings of int columns, for assembling binary
+    * RIFF fixtures with `unhex` (RIFF scalar fields are LE). */
+  private def le16hex(c: Column): Column = {
+    val s = lpad(hex(c), 4, "0")
+    concat(substring(s, 3, 2), substring(s, 1, 2))
+  }
+  private def le32hex(c: Column): Column = {
+    val s = lpad(hex(c), 8, "0")
+    concat(substring(s, 7, 2), substring(s, 5, 2),
+      substring(s, 3, 2), substring(s, 1, 2))
+  }
+
+  /** A real RIFF/WAVE header (44 bytes: RIFF + fmt + data chunk headers,
+    * payload stored out-of-band) with audio geometry derived from doc_id,
+    * so the parse queries have a column-statable oracle. */
+  private def syntheticWav: Column = {
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = when(col("doc_id") % 3 === 0, 8000)
+      .when(col("doc_id") % 3 === 1, 16000).otherwise(44100).cast("int")
+    val bits = when(col("doc_id") % 4 >= 2, 16).otherwise(8).cast("int")
+    val blockAlign = (channels * bits / lit(8)).cast("int")
+    val dataBytes = ((col("doc_id") % 500 + 1) * blockAlign).cast("int")
+    val byteRate = (rate * blockAlign).cast("int")
+    unhex(concat(
+      lit("52494646"), le32hex(dataBytes + 36), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), le16hex(channels),
+      le32hex(rate), le32hex(byteRate), le16hex(blockAlign), le16hex(bits),
+      lit("64617461"), le32hex(dataBytes)))
+  }
+
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
@@ -963,6 +993,35 @@ object SparkEntry {
           col("media_meta.height").as("height"))
     }),
 
+    // RIFF/WAVE header parse (audio leg of the multimodal layer): the
+    // codegen'd WavMeta expression walks the real chunk chain; frames
+    // derive from the declared data size and block alignment.
+    "wav_meta" -> ((s, dir) => {
+      val m = graft.functions.GraftFunctions.wavMeta(syntheticWav)
+      docs(s, dir).select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits").as("bits"),
+          (col("m.data_bytes") * 8 / (col("m.channels") * col("m.bits")))
+            .cast("long").as("n_frames"))
+    }),
+
+    // Embedding k-means topic clustering (corpus topic distribution):
+    // reuses the SemDeDup coarse quantizer (bounded-sample k-means);
+    // assignment is the same argmax-affinity scan as the IVF list id.
+    // Rows-only (k-means training is not portable SQL); assignment
+    // determinism and planted-duplicate co-clustering pinned by
+    // SimilaritySpec.
+    "kmeans_topics" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val centroids = semCentroids.computeIfAbsent(dir,
+        _ => Similarity.ivfTrainAuto(e, "embedding", nLists = 64))
+      Similarity.withIvfList(plantedEmb(s, dir), "embedding", centroids, "cluster")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("exemplar_id"))
+    }),
+
     // P3 collection/table filter: keep only configured "tables" (the
     // event_type plays the collection name on this single-stream fixture).
     "filter_tables" -> ((s, dir) => {
@@ -1005,6 +1064,19 @@ object SparkEntry {
     "pack_plan" -> ((s, dir) =>
       graft.text.Packing.packPlan(
         docs(s, dir), "doc_id", "text", "source", tokenBudget = 256)),
+
+    // Frequency-ranked vocabulary + token-id encoding (the tokenizer-
+    // building step): top-24 words get ids 1..24 (the synthetic corpus
+    // has ~31 distinct words, so OOV→0 is actually exercised); each doc
+    // becomes its id sequence in document order.
+    "vocab_encode" -> ((s, dir) =>
+      graft.text.LanguageModel.encodeDocs(docs(s, dir), "doc_id", "text",
+        maxVocab = 24)),
+
+    // Unigram-LM surprisal (the KenLM-style perplexity quality filter,
+    // reduced to its exactly-checkable unigram core).
+    "unigram_logppl" -> ((s, dir) =>
+      graft.text.LanguageModel.unigramSurprisal(docs(s, dir), "doc_id", "text")),
 
     // Weighted mixture sampling: per-source keep rates (200/500/800‰ by
     // source index mod 3) through the deterministic content-hash gate.
@@ -1719,6 +1791,51 @@ object SparkEntry {
         |       CAST(doc_id % 640 + 1 AS INT) AS width,
         |       CAST(doc_id % 480 + 1 AS INT) AS height
         |FROM documents
+        |""".stripMargin,
+
+    "wav_meta" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+        |            WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 4 >= 2 THEN 16 ELSE 8 END AS INT) AS bits,
+        |       CAST(doc_id % 500 + 1 AS BIGINT) AS n_frames
+        |FROM documents
+        |""".stripMargin,
+
+    "vocab_encode" ->
+      """WITH docs_t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, i AS pos, ws[CAST(i AS INT)] AS word
+        |  FROM docs_t, unnest(range(1, len(ws) + 1)) AS t(i)
+        |), counts AS (
+        |  SELECT word, count(*) AS cnt FROM toks GROUP BY 1
+        |), vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS token_id
+        |  FROM (SELECT * FROM counts ORDER BY cnt DESC, word LIMIT 24) top
+        |), enc AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
+        |  FROM toks t LEFT JOIN vocab v ON t.word = v.word
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+        |FROM enc GROUP BY doc_id
+        |""".stripMargin,
+
+    "unigram_logppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w AS word
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |        FROM documents), unnest(ws) AS t(w)
+        |), counts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS tot FROM counts)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(-ln(cnt / tot)), 6) AS avg_neglogp
+        |FROM toks JOIN counts USING (word), tot
+        |GROUP BY doc_id
         |""".stripMargin,
 
     "frames_sample" ->

@@ -41,7 +41,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimHashText(exprs.head)),
     (FunctionIdentifier("image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
-      (exprs: Seq[Expression]) => ImageDims(exprs.head))
+      (exprs: Seq[Expression]) => ImageDims(exprs.head)),
+    (FunctionIdentifier("wav_meta"),
+      new ExpressionInfo(classOf[WavMeta].getName, "wav_meta"),
+      (exprs: Seq[Expression]) => WavMeta(exprs.head))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -66,6 +69,7 @@ object GraftFunctions {
     column(MinHashText(expression(c), shingleSize, k))
   def simhashText(c: Column): Column = column(SimHashText(expression(c)))
   def imageDims(c: Column): Column = column(ImageDims(expression(c)))
+  def wavMeta(c: Column): Column = column(WavMeta(expression(c)))
 }
 
 /** `spark.sql.extensions` entry point. */

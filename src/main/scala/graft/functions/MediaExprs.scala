@@ -108,3 +108,80 @@ case class ImageDims(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ImageDims =
     copy(child = newChild)
 }
+
+object WavKernels {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
+  /** (channels, sample_rate, bits_per_sample, data_bytes) from a RIFF/
+    * WAVE header, walking the chunk chain to `fmt ` and `data` per the
+    * published container layout; null for non-WAV or malformed input —
+    * never throws. `data_bytes` is the declared data-chunk size, so
+    * header-only payloads (media stored out-of-band) still report their
+    * audio geometry. Chunks are padded to even offsets per the RIFF
+    * spec. */
+  def wavMeta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    val n = b.length
+    var channels = -1
+    var rate = -1L
+    var bits = -1
+    var dataBytes = -1L
+    var i = 12
+    while (i + 8 <= n && (channels < 0 || dataBytes < 0)) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ")) {
+        if (i + 8 + 16 > n || size < 16) return null
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataBytes = size
+      }
+      // chunk payloads are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0 ||
+      dataBytes < 0) return null
+    InternalRow(channels, rate.toInt, bits, dataBytes)
+  }
+}
+
+/** `wav_meta(binary)` → `struct<channels int, sample_rate int, bits int,
+  * data_bytes long>` (null when the payload is not a RIFF/WAVE
+  * container). Codegen'd scan-side expression like [[ImageDims]]: audio
+  * geometry over a 100 TB corpus reads only header bytes per row. */
+case class WavMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("data_bytes", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    WavKernels.wavMeta(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      InternalRow ${ev.value}Tmp = graft.functions.WavKernels.wavMeta($c);
+      if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Tmp; }
+    """)
+
+  override def prettyName: String = "wav_meta"
+
+  override protected def withNewChildInternal(newChild: Expression): WavMeta =
+    copy(child = newChild)
+}

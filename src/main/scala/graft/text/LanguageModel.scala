@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics language-model operators for training-data curation:
+  * a frequency-ranked vocabulary with token-id encoding (the tokenizer-
+  * building step of a data pipeline) and a unigram-LM surprisal score
+  * (the KenLM-style perplexity quality filter, reduced to its unigram
+  * core so it stays exactly oracle-checkable).
+  *
+  * Scale notes (100 TB): token counting is one shuffle on the word key
+  * with map-side combine; the vocabulary is a bounded top-V selection
+  * (sort + limit over the aggregated counts — |vocab| rows, not |tokens|),
+  * so the id-assignment window only ever sees ≤ V rows and the encode
+  * join broadcasts the V-row vocabulary. The surprisal join shuffles on
+  * the word key instead (the full vocabulary may exceed broadcast range);
+  * both avoid any driver-side materialization.
+  */
+object LanguageModel {
+
+  /** Top-`maxVocab` corpus words by (count desc, word asc), assigned
+    * dense token ids 1..V in rank order. Id 0 is reserved for OOV.
+    *
+    * The row_number window is NOT a global sort of the vocabulary: its
+    * input is the already-limited top-V frame, so the single-partition
+    * window sees ≤ maxVocab rows by construction. */
+  def vocabulary(df: DataFrame, textCol: String, maxVocab: Int): DataFrame = {
+    val counts = df
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("word")).limit(maxVocab)
+    top.withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+      .select(col("word"), col("token_id"))
+  }
+
+  /** Encode every document as its token-id sequence against the
+    * frequency-ranked vocabulary: `ids_csv` is the comma-joined id
+    * sequence in document order (portable across engines, unlike nested
+    * array columns), with `n_tokens` and the OOV count alongside.
+    * Order within a document is restored by sorting the collected
+    * (position, id) pairs — no assumption about aggregation order. */
+  def encodeDocs(
+      df: DataFrame, idCol: String, textCol: String, maxVocab: Int): DataFrame = {
+    val v = vocabulary(df, textCol, maxVocab)
+    val toks = df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "word")))
+    toks
+      .join(broadcast(v), Seq("word"), "left_outer")
+      .withColumn("tid", coalesce(col("token_id"), lit(0)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+            p => p.getField("tid").cast("string"))).as("ids_csv"))
+  }
+
+  /** Unigram-LM surprisal per document: the average negative log
+    * probability of the document's tokens under the corpus unigram
+    * distribution — the unigram core of the KenLM perplexity quality
+    * filter (low = stereotypical text, high = rare-word-heavy / noise).
+    *
+    * Counts and the total are exact integers; `cnt/tot` is one double
+    * division per distinct word, so the only float accumulation is the
+    * final average, rounded to 6 places on both engines. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    toks
+      .join(counts, Seq("word"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt") / col("tot"))), 6).as("avg_neglogp"))
+  }
+}

@@ -71,4 +71,55 @@ class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
     val viaSql = spark.sql("SELECT image_dims(p) AS d FROM imgs").collect()
     assert(viaSql.head.getStruct(0) == Row(5, 10))
   }
+
+  // ------------------------------------------------------------- WAV
+
+  private def wav(b: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    Option(WavKernels.wavMeta(b)).map(r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+
+  /** 44-byte canonical PCM header: stereo, 16 kHz, 16-bit, 8 data bytes. */
+  private val canonicalWav = hexBytes(
+    "52494646 2C000000 57415645" +          // RIFF size=44-8+8 WAVE
+    "666D7420 10000000 0100 0200 803E0000 00FA0000 0400 1000" +
+    "64617461 08000000")
+
+  test("WAV: fmt + data fields from the canonical header layout") {
+    assert(wav(canonicalWav).contains((2, 16000, 16, 8L)))
+  }
+
+  test("WAV: chunk walk skips unknown chunks (LIST before fmt), pads odd sizes") {
+    // LIST chunk of ODD size 3 (padded to 4), then fmt, then data
+    val listFirst = hexBytes(
+      "52494646 37000000 57415645" +
+      "4C495354 03000000 414243 00" +        // LIST, 3 bytes + pad
+      "666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800" +
+      "64617461 05000000")
+    assert(wav(listFirst).contains((1, 8000, 8, 5L)))
+  }
+
+  test("WAV: non-RIFF, truncated, and zero-field headers return null") {
+    assert(wav("RIFFxxxx".getBytes).isEmpty)          // no WAVE tag
+    assert(wav(hexBytes("52494646 04000000 57415645")).isEmpty) // no chunks
+    assert(wav(canonicalWav.take(20)).isEmpty)        // truncated fmt
+    val zeroRate = canonicalWav.clone
+    zeroRate(24) = 0; zeroRate(25) = 0; zeroRate(26) = 0; zeroRate(27) = 0
+    assert(wav(zeroRate).isEmpty)
+  }
+
+  test("WAV column expression: codegen agrees with the kernel, nulls propagate") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, canonicalWav), (2L, "not audio".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+      .select(col("id"), GraftFunctions.wavMeta(col("payload")).as("m"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1) == Row(2, 16000, 16, 8L))
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+    GraftFunctions.register(spark)
+    Seq(canonicalWav).toDF("p").createOrReplaceTempView("wavs")
+    val viaSql = spark.sql("SELECT wav_meta(p) AS m FROM wavs").collect()
+    assert(viaSql.head.getStruct(0) == Row(2, 16000, 16, 8L))
+  }
 }

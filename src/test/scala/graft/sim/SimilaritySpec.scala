@@ -81,6 +81,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r4 > 0.4, s"4-probe recall too low: $r4")
   }
 
+  test("k-means topic clustering: exhaustive assignment, duplicates co-cluster") {
+    val centroids = Similarity.ivfTrain(emb, "embedding", nLists = 8)
+    // planted exact duplicates under shifted ids (the kmeans_topics shape)
+    val planted = emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val assigned = Similarity.withIvfList(planted, "embedding", centroids, "cluster")
+    val report = assigned.groupBy("cluster")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_members"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every vector lands in exactly one of the k clusters
+    assert(report.keySet.subsetOf((0 until 8).toSet))
+    assert(report.values.sum == planted.count())
+    // identical vectors get identical cluster ids (assignment is a pure
+    // function of the embedding)
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    byId.keys.filter(_ >= 1000000L).foreach { dup =>
+      assert(byId(dup) == byId(dup - 1000000L))
+    }
+  }
+
   test("fused dot/cosine are bit-identical to the HOF formulations, incl. mixed float/double sides") {
     import org.apache.spark.sql.functions._
     val pairs = emb.limit(30).select(col("embedding").as("a"))
