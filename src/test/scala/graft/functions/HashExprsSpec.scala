@@ -65,7 +65,7 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     val byName = GraftFunctions.builders.map(b => b._1.funcName -> b._3).toMap
     assert(byName.keySet == Set(
       "fingerprint64", "simhash64", "minhash_signature", "minhash_text",
-      "simhash_text", "image_dims"))
+      "simhash_text", "image_dims", "wav_meta"))
     assert(byName("fingerprint64")(Seq(Literal("x"))).isInstanceOf[Fingerprint64])
     val mh = byName("minhash_text")(Seq(Literal("x"), Literal(5), Literal(64)))
     assert(mh == MinHashText(Literal("x"), 5, 64))
