@@ -934,7 +934,10 @@ object SparkEntry {
     // gram; top-k is a global sort of the (much smaller) gram counts with
     // a total tie order.
     "top_ngrams" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
+      // codegen byte-scan tokenizer (split(trim, "\\s+") parity, no per-row
+      // regex compile); blank text gives [] instead of [""] — both are < 3
+      // tokens, so the gram set is unchanged.
+      val toks = graft.functions.GraftFunctions.tokenizeWs(col("text"))
       val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
         .otherwise(array().cast("array<int>"))
       val grams = transform(idx, i => concat_ws(" ",
@@ -1091,7 +1094,43 @@ object SparkEntry {
     // Quality-ranked selection under a 400-token budget per source.
     "quality_select" -> ((s, dir) =>
       graft.text.Packing.selectUnderTokenBudget(
-        docs(s, dir), "doc_id", "text", "source", tokenBudget = 400))
+        docs(s, dir), "doc_id", "text", "source", tokenBudget = 400)),
+
+    // RAG-style overlapping chunking: 200-char windows, 40-char overlap —
+    // pure posexplode scan (zero shuffles), oracled via generate_series.
+    "chunk_docs" -> ((s, dir) =>
+      graft.text.Chunker.chunkDocs(docs(s, dir), "doc_id", "text",
+        size = 200, overlap = 40)),
+
+    // CCNet-style perplexity histogram: bucket docs by unigram surprisal
+    // (width 0.5, capped at bucket 19) — the corpus-level view a quality
+    // filter is tuned against. Exact-decimal bucket means; the per-doc
+    // surprisal reuses the already-oracled unigram model.
+    "ppl_hist" -> ((s, dir) => {
+      val surp = graft.text.LanguageModel
+        .unigramSurprisal(docs(s, dir), "doc_id", "text")
+      surp
+        .groupBy(least(floor(col("avg_neglogp") / 0.5), lit(19L))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("avg_neglogp").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_neglogp"))
+    }),
+
+    // BPE tokenizer training over the corpus word table: 30 merges,
+    // deterministic tie-break. Iterative (one small shuffle per merge) —
+    // not SQL-expressible, so rows-only; merge-for-merge equality with a
+    // local reference implementation is pinned in BpeSpec.
+    "bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.trainDf(s, docs(s, dir), "text", numMerges = 30)),
+
+    // Encode the corpus with the trained merges: per-doc token/subword
+    // counts and fertility — the tokenizer-fit metric. Rows-only.
+    "bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(d, "text", numMerges = 30)
+      graft.text.Bpe.encode(d, "doc_id", "text", merges)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2083,6 +2122,41 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT source, doc_id, n_tokens, quality FROM ranked WHERE cum <= 400
+        |""".stripMargin,
+
+    // size=200, overlap=40 ⇒ step=160; last chunk index = 0 for short docs,
+    // else ceil((len-200)/160). substr is char-based on both engines.
+    "chunk_docs" ->
+      """SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |       substr(text, CAST(ci AS INT) * 160 + 1, 200) AS chunk,
+        |       CAST(length(substr(text, CAST(ci AS INT) * 160 + 1, 200)) AS BIGINT)
+        |         AS chunk_chars
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0,
+        |          CASE WHEN length(text) <= 200 THEN 0
+        |               ELSE CAST(ceil((length(text) - 200) / 160.0) AS BIGINT)
+        |          END)) AS ci
+        |      FROM documents) c
+        |""".stripMargin,
+
+    "ppl_hist" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w AS word
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |        FROM documents), unnest(ws) AS t(w)
+        |), counts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS tot FROM counts),
+        |surp AS (
+        |  SELECT doc_id, round(avg(-ln(cnt / tot)), 6) AS avg_neglogp
+        |  FROM toks JOIN counts USING (word), tot
+        |  GROUP BY doc_id
+        |)
+        |SELECT CAST(least(floor(avg_neglogp / 0.5), 19) AS BIGINT) AS bucket,
+        |       count(*) AS n_docs,
+        |       round(CAST(sum(CAST(avg_neglogp AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS mean_neglogp
+        |FROM surp
+        |GROUP BY 1
         |""".stripMargin
   )
 }

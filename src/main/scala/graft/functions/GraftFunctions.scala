@@ -44,7 +44,25 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ImageDims(exprs.head)),
     (FunctionIdentifier("wav_meta"),
       new ExpressionInfo(classOf[WavMeta].getName, "wav_meta"),
-      (exprs: Seq[Expression]) => WavMeta(exprs.head))
+      (exprs: Seq[Expression]) => WavMeta(exprs.head)),
+    (FunctionIdentifier("tokenize_ws"),
+      new ExpressionInfo(classOf[TokenizeWs].getName, "tokenize_ws"),
+      (exprs: Seq[Expression]) => TokenizeWs(exprs.head)),
+    (FunctionIdentifier("token_count_ws"),
+      new ExpressionInfo(classOf[TokenCountWs].getName, "token_count_ws"),
+      (exprs: Seq[Expression]) => TokenCountWs(exprs.head)),
+    (FunctionIdentifier("distinct_token_count_ws"),
+      new ExpressionInfo(classOf[DistinctTokenCountWs].getName, "distinct_token_count_ws"),
+      (exprs: Seq[Expression]) => DistinctTokenCountWs(exprs.head)),
+    (FunctionIdentifier("distinct_ngram_count_ws"),
+      new ExpressionInfo(classOf[DistinctNgramCountWs].getName, "distinct_ngram_count_ws"),
+      (exprs: Seq[Expression]) => DistinctNgramCountWs(exprs.head, kOf(exprs(1)))),
+    (FunctionIdentifier("sum_token_chars_ws"),
+      new ExpressionInfo(classOf[SumTokenCharsWs].getName, "sum_token_chars_ws"),
+      (exprs: Seq[Expression]) => SumTokenCharsWs(exprs.head)),
+    (FunctionIdentifier("count_substr"),
+      new ExpressionInfo(classOf[CountSubstr].getName, "count_substr"),
+      (exprs: Seq[Expression]) => CountSubstr(exprs.head, exprs(1)))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -70,6 +88,21 @@ object GraftFunctions {
   def simhashText(c: Column): Column = column(SimHashText(expression(c)))
   def imageDims(c: Column): Column = column(ImageDims(expression(c)))
   def wavMeta(c: Column): Column = column(WavMeta(expression(c)))
+  def tokenizeWs(c: Column): Column = column(TokenizeWs(expression(c)))
+  def tokenCountWs(c: Column): Column = column(TokenCountWs(expression(c)))
+  def distinctTokenCountWs(c: Column): Column = column(DistinctTokenCountWs(expression(c)))
+  def distinctNgramCountWs(c: Column, n: Int): Column =
+    column(DistinctNgramCountWs(expression(c), n))
+  def sumTokenCharsWs(c: Column): Column = column(SumTokenCharsWs(expression(c)))
+  def countSubstr(hay: Column, needle: Column): Column =
+    column(CountSubstr(expression(hay), expression(needle)))
+  def countAsciiClass(c: Column, chars: String): Column =
+    column(CountAsciiClass(expression(c), chars))
+  def splitChars(c: Column): Column = column(SplitChars(expression(c)))
+  def bpeMergePair(c: Column, left: String, right: String): Column =
+    column(BpeMergePair(expression(c), left, right))
+  def bpeEncodeWord(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeEncodeWord(expression(c), merges))
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -1,0 +1,429 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-scan tokenization kernels. The hot scalar of every text-quality
+  * query is `split(trim(text), "\\s+")`: Spark's `StringSplit` delegates to
+  * `UTF8String.split`, which RECOMPILES the regex per row — at corpus
+  * scale the scan spends more time in `Pattern.compile` than in the data.
+  * These kernels walk the UTF-8 bytes once with zero regex and (for the
+  * counting forms) zero allocation, while reproducing the Java-regex
+  * semantics EXACTLY so every existing DuckDB oracle stays bit-identical:
+  *
+  *  - `trim` strips ASCII space (0x20) only — Spark's `trim` semantics.
+  *  - separators are runs of Java `\s` = `[ \t\n\f\r]` (ASCII only;
+  *    NBSP etc. are NOT separators, matching Java regex).
+  *  - Spark's `split(str, regex)` calls Java split with limit = -1, which
+  *    keeps BOTH the leading and the trailing empty token when the string
+  *    starts/ends with a separator (after the space-only trim, a leading
+  *    or trailing TAB does exactly that): `"\tfoo\t"` → `["", "foo", ""]`
+  *    and `"\t"` → `["", ""]`.
+  *
+  * All separator bytes are < 0x80, and UTF-8 continuation bytes are
+  * ≥ 0x80, so the byte walk never splits inside a multi-byte character.
+  */
+object TextKernels {
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
+
+  /** [start, end) after stripping ASCII spaces only — `trim` parity. */
+  @inline private def trimmedRange(bytes: Array[Byte]): (Int, Int) = {
+    var start = 0
+    var end = bytes.length
+    while (start < end && bytes(start) == ' ') start += 1
+    while (end > start && bytes(end - 1) == ' ') end -= 1
+    (start, end)
+  }
+
+  /** `split(trim(s), "\\s+")` with the blank→empty-array guard — the exact
+    * array [[graft.text.TextOps.tokens]] used to build via regex. */
+  def tokenizeWs(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val (start, end) = trimmedRange(bytes)
+    if (start >= end) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = start
+    if (isWs(bytes(i))) { // leading separator ⇒ empty first token (limit -1)
+      out += UTF8String.EMPTY_UTF8
+      while (i < end && isWs(bytes(i))) i += 1
+      if (i >= end) out += UTF8String.EMPTY_UTF8 // that run was also trailing
+    }
+    while (i < end) {
+      val ts = i
+      while (i < end && !isWs(bytes(i))) i += 1
+      out += UTF8String.fromBytes(bytes, ts, i - ts)
+      if (i < end) { // separator run after the token
+        while (i < end && isWs(bytes(i))) i += 1
+        if (i >= end) out += UTF8String.EMPTY_UTF8 // trailing separator run
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  /** Token count, allocation-free: `size(tokenizeWs(s))` without the array. */
+  def tokenCountWs(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val (start, end) = trimmedRange(bytes)
+    if (start >= end) return 0
+    var n = 0
+    var i = start
+    if (isWs(bytes(i))) {
+      n += 1
+      while (i < end && isWs(bytes(i))) i += 1
+      if (i >= end) n += 1
+    }
+    while (i < end) {
+      n += 1
+      while (i < end && !isWs(bytes(i))) i += 1
+      if (i < end) {
+        while (i < end && isWs(bytes(i))) i += 1
+        if (i >= end) n += 1
+      }
+    }
+    n
+  }
+
+  /** DISTINCT token count — `size(array_distinct(tokenizeWs(s)))` with
+    * exact string equality (UTF8String equals/hashCode), one pass. */
+  def distinctTokenCountWs(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val (start, end) = trimmedRange(bytes)
+    if (start >= end) return 0
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = start
+    if (isWs(bytes(i))) {
+      seen.add(UTF8String.EMPTY_UTF8)
+      while (i < end && isWs(bytes(i))) i += 1
+      // a bare separator's trailing empty dedups against the leading one
+    }
+    while (i < end) {
+      val ts = i
+      while (i < end && !isWs(bytes(i))) i += 1
+      seen.add(UTF8String.fromBytes(bytes, ts, i - ts))
+      if (i < end) {
+        while (i < end && isWs(bytes(i))) i += 1
+        if (i >= end) seen.add(UTF8String.EMPTY_UTF8)
+      }
+    }
+    seen.size
+  }
+
+  /** DISTINCT space-joined word-n-gram count over the token list — equal to
+    * `size(array_distinct(transform(sequence(0, size-n), i =>
+    * concat_ws(" ", slice(tokens, i+1, n)))))`. Returns 0 when the doc has
+    * fewer than n tokens (callers guard on total ≤ 0 anyway). Grams are
+    * compared as the joined strings, which is exactly what the column
+    * formulation deduplicates. */
+  def distinctNgramCountWs(s: UTF8String, n: Int): Int = {
+    val toks = tokenizeWs(s)
+    val cnt = toks.numElements()
+    if (cnt < n) return 0
+    val arr = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { arr(i) = toks.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i + n <= cnt) {
+      var gram = arr(i)
+      var j = 1
+      while (j < n) { gram = UTF8String.concat(gram, space, arr(i + j)); j += 1 }
+      seen.add(gram)
+      i += 1
+    }
+    seen.size
+  }
+
+  /** Sum of token CHAR lengths — `aggregate(tokens, 0L, acc + length(t))`
+    * without the array. Char counting only inside tokens (multi-byte
+    * aware via UTF8String.numChars on the token slice). */
+  def sumTokenCharsWs(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val (start, end) = trimmedRange(bytes)
+    if (start >= end) return 0L
+    var sum = 0L
+    var i = start
+    if (isWs(bytes(i))) { while (i < end && isWs(bytes(i))) i += 1 }
+    while (i < end) {
+      val ts = i
+      while (i < end && !isWs(bytes(i))) i += 1
+      sum += UTF8String.fromBytes(bytes, ts, i - ts).numChars()
+      while (i < end && isWs(bytes(i))) i += 1
+    }
+    sum
+  }
+
+  /** Count of non-overlapping occurrences of `needle` in `hay`, scanning
+    * left to right and advancing past each match — identical to the
+    * `(length(hay) − length(regexp_replace(hay, quote(needle), ""))) /
+    * length(needle)` trick for a literal pattern, with zero rewrites.
+    * Byte-level search is exact on well-formed UTF-8 (continuation bytes
+    * cannot start a character, so no false positives). Empty needle → 0. */
+  def countSubstr(hay: UTF8String, needle: UTF8String): Long = {
+    val h = hay.getBytes
+    val nd = needle.getBytes
+    if (nd.length == 0 || h.length < nd.length) return 0L
+    var count = 0L
+    var i = 0
+    val last = h.length - nd.length
+    while (i <= last) {
+      var j = 0
+      while (j < nd.length && h(i + j) == nd(j)) j += 1
+      if (j == nd.length) { count += 1; i += nd.length } else i += 1
+    }
+    count
+  }
+
+  /** Code-point split: "abc" → ["a","b","c"] (multi-byte aware; no regex,
+    * no trailing-empty quirks). The BPE symbol-initialization step. */
+  def splitChars(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += UTF8String.fromString(str.substring(i, i + n))
+      i += n
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  /** One BPE merge step over a symbol array: every left-to-right
+    * NON-OVERLAPPING adjacent (left, right) occurrence becomes the single
+    * symbol left+right — ["a","a","a"] with merge (a,a) → ["aa","a"].
+    * The per-iteration apply of the BPE trainer. */
+  def bpeMergePair(arr: ArrayData, left: UTF8String, right: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return arr
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && arr.getUTF8String(i).equals(left) &&
+          arr.getUTF8String(i + 1).equals(right)) {
+        out += UTF8String.concat(left, right)
+        i += 2
+      } else {
+        out += arr.getUTF8String(i)
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  /** Full BPE encode of one word: split to code points, then apply every
+    * learned merge in rank order. `merges` is the flattened [l0, r0, l1,
+    * r1, …] pair list. O(merges × len) worst case — the encode pass of
+    * the trained tokenizer. */
+  def bpeEncodeWord(word: UTF8String, merges: Array[UTF8String]): ArrayData = {
+    var syms = {
+      val ad = splitChars(word)
+      Array.tabulate(ad.numElements())(ad.getUTF8String)
+    }
+    var m = 0
+    while (m < merges.length) {
+      val l = merges(m); val r = merges(m + 1)
+      if (syms.length >= 2) {
+        val out = new scala.collection.mutable.ArrayBuffer[UTF8String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i).equals(l) && syms(i + 1).equals(r)) {
+            out += UTF8String.concat(l, r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      m += 2
+    }
+    ArrayData.toArrayData(syms)
+  }
+
+  /** Count of chars belonging to an ASCII class (the punctuation counters).
+    * Class membership via a 128-slot lookup built once per expression. */
+  def countAsciiClass(s: UTF8String, mask: Array[Boolean]): Long = {
+    val bytes = s.getBytes
+    var count = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && mask(b)) count += 1
+      i += 1
+    }
+    count
+  }
+}
+
+/** `tokenize_ws(text)` — whitespace tokenization (`split(trim(s), "\\s+")`
+  * parity) as a single codegen'd byte scan: no per-row regex compile. */
+case class TokenizeWs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenizeWs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenizeWs($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeWs =
+    copy(child = newChild)
+  override def prettyName: String = "tokenize_ws"
+}
+
+/** `token_count_ws(text)` — token count with zero allocation. */
+case class TokenCountWs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenCountWs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenCountWs($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCountWs =
+    copy(child = newChild)
+  override def prettyName: String = "token_count_ws"
+}
+
+/** `distinct_token_count_ws(text)` — distinct-token count in one pass. */
+case class DistinctTokenCountWs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.distinctTokenCountWs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.distinctTokenCountWs($c)")
+  override protected def withNewChildInternal(newChild: Expression): DistinctTokenCountWs =
+    copy(child = newChild)
+  override def prettyName: String = "distinct_token_count_ws"
+}
+
+/** `distinct_ngram_count_ws(text, n)` — distinct word-n-gram count. */
+case class DistinctNgramCountWs(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0 && n <= 32, s"ngram size out of range: $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.distinctNgramCountWs(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.distinctNgramCountWs($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): DistinctNgramCountWs =
+    copy(child = newChild)
+  override def prettyName: String = "distinct_ngram_count_ws"
+}
+
+/** `sum_token_chars_ws(text)` — total chars across tokens, no array. */
+case class SumTokenCharsWs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.sumTokenCharsWs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.sumTokenCharsWs($c)")
+  override protected def withNewChildInternal(newChild: Expression): SumTokenCharsWs =
+    copy(child = newChild)
+  override def prettyName: String = "sum_token_chars_ws"
+}
+
+/** `count_substr(hay, needle)` — non-overlapping literal occurrence count
+  * (the language-ID marker counter) without regexp_replace rewrites. */
+case class CountSubstr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(hay: Any, needle: Any): Any =
+    TextKernels.countSubstr(hay.asInstanceOf[UTF8String], needle.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, n) => s"graft.functions.TextKernels.countSubstr($h, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountSubstr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "count_substr"
+}
+
+/** `count_ascii_class(text)` for a fixed ASCII char class — the
+  * punctuation counters as one masked byte scan. The class string is a
+  * constructor parameter (not a child), so the mask builds once. */
+case class CountAsciiClass(child: Expression, chars: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(chars.nonEmpty && chars.forall(_ < 128), "class must be non-empty ASCII")
+  @transient private lazy val mask: Array[Boolean] = CountAsciiClass.maskOf(chars)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.countAsciiClass(input.asInstanceOf[UTF8String], mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val maskRef = ctx.addReferenceObj("asciiClassMask", mask, "boolean[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.countAsciiClass($c, $maskRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountAsciiClass =
+    copy(child = newChild)
+  override def prettyName: String = "count_ascii_class"
+}
+
+object CountAsciiClass {
+  private[functions] def maskOf(chars: String): Array[Boolean] = {
+    val m = new Array[Boolean](128)
+    chars.foreach(c => m(c.toInt) = true)
+    m
+  }
+}
+
+/** `split_chars(text)` — code-point split, the BPE symbol initializer. */
+case class SplitChars(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.splitChars(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.splitChars($c)")
+  override protected def withNewChildInternal(newChild: Expression): SplitChars =
+    copy(child = newChild)
+  override def prettyName: String = "split_chars"
+}
+
+/** One BPE merge pass over a symbol array column. The (left, right) pair
+  * is a constructor constant — a new expression per training iteration,
+  * inlined into codegen as static references. */
+case class BpeMergePair(child: Expression, mergeLeft: String, mergeRight: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  @transient private lazy val l = UTF8String.fromString(mergeLeft)
+  @transient private lazy val r = UTF8String.fromString(mergeRight)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeMergePair(input.asInstanceOf[ArrayData], l, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLeft", l, classOf[UTF8String].getName)
+    val rRef = ctx.addReferenceObj("bpeRight", r, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeMergePair($c, $lRef, $rRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePair =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge_pair"
+}
+
+/** Full trained-BPE encode of one word (merge list applied in rank order). */
+case class BpeEncodeWord(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  @transient private lazy val flat: Array[UTF8String] =
+    merges.flatMap { case (l, r) => Seq(l, r) }
+      .map(UTF8String.fromString).toArray
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeEncodeWord(input.asInstanceOf[UTF8String], flat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMerges", flat, s"${classOf[UTF8String].getName}[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeEncodeWord($c, $mRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWord =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_encode_word"
+}

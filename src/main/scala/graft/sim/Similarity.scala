@@ -186,7 +186,7 @@ object Similarity {
   /** Plain Lloyd's algorithm, deterministic: seeded shuffle init, L2
     * assignment, mean update, empty clusters reseeded to the point
     * farthest from its centroid. */
-  private def lloyd(
+  private[sim] def lloyd(
       points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     val n = points.length

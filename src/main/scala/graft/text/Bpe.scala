@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Distributed byte-pair-encoding trainer (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-construction step of an LLM data pipeline.
+  *
+  * The classic observation that makes BPE tractable at corpus scale: the
+  * merge loop never touches the corpus — it runs over the WORD-COUNT
+  * table (distinct words × frequencies), which is orders of magnitude
+  * smaller (Heaps' law) and shrinks further per merge. Shape per
+  * iteration:
+  *
+  *  1. adjacent-pair explode over the symbol arrays — a pure scan of the
+  *     vocab table (|vocab| rows, not |corpus|);
+  *  2. `groupBy(pair).agg(sum(word_count))` — ONE small shuffle with
+  *     map-side combine; distinct-pair cardinality is bounded by total
+  *     symbol occurrences;
+  *  3. argmax pair to the driver — a 1-row collect (like the k-means
+  *     update step, this is an aggregated scalar, not data);
+  *  4. merge applied to every word via a codegen'd kernel
+  *     ([[graft.functions.BpeMergePair]]), left-to-right non-overlapping.
+  *
+  * The vocab table is cached and re-checkpointed every
+  * `checkpointEvery` merges so the plan stays shallow across iterations
+  * (k merges would otherwise stack k kernel applications of lineage).
+  *
+  * Determinism: ties on pair count break by (left, right) lexicographic —
+  * same corpus, same merge sequence, any partitioning.
+  */
+object Bpe {
+
+  /** One learned merge: rank order, the pair, and its count at selection
+    * time. */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Word-frequency table with initial code-point symbol arrays:
+    * (word, cnt, syms). Lowercased, whitespace-tokenized. */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", GraftFunctions.splitChars(col("word")))
+
+  /** Learn `numMerges` merges; stop early when the best pair's count
+    * drops below `minPairCount`. */
+  def train(
+      df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L, checkpointEvery: Int = 8): Seq[Merge] = {
+    require(numMerges > 0, "numMerges must be positive")
+    var words = wordTable(df, textCol).cache()
+    words.count() // materialize before the loop
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pairs = words.select(col("cnt"), explode(
+          when(size(col("syms")) < 2,
+            array().cast("array<struct<l:string,r:string>>"))
+            .otherwise(transform(sequence(lit(0), size(col("syms")) - 2),
+              i => struct(
+                element_at(col("syms"), i + 1).as("l"),
+                element_at(col("syms"), i + 2).as("r"))))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+
+      if (pairs.isEmpty || pairs.head.getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, c) = (pairs.head.getString(0), pairs.head.getString(1),
+          pairs.head.getLong(2))
+        merges += Merge(rank, l, r, c)
+        val next = words.withColumn("syms",
+          GraftFunctions.bpeMergePair(col("syms"), l, r))
+        words = (if (rank % checkpointEvery == 0) next.localCheckpoint()
+                 else next).cache()
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Merge table as a DataFrame (rank, left, right, pair_count) — the
+    * declared-query surface. */
+  def trainDf(
+      spark: SparkSession, df: DataFrame, textCol: String,
+      numMerges: Int, minPairCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    train(df, textCol, numMerges, minPairCount)
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Encode documents with a trained merge list: each token becomes its
+    * subword sequence; returns (idCol, n_tokens, n_subwords, fertility).
+    * Pure scan — merges inline into the codegen'd kernel, no join. */
+  def encode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val subs = df.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("n_subwords",
+        size(GraftFunctions.bpeEncodeWord(col("word"), pairs)))
+    subs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_subwords").cast("long")).as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_tokens"), 6))
+  }
+}

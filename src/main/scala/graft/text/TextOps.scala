@@ -13,19 +13,23 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  /** Whitespace tokenization; empty/blank text → empty array (split on a
-    * blank string would otherwise yield [""]). */
-  def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
-      .otherwise(split(trim(text), "\\s+"))
+  /** Whitespace tokenization; empty/blank text → empty array. A single
+    * codegen'd byte scan ([[graft.functions.TextKernels.tokenizeWs]])
+    * with EXACT `split(trim(text), "\\s+")` parity — Spark's regex split
+    * recompiles the pattern per row, which dominates the scan at corpus
+    * scale (parity is ScalaCheck-pinned in TextExprsSpec). */
+  def tokens(text: Column): Column = graft.functions.GraftFunctions.tokenizeWs(text)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count without materializing the token array. */
+  def tokenCount(text: Column): Column =
+    graft.functions.GraftFunctions.tokenCountWs(text)
 
-  /** BPE-ish subword count estimate: words + punctuation runs counted
+  /** BPE-ish subword count estimate: words + punctuation chars counted
     * separately (a cheap stand-in for a real tokenizer's fertility). */
   def subwordCountEstimate(text: Column): Column =
-    size(tokens(text)) +
-      size(filter(split(text, ""), c => c.rlike("[.,!?;:'\"()\\[\\]{}]")))
+    tokenCount(text) +
+      graft.functions.GraftFunctions
+        .countAsciiClass(text, ".,!?;:'\"()[]{}").cast(IntegerType)
 
   /** Character n-gram shingles (distinct), the MinHash input. One pass via
     * sequence+transform; distinct via array_distinct. */
@@ -49,22 +53,21 @@ object TextOps {
     * document. High values mark boilerplate and degenerate generations.
     * Pure column expressions — zero shuffles, whole-stage codegen. */
   def repeatedTokenRatio(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) <= 0, lit(0.0)).otherwise(
-      round(lit(1.0) - size(array_distinct(toks)).cast("double")
-        / size(toks).cast("double"), 6))
+    val total = tokenCount(text)
+    when(total <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) - graft.functions.GraftFunctions
+        .distinctTokenCountWs(text).cast("double")
+        / total.cast("double"), 6))
   }
 
   /** Duplicate word-n-gram fraction: 1 − distinct/total n-grams
-    * (0 when the doc has < n tokens). */
+    * (0 when the doc has < n tokens). Both counts are single byte scans —
+    * no token array, no gram array, no per-row regex. */
   def repeatedNgramRatio(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val total = size(toks) - (n - 1)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val total = tokenCount(text) - (n - 1)
     when(total <= 0, lit(0.0)).otherwise(
-      round(lit(1.0) - size(array_distinct(grams)).cast("double")
+      round(lit(1.0) - graft.functions.GraftFunctions
+        .distinctNgramCountWs(text, n).cast("double")
         / total.cast("double"), 6))
   }
 
@@ -104,8 +107,8 @@ object TextOps {
   def punctRatio(text: Column): Column = {
     val n = length(text)
     when(n === 0, lit(0.0)).otherwise(
-      (n - length(regexp_replace(text, PunctClass, ""))).cast(DoubleType)
-        / n.cast(DoubleType))
+      graft.functions.GraftFunctions.countAsciiClass(text, ".,!?;:")
+        .cast(DoubleType) / n.cast(DoubleType))
   }
 
   /** Stopword ratio over a fixed (deterministic, documented) list. */
@@ -120,12 +123,13 @@ object TextOps {
         / size(toks).cast(DoubleType))
   }
 
-  /** Mean token length in characters (0 for empty text). */
+  /** Mean token length in characters (0 for empty text) — two
+    * allocation-free scans, no token array. */
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType)
-        / size(toks).cast(DoubleType))
+    val total = tokenCount(text)
+    when(total === 0, lit(0.0)).otherwise(
+      graft.functions.GraftFunctions.sumTokenCharsWs(text).cast(DoubleType)
+        / total.cast(DoubleType))
   }
 
   /** Composite quality score in [0,1]: favors mid-length docs with low
@@ -224,8 +228,7 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在"))
 
   private def occurrences(hay: Column, needle: String): Column =
-    (length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), "")))
-      ./(lit(needle.length))
+    graft.functions.GraftFunctions.countSubstr(hay, lit(needle))
 
   /** Predicted language = argmax of marker occurrences; ties and all-zero
     * scores fall back to "und" (deterministic: first max in list order). */

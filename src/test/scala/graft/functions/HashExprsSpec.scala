@@ -65,7 +65,9 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     val byName = GraftFunctions.builders.map(b => b._1.funcName -> b._3).toMap
     assert(byName.keySet == Set(
       "fingerprint64", "simhash64", "minhash_signature", "minhash_text",
-      "simhash_text", "image_dims", "wav_meta"))
+      "simhash_text", "image_dims", "wav_meta",
+      "tokenize_ws", "token_count_ws", "distinct_token_count_ws",
+      "distinct_ngram_count_ws", "sum_token_chars_ws", "count_substr"))
     assert(byName("fingerprint64")(Seq(Literal("x"))).isInstanceOf[Fingerprint64])
     val mh = byName("minhash_text")(Seq(Literal("x"), Literal(5), Literal(64)))
     assert(mh == MinHashText(Literal("x"), 5, 64))

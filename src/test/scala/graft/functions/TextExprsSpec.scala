@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import graft.{PropCheck, SparkTestBase}
+
+/** The tokenizer kernels replace `split(trim(text), "\\s+")`-based column
+  * formulations that every text oracle was written against — so the ONLY
+  * acceptable behavior is bit-identical parity. These properties compare
+  * each kernel against the original regex/HOF formulation over adversarial
+  * strings (whitespace runs, leading tabs, multi-byte, empties).
+  */
+class TextExprsSpec extends AnyFunSuite with SparkTestBase {
+
+  // generator biased toward whitespace edge cases and multi-byte chars
+  private val piece: Gen[String] = Gen.oneOf(
+    Gen.oneOf(" ", "\t", "\n", "\r", "", "", "  ", " \t "),
+    Gen.oneOf("a", "ab", "the", "föö", "日本語", "x1", ".", ",!", "a-b", " "),
+    Gen.alphaNumStr.map(_.take(8)))
+  private val textGen: Gen[String] =
+    Gen.listOf(piece).map(_.mkString).flatMap(s =>
+      Gen.oneOf(s, " " + s, s + " ", "\t" + s, s + "\t"))
+
+  /** Java-side reference: the exact old column semantics. */
+  private def refTokens(s: String): Seq[String] = {
+    val t = {
+      var a = 0; var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      s.substring(a, b)
+    }
+    // Spark's split(str, regex) = Java split with limit -1 (keeps trailing
+    // empty tokens) — the kernels must reproduce that exactly
+    if (t.isEmpty) Seq.empty else t.split("\\s+", -1).toSeq
+  }
+
+  test("tokenizeWs kernel == split(trim, \\s+) semantics (property)") {
+    PropCheck.check(Prop.forAll(textGen) { s =>
+      val ad = TextKernels.tokenizeWs(UTF8String.fromString(s))
+      val got = (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+      got == refTokens(s)
+    })
+  }
+
+  test("counting kernels agree with the token list (property)") {
+    PropCheck.check(Prop.forAll(textGen) { s =>
+      val u = UTF8String.fromString(s)
+      val toks = refTokens(s)
+      val gramsOk = Seq(2, 3).forall { n =>
+        val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        val expected = if (toks.size < n) 0 else grams.distinct.size
+        TextKernels.distinctNgramCountWs(u, n) == expected
+      }
+      TextKernels.tokenCountWs(u) == toks.size &&
+        TextKernels.distinctTokenCountWs(u) == toks.distinct.size &&
+        // Spark's length() counts code points; mirror that on the JVM side
+        TextKernels.sumTokenCharsWs(u) ==
+          toks.map(t => t.codePointCount(0, t.length).toLong).sum &&
+        gramsOk
+    })
+  }
+
+  test("countSubstr == regexp length-delta trick (property)") {
+    val needles = Gen.oneOf("ab", " the ", "日本", ".", "aa")
+    PropCheck.check(Prop.forAll(textGen, needles) { (s, nd) =>
+      var expected = 0L
+      var i = 0
+      while (i <= s.length - nd.length) {
+        if (s.regionMatches(i, nd, 0, nd.length)) { expected += 1; i += nd.length }
+        else i += 1
+      }
+      TextKernels.countSubstr(
+        UTF8String.fromString(s), UTF8String.fromString(nd)) == expected
+    })
+  }
+
+  test("countSubstr: empty needle and overlap discipline") {
+    assert(TextKernels.countSubstr(
+      UTF8String.fromString("aaaa"), UTF8String.fromString("aa")) == 2L) // non-overlapping
+    assert(TextKernels.countSubstr(
+      UTF8String.fromString("x"), UTF8String.fromString("")) == 0L)
+    assert(TextKernels.countSubstr(
+      UTF8String.fromString(""), UTF8String.fromString("a")) == 0L)
+  }
+
+  test("countAsciiClass counts class chars only") {
+    val m = CountAsciiClass.maskOf(".,!?;:")
+    assert(TextKernels.countAsciiClass(UTF8String.fromString("a.b,c!日?"), m) == 4L)
+    assert(TextKernels.countAsciiClass(UTF8String.fromString(""), m) == 0L)
+  }
+
+  test("column path: kernels == old regex formulations on a DataFrame") {
+    import spark.implicits._
+    val rows = Seq(
+      "", " ", "\t", "the quick  brown\tfox", "\tlead tab", "trail tab\t",
+      "a a a", "one", "日本語 テスト 日本語", "x   y", "a.b, c! d? e; f:",
+      " the cat and the hat in the hat ")
+    val df = rows.toDF("text")
+
+    val oldTokens = when(length(trim($"text")) === 0,
+      array().cast(ArrayType(StringType))).otherwise(split(trim($"text"), "\\s+"))
+    val got = df.select(
+      GraftFunctions.tokenizeWs($"text").as("nw"), oldTokens.as("old"),
+      GraftFunctions.tokenCountWs($"text").as("nc"), size(oldTokens).as("oc"),
+      GraftFunctions.distinctTokenCountWs($"text").as("nd"),
+      size(array_distinct(oldTokens)).as("od"),
+      GraftFunctions.sumTokenCharsWs($"text").as("ns"),
+      aggregate(oldTokens, lit(0L), (acc, t) => acc + length(t)).as("os"),
+      GraftFunctions.countSubstr($"text", lit(" the ")).as("nt"),
+      ((length($"text") - length(regexp_replace($"text",
+        java.util.regex.Pattern.quote(" the "), ""))) / lit(5)).cast("long").as("ot"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getInt(2) == r.getInt(3))
+      assert(r.getInt(4) == r.getInt(5))
+      assert(r.getLong(6) == r.getLong(7))
+      assert(r.getLong(8) == r.getLong(9))
+    }
+  }
+
+  test("SQL registration: tokenizer functions callable from SQL text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT token_count_ws(' a b  c '), size(tokenize_ws('x\ty z')), " +
+        "distinct_token_count_ws('a b a'), distinct_ngram_count_ws('a b a b', 2), " +
+        "sum_token_chars_ws('ab cde'), count_substr('abab', 'ab')").head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3 && r.getInt(2) == 2)
+    assert(r.getInt(3) == 2 && r.getLong(4) == 5L && r.getLong(5) == 2L)
+  }
+
+  test("TextOps rewiring: metrics identical to the legacy formulations") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog.",
+      "spam spam spam spam spam!!!", "", " ", "\tTabbed start",
+      "Der Hund und die Katze und der Vogel und die Maus ist hier",
+      "one two three four five six seven eight nine ten").toDF("text")
+
+    val legacyToks = when(length(trim($"text")) === 0,
+      array().cast(ArrayType(StringType))).otherwise(split(trim($"text"), "\\s+"))
+    val legacy = df.select(
+      when(size(legacyToks) <= 0, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(legacyToks)).cast("double")
+          / size(legacyToks).cast("double"), 6)).as("rep1"),
+      {
+        val total = size(legacyToks) - 2
+        val grams = transform(sequence(lit(0), size(legacyToks) - 3),
+          i => concat_ws(" ", slice(legacyToks, i + 1, lit(3))))
+        when(total <= 0, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(grams)).cast("double")
+            / total.cast("double"), 6)).as("rep3")
+      },
+      when(size(legacyToks) === 0, lit(0.0)).otherwise(
+        aggregate(legacyToks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(legacyToks).cast("double")).as("mtl"),
+      {
+        val n = length($"text")
+        when(n === 0, lit(0.0)).otherwise(
+          (n - length(regexp_replace($"text", TextOps.PunctClass, ""))).cast("double")
+            / n.cast("double")).as("pr")
+      }).collect()
+    val kernel = df.select(
+      TextOps.repeatedTokenRatio($"text").as("rep1"),
+      TextOps.repeatedNgramRatio($"text", 3).as("rep3"),
+      TextOps.meanTokenLen($"text").as("mtl"),
+      TextOps.punctRatio($"text").as("pr")).collect()
+    legacy.zip(kernel).foreach { case (l, k) =>
+      (0 until 4).foreach(i => assert(l.getDouble(i) == k.getDouble(i), s"col $i"))
+    }
+  }
+
+  test("langId unchanged by the countSubstr swap") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val df = Seq(
+      "the cat and the dog of the house", "der Hund und die Katze ist",
+      "le chat et la maison est", "el perro y la casa es grande",
+      "的是了在的是", "zzzz qqqq").toDF("text")
+    val got = df.select(TextOps.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+}

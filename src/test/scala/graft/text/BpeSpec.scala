@@ -1,0 +1,119 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** BPE trainer pinned against a transparent local reference implementation
+  * (word-count map + pair counting + left-to-right merge), plus the
+  * determinism and encode invariants that matter for a tokenizer build.
+  */
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+
+  // ---- local reference BPE (the executable specification) -------------
+  private def refTokens(text: String): Seq[String] =
+    text.toLowerCase.split("\\s+", -1).toSeq.filter(_.nonEmpty)
+
+  private def refTrain(corpus: Seq[String], numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = corpus.flatMap(refTokens)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size.toLong
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (out.size < numMerges && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + cnt
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minPairCount =>
+          out += ((l, r, c))
+          words = words.map { case (syms, cnt) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+                merged += (l + r); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toVector -> cnt
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        case _ => continue = false
+      }
+    }
+    out.toSeq
+  }
+
+  private val corpus = Seq(
+    "low low low low low",
+    "lower lower newest newest newest newest newest newest",
+    "widest widest widest",
+    "the newest gadget is the widest gadget",
+    "low lower lowest")
+
+  test("distributed trainer matches the local reference merge-for-merge") {
+    import spark.implicits._
+    val df = corpus.toDF("text")
+    val got = Bpe.train(df, "text", numMerges = 12)
+      .map(m => (m.left, m.right, m.pairCount))
+    val want = refTrain(corpus, numMerges = 12)
+    assert(got == want)
+  }
+
+  test("training is deterministic across partitionings") {
+    import spark.implicits._
+    val a = Bpe.train(corpus.toDF("text").repartition(1), "text", 8)
+    val b = Bpe.train(corpus.toDF("text").repartition(7), "text", 8)
+    assert(a == b)
+  }
+
+  test("merge ranks are 1..n and counts are non-increasing only when pairs disjoint — counts are positive and >= minPairCount") {
+    import spark.implicits._
+    val ms = Bpe.train(corpus.toDF("text"), "text", 10, minPairCount = 2L)
+    assert(ms.map(_.rank) == (1 to ms.size))
+    assert(ms.forall(_.pairCount >= 2L))
+  }
+
+  test("encode: concatenated subwords rebuild each word; fertility >= 1") {
+    import spark.implicits._
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", 10)
+    val pairs = merges.map(m => (m.left, m.right))
+    // kernel-level invariant: joining the subwords restores the word
+    val words = corpus.flatMap(refTokens).distinct
+    words.foreach { w =>
+      val ad = graft.functions.TextKernels.bpeEncodeWord(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w),
+        pairs.flatMap(p => Seq(p._1, p._2))
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      val subs = (0 until ad.numElements()).map(ad.getUTF8String(_).toString)
+      assert(subs.mkString == w, s"word $w")
+      assert(subs.nonEmpty)
+    }
+    val enc = Bpe.encode(df, "doc_id", "text", merges).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nSub = r.getAs[Long]("n_subwords")
+      assert(nSub >= nTok) // a word is at least one subword
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+  }
+
+  test("merge kernel: non-overlapping left-to-right discipline") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val arr = ArrayData.toArrayData(
+      Array("a", "a", "a").map(UTF8String.fromString))
+    val out = graft.functions.TextKernels.bpeMergePair(arr,
+      UTF8String.fromString("a"), UTF8String.fromString("a"))
+    assert((0 until out.numElements()).map(out.getUTF8String(_).toString)
+      == Seq("aa", "a"))
+  }
+}
