@@ -52,7 +52,9 @@ object Bench {
       "sessionize", "source_profile",
       "span_dedup", "pack_plan", "mixture_sample", "quality_select",
       "top_ngrams", "url_normalize", "domain_stats", "media_dims",
-      "wav_meta", "vocab_encode", "unigram_logppl", "kmeans_topics")
+      "wav_meta", "vocab_encode", "unigram_logppl", "kmeans_topics",
+      "chunk_docs", "ppl_hist", "bpe_merges", "embed_topk_pq",
+      "dedup_incremental_bloom", "format_roundtrip")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -133,6 +133,9 @@ object SparkEntry {
   private val q8Stats =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
 
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Pq.PqModel]()
+
   /** SemDeDup wants MANY MORE clusters than the IVF probe (the paper's
     * knob is ~corpus/50k lists at LAION scale): within-cluster pair count
     * is Σ m², so 8 probe-sized lists over the sf0.1 corpus meant ~2M
@@ -757,6 +760,18 @@ object SparkEntry {
         "vec_id", "qcodes", lo, hi, k = 10)
     }),
 
+    // Product-quantized ANN: the corpus scans m=16 BYTES per vector
+    // (16x smaller than the floats), ADC scores by table lookup, and
+    // exact cosine re-ranks the top-50 shortlist per query. Rows-only;
+    // recall and determinism pinned by PqSpec.
+    "embed_topk_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = pqModels.computeIfAbsent(dir,
+        _ => graft.sim.Pq.train(e, "embedding", m = 16, k = 16))
+      graft.sim.Pq.topK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", model, k = 10, rerank = 50)
+    }),
+
     // SemDeDup semantic near-dup report (Abbas et al. 2023): k-means
     // clusters reuse the IVF coarse quantizer (bounded-sample training),
     // within-cluster self-join finds cosine ≥ threshold pairs, lowest id
@@ -843,6 +858,19 @@ object SparkEntry {
       val catalog = graft.dedup.Dedup.dedupCatalog(
         d.filter(col("doc_id") % 3 === 0), "text")
       graft.dedup.Dedup.dedupIncremental(
+        d.filter(col("doc_id") % 3 =!= 0), catalog, "doc_id", "text")
+        .select(col("doc_id"))
+    }),
+
+    // Same contract through the bloom prefilter: the catalog folds into a
+    // broadcast bit array, only bloom-positives reach the anti-join —
+    // the no-false-negative guarantee makes the result set identical, so
+    // it shares dedup_incremental's oracle verbatim.
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val catalog = graft.dedup.Dedup.dedupCatalog(
+        d.filter(col("doc_id") % 3 === 0), "text")
+      graft.dedup.Bloom.dedupIncrementalBloom(
         d.filter(col("doc_id") % 3 =!= 0), catalog, "doc_id", "text")
         .select(col("doc_id"))
     }),
@@ -1130,6 +1158,23 @@ object SparkEntry {
       val d = docs(s, dir)
       val merges = graft.text.Bpe.train(d, "text", numMerges = 30)
       graft.text.Bpe.encode(d, "doc_id", "text", merges)
+    }),
+
+    // Format parity: documents written and re-read through every
+    // supported format (parquet/ORC/CSV/JSONL), integrity-checked by
+    // count / distinct / char mass. The oracle states the same stats from
+    // the parquet original — any lossy round-trip breaks the hash.
+    "format_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+      graft.sources.Formats.Supported.map { f =>
+        graft.sources.Formats.roundTrip(d, f, tmp)
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_distinct"),
+            sum(length(col("text")).cast("long")).as("total_chars"))
+          .select(lit(f).as("format"), col("n_docs"), col("n_distinct"),
+            col("total_chars"))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -1723,6 +1768,18 @@ object SparkEntry {
         |WHERE c.text IS NULL
         |""".stripMargin,
 
+    "dedup_incremental_bloom" ->
+      """WITH catalog AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
+        |), fresh AS (
+        |  SELECT min(doc_id) AS doc_id, text
+        |  FROM documents WHERE doc_id % 3 != 0 GROUP BY text
+        |)
+        |SELECT f.doc_id FROM fresh f
+        |LEFT JOIN catalog c ON f.text = c.text
+        |WHERE c.text IS NULL
+        |""".stripMargin,
+
     "rep_ratios" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2157,6 +2214,16 @@ object SparkEntry {
         |             / count(*), 6) AS mean_neglogp
         |FROM surp
         |GROUP BY 1
+        |""".stripMargin,
+
+    "format_roundtrip" ->
+      """SELECT f AS format, n_docs, n_distinct, total_chars
+        |FROM (VALUES ('parquet'), ('orc'), ('csv'), ('json')) t(f)
+        |CROSS JOIN (
+        |  SELECT count(*) AS n_docs,
+        |         count(DISTINCT text) AS n_distinct,
+        |         CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |  FROM documents) s
         |""".stripMargin
   )
 }
