@@ -136,6 +136,9 @@ object SparkEntry {
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Pq.PqModel]()
 
+  private val bpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.text.Bpe.Merge]]()
+
   /** SemDeDup wants MANY MORE clusters than the IVF probe (the paper's
     * knob is ~corpus/50k lists at LAION scale): within-cluster pair count
     * is Σ m², so 8 probe-sized lists over the sf0.1 corpus meant ~2M
@@ -1149,16 +1152,41 @@ object SparkEntry {
     // deterministic tie-break. Iterative (one small shuffle per merge) —
     // not SQL-expressible, so rows-only; merge-for-merge equality with a
     // local reference implementation is pinned in BpeSpec.
-    "bpe_merges" -> ((s, dir) =>
-      graft.text.Bpe.trainDf(s, docs(s, dir), "text", numMerges = 30)),
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      bpeMerges.computeIfAbsent(dir,
+        _ => graft.text.Bpe.train(docs(s, dir), "text", numMerges = 30))
+        .map(m => (m.rank, m.left, m.right, m.pairCount))
+        .toDF("rank", "left", "right", "pair_count")
+    }),
 
     // Encode the corpus with the trained merges: per-doc token/subword
     // counts and fertility — the tokenizer-fit metric. Rows-only.
     "bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.text.Bpe.train(d, "text", numMerges = 30)
+      val merges = bpeMerges.computeIfAbsent(dir,
+        _ => graft.text.Bpe.train(d, "text", numMerges = 30))
       graft.text.Bpe.encode(d, "doc_id", "text", merges)
     }),
+
+    // Sketch profiling: per-source HyperLogLog++ distinct-text estimates
+    // and KLL-style approximate char-length quantiles — the O(1)-memory
+    // corpus profile that replaces exact distinct/percentile scans at
+    // 100 TB (source_profile keeps the exact variant). Rows-only:
+    // sketch internals aren't portable SQL; relative-error bounds vs the
+    // exact answers are pinned in SketchSpec.
+    "corpus_sketch" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          approx_count_distinct(col("text"), rsd = 0.02).as("approx_distinct"),
+          percentile_approx(length(col("text")).cast("double"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(5000)).as("len_quantiles"))
+        .select(col("source"), col("n_docs"), col("approx_distinct"),
+          col("len_quantiles").getItem(0).as("p50_chars"),
+          col("len_quantiles").getItem(1).as("p90_chars"),
+          col("len_quantiles").getItem(2).as("p99_chars"))),
 
     // Format parity: documents written and re-read through every
     // supported format (parquet/ORC/CSV/JSONL), integrity-checked by

@@ -46,13 +46,32 @@ object Bpe {
       .withColumn("syms", GraftFunctions.splitChars(col("word")))
 
   /** Learn `numMerges` merges; stop early when the best pair's count
-    * drops below `minPairCount`. */
+    * drops below `minPairCount`.
+    *
+    * Two execution paths with IDENTICAL results (equality pinned in
+    * BpeSpec):
+    *  - vocab ≤ `localVocabThreshold`: the aggregated (word, cnt) table
+    *    collects to the driver ONCE and the merge loop runs locally —
+    *    k merges cost one distributed aggregation instead of k scheduled
+    *    jobs whose fixed overhead dominates at small vocab.
+    *  - larger vocabs (the 100 TB corpus: 10–100 M distinct words): the
+    *    distributed loop — per merge one vocab-table scan + one small
+    *    shuffle, only the argmax row reaching the driver.
+    */
   def train(
       df: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L, checkpointEvery: Int = 8): Seq[Merge] = {
+      minPairCount: Long = 2L, checkpointEvery: Int = 8,
+      localVocabThreshold: Long = 200000L): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
     var words = wordTable(df, textCol).cache()
-    words.count() // materialize before the loop
+    val vocabSize = words.count() // materialize before the loop
+
+    if (vocabSize <= localVocabThreshold) {
+      val localWords = words.select(col("word"), col("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      words.unpersist()
+      return trainLocal(localWords, numMerges, minPairCount)
+    }
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
@@ -81,6 +100,67 @@ object Bpe {
         words = (if (rank % checkpointEvery == 0) next.localCheckpoint()
                  else next).cache()
         rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The driver-local merge loop — same algorithm, plain collections.
+    * Symbol init is the same code-point split as the distributed kernel
+    * ([[graft.functions.TextKernels.splitChars]]), tie-break identical:
+    * (count desc, left asc, right asc). */
+  private def trainLocal(
+      wordCounts: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[Merge] = {
+    var words: Map[Vector[String], Long] = wordCounts.groupBy { case (w, _) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.result()
+    }.map { case (syms, ws) => syms -> ws.map(_._2).sum }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i + 1 < syms.size) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + cnt
+          i += 1
+        }
+      }
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, entry @ ((l, r), c)) =>
+          acc match {
+            case Some(((bl, br), bc)) =>
+              if (c > bc || (c == bc && (l < bl || (l == bl && r < br)))) Some(entry)
+              else acc
+            case None => Some(entry)
+          }
+      }
+      best match {
+        case Some(((l, r), c)) if c >= minPairCount =>
+          merges += Merge(rank, l, r, c)
+          words = words.toSeq.map { case (syms, cnt) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> cnt
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          rank += 1
+        case _ => done = true
       }
     }
     merges.toSeq

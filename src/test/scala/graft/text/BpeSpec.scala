@@ -56,13 +56,24 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     "the newest gadget is the widest gadget",
     "low lower lowest")
 
-  test("distributed trainer matches the local reference merge-for-merge") {
+  test("trainer matches the local reference merge-for-merge") {
     import spark.implicits._
     val df = corpus.toDF("text")
     val got = Bpe.train(df, "text", numMerges = 12)
       .map(m => (m.left, m.right, m.pairCount))
     val want = refTrain(corpus, numMerges = 12)
     assert(got == want)
+  }
+
+  test("distributed path (threshold 0) == driver-local fast path") {
+    import spark.implicits._
+    val df = corpus.toDF("text")
+    val local = Bpe.train(df, "text", numMerges = 12)
+    val distributed = Bpe.train(df, "text", numMerges = 12,
+      localVocabThreshold = 0L)
+    assert(distributed == local)
+    assert(local.map(m => (m.left, m.right, m.pairCount)) ==
+      refTrain(corpus, numMerges = 12))
   }
 
   test("training is deterministic across partitionings") {
