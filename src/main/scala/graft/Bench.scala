@@ -54,7 +54,8 @@ object Bench {
       "top_ngrams", "url_normalize", "domain_stats", "media_dims",
       "wav_meta", "vocab_encode", "unigram_logppl", "kmeans_topics",
       "chunk_docs", "ppl_hist", "bpe_merges", "embed_topk_pq",
-      "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch")
+      "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch",
+      "window_agg", "stratified_split")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

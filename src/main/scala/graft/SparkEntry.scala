@@ -1169,6 +1169,29 @@ object SparkEntry {
       graft.text.Bpe.encode(d, "doc_id", "text", merges)
     }),
 
+    // Tumbling-window event aggregation: the batch twin of the streaming
+    // windowedCounts path — hourly (window_start, event_type) counts and
+    // exact-decimal value sums. One shuffle on the window key.
+    "window_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))),
+
+    // Deterministic stratified train/eval split: the content-hash gate
+    // keyed per (source, bucket) — reproducible across engines and
+    // partitionings, summarized as per-source split sizes.
+    "stratified_split" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("split",
+          when(graft.functions.GraftFunctions.fingerprint64(col("text")) % 10 < 8,
+            lit("train")).otherwise(lit("eval")))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"))),
+
     // Sketch profiling: per-source HyperLogLog++ distinct-text estimates
     // and KLL-style approximate char-length quantiles — the O(1)-memory
     // corpus profile that replaces exact distinct/percentile scans at
@@ -2242,6 +2265,29 @@ object SparkEntry {
         |             / count(*), 6) AS mean_neglogp
         |FROM surp
         |GROUP BY 1
+        |""".stripMargin,
+
+    "window_agg" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |""".stripMargin,
+
+    "stratified_split" ->
+      """SELECT source,
+        |       CASE WHEN list_reduce(
+        |              list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(regexp_split_to_array(text, ''),
+        |                  c -> CAST(ord(c) AS BIGINT))),
+        |              (h, c) -> (h * 31 + c) % 1000000007) % 10 < 8
+        |            THEN 'train' ELSE 'eval' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY 1, 2
         |""".stripMargin,
 
     "format_roundtrip" ->

@@ -105,8 +105,12 @@ object GraftFunctions {
     column(BpeEncodeWord(expression(c), merges))
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + the optimizer
+  * rule that rewrites regex whitespace tokenization to the byte-scan
+  * kernels ([[graft.plans.TokenizerRewrite]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.TokenizerRewrite)
+  }
 }
