@@ -965,14 +965,14 @@ object SparkEntry {
     // gram; top-k is a global sort of the (much smaller) gram counts with
     // a total tie order.
     "top_ngrams" -> ((s, dir) => {
-      // codegen byte-scan tokenizer (split(trim, "\\s+") parity, no per-row
-      // regex compile); blank text gives [] instead of [""] — both are < 3
-      // tokens, so the gram set is unchanged.
-      val toks = graft.functions.GraftFunctions.tokenizeWs(col("text"))
-      val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
-        .otherwise(array().cast("array<int>"))
-      val grams = transform(idx, i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+      // full (non-distinct) gram sequence from one byte scan; docs with
+      // < 3 tokens contribute nothing (the kernel's short-doc degrade is
+      // a single joined element, so gate on the token count)
+      val grams = when(
+        graft.functions.GraftFunctions.tokenCountWs(col("text")) < 3,
+        array().cast("array<string>"))
+        .otherwise(graft.functions.GraftFunctions
+          .wordNgrams(col("text"), 3, distinct = false))
       docs(s, dir).select(explode(grams).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram")).limit(50)

@@ -179,6 +179,41 @@ object TextKernels {
     count
   }
 
+  /** Word n-grams as space-joined strings, straight from the bytes —
+    * the shingling kernel behind decontamination and the n-gram census.
+    * `distinct = true` reproduces
+    * `array_distinct(transform(sequence(...), concat_ws(" ", slice(tokens))))`
+    * (first-occurrence order, exact string equality); `false` keeps every
+    * gram in document order. Fewer-than-n-token docs yield the
+    * space-joined whole token list (the wordShingles degrade contract). */
+  def wordNgrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = tokenizeWs(s)
+    val cnt = toks.numElements()
+    val arr = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { arr(i) = toks.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    if (cnt < n) {
+      // degrade: one element, the space-join of all tokens (empty text →
+      // join of [] = empty string)
+      var joined = if (cnt == 0) UTF8String.EMPTY_UTF8 else arr(0)
+      var j = 1
+      while (j < cnt) { joined = UTF8String.concat(joined, space, arr(j)); j += 1 }
+      return ArrayData.toArrayData(Array(joined))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](cnt - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    i = 0
+    while (i + n <= cnt) {
+      var gram = arr(i)
+      var j = 1
+      while (j < n) { gram = UTF8String.concat(gram, space, arr(i + j)); j += 1 }
+      if (seen == null || seen.add(gram)) out += gram
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
   /** Code-point split: "abc" → ["a","b","c"] (multi-byte aware; no regex,
     * no trailing-empty quirks). The BPE symbol-initialization step. */
   def splitChars(s: UTF8String): ArrayData = {
@@ -299,6 +334,23 @@ case class DistinctTokenCountWs(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): DistinctTokenCountWs =
     copy(child = newChild)
   override def prettyName: String = "distinct_token_count_ws"
+}
+
+/** `word_ngrams(text, n)` — space-joined word n-grams from one byte scan
+  * (distinct or full sequence per the constructor flag). */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0 && n <= 32, s"ngram size out of range: $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordNgrams(input.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.wordNgrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
 }
 
 /** `distinct_ngram_count_ws(text, n)` — distinct word-n-gram count. */

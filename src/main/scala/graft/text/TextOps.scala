@@ -39,14 +39,11 @@ object TextOps {
         sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n)))))
 
-  /** Word n-gram shingles (distinct). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (distinct, first-occurrence order) — one byte
+    * scan, no token/gram intermediate arrays (kernel parity with the
+    * transform/array_distinct formulation pinned in TextExprsSpec). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.wordNgrams(text, n, distinct = true)
 
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality
     * filters): the fraction of duplicated tokens / word n-grams inside a

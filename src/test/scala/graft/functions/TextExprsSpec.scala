@@ -77,6 +77,24 @@ class TextExprsSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("wordNgrams kernel == wordShingles column formulation (property)") {
+    PropCheck.check(Prop.forAll(textGen) { s =>
+      val toks = refTokens(s)
+      def kernel(distinct: Boolean): Seq[String] = {
+        val ad = TextKernels.wordNgrams(UTF8String.fromString(s), 3, distinct)
+        (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+      }
+      if (toks.size < 3) {
+        // degrade contract: one element, the space-join of all tokens
+        kernel(true) == Seq(toks.mkString(" ")) &&
+          kernel(false) == Seq(toks.mkString(" "))
+      } else {
+        val all = toks.sliding(3).map(_.mkString(" ")).toSeq
+        kernel(false) == all && kernel(true) == all.distinct
+      }
+    })
+  }
+
   test("countSubstr: empty needle and overlap discipline") {
     assert(TextKernels.countSubstr(
       UTF8String.fromString("aaaa"), UTF8String.fromString("aa")) == 2L) // non-overlapping
