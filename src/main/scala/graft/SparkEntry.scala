@@ -139,6 +139,9 @@ object SparkEntry {
   private val bpeMerges =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.text.Bpe.Merge]]()
 
+  private val fmtScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** SemDeDup wants MANY MORE clusters than the IVF probe (the paper's
     * knob is ~corpus/50k lists at LAION scale): within-cluster pair count
     * is Σ m², so 8 probe-sized lists over the sf0.1 corpus meant ~2M
@@ -624,12 +627,17 @@ object SparkEntry {
         .join(broadcast(Tables.read(s, dir, "region")
           .filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
+      // per-part AND total sums stay exact decimals; only the final
+      // threshold compare converts to double (one deterministic
+      // conversion each side — an order-dependent double total could
+      // flip borderline parts between runs/engines)
       val perPart = asiaLines.groupBy(col("l_partkey").as("ps_partkey"))
-        .agg(sum(rev).cast("double").as("part_value"))
-      val total = perPart.agg(sum(col("part_value")).as("total_value"))
+        .agg(sum(rev).as("pv_dec"))
+      val total = perPart.agg(sum(col("pv_dec")).as("total_dec"))
       perPart.join(broadcast(total),
-          col("part_value") > col("total_value") * lit(0.001))
-        .select(col("ps_partkey"), col("part_value"))
+          col("pv_dec").cast("double") >
+            col("total_dec").cast("double") * lit(0.001))
+        .select(col("ps_partkey"), col("pv_dec").cast("double").as("part_value"))
     }),
 
     // Late-shipment priority counts (TPC-H Q12 shape, adapted: the
@@ -1217,7 +1225,14 @@ object SparkEntry {
     // the parquet original — any lossy round-trip breaks the hash.
     "format_roundtrip" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+      // ONE scratch dir per process (overwrite mode reuses it) — a fresh
+      // createTempDirectory per invocation would leak 4 corpus copies
+      // every bench/verify run
+      val tmp = fmtScratch.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-fmt")
+        p.toFile.deleteOnExit()
+        p.toString
+      })
       graft.sources.Formats.Supported.map { f =>
         graft.sources.Formats.roundTrip(d, f, tmp)
           .agg(count(lit(1)).as("n_docs"),
@@ -1597,9 +1612,9 @@ object SparkEntry {
     "q11_important_value" ->
       """WITH per_part AS (
         |  SELECT l_partkey AS ps_partkey,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-        |           AS part_value
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |           AS pv_dec
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
@@ -1607,8 +1622,9 @@ object SparkEntry {
         |  WHERE r_name = 'ASIA'
         |  GROUP BY l_partkey
         |)
-        |SELECT ps_partkey, part_value FROM per_part
-        |WHERE part_value > (SELECT sum(part_value) FROM per_part) * 0.001
+        |SELECT ps_partkey, CAST(pv_dec AS DOUBLE) AS part_value FROM per_part
+        |WHERE CAST(pv_dec AS DOUBLE)
+        |      > CAST((SELECT sum(pv_dec) FROM per_part) AS DOUBLE) * 0.001
         |""".stripMargin,
 
     "q12_late_priority" ->
@@ -1952,7 +1968,8 @@ object SparkEntry {
 
     "vocab_encode" ->
       """WITH docs_t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, i AS pos, ws[CAST(i AS INT)] AS word
@@ -1975,7 +1992,8 @@ object SparkEntry {
     "unigram_logppl" ->
       """WITH toks AS (
         |  SELECT doc_id, w AS word
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |          ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
         |        FROM documents), unnest(ws) AS t(w)
         |), counts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
         |tot AS (SELECT sum(cnt) AS tot FROM counts)
@@ -2250,7 +2268,8 @@ object SparkEntry {
     "ppl_hist" ->
       """WITH toks AS (
         |  SELECT doc_id, w AS word
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |          ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
         |        FROM documents), unnest(ws) AS t(w)
         |), counts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
         |tot AS (SELECT sum(cnt) AS tot FROM counts),

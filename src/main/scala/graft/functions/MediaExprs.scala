@@ -135,19 +135,24 @@ object WavKernels {
     var rate = -1L
     var bits = -1
     var dataBytes = -1L
-    var i = 12
+    var i = 12L
     while (i + 8 <= n && (channels < 0 || dataBytes < 0)) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "fmt ")) {
+      val ii = i.toInt
+      val size = le32(b, ii + 4) // unsigned u32 — keep it a Long: a
+      // truncated .toInt on a huge declared size would go negative and
+      // stall or reverse the cursor (malformed input must not hang)
+      if (tag(b, ii, "fmt ")) {
         if (i + 8 + 16 > n || size < 16) return null
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
+        channels = le16(b, ii + 10)
+        rate = le32(b, ii + 12)
+        bits = le16(b, ii + 22)
+      } else if (tag(b, ii, "data")) {
         dataBytes = size
       }
-      // chunk payloads are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      // chunk payloads are word-aligned: odd sizes carry a pad byte;
+      // Long arithmetic keeps the cursor strictly advancing even when the
+      // declared size overflows the remaining buffer (loop then exits)
+      i += 8L + size + (size & 1L)
     }
     if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0 ||
       dataBytes < 0) return null

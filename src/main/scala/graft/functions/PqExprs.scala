@@ -20,8 +20,19 @@ import org.apache.spark.sql.types._
   */
 object PqKernels {
 
+  /** Loud failure on ragged input: the kernels index `vec` by
+    * subspace arithmetic, and UnsafeArrayData does NO bounds checking — a
+    * short vector would silently read adjacent row memory and emit
+    * plausible-looking garbage codes. */
+  @inline private def requireDim(vec: ArrayData, m: Int, dsub: Int): Unit = {
+    val n = vec.numElements()
+    if (n != m * dsub) throw new IllegalArgumentException(
+      s"PQ kernel: vector has $n dims, codebook expects ${m * dsub} ($m×$dsub)")
+  }
+
   /** Encode: per subspace, the argmin-L2 centroid id, stored −128..127. */
   def pqEncode(vec: ArrayData, cents: Array[Double], m: Int, k: Int, dsub: Int): ArrayData = {
+    requireDim(vec, m, dsub)
     val codes = new Array[Byte](m)
     var sub = 0
     while (sub < m) {
@@ -48,6 +59,7 @@ object PqKernels {
 
   /** ADC lookup table for one query: lut[sub*k + c] = q_sub · centroid. */
   def pqLut(vec: ArrayData, cents: Array[Double], m: Int, k: Int, dsub: Int): ArrayData = {
+    requireDim(vec, m, dsub)
     val lut = new Array[Double](m * k)
     var sub = 0
     while (sub < m) {

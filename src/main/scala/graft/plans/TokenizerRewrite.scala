@@ -60,7 +60,9 @@ object TokenizerRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(GuardedTokens(x), _) => TokenCountWs(x)
+      // legacySizeOfNull=true returns -1 for null input; TokenCountWs
+      // returns null — only the modern flag preserves semantics
+      case Size(GuardedTokens(x), false) => TokenCountWs(x)
       case GuardedTokens(x) => TokenizeWs(x)
     }
 }

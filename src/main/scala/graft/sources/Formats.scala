@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{base64, col, unbase64}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
 
 /** Source/sink format parity: the same table readable and writable as
   * parquet, ORC, CSV and JSON-lines with LOSSLESS round-trips — the
@@ -17,8 +18,9 @@ import org.apache.spark.sql.types.StructType
   *    CSV ambiguity, moved to a string no real corpus contains.
   *  - JSON: explicit timestamp format (Spark's default drops sub-second
   *    digits on write), schema-enforced read (no inference drift).
-  *  - Binary columns round-trip as base64 in text formats via Spark's
-  *    native casts.
+  *  - Binary columns (the multimodal media payloads): CSV/JSON cannot
+  *    carry bytes, so they're base64-encoded on write and decoded on
+  *    read — transparently, per the ORIGINAL schema's BinaryType fields.
   *
   * Round-trip equality for every format is pinned in FormatsSpec; the
   * `format_roundtrip` declared query checks count/distinct/char-mass
@@ -31,20 +33,33 @@ object Formats {
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
   private val NullSentinel = "__GRAFT_NULL__"
 
-  def write(df: DataFrame, format: String, path: String): Unit = format match {
-    case "parquet" => df.write.mode("overwrite").parquet(path)
-    case "orc" => df.write.mode("overwrite").orc(path)
-    case "csv" => df.write.mode("overwrite")
-      .option("header", "true")
-      .option("escape", "\"")
-      .option("nullValue", NullSentinel)
-      .option("timestampFormat", TsFmt)
-      .csv(path)
-    case "json" => df.write.mode("overwrite")
-      .option("timestampFormat", TsFmt)
-      .option("ignoreNullFields", "false")
-      .json(path)
-    case other => throw new IllegalArgumentException(s"unsupported format: $other")
+  private def isTextFormat(format: String): Boolean =
+    format == "csv" || format == "json"
+
+  /** Binary columns → base64 strings for the text formats (null stays
+    * null). */
+  private def encodeBinary(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType == BinaryType).foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, base64(col(f.name)))
+    }
+
+  def write(df: DataFrame, format: String, path: String): Unit = {
+    val out = if (isTextFormat(format)) encodeBinary(df) else df
+    format match {
+      case "parquet" => out.write.mode("overwrite").parquet(path)
+      case "orc" => out.write.mode("overwrite").orc(path)
+      case "csv" => out.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", "\"")
+        .option("nullValue", NullSentinel)
+        .option("timestampFormat", TsFmt)
+        .csv(path)
+      case "json" => out.write.mode("overwrite")
+        .option("timestampFormat", TsFmt)
+        .option("ignoreNullFields", "false")
+        .json(path)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
   }
 
   def read(spark: SparkSession, format: String, path: String,
@@ -53,23 +68,36 @@ object Formats {
     // the in-memory frame claimed, and Spark's multiLine CSV path skips
     // the nullValue→null conversion entirely when the user schema marks a
     // field non-nullable (observed on 4.1.2 — the sentinel comes back as
-    // a literal string).
-    val schema = StructType(schemaSpec.fields.map(_.copy(nullable = true)))
-    format match {
-    case "parquet" => spark.read.schema(schema).parquet(path)
-    case "orc" => spark.read.schema(schema).orc(path)
-    case "csv" => spark.read.schema(schema)
-      .option("header", "true")
-      .option("escape", "\"")
-      .option("nullValue", NullSentinel)
-      .option("multiLine", "true")
-      .option("timestampFormat", TsFmt)
-      .csv(path)
-    case "json" => spark.read.schema(schema)
-      .option("timestampFormat", TsFmt)
-      .json(path)
-    case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    // a literal string). Text formats additionally read BinaryType fields
+    // as base64 strings and decode after.
+    val nullable = StructType(schemaSpec.fields.map(_.copy(nullable = true)))
+    val binaryCols = schemaSpec.fields.filter(_.dataType == BinaryType).map(_.name)
+    val readSchema =
+      if (isTextFormat(format))
+        StructType(nullable.fields.map(f =>
+          if (f.dataType == BinaryType) f.copy(dataType = StringType) else f))
+      else nullable
+    val raw = format match {
+      case "parquet" => spark.read.schema(readSchema).parquet(path)
+      case "orc" => spark.read.schema(readSchema).orc(path)
+      case "csv" => spark.read.schema(readSchema)
+        .option("header", "true")
+        .option("escape", "\"")
+        .option("nullValue", NullSentinel)
+        .option("multiLine", "true")
+        .option("timestampFormat", TsFmt)
+        .csv(path)
+      case "json" => spark.read.schema(readSchema)
+        .option("timestampFormat", TsFmt)
+        .json(path)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
+    if (isTextFormat(format))
+      binaryCols.foldLeft(raw) { (d, c) =>
+        // unbase64 is null-safe; empty payloads decode to empty bytes
+        d.withColumn(c, unbase64(col(c)))
+      }
+    else raw
   }
 
   /** Write `df` as `format` under `dir/format`, read it back with the

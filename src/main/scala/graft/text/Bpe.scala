@@ -95,13 +95,17 @@ object Bpe {
         val (l, r, c) = (pairs.head.getString(0), pairs.head.getString(1),
           pairs.head.getLong(2))
         merges += Merge(rank, l, r, c)
-        val next = words.withColumn("syms",
+        val prev = words
+        val next = prev.withColumn("syms",
           GraftFunctions.bpeMergePair(col("syms"), l, r))
         words = (if (rank % checkpointEvery == 0) next.localCheckpoint()
                  else next).cache()
+        words.count() // materialize before dropping the parent's cache
+        prev.unpersist()
         rank += 1
       }
     }
+    words.unpersist()
     merges.toSeq
   }
 
@@ -137,11 +141,20 @@ object Bpe {
           i += 1
         }
       }
+      // tie-break in UTF-8 BYTE order (UTF8String.compareTo) — Spark's
+      // string ordering, which the distributed path's orderBy uses. Scala
+      // String '<' compares UTF-16 code units, which disagrees beyond the
+      // BMP (supplementary chars sort before U+E000.. in UTF-16 but after
+      // in UTF-8), and the two paths must pick IDENTICAL merges.
+      def u8Less(a: String, b: String): Boolean =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
       val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
         case (acc, entry @ ((l, r), c)) =>
           acc match {
             case Some(((bl, br), bc)) =>
-              if (c > bc || (c == bc && (l < bl || (l == bl && r < br)))) Some(entry)
+              if (c > bc || (c == bc &&
+                (u8Less(l, bl) || (l == bl && u8Less(r, br))))) Some(entry)
               else acc
             case None => Some(entry)
           }

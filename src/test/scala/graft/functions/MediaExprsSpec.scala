@@ -107,6 +107,28 @@ class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(wav(zeroRate).isEmpty)
   }
 
+  test("WAV: huge/overflowing declared chunk sizes terminate (no hang, no throw)") {
+    // chunk size 0xFFFFFFF8: as a truncated Int this is -8, which would
+    // stall the cursor forever; as unsigned it overshoots the buffer and
+    // the walk must just end
+    val hugeChunk = hexBytes(
+      "52494646 2C000000 57415645" +
+      "4C495354 F8FFFFFF" + "00" * 8)
+    assert(wav(hugeChunk).isEmpty)
+    // size 0xFFFFFF00 similarly must not index negatively
+    val negCursor = hexBytes(
+      "52494646 2C000000 57415645" +
+      "4C495354 00FFFFFF" + "00" * 8)
+    assert(wav(negCursor).isEmpty)
+    // a valid fmt BEFORE the bogus chunk still yields null (no data
+    // chunk reachable) rather than an exception
+    val fmtThenHuge = hexBytes(
+      "52494646 2C000000 57415645" +
+      "666D7420 10000000 0100 0200 803E0000 00FA0000 0400 1000" +
+      "4C495354 FFFFFFFF")
+    assert(wav(fmtThenHuge).isEmpty)
+  }
+
   test("WAV column expression: codegen agrees with the kernel, nulls propagate") {
     import spark.implicits._
     val rows = Seq(

@@ -58,6 +58,28 @@ class FormatsSpec extends AnyFunSuite with SparkTestBase {
     assert(back.filter(col("text") === "").select("id").as[Long].collect().toSeq == Seq(6L))
   }
 
+  test("binary columns round-trip as base64 through CSV and JSON") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array[Byte](0, 1, 2, -1, -128, 127)),
+      (2L, "RIFF....WAVE".getBytes("UTF-8")),
+      (3L, Array.empty[Byte]),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("id", "payload")
+    val dir = tmp()
+    Formats.Supported.foreach { f =>
+      val back = Formats.roundTrip(df, f, dir)
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getAs[Array[Byte]]("payload")).map(_.toSeq)).toMap
+      rows.foreach { case (id, bytes) =>
+        assert(back(id) == Option(bytes).map(_.toSeq), s"format $f id $id")
+      }
+      // the round-tripped schema is BinaryType again, not string
+      assert(Formats.roundTrip(df, f, dir).schema("payload").dataType ==
+        org.apache.spark.sql.types.BinaryType, s"format $f")
+    }
+  }
+
   test("events timestamps keep microsecond precision through text formats") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001").limit(200)
     val want = rowsOf(ev)
