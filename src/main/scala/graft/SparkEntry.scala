@@ -1200,6 +1200,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("total_chars"))),
 
+    // Gopher heuristic filter bundle (Rae et al. 2021): per-rule pass
+    // counts + kept total over the corpus — the filter-tuning diagnostic.
+    // One scan, one single-row aggregate; every rule restated in the
+    // DuckDB oracle.
+    "gopher_filters" -> ((s, dir) => {
+      val f = TextOps.gopherFlags(col("text"))
+      def cnt(field: String) =
+        sum(when(col("__f").getField(field), 1L).otherwise(0L)).as(s"n_$field")
+      docs(s, dir).select(f.as("__f"))
+        .agg(count(lit(1)).as("n_docs"),
+          cnt("length_ok"), cnt("mean_len_ok"), cnt("symbol_ok"),
+          cnt("repetition_ok"), cnt("stopword_ok"), cnt("keep"))
+    }),
+
     // Sketch profiling: per-source HyperLogLog++ distinct-text estimates
     // and KLL-style approximate char-length quantiles — the O(1)-memory
     // corpus profile that replaces exact distinct/percentile scans at
@@ -2285,6 +2299,49 @@ object SparkEntry {
         |FROM surp
         |GROUP BY 1
         |""".stripMargin,
+
+    "gopher_filters" -> {
+      val stopSum = graft.text.TextOps.Stopwords.map(w =>
+        s"CASE WHEN position(' $w ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH t AS (
+         |  SELECT text,
+         |         CASE WHEN length(trim(text)) = 0 THEN []
+         |              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT text, len(toks) AS n,
+         |         CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |                   / len(toks) END AS mtl,
+         |         (length(text) - length(replace(text, '#', '')))
+         |           + (length(text) - length(replace(text, '...', ''))) / 3 AS symbols,
+         |         CASE WHEN len(toks) <= 0 THEN 0.0
+         |              ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+         |                         / len(toks), 6) END AS rep_ratio,
+         |         $stopSum AS stop_hits
+         |  FROM t
+         |), flags AS (
+         |  SELECT (n >= 5 AND n <= 100000) AS length_ok,
+         |         (mtl >= 3.0 AND mtl <= 10.0) AS mean_len_ok,
+         |         CASE WHEN n = 0 THEN FALSE
+         |              ELSE CAST(symbols AS DOUBLE) / n <= 0.1 END AS symbol_ok,
+         |         (rep_ratio <= 0.3) AS repetition_ok,
+         |         (stop_hits >= 2) AS stopword_ok
+         |  FROM m
+         |)
+         |SELECT count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN length_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_length_ok,
+         |       CAST(sum(CASE WHEN mean_len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_len_ok,
+         |       CAST(sum(CASE WHEN symbol_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ok,
+         |       CAST(sum(CASE WHEN repetition_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_ok,
+         |       CAST(sum(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok,
+         |       CAST(sum(CASE WHEN length_ok AND mean_len_ok AND symbol_ok
+         |                      AND repetition_ok AND stopword_ok
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM flags
+         |""".stripMargin
+    },
 
     "window_agg" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,

@@ -208,6 +208,42 @@ object TextOps {
     array_distinct(mins)
   }
 
+  /** Gopher-style heuristic document filters (Rae et al. 2021, §A1.1),
+    * the deliberately-portable subset: every signal is restatable in
+    * DuckDB SQL so the whole rule bundle is oracle-checkable.
+    *
+    *  - n_tokens in [minTokens, maxTokens]
+    *  - mean token length in [3, 10] chars
+    *  - symbol ratio (# and … occurrences / tokens) ≤ 0.1
+    *  - repeated-token ratio ≤ 0.3 (duplicate-token fraction)
+    *  - at least 2 distinct stopwords present
+    *
+    * Pure scalar expressions — zero shuffles; returns the per-rule
+    * booleans plus the conjunction so corpus diagnostics can aggregate
+    * per-rule drop rates. */
+  def gopherFlags(text: Column, minTokens: Int = 5, maxTokens: Int = 100000): Column = {
+    val n = tokenCount(text)
+    val mtl = meanTokenLen(text)
+    val symbols = graft.functions.GraftFunctions.countSubstr(text, lit("#")) +
+      graft.functions.GraftFunctions.countSubstr(text, lit("..."))
+    val lowered = lower(text)
+    val stopHits = Stopwords.map(w =>
+      when(graft.functions.GraftFunctions
+        .countSubstr(concat(lit(" "), lowered, lit(" ")), lit(s" $w ")) > 0, 1)
+        .otherwise(0)).reduce(_ + _)
+    val lengthOk = n >= minTokens && n <= maxTokens
+    val mtlOk = mtl >= 3.0 && mtl <= 10.0
+    val symbolOk = when(n === 0, lit(false))
+      .otherwise(symbols.cast(DoubleType) / n.cast(DoubleType) <= 0.1)
+    val repOk = repeatedTokenRatio(text) <= 0.3
+    val stopOk = stopHits >= 2
+    struct(
+      lengthOk.as("length_ok"), mtlOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"), repOk.as("repetition_ok"),
+      stopOk.as("stopword_ok"),
+      (lengthOk && mtlOk && symbolOk && repOk && stopOk).as("keep"))
+  }
+
   /** Token-count histogram bucket: floor(n_tokens / width), capped at
     * `maxBucket` — corpus length-distribution stats in one aggregation. */
   def tokenHistogramBucket(text: Column, width: Int, maxBucket: Int): Column =
