@@ -172,4 +172,46 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("qcodes"), s"no quantized codes in plan:\n$plan")
     assert(q.count() > 0)
   }
+
+  test("chunking is a pure scan: zero exchanges in the plan") {
+    val q = graft.SparkEntry.queries("chunk_docs")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("PQ ANN: one shuffle (the top-k window); query side broadcasts") {
+    val q = graft.SparkEntry.queries("embed_topk_pq")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(plan.contains("pq_encode"), s"corpus not PQ-encoded in-plan:\n$plan")
+  }
+
+  test("bloom-prefiltered dedup probes inside the scan (expression, not join)") {
+    val q = graft.SparkEntry.queries("dedup_incremental_bloom")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"no in-scan probe:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("gopher filter bundle stays a single scan + single-row aggregate") {
+    val q = graft.SparkEntry.queries("gopher_filters")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // one exchange for the global aggregate, nothing else
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected at most the final-agg exchange:\n$plan")
+  }
+
+  test("BPE training leaves no cached vocab tables behind") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // threshold 0 forces the distributed loop (the path that caches)
+    val merges = graft.text.Bpe.train(
+      Seq("low low lower lowest", "newest newest new").toDF("text"),
+      "text", numMerges = 4, localVocabThreshold = 0L)
+    assert(merges.nonEmpty)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"leaked cached RDDs: $after")
+  }
 }
