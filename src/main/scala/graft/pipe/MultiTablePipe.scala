@@ -55,16 +55,21 @@ class MultiTablePipe(
           // A4 counters computed once over the whole batch
           lastCounters = CoreOps.writeCounters(batch, tableCol, "op")
             .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-          // A3: per-table routing; unknown tables warn + skip
+          // A3: per-table routing; unknown tables warn + skip. The batch's
+          // distinct table set drives BOTH the warning and the routing
+          // loop — tables absent from this batch get no per-table
+          // filter/isEmpty jobs at all.
           val known = tables.keySet
-          batch.select(col(tableCol)).distinct().collect().map(_.getString(0))
-            .filterNot(known.contains)
+          val present = batch.select(col(tableCol)).distinct()
+            .collect().map(_.getString(0)).toSet
+          (present -- known)
             .foreach(t => System.err.println(s"[pipe] unknown table '$t': skipped"))
+          val rows = batch.count() // before the commit point
           tables.foreach { case (name, spec) =>
-            val slice = CoreOps
-              .filterTables(batch, tableCol, Seq(name))
-              .drop(tableCol)
-            if (!slice.isEmpty) {
+            if (present.contains(name)) {
+              val slice = CoreOps
+                .filterTables(batch, tableCol, Seq(name))
+                .drop(tableCol)
               val aligned = slice.select(
                 (Seq(col("op"), col("seq")) ++
                   spec.columns.map(c => col(c.name))): _*)
@@ -74,7 +79,7 @@ class MultiTablePipe(
             }
           }
           offsets.write(maxSeq) // commit AFTER all table writes (at-least-once)
-          batch.count()
+          rows
       }
     } finally batch.unpersist()
   }

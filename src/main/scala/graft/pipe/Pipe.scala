@@ -19,9 +19,16 @@ trait CdcSource {
   /** Next ≤ limit changelog rows with seq > after, WAL-ordered (S2/S4).
     * Peeking does NOT consume: the same rows return until committed. */
   def peekChanges(after: Long, limit: Long): DataFrame
-  /** Max seq in a peeked batch (the offset to commit after writes). */
+  /** Max seq in a peeked batch (the offset to commit after writes).
+    * Numeric-type tolerant: a live changelog table may declare its seq
+    * column INT (JDBC metadata maps it to IntegerType), and an
+    * asInstanceOf[Long] on the boxed Integer would ClassCastException. */
   def maxSeq(batch: DataFrame): Option[Long] =
-    batch.agg(max(col("seq"))).collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    batch.agg(max(col("seq"))).collect().headOption.flatMap(r =>
+      Option(r.get(0)).map {
+        case n: Number => n.longValue
+        case other => other.toString.toLong
+      })
 }
 
 /** Replays a changelog DataFrame (derived from the `events` parquet) as a
@@ -32,8 +39,11 @@ class ChangelogReplaySource(changelog: DataFrame, snapshotDf: Option[DataFrame] 
   private val log = changelog.cache()
   def snapshot(): DataFrame = snapshotDf.getOrElse(log.sparkSession.emptyDataFrame)
   def peekChanges(after: Long, limit: Long): DataFrame = {
-    // WAL-ordered window: sort only the filtered tail, bounded by `limit`.
-    log.filter(col("seq") > after).orderBy(col("seq")).limit(limit.toInt)
+    // WAL-ordered window: sort only the filtered tail, bounded by `limit`
+    // (clamped: a Long config beyond Int.MaxValue must mean "unbounded",
+    // not wrap to 0 or a negative limit).
+    log.filter(col("seq") > after).orderBy(col("seq"))
+      .limit(math.min(limit, Int.MaxValue.toLong).toInt)
   }
 }
 
@@ -115,9 +125,16 @@ class ParquetStateSink(
 )(implicit spark: SparkSession) extends BatchSink {
   private def logDir = s"$path/log"
 
+  /** FS resolved from the sink PATH, not the default FS — an
+    * hdfs://…/s3a://… sink probed through the local provider would look
+    * permanently empty (and compact would swap on the wrong FS). */
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def isEmpty: Boolean = { // K6 emptiness probe
     recoverSwap()
-    !Files.exists(Paths.get(logDir))
+    !fs.exists(new org.apache.hadoop.fs.Path(logDir))
   }
 
   /** K1/K2/K3 realized as one append: upserts, tombstones and truncate
@@ -159,13 +176,20 @@ class ParquetStateSink(
     val tmp = s"$path/compact_tmp"
     snap.select((Seq("op", "seq") ++ pkCols ++ valueCols :+ "__batch").map(col): _*)
       .write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val f = fs
     val logPath = new org.apache.hadoop.fs.Path(logDir)
     val oldPath = new org.apache.hadoop.fs.Path(s"$path/log_old")
-    fs.delete(oldPath, true) // stale leftover from a recovered crash
-    fs.rename(logPath, oldPath)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), logPath)
-    fs.delete(oldPath, true)
+    f.delete(oldPath, true) // stale leftover from a recovered crash
+    // Hadoop rename reports failure by RETURNING FALSE — an unchecked
+    // swap followed by the old-log delete would destroy the only copy.
+    // Every failure below leaves a recoverSwap()-able layout.
+    if (!f.rename(logPath, oldPath)) throw new java.io.IOException(
+      s"compact: rename $logPath -> $oldPath failed; log left in place")
+    if (!f.rename(new org.apache.hadoop.fs.Path(tmp), logPath))
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $logPath failed; old log preserved at " +
+          s"$oldPath for recoverSwap")
+    f.delete(oldPath, true) // swap verified — only now drop the old log
   }
 
   /** Recover from a crash mid-[[compact]] swap. Called before reads:
@@ -173,13 +197,17 @@ class ParquetStateSink(
     * it is complete by write-then-swap order) or the renamed-aside old
     * log is promoted back. */
   private def recoverSwap(): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val f = fs
     val logPath = new org.apache.hadoop.fs.Path(logDir)
     val oldPath = new org.apache.hadoop.fs.Path(s"$path/log_old")
     val tmpPath = new org.apache.hadoop.fs.Path(s"$path/compact_tmp")
-    if (!fs.exists(logPath) && fs.exists(oldPath)) {
-      if (fs.exists(tmpPath)) { fs.rename(tmpPath, logPath); fs.delete(oldPath, true) }
-      else fs.rename(oldPath, logPath)
+    if (!f.exists(logPath) && f.exists(oldPath)) {
+      if (f.exists(tmpPath)) {
+        if (!f.rename(tmpPath, logPath)) throw new java.io.IOException(
+          s"recoverSwap: rename $tmpPath -> $logPath failed")
+        f.delete(oldPath, true)
+      } else if (!f.rename(oldPath, logPath)) throw new java.io.IOException(
+        s"recoverSwap: rename $oldPath -> $logPath failed")
     }
   }
 }
@@ -289,24 +317,39 @@ class Pipe(
         case Left(e) => failed(e, "peek", config.sleepWhenPeekFailed)
         case Right(batch) =>
           try {
-            source.maxSeq(batch) match {
-              case None =>
+            // maxSeq is the FIRST action on a lazily-peeked batch — a
+            // transient failure here is a peek failure and must hit the
+            // same retry policy, not escape the loop.
+            val seqOpt =
+              try Right(source.maxSeq(batch))
+              catch { case e: Exception => Left(e) }
+            seqOpt match {
+              case Left(e) => failed(e, "peek", config.sleepWhenPeekFailed)
+              case Right(None) =>
                 if (live) sleeper(config.sleepWhenPeekIsEmpty)
                 else drained = true // empty peek: replay mode stops
-              case Some(maxSeq) =>
+              case Right(Some(maxSeq)) =>
                 try {
+                  // count BEFORE the commit point: after offsets.write a
+                  // failure here could not be replayed (the next peek
+                  // returns the NEXT batch), so it must not look like a
+                  // replayable write failure
+                  val rows = batch.count()
                   // batch id = the batch's max seq: monotone across appends
                   // by WAL order, which is all finalState's collapse needs.
                   sink.appendBatch(batch, batchId = maxSeq)
                   offsets.write(maxSeq) // commit point: after successful write
                   offset = maxSeq
-                  applied += batch.count()
+                  applied += rows
                   failures = 0
                   sleeper(config.sleepAfterSyncWrite)
                   if (live) sleeper(config.sleepAfterSyncIteration)
                 } catch {
                   case e: Exception =>
                     // offset unchanged → the next peek replays this batch
+                    // (an append that succeeded before a later failure
+                    // re-appends on replay; the last-wins collapse makes
+                    // that idempotent)
                     failed(e, "write", config.sleepWhenWriteFailed)
                 }
             }

@@ -90,19 +90,30 @@ class StatementPipe(
             val aligned = batch.select(
               (Seq(col("op"), col("seq")) ++
                 targetColumns.map(c => col(c.name))): _*)
-            source.maxSeq(batch) match {
-              case None =>
+            // maxSeq is the FIRST action on the lazily-peeked batch —
+            // transient failures here are peek failures and must follow
+            // the same retry policy instead of escaping the loop
+            val seqOpt =
+              try Right(source.maxSeq(batch))
+              catch { case e: Exception => Left(e) }
+            seqOpt match {
+              case Left(e) => failed(e, "peek", config.sleepWhenPeekFailed)
+              case Right(None) =>
                 if (live) sleeper(config.sleepWhenPeekIsEmpty)
                 else drained = true
-              case Some(maxSeq) =>
+              case Right(Some(maxSeq)) =>
                 try {
+                  // count before the commit point: a post-commit failure
+                  // could not be replayed (the next peek returns the NEXT
+                  // batch), so it must not register as a write failure
+                  val rows = batch.count()
                   sink.applyBatch(CoreOps.maskColumns(aligned, maskColumns))
                   // commit point: offset + cursor advance only after ALL
                   // statements of the batch succeeded (at-least-once)
                   offsets.write(maxSeq)
                   advance(maxSeq)
                   offset = maxSeq
-                  applied += batch.count()
+                  applied += rows
                   failures = 0
                   sleeper(config.sleepAfterSyncWrite)
                   if (live) sleeper(config.sleepAfterSyncIteration)

@@ -78,6 +78,9 @@ private[streaming] class CdcMicroBatchStream(
     with SupportsTriggerAvailableNow {
 
   private val limit = options.getOrElse("maxeventspertrigger", "65536").toLong
+  private val refreshIntervalMs =
+    options.getOrElse("refreshintervalms", "500").toLong
+  @volatile private var lastRefreshNanos = Long.MinValue / 2
   private lazy val index = new CdcLogIndex(schema, options)
 
   // Trigger.AvailableNow: pin the drain target so the engine keeps firing
@@ -113,6 +116,21 @@ private[streaming] class CdcMicroBatchStream(
     val budget = rowBudget(readLimit)
     index.endOfWindow(from, budget, availableNowTarget) match {
       case Some(end) => CdcOffset(end)
+      case None if availableNowTarget.isEmpty =>
+        // continuous trigger caught up with the startup index: re-list the
+        // log so appended files advance later batches (AvailableNow pins
+        // its drain target at prepare time and never needs this). Throttled
+        // — a ProcessingTime(0) hot loop would otherwise run the listing
+        // + metadata jobs back-to-back.
+        val now = System.nanoTime()
+        if (now - lastRefreshNanos >= refreshIntervalMs * 1000000L) {
+          lastRefreshNanos = now
+          index.refresh()
+        }
+        index.endOfWindow(from, budget, None) match {
+          case Some(end) => CdcOffset(end)
+          case None => start
+        }
       case None => start
     }
   }
@@ -197,8 +215,10 @@ private[streaming] class CdcLogIndex(
   /** O(files) driver metadata. File sizes come from the FS listing; seq
     * ranges from one tiny aggregation job. Keyed by the FULL normalized
     * path — recursive listings may hold same-named part files in
-    * different subdirectories. */
-  private val files: Array[FileMeta] = {
+    * different subdirectories. Rebuilt by [[refresh]] so a GROWING log is
+    * visible to later triggers (a build-once index would silently freeze
+    * a ProcessingTime stream at the startup snapshot). */
+  private def buildFiles(): Array[FileMeta] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(new org.apache.hadoop.fs.Path(path).toUri.toString),
       spark.sparkContext.hadoopConfiguration)
@@ -218,28 +238,43 @@ private[streaming] class CdcLogIndex(
     val ranges = df.select(col(seqCol).as("s"), input_file_name().as("f"))
       .groupBy("f").agg(min("s").as("lo"), max("s").as("hi"))
       .collect()
-    val metas = ranges.flatMap { r =>
-      sizes.get(pathKey(r.getString(0))).map { case (url, size) =>
-        FileMeta(url, size, r.getLong(1), r.getLong(2))
+    ranges.map { r =>
+      sizes.get(pathKey(r.getString(0))) match {
+        case Some((url, size)) => FileMeta(url, size, r.getLong(1), r.getLong(2))
+        case None =>
+          // a file appended BETWEEN the listing and the range job: stat it
+          // directly rather than dropping its window (or dying) — the
+          // listing and the read are not atomic on a live log
+          val p = new org.apache.hadoop.fs.Path(r.getString(0))
+          FileMeta(p.toUri.toString, fs.getFileStatus(p).getLen,
+            r.getLong(1), r.getLong(2))
       }
     }
-    // every file that produced rows must resolve to a listed file —
-    // a miss means the index would silently drop that file's window
-    // (empty part files legitimately appear in `sizes` only)
-    require(metas.length == ranges.length,
-      s"file index mismatch: ${ranges.length} row-bearing files vs " +
-        s"${metas.length} resolved against the listing")
-    metas
   }
+
+  @volatile private var filesRef: Array[FileMeta] = buildFiles()
+  private def files: Array[FileMeta] = filesRef
 
   /** The sorted seq index — 8 bytes/event on the driver, the same scale as
     * the offsets a replication slot tracks. Exact-row admission control
     * needs the values, not just ranges. */
-  val seqs: Array[Long] = {
+  private def buildSeqs(): Array[Long] = {
     import spark.implicits._
     spark.read.schema(schema)
       .option("recursiveFileLookup", "true").parquet(path)
       .select(col(seqCol)).as[Long].collect().sorted
+  }
+
+  @volatile private var seqsRef: Array[Long] = buildSeqs()
+  def seqs: Array[Long] = seqsRef
+
+  /** Re-scan the log directory — called by the stream when a trigger
+    * finds itself caught up, so files appended after stream start become
+    * visible. Cost: one recursive listing + two small metadata jobs, the
+    * same order as FileStreamSource's per-trigger listing. */
+  def refresh(): Unit = {
+    filesRef = buildFiles()
+    seqsRef = buildSeqs()
   }
 
   /** End seq of the next ≤ budget events after `from` (None = caught up). */

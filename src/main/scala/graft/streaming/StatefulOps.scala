@@ -42,8 +42,12 @@ object StatefulOps {
       .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
         (key: Long, events: Iterator[ChangeEvent], state: GroupState[UserState]) =>
           val batch = events.toSeq
-          val ups = batch.filter(_.op != "D").sortBy(_.seq)
-          val hasDelete = batch.exists(_.op == "D")
+          // upserts are I/U ONLY — a truncate marker ('T') must clear the
+          // key like a delete, never apply its empty payload as state
+          // (note: keyed grouping only clears keys the 'T' row reaches; a
+          // table-wide truncate must be fanned out upstream)
+          val ups = batch.filter(e => e.op == "I" || e.op == "U").sortBy(_.seq)
+          val hasDelete = batch.exists(e => e.op == "D" || e.op == "T")
           val afterUps = ups.lastOption match {
             case Some(last) => Some(UserState(key, last.last_ts, last.total_value, last.n_events))
             case None => state.getOption

@@ -64,6 +64,45 @@ class CdcSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty) // runLoop sanity (not the primary oracle here)
   }
 
+  test("a growing log is picked up: files appended after stream start sync") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dsv2-grow").toString
+    def chunk(lo: Long, hi: Long) =
+      (lo to hi).map(s => (s, "I", s % 7, s * 1.0)).toDF("seq", "op", "user_id", "value")
+    chunk(1, 100).write.mode("append").parquet(s"$tmp/log")
+
+    val stream = spark.readStream
+      .format(classOf[CdcSourceProvider].getName)
+      .option("path", s"$tmp/log")
+      .option("seqCol", "seq")
+      .option("maxEventsPerTrigger", 40)
+      .load()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= batch.select("seq").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet == (1L to 100L).toSet)
+      // the stream is caught up; append NEW files — the index must
+      // refresh (a build-once index would freeze at the startup snapshot).
+      // Pickup is asynchronous (throttled re-listing inside latestOffset),
+      // so poll for the eventual state.
+      chunk(101, 180).write.mode("append").parquet(s"$tmp/log")
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (seen.size < 180 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        if (seen.size < 180) Thread.sleep(200)
+      }
+      assert(seen.toSet == (1L to 180L).toSet,
+        s"post-start appends invisible: max=${seen.max}")
+    } finally q.stop()
+  }
+
   test("driver holds only the seq index; batch windows prune to intersecting files") {
     val tmp = Files.createTempDirectory("graft-dsv2-idx").toString
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")

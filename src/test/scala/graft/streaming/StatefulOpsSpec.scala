@@ -47,6 +47,27 @@ class StatefulOpsSpec extends AnyFunSuite with SparkTestBase {
     val _ = tmp
   }
 
+  test("a truncate marker clears the key, never applies its empty payload") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val q = StatefulOps.userStateStream(input.toDS())
+      .writeStream.format("memory").queryName("user_state_trunc")
+      .outputMode("update")
+      .start()
+    try {
+      // upsert then a LATER truncate marker: the T row's zeroed payload
+      // must not become the state — the key clears like a delete
+      input.addData(
+        ChangeEvent("I", 1, 7, ts("2025-01-01 00:00:00"), 5.0, 3),
+        ChangeEvent("T", 2, 7, null, 0.0, 0))
+      q.processAllAvailable()
+      val s = spark.table("user_state_trunc").collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(s(7L) == -1L, s"expected tombstone for truncated key: $s")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState dedup: first occurrence only, across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
