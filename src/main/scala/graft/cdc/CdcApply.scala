@@ -35,6 +35,13 @@ object CdcApply {
       seqCol: String = "seq",
       opCol: String = "op"
   ): DataFrame = {
+    // Upsert-replace semantics are DEFINED BY the key: with zero PK
+    // columns the dedup would collapse the whole batch to one row and the
+    // anti-joins would be degenerate — refuse loudly (a keyless table can
+    // only be append-synced, not CDC-collapsed).
+    require(pkCols.nonEmpty,
+      "applyBatch requires primary-key columns (keyless tables cannot " +
+        "take upsert/delete semantics)")
     val stateCols = state.columns.toIndexedSeq
 
     val hasTruncate = !batch.filter(col(opCol) === Changelog.OpTruncate).isEmpty

@@ -129,14 +129,20 @@ object CoreOps {
         boolParse(c)
       case CHType.CHStr | CHType.FixedString(_) | CHType.UUID | CHType.Unknown =>
         coalesce(c.cast(StringType), lit(""))
+      // date/time/array branches carry the same null→default rule as the
+      // numeric ones (the Nullable wrapper below restores NULL for
+      // Nullable targets): a bare try_cast would leak NULL into a
+      // non-nullable target, diverging from renderValue's epoch/[] text
       case CHType.CHDate | CHType.Date32 =>
-        formatDateTimeText(c).try_cast(DateType)
+        coalesce(formatDateTimeText(c).try_cast(DateType),
+          lit("1970-01-01").cast(DateType))
       case CHType.CHDateTime(_) | CHType.DateTime64(_, _) =>
-        formatDateTimeText(c).try_cast(TimestampType)
+        coalesce(formatDateTimeText(c).try_cast(TimestampType),
+          lit("1970-01-01 00:00:00").cast(TimestampType))
       case CHType.CHTime | CHType.Time64(_) =>
-        formatDateTimeText(c)
+        coalesce(formatDateTimeText(c), lit("00:00:00"))
       case CHType.CHArray(el) =>
-        el match {
+        val parsed = el match {
           case CHType.CHStr => parseStringArray(c)
           case CHType.Int8 | CHType.Int16 | CHType.Int32 | CHType.Int64 =>
             parseNumericArray(c, CHType.toSparkType(el))
@@ -144,6 +150,7 @@ object CoreOps {
             parseNumericArray(c, CHType.toSparkType(el))
           case _ => parseStringArray(c)
         }
+        coalesce(parsed, array().cast(CHType.toSparkType(inner)))
       case CHType.CHNullable(_) => c // unreachable after stripNullable
     }
     // Nullable short-circuit: NULL source stays NULL only when the target

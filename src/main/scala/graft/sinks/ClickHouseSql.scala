@@ -54,13 +54,17 @@ object ClickHouseSql {
         case CHType.CHStr | CHType.FixedString(_) | CHType.UUID | CHType.Unknown => "''"
         case CHType.CHDate | CHType.Date32 => "toDate('1970-01-01')"
         case CHType.CHDateTime(_) | CHType.DateTime64(_, _) => "toDateTime('1970-01-01 00:00:00')"
+        case CHType.CHTime | CHType.Time64(_) => "'00:00:00'"
         case CHType.CHArray(_) => "[]"
         case _ => "0"
       }
     } else inner match {
       case CHType.Bool =>
         if (v.asInstanceOf[Boolean]) "TRUE" else "FALSE"
-      case CHType.CHStr | CHType.FixedString(_) | CHType.UUID | CHType.Unknown =>
+      // Time maps to Spark StringType — must render QUOTED (an unquoted
+      // 05:16:08 is malformed SQL); same escape rules as strings
+      case CHType.CHStr | CHType.FixedString(_) | CHType.UUID | CHType.Unknown |
+          CHType.CHTime | CHType.Time64(_) =>
         s"'${escapeString(v.toString)}'"
       case CHType.CHDate | CHType.Date32 =>
         val d = v match {
@@ -97,11 +101,14 @@ object ClickHouseSql {
     if (rows.isEmpty) return ""
     val header = s"INSERT INTO $database.$table " +
       columns.map(_.name).mkString("(", ", ", ")") + " VALUES"
+    // one schema lookup per batch, not per row×column — the rows of a
+    // batch share a schema and this is the hot rendering path
+    val fieldIdx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    val colIdx = columns.map(c =>
+      (c, if (maskColumns.contains(c.name)) -1 else fieldIdx.getOrElse(c.name, -1)))
     val rendered = rows.map { row =>
-      columns.map { c =>
-        val idx = row.schema.fieldNames.indexOf(c.name)
-        val raw = if (idx < 0 || maskColumns.contains(c.name)) null else row.get(idx)
-        renderValue(raw, c.chType)
+      colIdx.map { case (c, idx) =>
+        renderValue(if (idx < 0) null else row.get(idx), c.chType)
       }.mkString("(", ",", ")")
     }
     header + rendered.mkString(", ")
@@ -114,11 +121,15 @@ object ClickHouseSql {
       columns: Seq[CHColumn], keyRows: Seq[Row]): String = {
     if (keyRows.isEmpty) return ""
     val pks = columns.filter(_.isPrimaryKey)
+    // zero PK columns would render an empty predicate group — malformed
+    // SQL that the endpoint rejects forever; fail with a real message
+    require(pks.nonEmpty,
+      s"deleteQuery for $database.$table: no primary-key columns to match on")
+    val fieldIdx = keyRows.head.schema.fieldNames.zipWithIndex.toMap
+    val pkIdx = pks.map(c => (c, fieldIdx.getOrElse(c.name, -1)))
     val conditions = keyRows.map { row =>
-      pks.map { c =>
-        val idx = row.schema.fieldNames.indexOf(c.name)
-        val raw = if (idx < 0) null else row.get(idx)
-        s"${c.name} = ${renderValue(raw, c.chType)}"
+      pkIdx.map { case (c, idx) =>
+        s"${c.name} = ${renderValue(if (idx < 0) null else row.get(idx), c.chType)}"
       }.mkString("(", " AND ", ")")
     }
     s"ALTER TABLE $database.$table DELETE WHERE " + conditions.mkString(" OR ")

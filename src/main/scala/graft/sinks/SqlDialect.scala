@@ -22,7 +22,8 @@ trait SqlDialect extends Serializable {
 
   /** One batched multi-row INSERT. Default format matches the reference
     * (`INSERT INTO db.t (c1, c2) VALUES(a,b), (c,d)` — no space after
-    * VALUES), which is also valid ANSI. */
+    * VALUES), which is also valid ANSI. One schema lookup per batch (the
+    * rows share a schema; this is the hot rendering path). */
   def insertQuery(
       database: String, table: String,
       columns: Seq[CHColumn], rows: Seq[Row],
@@ -30,11 +31,12 @@ trait SqlDialect extends Serializable {
     if (rows.isEmpty) return ""
     val header = s"INSERT INTO $database.$table " +
       columns.map(_.name).mkString("(", ", ", ")") + " VALUES"
+    val fieldIdx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    val colIdx = columns.map(c =>
+      (c, if (maskColumns.contains(c.name)) -1 else fieldIdx.getOrElse(c.name, -1)))
     val rendered = rows.map { row =>
-      columns.map { c =>
-        val idx = row.schema.fieldNames.indexOf(c.name)
-        val raw = if (idx < 0 || maskColumns.contains(c.name)) null else row.get(idx)
-        renderValue(raw, c.chType)
+      colIdx.map { case (c, idx) =>
+        renderValue(if (idx < 0) null else row.get(idx), c.chType)
       }.mkString("(", ",", ")")
     }
     header + rendered.mkString(", ")

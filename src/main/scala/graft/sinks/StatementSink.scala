@@ -92,9 +92,13 @@ class StatementSink(
     if (hasTruncate) truncate()
 
     // K1: upserts deduped last-wins per PK, rendered per partition; the
-    // upsert count rides the rendering pass (no separate count() job)
-    val ups = CoreOps.dedupLastWinsAgg(
-      CoreOps.upserts(batch), pkCols, "seq")
+    // upsert count rides the rendering pass (no separate count() job).
+    // A PK-LESS table has no key to dedup on — dedupLastWinsAgg with zero
+    // group columns would collapse the WHOLE batch to its single max-seq
+    // row (silent data loss); without a key every upsert is its own row.
+    val ups =
+      if (pkCols.isEmpty) CoreOps.upserts(batch)
+      else CoreOps.dedupLastWinsAgg(CoreOps.upserts(batch), pkCols, "seq")
 
     // Dialects without insert-as-append upsert semantics (ANSI): clear the
     // batch's upsert keys first, so a key synced in an earlier batch — or
@@ -121,12 +125,22 @@ class StatementSink(
     // K2: deletes run AFTER the inserts of the same batch, not deduped.
     // Keys are bounded by the peek quantum (ONE collect serves both the
     // count and the chunked statements); chunked so statement size is
-    // bounded regardless of batch shape.
-    val delKeys = CoreOps.deletes(batch).select(pkCols.map(col): _*).collect()
-    delKeys.grouped(deleteChunkSize).foreach { chunk =>
-      execute(dialect.deleteQuery(database, table, columns, chunk.toSeq))
+    // bounded regardless of batch shape. A delete without PK columns is
+    // ill-defined (the rendered statement would have an empty predicate) —
+    // fail loudly instead of emitting malformed SQL.
+    val deletes = CoreOps.deletes(batch)
+    if (pkCols.isEmpty) {
+      if (!deletes.isEmpty) throw new IllegalStateException(
+        s"$database.$table has no primary-key columns: delete events " +
+          "cannot be applied (no key to match rows by)")
+      (upCount, 0L, hasTruncate)
+    } else {
+      val delKeys = deletes.select(pkCols.map(col): _*).collect()
+      delKeys.grouped(deleteChunkSize).foreach { chunk =>
+        execute(dialect.deleteQuery(database, table, columns, chunk.toSeq))
+      }
+      (upCount, delKeys.length.toLong, hasTruncate)
     }
-    (upCount, delKeys.length.toLong, hasTruncate)
   }
 
   /** Adapt to the routed-pipe seam ([[graft.pipe.BatchSink]]): batch ids
