@@ -124,6 +124,7 @@ object AnsiDialect extends SqlDialect {
         case CHType.CHDate | CHType.Date32 => "DATE '1970-01-01'"
         case CHType.CHDateTime(_) | CHType.DateTime64(_, _) =>
           "TIMESTAMP '1970-01-01 00:00:00'"
+        case CHType.CHTime | CHType.Time64(_) => "TIME '00:00:00'"
         case _ => "0"
       }
     } else inner match {
@@ -131,6 +132,10 @@ object AnsiDialect extends SqlDialect {
         if (v.asInstanceOf[Boolean]) "TRUE" else "FALSE"
       case CHType.CHStr | CHType.FixedString(_) | CHType.UUID | CHType.Unknown =>
         s"'${escapeString(v.toString)}'"
+      // Time maps to Spark StringType — an unquoted 05:16:08 is malformed
+      // SQL; ANSI has a TIME literal form (unlike ClickHouse)
+      case CHType.CHTime | CHType.Time64(_) =>
+        s"TIME '${escapeString(v.toString)}'"
       case CHType.CHDate | CHType.Date32 =>
         val d = v match {
           case d: java.sql.Date => DateFmt.format(d.toLocalDate)
@@ -162,11 +167,15 @@ object AnsiDialect extends SqlDialect {
       columns: Seq[CHColumn], keyRows: Seq[Row]): String = {
     if (keyRows.isEmpty) return ""
     val pks = columns.filter(_.isPrimaryKey)
+    // zero PK columns would render an empty predicate group — malformed
+    // SQL that the endpoint rejects forever; fail with a real message
+    require(pks.nonEmpty,
+      s"deleteQuery for $database.$table: no primary-key columns to match on")
+    val fieldIdx = keyRows.head.schema.fieldNames.zipWithIndex.toMap
+    val pkIdx = pks.map(c => (c, fieldIdx.getOrElse(c.name, -1)))
     val conditions = keyRows.map { row =>
-      pks.map { c =>
-        val idx = row.schema.fieldNames.indexOf(c.name)
-        val raw = if (idx < 0) null else row.get(idx)
-        s"${c.name} = ${renderValue(raw, c.chType)}"
+      pkIdx.map { case (c, idx) =>
+        s"${c.name} = ${renderValue(if (idx < 0) null else row.get(idx), c.chType)}"
       }.mkString("(", " AND ", ")")
     }
     s"DELETE FROM $database.$table WHERE " + conditions.mkString(" OR ")

@@ -63,6 +63,29 @@ class ClickHouseSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(ClickHouseSql.escapeString("line1\nline2") == "line1\\nline2")
   }
 
+  test("Time values render quoted in both dialects (bare 05:16:08 is malformed SQL)") {
+    // Time maps to Spark StringType, so the raw value is a String
+    assert(ClickHouseSql.renderValue("05:16:08", CHType.CHTime) == "'05:16:08'")
+    assert(ClickHouseSql.renderValue("05:16:08.123456", CHType.Time64(6)) == "'05:16:08.123456'")
+    assert(ClickHouseSql.renderValue(null, CHType.CHTime) == "'00:00:00'")
+    assert(ClickHouseSql.renderValue(null, CHType.CHTime.nullable) == "NULL")
+    assert(AnsiDialect.renderValue("05:16:08", CHType.CHTime) == "TIME '05:16:08'")
+    assert(AnsiDialect.renderValue(null, CHType.CHTime) == "TIME '00:00:00'")
+    assert(AnsiDialect.renderValue(null, CHType.Time64(3).nullable) == "NULL")
+  }
+
+  test("deleteQuery refuses a table with no primary-key columns") {
+    val noPk = Seq(CHColumn("name", CHType.CHStr))
+    import spark.implicits._
+    val rows = Seq(Tuple1("a")).toDF("name").collect().toSeq
+    intercept[IllegalArgumentException] {
+      ClickHouseSql.deleteQuery("db", "t", noPk, rows)
+    }
+    intercept[IllegalArgumentException] {
+      AnsiDialect.deleteQuery("db", "t", noPk, rows)
+    }
+  }
+
   test("distributed statement generation respects batch size") {
     import spark.implicits._
     val d = (1 to 10).map(i => (i.toLong, s"n$i")).toDF("id", "name")
