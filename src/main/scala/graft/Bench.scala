@@ -55,7 +55,8 @@ object Bench {
       "wav_meta", "vocab_encode", "unigram_logppl", "kmeans_topics",
       "chunk_docs", "ppl_hist", "bpe_merges", "embed_topk_pq",
       "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch",
-      "window_agg", "stratified_split", "gopher_filters")
+      "window_agg", "stratified_split", "gopher_filters",
+      "html_extract", "dedup_lines")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -1255,6 +1255,39 @@ object SparkEntry {
           .select(lit(f).as("format"), col("n_docs"), col("n_distinct"),
             col("total_chars"))
       }.reduce(_ unionByName _)
+    }),
+
+    // HTML boilerplate extraction (Html.extractText): pages are BUILT
+    // from columns — the script/style/comment payloads that must vanish
+    // carry `source` (any leakage breaks the hash), the body text is
+    // entity-encoded and must decode back — so the oracle states the
+    // expected clean text directly. Pure scalar scan, zero shuffles.
+    "html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>T</title><style type=\"text/css\">body{margin:0}</style>"),
+        lit("<script>var s=\""), col("source"), lit("\";</script></head>"),
+        lit("<body><h1>Doc&nbsp;"), col("doc_id").cast("string"), lit("</h1>"),
+        lit("<p class=\"main\">"),
+        regexp_replace(col("text"), " ", "&nbsp;"),
+        lit("</p><p>&lt;tag&gt; &amp; &quot;q&#39;</p>"),
+        lit("<!-- secret "), col("source"), lit(" --></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), graft.text.Html.extractText(page).as("clean_text"))
+        .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
+    }),
+
+    // Intra-document line dedup (C4's repeated-paragraph removal): pages
+    // are BUILT with guaranteed repeats (the header and first-words lines
+    // each occur twice), so the oracle states the deduped page — the four
+    // distinct lines in first-occurrence order — directly from columns.
+    "dedup_lines" -> ((s, dir) => {
+      val hdr = concat(lit("Doc "), col("doc_id").cast("string"))
+      val head5 = concat(
+        array_join(slice(split(trim(col("text")), " ", -1), 1, 5), " "),
+        lit(" #hdr"))
+      val page = concat_ws("\n", hdr, head5, col("text"), head5, hdr, col("lang"))
+      Dedup.dedupLinesWithin(
+        docs(s, dir).select(col("doc_id"), page.as("page")), "doc_id", "page")
     })
   )
 
@@ -2374,6 +2407,34 @@ object SparkEntry {
         |         count(DISTINCT text) AS n_distinct,
         |         CAST(sum(length(text)) AS BIGINT) AS total_chars
         |  FROM documents) s
+        |""".stripMargin,
+
+    // The expected clean text stated directly: title, decoded h1, the
+    // original body text (whitespace-normalized), the decoded entity
+    // paragraph. Script/style/comment content appears NOWHERE.
+    "html_extract" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         'T Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |         regexp_replace(trim(text), '\s+', ' ', 'g') ||
+        |         ' <tag> & "q''' AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        |       CAST(length(clean_text) AS BIGINT) AS n_clean_chars
+        |FROM c
+        |""".stripMargin,
+
+    // The deduped page stated directly: of the six constructed lines
+    // (hdr, head5, text, head5, hdr, lang) exactly the four distinct ones
+    // survive, in first-occurrence order.
+    "dedup_lines" ->
+      """SELECT doc_id,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |       array_to_string(string_split(trim(text), ' ')[1:5], ' ')
+        |         || ' #hdr' || chr(10) ||
+        |       text || chr(10) || lang AS page,
+        |       CAST(4 AS BIGINT) AS n_lines_kept
+        |FROM documents
         |""".stripMargin
   )
 }

@@ -409,4 +409,35 @@ object Dedup {
         concat_ws(" ", transform(col("__spans"), s => s.getField("__span")))
           .as(textCol))
   }
+
+  /** Intra-document repeated-line removal (C4's "deduplicate repeated
+    * paragraphs within a page", Raffel et al. 2020 §2.2): within each
+    * document, keep only the FIRST occurrence of every distinct line,
+    * preserving original order. Unlike [[dedupSpans]] this never compares
+    * lines ACROSS documents — navigation chrome repeated inside one page
+    * goes, legitimate cross-page repetition stays.
+    *
+    * Scale shape: two shuffles, both with map-side partial aggregation —
+    * (id, line) → min(pos), then id → ordered reassembly. Keyed by
+    * (id, line) rather than folding a seen-set per document so a single
+    * pathological page with millions of lines still distributes instead
+    * of serializing into one task. */
+  def dedupLinesWithin(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("__pos", "__line")))
+    lines
+      .groupBy(col(idCol), col("__line"))
+      .agg(min(col("__pos")).as("__first"))
+      .groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(struct(col("__first"), col("__line"))))
+          .as("__lines"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__lines"), l => l.getField("__line")))
+          .as(textCol),
+        size(col("__lines")).cast("long").as("n_lines_kept"))
+  }
 }
