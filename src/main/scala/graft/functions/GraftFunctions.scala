@@ -62,7 +62,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SumTokenCharsWs(exprs.head)),
     (FunctionIdentifier("count_substr"),
       new ExpressionInfo(classOf[CountSubstr].getName, "count_substr"),
-      (exprs: Seq[Expression]) => CountSubstr(exprs.head, exprs(1)))
+      (exprs: Seq[Expression]) => CountSubstr(exprs.head, exprs(1))),
+    (FunctionIdentifier("extract_html_text"),
+      new ExpressionInfo(classOf[ExtractHtmlText].getName, "extract_html_text"),
+      (exprs: Seq[Expression]) => ExtractHtmlText(exprs.head))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -105,6 +108,7 @@ object GraftFunctions {
     column(BpeMergePair(expression(c), left, right))
   def bpeEncodeWord(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncodeWord(expression(c), merges))
+  def extractHtmlText(c: Column): Column = column(ExtractHtmlText(expression(c)))
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the optimizer

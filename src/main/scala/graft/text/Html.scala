@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * drop script/style payloads and comments, strip tags, decode the common
   * entities, collapse whitespace.
   *
-  * Built as a chain of `regexp_replace`/`replace` column functions rather
-  * than a UDF: each stage is a native codegen'd expression and Spark
-  * compiles a foldable pattern once per operator instance, so the scan
-  * stays inside whole-stage codegen with zero per-row regex compilation.
-  * Patterns avoid backreferences on purpose — they hold in both Java
-  * regex (Spark) and RE2 (DuckDB oracle), keeping the operator
-  * oracle-checkable.
+  * Two formulations, spec-pinned equal on realistic markup:
+  * [[extractText]] is the [[graft.functions.HtmlKernels]] single-pass
+  * byte-scan kernel (one output buffer, no regex — the 100 TB path);
+  * [[extractTextReference]] is the regexp_replace/replace chain whose
+  * staged semantics define the operator and whose RE2-compatible
+  * patterns keep it restatable in the DuckDB oracle. Each chain stage is
+  * a native codegen'd expression with a once-compiled foldable pattern,
+  * but six stages materialize six copies of every document — the kernel
+  * exists to collapse that to one.
   *
   * Scale shape: pure scalar pipeline — zero shuffles, zero driver work;
   * at 100 TB this is a map-only pass whose cost is the parquet scan.
@@ -57,7 +59,12 @@ object Html {
     }
 
   /** Full extraction: markup out, entities decoded, whitespace collapsed
-    * to single spaces, trimmed. */
+    * to single spaces, trimmed — the single-pass kernel. */
   def extractText(c: Column): Column =
+    graft.functions.GraftFunctions.extractHtmlText(c)
+
+  /** The staged reference formulation (see object scaladoc); HtmlSpec
+    * pins the kernel against it. */
+  def extractTextReference(c: Column): Column =
     trim(regexp_replace(decodeEntities(stripMarkup(c)), "\\s+", " "))
 }

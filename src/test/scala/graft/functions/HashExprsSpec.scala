@@ -67,7 +67,8 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
       "fingerprint64", "simhash64", "minhash_signature", "minhash_text",
       "simhash_text", "image_dims", "wav_meta",
       "tokenize_ws", "token_count_ws", "distinct_token_count_ws",
-      "distinct_ngram_count_ws", "sum_token_chars_ws", "count_substr"))
+      "distinct_ngram_count_ws", "sum_token_chars_ws", "count_substr",
+      "extract_html_text"))
     assert(byName("fingerprint64")(Seq(Literal("x"))).isInstanceOf[Fingerprint64])
     val mh = byName("minhash_text")(Seq(Literal("x"), Literal(5), Literal(64)))
     assert(mh == MinHashText(Literal("x"), 5, 64))

@@ -6,9 +6,17 @@ import graft.SparkTestBase
 
 class HtmlSpec extends AnyFunSuite with SparkTestBase {
 
+  // every literal case is asserted through BOTH formulations: the
+  // single-pass kernel (the default) and the staged regex reference
   private def extract(html: String): String = {
     import spark.implicits._
-    Seq(html).toDF("h").select(Html.extractText(col("h"))).head.getString(0)
+    val r = Seq(html).toDF("h")
+      .select(Html.extractText(col("h")), Html.extractTextReference(col("h")))
+      .head
+    assert(r.getString(0) == r.getString(1),
+      s"kernel/reference divergence on ${html.take(80)}: " +
+        s"'${r.getString(0)}' vs '${r.getString(1)}'")
+    r.getString(0)
   }
 
   test("script/style payloads and comments vanish entirely") {
@@ -44,6 +52,61 @@ class HtmlSpec extends AnyFunSuite with SparkTestBase {
   test("whitespace collapses to single spaces, trimmed") {
     assert(extract("  <div>\n\n  a\t\tb  \n</div>  ") == "a b")
     assert(extract("<div></div>") == "")
+  }
+
+  test("truncation edges: unterminated constructs stay literal, both formulations") {
+    // unterminated generic tag: no '>' anywhere after it
+    assert(extract("a <div class") == "a <div class")
+    // unterminated tag whose tail holds an entity
+    assert(extract("<div &amp; x") == "<div & x")
+    // unclosed script/style: the OPENER strips (chain stage d), body stays
+    assert(extract("<script>var x;") == "var x;")
+    assert(extract("<style>p{}") == "p{}")
+    // script opener with no '>': literal
+    assert(extract("<script foo") == "<script foo")
+    // unclosed comment: '<' literal, inner tags still strip
+    assert(extract("<!-- a <p> b") == "<!-- a b")
+    // tag spanning a stray '<': one match to the first '>'
+    assert(extract("<div <p> q") == "q")
+    // non-greedy closer: tag ends at the FIRST '>', rest is text
+    assert(extract("<a href=\"x>y\">z") == "y\">z")
+    // <scriptx> counts as a script opener (the [^>]* quirk), closer exact
+    assert(extract("<scripty>hidden</script>kept") == "kept")
+    // closer must be exactly </script> — a spaced closer doesn't close
+    assert(extract("<script>a</script >b</script>c") == "c")
+  }
+
+  test("property: kernel == staged reference on realistic tag soup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    val words = Vector("data", "Pipeline", "x9", "née", "日本", "a&b", "5<6", "7>z")
+    val entities = Vector("&nbsp;", "&lt;", "&gt;", "&quot;", "&#39;", "&amp;",
+      "&amp;lt;", "&unknown;", "&nbsp")
+    val tags = Vector("<p>", "</p>", "<BR/>", "<div class=\"x\">", "</DIV>",
+      "<img src='y.png'/>", "<h1 data-a='1'>", "</ nottag>", "<3", "< b")
+    val blocks = Vector(
+      "<script>var a=1; if(a<2){}</script>",
+      "<SCRIPT type=\"text/javascript\">leak()</script>",
+      "<style>p > a { color: red }</style>",
+      "<!-- hidden -->", "<!--\nmultiline\n-->")
+    def piece(): String = rnd.nextInt(10) match {
+      case 0 | 1 | 2 | 3 => words(rnd.nextInt(words.size))
+      case 4 | 5 => entities(rnd.nextInt(entities.size))
+      case 6 | 7 => tags(rnd.nextInt(tags.size))
+      case 8 => blocks(rnd.nextInt(blocks.size))
+      case _ => Vector(" ", "\n", "\t", "  ")(rnd.nextInt(4))
+    }
+    val cases = (1 to 150).map(_ =>
+      Seq.fill(rnd.nextInt(14))(piece()).mkString(rnd.nextInt(3) match {
+        case 0 => "" case 1 => " " case _ => "\n"
+      }))
+    val rows = cases.toDF("h")
+      .select(Html.extractText(col("h")), Html.extractTextReference(col("h")))
+      .collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getString(0) == r.getString(1),
+        s"divergence on: ${c.take(120)}\nkernel: ${r.getString(0)}\nref:    ${r.getString(1)}")
+    }
   }
 
   test("property: markup-free text is whitespace-normalized identity") {
