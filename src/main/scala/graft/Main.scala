@@ -125,6 +125,14 @@ object Main {
     val client = new JdbcClient(info)
     val tableClients = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
     try {
+      // ---- initialize phase (reference: `src/pipes/postgres.rs:110-120`) ----
+      // publication + replication slot, created idempotently; skipped when
+      // the sync loop is disabled, exactly as the reference (`:522-525`)
+      if (!config.disableSyncLoop)
+        graft.pipe.Initializer.setupPublication(
+          sql => client.query(sql)._2, client.execute,
+          pg.publication_name, pg.replication_slot_name,
+          pg.tables.map(t => (t.schema_name, t.table_name)))
       // S5: column list + PK membership through the reference's catalog SQL
       val tableInfos = pg.tables.map { tbl =>
         val colsDf = client.query(CatalogSql.pgColumns(tbl.schema_name, tbl.table_name))._2
@@ -152,9 +160,15 @@ object Main {
             source.peekChanges(after, limit), relations)
       }
       val tables = tableInfos.map { case (tbl, columns, _) =>
+        // the source table's comment travels onto the created target table
+        // (reference: `src/pipes/postgres.rs:631-637`)
+        val comment = client
+          .queryScalar(CatalogSql.pgTableComment(tbl.schema_name, tbl.table_name))
+          .map(_.toString).getOrElse("")
         tbl.table_name -> TableSpec(
           columns,
-          targetBatchSink(spark, config, columns, tbl.qualifiedName, tableClients),
+          targetBatchSink(spark, config, columns, tbl.qualifiedName, tableClients,
+            initComment = Some(comment)),
           tbl.mask_columns.toSet)
       }.toMap
       // slot advance rides the offset commit — AFTER all table writes
@@ -180,11 +194,17 @@ object Main {
   /** Per-table [[graft.pipe.BatchSink]] for the configured target. Live
     * targets open one [[JdbcClient]] per routed table for the lifetime of
     * the (run-forever) pipe; it is registered with `closers` so the caller
-    * can release every connection when the pipe exits. */
+    * can release every connection when the pipe exits.
+    *
+    * `initComment = Some(comment)` runs the initialize-phase table setup
+    * first — CREATE TABLE when the target lacks it, ADD COLUMN drift
+    * reconciliation when it exists (reference:
+    * `src/pipes/postgres.rs:614-743`). */
   private def targetBatchSink(
       spark: SparkSession, config: PipeConfig,
       columns: Seq[CHColumn], pipeName: String,
-      closers: scala.collection.mutable.Buffer[AutoCloseable]): graft.pipe.BatchSink = {
+      closers: scala.collection.mutable.Buffer[AutoCloseable],
+      initComment: Option[String] = None): graft.pipe.BatchSink = {
     implicit val s: SparkSession = spark
     config.target.target_type match {
       case "parquet" =>
@@ -198,6 +218,11 @@ object Main {
         val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
         val client = new JdbcClient(info)
         closers += client
+        initComment.foreach { comment =>
+          graft.pipe.Initializer.setupTable(
+            () => targetColumnNames(client, tc.table), client.execute, dialect,
+            tc.database, tc.table, columns, tableComment = comment)
+        }
         val sink = new StatementSink(tc.database, tc.table, columns,
           client.execute, Set.empty, config.copyBatchSize, dialect,
           insertExec = if (tc.distributed_inserts) Some(info) else None)
@@ -208,6 +233,17 @@ object Main {
         throw new IllegalArgumentException(s"target_type '$other' not supported")
     }
   }
+
+  /** Target column-name probe through JDBC metadata — the portable
+    * analogue of the reference's `system.columns` read
+    * (`src/adapter/clickhouse.rs:190-220`); case-folding engines (Derby)
+    * store unquoted identifiers uppercased, so try both. Empty means the
+    * table does not exist. */
+  private def targetColumnNames(client: JdbcClient, table: String): Seq[String] =
+    client.tableColumns(None, table.toUpperCase) match {
+      case Seq() => client.tableColumns(None, table).map(_._1)
+      case found => found.map(_._1)
+    }
 
   private def targetJdbc(config: PipeConfig, pipeName: String): (JdbcTargetConfig, graft.sinks.SqlDialect) =
     config.target.target_type match {
@@ -301,9 +337,12 @@ object Main {
             .exists(graft.sinks.SqlDialect.truthy)
           val pipe = new StatementPipe(config, source, sink, offsets, columns,
             maskColumns, targetNonEmpty = probe, advance = advance)
-          // CREATE TABLE DDL is ClickHouse dialect; generic JDBC targets
-          // bring their own table (the spec creates it natively)
-          if (config.target.target_type == "clickhouse") pipe.initialize()
+          // initialize phase (reference: `src/pipes/postgres.rs:614-743`):
+          // probe the target, CREATE TABLE when absent, ADD COLUMN drift
+          // when present — a pre-existing in-sync table is a no-op
+          graft.pipe.Initializer.setupTable(
+            () => targetColumnNames(client, tc.table), client.execute,
+            dialect, tc.database, tc.table, columns)
           pipe.firstSync()
           if (!config.disableSyncLoop) pipe.syncLoop()
         } finally client.close()

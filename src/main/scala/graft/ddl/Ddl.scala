@@ -74,8 +74,18 @@ object Ddl {
       sourceColumns: Seq[CHColumn],
       targetColumnNames: Set[String]
   ): Seq[String] =
+    driftColumns(sourceColumns, targetColumnNames)
+      .map(addColumnQuery(database, tableName, _))
+
+  /** The drift set itself: source columns the target lacks, in source
+    * order, Unknown-typed columns deferred until a typed value appears
+    * (reference: `src/pipes/mongodb.rs:615-627`). Shared by the CH
+    * generator above and the dialect-generic [[graft.pipe.Initializer]]. */
+  def driftColumns(
+      sourceColumns: Seq[CHColumn],
+      targetColumnNames: Set[String]
+  ): Seq[CHColumn] =
     sourceColumns
       .filterNot(c => targetColumnNames.contains(c.name))
       .filterNot(_.chType == CHType.Unknown) // Unknown defers creation
-      .map(addColumnQuery(database, tableName, _))
 }

@@ -65,6 +65,17 @@ trait SqlDialect extends Serializable {
     * table has at least one row — O(1), never a COUNT(*) table scan
     * (reference: `src/adapter/clickhouse.rs:234-253`). */
   def nonEmptyProbe(database: String, table: String): String
+
+  /** K4: CREATE TABLE for the initialize phase
+    * (reference: `src/adapter/mod.rs:53-123`). */
+  def createTableQuery(
+      database: String, table: String, columns: Seq[CHColumn],
+      options: graft.ddl.TableOptions = graft.ddl.TableOptions(),
+      tableComment: String = ""): String
+
+  /** K5: ALTER TABLE … ADD COLUMN for schema-drift reconciliation
+    * (reference: `src/adapter/mod.rs:125-141`). */
+  def addColumnQuery(database: String, table: String, column: CHColumn): String
 }
 
 object SqlDialect {
@@ -95,6 +106,13 @@ object ClickHouseDialect extends SqlDialect {
     graft.ddl.Ddl.truncateQuery(database, table)
   override def nonEmptyProbe(database: String, table: String): String =
     graft.sources.CatalogSql.chTableNonEmpty(database, table)
+  override def createTableQuery(
+      database: String, table: String, columns: Seq[CHColumn],
+      options: graft.ddl.TableOptions, tableComment: String): String =
+    graft.ddl.Ddl.createTableQuery(database, table, columns, options, tableComment)
+  override def addColumnQuery(
+      database: String, table: String, column: CHColumn): String =
+    graft.ddl.Ddl.addColumnQuery(database, table, column)
 }
 
 /** Portable ANSI SQL dialect for generic JDBC endpoints: standard string
@@ -192,4 +210,48 @@ object AnsiDialect extends SqlDialect {
     * inside one batch gives identical final state under the pipe's
     * last-wins dedup. */
   override def upsertRequiresDeleteFirst: Boolean = true
+
+  /** Target type → portable SQL type. Strings/UUIDs/arrays land in a wide
+    * VARCHAR (arrays render as CH-style strings — see [[renderValue]]);
+    * DECIMAL capped at 31 digits (the least common denominator across
+    * embedded engines — Derby's max precision). */
+  def ansiType(t: CHType): String = t.stripNullable match {
+    case CHType.Int8 | CHType.Int16 | CHType.UInt8       => "SMALLINT"
+    case CHType.Int32 | CHType.UInt16                    => "INTEGER"
+    case CHType.Int64 | CHType.UInt32 | CHType.UInt64 |
+         CHType.Int128 | CHType.UInt128 | CHType.Int256 |
+         CHType.UInt256                                   => "BIGINT"
+    case CHType.Float32                                   => "REAL"
+    case CHType.Float64                                   => "DOUBLE"
+    case CHType.Bool                                      => "BOOLEAN"
+    case CHType.FixedString(n)                            => s"CHAR($n)"
+    case CHType.CHDecimal                                 => "DECIMAL(31,8)"
+    case CHType.CHDate | CHType.Date32                    => "DATE"
+    case CHType.CHTime | CHType.Time64(_)                 => "TIME"
+    case CHType.CHDateTime(_) | CHType.DateTime64(_, _)   => "TIMESTAMP"
+    case _                                                => "VARCHAR(32672)"
+  }
+
+  /** Portable CREATE TABLE: column list + PRIMARY KEY clause. The
+    * ClickHouse-specific clauses (engine, granularity, comments) have no
+    * ANSI rendering and are dropped — the *schema* is the contract
+    * (reference: `src/adapter/mod.rs:53-123`). */
+  override def createTableQuery(
+      database: String, table: String, columns: Seq[CHColumn],
+      options: graft.ddl.TableOptions, tableComment: String): String = {
+    val colDefs = columns.map { c =>
+      s"${c.name} ${ansiType(c.chType)}" +
+        (if (c.chType.isNullable) "" else " NOT NULL")
+    }
+    val pks = columns.filter(_.isPrimaryKey).map(_.name)
+    val pkClause = if (pks.isEmpty) "" else s", PRIMARY KEY (${pks.mkString(", ")})"
+    s"CREATE TABLE $database.$table (${colDefs.mkString(", ")}$pkClause)"
+  }
+
+  /** Drift-added columns are always nullable: rows synced before the
+    * column existed have no value for it, and ANSI engines reject adding
+    * NOT NULL without a default to a non-empty table. */
+  override def addColumnQuery(
+      database: String, table: String, column: CHColumn): String =
+    s"ALTER TABLE $database.$table ADD COLUMN ${column.name} ${ansiType(column.chType)}"
 }

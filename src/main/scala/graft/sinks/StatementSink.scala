@@ -54,7 +54,7 @@ class StatementSink(
   private val pkCols = columns.filter(_.isPrimaryKey).map(_.name)
 
   def createTable(options: graft.ddl.TableOptions = graft.ddl.TableOptions()): Unit =
-    execute(Ddl.createTableQuery(database, table, columns, options))
+    execute(dialect.createTableQuery(database, table, columns, options))
 
   def truncate(): Unit = execute(dialect.truncateQuery(database, table))
 

@@ -53,6 +53,38 @@ object CatalogSql {
        |""".stripMargin
   }
 
+  /** Publication existence probe for the initialize phase
+    * (reference: `src/adapter/postgres.rs:533-553`). */
+  def pgFindPublication(name: String): String =
+    s"SELECT pubname AS name FROM pg_publication WHERE pubname = '$name'"
+
+  /** Tables currently in a publication — drives the idempotent
+    * table-list reconcile (reference: `src/adapter/postgres.rs:555-572`). */
+  def pgPublicationTables(name: String): String =
+    s"SELECT schemaname AS schema_name, tablename AS table_name " +
+      s"FROM pg_publication_tables WHERE pubname = '$name'"
+
+  /** Create the publication over the configured tables
+    * (reference: `src/adapter/postgres.rs:574-594`). */
+  def pgCreatePublication(name: String, qualifiedTables: Seq[String]): String =
+    s"CREATE PUBLICATION $name FOR TABLE ${qualifiedTables.mkString(", ")}"
+
+  /** Add missing tables to an existing publication
+    * (reference: `src/adapter/postgres.rs:596-612`). */
+  def pgAlterPublicationAdd(name: String, qualifiedTables: Seq[String]): String =
+    s"ALTER PUBLICATION $name ADD TABLE ${qualifiedTables.mkString(", ")}"
+
+  /** Replication-slot existence probe
+    * (reference: `src/adapter/postgres.rs:632-655`). */
+  def pgFindSlot(slot: String): String =
+    s"SELECT slot_name, wal_status FROM pg_replication_slots " +
+      s"WHERE slot_name = '$slot'"
+
+  /** Create the logical replication slot on the pgoutput plugin
+    * (reference: `src/adapter/postgres.rs:614-630`). */
+  def pgCreateSlot(slot: String): String =
+    s"SELECT pg_create_logical_replication_slot('$slot', 'pgoutput')"
+
   /** CDC peek (S2): non-consuming bounded read of the replication slot
     * (reference: `src/adapter/postgres.rs:787-812`). */
   def pgPeekChanges(slot: String, publication: String, limit: Long): String =

@@ -124,4 +124,31 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
         Vector((2L, "b"), (10L, "x")))
     } finally c.close()
   }
+
+  test("initialize phase: a missing target table is auto-created from source schema") {
+    import graft.live.{JdbcClient, JdbcConnInfo}
+    val url = "jdbc:derby:memory:maininit;create=true"
+    val c = new JdbcClient(JdbcConnInfo(url))
+    val out = Files.createTempDirectory("graft-main-init").toString
+    try {
+      c.execute("CREATE TABLE snap (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+      c.execute("INSERT INTO snap VALUES (1, 'a')")
+      c.execute("CREATE TABLE changelog (seq BIGINT NOT NULL, op VARCHAR(1) NOT NULL, id BIGINT, v VARCHAR(20))")
+      c.execute("INSERT INTO changelog VALUES (1, 'I', 10, 'x')")
+      // NO target table created here — the pipe's initialize makes it
+      val cfg = PipeConfig.fromJson(
+        s"""{
+           |  "source": {"source_type": "jdbc", "jdbc": {
+           |    "url": "$url", "changelog_table": "changelog",
+           |    "snapshot_table": "snap", "offset_path": "$out/pipe.offset"}},
+           |  "target": {"target_type": "jdbc", "jdbc": {
+           |    "url": "$url", "database": "APP", "table": "target",
+           |    "dialect": "ansi"}}
+           |}""".stripMargin)
+      Main.runWith(spark, cfg)
+      val (_, rows) = c.query("SELECT id, v FROM target ORDER BY id")
+      assert(rows.map(r => (r.get(0), r.get(1))) ==
+        Vector((1L, "a"), (10L, "x")))
+    } finally c.close()
+  }
 }
