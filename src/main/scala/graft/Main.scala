@@ -264,11 +264,14 @@ object Main {
   /** Mongo change-stream pipe over the replay transport: `bson_dir`
     * holds one `<collection>.bson` file per collection — concatenated
     * BSON change-stream documents, the mongodump wire format. The target
-    * schema is inferred from the recorded after-images with the
-    * reference's first-type-wins fold (`src/pipes/mongodb.rs:588-648`);
-    * the resume token persists after each committed batch
-    * (`src/adapter/mongodb.rs:259-302`). A live deployment replaces the
-    * file fetch with a `watch` cursor behind the same callback. */
+    * schema evolves PER BATCH with the reference's first-type-wins fold
+    * (`src/pipes/mongodb.rs:306-333`, `588-648`): each peeked window ADD
+    * COLUMNs its newly-typed fields before routing its rows, so fields
+    * land from the batch where their first typed value appeared and
+    * earlier rows are never backfilled. The resume token persists after
+    * each committed batch (`src/adapter/mongodb.rs:259-302`). A live
+    * deployment replaces the file fetch with a `watch` cursor behind the
+    * same callback (see docs/MIGRATION.md). */
   private def runMongo(spark: SparkSession, config: PipeConfig): Unit = {
     implicit val s: SparkSession = spark
     val mc = config.source.mongodb.getOrElse(
@@ -279,11 +282,6 @@ object Main {
     mc.collections.foreach { coll =>
       val raw = graft.mongo.BsonFile.readDocuments(s"$dir/${coll.table_name}.bson")
       val events = raw.map(graft.mongo.ChangeStream.decode)
-      // first-type-wins inference over the recorded after-images
-      val columns = graft.mongo.MongoInference.foldBatch(
-        graft.mongo.MongoInference.initialSchema,
-        events.flatMap(_.fullDocument)
-          .map(_.fields.map { case (n, v) => n -> v.kind }))
       val fetch: (Option[String], Long) => Seq[Array[Byte]] = (resume, limit) => {
         val from = resume.map(t => events.indexWhere(_.resumeToken.contains(t)) + 1)
           .getOrElse(0)
@@ -296,18 +294,59 @@ object Main {
         if (mc.collections.lengthIs > 1)
           s"${mc.resumeTokenPath}.${coll.table_name}"
         else mc.resumeTokenPath)
-      val csSource = new graft.mongo.MongoChangeStreamSource(
-        fetch, tokens, columns.map(_.name), () => spark.emptyDataFrame)
-      val adapted = new CdcSource {
-        def snapshot() = csSource.snapshot()
-        def peekChanges(after: Long, limit: Long) =
-          graft.mongo.ChangeStreamRows.tableSlice(
-            csSource.peekChanges(after, limit), columns)
+      val initial = graft.mongo.MongoInference.initialSchema
+      val masks = coll.mask_columns.toSet
+      val closers = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
+
+      val pipe = config.target.target_type match {
+        case "parquet" =>
+          val outDir = config.target.parquet_dir.getOrElse(
+            throw new IllegalArgumentException("target.parquet_dir required"))
+          // the state sink needs no DDL: its reader schema-merges the log
+          new graft.mongo.MongoPipe(config, fetch, tokens, initial,
+            addColumn = _ => (),
+            sinkFor = cols => new graft.pipe.ParquetStateSink(
+              s"$outDir/${coll.table_name}",
+              cols.filter(_.isPrimaryKey).map(_.name),
+              cols.filterNot(_.isPrimaryKey).map(_.name),
+              mergeSchema = true),
+            maskColumns = masks)
+        case "jdbc" | "clickhouse" =>
+          val (tc, dialect) = targetJdbc(config, coll.table_name)
+          val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
+          val client = new JdbcClient(info)
+          closers += client
+          // initialize: a fresh Mongo target is created `_id`-only
+          // (reference: `src/pipes/mongodb.rs:532-554`) …
+          graft.pipe.Initializer.setupTable(
+            () => targetColumnNames(client, tc.table), client.execute,
+            dialect, tc.database, tc.table, initial)
+          // … and the running schema adopts whatever the target now has
+          // (load_table_table_info, `:574-585`) — a pre-created full
+          // table renders every field from the first batch
+          val adopted = (client.tableColumns(None, tc.table.toUpperCase) match {
+            case Seq() => client.tableColumns(None, tc.table)
+            case found => found
+          }).map { case (n, dt, nullable) =>
+            CHColumn(n, CHType.fromSparkType(dt, nullable && n != "_id"),
+              isPrimaryKey = n == "_id")
+          }.toVector
+          new graft.mongo.MongoPipe(config, fetch, tokens,
+            if (adopted.nonEmpty) adopted else initial,
+            addColumn = c =>
+              client.execute(dialect.addColumnQuery(tc.database, tc.table, c)),
+            sinkFor = cols => new StatementSink(tc.database, tc.table, cols,
+              client.execute, Set.empty, config.copyBatchSize, dialect,
+              insertExec = if (tc.distributed_inserts) Some(info) else None)
+              .asBatchSink(() => client
+                .queryScalar(dialect.nonEmptyProbe(tc.database, tc.table))
+                .exists(graft.sinks.SqlDialect.truthy)),
+            maskColumns = masks)
+        case other =>
+          throw new IllegalArgumentException(s"target_type '$other' not supported")
       }
-      runToTarget(spark, config, adapted, columns,
-        pipeName = coll.table_name,
-        advance = _ => csSource.commitToken(),
-        maskColumns = coll.mask_columns.toSet)
+      try pipe.syncLoop()
+      finally closers.foreach(c => try c.close() catch { case _: Exception => () })
     }
   }
 

@@ -89,8 +89,9 @@ object ChangeStream {
 class MongoChangeStreamSource(
     fetch: (Option[String], Long) => Seq[Array[Byte]],
     tokens: ResumeTokenStore,
-    columns: Seq[String],
-    snapshotDf: () => DataFrame
+    columns: () => Seq[String],
+    snapshotDf: () => DataFrame,
+    onWindow: Seq[ChangeStreamEvent] => Unit = _ => ()
 )(implicit spark: SparkSession) extends CdcSource {
 
   @volatile private var lastPeek: Option[String] = None // token to commit
@@ -98,16 +99,23 @@ class MongoChangeStreamSource(
   override def snapshot(): DataFrame = snapshotDf()
 
   override def peekChanges(after: Long, limit: Long): DataFrame = {
+    // `onWindow` fires once per fetched window with the decoded events
+    // BEFORE rows are routed — the per-batch schema-evolution hook
+    // (reference: `src/pipes/mongodb.rs:306-333` runs ADD COLUMN on each
+    // batch's rows before generating its INSERTs). `columns()` is then
+    // read AFTER the hook, so fields first seen in this window land for
+    // this window's rows; earlier rows are never backfilled.
+    var raw = fetch(tokens.read(), limit)
+    var decoded = raw.map(ChangeStream.decode)
+    onWindow(decoded)
     // Skip-forward: a window whose events ALL route to nothing (invalidate,
     // rename, update with a missed lookup) produces no writes, so its token
     // commits IMMEDIATELY — otherwise the pipe would see an empty batch,
     // never reach its write-commit point, and refetch the same window
     // forever. Writes-bearing windows still commit only via commitToken
     // (after the sink write).
-    var raw = fetch(tokens.read(), limit)
-    var decoded = raw.map(ChangeStream.decode)
     while (raw.nonEmpty &&
-        !decoded.exists(e => ChangeStream.toChangelogRow(e, columns).isDefined)) {
+        !decoded.exists(e => ChangeStream.toChangelogRow(e, columns()).isDefined)) {
       val skipToken = decoded.reverseIterator.flatMap(_.resumeToken).take(1).toSeq
       // a window with NO extractable resume token cannot advance the
       // cursor: refetching would return the identical window forever.
@@ -120,6 +128,7 @@ class MongoChangeStreamSource(
       skipToken.foreach(tokens.write)
       raw = fetch(tokens.read(), limit)
       decoded = raw.map(ChangeStream.decode)
+      onWindow(decoded)
     }
     // the token to persist at commit = the LAST event in the window that
     // carries one (never a stale value from a previous peek)
@@ -131,7 +140,7 @@ class MongoChangeStreamSource(
       StructField("op", StringType, nullable = false),
       StructField("table", StringType, nullable = true),
       StructField("cols", ArrayType(StringType, containsNull = true), nullable = false)))
-    val cols = columns // serializable capture
+    val cols = columns() // resolve the evolved list; serializable capture
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     import spark.implicits._
     val base = after

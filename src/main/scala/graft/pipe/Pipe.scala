@@ -121,7 +121,8 @@ trait BatchSink {
 class ParquetStateSink(
     val path: String,
     pkCols: Seq[String],
-    valueCols: Seq[String]
+    valueCols: Seq[String],
+    mergeSchema: Boolean = false
 )(implicit spark: SparkSession) extends BatchSink {
   private def logDir = s"$path/log"
 
@@ -151,12 +152,18 @@ class ParquetStateSink(
       .write.mode("append").parquet(logDir)
   }
 
-  /** Current table contents (merge-time view): one shuffle on the PK. */
+  /** Current table contents (merge-time view): one shuffle on the PK.
+    * `mergeSchema` unions the log files' schemas (footer reads, bounded
+    * by file count) so a schema-evolving writer — the Mongo pipe, whose
+    * batches gain columns as fields first appear — reads back with NULLs
+    * for rows written before a column existed (no backfill). */
   def read(): DataFrame = {
     require(!isEmpty, s"state sink $path is empty") // isEmpty also recovers
 
-    CdcApply.finalState(
-      spark.read.parquet(logDir), pkCols, valueCols, col("__batch"))
+    val log =
+      if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(logDir)
+      else spark.read.parquet(logDir)
+    CdcApply.finalState(log, pkCols, valueCols, col("__batch"))
   }
 
   /** Force-merge: rewrite the log as a single snapshot batch.

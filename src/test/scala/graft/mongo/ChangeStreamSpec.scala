@@ -85,7 +85,7 @@ class ChangeStreamSpec extends AnyFunSuite with SparkTestBase {
       all.slice(from, from + limit.toInt)
     }
     val tokens = new graft.pipe.ResumeTokenStore(s"$tmp/token.json")
-    val source = new MongoChangeStreamSource(fetch, tokens, cols,
+    val source = new MongoChangeStreamSource(fetch, tokens, () => cols,
       () => spark.emptyDataFrame)
 
     val batch = source.peekChanges(0, 2)
@@ -112,7 +112,7 @@ class ChangeStreamSpec extends AnyFunSuite with SparkTestBase {
       calls += 1; Seq(tokenless)
     }
     val source = new MongoChangeStreamSource(fetch,
-      new graft.pipe.ResumeTokenStore(s"$tmp/token.json"), cols,
+      new graft.pipe.ResumeTokenStore(s"$tmp/token.json"), () => cols,
       () => spark.emptyDataFrame)
     val e = intercept[IllegalStateException](source.peekChanges(0, 2))
     assert(e.getMessage.contains("resume token"))
@@ -138,7 +138,7 @@ class ChangeStreamSpec extends AnyFunSuite with SparkTestBase {
       all.slice(from, from + limit.toInt).map(_._2)
     }
     val tokens = new ResumeTokenStore(s"$tmp/token.json")
-    val source = new MongoChangeStreamSource(fetch, tokens, cols,
+    val source = new MongoChangeStreamSource(fetch, tokens, () => cols,
       () => spark.emptyDataFrame)
 
     // peek is non-consuming until commitToken: same batch returns again
