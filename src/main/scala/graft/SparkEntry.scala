@@ -1177,6 +1177,16 @@ object SparkEntry {
       graft.text.Bpe.encode(d, "doc_id", "text", merges)
     }),
 
+    // Encode with the PINNED merges table: same kernel, data-independent
+    // tokenizer — so the oracle states the FULL greedy encode (split to
+    // chars, apply each merge rank-ordered as a left-to-right
+    // non-overlapping pass) in portable SQL. This puts the encode
+    // algorithm itself under the hash gate; `bpe_encode` above pins the
+    // trained-tokenizer composition.
+    "bpe_encode_fixed" -> ((s, dir) =>
+      graft.text.Bpe.encode(docs(s, dir), "doc_id", "text",
+        graft.text.Bpe.fixedMerges)),
+
     // Tumbling-window event aggregation: the batch twin of the streaming
     // windowedCounts path — hourly (window_start, event_type) counts and
     // exact-decimal value sums. One shuffle on the window key.
@@ -1294,6 +1304,37 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for minhash/simhash/LSH (driver
     * records a rows-only check). */
+  /** Full greedy BPE encode over [[graft.text.Bpe.fixedMerges]] as
+    * portable SQL, generated from the same merges list the query uses.
+    * Each word becomes a U+001F-delimited symbol string (`␟␟c␟␟` per
+    * symbol — double delimiters so consecutive merge sites don't share a
+    * boundary character), and each merge is ONE `replace` whose
+    * left-to-right non-overlapping scan is exactly the kernel's
+    * single-pass rule ([[graft.functions.TextKernels.bpeEncodeWord]]);
+    * chaining the replaces in rank order is the kernel's fold. */
+  private def bpeFixedOracleSql: String = {
+    val d = "\u001f"
+    val chain = graft.text.Bpe.fixedMerges.foldLeft(
+      s"'$d$d' || array_to_string(regexp_split_to_array(word, ''), '$d$d') || '$d$d'") {
+      case (acc, m) =>
+        s"replace($acc, '$d${m.left}$d$d${m.right}$d', '$d${m.left}${m.right}$d')"
+    }
+    s"""WITH docs_t AS (
+       |  SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ws
+       |  FROM documents
+       |), words AS (
+       |  SELECT doc_id, w AS word FROM docs_t, unnest(ws) AS t(w) WHERE length(w) > 0
+       |), enc AS (
+       |  SELECT doc_id, len(string_split($chain, '$d$d')) - 2 AS n_sub FROM words
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM enc GROUP BY doc_id
+       |""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "cdc_user_state" ->
       s"""WITH typed AS (
@@ -1758,6 +1799,45 @@ object SparkEntry {
         |         ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         |  FROM scored) WHERE rank <= 10
         |""".stripMargin,
+
+    // int8 path stated end-to-end: per-dim (lo, step) from global min/max,
+    // symmetric quantize with clamp + round (non-negative halves, so
+    // HALF_UP == round-half-away), dequantize, then the same cosine as
+    // embed_topk over reconstructed values — deterministic integer/double
+    // arithmetic, hash-exact vs the fused QuantizedCosine kernel.
+    "embed_topk_q8" ->
+      """WITH exploded AS (
+        |  SELECT generate_subscripts(embedding, 1) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |),
+        |dims AS (SELECT d, min(v) AS lo, max(v) AS hi FROM exploded GROUP BY d),
+        |consts AS (
+        |  SELECT list(lo ORDER BY d) AS los,
+        |         list(CASE WHEN hi - lo <= 0 THEN 1.0 ELSE (hi - lo) / 255.0 END ORDER BY d) AS steps
+        |  FROM dims
+        |),
+        |deq AS (
+        |  SELECT vec_id,
+        |         list_transform(list_zip(embedding, los, steps),
+        |           p -> (least(greatest(round((CAST(p[1] AS DOUBLE) - p[2]) / p[3]), 0.0), 255.0) - 128.0
+        |                 + 128.0) * p[3] + p[2]) AS dv
+        |  FROM embeddings, consts
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.dv, c.dv), p -> p[1] * p[2]))
+        |         / (sqrt(list_sum(list_transform(q.dv, x -> x * x)))
+        |          * sqrt(list_sum(list_transform(c.dv, x -> x * x)))) AS cosine
+        |  FROM deq c, deq q WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+        |)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored) WHERE rank <= 10
+        |""".stripMargin,
+
+    "bpe_encode_fixed" -> bpeFixedOracleSql,
 
     "text_metrics" ->
       """WITH t AS (

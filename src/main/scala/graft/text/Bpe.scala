@@ -37,6 +37,22 @@ object Bpe {
     * time. */
   final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
 
+  /** A pinned 30-merge English tokenizer. Data-independent, so an encode
+    * over it is a pure deterministic function of the text — which makes
+    * the full greedy encode expressible as portable SQL (a rank-ordered
+    * replace chain) and gives the `bpe_encode_fixed` query a real oracle;
+    * the trained path keeps its merge-for-merge BpeSpec pin. Chained
+    * merges (`th+e`, `an+d`, `in+g`, `ti+on`) depend on earlier ranks,
+    * exercising the fold order. */
+  val fixedMerges: Seq[Merge] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("t", "i"), ("s", "t"), ("a", "r"),
+    ("a", "l"), ("o", "u"), ("i", "t"), ("i", "s"), ("e", "d"),
+    ("in", "g"), ("ti", "on"), ("o", "f"), ("t", "o"), ("l", "e"),
+    ("m", "e"), ("c", "h"), ("s", "e"), ("c", "o"), ("d", "e")
+  ).zipWithIndex.map { case ((l, r), i) => Merge(i, l, r, 0L) }
+
   /** Word-frequency table with initial code-point symbol arrays:
     * (word, cnt, syms). Lowercased, whitespace-tokenized. */
   def wordTable(df: DataFrame, textCol: String): DataFrame =

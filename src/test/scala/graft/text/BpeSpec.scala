@@ -127,4 +127,29 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert((0 until out.numElements()).map(out.getUTF8String(_).toString)
       == Seq("aa", "a"))
   }
+
+  test("fixedMerges: rank-chained merges compose (ti+on -> tion) and ranks are dense") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = Bpe.fixedMerges
+    assert(m.map(_.rank) == m.indices)
+    // every multi-char side is produced by an earlier-rank merge
+    val producible = m.scanLeft(('a' to 'z').map(_.toString).toSet) {
+      (known, mg) => known + (mg.left + mg.right)
+    }
+    m.zip(producible).foreach { case (mg, known) =>
+      assert(known.contains(mg.left) && known.contains(mg.right),
+        s"merge ${mg.rank} (${mg.left},${mg.right}) references an unproducible symbol")
+    }
+    val flat = m.flatMap(mm => Seq(mm.left, mm.right))
+      .map(UTF8String.fromString).toArray
+    def enc(w: String): Seq[String] = {
+      val out = graft.functions.TextKernels.bpeEncodeWord(
+        UTF8String.fromString(w), flat)
+      (0 until out.numElements()).map(out.getUTF8String(_).toString)
+    }
+    assert(enc("the") == Seq("the"))      // t+h then th+e
+    assert(enc("and") == Seq("and")) // a+n (rank 3) then an+d (rank 4)
+    assert(enc("motion") == Seq("m", "o", "tion")) // o+n, t+i, ti+on chain
+    assert(enc("x") == Seq("x"))
+  }
 }
