@@ -58,6 +58,14 @@ object Main {
       driver: Option[String]): JdbcConnInfo =
     JdbcConnInfo(url, user, password, driver)
 
+  /** Pre-flight health gate (reference: `src/pipes/postgres.rs:94-108`,
+    * run before anything else at `:759-762`; `pipes/mongodb.rs` mirrors
+    * it): probe the endpoint once and abort with a clean, attributed
+    * error instead of failing on first use mid-initialize. */
+  private def pingOrAbort(client: JdbcClient, role: String, url: String): Unit =
+    if (!client.ping()) throw new IllegalStateException(
+      s"$role ping failed: $url is unreachable; aborting before initialize")
+
   /** Generic live JDBC changelog pipe (integration-tested against embedded
     * Derby): peeks a seq-addressed changelog table, executes the statement
     * sequence against a JDBC target or appends to a parquet state sink. */
@@ -71,6 +79,7 @@ object Main {
       .copy(queryTimeoutMillis = config.peekChangesTimeoutMillis)
     val client = new JdbcClient(srcInfo)
     try {
+      pingOrAbort(client, "source", sc.url)
       val source = new JdbcChangelogSource(
         client,
         JdbcChangelogSource.tablePeekSql(sc.changelog_table, sc.seq_column),
@@ -125,6 +134,7 @@ object Main {
     val client = new JdbcClient(info)
     val tableClients = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
     try {
+      pingOrAbort(client, "source", url)
       // ---- initialize phase (reference: `src/pipes/postgres.rs:110-120`) ----
       // publication + replication slot, created idempotently; skipped when
       // the sync loop is disabled, exactly as the reference (`:522-525`)
@@ -218,6 +228,7 @@ object Main {
         val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
         val client = new JdbcClient(info)
         closers += client
+        pingOrAbort(client, "target", tc.url)
         initComment.foreach { comment =>
           graft.pipe.Initializer.setupTable(
             () => targetColumnNames(client, tc.table), client.execute, dialect,
@@ -316,6 +327,7 @@ object Main {
           val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
           val client = new JdbcClient(info)
           closers += client
+          pingOrAbort(client, "target", tc.url)
           // initialize: a fresh Mongo target is created `_id`-only
           // (reference: `src/pipes/mongodb.rs:532-554`) …
           graft.pipe.Initializer.setupTable(
@@ -365,6 +377,7 @@ object Main {
         val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
         val client = new JdbcClient(info)
         try {
+          pingOrAbort(client, "target", tc.url)
           val sink = new StatementSink(tc.database, tc.table, columns,
             client.execute, maskColumns, config.copyBatchSize, dialect,
             insertExec = if (tc.distributed_inserts) Some(info) else None)

@@ -37,16 +37,26 @@ object Pq {
   }
 
   /** Train per-subspace codebooks on a bounded sample. `k ≤ 256` so a
-    * code fits one byte. Dim must divide evenly into `m` subspaces. */
+    * code fits one byte. Dim must divide evenly into `m` subspaces.
+    *
+    * NO pre-count: a `count()` solely to size a sample fraction is one
+    * gratuitous full corpus pass at 100 TB. The `limit` bounds the read
+    * (Spark stops scanning once satisfied) and the driver collect alike;
+    * callers that want a UNIFORM sample at known scale pass
+    * `sampleFraction` (like [[Similarity.ivfTrain]]) and the limit
+    * becomes the safety valve. */
   def train(
       corpus: DataFrame, vecCol: String, m: Int, k: Int,
-      targetRows: Long = 20000L, seed: Long = 42L): PqModel = {
+      targetRows: Long = 20000L, seed: Long = 42L,
+      sampleFraction: Option[Double] = None): PqModel = {
     require(k > 1 && k <= 256, s"k must be in (1, 256]: $k")
-    val n = corpus.count()
-    val frac = if (n <= targetRows) 1.0 else targetRows.toDouble / n
-    val collected = (if (frac >= 1.0) corpus else corpus.sample(frac, seed))
+    val base = sampleFraction match {
+      case Some(f) if f < 1.0 => corpus.sample(f, seed)
+      case _ => corpus
+    }
+    val collected = base
       .select(normalized(col(vecCol)))
-      .limit(Similarity.MaxTrainRows)
+      .limit(math.min(targetRows, Similarity.MaxTrainRows).toInt)
       .collect().map(_.getSeq[Double](0).toArray)
     require(collected.nonEmpty, "cannot train PQ on an empty corpus")
     // collect() order follows partitioning; Lloyd's seeded init is order-

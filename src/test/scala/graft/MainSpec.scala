@@ -125,6 +125,33 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     } finally c.close()
   }
 
+  test("pre-flight ping: an unreachable endpoint aborts with a clean attributed error") {
+    // source down: Derby in-memory db that was never created (no ;create=true)
+    val deadSrc = PipeConfig.fromJson(
+      """{"source": {"source_type": "jdbc", "jdbc": {
+        |   "url": "jdbc:derby:memory:neverexists", "changelog_table": "c"}},
+        | "target": {"target_type": "jdbc", "jdbc": {
+        |   "url": "jdbc:derby:memory:neverexists", "database": "APP",
+        |   "table": "t", "dialect": "ansi"}}}""".stripMargin)
+    val e1 = intercept[IllegalStateException](Main.runWith(spark, deadSrc))
+    assert(e1.getMessage.contains("source ping failed"))
+
+    // source up, target down: fails at the TARGET probe, attributed so
+    import graft.live.{JdbcClient, JdbcConnInfo}
+    val c = new JdbcClient(JdbcConnInfo("jdbc:derby:memory:pingsrc;create=true"))
+    try {
+      c.execute("CREATE TABLE changelog (seq BIGINT NOT NULL, op VARCHAR(1) NOT NULL, id BIGINT)")
+      val deadTgt = PipeConfig.fromJson(
+        """{"source": {"source_type": "jdbc", "jdbc": {
+          |   "url": "jdbc:derby:memory:pingsrc", "changelog_table": "changelog"}},
+          | "target": {"target_type": "jdbc", "jdbc": {
+          |   "url": "jdbc:derby:memory:neverexists", "database": "APP",
+          |   "table": "t", "dialect": "ansi"}}}""".stripMargin)
+      val e2 = intercept[IllegalStateException](Main.runWith(spark, deadTgt))
+      assert(e2.getMessage.contains("target ping failed"))
+    } finally c.close()
+  }
+
   test("initialize phase: a missing target table is auto-created from source schema") {
     import graft.live.{JdbcClient, JdbcConnInfo}
     val url = "jdbc:derby:memory:maininit;create=true"
