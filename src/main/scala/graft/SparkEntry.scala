@@ -1157,9 +1157,9 @@ object SparkEntry {
     }),
 
     // BPE tokenizer training over the corpus word table: 30 merges,
-    // deterministic tie-break. Iterative (one small shuffle per merge) —
-    // not SQL-expressible, so rows-only; merge-for-merge equality with a
-    // local reference implementation is pinned in BpeSpec.
+    // deterministic tie-break. The oracle UNROLLS the training fold as
+    // 30 chained SQL stages (bpeTrainStagesSql) — full merge-for-merge
+    // equality under the hash gate, on top of the BpeSpec local pin.
     "bpe_merges" -> ((s, dir) => {
       import s.implicits._
       bpeMerges.computeIfAbsent(dir,
@@ -1169,7 +1169,9 @@ object SparkEntry {
     }),
 
     // Encode the corpus with the trained merges: per-doc token/subword
-    // counts and fertility — the tokenizer-fit metric. Rows-only.
+    // counts and fertility — the tokenizer-fit metric. Oracled: the
+    // unrolled training stages already encode every distinct word, so
+    // the oracle joins docs against the final symbol table.
     "bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = bpeMerges.computeIfAbsent(dir,
@@ -1304,6 +1306,82 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for minhash/simhash/LSH (driver
     * records a rows-only check). */
+  /** The BPE TRAINING fold as portable SQL: `n` unrolled iterations, each
+    * one aggregation (adjacent-pair counts weighted by word frequency), an
+    * argmax with the kernel's exact tie-break (count desc, then left/right
+    * in byte order — DuckDB's default string collation IS codepoint/byte
+    * order), and one `replace`-chain merge application; `LEFT JOIN best ON
+    * TRUE` freezes the state once the best pair drops under
+    * `minPairCount = 2` (the fold's early stop). `AS MATERIALIZED` pins
+    * each stage — inlined, the doubly-referenced chain re-expands
+    * exponentially. Because the word table carries each word through the
+    * fold, the trained ENCODE oracle is just a join against the final
+    * symbol table ([[bpeTrainedEncodeOracleSql]]). */
+  private def bpeTrainStagesSql(n: Int): String = {
+    val d = "\u001f"
+    val dd = d + d
+    val words0 =
+      s"""words0 AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |         '$dd' || array_to_string(regexp_split_to_array(word, ''), '$dd') || '$dd' AS syms
+         |  FROM (
+         |    SELECT w AS word, count(*) AS cnt FROM (
+         |      SELECT unnest(CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS w
+         |      FROM documents) WHERE length(w) > 0 GROUP BY 1)
+         |)""".stripMargin
+    val stages = (0 until n).map { i =>
+      s"""toks$i AS MATERIALIZED (
+         |  SELECT word, cnt, list_slice(string_split(syms, '$dd'), 2, len(string_split(syms, '$dd')) - 1) AS t
+         |  FROM words$i
+         |), pairs$i AS (
+         |  SELECT t[j] AS l, t[j + 1] AS r, sum(cnt) AS c
+         |  FROM toks$i, unnest(range(1, len(t))) AS u(j)
+         |  GROUP BY 1, 2
+         |), best$i AS (
+         |  SELECT l, r, c FROM pairs$i WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+         |), words${i + 1} AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |         CASE WHEN b.l IS NULL THEN syms
+         |              ELSE replace(syms, '$d' || b.l || '$dd' || b.r || '$d',
+         |                                 '$d' || b.l || b.r || '$d') END AS syms
+         |  FROM words$i LEFT JOIN best$i b ON TRUE
+         |)""".stripMargin
+    }
+    (words0 +: stages).mkString(",\n")
+  }
+
+  private val BpeNumMerges = 30
+
+  /** Full training-equality oracle for `bpe_merges`. */
+  private def bpeMergesOracleSql: String =
+    "WITH " + bpeTrainStagesSql(BpeNumMerges) + ",\nmerges AS (\n" +
+      (0 until BpeNumMerges).map { i =>
+        s"""SELECT CAST(${i + 1} AS INT) AS rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count FROM best$i"""
+      }.mkString("\n  UNION ALL ") +
+      "\n)\nSELECT rank, \"left\", \"right\", pair_count FROM merges"
+
+  /** Trained-tokenizer encode oracle for `bpe_encode`: the fold already
+    * encoded every distinct word, so per-doc subword counts are a join. */
+  private def bpeTrainedEncodeOracleSql: String = {
+    val dd = "\u001f\u001f"
+    "WITH " + bpeTrainStagesSql(BpeNumMerges) +
+      s""",
+         |wfinal AS (
+         |  SELECT word, len(string_split(syms, '$dd')) - 2 AS n_sub FROM words$BpeNumMerges
+         |), dwords AS (
+         |  SELECT doc_id, w AS word FROM (
+         |    SELECT doc_id, unnest(CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |           ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS w
+         |    FROM documents) WHERE length(w) > 0
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
+         |FROM dwords JOIN wfinal USING (word) GROUP BY doc_id
+         |""".stripMargin
+  }
+
   /** Full greedy BPE encode over [[graft.text.Bpe.fixedMerges]] as
     * portable SQL, generated from the same merges list the query uses.
     * Each word becomes a U+001F-delimited symbol string (`␟␟c␟␟` per
@@ -1838,6 +1916,8 @@ object SparkEntry {
         |""".stripMargin,
 
     "bpe_encode_fixed" -> bpeFixedOracleSql,
+    "bpe_merges" -> bpeMergesOracleSql,
+    "bpe_encode" -> bpeTrainedEncodeOracleSql,
 
     "text_metrics" ->
       """WITH t AS (
