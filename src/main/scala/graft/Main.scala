@@ -231,7 +231,7 @@ object Main {
         pingOrAbort(client, "target", tc.url)
         initComment.foreach { comment =>
           graft.pipe.Initializer.setupTable(
-            () => targetColumnNames(client, tc.table), client.execute, dialect,
+            () => targetColumnNames(client, tc.database, tc.table), client.execute, dialect,
             tc.database, tc.table, columns, tableComment = comment)
         }
         val sink = new StatementSink(tc.database, tc.table, columns,
@@ -247,14 +247,13 @@ object Main {
 
   /** Target column-name probe through JDBC metadata — the portable
     * analogue of the reference's `system.columns` read
-    * (`src/adapter/clickhouse.rs:190-220`); case-folding engines (Derby)
-    * store unquoted identifiers uppercased, so try both. Empty means the
+    * (`src/adapter/clickhouse.rs:190-220`). Scoped to the configured
+    * database and exact-matched on the table name (see
+    * [[JdbcClient.columnsOf]]); raw column-name case. Empty means the
     * table does not exist. */
-  private def targetColumnNames(client: JdbcClient, table: String): Seq[String] =
-    client.tableColumns(None, table.toUpperCase) match {
-      case Seq() => client.tableColumns(None, table).map(_._1)
-      case found => found.map(_._1)
-    }
+  private def targetColumnNames(
+      client: JdbcClient, database: String, table: String): Seq[String] =
+    client.columnsOf(Some(database).filter(_.nonEmpty), table).map(_._1)
 
   private def targetJdbc(config: PipeConfig, pipeName: String): (JdbcTargetConfig, graft.sinks.SqlDialect) =
     config.target.target_type match {
@@ -331,18 +330,20 @@ object Main {
           // initialize: a fresh Mongo target is created `_id`-only
           // (reference: `src/pipes/mongodb.rs:532-554`) …
           graft.pipe.Initializer.setupTable(
-            () => targetColumnNames(client, tc.table), client.execute,
+            () => targetColumnNames(client, tc.database, tc.table), client.execute,
             dialect, tc.database, tc.table, initial)
           // … and the running schema adopts whatever the target now has
           // (load_table_table_info, `:574-585`) — a pre-created full
-          // table renders every field from the first batch
-          val adopted = (client.tableColumns(None, tc.table.toUpperCase) match {
-            case Seq() => client.tableColumns(None, tc.table)
-            case found => found
-          }).map { case (n, dt, nullable) =>
-            CHColumn(n, CHType.fromSparkType(dt, nullable && n != "_id"),
-              isPrimaryKey = n == "_id")
-          }.toVector
+          // table renders every field from the first batch. Column-name
+          // case is PRESERVED ([[JdbcClient.columnsOf]]): Mongo field
+          // names are case-significant, and a lowercased adoption would
+          // silently stop matching camelCase document fields on restart
+          val adopted = client
+            .columnsOf(Some(tc.database).filter(_.nonEmpty), tc.table)
+            .map { case (n, dt, nullable) =>
+              CHColumn(n, CHType.fromSparkType(dt, nullable && n != "_id"),
+                isPrimaryKey = n == "_id")
+            }.toVector
           new graft.mongo.MongoPipe(config, fetch, tokens,
             if (adopted.nonEmpty) adopted else initial,
             addColumn = c =>
@@ -393,7 +394,7 @@ object Main {
           // probe the target, CREATE TABLE when absent, ADD COLUMN drift
           // when present — a pre-existing in-sync table is a no-op
           graft.pipe.Initializer.setupTable(
-            () => targetColumnNames(client, tc.table), client.execute,
+            () => targetColumnNames(client, tc.database, tc.table), client.execute,
             dialect, tc.database, tc.table, columns)
           pipe.firstSync()
           if (!config.disableSyncLoop) pipe.syncLoop()

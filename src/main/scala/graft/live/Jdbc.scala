@@ -128,6 +128,70 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
     } finally rs.close()
   }
 
+  /** Column metadata of exactly `database`.`table`, with COLUMN_NAME case
+    * PRESERVED (unlike [[tableColumns]]) — required when the schema is
+    * data-derived (Mongo field names are case-significant). Correctness
+    * hardening over a bare `getColumns` probe:
+    *
+    *  - JDBC treats `_`/`%` in name arguments as SEARCH PATTERNS, so the
+    *    result set is post-filtered to exact (case-insensitive) TABLE_NAME
+    *    matches — `user_events` no longer matches `user1events`;
+    *  - the database scopes the lookup (a same-named table in another
+    *    schema must NOT satisfy the probe): tried as catalog and as
+    *    schema (drivers disagree — Derby: schema, ClickHouse: catalog) in
+    *    stored-case/upper/lower variants, falling back to an unscoped
+    *    probe only when every scoped attempt returns nothing (drivers
+    *    that expose neither);
+    *  - table-name case variants cover case-folding engines (Derby
+    *    uppercases unquoted identifiers).
+    *
+    * Empty result = the table does not exist (the initialize-phase
+    * CREATE-vs-drift decision point). */
+  def columnsOf(database: Option[String], table: String): Seq[(String, org.apache.spark.sql.types.DataType, Boolean)] = {
+    val md = conn.getMetaData
+    // the PATTERN arguments only narrow the server-side read; row
+    // ACCEPTANCE is decided by post-filters (drivers disagree on — and
+    // Derby outright ignores — the catalog argument). A row belongs to
+    // the probed table iff TABLE_NAME matches exactly and, when a
+    // database is configured, that database names the row's catalog OR
+    // schema. No unscoped fallback when scoped: a same-named table in
+    // another schema must report "absent" (loud CREATE failure), not
+    // silently satisfy initialize.
+    def rowInDatabase(rs: ResultSet): Boolean = database.forall { db =>
+      db.equalsIgnoreCase(rs.getString("TABLE_CAT")) ||
+        db.equalsIgnoreCase(rs.getString("TABLE_SCHEM"))
+    }
+    def attempt(catalog: String, schemaPattern: String, tablePattern: String): Seq[(Int, (String, org.apache.spark.sql.types.DataType, Boolean))] = {
+      val rs = md.getColumns(catalog, schemaPattern, tablePattern, null)
+      try {
+        val out = ArrayBuffer.empty[(Int, (String, org.apache.spark.sql.types.DataType, Boolean))]
+        while (rs.next()) {
+          if (table.equalsIgnoreCase(rs.getString("TABLE_NAME")) && rowInDatabase(rs))
+            out += ((rs.getInt("ORDINAL_POSITION"), (
+              rs.getString("COLUMN_NAME"),
+              JdbcRows.sparkType(rs.getInt("DATA_TYPE"),
+                math.max(rs.getInt("COLUMN_SIZE"), 1),
+                math.max(rs.getInt("DECIMAL_DIGITS"), 0)),
+              rs.getInt("NULLABLE") != java.sql.ResultSetMetaData.columnNoNulls)))
+        }
+        out.toSeq
+      } finally rs.close()
+    }
+    val tableVariants = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+    val attempts = database match {
+      case Some(db) =>
+        val dbVariants = Seq(db, db.toUpperCase, db.toLowerCase).distinct
+        for {
+          tv <- tableVariants
+          (cat, sp) <- dbVariants.map(v => (v, null: String)) ++
+            dbVariants.map(v => (null: String, v))
+        } yield () => attempt(cat, sp, tv)
+      case None => tableVariants.map(tv => () => attempt(null, null, tv))
+    }
+    attempts.iterator.map(_.apply()).find(_.nonEmpty).getOrElse(Seq.empty)
+      .sortBy(_._1).map(_._2)
+  }
+
   /** Primary-key column names, in key order (S5 PK membership —
     * `DatabaseMetaData.getPrimaryKeys` is the portable PK query). */
   def primaryKeys(schemaPattern: Option[String], table: String): Seq[String] = {

@@ -54,12 +54,31 @@ class MongoPipe(
   /** The running schema (grows as batches introduce typed fields). */
   def schema: Vector[CHColumn] = schemaNow
 
+  // field names the target dialect permanently rejected (e.g. not a
+  // valid unquoted identifier for an ANSI endpoint): warned once,
+  // skipped thereafter — one bad field must not wedge the pipe
+  private val rejected = scala.collection.mutable.Set.empty[String]
+
   private def evolve(events: Seq[ChangeStreamEvent]): Unit = {
     val next = MongoInference.foldBatch(schemaNow,
       events.flatMap(_.fullDocument)
-        .map(_.fields.map { case (n, v) => n -> v.kind }))
-    next.drop(schemaNow.size).foreach(addColumn)
-    schemaNow = next
+        .map(_.fields.filterNot(f => rejected.contains(f._1))
+          .map { case (n, v) => n -> v.kind }))
+    // the schema advances PER successfully-added column, so a transient
+    // failure on column k leaves columns <k recorded — the retried peek
+    // re-proposes only the remainder instead of re-ADDing what already
+    // exists (which would fail deterministically forever)
+    next.drop(schemaNow.size).foreach { c =>
+      try {
+        addColumn(c)
+        schemaNow = schemaNow :+ c
+      } catch {
+        case e: IllegalArgumentException =>
+          rejected += c.name
+          System.err.println(
+            s"[pipe] mongo field '${c.name}' skipped: ${e.getMessage}")
+      }
+    }
   }
 
   private[mongo] val source = new MongoChangeStreamSource(

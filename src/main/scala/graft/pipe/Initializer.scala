@@ -98,9 +98,17 @@ object Initializer {
     if (existing.isEmpty)
       run(dialect.createTableQuery(
         database, table, sourceColumns, options, tableComment))
-    else
-      Ddl.driftColumns(sourceColumns, existing.map(_.toLowerCase).toSet)
+    else {
+      // membership is CASE-INSENSITIVE on both sides: case-folding
+      // engines report `userId` back as USERID/userid, and re-issuing
+      // ADD COLUMN for a column the target already holds would fail
+      // every restart. The emitted DDL keeps the source's case.
+      val have = existing.map(_.toLowerCase).toSet
+      Ddl.driftColumns(
+        sourceColumns.filterNot(c => have.contains(c.name.toLowerCase)),
+        Set.empty)
         .foreach(c => run(dialect.addColumnQuery(database, table, c)))
+    }
 
     executed.toSeq
   }

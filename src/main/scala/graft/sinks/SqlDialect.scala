@@ -232,6 +232,21 @@ object AnsiDialect extends SqlDialect {
     case _                                                => "VARCHAR(32672)"
   }
 
+  /** DDL identifiers render UNQUOTED (quoting lowercase names would make
+    * them unreachable from the unquoted DML this dialect also renders,
+    * and break against natively-created tables on case-folding engines) —
+    * so they must BE valid unquoted identifiers. Column names can be
+    * data-derived (Mongo document fields), and interpolating an arbitrary
+    * string into DDL is an injection surface: reject anything else with a
+    * clean error instead of emitting broken or hostile SQL. */
+  private val SafeIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def checkIdent(name: String, what: String): String = {
+    require(SafeIdent.matches(name),
+      s"$what '$name' is not a valid unquoted SQL identifier; " +
+        "rename or exclude it (ANSI DDL renders identifiers unquoted)")
+    name
+  }
+
   /** Portable CREATE TABLE: column list + PRIMARY KEY clause. The
     * ClickHouse-specific clauses (engine, granularity, comments) have no
     * ANSI rendering and are dropped — the *schema* is the contract
@@ -240,7 +255,7 @@ object AnsiDialect extends SqlDialect {
       database: String, table: String, columns: Seq[CHColumn],
       options: graft.ddl.TableOptions, tableComment: String): String = {
     val colDefs = columns.map { c =>
-      s"${c.name} ${ansiType(c.chType)}" +
+      s"${checkIdent(c.name, "column name")} ${ansiType(c.chType)}" +
         (if (c.chType.isNullable) "" else " NOT NULL")
     }
     val pks = columns.filter(_.isPrimaryKey).map(_.name)
@@ -253,5 +268,6 @@ object AnsiDialect extends SqlDialect {
     * NOT NULL without a default to a non-empty table. */
   override def addColumnQuery(
       database: String, table: String, column: CHColumn): String =
-    s"ALTER TABLE $database.$table ADD COLUMN ${column.name} ${ansiType(column.chType)}"
+    s"ALTER TABLE $database.$table ADD COLUMN " +
+      s"${checkIdent(column.name, "column name")} ${ansiType(column.chType)}"
 }

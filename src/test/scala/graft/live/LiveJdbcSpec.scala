@@ -62,6 +62,29 @@ class LiveJdbcSpec extends AnyFunSuite with SparkTestBase {
     } finally c.close()
   }
 
+  test("columnsOf: exact table match (no `_` wildcard leak), schema scoping, raw case, case variants") {
+    val c = freshDb("colsof")
+    try {
+      c.execute("CREATE TABLE user_events (id BIGINT NOT NULL, v VARCHAR(10))")
+      c.execute("CREATE TABLE user1events (other BIGINT, thing DOUBLE, extra INT)")
+      // `_` in a JDBC name argument is a search-pattern wildcard; an
+      // unfiltered probe would merge user1events' columns in
+      assert(c.columnsOf(Some("APP"), "user_events").map(_._1.toLowerCase)
+        == Seq("id", "v"))
+      // lookup works regardless of the case the caller uses
+      assert(c.columnsOf(Some("app"), "USER_EVENTS").map(_._1.toLowerCase)
+        == Seq("id", "v"))
+      // raw case preserved: quoted mixed-case columns come back verbatim
+      c.execute("""CREATE TABLE cased ("userName" VARCHAR(10), "age" INT)""")
+      assert(c.columnsOf(Some("APP"), "cased").map(_._1) == Seq("userName", "age"))
+      // a schema that doesn't hold the table → empty (absent): scoped
+      // probes never fall back to finding the table elsewhere
+      assert(c.columnsOf(Some("NOSUCHSCHEMA"), "user_events").isEmpty)
+      assert(c.columnsOf(None, "user_events").map(_._1.toLowerCase) == Seq("id", "v"))
+      assert(c.columnsOf(Some("APP"), "missing_table").isEmpty)
+    } finally c.close()
+  }
+
   test("JdbcExec executes rendered INSERT statements per partition on executors") {
     val c = freshDb("exec")
     try {

@@ -120,6 +120,54 @@ class MongoEvolutionSpec extends AnyFunSuite with SparkTestBase {
     assert(new ResumeTokenStore(s"$out/token.json").read().contains("t4"))
   }
 
+  test("transient addColumn failure: schema advances per added column, replay never re-ADDs") {
+    val tmp = Files.createTempDirectory("graft-mevo-retry").toString
+    val adds = ArrayBuffer.empty[String]
+    var failScoreOnce = true
+    val pipe = new MongoPipe(cfg(2), fetchFrom(recording),
+      new ResumeTokenStore(s"$tmp/tok.json"),
+      MongoInference.initialSchema,
+      addColumn = c => {
+        // `age` lands, then `score` blips once (network): the retried
+        // peek must re-propose ONLY score, never re-ADD age
+        if (c.name == "score" && failScoreOnce) {
+          failScoreOnce = false; sys.error("endpoint down")
+        }
+        adds += c.name
+      },
+      sinkFor = cols => new StatementSink("app", "users", cols,
+        _ => (), dialect = ClickHouseDialect)(spark)
+        .asBatchSink(() => false))(spark)
+    assert(pipe.syncLoop(sleeper = _ => ()) == 4L)
+    assert(adds.toSeq == Seq("name", "age", "score")) // each exactly once
+    assert(pipe.schema.map(_.name) == Seq("_id", "name", "age", "score"))
+  }
+
+  test("a field the dialect rejects is warned and skipped permanently; the pipe stays alive") {
+    val tmp = Files.createTempDirectory("graft-mevo-reject").toString
+    // recording whose mid-stream doc carries an un-addressable field name
+    val rec = Vector(
+      ("t1", ev("insert", oid(1), "t1", Some(BDoc(Vector(
+        "_id" -> oid(1), "name" -> BStr("ada")))))),
+      ("t2", ev("insert", oid(2), "t2", Some(BDoc(Vector(
+        "_id" -> oid(2), "name" -> BStr("alan"), "bad field" -> BInt32(1),
+        "age" -> BInt32(41)))))))
+    val adds = ArrayBuffer.empty[String]
+    val pipe = new MongoPipe(cfg(1), fetchFrom(rec),
+      new ResumeTokenStore(s"$tmp/tok.json"),
+      MongoInference.initialSchema,
+      addColumn = c => {
+        adds += graft.sinks.AnsiDialect.addColumnQuery("app", "users", c)
+      },
+      sinkFor = cols => new StatementSink("app", "users", cols,
+        _ => (), dialect = graft.sinks.AnsiDialect)(spark)
+        .asBatchSink(() => false))(spark)
+    assert(pipe.syncLoop(sleeper = _ => ()) == 2L)
+    // `bad field` never became a column or a statement; age still landed
+    assert(pipe.schema.map(_.name) == Seq("_id", "name", "age"))
+    assert(adds.forall(!_.contains("bad field")))
+  }
+
   test("a pre-created full-schema target renders every field from the first batch (load_table_table_info parity)") {
     val tmp = Files.createTempDirectory("graft-mevo-pre").toString
     val statements = ArrayBuffer.empty[String]

@@ -126,6 +126,36 @@ class InitializerSpec extends AnyFunSuite with SparkTestBase {
     } finally c.close()
   }
 
+  test("drift membership is case-insensitive: case-folded target names never re-ADD a held column") {
+    val collected = ArrayBuffer.empty[String]
+    // a case-folding target reports `userId` back as USERID — a restart
+    // must see the schema as in-sync, not re-issue ADD COLUMN forever
+    val src = Seq(CHColumn("id", CHType.Int64, isPrimaryKey = true),
+      CHColumn("userId", CHType.Int32.nullable))
+    assert(Initializer.setupTable(
+      () => Seq("ID", "USERID"), collected += _, AnsiDialect,
+      "APP", "t", src).isEmpty)
+    // a genuinely-new column still emits, with the SOURCE's case
+    val s2 = Initializer.setupTable(
+      () => Seq("ID", "USERID"), collected += _, ClickHouseDialect,
+      "APP", "t", src :+ CHColumn("newCol", CHType.Int32.nullable))
+    assert(s2 == Seq("ALTER TABLE APP.t ADD COLUMN `newCol` Nullable(Int32) COMMENT '';"))
+  }
+
+  test("ANSI DDL rejects non-identifier column names instead of emitting injectable SQL") {
+    for (bad <- Seq("a b", "x; DROP TABLE users", "weird\"quote", "")) {
+      val e = intercept[IllegalArgumentException](AnsiDialect.addColumnQuery(
+        "APP", "t", CHColumn(bad, CHType.CHStr.nullable)))
+      assert(e.getMessage.contains("identifier"))
+      intercept[IllegalArgumentException](AnsiDialect.createTableQuery(
+        "APP", "t", Seq(CHColumn(bad, CHType.CHStr.nullable))))
+    }
+    // leading underscore (Mongo `_id`) and digits after the head are fine
+    assert(AnsiDialect.addColumnQuery("APP", "t",
+      CHColumn("_id2", CHType.CHStr.nullable))
+      .endsWith("ADD COLUMN _id2 VARCHAR(32672)"))
+  }
+
   test("setupTable renders the reference's ClickHouse DDL byte-for-byte through the dialect") {
     val collected = ArrayBuffer.empty[String]
     val stmts = Initializer.setupTable(
