@@ -1316,7 +1316,10 @@ object SparkEntry {
     * each stage — inlined, the doubly-referenced chain re-expands
     * exponentially. Because the word table carries each word through the
     * fold, the trained ENCODE oracle is just a join against the final
-    * symbol table ([[bpeTrainedEncodeOracleSql]]). */
+    * symbol table ([[bpeTrainedEncodeOracleSql]]). Known oracle-side
+    * limitation: a corpus whose TEXT contains the U+001F delimiter would
+    * corrupt the SQL symbol encoding (the Spark side is unaffected) —
+    * U+001F is a C0 control char that real text corpora do not carry. */
   private def bpeTrainStagesSql(n: Int): String = {
     val d = "\u001f"
     val dd = d + d

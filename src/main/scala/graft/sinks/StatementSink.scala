@@ -103,14 +103,18 @@ class StatementSink(
     // Dialects without insert-as-append upsert semantics (ANSI): clear the
     // batch's upsert keys first, so a key synced in an earlier batch — or
     // a replay after a partial failure — re-inserts cleanly instead of
-    // violating the PK constraint. Keys are bounded by the peek quantum
-    // and chunked like K2 deletes; runs before the inserts, after the
+    // violating the PK constraint. Keys STREAM to the driver one
+    // partition at a time (`toLocalIterator` on the cached batch), so
+    // driver memory stays bounded by a partition even if
+    // `peek_changes_limit` is configured far above its 65,536 default;
+    // chunked like K2 deletes; runs before the inserts, after the
     // truncate, preserving the reference's statement order otherwise.
     if (dialect.upsertRequiresDeleteFirst && pkCols.nonEmpty) {
-      val upKeys = ups.select(pkCols.map(col): _*).collect()
-      upKeys.grouped(deleteChunkSize).foreach { chunk =>
-        execute(dialect.deleteQuery(database, table, columns, chunk.toSeq))
-      }
+      import scala.jdk.CollectionConverters._
+      ups.select(pkCols.map(col): _*).toLocalIterator().asScala
+        .grouped(deleteChunkSize).foreach { chunk =>
+          execute(dialect.deleteQuery(database, table, columns, chunk))
+        }
     }
 
     val (counted, acc) = countedRows(ups.select(columns.map(c => col(c.name)): _*))
@@ -123,11 +127,12 @@ class StatementSink(
     val upCount = acc.value
 
     // K2: deletes run AFTER the inserts of the same batch, not deduped.
-    // Keys are bounded by the peek quantum (ONE collect serves both the
-    // count and the chunked statements); chunked so statement size is
-    // bounded regardless of batch shape. A delete without PK columns is
-    // ill-defined (the rendered statement would have an empty predicate) —
-    // fail loudly instead of emitting malformed SQL.
+    // Keys stream partition-at-a-time like the upsert-clear above (the
+    // count rides the same iteration — no extra action); chunked so
+    // statement size is bounded regardless of batch shape. A delete
+    // without PK columns is ill-defined (the rendered statement would
+    // have an empty predicate) — fail loudly instead of emitting
+    // malformed SQL.
     val deletes = CoreOps.deletes(batch)
     if (pkCols.isEmpty) {
       if (!deletes.isEmpty) throw new IllegalStateException(
@@ -135,11 +140,14 @@ class StatementSink(
           "cannot be applied (no key to match rows by)")
       (upCount, 0L, hasTruncate)
     } else {
-      val delKeys = deletes.select(pkCols.map(col): _*).collect()
-      delKeys.grouped(deleteChunkSize).foreach { chunk =>
-        execute(dialect.deleteQuery(database, table, columns, chunk.toSeq))
-      }
-      (upCount, delKeys.length.toLong, hasTruncate)
+      import scala.jdk.CollectionConverters._
+      var delCount = 0L
+      deletes.select(pkCols.map(col): _*).toLocalIterator().asScala
+        .grouped(deleteChunkSize).foreach { chunk =>
+          execute(dialect.deleteQuery(database, table, columns, chunk))
+          delCount += chunk.size
+        }
+      (upCount, delCount, hasTruncate)
     }
   }
 
