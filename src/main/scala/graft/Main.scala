@@ -124,7 +124,6 @@ object Main {
     * each advance. This is the reference's own shape (one slot, one
     * bucketed batch loop — `src/pipes/postgres.rs:295-420`). */
   private def runPostgres(spark: SparkSession, config: PipeConfig): Unit = {
-    implicit val s: SparkSession = spark
     val pg = config.source.postgres.getOrElse(
       throw new IllegalArgumentException("source.postgres required"))
     val conn = pg.connection
@@ -132,6 +131,19 @@ object Main {
     val info = connInfo(url, conn.username, conn.password, Some("org.postgresql.Driver"))
       .copy(queryTimeoutMillis = config.peekChangesTimeoutMillis)
     val client = new JdbcClient(info)
+    try runPostgresWith(spark, config, pg, client, info, url)
+    finally client.close()
+  }
+
+  /** The PG pipe body behind the source-client seam: the full-lifecycle
+    * spec (LivePostgresPipeSpec) drives it with a scripted catalog client
+    * emitting real pgoutput frames while the target stays a real JDBC
+    * endpoint — the same path a live server exercises. */
+  private[graft] def runPostgresWith(
+      spark: SparkSession, config: PipeConfig,
+      pg: graft.config.PostgresConfig, client: JdbcClient,
+      info: JdbcConnInfo, url: String): Unit = {
+    implicit val s: SparkSession = spark
     val tableClients = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
     try {
       pingOrAbort(client, "source", url)
@@ -194,10 +206,10 @@ object Main {
       }.toMap)
       if (!config.disableSyncLoop) pipe.syncLoop()
     } finally {
-      // every per-table target client alongside the source client — the
-      // sinks live as long as the pipe, so this is the one release point
+      // every per-table target client — the sinks live as long as the
+      // pipe, so this is the one release point (the source client is the
+      // caller's to close)
       tableClients.foreach(c => try c.close() catch { case _: Exception => () })
-      client.close()
     }
   }
 
@@ -224,7 +236,15 @@ object Main {
           columns.filter(_.isPrimaryKey).map(_.name),
           columns.filterNot(_.isPrimaryKey).map(_.name))
       case "jdbc" | "clickhouse" =>
-        val (tc, dialect) = targetJdbc(config, pipeName)
+        val (tcConfigured, dialect) = targetJdbc(config, pipeName)
+        // multi-table routing: each ROUTED table lands in its own target
+        // table named after it (the reference's one-table-per-source
+        // model, `src/adapter/mod.rs:90`) — the single configured
+        // `target.jdbc.table` only names SINGLE-table pipes (runToTarget)
+        val tc =
+          if (config.target.target_type == "jdbc")
+            tcConfigured.copy(table = pipeName.split('.').last)
+          else tcConfigured
         val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
         val client = new JdbcClient(info)
         closers += client
