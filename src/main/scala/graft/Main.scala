@@ -127,7 +127,9 @@ object Main {
     val pg = config.source.postgres.getOrElse(
       throw new IllegalArgumentException("source.postgres required"))
     val conn = pg.connection
-    val url = s"jdbc:postgresql://${conn.host}:${conn.port}/${conn.database}"
+    // TLS options ride the URL as pgjdbc properties (reference:
+    // `src/adapter/postgres.rs:31-53` sets the same modes on sqlx)
+    val url = conn.pgJdbcUrl
     val info = connInfo(url, conn.username, conn.password, Some("org.postgresql.Driver"))
       .copy(queryTimeoutMillis = config.peekChangesTimeoutMillis)
     val client = new JdbcClient(info)
@@ -181,6 +183,11 @@ object Main {
           PgOutputJdbcSource.multiTableSlices(
             source.peekChanges(after, limit), relations)
       }
+      // parent table-option defaults under target.clickhouse; per-table
+      // options inherit storage_policy/granularity from them (reference:
+      // `src/config.rs:259-269`, applied at `src/pipes/postgres.rs:645`)
+      val parentOpts = config.target.clickhouse
+        .map(_.parentTableOptions).getOrElse(graft.ddl.TableOptions())
       val tables = tableInfos.map { case (tbl, columns, _) =>
         // the source table's comment travels onto the created target table
         // (reference: `src/pipes/postgres.rs:631-637`)
@@ -190,7 +197,8 @@ object Main {
         tbl.table_name -> TableSpec(
           columns,
           targetBatchSink(spark, config, columns, tbl.qualifiedName, tableClients,
-            initComment = Some(comment)),
+            initComment = Some(comment),
+            initOptions = tbl.tableOptions(parentOpts)),
           tbl.mask_columns.toSet)
       }.toMap
       // slot advance rides the offset commit — AFTER all table writes
@@ -226,7 +234,8 @@ object Main {
       spark: SparkSession, config: PipeConfig,
       columns: Seq[CHColumn], pipeName: String,
       closers: scala.collection.mutable.Buffer[AutoCloseable],
-      initComment: Option[String] = None): graft.pipe.BatchSink = {
+      initComment: Option[String] = None,
+      initOptions: graft.ddl.TableOptions = graft.ddl.TableOptions()): graft.pipe.BatchSink = {
     implicit val s: SparkSession = spark
     config.target.target_type match {
       case "parquet" =>
@@ -252,7 +261,8 @@ object Main {
         initComment.foreach { comment =>
           graft.pipe.Initializer.setupTable(
             () => targetColumnNames(client, tc.database, tc.table), client.execute, dialect,
-            tc.database, tc.table, columns, tableComment = comment)
+            tc.database, tc.table, columns,
+            options = initOptions, tableComment = comment)
         }
         val sink = new StatementSink(tc.database, tc.table, columns,
           client.execute, Set.empty, config.copyBatchSize, dialect,
@@ -306,6 +316,7 @@ object Main {
     implicit val s: SparkSession = spark
     val mc = config.source.mongodb.getOrElse(
       throw new IllegalArgumentException("source.mongodb required"))
+    mc.resumeTokenStorage // validate: only the reference's `file` backend exists
     val dir = mc.bson_dir.getOrElse(throw new IllegalArgumentException(
       "live MongoDB needs a client driver not present in this build; " +
         "set source.mongodb.bson_dir to replay a recorded change stream"))
@@ -348,10 +359,13 @@ object Main {
           closers += client
           pingOrAbort(client, "target", tc.url)
           // initialize: a fresh Mongo target is created `_id`-only
-          // (reference: `src/pipes/mongodb.rs:532-554`) …
+          // (reference: `src/pipes/mongodb.rs:532-554`), with the
+          // collection's table options (parent-inherited) on the DDL
           graft.pipe.Initializer.setupTable(
             () => targetColumnNames(client, tc.database, tc.table), client.execute,
-            dialect, tc.database, tc.table, initial)
+            dialect, tc.database, tc.table, initial,
+            options = coll.tableOptions(config.target.clickhouse
+              .map(_.parentTableOptions).getOrElse(graft.ddl.TableOptions())))
           // … and the running schema adopts whatever the target now has
           // (load_table_table_info, `:574-585`) — a pre-created full
           // table renders every field from the first batch. Column-name
@@ -412,10 +426,13 @@ object Main {
             maskColumns, targetNonEmpty = probe, advance = advance)
           // initialize phase (reference: `src/pipes/postgres.rs:614-743`):
           // probe the target, CREATE TABLE when absent, ADD COLUMN drift
-          // when present — a pre-existing in-sync table is a no-op
+          // when present — a pre-existing in-sync table is a no-op; the
+          // target-level parent table options apply (no TableSource here)
           graft.pipe.Initializer.setupTable(
             () => targetColumnNames(client, tc.database, tc.table), client.execute,
-            dialect, tc.database, tc.table, columns)
+            dialect, tc.database, tc.table, columns,
+            options = config.target.clickhouse
+              .map(_.parentTableOptions).getOrElse(graft.ddl.TableOptions()))
           pipe.firstSync()
           if (!config.disableSyncLoop) pipe.syncLoop()
         } finally client.close()

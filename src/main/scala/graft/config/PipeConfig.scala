@@ -43,7 +43,11 @@ case class PipeConfig(
   def peekChangesLimit: Long       = peek_changes_limit.getOrElse(65536L)
   def peekChangesTimeoutMillis: Long = peek_changes_timeout_millis.getOrElse(5000L)
   def copyBatchSize: Int           = copy_batch_size.getOrElse(100000)
-  def disableSyncLoop: Boolean     = disable_sync_loop.getOrElse(false)
+  // the reference's gate lives under target.clickhouse
+  // (`src/config.rs:275`); the top-level key is a graft convenience
+  def disableSyncLoop: Boolean     = disable_sync_loop
+    .orElse(target.clickhouse.flatMap(_.disable_sync_loop))
+    .getOrElse(false)
 }
 
 case class SourceConfig(
@@ -107,6 +111,12 @@ case class MongoConfig(
     connection: ConnectionConfig,
     collections: Seq[TableSource] = Seq.empty,
     resume_token_path: Option[String] = None,
+    // Resume-token persistence backend. The reference defines a single
+    // variant, `file` (reference: `src/config.rs:71-76`,
+    // `src/adapter/mongodb.rs:259-302`); accept the key for config
+    // parity and reject anything else loudly rather than silently
+    // running with a backend that does not exist.
+    resume_token_storage: Option[String] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
     copy_batch_size: Option[Int] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
@@ -118,19 +128,79 @@ case class MongoConfig(
     bson_dir: Option[String] = None
 ) {
   def resumeTokenPath: String  = resume_token_path.getOrElse("./resume_token.json")
+  def resumeTokenStorage: String = {
+    val s = resume_token_storage.getOrElse("file")
+    require(s == "file",
+      s"resume_token_storage '$s' not supported; the only backend is 'file'")
+    s
+  }
   def copyBatchSize: Int       = copy_batch_size.getOrElse(1000)
   def peekTimeoutMillis: Long  = peek_timeout_millis.getOrElse(5000L)
 }
 
-case class ClickHouseConfig(connection: ConnectionConfig)
+case class ClickHouseConfig(
+    connection: ConnectionConfig,
+    // The reference keeps the sync-loop gate and the PARENT table-option
+    // defaults under `target.clickhouse` (`src/config.rs:271-285`), not at
+    // the top level — both accepted here for ported configs.
+    disable_sync_loop: Option[Boolean] = None,
+    table_options: Option[TableOptionsConfig] = None
+) {
+  def parentTableOptions: TableOptions =
+    table_options.map(_.toTableOptions).getOrElse(TableOptions())
+}
 
+/** The reference's nested `ClickHouseTableOptions` JSON object
+  * (`src/config.rs:242-247`), attachable per table and as a parent
+  * default under `target.clickhouse`. */
+case class TableOptionsConfig(
+    storage_policy: Option[String] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    granularity: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    min_age_to_force_merge_seconds: Option[Long] = None
+) {
+  def toTableOptions: TableOptions = TableOptions(
+    granularity = granularity,
+    minAgeToForceMergeSeconds = min_age_to_force_merge_seconds,
+    storagePolicy = storage_policy)
+}
+
+/** Shared connection block. The reference splits this per engine
+  * (`PostgresConnectionConfig` with `ssl_mode`/`ssl_root_cert`,
+  * `src/config.rs:188-198`; `MongoDBConnectionConfig` with `app_name`,
+  * `:78-86`); one class carries the union here, each field read only by
+  * the source that defines it. */
 case class ConnectionConfig(
     host: String = "localhost",
     port: Int = 0,
     username: String = "",
     password: String = "",
-    database: String = "default"
-)
+    database: String = "default",
+    // Postgres only (reference: `src/adapter/postgres.rs:31-53`): the
+    // reference's five sqlx ssl modes are exactly pgjdbc's `sslmode`
+    // values, so they pass through to the JDBC URL verbatim.
+    ssl_mode: Option[String] = None,
+    ssl_root_cert: Option[String] = None,
+    // MongoDB only (reference: `src/adapter/mongodb.rs:57`): carried for
+    // config parity; applied by the live-client seam (docs/MIGRATION.md).
+    app_name: Option[String] = None
+) {
+  /** Postgres JDBC URL with the reference's TLS options rendered as
+    * pgjdbc properties. Unknown modes fail here — at config time, with
+    * the valid set named — not as a driver error mid-connect. */
+  def pgJdbcUrl: String = {
+    val validModes = Set("disable", "prefer", "require", "verify-ca", "verify-full")
+    ssl_mode.foreach(m => require(validModes.contains(m),
+      s"ssl_mode '$m' invalid; one of: ${validModes.toSeq.sorted.mkString(", ")}"))
+    val params =
+      ssl_mode.map(m => s"sslmode=$m").toSeq ++
+        ssl_root_cert.map(c => "sslrootcert=" +
+          java.net.URLEncoder.encode(c, "UTF-8"))
+    s"jdbc:postgresql://$host:$port/$database" +
+      (if (params.isEmpty) "" else params.mkString("?", "&", ""))
+  }
+}
 
 /** One replicated table/collection (reference: `src/config.rs:224-234`,
   * `89-97`): masking + copy-skip + per-table sink options.
@@ -140,14 +210,34 @@ case class TableSource(
     table_name: String,
     skip_copy: Boolean = false,
     mask_columns: Seq[String] = Seq.empty,
+    // the reference's shape: options nested under `table_options`
+    // (`src/config.rs:224-234`); the flat fields below are a graft
+    // convenience and yield to the nested object when both are set
+    table_options: Option[TableOptionsConfig] = None,
     storage_policy: Option[String] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     granularity: Option[Long] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     min_age_to_force_merge_seconds: Option[Long] = None
 ) {
-  def tableOptions: TableOptions =
-    TableOptions(granularity, min_age_to_force_merge_seconds, storage_policy)
+  def tableOptions: TableOptions = tableOptions(TableOptions())
+
+  /** Resolved options with parent inheritance, matching the reference's
+    * `inherit_from` EXACTLY (`src/config.rs:259-269`): absent
+    * `storage_policy` and `granularity` fall back to the target-level
+    * parent; `min_age_to_force_merge_seconds` deliberately does NOT
+    * inherit (the DDL generator applies its own 60 s default instead —
+    * `src/adapter/mod.rs:100-104`). */
+  def tableOptions(parent: TableOptions): TableOptions = {
+    val nested = table_options.map(_.toTableOptions).getOrElse(TableOptions())
+    TableOptions(
+      granularity = nested.granularity.orElse(granularity)
+        .orElse(parent.granularity),
+      minAgeToForceMergeSeconds = nested.minAgeToForceMergeSeconds
+        .orElse(min_age_to_force_merge_seconds),
+      storagePolicy = nested.storagePolicy.orElse(storage_policy)
+        .orElse(parent.storagePolicy))
+  }
   def qualifiedName: String = s"$schema_name.$table_name"
 }
 

@@ -54,6 +54,68 @@ class PipeConfigSpec extends AnyFunSuite {
     assert(m.resumeTokenPath == "./resume_token.json")
   }
 
+  test("nested table_options parse and inherit like the reference") {
+    // reference shape: options under `table_options` per table, parent
+    // defaults + sync-loop gate under target.clickhouse
+    // (`src/config.rs:224-234`, `271-285`)
+    val cfg = PipeConfig.fromJson(
+      """{"source":{"source_type":"postgres","postgres":{
+           "connection":{"host":"h","port":5432},
+           "tables":[
+             {"table_name":"a","table_options":{"granularity":1024}},
+             {"table_name":"b"},
+             {"table_name":"c","table_options":{
+                "storage_policy":"own","granularity":256,
+                "min_age_to_force_merge_seconds":30}}]}},
+         "target":{"target_type":"clickhouse","clickhouse":{
+           "connection":{"host":"ch","port":8123},
+           "disable_sync_loop":true,
+           "table_options":{"storage_policy":"hdd","granularity":4096,
+                            "min_age_to_force_merge_seconds":120}}}}""")
+    assert(cfg.disableSyncLoop) // gate read from target.clickhouse
+    val parent = cfg.target.clickhouse.get.parentTableOptions
+    val Seq(a, b, c) = cfg.source.postgres.get.tables.map(_.tableOptions(parent))
+    // a: own granularity, inherited storage_policy
+    assert(a.granularity.contains(1024L) && a.storagePolicy.contains("hdd"))
+    // b: inherits storage_policy + granularity; min_age does NOT inherit
+    // (inherit_from copies only those two — `src/config.rs:259-269`)
+    assert(b.granularity.contains(4096L) && b.storagePolicy.contains("hdd"))
+    assert(b.minAgeToForceMergeSeconds.isEmpty)
+    // c: fully self-specified, parent ignored
+    assert(c == graft.ddl.TableOptions(Some(256L), Some(30L), Some("own")))
+  }
+
+  test("pg TLS options render as pgjdbc URL properties") {
+    // reference: `src/config.rs:188-213` (PostgresSslMode serde names),
+    // `src/adapter/postgres.rs:31-53` — the five mode names pass through
+    val conn = ConnectionConfig(host = "h", port = 5432, database = "d")
+    assert(conn.pgJdbcUrl == "jdbc:postgresql://h:5432/d")
+    assert(conn.copy(ssl_mode = Some("verify-full"),
+        ssl_root_cert = Some("/certs/root ca.pem")).pgJdbcUrl ==
+      "jdbc:postgresql://h:5432/d?sslmode=verify-full&sslrootcert=%2Fcerts%2Froot+ca.pem")
+    // sslrootcert without a mode is still rendered (pgjdbc allows it)
+    assert(conn.copy(ssl_root_cert = Some("ca.pem")).pgJdbcUrl
+      .endsWith("?sslrootcert=ca.pem"))
+    val bad = intercept[IllegalArgumentException](
+      conn.copy(ssl_mode = Some("allow")).pgJdbcUrl)
+    assert(bad.getMessage.contains("verify-full"))
+  }
+
+  test("mongo resume_token_storage accepts only the reference's file backend") {
+    def mongo(extra: String) = PipeConfig.fromJson(
+      s"""{"source":{"source_type":"mongodb","mongodb":{
+           "connection":{"host":"m","port":27017,"app_name":"graft"},
+           "collections":[{"table_name":"profiles"}]$extra}},
+         "target":{"target_type":"parquet","parquet_dir":"/tmp/y"}}""")
+      .source.mongodb.get
+    assert(mongo("").resumeTokenStorage == "file")
+    assert(mongo(""","resume_token_storage":"file"""").resumeTokenStorage == "file")
+    assert(mongo("").connection.app_name.contains("graft"))
+    val bad = intercept[IllegalArgumentException](
+      mongo(""","resume_token_storage":"redis"""").resumeTokenStorage)
+    assert(bad.getMessage.contains("redis"))
+  }
+
   test("unknown JSON fields are ignored") {
     val cfg = PipeConfig.fromJson(
       """{"source":{"source_type":"parquet"},"target":{"target_type":"parquet"},
