@@ -207,6 +207,9 @@ case class ConnectionConfig(
   */
 case class TableSource(
     schema_name: String = "public",
+    // Mongo sources name this key `collection_name`
+    // (reference: `src/config.rs:188-190`, docs/mongodb) — same slot
+    @com.fasterxml.jackson.annotation.JsonAlias(Array("collection_name"))
     table_name: String,
     skip_copy: Boolean = false,
     mask_columns: Seq[String] = Seq.empty,

@@ -73,6 +73,13 @@ class PipeConfigSpec extends AnyFunSuite {
            "table_options":{"storage_policy":"hdd","granularity":4096,
                             "min_age_to_force_merge_seconds":120}}}}""")
     assert(cfg.disableSyncLoop) // gate read from target.clickhouse
+    // the reference's own example config carries "table_options": null —
+    // explicit null must parse as absent, not throw
+    assert(PipeConfig.fromJson(
+      """{"source":{"source_type":"parquet","parquet_dir":"/tmp/x"},
+         "target":{"target_type":"clickhouse","clickhouse":{
+           "connection":{"host":"ch","port":8123},"table_options":null}}}""")
+      .target.clickhouse.get.parentTableOptions == graft.ddl.TableOptions())
     val parent = cfg.target.clickhouse.get.parentTableOptions
     val Seq(a, b, c) = cfg.source.postgres.get.tables.map(_.tableOptions(parent))
     // a: own granularity, inherited storage_policy
@@ -109,6 +116,14 @@ class PipeConfigSpec extends AnyFunSuite {
          "target":{"target_type":"parquet","parquet_dir":"/tmp/y"}}""")
       .source.mongodb.get
     assert(mongo("").resumeTokenStorage == "file")
+    // the reference's Mongo key is `collection_name` (docs/mongodb);
+    // both spellings land in table_name
+    assert(PipeConfig.fromJson(
+      """{"source":{"source_type":"mongodb","mongodb":{
+           "connection":{"host":"m"},
+           "collections":[{"collection_name":"user"}]}},
+         "target":{"target_type":"parquet","parquet_dir":"/tmp/y"}}""")
+      .source.mongodb.get.collections.head.table_name == "user")
     assert(mongo(""","resume_token_storage":"file"""").resumeTokenStorage == "file")
     assert(mongo("").connection.app_name.contains("graft"))
     val bad = intercept[IllegalArgumentException](
