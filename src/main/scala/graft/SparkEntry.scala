@@ -920,6 +920,24 @@ object SparkEntry {
         "doc_id", "text", n = 3)
     }),
 
+    // DSIR importance resampling (Dsir): target = every 10th doc (the
+    // "trusted" split), raw = the rest. The dense 10k-bucket log-ratio
+    // table and the top-200 most-target-like docs are both stated
+    // end-to-end in DuckDB SQL — rounded ratios + decimal sums make the
+    // weights engine-exact (see Dsir's scaladoc).
+    "dsir_logratios" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Dsir.logRatios(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), "text")
+    }),
+    "dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Dsir.selectTopK(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", k = 200)
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         GraftFunctions.fingerprint64(col("text")).as("fp"))),
@@ -1353,6 +1371,39 @@ object SparkEntry {
     }
     (words0 +: stages).mkString(",\n")
   }
+
+  /** Shared CTE prefix for the DSIR oracles: whitespace tokens → hashed
+    * bucket (the `doc_fingerprint` rolling hash, mod 10k) → per-split
+    * counts → dense smoothed log-ratio table. `w <> ''` mirrors the
+    * Spark kernel's blank→empty-array guard (DuckDB splits '' to ['']).
+    * Rounding + the decimal sums downstream make this engine-exact —
+    * see [[graft.text.Dsir]]. */
+  private def dsirLogRatiosSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(regexp_split_to_array(w, ''),
+      |             c -> CAST(ord(c) AS BIGINT))),
+      |           (h, c) -> (h * 31 + c) % 1000000007) % 10000 AS bucket
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM documents)
+      |  WHERE w <> ''
+      |), rb AS (
+      |  SELECT bucket, count(*) AS rn FROM tok WHERE doc_id % 10 != 0 GROUP BY 1
+      |), tb AS (
+      |  SELECT bucket, count(*) AS tn FROM tok WHERE doc_id % 10 = 0 GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT coalesce(sum(rn), 0) FROM rb) AS n_raw,
+      |         (SELECT coalesce(sum(tn), 0) FROM tb) AS n_tgt
+      |), lr AS (
+      |  SELECT b.range AS bucket,
+      |         round(ln((coalesce(tb.tn, 0) + 1) / CAST(tot.n_tgt + 10000 AS DOUBLE))
+      |             - ln((coalesce(rb.rn, 0) + 1) / CAST(tot.n_raw + 10000 AS DOUBLE)), 6) AS lr
+      |  FROM range(10000) b CROSS JOIN tot
+      |  LEFT JOIN rb ON rb.bucket = b.range
+      |  LEFT JOIN tb ON tb.bucket = b.range
+      |)
+      |""".stripMargin
 
   private val BpeNumMerges = 30
 
@@ -2103,6 +2154,20 @@ object SparkEntry {
         |         (h, c) -> (h * 31 + c) % 1000000007) AS fp
         |FROM documents
         |""".stripMargin,
+
+    "dsir_logratios" -> (dsirLogRatiosSql + "SELECT bucket, lr FROM lr\n"),
+
+    "dsir_select" -> (dsirLogRatiosSql +
+      """, w AS (
+        |  SELECT tok.doc_id,
+        |         CAST(SUM(CAST(lr.lr AS DECIMAL(18,6))) AS DOUBLE) AS dsir_weight
+        |  FROM tok JOIN lr ON tok.bucket = lr.bucket
+        |  WHERE tok.doc_id % 10 != 0
+        |  GROUP BY tok.doc_id
+        |)
+        |SELECT doc_id, dsir_weight FROM w
+        |ORDER BY dsir_weight DESC, doc_id LIMIT 200
+        |""".stripMargin),
 
     "sample_deterministic" ->
       """SELECT doc_id FROM documents
