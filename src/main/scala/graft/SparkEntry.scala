@@ -732,6 +732,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
+    // Near-dup CLUSTER RESOLUTION (the step after candidate pairs): the
+    // pair graph is BUILT from columns — consecutive ids chain unless the
+    // id is a multiple of 7, so components are exactly the 7-runs and the
+    // min label must propagate the full 6-hop diameter through the
+    // distributed min-label loop (Dedup.clusterPairs). The oracle states
+    // the same components with a recursive CTE, so every node's final
+    // cluster assignment is hash-checked.
+    "dedup_cluster_resolve" -> ((s, dir) => {
+      val pairs = docs(s, dir)
+        .filter(col("doc_id") % 7 =!= 0 && col("doc_id") >= 1)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.clusterPairs(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
     // ------------------------------------------------------- similarity
     "embed_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -2156,6 +2171,21 @@ object SparkEntry {
         |""".stripMargin,
 
     "dsir_logratios" -> (dsirLogRatiosSql + "SELECT bucket, lr FROM lr\n"),
+
+    "dedup_cluster_resolve" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id - 1 AS a, doc_id AS b FROM documents
+        |  WHERE doc_id % 7 != 0 AND doc_id >= 1
+        |  UNION ALL
+        |  SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+        |  WHERE doc_id % 7 != 0 AND doc_id >= 1
+        |), reach(id, m) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.id
+        |)
+        |SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY id
+        |""".stripMargin,
 
     "dsir_select" -> (dsirLogRatiosSql +
       """, w AS (
