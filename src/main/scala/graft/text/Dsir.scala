@@ -53,8 +53,13 @@ object Dsir {
   def logRatios(raw: DataFrame, target: DataFrame, textCol: String,
       buckets: Int = DefaultBuckets): DataFrame = {
     val spark = raw.sparkSession
-    val rb = bucketCounts(raw, textCol, buckets)
-    val tb = bucketCounts(target, textCol, buckets)
+    // the count tables feed BOTH the bucket join and the totals — without
+    // materialization each consumer re-aggregates the corpus, i.e. a
+    // second full scan per split at 100 TB. localCheckpoint pins the
+    // ≤ `buckets` rows once (ContextCleaner reclaims the blocks when the
+    // plan is collected; cache() would leak — see minhashCandidatePairs)
+    val rb = bucketCounts(raw, textCol, buckets).localCheckpoint()
+    val tb = bucketCounts(target, textCol, buckets).localCheckpoint()
     val totals = rb.agg(coalesce(sum(col("n")), lit(0L)).as("n_raw"))
       .crossJoin(tb.agg(coalesce(sum(col("n")), lit(0L)).as("n_tgt")))
     spark.range(buckets).select(col("id").as("bucket"))
