@@ -56,7 +56,8 @@ object Bench {
       "chunk_docs", "ppl_hist", "bpe_merges", "embed_topk_pq",
       "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch",
       "window_agg", "stratified_split", "gopher_filters",
-      "html_extract", "dedup_lines", "dsir_select")
+      "html_extract", "dedup_lines", "dsir_select", "bigram_logppl",
+      "dedup_cluster_resolve")
 
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -1153,6 +1153,11 @@ object SparkEntry {
     "unigram_logppl" -> ((s, dir) =>
       graft.text.LanguageModel.unigramSurprisal(docs(s, dir), "doc_id", "text")),
 
+    // Interpolated bigram surprisal (the same filter one order up;
+    // λ = 0.75 binary-exact so both engines interpolate identically).
+    "bigram_logppl" -> ((s, dir) =>
+      graft.text.LanguageModel.bigramSurprisal(docs(s, dir), "doc_id", "text")),
+
     // Weighted mixture sampling: per-source keep rates (200/500/800‰ by
     // source index mod 3) through the deterministic content-hash gate.
     "mixture_sample" -> ((s, dir) => {
@@ -2305,6 +2310,32 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |       round(avg(-ln(cnt / tot)), 6) AS avg_neglogp
         |FROM toks JOIN counts USING (word), tot
+        |GROUP BY doc_id
+        |""".stripMargin,
+
+    "bigram_logppl" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, bg.prev AS prev, bg.cur AS cur
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+        |            i -> struct_pack(prev := ws[i], cur := ws[i+1]))) AS bg
+        |        FROM d)
+        |), toks AS (
+        |  SELECT doc_id, w AS word FROM d, unnest(ws) AS t(w)
+        |), uni AS (SELECT word, count(*) AS ucnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(ucnt) AS tot FROM uni),
+        |bi AS (SELECT prev, cur, count(*) AS bcnt FROM p GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(-ln(0.75 * (bcnt / prev_cnt) + 0.25 * (cur_cnt / tot))), 6) AS avg_neglogp
+        |FROM p
+        |JOIN bi USING (prev, cur)
+        |JOIN (SELECT word AS cur, ucnt AS cur_cnt FROM uni) USING (cur)
+        |JOIN (SELECT word AS prev, ucnt AS prev_cnt FROM uni) USING (prev)
+        |CROSS JOIN tot
         |GROUP BY doc_id
         |""".stripMargin,
 

@@ -158,9 +158,18 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair from several bands
 
+    // SHUFFLE_HASH pins the physical join: sorting rows that carry k-long
+    // signature arrays (sort-merge's prerequisite) is wasted work at any
+    // scale, and without the hint AQE flips between broadcast and SMJ
+    // run-to-run when the signature table sits near the 10 MB broadcast
+    // threshold (observed 2.4× bench swings). Hash build side is the
+    // per-partition slice of (id, sig) — bounded by the shuffle partition
+    // count, never the corpus.
     candidates
-      .join(sig.select(col("id").as("id_a"), col("__sig").as("sig_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+      .join(sig.select(col("id").as("id_a"), col("__sig").as("sig_a"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("__sig").as("sig_b"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast(DoubleType) / lit(k.toDouble))

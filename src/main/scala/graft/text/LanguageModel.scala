@@ -67,6 +67,48 @@ object LanguageModel {
     * Counts and the total are exact integers; `cnt/tot` is one double
     * division per distinct word, so the only float accumulation is the
     * final average, rounded to 6 places on both engines. */
+  /** Interpolated BIGRAM surprisal — the KenLM/CCNet-style perplexity
+    * quality filter one order up from [[unigramSurprisal]]: each
+    * in-document transition (w_{i-1}, w_i) scores
+    * `-ln(λ·p(w_i|w_{i-1}) + (1-λ)·p(w_i))` with corpus-MLE
+    * probabilities. Self-scoring the counted corpus means every scored
+    * n-gram has a positive count, so MLE is exact and the interpolation
+    * IS the smoothing. Documents with < 2 tokens carry no transition and
+    * produce no row.
+    *
+    * Scale: transition pairs come straight off the token array (no
+    * window, no self-join); bigram/unigram counting is one combiner-
+    * backed shuffle each; scoring joins shuffle on those keys (vocabulary
+    * scale — deliberately never broadcast). The only float accumulation
+    * is the final average, rounded to 6 dp — the same engine-exactness
+    * contract as the unigram filter. λ defaults to 0.75 (binary-exact, so
+    * both engines compute bit-identical interpolants). */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val ws = TextOps.tokens(col(textCol))
+    val nPairs = greatest(size(ws) - 1, lit(0))
+    val pairs = df.select(col(idCol),
+      explode(zip_with(
+        slice(ws, lit(1), nPairs), slice(ws, lit(2), nPairs),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val uni = df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("ucnt"))
+    val tot = uni.agg(sum(col("ucnt")).as("tot"))
+    val bi = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
+    pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(uni.select(col("word").as("cur"), col("ucnt").as("cur_cnt")), Seq("cur"))
+      .join(uni.select(col("word").as("prev"), col("ucnt").as("prev_cnt")), Seq("prev"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(
+          lit(lambda) * (col("bcnt") / col("prev_cnt")) +
+            lit(1 - lambda) * (col("cur_cnt") / col("tot")))), 6).as("avg_neglogp"))
+  }
+
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("word"))
