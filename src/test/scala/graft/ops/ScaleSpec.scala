@@ -203,6 +203,25 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles <= 1, s"expected at most the final-agg exchange:\n$plan")
   }
 
+  test("DSIR scoring: ratio table broadcasts, one doc-id shuffle, repartition-stable") {
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.sources.Tables.read(spark, sf, "documents")
+    val raw = d.filter(col("doc_id") % 10 =!= 0)
+    val tgt = d.filter(col("doc_id") % 10 === 0)
+    val ratios = graft.text.Dsir.logRatios(raw, tgt, "text", buckets = 256)
+    val weights = graft.text.Dsir.importanceWeights(raw, "doc_id", "text", ratios, buckets = 256)
+    val plan = weights.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"ratio table should broadcast:\n$plan")
+    // exact decimal weights must be invariant under input partitioning —
+    // the engine-exactness contract the oracle gate relies on
+    val a = weights.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = graft.text.Dsir.importanceWeights(
+      raw.repartition(13), "doc_id", "text", ratios, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
   test("BPE training leaves no cached vocab tables behind") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
