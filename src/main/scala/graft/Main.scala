@@ -186,8 +186,7 @@ object Main {
       // parent table-option defaults under target.clickhouse; per-table
       // options inherit storage_policy/granularity from them (reference:
       // `src/config.rs:259-269`, applied at `src/pipes/postgres.rs:645`)
-      val parentOpts = config.target.clickhouse
-        .map(_.parentTableOptions).getOrElse(graft.ddl.TableOptions())
+      val parentOpts = config.parentTableOptions
       val tables = tableInfos.map { case (tbl, columns, _) =>
         // the source table's comment travels onto the created target table
         // (reference: `src/pipes/postgres.rs:631-637`)
@@ -364,8 +363,7 @@ object Main {
           graft.pipe.Initializer.setupTable(
             () => targetColumnNames(client, tc.database, tc.table), client.execute,
             dialect, tc.database, tc.table, initial,
-            options = coll.tableOptions(config.target.clickhouse
-              .map(_.parentTableOptions).getOrElse(graft.ddl.TableOptions())))
+            options = coll.tableOptions(config.parentTableOptions))
           // … and the running schema adopts whatever the target now has
           // (load_table_table_info, `:574-585`) — a pre-created full
           // table renders every field from the first batch. Column-name
@@ -392,7 +390,10 @@ object Main {
         case other =>
           throw new IllegalArgumentException(s"target_type '$other' not supported")
       }
-      try pipe.syncLoop()
+      // same gate as every other pipe path: disable_sync_loop (top-level
+      // or the reference's target.clickhouse location) stops after the
+      // initialize phase (reference: `src/config.rs:280-284`)
+      try if (!config.disableSyncLoop) pipe.syncLoop()
       finally closers.foreach(c => try c.close() catch { case _: Exception => () })
     }
   }
@@ -431,8 +432,7 @@ object Main {
           graft.pipe.Initializer.setupTable(
             () => targetColumnNames(client, tc.database, tc.table), client.execute,
             dialect, tc.database, tc.table, columns,
-            options = config.target.clickhouse
-              .map(_.parentTableOptions).getOrElse(graft.ddl.TableOptions()))
+            options = config.parentTableOptions)
           pipe.firstSync()
           if (!config.disableSyncLoop) pipe.syncLoop()
         } finally client.close()

@@ -1394,20 +1394,25 @@ object SparkEntry {
 
   /** Shared CTE prefix for the DSIR oracles: whitespace tokens → hashed
     * bucket (the `doc_fingerprint` rolling hash, mod 10k) → per-split
-    * counts → dense smoothed log-ratio table. `w <> ''` mirrors the
-    * Spark kernel's blank→empty-array guard (DuckDB splits '' to ['']).
-    * Rounding + the decimal sums downstream make this engine-exact —
-    * see [[graft.text.Dsir]]. */
+    * counts → dense smoothed log-ratio table. Token parity with the
+    * `tokenize_ws` kernel is EXACT, including its edges: a fully-blank
+    * text yields no tokens (the CASE guard — DuckDB would split '' to
+    * ['']), while leading/trailing NON-space whitespace yields empty
+    * tokens in BOTH engines (trim strips spaces only), which the kernel
+    * hashes to bucket 0 — stated here explicitly because DuckDB's
+    * `ord('')` is -1, not 0. Rounding + the decimal sums downstream make
+    * the ratios engine-exact — see [[graft.text.Dsir]]. */
   private def dsirLogRatiosSql: String =
     """WITH tok AS (
       |  SELECT doc_id,
-      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |           list_transform(regexp_split_to_array(w, ''),
-      |             c -> CAST(ord(c) AS BIGINT))),
-      |           (h, c) -> (h * 31 + c) % 1000000007) % 10000 AS bucket
-      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-      |        FROM documents)
-      |  WHERE w <> ''
+      |         CASE WHEN w = '' THEN 0 ELSE
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(regexp_split_to_array(w, ''),
+      |               c -> CAST(ord(c) AS BIGINT))),
+      |             (h, c) -> (h * 31 + c) % 1000000007) % 10000 END AS bucket
+      |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |          ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+      |        FROM documents), unnest(ws) AS t(w)
       |), rb AS (
       |  SELECT bucket, count(*) AS rn FROM tok WHERE doc_id % 10 != 0 GROUP BY 1
       |), tb AS (

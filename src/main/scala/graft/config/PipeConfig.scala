@@ -48,6 +48,10 @@ case class PipeConfig(
   def disableSyncLoop: Boolean     = disable_sync_loop
     .orElse(target.clickhouse.flatMap(_.disable_sync_loop))
     .getOrElse(false)
+  /** Target-level parent table-option defaults (reference:
+    * `src/config.rs:277`); absent when the target is not ClickHouse. */
+  def parentTableOptions: TableOptions =
+    target.clickhouse.map(_.parentTableOptions).getOrElse(TableOptions())
 }
 
 case class SourceConfig(

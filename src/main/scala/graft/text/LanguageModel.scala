@@ -92,8 +92,16 @@ object LanguageModel {
         slice(ws, lit(1), nPairs), slice(ws, lit(2), nPairs),
         (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    // the unigram table feeds THREE consumers (cur join, prev join, the
+    // total) — materialize the vocabulary-sized aggregate once so the
+    // corpus is not re-tokenized per consumer (same shape, same fix as
+    // Dsir.logRatios). Corpus scans: one for unigram counts, one for
+    // bigram counts, one for scoring — one per statistic plus the score
+    // pass, the floor without fusing the two count streams. `bi` has a
+    // single consumer; no checkpoint.
     val uni = df.select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("ucnt"))
+      .localCheckpoint()
     val tot = uni.agg(sum(col("ucnt")).as("tot"))
     val bi = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
     pairs
