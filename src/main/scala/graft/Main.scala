@@ -284,6 +284,26 @@ object Main {
       client: JdbcClient, database: String, table: String): Seq[String] =
     client.columnsOf(Some(database).filter(_.nonEmpty), table).map(_._1)
 
+  /** Effective JDBC target for one ROUTED Mongo collection. Mirrors the
+    * PG multi-table routing (targetBatchSink): with a 'jdbc' target and
+    * MULTIPLE collections, each collection lands in its own table named
+    * after it (the reference's one-table-per-source model,
+    * `src/adapter/mod.rs:90`) — otherwise two collections would evolve
+    * mixed schemas into ONE table and their `_id`-keyed upserts/deletes
+    * would collide. The single configured `target.jdbc.table` names
+    * single-collection pipes only; the clickhouse branch already routes
+    * per collection inside [[targetJdbc]]. */
+  private[graft] def mongoTargetJdbc(
+      config: PipeConfig, mc: graft.config.MongoConfig,
+      coll: graft.config.TableSource): (JdbcTargetConfig, graft.sinks.SqlDialect) = {
+    val (tcConfigured, dialect) = targetJdbc(config, coll.table_name)
+    val tc =
+      if (config.target.target_type == "jdbc" && mc.collections.lengthIs > 1)
+        tcConfigured.copy(table = coll.table_name)
+      else tcConfigured
+    (tc, dialect)
+  }
+
   private def targetJdbc(config: PipeConfig, pipeName: String): (JdbcTargetConfig, graft.sinks.SqlDialect) =
     config.target.target_type match {
       case "jdbc" =>
@@ -352,7 +372,7 @@ object Main {
               mergeSchema = true),
             maskColumns = masks)
         case "jdbc" | "clickhouse" =>
-          val (tc, dialect) = targetJdbc(config, coll.table_name)
+          val (tc, dialect) = mongoTargetJdbc(config, mc, coll)
           val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
           val client = new JdbcClient(info)
           closers += client

@@ -789,7 +789,10 @@ object SparkEntry {
     // Product-quantized ANN: the corpus scans m=16 BYTES per vector
     // (16x smaller than the floats), ADC scores by table lookup, and
     // exact cosine re-ranks the top-50 shortlist per query. Rows-only;
-    // recall and determinism pinned by PqSpec.
+    // recall and determinism pinned by PqSpec. Default train path is
+    // limit-bounded (first-partitions): fine here — the embeddings
+    // table is hash-distributed, not clustered; a clustered 100 TB
+    // corpus should pass sampleFraction (see Pq.train's bias caveat).
     "embed_topk_pq" -> ((s, dir) => {
       val e = emb(s, dir)
       val model = pqModels.computeIfAbsent(dir,
@@ -1392,26 +1395,49 @@ object SparkEntry {
     (words0 +: stages).mkString(",\n")
   }
 
+  /** DuckDB SQL for the UTF-8 byte list of `input`: each codepoint is
+    * expanded to its UTF-8 byte sequence ARITHMETICALLY, so the oracle
+    * hashes the same bytes as the byte-walking Spark kernels — a bare
+    * per-codepoint `ord(c)` would agree with `fingerprint64` on ASCII
+    * only and silently diverge on any non-ASCII text. */
+  private def utf8BytesSql(input: String): String =
+    s"flatten(list_transform(regexp_split_to_array($input, ''), c -> " +
+      "CASE WHEN ord(c) < 128 THEN [CAST(ord(c) AS BIGINT)] " +
+      "WHEN ord(c) < 2048 THEN [CAST(192 + ord(c) // 64 AS BIGINT), " +
+      "CAST(128 + ord(c) % 64 AS BIGINT)] " +
+      "WHEN ord(c) < 65536 THEN [CAST(224 + ord(c) // 4096 AS BIGINT), " +
+      "CAST(128 + (ord(c) // 64) % 64 AS BIGINT), " +
+      "CAST(128 + ord(c) % 64 AS BIGINT)] " +
+      "ELSE [CAST(240 + ord(c) // 262144 AS BIGINT), " +
+      "CAST(128 + (ord(c) // 4096) % 64 AS BIGINT), " +
+      "CAST(128 + (ord(c) // 64) % 64 AS BIGINT), " +
+      "CAST(128 + ord(c) % 64 AS BIGINT)] END))"
+
+  /** DuckDB SQL for `fingerprint64(input)`: the base-31 mod-1e9+7 rolling
+    * hash over the string's UTF-8 BYTES ([[utf8BytesSql]]), with the
+    * kernel's empty-string → 0 edge guarded explicitly (DuckDB splits ''
+    * to [''] and `ord('')` is -1, not 0). */
+  private def fingerprintSql(input: String): String =
+    s"CASE WHEN $input = '' THEN 0 ELSE " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${utf8BytesSql(input)}), " +
+      "(h, c) -> (h * 31 + c) % 1000000007) END"
+
   /** Shared CTE prefix for the DSIR oracles: whitespace tokens → hashed
-    * bucket (the `doc_fingerprint` rolling hash, mod 10k) → per-split
-    * counts → dense smoothed log-ratio table. Token parity with the
-    * `tokenize_ws` kernel is EXACT, including its edges: a fully-blank
-    * text yields no tokens (the CASE guard — DuckDB would split '' to
-    * ['']), while leading/trailing NON-space whitespace yields empty
-    * tokens in BOTH engines (trim strips spaces only), which the kernel
-    * hashes to bucket 0 — stated here explicitly because DuckDB's
-    * `ord('')` is -1, not 0. Rounding + the decimal sums downstream make
-    * the ratios engine-exact — see [[graft.text.Dsir]]. */
+    * bucket (the `doc_fingerprint` rolling hash over UTF-8 bytes, mod
+    * 10k — [[fingerprintSql]]) → per-split counts → dense smoothed
+    * log-ratio table. Token parity with the `tokenize_ws` kernel is
+    * EXACT, including its edges: a fully-blank text yields no tokens
+    * (the CASE guard — DuckDB would split '' to ['']), while leading/
+    * trailing NON-space whitespace yields empty tokens in BOTH engines
+    * (trim strips spaces only), which the kernel hashes to bucket 0
+    * (the fingerprint's own empty guard). Rounding + the decimal sums
+    * downstream make the ratios engine-exact — see [[graft.text.Dsir]]. */
   private def dsirLogRatiosSql: String =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id,
-      |         CASE WHEN w = '' THEN 0 ELSE
-      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |             list_transform(regexp_split_to_array(w, ''),
-      |               c -> CAST(ord(c) AS BIGINT))),
-      |             (h, c) -> (h * 31 + c) % 1000000007) % 10000 END AS bucket
+      |         ${fingerprintSql("w")} % 10000 AS bucket
       |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-      |          ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+      |          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
       |        FROM documents), unnest(ws) AS t(w)
       |), rb AS (
       |  SELECT bucket, count(*) AS rn FROM tok WHERE doc_id % 10 != 0 GROUP BY 1
@@ -2171,12 +2197,8 @@ object SparkEntry {
         |""".stripMargin,
 
     "doc_fingerprint" ->
-      """SELECT doc_id,
-        |       list_reduce(
-        |         list_prepend(CAST(0 AS BIGINT),
-        |           list_transform(regexp_split_to_array(text, ''),
-        |             c -> CAST(ord(c) AS BIGINT))),
-        |         (h, c) -> (h * 31 + c) % 1000000007) AS fp
+      s"""SELECT doc_id,
+        |       ${fingerprintSql("text")} AS fp
         |FROM documents
         |""".stripMargin,
 
@@ -2210,12 +2232,8 @@ object SparkEntry {
         |""".stripMargin),
 
     "sample_deterministic" ->
-      """SELECT doc_id FROM documents
-        |WHERE list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(regexp_split_to_array(text, ''),
-        |            c -> CAST(ord(c) AS BIGINT))),
-        |        (h, c) -> (h * 31 + c) % 1000000007) % 10 < 3
+      s"""SELECT doc_id FROM documents
+        |WHERE ${fingerprintSql("text")} % 10 < 3
         |""".stripMargin,
 
     "token_histogram" ->
@@ -2448,18 +2466,12 @@ object SparkEntry {
         |""".stripMargin,
 
     "winnow_fp" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT doc_id,
         |    CASE WHEN length(text) < 8 THEN
-        |      [list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |         list_transform(regexp_split_to_array(text, ''),
-        |           c -> CAST(ord(c) AS BIGINT))),
-        |         (h, c) -> (h * 31 + c) % 1000000007)]
+        |      [${fingerprintSql("text")}]
         |    ELSE list_transform(range(1, length(text) - 6),
-        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(regexp_split_to_array(substr(text, CAST(i AS INT), 8), ''),
-        |               c -> CAST(ord(c) AS BIGINT))),
-        |             (h, c) -> (h * 31 + c) % 1000000007))
+        |      i -> ${fingerprintSql("substr(text, CAST(i AS INT), 8)")})
         |    END AS hashes
         |  FROM documents
         |), m AS (
@@ -2549,12 +2561,8 @@ object SparkEntry {
         |""".stripMargin,
 
     "mixture_sample" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(regexp_split_to_array(text, ''),
-        |            c -> CAST(ord(c) AS BIGINT))),
-        |        (h, c) -> (h * 31 + c) % 1000000007) % 1000
+      s"""SELECT doc_id, source FROM documents
+        |WHERE ${fingerprintSql("text")} % 1000
         |      < CASE CAST(substr(source, 4) AS INT) % 3
         |          WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 800 END
         |""".stripMargin,
@@ -2680,12 +2688,8 @@ object SparkEntry {
         |""".stripMargin,
 
     "stratified_split" ->
-      """SELECT source,
-        |       CASE WHEN list_reduce(
-        |              list_prepend(CAST(0 AS BIGINT),
-        |                list_transform(regexp_split_to_array(text, ''),
-        |                  c -> CAST(ord(c) AS BIGINT))),
-        |              (h, c) -> (h * 31 + c) % 1000000007) % 10 < 8
+      s"""SELECT source,
+        |       CASE WHEN ${fingerprintSql("text")} % 10 < 8
         |            THEN 'train' ELSE 'eval' END AS split,
         |       count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars

@@ -139,9 +139,13 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
     *  - the database scopes the lookup (a same-named table in another
     *    schema must NOT satisfy the probe): tried as catalog and as
     *    schema (drivers disagree — Derby: schema, ClickHouse: catalog) in
-    *    stored-case/upper/lower variants, falling back to an unscoped
-    *    probe only when every scoped attempt returns nothing (drivers
-    *    that expose neither);
+    *    stored-case/upper/lower variants. There is deliberately NO
+    *    unscoped fallback — a same-named table in another schema must
+    *    report "absent" (loud CREATE failure), not silently satisfy
+    *    initialize. A row whose TABLE_CAT and TABLE_SCHEM are BOTH null
+    *    (the driver exposes neither) carries no scope evidence and is
+    *    accepted, so such drivers don't mis-report an existing table as
+    *    absent;
     *  - table-name case variants cover case-folding engines (Derby
     *    uppercases unquoted identifiers).
     *
@@ -158,8 +162,13 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
     // another schema must report "absent" (loud CREATE failure), not
     // silently satisfy initialize.
     def rowInDatabase(rs: ResultSet): Boolean = database.forall { db =>
-      db.equalsIgnoreCase(rs.getString("TABLE_CAT")) ||
-        db.equalsIgnoreCase(rs.getString("TABLE_SCHEM"))
+      val cat = rs.getString("TABLE_CAT")
+      val schem = rs.getString("TABLE_SCHEM")
+      // null-CAT + null-SCHEM: the driver exposes no scope for the row —
+      // accept it (no evidence AGAINST the configured database) rather
+      // than reporting an existing table absent and CREATE-ing a failure
+      (cat == null && schem == null) ||
+        db.equalsIgnoreCase(cat) || db.equalsIgnoreCase(schem)
     }
     def attempt(catalog: String, schemaPattern: String, tablePattern: String): Seq[(Int, (String, org.apache.spark.sql.types.DataType, Boolean))] = {
       val rs = md.getColumns(catalog, schemaPattern, tablePattern, null)

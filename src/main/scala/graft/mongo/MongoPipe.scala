@@ -46,7 +46,8 @@ class MongoPipe(
     initial: Vector[CHColumn],
     addColumn: CHColumn => Unit,
     sinkFor: Seq[CHColumn] => BatchSink,
-    maskColumns: Set[String] = Set.empty
+    maskColumns: Set[String] = Set.empty,
+    maxAddColumnAttempts: Int = 5
 )(implicit spark: SparkSession) {
 
   @volatile private var schemaNow: Vector[CHColumn] = initial
@@ -54,10 +55,24 @@ class MongoPipe(
   /** The running schema (grows as batches introduce typed fields). */
   def schema: Vector[CHColumn] = schemaNow
 
-  // field names the target dialect permanently rejected (e.g. not a
-  // valid unquoted identifier for an ANSI endpoint): warned once,
-  // skipped thereafter — one bad field must not wedge the pipe
+  // field names the target permanently rejected: warned once, skipped
+  // thereafter — one bad field must not wedge the pipe. Two routes in:
+  // an IllegalArgumentException (our own dialects' "not a valid
+  // identifier" signal) rejects immediately; any OTHER failure (e.g. a
+  // SQLException for a reserved word, column-count limit, unsupported
+  // type) is retried as transient up to `maxAddColumnAttempts` times
+  // and THEN rejected — a target that deterministically refuses the
+  // column would otherwise replay the same window forever in live mode
   private val rejected = scala.collection.mutable.Set.empty[String]
+  private val addAttempts =
+    scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+
+  private def reject(c: CHColumn, e: Exception): Unit = {
+    rejected += c.name
+    addAttempts.remove(c.name)
+    System.err.println(
+      s"[pipe] mongo field '${c.name}' skipped: ${e.getMessage}")
+  }
 
   private def evolve(events: Seq[ChangeStreamEvent]): Unit = {
     val next = MongoInference.foldBatch(schemaNow,
@@ -71,12 +86,17 @@ class MongoPipe(
     next.drop(schemaNow.size).foreach { c =>
       try {
         addColumn(c)
+        addAttempts.remove(c.name)
         schemaNow = schemaNow :+ c
       } catch {
-        case e: IllegalArgumentException =>
-          rejected += c.name
-          System.err.println(
-            s"[pipe] mongo field '${c.name}' skipped: ${e.getMessage}")
+        case e: IllegalArgumentException => reject(c, e)
+        case e: Exception =>
+          val n = addAttempts(c.name) + 1
+          addAttempts(c.name) = n
+          if (n >= maxAddColumnAttempts) reject(c, e)
+          // propagate: the peek-failure path sleeps and replays this
+          // window, re-proposing only the not-yet-added remainder
+          else throw e
       }
     }
   }

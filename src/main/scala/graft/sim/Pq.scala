@@ -44,7 +44,16 @@ object Pq {
     * (Spark stops scanning once satisfied) and the driver collect alike;
     * callers that want a UNIFORM sample at known scale pass
     * `sampleFraction` (like [[Similarity.ivfTrain]]) and the limit
-    * becomes the safety valve. */
+    * becomes the safety valve.
+    *
+    * BIAS CAVEAT of the default (no `sampleFraction`) path: on a corpus
+    * larger than `targetRows`, `limit` keeps whatever rows Spark scans
+    * FIRST — so the training set follows partition order, and on data
+    * sorted or clustered by source the codebook is trained on a biased
+    * slice (and changes when the partitioning changes; only the
+    * in-sample ordering is canonicalized by the sort below). Acceptable
+    * for codebooks over well-shuffled corpora; on clustered data pass a
+    * `sampleFraction` sized from catalog stats to sample uniformly. */
   def train(
       corpus: DataFrame, vecCol: String, m: Int, k: Int,
       targetRows: Long = 20000L, seed: Long = 42L,

@@ -145,18 +145,31 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** [[ivfTrain]] with the sample fraction derived from the corpus size:
-    * training sees at most `targetRows` vectors, so its cost is flat no
-    * matter how large the corpus grows (full-corpus distributed k-means
-    * at 100 TB would be 10 full scans for 10 iterations). Small corpora
-    * (≤ targetRows) still train on everything. */
+  /** [[ivfTrain]] on a bounded read: training sees at most `targetRows`
+    * vectors, so its cost is flat no matter how large the corpus grows
+    * (full-corpus distributed k-means at 100 TB would be 10 full scans
+    * for 10 iterations). Small corpora (≤ targetRows) still train on
+    * everything.
+    *
+    * NO pre-count (same fix as [[Pq.train]]): deriving the sample
+    * fraction from `corpus.count()` costs one gratuitous full corpus
+    * pass at 100 TB — the ONLY action here is the bounded limit-collect.
+    * The trade (same bias caveat as Pq.train): on a corpus larger than
+    * `targetRows` the default path trains on whatever partitions Spark
+    * scans first, which is biased when the data is sorted/clustered by
+    * source. Callers that know the corpus size (catalog stats) pass
+    * `rowCount` to restore the uniform seeded sample. */
   def ivfTrainAuto(
       corpus: DataFrame, vecCol: String, nLists: Int,
-      targetRows: Long = 50000L, seed: Long = 42L): Array[Array[Double]] = {
-    val n = corpus.count()
-    val frac = if (n <= targetRows) 1.0 else targetRows.toDouble / n
-    ivfTrain(corpus, vecCol, nLists, frac, seed)
-  }
+      targetRows: Long = 50000L, seed: Long = 42L,
+      rowCount: Option[Long] = None): Array[Array[Double]] =
+    rowCount match {
+      case Some(n) if n > targetRows =>
+        ivfTrain(corpus, vecCol, nLists, targetRows.toDouble / n, seed)
+      case _ =>
+        ivfTrain(corpus.limit(math.min(targetRows, MaxTrainRows.toLong).toInt),
+          vecCol, nLists, 1.0, seed)
+    }
 
   /** Train the IVF coarse quantizer: ONE distributed pass collects the
     * bounded sample (≤ targetRows vectors — the quantizer is sample-

@@ -96,6 +96,48 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(new graft.pipe.ResumeTokenStore(s"$out/token.json").read().contains("t4"))
   }
 
+  test("mongo multi-collection jdbc target: each collection routes to its own table") {
+    // configured target.jdbc.table names a SINGLE table — with two
+    // collections it must NOT be shared: mixed schema evolution and
+    // colliding _id-keyed upserts/deletes. Each collection routes to a
+    // table named after it, mirroring the PG multi-table path.
+    def cfg(colls: String) = PipeConfig.fromJson(
+      s"""{
+         |  "source": {"source_type": "mongodb", "mongodb": {
+         |    "connection": {"host": "unused", "port": 0, "database": "app"},
+         |    "collections": [$colls], "bson_dir": "/unused"}},
+         |  "target": {"target_type": "jdbc", "jdbc": {
+         |    "url": "jdbc:x", "database": "APP", "table": "shared",
+         |    "dialect": "ansi"}}
+         |}""".stripMargin)
+
+    val multi = cfg("""{"table_name": "users"}, {"table_name": "orders"}""")
+    val mcMulti = multi.source.mongodb.get
+    assert(mcMulti.collections.map(c =>
+      Main.mongoTargetJdbc(multi, mcMulti, c)._1.table) == Seq("users", "orders"))
+
+    // single collection keeps the configured table name (back-compat:
+    // that's the one table the user pointed the pipe at)
+    val single = cfg("""{"table_name": "users"}""")
+    val mcSingle = single.source.mongodb.get
+    assert(Main.mongoTargetJdbc(single, mcSingle,
+      mcSingle.collections.head)._1.table == "shared")
+
+    // the clickhouse target already routes per collection
+    val ch = PipeConfig.fromJson(
+      """{
+        |  "source": {"source_type": "mongodb", "mongodb": {
+        |    "connection": {"host": "unused", "port": 0, "database": "app"},
+        |    "collections": [{"table_name": "users"}, {"table_name": "orders"}],
+        |    "bson_dir": "/unused"}},
+        |  "target": {"target_type": "clickhouse", "clickhouse": {
+        |    "connection": {"host": "h", "port": 8123, "database": "an"}}}
+        |}""".stripMargin)
+    val mcCh = ch.source.mongodb.get
+    assert(mcCh.collections.map(c =>
+      Main.mongoTargetJdbc(ch, mcCh, c)._1.table) == Seq("users", "orders"))
+  }
+
   test("live jdbc config runs the full pipe end-to-end against embedded Derby") {
     import graft.live.{JdbcClient, JdbcConnInfo}
     val url = "jdbc:derby:memory:maindb;create=true"

@@ -168,6 +168,35 @@ class MongoEvolutionSpec extends AnyFunSuite with SparkTestBase {
     assert(adds.forall(!_.contains("bad field")))
   }
 
+  test("a column the target deterministically refuses (SQLException) is rejected after the attempt cap, not replayed forever") {
+    val tmp = Files.createTempDirectory("graft-mevo-sqlreject").toString
+    val adds = ArrayBuffer.empty[String]
+    var scoreAttempts = 0
+    val pipe = new MongoPipe(cfg(2), fetchFrom(recording),
+      new ResumeTokenStore(s"$tmp/tok.json"),
+      MongoInference.initialSchema,
+      addColumn = c => {
+        // the target refuses `score` EVERY time (reserved word /
+        // unsupported type): not an IllegalArgumentException, so it is
+        // classified transient — the cap must still converge
+        if (c.name == "score") {
+          scoreAttempts += 1
+          throw new java.sql.SQLException("column 'score' not allowed")
+        }
+        adds += c.name
+      },
+      sinkFor = cols => new StatementSink("app", "users", cols,
+        _ => (), dialect = ClickHouseDialect)(spark)
+        .asBatchSink(() => false),
+      maxAddColumnAttempts = 3)(spark)
+    // drains: after 3 failed attempts `score` moves to rejected and the
+    // window finally routes (each failed attempt replays the window)
+    assert(pipe.syncLoop(sleeper = _ => ()) == 4L)
+    assert(scoreAttempts == 3)
+    assert(adds.toSeq == Seq("name", "age")) // age added exactly once
+    assert(pipe.schema.map(_.name) == Seq("_id", "name", "age"))
+  }
+
   test("a pre-created full-schema target renders every field from the first batch (load_table_table_info parity)") {
     val tmp = Files.createTempDirectory("graft-mevo-pre").toString
     val statements = ArrayBuffer.empty[String]

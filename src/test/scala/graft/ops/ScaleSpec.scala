@@ -222,6 +222,30 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("ivfTrainAuto: no pre-count — the corpus is scanned at most once (bounded read)") {
+    // the r4/r5 fix class (Pq.train, now ivfTrainAuto): deriving a sample
+    // fraction from corpus.count() is one gratuitous full pass at 100 TB.
+    // Pin it with a row accumulator: the old shape (count + collect) reads
+    // every row twice; the bounded limit-collect reads each row AT MOST once.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val acc = spark.sparkContext.longAccumulator("ivfCorpusRows")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(emb.schema)
+    val counted = emb.mapPartitions { it => it.map { r => acc.add(1); r } }(enc)
+    val cents = graft.sim.Similarity.ivfTrainAuto(counted, "embedding", nLists = 8)
+    assert(cents.length == 8)
+    assert(acc.value <= n,
+      s"corpus scanned more than once: ${acc.value} rows touched, corpus has $n")
+    // the rowCount fast path keeps the uniform seeded sample — and still
+    // never triggers a count
+    val acc2 = spark.sparkContext.longAccumulator("ivfCorpusRows2")
+    val counted2 = emb.mapPartitions { it => it.map { r => acc2.add(1); r } }(enc)
+    val cents2 = graft.sim.Similarity.ivfTrainAuto(
+      counted2, "embedding", nLists = 8, targetRows = n / 2, rowCount = Some(n))
+    assert(cents2.length == 8)
+    assert(acc2.value <= n)
+  }
+
   test("BPE training leaves no cached vocab tables behind") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
