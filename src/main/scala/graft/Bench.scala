@@ -10,6 +10,14 @@ import graft.sources.Tables
   * throughput metrics (snapshot rows/s, CDC events/s, dedup overhead),
   * printed as ONE JSON line. Work is forced with the `noop` sink so
   * column computation cannot be pruned the way a bare count() allows.
+  *
+  * Noise protocol: the composite benches that historically swing ±50%
+  * run-to-run on a shared box ([[Noisy]]) are timed as the MEDIAN of
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) back-to-back runs — single-run
+  * numbers for those queries repeatedly mis-triaged regressions in
+  * rounds 3-5. Everything else stays single-run (their variance is a
+  * few percent and 3× the whole suite would triple the wall clock).
+  * Pass query names as args to bench only that subset (triage mode).
   */
 object Bench {
 
@@ -21,6 +29,17 @@ object Bench {
     f
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Queries measured as median-of-reps: every name here either showed a
+    * >1.3× cross-round swing with an UNCHANGED physical plan (cdc_user_
+    * state, sessionize, q21_waiting), or is a multi-stage composite whose
+    * tail is join-strategy-sensitive (minhash_*, semdedup, cluster
+    * resolve, cdc_apply). */
+  private val Noisy = Set(
+    "cdc_user_state", "sessionize", "q21_waiting", "minhash_pairs",
+    "semdedup_report", "dedup_cluster_resolve", "minhash_20k", "cdc_apply")
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +55,13 @@ object Bench {
 
     // warm the JVM/codegen paths once with a tiny action
     Tables.read(spark, sfDir, "region").count()
+
+    val repsNoisy = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    def timeN(name: String)(f: => Unit): Double = {
+      val reps = if (Noisy(name)) repsNoisy else 1
+      median((1 to reps).map(_ => time(f)))
+    }
+    val only: Set[String] = args.toSet
 
     val headline = Seq(
       "cdc_user_state", "q1_agg", "q3_join", "q5_region",
@@ -59,91 +85,109 @@ object Bench {
       "html_extract", "dedup_lines", "dsir_select", "bigram_logppl",
       "dedup_cluster_resolve")
 
-    val queryTimes = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        name -> time(force(fn(spark, sfDir)))
+    val queryTimes = headline
+      .filter(n => only.isEmpty || only(n))
+      .flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          name -> timeN(name)(force(fn(spark, sfDir)))
+        }
       }
-    }
 
     // BASELINE.md metrics -------------------------------------------------
+    // In triage mode (args given) each metric bench runs only when named.
+    def want(n: String): Boolean = only.isEmpty || only(n)
+
     // Snapshot copy path (S1→P1/P2/casts→K1): full lineitem through
     // projection+cast, forced.
-    val lineitem = Tables.read(spark, sfDir, "lineitem")
-    val nLineitem = lineitem.count()
-    val snapSec = time {
-      force(CoreOps.alignToTarget(lineitem,
-        lineitem.schema.fields.map(f => graft.types.CHColumn(f.name,
-          graft.types.CHType.fromSparkType(f.dataType, f.nullable))).toSeq))
-    }
+    val (nLineitem, snapSec) = if (want("snapshot_copy")) {
+      val lineitem = Tables.read(spark, sfDir, "lineitem")
+      val n = lineitem.count()
+      (n, time {
+        force(CoreOps.alignToTarget(lineitem,
+          lineitem.schema.fields.map(f => graft.types.CHColumn(f.name,
+            graft.types.CHType.fromSparkType(f.dataType, f.nullable))).toSeq))
+      })
+    } else (0L, 0.0)
 
     // CDC apply path (S2→A1→K1/K2): events → changelog → final state.
     // Amplified 10x (seq/user offsets keep keys disjoint per replica) so
     // the rate reflects steady-state work, not fixed job overhead.
-    val eventsBase = Tables.events(spark, sfDir)
-    val baseSpan = eventsBase.agg(max(col("event_id"))).head.getLong(0) + 1
-    val events = spark.range(0, 10).toDF("__rep")
-      .crossJoin(eventsBase)
-      .select(
-        (col("event_id") + col("__rep") * baseSpan).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("__rep") * 1000000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .cache()
-    val nEvents = events.count()
-    val cdcSec = time {
-      force(CdcApply.finalStateDeclarative(
-        Changelog.fromEvents(events),
-        Seq("user_id"), Seq("last_ts", "total_value", "n_events"),
-        batchSize = 65536L))
-    }
-    events.unpersist()
+    val (nEvents, cdcSec, plainSec, dedupSec) =
+      if (want("cdc_apply") || want("dedup_a1")) {
+        val eventsBase = Tables.events(spark, sfDir)
+        val baseSpan = eventsBase.agg(max(col("event_id"))).head.getLong(0) + 1
+        val events = spark.range(0, 10).toDF("__rep")
+          .crossJoin(eventsBase)
+          .select(
+            (col("event_id") + col("__rep") * baseSpan).as("event_id"),
+            col("ts"),
+            (col("user_id") + col("__rep") * 1000000L).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .cache()
+        val n = events.count()
+        val cdc = if (want("cdc_apply")) timeN("cdc_apply") {
+          force(CdcApply.finalStateDeclarative(
+            Changelog.fromEvents(events),
+            Seq("user_id"), Seq("last_ts", "total_value", "n_events"),
+            batchSize = 65536L))
+        } else 0.0
+        events.unpersist()
+        // Dedup (A1) overhead vs plain append at the same volume — both
+        // sides do a real parquet append so the ratio reflects pipeline
+        // cost, not scan noise (BASELINE.md: "≤ 2× plain append").
+        val (plain, dedup) = if (want("dedup_a1")) {
+          val benchTmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+          (time(events.write.mode("overwrite").parquet(s"$benchTmp/plain")),
+            time(CoreOps.dedupLastWinsAgg(events, Seq("user_id"), "event_id")
+              .write.mode("overwrite").parquet(s"$benchTmp/dedup")))
+        } else (0.0, 0.0)
+        (n, cdc, plain, dedup)
+      } else (0L, 0.0, 0.0, 0.0)
 
     // Text/dedup throughput at real volume: amplify the documents table to
     // ~20k docs with id offsets (each copy is an exact dup of its base, so
     // the dedup ops do real duplicate-cluster work) and measure rows/s
     // through the heaviest pipeline ops.
-    val docsBase = Tables.read(spark, sfDir, "documents")
-    val baseCount = docsBase.count()
-    val reps = math.max(1L, 20000L / math.max(baseCount, 1L))
-    val amplified = spark.range(0, reps).toDF("__rep")
-      .crossJoin(docsBase)
-      .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"), col("text"))
-      .cache()
-    val nDocs = amplified.count()
-    val textSec = time {
-      force(amplified.select(col("doc_id"),
-        graft.text.TextOps.tokenCount(col("text")).as("nt"),
-        graft.text.TextOps.qualityScore(col("text")).as("q"),
-        graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp")))
-    }
-    val minhashSec = time {
-      force(graft.dedup.Dedup.minhashCandidatePairs(
-        amplified, "doc_id", "text", jaccardThreshold = 0.9))
-    }
-    amplified.unpersist()
+    val (nDocs, textSec, minhashSec) =
+      if (want("text_pipeline_20k") || want("minhash_20k")) {
+        val docsBase = Tables.read(spark, sfDir, "documents")
+        val baseCount = docsBase.count()
+        val reps = math.max(1L, 20000L / math.max(baseCount, 1L))
+        val amplified = spark.range(0, reps).toDF("__rep")
+          .crossJoin(docsBase)
+          .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"), col("text"))
+          .cache()
+        val n = amplified.count()
+        val text = if (want("text_pipeline_20k")) time {
+          force(amplified.select(col("doc_id"),
+            graft.text.TextOps.tokenCount(col("text")).as("nt"),
+            graft.text.TextOps.qualityScore(col("text")).as("q"),
+            graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp")))
+        } else 0.0
+        val minhash = if (want("minhash_20k")) timeN("minhash_20k") {
+          force(graft.dedup.Dedup.minhashCandidatePairs(
+            amplified, "doc_id", "text", jaccardThreshold = 0.9))
+        } else 0.0
+        amplified.unpersist()
+        (n, text, minhash)
+      } else (0L, 0.0, 0.0)
 
-    // Dedup (A1) overhead vs plain append at the same volume — both sides
-    // do a real parquet append so the ratio reflects pipeline cost, not
-    // scan noise (BASELINE.md: "≤ 2× plain append").
-    val benchTmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    val plainSec = time(
-      events.write.mode("overwrite").parquet(s"$benchTmp/plain"))
-    val dedupSec = time(
-      CoreOps.dedupLastWinsAgg(events, Seq("user_id"), "event_id")
-        .write.mode("overwrite").parquet(s"$benchTmp/dedup"))
-
-    val all = queryTimes ++ Seq(
+    val metricTimes = Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec)
+      .filter { case (n, _) => want(n) }
+    val all = queryTimes ++ metricTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${all.map(_._2).sum}%.3f"
+    // a rate whose bench was skipped (triage mode) prints 0, not n/epsilon
+    def rate(n: Long, sec: Double): Double = if (sec > 0) n / sec else 0.0
     val extra =
-      f""""snapshot_rows_per_s":${nLineitem / math.max(snapSec, 1e-9)}%.0f,""" +
-        f""""cdc_events_per_s":${nEvents / math.max(cdcSec, 1e-9)}%.0f,""" +
-        f""""dedup_overhead_x":${dedupSec / math.max(plainSec, 1e-9)}%.2f,""" +
-        f""""text_docs_per_s":${nDocs / math.max(textSec, 1e-9)}%.0f,""" +
-        f""""minhash_docs_per_s":${nDocs / math.max(minhashSec, 1e-9)}%.0f"""
+      f""""snapshot_rows_per_s":${rate(nLineitem, snapSec)}%.0f,""" +
+        f""""cdc_events_per_s":${rate(nEvents, cdcSec)}%.0f,""" +
+        f""""dedup_overhead_x":${if (plainSec > 0) dedupSec / plainSec else 0.0}%.2f,""" +
+        f""""text_docs_per_s":${rate(nDocs, textSec)}%.0f,""" +
+        f""""minhash_docs_per_s":${rate(nDocs, minhashSec)}%.0f"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
     spark.stop()
