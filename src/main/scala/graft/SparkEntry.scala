@@ -712,13 +712,16 @@ object SparkEntry {
     "dedup_exact_docs" -> ((s, dir) =>
       Dedup.exactDupGroups(docs(s, dir), "doc_id", "text")),
 
-    // MinHash+LSH near-dup candidates: rows-only check (signatures are not
-    // expressible in portable SQL); semantics pinned by DedupSpec.
+    // MinHash+LSH near-dup candidates, FULLY oracled since round 6: the
+    // portable signature kernel (rolling fingerprints + affine lanes)
+    // lets DuckDB restate banding, bucket join and lane-match Jaccard
+    // end to end — the gate hash-checks every candidate pair.
     "minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
         shingleSize = 5, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)),
 
-    // SimHash signatures: rows-only check; pinned by HashExprsSpec/DedupSpec.
+    // SimHash signatures, FULLY oracled since round 6 (60-bit portable
+    // majority-vote hash over the tokenize_ws tokens).
     "simhash_docs" -> ((s, dir) =>
       Dedup.withSimhash(docs(s, dir), "text").select(col("doc_id"), col("simhash"))),
 
@@ -906,8 +909,8 @@ object SparkEntry {
 
     // Incremental NEAR-dedup: new crawl (id % 3 != 0) against the LSH
     // signature catalog of the existing corpus (id % 3 == 0) — corpus
-    // text never re-read. Rows-only (banding isn't portable SQL); exact
-    // drop-rule equality pinned by DedupSpec's local signature oracle.
+    // text never re-read. FULLY oracled since round 6: portable
+    // signatures + the recursive-CTE component resolution.
     "neardedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
       val catalog = Dedup.minhashNearCatalog(
@@ -1399,9 +1402,11 @@ object SparkEntry {
     * expanded to its UTF-8 byte sequence ARITHMETICALLY, so the oracle
     * hashes the same bytes as the byte-walking Spark kernels — a bare
     * per-codepoint `ord(c)` would agree with `fingerprint64` on ASCII
-    * only and silently diverge on any non-ASCII text. */
+    * only and silently diverge on any non-ASCII text. The empty string
+    * yields [] explicitly: DuckDB splits '' to [''] whose `ord` is -1. */
   private def utf8BytesSql(input: String): String =
-    s"flatten(list_transform(regexp_split_to_array($input, ''), c -> " +
+    s"CASE WHEN $input = '' THEN CAST([] AS BIGINT[]) ELSE " +
+      s"flatten(list_transform(regexp_split_to_array($input, ''), c -> " +
       "CASE WHEN ord(c) < 128 THEN [CAST(ord(c) AS BIGINT)] " +
       "WHEN ord(c) < 2048 THEN [CAST(192 + ord(c) // 64 AS BIGINT), " +
       "CAST(128 + ord(c) % 64 AS BIGINT)] " +
@@ -1411,16 +1416,164 @@ object SparkEntry {
       "ELSE [CAST(240 + ord(c) // 262144 AS BIGINT), " +
       "CAST(128 + (ord(c) // 4096) % 64 AS BIGINT), " +
       "CAST(128 + (ord(c) // 64) % 64 AS BIGINT), " +
-      "CAST(128 + ord(c) % 64 AS BIGINT)] END))"
+      "CAST(128 + ord(c) % 64 AS BIGINT)] END)) END"
+
+  /** DuckDB SQL for the base-`base` mod-1e9+7 rolling fold over a BIGINT
+    * list (the `fingerprint64`/`fingerprint37` polynomial; an empty list
+    * folds to 0, matching the kernels' empty-string edge). */
+  private def foldSql(listExpr: String, base: Int = 31): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr), " +
+      s"(h, c) -> (h * $base + c) % 1000000007)"
 
   /** DuckDB SQL for `fingerprint64(input)`: the base-31 mod-1e9+7 rolling
-    * hash over the string's UTF-8 BYTES ([[utf8BytesSql]]), with the
-    * kernel's empty-string → 0 edge guarded explicitly (DuckDB splits ''
-    * to [''] and `ord('')` is -1, not 0). */
+    * hash over the string's UTF-8 BYTES ([[utf8BytesSql]]). */
   private def fingerprintSql(input: String): String =
-    s"CASE WHEN $input = '' THEN 0 ELSE " +
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${utf8BytesSql(input)}), " +
-      "(h, c) -> (h * 31 + c) % 1000000007) END"
+    foldSql(utf8BytesSql(input))
+
+  // ---- portable MinHash / SimHash oracle generators (round 6) ----------
+  // The signatures are the PORTABLE kernels' output (GraftHash
+  // .minhashFpSignature / simhashFp): rolling base-31/-37 fingerprints
+  // with affine lane remixes, so the full LSH + Hamming pipelines are
+  // stated here in exact DuckDB integer arithmetic. Lane coefficients
+  // are read from the SAME arrays the kernel uses and inlined as
+  // literals (their splitmix derivation needs no SQL rendering).
+
+  private val MinhashBands = 16
+  private val MinhashRowsPerBand = 4
+  private val MinhashK = MinhashBands * MinhashRowsPerBand
+
+  /** `[lane_0, …, lane_{k-1}]` over a shingle-hash list column `hs`. */
+  private def minhashLanesSql(k: Int): String =
+    (0 until k).map { j =>
+      val a = graft.functions.GraftHash.LaneA(j)
+      val b = graft.functions.GraftHash.LaneB(j)
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % 1000000007))"
+    }.mkString("[", ",\n       ", "]")
+
+  /** CTE chain `mb → msh → sg` producing (doc_id, sig): all 5-byte UTF-8
+    * windows rolling-fingerprinted (texts ≤ 5 bytes hash whole, exactly
+    * [[graft.functions.GraftHash.minhashFpSignature]]), k lanes. */
+  private def minhashSigCtesSql: String =
+    s"""mb AS (
+       |  SELECT doc_id, ${utf8BytesSql("text")} AS bs FROM documents
+       |), msh AS (
+       |  SELECT doc_id, CASE WHEN len(bs) <= 5 THEN [${foldSql("bs")}]
+       |         ELSE list_transform(range(1, len(bs) - 3),
+       |                i -> ${foldSql("bs[CAST(i AS INT):CAST(i + 4 AS INT)]")}) END AS hs
+       |  FROM mb
+       |), sg AS (
+       |  SELECT doc_id, ${minhashLanesSql(MinhashK)} AS sig FROM msh
+       |)""".stripMargin
+
+  /** `[key_0, …, key_{bands-1}]`: base-31 fold of each signature band
+    * slice (the portable band key the Spark pipeline shuffles on). */
+  private def minhashBandKeysSql: String =
+    (0 until MinhashBands)
+      .map(b => foldSql(s"sig[${b * MinhashRowsPerBand + 1}:${(b + 1) * MinhashRowsPerBand}]"))
+      .mkString("[", ",\n       ", "]")
+
+  /** Matching-lane count between signature aliases `$a.sig`/`$b.sig`. */
+  private def minhashMatchSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${MinhashK + 1}), " +
+      s"i -> CASE WHEN $a.sig[CAST(i AS INT)] = $b.sig[CAST(i AS INT)] THEN 1 ELSE 0 END))"
+
+  /** Full `minhash_pairs` oracle: banding explode → bucket self-join →
+    * distinct candidate pairs → signature re-join → estimated Jaccard
+    * (matching lanes / k, exact in double: k is a power of two). */
+  private def minhashPairsOracleSql: String =
+    s"""WITH ${minhashSigCtesSql},
+       |banded AS (
+       |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
+       |         unnest(${minhashBandKeysSql}) AS band_key
+       |  FROM sg
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM banded a JOIN banded b2 USING (band, band_key)
+       |  WHERE a.doc_id < b2.doc_id
+       |)
+       |SELECT id_a, id_b,
+       |       round(CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK, 6) AS est_jaccard
+       |FROM cand JOIN sg sa ON sa.doc_id = id_a JOIN sg sb ON sb.doc_id = id_b
+       |WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.5
+       |""".stripMargin
+
+  /** Full `simhash_docs` oracle: per token the 60-bit combined rolling
+    * fingerprint (base-31 bits 0-29 | base-37 << 30), per-bit majority
+    * vote. Token parity with `tokenize_ws` as in the DSIR oracles;
+    * token-less docs vote nothing and land at signature 0. */
+  private def simhashDocsOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+       |    FROM documents), unnest(ws) AS t(w)
+       |), th AS (
+       |  SELECT doc_id,
+       |         ${foldSql(utf8BytesSql("w"))} |
+       |           (${foldSql(utf8BytesSql("w"), 37)} << 30) AS h
+       |  FROM tok
+       |), votes AS (
+       |  SELECT doc_id, bit.range AS bit,
+       |         SUM(CASE WHEN (h >> CAST(bit.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN range(60) bit GROUP BY 1, 2
+       |), sim AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(sim.simhash, 0) AS simhash
+       |FROM documents d LEFT JOIN sim USING (doc_id)
+       |""".stripMargin
+
+  /** Full `neardedup_incremental` oracle: catalog (id%3=0) vs new crawl
+    * banding join → Jaccard-drop; in-batch candidate pairs among the
+    * survivors; min-label connected components (recursive CTE, as in
+    * `dedup_cluster_resolve`); keep cluster minima + unpaired docs. */
+  private def neardedupIncrementalOracleSql: String =
+    s"""WITH RECURSIVE ${minhashSigCtesSql},
+       |cat AS (SELECT * FROM sg WHERE doc_id % 3 = 0),
+       |nw AS (SELECT * FROM sg WHERE doc_id % 3 != 0),
+       |nb AS (
+       |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
+       |         unnest(${minhashBandKeysSql}) AS band_key FROM nw
+       |), ob AS (
+       |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
+       |         unnest(${minhashBandKeysSql}) AS band_key FROM cat
+       |), hitp AS (
+       |  SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+       |  FROM nb JOIN ob USING (band, band_key)
+       |), drops AS (
+       |  SELECT DISTINCT new_id FROM hitp
+       |  JOIN nw sa ON sa.doc_id = new_id
+       |  JOIN cat sb ON sb.doc_id = old_id
+       |  WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.8
+       |), fresh AS (
+       |  SELECT * FROM nw WHERE doc_id NOT IN (SELECT new_id FROM drops)
+       |), fb AS (
+       |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
+       |         unnest(${minhashBandKeysSql}) AS band_key FROM fresh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM fb a JOIN fb b2 USING (band, band_key)
+       |  WHERE a.doc_id < b2.doc_id
+       |), epairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN fresh sa ON sa.doc_id = id_a JOIN fresh sb ON sb.doc_id = id_b
+       |  WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.8
+       |), e AS (
+       |  SELECT id_a AS a, id_b AS b FROM epairs
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM epairs
+       |), reach(id, m) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.id
+       |), clusters AS (
+       |  SELECT id, min(m) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT f.doc_id FROM fresh f LEFT JOIN clusters c ON c.id = f.doc_id
+       |WHERE c.cluster_id IS NULL OR f.doc_id = c.cluster_id
+       |""".stripMargin
 
   /** Shared CTE prefix for the DSIR oracles: whitespace tokens → hashed
     * bucket (the `doc_fingerprint` rolling hash over UTF-8 bytes, mod
@@ -2203,6 +2356,12 @@ object SparkEntry {
         |""".stripMargin,
 
     "dsir_logratios" -> (dsirLogRatiosSql + "SELECT bucket, lr FROM lr\n"),
+
+    "minhash_pairs" -> minhashPairsOracleSql,
+
+    "simhash_docs" -> simhashDocsOracleSql,
+
+    "neardedup_incremental" -> neardedupIncrementalOracleSql,
 
     "dedup_cluster_resolve" ->
       """WITH RECURSIVE e AS (

@@ -90,15 +90,26 @@ object Dedup {
   // MinHash + LSH
   // -------------------------------------------------------------------
 
-  /** Per-doc MinHash signature over character shingles: one scan, no
+  /** Per-doc MinHash signature over byte shingles: one scan, no
     * shuffle, allocation-free (the signature is computed directly over
     * the text's byte windows — materializing a shingle array first costs
     * ~5x in allocation pressure at corpus scale). k = bands * rowsPerBand
-    * lanes. */
+    * lanes. The PORTABLE kernel ([[GraftFunctions.minhashFp]]): rolling
+    * base-31 fingerprints + affine lane remixes, so the whole LSH
+    * pipeline is restatable in DuckDB SQL and the `minhash_pairs` gate
+    * checks it end to end (it was rows-only before round 6). */
   def withMinhashSignature(
       df: DataFrame, textCol: String, shingleSize: Int, k: Int): DataFrame =
     df.withColumn("__sig",
-      GraftFunctions.minhashText(col(textCol), shingleSize, k))
+      GraftFunctions.minhashFp(col(textCol), shingleSize, k))
+
+  /** Portable band key: base-31 fold of a signature slice (same
+    * polynomial family as `fingerprint64`) — exact integer arithmetic in
+    * any engine, unlike `xxhash64`. Lane values are < 2^30 so
+    * `h * 31 + v` stays far from Long overflow. */
+  private def bandKeyExpr(sig: Column, from: Column, len: Int): Column =
+    aggregate(slice(sig, from, lit(len)), lit(0L),
+      (h, v) => (h * 31 + v) % lit(graft.functions.GraftHash.FpMod))
 
   /** LSH banding: explode each doc into `bands` rows keyed by the hash of
     * its band slice; docs sharing any band key are candidates. Estimated
@@ -134,7 +145,7 @@ object Dedup {
       col("id"), col("__sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        b => bandKeyExpr(col("__sig"), b * rowsPerBand + 1, rowsPerBand))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
 
     // ONE shuffle on (band, band_key): bucket member IDS are collected and
@@ -192,7 +203,7 @@ object Dedup {
     df.select(col("id"), col("__sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        b => bandKeyExpr(col("__sig"), b * rowsPerBand + 1, rowsPerBand))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
 
   /** Incremental near-dedup: drop new-crawl docs whose estimated Jaccard
@@ -265,12 +276,18 @@ object Dedup {
   // SimHash
   // -------------------------------------------------------------------
 
-  /** 64-bit SimHash per doc + quarter-band keys for Hamming blocking:
-    * docs within Hamming distance 3 share at least one identical 16-bit
-    * quarter (pigeonhole), so blocking on quarters finds all near pairs
-    * with one shuffle. */
+  /** 60-bit PORTABLE SimHash per doc + quarter-band keys for Hamming
+    * blocking: docs within Hamming distance 3 share at least one
+    * identical 15-bit quarter (pigeonhole over 4 blocks), so blocking on
+    * quarters finds all near pairs with one shuffle. The signature is
+    * the per-bit majority vote over the tokens' 60-bit combined rolling
+    * fingerprints ([[GraftFunctions.simhashFp]] over the oracle-proven
+    * `tokenize_ws` kernel) — every step exact integer arithmetic DuckDB
+    * can restate, so `simhash_docs` hash-checks end to end (rows-only
+    * before round 6). */
   def withSimhash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("simhash", GraftFunctions.simhashText(col(textCol)))
+    df.withColumn("simhash",
+      GraftFunctions.simhashFp(TextOps.tokens(col(textCol))))
 
   def simhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -279,7 +296,7 @@ object Dedup {
       .select(col(idCol).as("id"), col("simhash"))
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
+        shiftright(col("simhash"), q * 15).bitwiseAND(lit(0x7fffL))): _*)))
       .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "qkey")
     // same one-shuffle bucket-explode shape as minhashCandidatePairs;
     // the signature here is a single long, so pairs can carry both

@@ -39,6 +39,12 @@ object GraftFunctions {
     (FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       (exprs: Seq[Expression]) => SimHashText(exprs.head)),
+    (FunctionIdentifier("minhash_fp"),
+      new ExpressionInfo(classOf[MinHashFp].getName, "minhash_fp"),
+      (exprs: Seq[Expression]) => MinHashFp(exprs.head, kOf(exprs(1)), kOf(exprs(2)))),
+    (FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
+      (exprs: Seq[Expression]) => SimHashFp(exprs.head)),
     (FunctionIdentifier("image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
       (exprs: Seq[Expression]) => ImageDims(exprs.head)),
@@ -89,6 +95,9 @@ object GraftFunctions {
   def minhashText(c: Column, shingleSize: Int, k: Int): Column =
     column(MinHashText(expression(c), shingleSize, k))
   def simhashText(c: Column): Column = column(SimHashText(expression(c)))
+  def minhashFp(c: Column, shingleSize: Int, k: Int): Column =
+    column(MinHashFp(expression(c), shingleSize, k))
+  def simhashFp(c: Column): Column = column(SimHashFp(expression(c)))
   def imageDims(c: Column): Column = column(ImageDims(expression(c)))
   def wavMeta(c: Column): Column = column(WavMeta(expression(c)))
   def tokenizeWs(c: Column): Column = column(TokenizeWs(expression(c)))

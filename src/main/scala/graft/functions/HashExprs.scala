@@ -154,6 +154,112 @@ object GraftHash {
     ArrayData.toArrayData(best)
   }
 
+  // -------------------------------------------------------------------
+  // PORTABLE (oracle-stateable) signature kernels: every step is exact
+  // 64-bit integer arithmetic over the base-31 mod-1e9+7 rolling
+  // fingerprint, so the whole MinHash/SimHash pipeline can be restated
+  // verbatim in DuckDB SQL (the correctness gate) — unlike the
+  // FNV/splitmix kernels above, whose 64-bit unsigned mixing has no
+  // portable SQL rendering.
+  // -------------------------------------------------------------------
+
+  /** splitmix64 — used only DRIVER-side to derive the lane coefficients
+    * (the derivation never needs a SQL rendering: the resulting
+    * constants are inlined into the oracle as literals). */
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Universal-hash lane coefficients: lane j maps a shingle fingerprint
+    * h < FpMod to (LaneA(j) * h + LaneB(j)) % FpMod — exact in 64-bit
+    * (a, h < 2^30 so the product stays < 2^60). A in [1, FpMod-1],
+    * B in [0, FpMod-1]. */
+  final val MaxLanes = 512
+  val LaneA: Array[Long] = Array.tabulate(MaxLanes)(j =>
+    java.lang.Math.floorMod(splitmix64(0xA11CEL + j), FpMod - 1) + 1)
+  val LaneB: Array[Long] = Array.tabulate(MaxLanes)(j =>
+    java.lang.Math.floorMod(splitmix64(0xB0BCA7L + j), FpMod))
+
+  /** Portable MinHash signature straight from the text: the shingles are
+    * ALL `shingle`-byte windows of the UTF-8 payload, each hashed with
+    * the rolling [[fingerprint64]] polynomial (computed incrementally —
+    * O(1) per window); lane j keeps the min of its affine remix. Texts
+    * shorter than one window hash the whole payload ([[fingerprint64]]
+    * semantics, empty text → single shingle 0). */
+  def minhashFpSignature(s: UTF8String, shingle: Int, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val best = new Array[Long](k)
+    java.util.Arrays.fill(best, Long.MaxValue)
+    val n = bytes.length
+    // 31^(shingle-1) mod FpMod, for rolling the leading byte out
+    var pow = 1L
+    var p = 1
+    while (p < shingle) { pow = pow * 31 % FpMod; p += 1 }
+    var h = 0L
+    var i = 0
+    val winLen = math.min(shingle, n)
+    while (i < winLen) { h = (h * 31 + (bytes(i) & 0xff)) % FpMod; i += 1 }
+    var win = 0
+    val windows = if (n <= shingle) 1 else n - shingle + 1
+    while (win < windows) {
+      var lane = 0
+      while (lane < k) {
+        val v = (LaneA(lane) * h + LaneB(lane)) % FpMod
+        if (v < best(lane)) best(lane) = v
+        lane += 1
+      }
+      if (win + 1 < windows) {
+        // roll: drop bytes(win), add bytes(win + shingle)
+        val out = (bytes(win) & 0xff) * pow % FpMod
+        h = ((h - out + FpMod) % FpMod * 31 + (bytes(win + shingle) & 0xff)) % FpMod
+      }
+      win += 1
+    }
+    ArrayData.toArrayData(best)
+  }
+
+  /** Second independent rolling fingerprint (base 37, same modulus) —
+    * paired with [[fingerprint64]] to build the 60-bit portable SimHash
+    * token hash. Base-31 and base-37 polynomial collisions are
+    * independent events for non-trivial inputs. */
+  def fingerprint37(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = (h * 37 + (bytes(i) & 0xff)) % FpMod; i += 1 }
+    h
+  }
+
+  /** Portable SimHash over a token array: per token the 60-bit hash is
+    * fingerprint64 (bits 0-29) | fingerprint37 << 30 (bits 30-59); the
+    * signature is the per-bit majority vote over tokens. Null tokens are
+    * skipped; empty tokens hash to 0 (both fingerprints' empty edge). */
+  final val SimhashFpBits = 60
+  def simhashFp(arr: ArrayData): Long = {
+    val votes = new Array[Int](SimhashFpBits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val h = fingerprint64(t) | (fingerprint37(t) << 30)
+        var j = 0
+        while (j < SimhashFpBits) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < SimhashFpBits) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** Full MinHash signature (k lanes) in ONE pass over the shingle array —
     * the scalable form: cost O(shingles * k) arithmetic but a single
     * traversal, no per-lane re-materialization of the array. */
@@ -270,4 +376,42 @@ case class MinHashText(child: Expression, shingleSize: Int, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashText =
     copy(child = newChild)
   override def prettyName: String = "minhash_text"
+}
+
+/** `minhash_fp(text, shingleSize, k)` — the PORTABLE MinHash signature
+  * ([[GraftHash.minhashFpSignature]]): rolling base-31 mod-1e9+7 shingle
+  * fingerprints with affine per-lane remixes, exactly restatable in
+  * DuckDB SQL (the oracle gate states the full LSH pipeline over it).
+  * Codegen'd single-pass byte walk like `minhash_text`. */
+case class MinHashFp(child: Expression, shingleSize: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && k <= GraftHash.MaxLanes, s"minhash lane count out of range: $k")
+  require(shingleSize > 0 && shingleSize <= 64, s"shingle size out of range: $shingleSize")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.minhashFpSignature(input.asInstanceOf[UTF8String], shingleSize, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHash.minhashFpSignature($c, $shingleSize, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashFp =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_fp"
+}
+
+/** `simhash_fp(tokens)` — the PORTABLE SimHash ([[GraftHash.simhashFp]]):
+  * 60-bit per-token hash from the two independent rolling fingerprints,
+  * per-bit majority vote. Token array input so the tokenizer is the
+  * oracle-proven `tokenize_ws` kernel. */
+case class SimHashFp(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.simhashFp(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.simhashFp($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashFp =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_fp"
 }

@@ -65,7 +65,7 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     val byName = GraftFunctions.builders.map(b => b._1.funcName -> b._3).toMap
     assert(byName.keySet == Set(
       "fingerprint64", "simhash64", "minhash_signature", "minhash_text",
-      "simhash_text", "image_dims", "wav_meta",
+      "simhash_text", "minhash_fp", "simhash_fp", "image_dims", "wav_meta",
       "tokenize_ws", "token_count_ws", "distinct_token_count_ws",
       "distinct_ngram_count_ws", "sum_token_chars_ws", "count_substr",
       "extract_html_text"))
@@ -112,6 +112,62 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     val a = GraftHash.minhashTextSignature(UTF8String.fromString("a" * 500), 5, 64)
     val b = GraftHash.minhashTextSignature(UTF8String.fromString("b" * 500), 5, 64)
     assert((0 until 64).count(i => a.getLong(i) == b.getLong(i)) == 0)
+  }
+
+  test("minhash_fp kernel: rolling-window reference equality, short-text degrade") {
+    // naive reference: re-fold each window from scratch (the kernel rolls)
+    def fp31(bs: Seq[Byte]): Long =
+      bs.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % GraftHash.FpMod)
+    def ref(s: String, shingle: Int, k: Int): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8").toSeq
+      val windows =
+        if (bytes.length <= shingle) Seq(bytes)
+        else bytes.sliding(shingle).toSeq
+      (0 until k).map { lane =>
+        windows.map { w =>
+          (GraftHash.LaneA(lane) * fp31(w) + GraftHash.LaneB(lane)) % GraftHash.FpMod
+        }.min
+      }
+    }
+    for (s <- Seq("hello world, this is a longer text", "ab", "abcde", "x", "",
+        "héllo wörld ünïcode", "漢字テスト")) {
+      val got = GraftHash.minhashFpSignature(UTF8String.fromString(s), 5, 16)
+      assert((0 until 16).map(got.getLong) == ref(s, 5, 16), s"text '$s'")
+    }
+    // identical texts share full signatures; disjoint texts share ~none
+    val a = GraftHash.minhashFpSignature(UTF8String.fromString("a" * 500), 5, 64)
+    val b = GraftHash.minhashFpSignature(UTF8String.fromString("b" * 500), 5, 64)
+    assert((0 until 64).count(i => a.getLong(i) == b.getLong(i)) == 0)
+    // every lane value stays inside [0, FpMod) — the oracle's BIGINT range
+    assert((0 until 64).forall(i => a.getLong(i) >= 0 && a.getLong(i) < GraftHash.FpMod))
+  }
+
+  test("simhash_fp: 60-bit portable hash, near-dup Hamming locality") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def sig(tokens: Seq[String]): Long =
+      GraftHash.simhashFp(ArrayData.toArrayData(
+        tokens.map(UTF8String.fromString).toArray))
+    // reference: combined 60-bit hash per token, majority vote
+    def ref(tokens: Seq[String]): Long = {
+      val votes = new Array[Int](60)
+      tokens.foreach { t =>
+        val u = UTF8String.fromString(t)
+        val h = GraftHash.fingerprint64(u) | (GraftHash.fingerprint37(u) << 30)
+        (0 until 60).foreach(j => votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 60).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
+    }
+    val base = (1 to 200).map(i => s"w$i")
+    assert(sig(base) == ref(base))
+    assert(sig(Seq.empty) == 0L)
+    assert(sig(Seq("")) == 0L) // empty token hashes to 0 → all bits vote down
+    // signatures fit 60 bits (BIGINT-safe for the SQL oracle)
+    assert(sig(base) >= 0 && sig(base) < (1L << 60))
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val nearDup = base.updated(5, "CHANGED").updated(100, "ALSO")
+    val far = (1 to 200).map(i => s"v$i")
+    assert(hamming(sig(base), sig(nearDup)) < 12)
+    assert(hamming(sig(base), sig(far)) > 12)
   }
 
   test("simhash_text agrees with simhash64 over split tokens") {
