@@ -336,16 +336,35 @@ object Main {
     val mc = config.source.mongodb.getOrElse(
       throw new IllegalArgumentException("source.mongodb required"))
     mc.resumeTokenStorage // validate: only the reference's `file` backend exists
-    val dir = mc.bson_dir.getOrElse(throw new IllegalArgumentException(
-      "live MongoDB needs a client driver not present in this build; " +
-        "set source.mongodb.bson_dir to replay a recorded change stream"))
+    // transport: recorded replay when bson_dir is set; otherwise the
+    // live driver behind LiveMongo's classpath probe — absent jar fails
+    // HERE with the hint, before any per-collection state is touched
+    val live = mc.bson_dir.isEmpty
+    if (live && !graft.mongo.LiveMongo.driverPresent)
+      throw new IllegalStateException(
+        "live MongoDB needs org.mongodb:mongodb-driver-sync on the " +
+          "classpath (no driver jar in this build), or set " +
+          "source.mongodb.bson_dir to replay a recorded change stream " +
+          "(docs/MIGRATION.md)")
+    val conn = mc.connection
     mc.collections.foreach { coll =>
-      val raw = graft.mongo.BsonFile.readDocuments(s"$dir/${coll.table_name}.bson")
-      val events = raw.map(graft.mongo.ChangeStream.decode)
-      val fetch: (Option[String], Long) => Seq[Array[Byte]] = (resume, limit) => {
-        val from = resume.map(t => events.indexWhere(_.resumeToken.contains(t)) + 1)
-          .getOrElse(0)
-        raw.slice(from, from + math.min(limit, Int.MaxValue).toInt)
+      val transportClosers = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
+      val fetch: (Option[String], Long) => Seq[Array[Byte]] = mc.bson_dir match {
+        case Some(dir) =>
+          val raw = graft.mongo.BsonFile.readDocuments(s"$dir/${coll.table_name}.bson")
+          val events = raw.map(graft.mongo.ChangeStream.decode)
+          (resume, limit) => {
+            val from = resume.map(t => events.indexWhere(_.resumeToken.contains(t)) + 1)
+              .getOrElse(0)
+            raw.slice(from, from + math.min(limit, Int.MaxValue).toInt)
+          }
+        case None =>
+          val (opener, closer) = graft.mongo.LiveMongo.reflectiveTransport(
+            graft.mongo.LiveMongo.uri(conn.host, conn.port,
+              conn.username, conn.password, conn.app_name),
+            conn.database, coll.table_name)
+          transportClosers += closer
+          graft.mongo.LiveMongo.fetchCallback(opener)
       }
       // one cursor per collection stream (the reference watches ONE
       // database stream with one token; replay files are per-collection,
@@ -412,9 +431,11 @@ object Main {
       }
       // same gate as every other pipe path: disable_sync_loop (top-level
       // or the reference's target.clickhouse location) stops after the
-      // initialize phase (reference: `src/config.rs:280-284`)
-      try if (!config.disableSyncLoop) pipe.syncLoop()
-      finally closers.foreach(c => try c.close() catch { case _: Exception => () })
+      // initialize phase (reference: `src/config.rs:280-284`). A live
+      // transport polls forever (the reference's loop); replay drains.
+      try if (!config.disableSyncLoop) pipe.syncLoop(live = live)
+      finally (closers ++ transportClosers).foreach(
+        c => try c.close() catch { case _: Exception => () })
     }
   }
 

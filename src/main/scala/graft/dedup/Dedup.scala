@@ -350,16 +350,29 @@ object Dedup {
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
-      // propagate: each node takes min(own label, neighbors' labels)
+      // propagate: each node takes min(own label, neighbors' labels).
+      // The old label rides the aggregation (min ignores the neighbor
+      // rows' nulls; every aggregated id exists in `labels`), so the
+      // changed-node count comes out of the SAME job via `observe` —
+      // the former left_anti + isEmpty probe cost one extra Spark job
+      // per round over two checkpointed |V|-row frames.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy("id").agg(fmin("label").as("label"))
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast("long").as("__old"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.select(col("id"), col("label"), col("label").as("__old"))
+        .unionByName(viaNeighbors)
+        .groupBy("id").agg(fmin("label").as("label"), fmin("__old").as("__old"))
+        .observe(obs, sum(when(col("label") =!= col("__old"), 1L).otherwise(0L))
+          .as("changed"))
+        .drop("__old")
         .localCheckpoint(eager = true)
-      changed = !next.join(labels,
-        next("id") === labels("id") && next("label") === labels("label"),
-        "left_anti").isEmpty
+      changed = obs.get("changed") match {
+        case n: Long => n > 0
+        case null => false // empty pair set: no rows, no propagation
+        case other => other.toString.toLong > 0
+      }
       labels = next
       iter += 1
     }

@@ -222,6 +222,41 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("clusterPairs: convergence rides the propagation job — no left_anti probe queries") {
+    import spark.implicits._
+    // chain 0-1-2-…-6 (diameter 6): the min label must propagate the full
+    // depth, so several rounds run — each must be ONE aggregation job
+    // with the changed-count observed, not a separate left_anti + isEmpty
+    // probe (the r5 shape this pins against).
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val antiSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit = {
+        seen.incrementAndGet()
+        if (qe.executedPlan.toString.contains("LeftAnti")) antiSeen.set(true)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val pairs = (0L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val labels = graft.dedup.Dedup.clusterPairs(pairs).collect()
+      assert(labels.length == 7 && labels.forall(_.getLong(1) == 0L))
+      // the listener bus is async: wait for the event count to go stable
+      var last = -1
+      var stable = 0
+      var spins = 0
+      while (stable < 3 && spins < 50) {
+        val c = seen.get
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(100); spins += 1
+      }
+      assert(!antiSeen.get, "a left_anti convergence probe query executed")
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("ivfTrainAuto: no pre-count — the corpus is scanned at most once (bounded read)") {
     // the r4/r5 fix class (Pq.train, now ivfTrainAuto): deriving a sample
     // fraction from corpus.count() is one gratuitous full pass at 100 TB.
