@@ -757,7 +757,9 @@ object SparkEntry {
         e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
     }),
 
-    // Bucketed ANN (LSH): rows-only; recall pinned by SimilaritySpec.
+    // Bucketed ANN (LSH), FULLY oracled since round 6: sign-buckets,
+    // multi-probe and in-probe cosine rank all exact double arithmetic
+    // DuckDB restates. Recall vs brute force pinned by SimilaritySpec.
     "embed_topk_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
@@ -1103,6 +1105,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("exemplar_id"))
     }),
 
+    // The IVF/k-means ASSIGNMENT scan (withIvfList — the same argmax
+    // affinity kernel kmeans_topics / semdedup / embed_topk_ivf run)
+    // with FIXED literal centroids, so the scan itself is oracle-exact:
+    // dyadic-rational centroids (exact doubles), left-to-right double
+    // accumulation in both engines, larger-index tie-break. The same
+    // trick as bpe_encode_fixed — training stays no_oracle, the
+    // assignment arithmetic does not.
+    "kmeans_assign_fixed" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      Similarity.withIvfList(e, "embedding", fixedCentroids, "cluster")
+        .select(col("vec_id"), col("cluster"))
+    }),
+
     // P3 collection/table filter: keep only configured "tables" (the
     // event_type plays the collection name on this single-stream fixture).
     "filter_tables" -> ((s, dir) => {
@@ -1111,8 +1126,10 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"))
     }),
 
-    // Embedding near-dup pairs via hyperplane blocking: rows-only check
-    // (bucketing isn't portable SQL); recall pinned by DedupSpec.
+    // Embedding near-dup pairs via hyperplane blocking, FULLY oracled
+    // since round 6: the sign-bucket arithmetic and in-bucket cosine
+    // are exact double arithmetic DuckDB restates (hyperplanes are
+    // round-trippable dyadics).
     "embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(
         plantedEmb(s, dir), "vec_id", "embedding", threshold = 0.95, planes = 6)
@@ -1429,6 +1446,137 @@ object SparkEntry {
     * hash over the string's UTF-8 BYTES ([[utf8BytesSql]]). */
   private def fingerprintSql(input: String): String =
     foldSql(utf8BytesSql(input))
+
+  /** Fixed centroids for `kmeans_assign_fixed`: dyadic rationals
+    * (n/8 — exactly representable doubles whose decimal rendering
+    * round-trips in any engine), 8 centroids × the embedding dim. */
+  private val FixedCentroidK = 8
+  private val EmbeddingDim = 64
+  private[graft] val fixedCentroids: Array[Array[Double]] =
+    Array.tabulate(FixedCentroidK, EmbeddingDim)(
+      (j, d) => ((j * 31 + d * 7) % 13 - 6) / 8.0)
+
+  /** Oracle for the fixed-centroid assignment: per centroid the score
+    * `dot(v, c) - 0.5·c·c` with the SAME left-to-right double
+    * accumulation as [[graft.functions.VecDot]]; cluster = index of the
+    * max score, ties to the LARGER index (Spark's struct array_max). */
+  private def kmeansAssignFixedOracleSql: String = {
+    val scores = fixedCentroids.map { cj =>
+      val lit = cj.mkString("[", ", ", "]")
+      val prods = s"list_transform(range(1, ${EmbeddingDim + 1}), " +
+        s"d -> CAST(embedding[CAST(d AS INT)] AS DOUBLE) * ($lit)[CAST(d AS INT)])"
+      val dot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $prods), (acc, x) -> acc + x)"
+      val sq = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($lit, x -> x * x)), (acc, x) -> acc + x)"
+      s"$dot + (-0.5 * $sq)"
+    }.mkString("[", ",\n       ", "]")
+    s"""WITH s AS (
+       |  SELECT vec_id, $scores AS ss FROM embeddings
+       |)
+       |SELECT vec_id,
+       |       CAST(len(ss) - list_indexof(list_reverse(ss), list_max(ss)) AS INT) AS cluster
+       |FROM s
+       |""".stripMargin
+  }
+
+  /** Oracle for `embed_neardup`: the hyperplane sign-bucket is exact
+    * integer-from-double arithmetic (the plane coefficients are
+    * splitmix-derived dyadics whose decimal rendering round-trips), the
+    * in-bucket cosine mirrors VecCosine's left-to-right accumulation,
+    * and the threshold filters the UNROUNDED value exactly as the Spark
+    * pipeline does. */
+  private def embedNeardupOracleSql: String = {
+    val planes = Similarity.hyperplanes(6, EmbeddingDim, 42L)
+    def dotWith(vec: String, literal: String): String = {
+      val prods = s"list_transform(range(1, ${EmbeddingDim + 1}), " +
+        s"d -> CAST($vec[CAST(d AS INT)] AS DOUBLE) * ($literal)[CAST(d AS INT)])"
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $prods), (acc, x) -> acc + x)"
+    }
+    val bucketTerms = planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN ${dotWith("embedding", p.mkString("[", ", ", "]"))} >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", "\n         + ", ")")
+    val sq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+    val dotAb = {
+      val prods = s"list_transform(range(1, ${EmbeddingDim + 1}), " +
+        "d -> CAST(a.embedding[CAST(d AS INT)] AS DOUBLE) * " +
+        "CAST(b.embedding[CAST(d AS INT)] AS DOUBLE))"
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $prods), (acc, x) -> acc + x)"
+    }
+    val cos = s"CASE WHEN sqrt(a.n2) * sqrt(b.n2) = 0 THEN 0.0 " +
+      s"ELSE $dotAb / (sqrt(a.n2) * sqrt(b.n2)) END"
+    s"""WITH pl AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 10 = 0
+       |), bkt AS (
+       |  SELECT vec_id, embedding,
+       |         $bucketTerms AS bucket,
+       |         $sq AS n2
+       |  FROM pl
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round($cos, 6) AS cosine
+       |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE $cos >= 0.95
+       |""".stripMargin
+  }
+
+  /** Oracle for `embed_topk_lsh`: sign-bucketing (planes = 4, seed 42),
+    * multi-probe (own bucket + each bit flipped), exact in-probe cosine,
+    * per-query rank by (cosine DESC, neighbor_id). Same arithmetic
+    * contracts as [[embedNeardupOracleSql]]. */
+  private def embedTopkLshOracleSql: String = {
+    val planes = Similarity.hyperplanes(4, EmbeddingDim, 42L)
+    def dotWith(vec: String, literal: String): String = {
+      val prods = s"list_transform(range(1, ${EmbeddingDim + 1}), " +
+        s"d -> CAST($vec[CAST(d AS INT)] AS DOUBLE) * ($literal)[CAST(d AS INT)])"
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $prods), (acc, x) -> acc + x)"
+    }
+    val bucketTerms = planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN ${dotWith("embedding", p.mkString("[", ", ", "]"))} >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", "\n         + ", ")")
+    val sq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+    val dotQc = {
+      val prods = s"list_transform(range(1, ${EmbeddingDim + 1}), " +
+        "d -> CAST(q.embedding[CAST(d AS INT)] AS DOUBLE) * " +
+        "CAST(c.embedding[CAST(d AS INT)] AS DOUBLE))"
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $prods), (acc, x) -> acc + x)"
+    }
+    val cos = s"CASE WHEN sqrt(q.n2) * sqrt(c.n2) = 0 THEN 0.0 " +
+      s"ELSE $dotQc / (sqrt(q.n2) * sqrt(c.n2)) END"
+    val probeList = (s"bucket" +: (0 until 4).map(p => s"xor(bucket, ${1L << p})"))
+      .mkString("[", ", ", "]")
+    s"""WITH bkt AS (
+       |  SELECT vec_id, embedding,
+       |         $bucketTerms AS bucket,
+       |         $sq AS n2
+       |  FROM embeddings
+       |), probes AS (
+       |  SELECT vec_id, embedding, n2, unnest($probeList) AS probe
+       |  FROM bkt WHERE vec_id % 100 = 0
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         $cos AS cos_raw
+       |  FROM probes q JOIN bkt c ON c.bucket = q.probe
+       |  WHERE q.vec_id != c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |       round(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= 10
+       |""".stripMargin
+  }
 
   // ---- portable MinHash / SimHash oracle generators (round 6) ----------
   // The signatures are the PORTABLE kernels' output (GraftHash
@@ -2356,6 +2504,12 @@ object SparkEntry {
         |""".stripMargin,
 
     "dsir_logratios" -> (dsirLogRatiosSql + "SELECT bucket, lr FROM lr\n"),
+
+    "kmeans_assign_fixed" -> kmeansAssignFixedOracleSql,
+
+    "embed_neardup" -> embedNeardupOracleSql,
+
+    "embed_topk_lsh" -> embedTopkLshOracleSql,
 
     "minhash_pairs" -> minhashPairsOracleSql,
 
