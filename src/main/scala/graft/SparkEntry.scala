@@ -778,6 +778,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, centroids, nProbe = 3)
     }),
 
+    // The SAME trained-IVF probe pipeline with the training replaced by
+    // the fixed dyadic centroids, so probe selection (top-nProbe lists by
+    // affinity, larger-index ties first), list pruning and in-probe
+    // cosine rank are all oracle-exact — the search machinery of
+    // embed_topk_ivf verified end to end, leaving only Lloyd's itself
+    // no_oracle.
+    "embed_topk_ivf_fixed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, fixedCentroids, nProbe = 3)
+    }),
+
     // Int8-quantized brute-force top-k: the corpus scans 1-byte codes
     // (4× scan-byte reduction at 100 TB). Rows-only; reconstruction error
     // bound and recall vs float cosine pinned by QuantizeSpec.
@@ -806,6 +818,17 @@ object SparkEntry {
         "vec_id", "embedding", model, k = 10, rerank = 50)
     }),
 
+    // PQ search with FIXED dyadic codebooks and raw ADC ranking
+    // (rerank = 0): normalize → per-subspace argmin encode → query LUT →
+    // ADC score is all exact double arithmetic both engines restate
+    // step for step, so the PqEncode/PqLut/PqAdc kernels are
+    // hash-verified end to end; only codebook TRAINING stays no_oracle.
+    "embed_topk_pq_fixed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.sim.Pq.topK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", fixedPqModel, k = 10, rerank = 0)
+    }),
+
     // SemDeDup semantic near-dup report (Abbas et al. 2023): k-means
     // clusters reuse the IVF coarse quantizer (bounded-sample training),
     // within-cluster self-join finds cosine ≥ threshold pairs, lowest id
@@ -820,6 +843,15 @@ object SparkEntry {
       graft.sim.SemDedup.semDupReport(
         plantedEmb(s, dir), "vec_id", "embedding", centroids, threshold = 0.95)
     }),
+
+    // SemDeDup with the fixed dyadic centroids: cluster assignment,
+    // size valve, lower-id pair scan, unrounded threshold and the
+    // per-dropped-doc aggregate are all stated in DuckDB — the complete
+    // drop rule of semdedup_report oracled, k-means training excepted.
+    "semdedup_fixed" -> ((s, dir) =>
+      graft.sim.SemDedup.semDupReport(
+        plantedEmb(s, dir), "vec_id", "embedding", fixedCentroids,
+        threshold = 0.95)),
 
     // --------------------------------------------------------- text ops
     "text_metrics" -> ((s, dir) => {
@@ -1575,6 +1607,167 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
        |       round(cos_raw, 6) AS cosine
        |FROM ranked WHERE rank <= 10
+       |""".stripMargin
+  }
+
+  /** Fixed PQ codebooks for `embed_topk_pq_fixed`: dyadic rationals
+    * (n/16) over m=8 subspaces × k=16 codewords × dsub=8 dims, flat
+    * `[sub][codeword][dim]` layout like [[graft.sim.Pq.PqModel]]. */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqDsub = EmbeddingDim / PqM
+  private[graft] val fixedPqModel: graft.sim.Pq.PqModel =
+    graft.sim.Pq.PqModel(PqM, PqK, PqDsub,
+      Array.tabulate(PqM * PqK * PqDsub)(i => ((i * 37) % 29 - 14) / 16.0))
+
+  /** Shared DuckDB fragments for the embedding oracles: left-to-right
+    * double accumulation (list_reduce with a 0.0 seed — the same order
+    * as [[graft.functions.VecDot]]/[[graft.functions.VecCosine]]). */
+  private def duckFold(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+  private def duckDotLit(vec: String, literal: String): String =
+    duckFold(s"list_transform(range(1, ${EmbeddingDim + 1}), " +
+      s"d -> CAST($vec[CAST(d AS INT)] AS DOUBLE) * ($literal)[CAST(d AS INT)])")
+  private def duckPairDot(a: String, b: String): String =
+    duckFold(s"list_transform(range(1, ${EmbeddingDim + 1}), " +
+      s"d -> CAST($a[CAST(d AS INT)] AS DOUBLE) * CAST($b[CAST(d AS INT)] AS DOUBLE))")
+  private val duckN2 =
+    duckFold("list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+  private def duckCos(a: String, b: String): String =
+    s"CASE WHEN sqrt($a.n2) * sqrt($b.n2) = 0 THEN 0.0 " +
+      s"ELSE ${duckPairDot(s"$a.embedding", s"$b.embedding")} / (sqrt($a.n2) * sqrt($b.n2)) END"
+
+  /** Per-centroid affinity scores `[dot(v,c) - 0.5·c·c, …]` for the fixed
+    * centroids — the argmax kernel of [[Similarity.withIvfList]]. */
+  private def fixedCentroidScoresSql: String =
+    fixedCentroids.map { cj =>
+      val lit = cj.mkString("[", ", ", "]")
+      val sq = duckFold(s"list_transform($lit, x -> x * x)")
+      s"${duckDotLit("embedding", lit)} + (-0.5 * $sq)"
+    }.mkString("[", ",\n       ", "]")
+
+  /** Oracle for `embed_topk_ivf_fixed`: corpus list = argmax affinity
+    * (larger-index ties, as [[kmeansAssignFixedOracleSql]]); query probes
+    * = top-nProbe lists by (score DESC, index DESC) — Spark's
+    * `reverse(array_sort(struct(score, list)))`; exact in-probe cosine
+    * ranked (cosine DESC, neighbor_id). */
+  private def embedTopkIvfFixedOracleSql: String = {
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, ${fixedCentroidScoresSql} AS ss, $duckN2 AS n2
+       |  FROM embeddings
+       |), asg AS (
+       |  SELECT vec_id, embedding, n2, ss,
+       |         CAST(len(ss) - list_indexof(list_reverse(ss), list_max(ss)) AS INT) AS list
+       |  FROM s
+       |), probes AS (
+       |  SELECT vec_id, embedding, n2, probe FROM (
+       |    SELECT q.vec_id, q.embedding, q.n2, CAST(r.j AS INT) AS probe,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY q.ss[CAST(r.j + 1 AS INT)] DESC, r.j DESC) AS pr
+       |    FROM asg q, range(0, ${FixedCentroidK}) r(j)
+       |    WHERE q.vec_id % 100 = 0)
+       |  WHERE pr <= 3
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${duckCos("q", "c")} AS cos_raw
+       |  FROM probes q JOIN asg c ON c.list = q.probe
+       |  WHERE q.vec_id != c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |       round(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rank <= 10
+       |""".stripMargin
+  }
+
+  /** Oracle for `embed_topk_pq_fixed`: L2-normalize (zero vectors pass
+    * through), per-subspace argmin-L2 encode (FIRST minimum, as
+    * [[graft.functions.PqKernels.pqEncode]]'s strict `<`), query LUT of
+    * subvector·codeword dots, ADC = Σ_sub lut[code] in subspace order —
+    * every accumulation left-to-right, matching the kernels exactly. */
+  private def embedTopkPqFixedOracleSql: String = {
+    val cents = fixedPqModel.cents.mkString("[", ", ", "]")
+    val m = PqM; val k = PqK; val dsub = PqDsub
+    val diffs = s"list_transform(range(0, $dsub), d -> " +
+      s"nv[CAST(sub * $dsub + d + 1 AS INT)] - ($cents)[CAST(sub * ${k * dsub} + c * $dsub + d + 1 AS INT)])"
+    val dists = s"list_transform(range(0, $k), c -> " +
+      s"${duckFold(s"list_transform($diffs, x -> x * x)")})"
+    val lutProds = s"list_transform(range(0, $dsub), d -> " +
+      s"nv[CAST(sub * $dsub + d + 1 AS INT)] * ($cents)[CAST(sub * ${k * dsub} + c * $dsub + d + 1 AS INT)])"
+    val lut = s"list_transform(range(0, $k), c -> ${duckFold(lutProds)})"
+    val adc = duckFold(s"list_transform(range(0, $m), sub -> " +
+      s"q.lut[CAST(sub + 1 AS INT)][CAST(c.codes[CAST(sub + 1 AS INT)] + 1 AS INT)])")
+    s"""WITH dv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |         sqrt($duckN2) AS nrm
+       |  FROM embeddings
+       |), nrm AS (
+       |  SELECT vec_id,
+       |         CASE WHEN nrm = 0 THEN v
+       |              ELSE list_transform(v, x -> x / nrm) END AS nv
+       |  FROM dv
+       |), enc AS (
+       |  SELECT vec_id,
+       |         list_transform(range(0, $m), sub ->
+       |           list_indexof($dists, list_min($dists)) - 1) AS codes
+       |  FROM nrm
+       |), luts AS (
+       |  SELECT vec_id,
+       |         list_transform(range(0, $m), sub -> $lut) AS lut
+       |  FROM nrm WHERE vec_id % 100 = 0
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $adc AS adc_raw
+       |  FROM enc c, luts q
+       |  WHERE q.vec_id != c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, adc_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_raw DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |       round(adc_raw, 6) AS adc
+       |FROM ranked WHERE rank <= 10
+       |""".stripMargin
+  }
+
+  /** Oracle for `semdedup_fixed`: the planted corpus assigned to the
+    * fixed centroids, ≤-maxClusterSize valve, within-cluster lower-id
+    * pairs with UNROUNDED cosine ≥ threshold, then the per-dropped-doc
+    * aggregate (min kept id, lower-dup count, round-6 max cosine) —
+    * [[graft.sim.SemDedup.semDupReport]] stated end to end. */
+  private def semdedupFixedOracleSql: String = {
+    s"""WITH pl AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 10 = 0
+       |), s AS (
+       |  SELECT vec_id, embedding, ${fixedCentroidScoresSql} AS ss, $duckN2 AS n2
+       |  FROM pl
+       |), asg AS (
+       |  SELECT vec_id, embedding, n2,
+       |         CAST(len(ss) - list_indexof(list_reverse(ss), list_max(ss)) AS INT) AS cluster
+       |  FROM s
+       |), ok AS (
+       |  SELECT cluster FROM asg GROUP BY cluster HAVING count(*) <= 10000
+       |), sized AS (
+       |  SELECT a.* FROM asg a JOIN ok USING (cluster)
+       |), pairs AS (
+       |  SELECT hi.vec_id AS dropped, lo.vec_id AS lower_id,
+       |         ${duckCos("hi", "lo")} AS cos_raw
+       |  FROM sized hi JOIN sized lo
+       |    ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+       |)
+       |SELECT dropped AS dropped_id, min(lower_id) AS kept_id,
+       |       count(*) AS n_lower_dups, round(max(cos_raw), 6) AS max_cosine
+       |FROM pairs WHERE cos_raw >= 0.95
+       |GROUP BY dropped
        |""".stripMargin
   }
 
@@ -2510,6 +2703,12 @@ object SparkEntry {
     "embed_neardup" -> embedNeardupOracleSql,
 
     "embed_topk_lsh" -> embedTopkLshOracleSql,
+
+    "embed_topk_ivf_fixed" -> embedTopkIvfFixedOracleSql,
+
+    "embed_topk_pq_fixed" -> embedTopkPqFixedOracleSql,
+
+    "semdedup_fixed" -> semdedupFixedOracleSql,
 
     "minhash_pairs" -> minhashPairsOracleSql,
 
