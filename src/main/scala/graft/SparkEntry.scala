@@ -1792,15 +1792,19 @@ object SparkEntry {
     }.mkString("[", ",\n       ", "]")
 
   /** CTE chain `mb → msh → sg` producing (doc_id, sig): all 5-byte UTF-8
-    * windows rolling-fingerprinted (texts ≤ 5 bytes hash whole, exactly
+    * windows rolling-fingerprinted then quadratically premixed
+    * (`(h² + h) % p` — the kernel's min-wise-bias breaker; texts ≤ 5
+    * bytes hash whole, exactly
     * [[graft.functions.GraftHash.minhashFpSignature]]), k lanes. */
   private def minhashSigCtesSql: String =
     s"""mb AS (
        |  SELECT doc_id, ${utf8BytesSql("text")} AS bs FROM documents
        |), msh AS (
-       |  SELECT doc_id, CASE WHEN len(bs) <= 5 THEN [${foldSql("bs")}]
+       |  SELECT doc_id, list_transform(
+       |         CASE WHEN len(bs) <= 5 THEN [${foldSql("bs")}]
        |         ELSE list_transform(range(1, len(bs) - 3),
-       |                i -> ${foldSql("bs[CAST(i AS INT):CAST(i + 4 AS INT)]")}) END AS hs
+       |                i -> ${foldSql("bs[CAST(i AS INT):CAST(i + 4 AS INT)]")}) END,
+       |         f -> (f * f + f) % 1000000007) AS hs
        |  FROM mb
        |), sg AS (
        |  SELECT doc_id, ${minhashLanesSql(MinhashK)} AS sig FROM msh

@@ -95,9 +95,13 @@ object Dedup {
     * the text's byte windows — materializing a shingle array first costs
     * ~5x in allocation pressure at corpus scale). k = bands * rowsPerBand
     * lanes. The PORTABLE kernel ([[GraftFunctions.minhashFp]]): rolling
-    * base-31 fingerprints + affine lane remixes, so the whole LSH
-    * pipeline is restatable in DuckDB SQL and the `minhash_pairs` gate
-    * checks it end to end (it was rows-only before round 6). */
+    * base-31 fingerprints → quadratic premix `(h² + h) mod p` → affine
+    * lane remixes, so the whole LSH pipeline is restatable in DuckDB SQL
+    * and the `minhash_pairs` gate checks it end to end (it was rows-only
+    * before round 6). The premix matters: affine lanes straight over the
+    * LINEAR rolling fingerprint skew the per-lane argmin onto a few
+    * popular shingles and band buckets explode quadratically (see
+    * [[graft.functions.GraftHash.minhashFpSignature]]). */
   def withMinhashSignature(
       df: DataFrame, textCol: String, shingleSize: Int, k: Int): DataFrame =
     df.withColumn("__sig",

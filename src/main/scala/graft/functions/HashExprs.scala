@@ -186,9 +186,21 @@ object GraftHash {
   /** Portable MinHash signature straight from the text: the shingles are
     * ALL `shingle`-byte windows of the UTF-8 payload, each hashed with
     * the rolling [[fingerprint64]] polynomial (computed incrementally —
-    * O(1) per window); lane j keeps the min of its affine remix. Texts
-    * shorter than one window hash the whole payload ([[fingerprint64]]
-    * semantics, empty text → single shingle 0). */
+    * O(1) per window), then passed through the quadratic premix
+    * `g = (h² + h) mod p` ONCE per window; lane j keeps the min of its
+    * affine remix of g. Texts shorter than one window hash the whole
+    * payload ([[fingerprint64]] semantics, empty text → single shingle 0).
+    *
+    * The premix is LOAD-BEARING, not hygiene: the rolling fingerprint is
+    * linear in the window bytes, so overlapping windows across documents
+    * differ by corpus-wide-constant deltas, and an affine lane map
+    * preserves those deltas — the per-lane argmin distribution skews onto
+    * a few popular shingles and 4-lane band collisions explode
+    * quadratically (measured 6.6× the candidate pairs of this premixed
+    * form on the sf0.1 corpus, 53 s vs 5 s minhash_20k). One squaring mod
+    * p breaks the additive structure at one extra multiply per window,
+    * and stays exact signed-64-bit (h < 2^30 ⇒ h² < 2^60) so the oracle
+    * restates it verbatim. */
   def minhashFpSignature(s: UTF8String, shingle: Int, k: Int): ArrayData = {
     val bytes = s.getBytes
     val best = new Array[Long](k)
@@ -205,9 +217,10 @@ object GraftHash {
     var win = 0
     val windows = if (n <= shingle) 1 else n - shingle + 1
     while (win < windows) {
+      val g = (h * h + h) % FpMod
       var lane = 0
       while (lane < k) {
-        val v = (LaneA(lane) * h + LaneB(lane)) % FpMod
+        val v = (LaneA(lane) * g + LaneB(lane)) % FpMod
         if (v < best(lane)) best(lane) = v
         lane += 1
       }

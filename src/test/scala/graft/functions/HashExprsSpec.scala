@@ -123,9 +123,12 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
       val windows =
         if (bytes.length <= shingle) Seq(bytes)
         else bytes.sliding(shingle).toSeq
+      // quadratic premix (h² + h) % p before the affine lanes — the
+      // kernel's min-wise-bias breaker
+      val gs = windows.map { w => val h = fp31(w); (h * h + h) % GraftHash.FpMod }
       (0 until k).map { lane =>
-        windows.map { w =>
-          (GraftHash.LaneA(lane) * fp31(w) + GraftHash.LaneB(lane)) % GraftHash.FpMod
+        gs.map { g =>
+          (GraftHash.LaneA(lane) * g + GraftHash.LaneB(lane)) % GraftHash.FpMod
         }.min
       }
     }
