@@ -65,6 +65,35 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastExchange"), s"no joins expected:\n$plan")
   }
 
+  test("minhash banding: candidate volume stays near the amplification floor") {
+    // The round-6 premix regression, pinned: affine lanes straight over
+    // the LINEAR rolling fingerprint skew per-lane argmins onto popular
+    // shingles and band buckets explode quadratically (6.6x the banded
+    // pairs at sf0.1 → a 53 s bench). With the quadratic premix the
+    // volume must stay near the structural floor: 4 exact copies of each
+    // of the 500 sf0.001 docs share all 16 bands (500·16·C(4,2) = 48k
+    // pairs), measured 72.6k with corpus near-dup structure on top.
+    import org.apache.spark.sql.functions.{aggregate => aggr}
+    val base = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val amplified = spark.range(0, 4).toDF("__rep").crossJoin(base)
+      .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"), col("text"))
+    val sig = graft.dedup.Dedup.withMinhashSignature(amplified, "text", 5, 64)
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => aggr(slice(col("__sig"), b * 4 + 1, lit(4)), lit(0L),
+          (h, v) => (h * 31 + v) % lit(1000000007L)))))
+      .withColumnRenamed("col", "band_key")
+    val stats = banded.groupBy(col("pos"), col("band_key")).count()
+      .agg(max("count").as("max_bucket"),
+        sum(col("count") * (col("count") - 1) / 2).as("banded_pairs")).collect()(0)
+    val maxBucket = stats.getLong(0)
+    val bandedPairs = stats.getDouble(1)
+    assert(maxBucket <= 100, s"band bucket blowup: max bucket $maxBucket")
+    assert(bandedPairs <= 150000.0,
+      s"banded pair volume $bandedPairs — min-wise bias regression?")
+  }
+
   test("dimension joins broadcast: fact table never shuffles for the dims") {
     val sf = "/root/testdata/sf0.001"
     val cust = graft.sources.Tables.read(spark, sf, "customer")
