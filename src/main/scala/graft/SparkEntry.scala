@@ -720,6 +720,21 @@ object SparkEntry {
       Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
         shingleSize = 5, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)),
 
+    // The full two-phase near-dup pipeline: LSH banding GENERATES loose
+    // candidates (est. lane-match Jaccard >= 0.5), then the exact
+    // shingle-set Jaccard VERIFIES each pair over the same premixed
+    // window-fingerprint universe the signatures estimated — integer
+    // cross-multiplied threshold (7/10), no float division, so the gate
+    // hash-checks generate AND verify end to end.
+    "neardup_verify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+        shingleSize = 5, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.verifyJaccardExact(d, "doc_id", "text", cand,
+        shingleSize = 5, thresholdNum = 7, thresholdDen = 10)
+    }),
+
     // SimHash signatures, FULLY oracled since round 6 (60-bit portable
     // majority-vote hash over the tokenize_ws tokens).
     "simhash_docs" -> ((s, dir) =>
@@ -866,6 +881,22 @@ object SparkEntry {
 
     "lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    // Unicode NFC normalization (canonical composition — the standard
+    // first cleaning pass before dedup/shingling; mixed composed and
+    // decomposed encodings of one grapheme defeat exact hashing). The
+    // corpus is ASCII, so a decomposed suffix (combining acute, combining
+    // ring, the U+212B angstrom singleton) is appended on BOTH sides to
+    // exercise real composition; `chars_composed` counts the codepoints
+    // canonical composition removed.
+    "normalize_text" -> ((s, dir) => {
+      val suffixed = concat(col("text"), lit(" cafe\u0301 A\u030A \u212B"))
+      docs(s, dir).select(
+        col("doc_id"),
+        GraftFunctions.normalizeNfc(suffixed).as("text_nfc"),
+        (length(suffixed) - length(GraftFunctions.normalizeNfc(suffixed)))
+          .cast("long").as("chars_composed"))
+    }),
 
     // PII scrub over synthesized contact lines (the corpus itself carries
     // none, so both sides build identical inputs, then ours scrubs).
@@ -1842,6 +1873,38 @@ object SparkEntry {
        |WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.5
        |""".stripMargin
 
+  /** Full `neardup_verify` oracle: the two-phase pipeline end to end —
+    * LSH banding candidates at est. Jaccard >= 0.5 (as `minhash_pairs`),
+    * then EXACT shingle-set Jaccard over `list_distinct(hs)` (the same
+    * premixed window universe the lanes minimized over), kept by integer
+    * cross-multiplication `inter * 10 >= union * 7` — no float division
+    * on either engine. */
+  private def neardupVerifyOracleSql: String =
+    s"""WITH ${minhashSigCtesSql},
+       |banded AS (
+       |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
+       |         unnest(${minhashBandKeysSql}) AS band_key
+       |  FROM sg
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM banded a JOIN banded b2 USING (band, band_key)
+       |  WHERE a.doc_id < b2.doc_id
+       |), est AS (
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN sg sa ON sa.doc_id = id_a JOIN sg sb ON sb.doc_id = id_b
+       |  WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.5
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(hs) AS sset FROM msh
+       |)
+       |SELECT id_a, id_b,
+       |       CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter_size,
+       |       CAST(len(a.sset) + len(b.sset)
+       |            - len(list_intersect(a.sset, b.sset)) AS BIGINT) AS union_size
+       |FROM est JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+       |WHERE len(list_intersect(a.sset, b.sset)) * 10
+       |      >= (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) * 7
+       |""".stripMargin
+
   /** Full `simhash_docs` oracle: per token the 60-bit combined rolling
     * fingerprint (base-31 bits 0-29 | base-37 << 30), per-bit majority
     * vote. Token parity with `tokenize_ws` as in the DSIR oracles;
@@ -2578,6 +2641,23 @@ object SparkEntry {
         |FROM s
         |""".stripMargin,
 
+    // Decomposed suffix built from chr() codepoints so the JSON carries
+    // no raw combining marks: U+0301 combining acute, U+030A combining
+    // ring, U+212B angstrom (the canonical singleton). NFC stability for
+    // assigned codepoints guarantees the JDK normalizer and DuckDB's
+    // nfc_normalize agree.
+    "normalize_text" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+        |                || ' ' || chr(8491)) AS text_nfc,
+        |  CAST(length(text || ' cafe' || chr(769) || ' A' || chr(778)
+        |              || ' ' || chr(8491))
+        |     - length(nfc_normalize(text || ' cafe' || chr(769) || ' A'
+        |              || chr(778) || ' ' || chr(8491))) AS BIGINT)
+        |    AS chars_composed
+        |FROM documents
+        |""".stripMargin,
+
     "pii_scrub" ->
       """SELECT doc_id,
         |       regexp_replace(
@@ -2715,6 +2795,8 @@ object SparkEntry {
     "semdedup_fixed" -> semdedupFixedOracleSql,
 
     "minhash_pairs" -> minhashPairsOracleSql,
+
+    "neardup_verify" -> neardupVerifyOracleSql,
 
     "simhash_docs" -> simhashDocsOracleSql,
 

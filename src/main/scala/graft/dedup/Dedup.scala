@@ -192,6 +192,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** EXACT n-gram Jaccard verification of candidate pairs — the refine
+    * stage after LSH banding (generate loosely, verify exactly: the
+    * standard two-phase shape at corpus scale). Each doc's shingle set is
+    * the sorted distinct premixed window fingerprints
+    * ([[graft.functions.GraftHash.shingleFpSet]]) — the SAME universe the
+    * MinHash signature estimated over, so "estimate then verify" measures
+    * one quantity. The threshold is a rational `num/den` applied by
+    * integer cross-multiplication (`inter * den >= union * num`), exact
+    * in any engine — no float division ever happens.
+    *
+    * Scale shape: one scan computes each doc's set (bounded by its byte
+    * length), then two SHUFFLE_HASH joins ship sets only to docs that
+    * appear in candidate pairs — per-pair cost is one merge of two sorted
+    * arrays; total volume is |pairs| × doc-set size, already LSH-pruned.
+    * Never quadratic in the corpus. */
+  def verifyJaccardExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      shingleSize: Int = 5,
+      thresholdNum: Int = 7,
+      thresholdDen: Int = 10): DataFrame = {
+    require(thresholdDen > 0 && thresholdNum >= 0, "threshold must be a nonnegative rational")
+    val sized = docs.select(
+      col(idCol).as("id"),
+      GraftFunctions.shingleFpSet(col(textCol), shingleSize).as("__sh"))
+      .withColumn("__n", size(col("__sh")).cast(LongType))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sized.select(col("id").as("id_a"), col("__sh").as("__sha"),
+        col("__n").as("__na")).hint("SHUFFLE_HASH"), "id_a")
+      .join(sized.select(col("id").as("id_b"), col("__sh").as("__shb"),
+        col("__n").as("__nb")).hint("SHUFFLE_HASH"), "id_b")
+      .withColumn("inter_size",
+        size(array_intersect(col("__sha"), col("__shb"))).cast(LongType))
+      .withColumn("union_size", col("__na") + col("__nb") - col("inter_size"))
+      .filter(col("inter_size") * thresholdDen >= col("union_size") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter_size"), col("union_size"))
+  }
+
   /** Persistent NEAR-dup catalog of a corpus: one (id, minhash signature)
     * row per doc — `4k` bytes each, never the text. Signatures are
     * sufficient state: band keys re-derive from signature slices, so the

@@ -98,6 +98,9 @@ object GraftFunctions {
   def minhashFp(c: Column, shingleSize: Int, k: Int): Column =
     column(MinHashFp(expression(c), shingleSize, k))
   def simhashFp(c: Column): Column = column(SimHashFp(expression(c)))
+  def shingleFpSet(c: Column, shingleSize: Int): Column =
+    column(ShingleFpSet(expression(c), shingleSize))
+  def normalizeNfc(c: Column): Column = column(NormalizeNfc(expression(c)))
   def imageDims(c: Column): Column = column(ImageDims(expression(c)))
   def wavMeta(c: Column): Column = column(WavMeta(expression(c)))
   def tokenizeWs(c: Column): Column = column(TokenizeWs(expression(c)))

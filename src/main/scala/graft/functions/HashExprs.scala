@@ -234,6 +234,46 @@ object GraftHash {
     ArrayData.toArrayData(best)
   }
 
+  /** The distinct SET of premixed window fingerprints — the exact shingle
+    * universe [[minhashFpSignature]]'s lanes minimize over, materialized
+    * for EXACT Jaccard verification of LSH candidate pairs. Same rolling
+    * window + quadratic premix arithmetic (a doc's set is identical to
+    * what its signature estimated), deduplicated and sorted ascending so
+    * the output is deterministic and restatable as
+    * `list_sort(list_distinct(...))` in any engine. Bounded by the text's
+    * byte length; the premix keeps values < FpMod < 2^30. */
+  def shingleFpSet(s: UTF8String, shingle: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val windows = if (n <= shingle) 1 else n - shingle + 1
+    val raw = new Array[Long](windows)
+    var pow = 1L
+    var p = 1
+    while (p < shingle) { pow = pow * 31 % FpMod; p += 1 }
+    var h = 0L
+    var i = 0
+    val winLen = math.min(shingle, n)
+    while (i < winLen) { h = (h * 31 + (bytes(i) & 0xff)) % FpMod; i += 1 }
+    var win = 0
+    while (win < windows) {
+      raw(win) = (h * h + h) % FpMod
+      if (win + 1 < windows) {
+        val out = (bytes(win) & 0xff) * pow % FpMod
+        h = ((h - out + FpMod) % FpMod * 31 + (bytes(win + shingle) & 0xff)) % FpMod
+      }
+      win += 1
+    }
+    java.util.Arrays.sort(raw)
+    // in-place dedupe of the sorted run
+    var w = 0
+    var r = 0
+    while (r < windows) {
+      if (r == 0 || raw(r) != raw(r - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
   /** Second independent rolling fingerprint (base 37, same modulus) —
     * paired with [[fingerprint64]] to build the 60-bit portable SimHash
     * token hash. Base-31 and base-37 polynomial collisions are
@@ -427,4 +467,23 @@ case class SimHashFp(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHashFp =
     copy(child = newChild)
   override def prettyName: String = "simhash_fp"
+}
+
+/** `shingle_fp_set(text, shingleSize)` — the sorted distinct premixed
+  * window-fingerprint set ([[GraftHash.shingleFpSet]]): the exact shingle
+  * universe behind the portable MinHash signatures, for exact-Jaccard
+  * verification of candidate pairs. Codegen'd single static call. */
+case class ShingleFpSet(child: Expression, shingleSize: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(shingleSize > 0 && shingleSize <= 64, s"shingle size out of range: $shingleSize")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.shingleFpSet(input.asInstanceOf[UTF8String], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHash.shingleFpSet($c, $shingleSize)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleFpSet =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_fp_set"
 }

@@ -479,3 +479,44 @@ case class BpeEncodeWord(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
   override def prettyName: String = "bpe_encode_word"
 }
+
+/** Unicode NFC normalization kernel + expression. Training corpora mix
+  * composed and decomposed encodings of the same grapheme (crawl sources,
+  * OCR, macOS-origin NFD filenames leaking into text), which defeats
+  * exact dedup, shingle hashing and token counting — canonical
+  * composition is the standard first cleaning pass. NFC of assigned
+  * codepoints is stable across Unicode versions (the normalization
+  * stability policy), so the JDK's normalizer and any other compliant
+  * engine (DuckDB's `nfc_normalize`, ICU) agree — the oracle restates
+  * this verbatim. */
+object UnicodeKernels {
+  /** NFC-normalize. ASCII fast path: a pure-ASCII payload is already NFC
+    * by construction, so the dominant corpus case skips the
+    * String round-trip entirely (zero allocation). */
+  def nfc(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length && bytes(i) >= 0) i += 1
+    if (i == bytes.length) s
+    else {
+      val str = s.toString
+      val norm = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+      if (norm eq str) s else UTF8String.fromString(norm)
+    }
+  }
+}
+
+/** `normalize_nfc(text)` — Unicode canonical composition
+  * ([[UnicodeKernels.nfc]]) as a codegen'd static call. */
+case class NormalizeNfc(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UnicodeKernels.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeKernels.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfc =
+    copy(child = newChild)
+  override def prettyName: String = "normalize_nfc"
+}

@@ -190,6 +190,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"extra=${(survivors -- expected).take(5)} missing=${(expected -- survivors).take(5)}")
   }
 
+  test("verifyJaccardExact: exact set overlap refines LSH candidates, integer threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),  // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog again and AGAIN"),  // near dup of 0
+      (3L, "utterly unrelated content with no shared shingles whatsoever!")
+    ).toDF("doc_id", "text")
+    // all (a < b) pairs as candidates: the verifier must keep only real overlap
+    val pairs = docs.select($"doc_id".as("id_a")).crossJoin(docs.select($"doc_id".as("id_b")))
+      .filter($"id_a" < $"id_b")
+    val out = Dedup.verifyJaccardExact(docs, "doc_id", "text", pairs,
+      shingleSize = 5, thresholdNum = 7, thresholdDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // exact dup: intersection == union (Jaccard 1)
+    val d01 = out.find(t => t._1 == 0L && t._2 == 1L).get
+    assert(d01._3 == d01._4)
+    // near dup survives 0.7; unrelated doc 3 pairs with nothing
+    assert(out.exists(t => t._1 == 0L && t._2 == 2L))
+    assert(out.forall(t => t._2 != 3L && t._1 != 3L))
+    // integer cross-multiplication: every kept pair satisfies inter*10 >= union*7,
+    // and the near-dup pair is strictly below Jaccard 1
+    assert(out.forall(t => t._3 * 10 >= t._4 * 7))
+    val d02 = out.find(t => t._1 == 0L && t._2 == 2L).get
+    assert(d02._3 < d02._4)
+  }
+
+  test("verifyJaccardExact agrees with the signature estimate on planted corpus") {
+    // over the sf0.001 corpus with planted dups: every exact-verified pair
+    // at >= 0.7 must come out of the candidate set, and exact dups verify
+    // at Jaccard exactly 1
+    val cand = Dedup.minhashCandidatePairs(docsWithDups, "doc_id", "text",
+      shingleSize = 5, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val verified = Dedup.verifyJaccardExact(docsWithDups, "doc_id", "text", cand,
+      shingleSize = 5, thresholdNum = 7, thresholdDen = 10)
+    assert(verified.count() > 0, "planted dups must verify")
+    // the exact-copy pairs (amplified ids) verify at inter == union
+    val exact = verified.filter(col("inter_size") === col("union_size")).count()
+    assert(exact > 0, "exact copies must score Jaccard 1")
+  }
+
   test("dedupSpans: every span keeps its first corpus occurrence, in order") {
     import spark.implicits._
     val corpus = Seq(

@@ -145,6 +145,40 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     assert((0 until 64).forall(i => a.getLong(i) >= 0 && a.getLong(i) < GraftHash.FpMod))
   }
 
+  test("shingle_fp_set: sorted distinct premixed windows; lane mins re-derive") {
+    def fp31(bs: Seq[Byte]): Long =
+      bs.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % GraftHash.FpMod)
+    def refSet(s: String, shingle: Int): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8").toSeq
+      val windows =
+        if (bytes.length <= shingle) Seq(bytes)
+        else bytes.sliding(shingle).toSeq
+      windows.map { w => val h = fp31(w); (h * h + h) % GraftHash.FpMod }
+        .distinct.sorted
+    }
+    for (s <- Seq("hello world, this is a longer text", "ab", "abcde", "x", "",
+        "aaaaaaaaaa", "héllo wörld ünïcode")) {
+      val got = GraftHash.shingleFpSet(UTF8String.fromString(s), 5)
+      val gotSeq = (0 until got.numElements()).map(got.getLong)
+      assert(gotSeq == refSet(s, 5), s"text '$s'")
+      assert(gotSeq == gotSeq.distinct.sorted, "sorted distinct invariant")
+    }
+    // the signature is EXACTLY the per-lane affine min over this set:
+    // estimate-then-verify measures one universe
+    val text = "the quick brown fox jumps over the lazy dog, twice over"
+    val set = GraftHash.shingleFpSet(UTF8String.fromString(text), 5)
+    val setSeq = (0 until set.numElements()).map(set.getLong)
+    val sig = GraftHash.minhashFpSignature(UTF8String.fromString(text), 5, 16)
+    (0 until 16).foreach { lane =>
+      val want = setSeq.map(g =>
+        (GraftHash.LaneA(lane) * g + GraftHash.LaneB(lane)) % GraftHash.FpMod).min
+      assert(sig.getLong(lane) == want, s"lane $lane")
+    }
+    // empty text: one whole-payload window, fingerprint 0, premix 0
+    val empty = GraftHash.shingleFpSet(UTF8String.fromString(""), 5)
+    assert(empty.numElements() == 1 && empty.getLong(0) == 0L)
+  }
+
   test("simhash_fp: 60-bit portable hash, near-dup Hamming locality") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     def sig(tokens: Seq[String]): Long =

@@ -192,6 +192,31 @@ class TextExprsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("normalize_nfc: composes decomposed forms, ASCII fast path, idempotent") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String =
+      UnicodeKernels.nfc(UTF8String.fromString(s)).toString
+    // combining acute composes; combining ring composes; the U+212B
+    // angstrom singleton maps to U+00C5
+    assert(nfc("cafe\u0301") == "caf\u00e9")
+    assert(nfc("A\u030A") == "\u00c5")
+    assert(nfc("\u212B") == "\u00c5")
+    // already-composed and pure-ASCII inputs pass through unchanged —
+    // and ASCII returns the SAME instance (zero-allocation fast path)
+    assert(nfc("caf\u00e9") == "caf\u00e9")
+    val ascii = UTF8String.fromString("plain ascii text 123")
+    assert(UnicodeKernels.nfc(ascii) eq ascii)
+    // idempotence on a mixed payload
+    val mixed = "mixed cafe\u0301 and A\u030A with ascii"
+    assert(nfc(nfc(mixed)) == nfc(mixed))
+    // column path, codegen'd
+    import spark.implicits._
+    val df = Seq((1L, "cafe\u0301"), (2L, "plain")).toDF("id", "t")
+    val out = df.select(GraftFunctions.normalizeNfc($"t").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("caf\u00e9", "plain"))
+  }
+
   test("langId unchanged by the countSubstr swap") {
     import spark.implicits._
     import graft.text.TextOps
