@@ -765,6 +765,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // KEEP-BEST cluster resolution (the policy production pipelines
+    // actually run — keep the best member of each duplicate group, not an
+    // arbitrary one): same 7-run chain graph as dedup_cluster_resolve,
+    // winner = max token count, ties → min doc_id. Token count is exact
+    // integer arithmetic, so the whole argmax is hash-checked; singleton
+    // (unpaired) docs win their own cluster.
+    "dedup_cluster_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d
+        .filter(col("doc_id") % 7 =!= 0 && col("doc_id") >= 1)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.clusterWinners(d, "doc_id", pairs,
+          TextOps.tokenCount(col("text")).cast("long"))
+        .select(col("cluster_id"), col("doc_id"), col("score").as("n_tokens"))
+    }),
+
     // ------------------------------------------------------- similarity
     "embed_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -2815,6 +2831,38 @@ object SparkEntry {
         |  SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.id
         |)
         |SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY id
+        |""".stripMargin,
+
+    // same component graph; per cluster the max-token-count doc wins,
+    // ties to the smallest id; unpaired docs are their own singleton
+    // cluster. Token-count CASE matches the tokenize_ws kernel edges
+    // (as in text_metrics).
+    "dedup_cluster_best" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id - 1 AS a, doc_id AS b FROM documents
+        |  WHERE doc_id % 7 != 0 AND doc_id >= 1
+        |  UNION ALL
+        |  SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+        |  WHERE doc_id % 7 != 0 AND doc_id >= 1
+        |), reach(id, m) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.id
+        |), clusters AS (
+        |  SELECT id, min(m) AS cluster_id FROM reach GROUP BY id
+        |), scored AS (
+        |  SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.doc_id,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |              END AS BIGINT) AS n_tokens
+        |  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+        |), ranked AS (
+        |  SELECT cluster_id, doc_id, n_tokens,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |                            ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT cluster_id, doc_id, n_tokens FROM ranked WHERE rn = 1
         |""".stripMargin,
 
     "dsir_select" -> (dsirLogRatiosSql +

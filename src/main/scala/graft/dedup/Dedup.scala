@@ -434,6 +434,42 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** Per-cluster WINNERS under a keep-best policy: for every near-dup
+    * cluster (docs in no pair form singleton clusters of themselves),
+    * the row maximizing `score`, ties broken toward the SMALLEST id —
+    * production near-dedup keeps the best document of each duplicate
+    * group (longest, highest quality score, earliest crawl), not an
+    * arbitrary member. Output: (cluster_id, id, score) for each winner.
+    *
+    * The argmax is ONE combiner-backed aggregation —
+    * `max(struct(score, -id))` orders by score then by min id — so the
+    * popular clusters collapse map-side before the shuffle (no window
+    * over the full corpus, no skew on giant duplicate groups). `score`
+    * must be an orderable numeric column; ids must be nonnegative (the
+    * tie-break negates them). */
+  def clusterWinners(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    val scored = df
+      .select(col(idCol), score.as("__score"))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    scored.groupBy("cluster_id")
+      .agg(max(struct(col("__score").as("s"), (-col(idCol)).as("negid"))).as("__w"))
+      .select(col("cluster_id"), (-col("__w.negid")).as(idCol),
+        col("__w.s").as("score"))
+  }
+
+  /** Full keep-best near-dup dedup: candidate pairs → clusters → keep the
+    * highest-`score` doc per cluster (ties → min id); docs in no pair
+    * survive untouched. Returns the surviving rows of `df` unchanged. */
+  def dedupNearKeepBest(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame =
+    df.join(clusterWinners(df, idCol, pairs, score).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   // -------------------------------------------------------------------
   // Embedding near-dup (cosine)
   // -------------------------------------------------------------------

@@ -95,6 +95,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(dedupedNear.nonEmpty)
   }
 
+  test("clusterWinners: keep-best policy — max score wins, ties to min id, singletons survive") {
+    import spark.implicits._
+    // components: {1,2,3} chain, {10,11}; 99 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // 2 and 3 tie at 9 -> 2 wins (min id)
+      (10L, 4L), (11L, 7L),           // 11 wins on score despite larger id
+      (99L, 1L)                       // singleton: wins its own cluster
+    ).toDF("doc_id", "s")
+    val winners = Dedup.clusterWinners(docs, "doc_id", pairs, col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(winners == Set((1L, 2L, 9L), (10L, 11L, 7L), (99L, 99L, 1L)))
+
+    val kept = Dedup.dedupNearKeepBest(docs, "doc_id", pairs, col("s"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 11L, 99L))
+  }
+
   test("embedding near-dup via hyperplane buckets") {
     import spark.implicits._
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
