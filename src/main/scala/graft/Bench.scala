@@ -165,8 +165,15 @@ object Bench {
             graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp")))
         } else 0.0
         val minhash = if (want("minhash_20k")) timeN("minhash_20k") {
+          // banding matched to the 0.9 threshold (8×8 over the same 64
+          // lanes): provably the same survivor set as the default 16×4 —
+          // see Dedup.exactRecallBanding — with ~16× fewer false
+          // candidates feeding the pair dedup and signature joins
+          val (b, r) = graft.dedup.Dedup.exactRecallBanding(64, 0.9)
+            .getOrElse((16, 4))
           force(graft.dedup.Dedup.minhashCandidatePairs(
-            amplified, "doc_id", "text", jaccardThreshold = 0.9))
+            amplified, "doc_id", "text", bands = b, rowsPerBand = r,
+            jaccardThreshold = 0.9))
         } else 0.0
         amplified.unpersist()
         (n, text, minhash)

@@ -95,6 +95,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(dedupedNear.nonEmpty)
   }
 
+  test("exactRecallBanding: minimal band count over the mismatch budget; survivors identical") {
+    // k=64 t=0.9: est>=0.9 means <=6 mismatching lanes; 8 disjoint bands
+    // can't all be touched by 6 mismatches -> smallest divisor above 6... is 8
+    assert(Dedup.exactRecallBanding(64, 0.9).contains((8, 8)))
+    // t=0.8: budget 12 -> 16 bands (the neardedup_incremental config is
+    // already exact-recall); t=0.5: budget 32 -> single-lane bands
+    assert(Dedup.exactRecallBanding(64, 0.8).contains((16, 4)))
+    assert(Dedup.exactRecallBanding(64, 0.5).contains((64, 1)))
+    assert(Dedup.exactRecallBanding(64, 1.0).contains((1, 64)))
+    // the guarantee on real data: matched banding produces the IDENTICAL
+    // survivor set to the default at threshold 0.9 (the bench relies on it)
+    def pairs(b: Int, r: Int) = Dedup.minhashCandidatePairs(
+      docsWithDups, "doc_id", "text", bands = b, rowsPerBand = r,
+      jaccardThreshold = 0.9)
+      .collect().map(p => (p.getLong(0), p.getLong(1))).toSet
+    assert(pairs(8, 8) == pairs(16, 4))
+  }
+
   test("clusterWinners: keep-best policy — max score wins, ties to min id, singletons survive") {
     import spark.implicits._
     // components: {1,2,3} chain, {10,11}; 99 unpaired
