@@ -31,6 +31,10 @@ object Formats {
   val Supported: Seq[String] = Seq("parquet", "orc", "csv", "json")
 
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  // TIMESTAMP_NTZ carries no zone: same micro precision, no offset
+  // suffix (Spark's default NTZ text format drops sub-second digits the
+  // same way the zoned default does)
+  private val TsNtzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
   private val NullSentinel = "__GRAFT_NULL__"
 
   private def isTextFormat(format: String): Boolean =
@@ -53,9 +57,11 @@ object Formats {
         .option("escape", "\"")
         .option("nullValue", NullSentinel)
         .option("timestampFormat", TsFmt)
+        .option("timestampNTZFormat", TsNtzFmt)
         .csv(path)
       case "json" => out.write.mode("overwrite")
         .option("timestampFormat", TsFmt)
+        .option("timestampNTZFormat", TsNtzFmt)
         .option("ignoreNullFields", "false")
         .json(path)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
@@ -86,9 +92,11 @@ object Formats {
         .option("nullValue", NullSentinel)
         .option("multiLine", "true")
         .option("timestampFormat", TsFmt)
+        .option("timestampNTZFormat", TsNtzFmt)
         .csv(path)
       case "json" => spark.read.schema(readSchema)
         .option("timestampFormat", TsFmt)
+        .option("timestampNTZFormat", TsNtzFmt)
         .json(path)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }

@@ -28,6 +28,19 @@ case class SeenHashes(hashes: List[Long])
   */
 object StatefulOps {
 
+  /** Event-time boundary normalization: `withWatermark` and event-time
+    * windows require `TimestampType`; a `TIMESTAMP_NTZ` column (what
+    * Spark 4 infers from parquet `timestamp[us]` without UTC adjustment)
+    * hard-fails with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. Rather than
+    * pushing that trap onto every caller, cast NTZ to session-TZ
+    * timestamp at the operator boundary — with the project-wide UTC
+    * session TZ the cast re-labels the same instant exactly. */
+  private def asEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** CDC state maintained IN the streaming engine (mapGroupsWithState)
     * instead of collapse-at-read: per key and micro-batch, upserts apply
@@ -132,7 +145,7 @@ object StatefulOps {
   def sessionizeStream(
       events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
       gap: String, watermark: String): DataFrame =
-    events
+    asEventTime(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"),
@@ -161,9 +174,11 @@ object StatefulOps {
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       lookback: String, watermark: String): DataFrame = {
-    val l = left.columns.foldLeft(left) { (d, c) => d.withColumnRenamed(c, s"l_$c") }
+    val ln = asEventTime(left, tsCol)
+    val rn = asEventTime(right, tsCol)
+    val l = ln.columns.foldLeft(ln) { (d, c) => d.withColumnRenamed(c, s"l_$c") }
       .withWatermark(s"l_$tsCol", watermark)
-    val r = right.columns.foldLeft(right) { (d, c) => d.withColumnRenamed(c, s"r_$c") }
+    val r = rn.columns.foldLeft(rn) { (d, c) => d.withColumnRenamed(c, s"r_$c") }
       .withWatermark(s"r_$tsCol", watermark)
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
@@ -178,7 +193,7 @@ object StatefulOps {
     * pipeline analytics over event streams do.) */
   def windowedCounts(
       events: DataFrame, tsCol: String, watermark: String, windowLen: String): DataFrame =
-    events
+    asEventTime(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"))

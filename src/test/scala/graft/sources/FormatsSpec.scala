@@ -88,4 +88,22 @@ class FormatsSpec extends AnyFunSuite with SparkTestBase {
       assert(rowsOf(Formats.roundTrip(ev, f, dir)) == want, s"format $f")
     }
   }
+
+  test("TIMESTAMP_NTZ columns round-trip losslessly through every format") {
+    // NTZ as a first-class column type (Spark 4 infers it from parquet
+    // timestamp[us] without UTC adjustment): micro precision and the NTZ
+    // type itself must survive — no silent widening to zoned timestamp
+    val ntz = Tables.events(spark, "/root/testdata/sf0.001").limit(200)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val want = rowsOf(ntz)
+    val dir = tmp()
+    Formats.Supported.foreach { f =>
+      val back = Formats.roundTrip(ntz, f, dir)
+      assert(back.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType, s"format $f kept NTZ")
+      assert(rowsOf(back) == want, s"format $f lost rows")
+    }
+  }
 }

@@ -86,5 +86,10 @@ class CHTypeSpec extends AnyFunSuite {
     assert(fromSparkType(LongType, nullable = false) == Int64)
     assert(fromSparkType(StringType, nullable = true) == CHStr.nullable)
     assert(fromSparkType(ArrayType(StringType), nullable = true) == CHStr.array)
+    // NTZ is first-class on the source side: parquet timestamp[us]
+    // without UTC adjustment infers TIMESTAMP_NTZ, and the target type is
+    // the same zone-less DateTime a zoned timestamp maps to (sec 1.3)
+    assert(fromSparkType(TimestampNTZType, nullable = true) == CHDateTime().nullable)
+    assert(fromSparkType(TimestampType, nullable = true) == CHDateTime().nullable)
   }
 }
