@@ -87,12 +87,21 @@ object LiveMongo {
     * PUBLIC client interfaces (implementation classes are
     * package-private — invoking through them throws
     * IllegalAccessException). Fails with the jar hint when the driver is
-    * absent. */
+    * absent.
+    *
+    * `resolve` is the class-resolution seam: production uses the default
+    * (`Class.forName` against the real driver jar); LiveMongoPipeSpec
+    * substitutes a name-mapping into an offline stub driver so every
+    * getMethod/invoke in this glue executes under test. Only the
+    * resolution is swappable — the reflective calls themselves are always
+    * the production code. */
   def reflectiveTransport(
-      connUri: String, database: String, collection: String): (CursorOpener, AutoCloseable) = {
-    if (!driverPresent) throw new IllegalStateException(jarHint)
+      connUri: String, database: String, collection: String,
+      resolve: String => Class[_] = Class.forName(_)): (CursorOpener, AutoCloseable) = {
 
-    def iface(name: String): Class[_] = Class.forName(name)
+    def iface(name: String): Class[_] =
+      try resolve(name)
+      catch { case _: ClassNotFoundException => throw new IllegalStateException(jarHint) }
     val clientsCls = iface("com.mongodb.client.MongoClients")
     val clientIf = iface("com.mongodb.client.MongoClient")
     val dbIf = iface("com.mongodb.client.MongoDatabase")

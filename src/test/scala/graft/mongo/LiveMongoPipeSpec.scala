@@ -126,18 +126,60 @@ class LiveMongoPipeSpec extends AnyFunSuite with SparkTestBase {
       "mongodb://h:27017/?appName=graft+pipe")
   }
 
-  test("driver-backed transport against a real server (requires mongodb-driver-sync + endpoint)") {
-    // cancels (not fails) without the jar: the reflection shim can only
-    // be exercised against org.mongodb:mongodb-driver-sync — the one
-    // seam MIGRATION.md documents as environment-dependent
-    assume(LiveMongo.driverPresent,
-      "org.mongodb:mongodb-driver-sync not on classpath")
-    val uri = sys.env.getOrElse("GRAFT_MONGO_URI", "mongodb://localhost:27017")
-    val (opener, closer) = LiveMongo.reflectiveTransport(uri, "app", "users")
+  /** Maps the driver coordinates the production glue hardcodes onto the
+    * offline stub (graft.mongostub) — the ONLY substitution; every
+    * getMethod/invoke below this seam is production code. Against a real
+    * server the default resolver (plain Class.forName) runs the identical
+    * glue over org.mongodb:mongodb-driver-sync. */
+  private val stubResolve: String => Class[_] = n => Class.forName(
+    n.replace("com.mongodb.client.model.changestream", "graft.mongostub.changestream")
+      .replace("com.mongodb.client", "graft.mongostub.client")
+      .replace("org.bson", "graft.mongostub.bson"))
+
+  test("reflective transport executes end-to-end over the stub driver") {
+    import graft.mongostub.StubServer
+    StubServer.reset(recording)
+    val (opener, closer) = LiveMongo.reflectiveTransport(
+      LiveMongo.uri("h", 27017, "u", "p", Some("graft")), "app", "users", stubResolve)
     try {
-      val cur = opener(None)
-      try cur.tryNext() // a live server returns None or a change doc
-      finally cur.close()
+      // client built once from the uri; watch is raw-BSON, UpdateLookup
+      assert(StubServer.lastUri == "mongodb://u:p@h:27017/?appName=graft")
+      assert(StubServer.lastNamespace == "app.users")
+
+      // the full production pipe rides the reflective opener
+      val tmp = Files.createTempDirectory("graft-reflmongo").toString
+      val statements = ArrayBuffer.empty[String]
+      val cfg = PipeConfig(SourceConfig("mongodb"), TargetConfig("jdbc"),
+        peek_changes_limit = Some(2))
+      val tokens = new ResumeTokenStore(s"$tmp/tok.json")
+      val pipe = new MongoPipe(cfg, LiveMongo.fetchCallback(opener), tokens,
+        MongoInference.initialSchema,
+        addColumn = c => statements +=
+          ClickHouseDialect.addColumnQuery("app", "users", c),
+        sinkFor = cols => new StatementSink("app", "users", cols,
+          statements += _, dialect = ClickHouseDialect)(spark)
+          .asBatchSink(() => false))(spark)
+
+      assert(pipe.syncLoop(sleeper = _ => ()) == 4L)
+      // the watch was configured exactly like the reference's
+      // (mongodb.rs:169-257): UpdateLookup after-images, raw documents
+      assert(StubServer.lastFullDocument == "UPDATE_LOOKUP")
+      assert(StubServer.watchedAs.getSimpleName == "RawBsonDocument")
+      // same downstream state as the scripted-seam and replay paths:
+      // bytes surviving the ByteBuf [position, limit) copy intact
+      assert(pipe.schema.map(_.name) == Seq("_id", "name", "age"))
+      assert(tokens.read().contains("t4"))
+      // resumeAfter positioning: head, then each committed token
+      assert(StubServer.opens.take(2).toSeq == Seq(None, Some("t2")))
+      assert(StubServer.openCursors == 0, "every peek must close its cursor")
     } finally closer.close()
+    assert(StubServer.clientsOpen == 0, "pipe exit must close the client")
+  }
+
+  test("reflective transport: jar hint when the resolver finds no driver") {
+    val e = intercept[IllegalStateException](LiveMongo.reflectiveTransport(
+      "mongodb://h:1", "app", "users",
+      n => throw new ClassNotFoundException(n)))
+    assert(e.getMessage.contains("mongodb-driver-sync"))
   }
 }
