@@ -392,16 +392,22 @@ object Dedup {
 
   /** Connected components over an undirected pair set (id_a, id_b):
     * assigns every node the MIN id of its component — the canonical-doc
-    * choice for a near-dup cluster. Min-label propagation: each round
-    * every node adopts the smallest label among itself and its
-    * neighbors; converges in O(component diameter) rounds (near-dup
-    * clusters are shallow — dup chains longer than `maxIters` hops are
-    * split, which is the safe failure mode). Each round is one
-    * aggregation over the edge list; labels are checkpointed to keep
-    * plan depth bounded.
+    * choice for a near-dup cluster. Min-label propagation WITH pointer
+    * doubling: each round every node adopts the smallest label among
+    * itself and its neighbors (one hop), then shortcuts to its label's
+    * label (doubling the effective propagation depth) — convergence in
+    * O(log component diameter) rounds, so `maxIters` = 16 covers chains
+    * tens of thousands of hops deep. A round that exhausts the valve
+    * without converging THROWS rather than returning silently split
+    * clusters: an under-merged component would pass unnoticed (dupes
+    * merely survive) yet diverge from the true components — found by the
+    * r7 ScaleSpec 100-node-chain pin against the old one-hop/10-round
+    * version, which quietly returned 90 wrong clusters. Each round is
+    * one aggregation over the edge list plus a |V|-row self-join;
+    * labels are checkpointed to keep plan depth bounded.
     */
   def clusterPairs(
-      pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 16): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.sql.functions.{min => fmin}
     // symmetric edge list + self-loops (keeps isolated-after-filter nodes)
@@ -426,10 +432,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"),
           lit(null).cast("long").as("__old"))
-      val obs = org.apache.spark.sql.Observation()
-      val next = labels.select(col("id"), col("label"), col("label").as("__old"))
+      val afterHop = labels.select(col("id"), col("label"), col("label").as("__old"))
         .unionByName(viaNeighbors)
         .groupBy("id").agg(fmin("label").as("label"), fmin("__old").as("__old"))
+      // pointer doubling: label(id) := label(label(id)). Every label IS a
+      // node id of the same component (labels start as ids and only move
+      // down via min over seen ids), so the self-join resolves every row;
+      // label(x) <= x makes the adopted label monotonically smaller.
+      // This is what turns O(diameter) rounds into O(log diameter).
+      val parents = afterHop
+        .select(col("id").as("__pid"), col("label").as("__plabel"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = afterHop
+        .join(parents, col("label") === col("__pid"), "left")
+        .select(col("id"),
+          coalesce(col("__plabel"), col("label")).as("label"), col("__old"))
         .observe(obs, sum(when(col("label") =!= col("__old"), 1L).otherwise(0L))
           .as("changed"))
         .drop("__old")
@@ -442,6 +459,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed) throw new IllegalStateException(
+      s"clusterPairs did not converge in $maxIters doubling rounds — " +
+        "component diameter beyond ~2^maxIters hops; raise maxIters")
     edges.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }

@@ -286,6 +286,37 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("keep-best winners: argmax is one combiner-backed agg — no window over the corpus") {
+    import spark.implicits._
+    // 100 two-doc clusters, singletons, and one 100-doc giant cluster:
+    // the shape that melts a Window.partitionBy(cluster) at 100 TB (a
+    // giant duplicate group serializes onto one task with the full rows).
+    // The winners plan must stay max(struct(score, -id)) — partial agg
+    // map-side, no Window operator, bounded shuffles.
+    val docs = (1L to 500L).map(i => (i, (i % 97).toDouble)).toDF("id", "q")
+    val pairs = ((1L until 200L by 2).map(i => (i, i + 1)) ++
+      (401L until 500L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val winners = graft.dedup.Dedup.clusterWinners(docs, "id", pairs, col("q"))
+    val rows = winners.collect()
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+    // count operators in the executed (final) section only
+    val plan = winners.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"winners argmax must not window the corpus:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"argmax must combine map-side (partial_max):\n$plan")
+    // 3 = docs-side join input, clusters-side join input (AQE turns it
+    // into a broadcast at runtime), and the cluster_id aggregation
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"winners plan grew extra shuffles ($shuffles):\n$plan")
+    // the giant cluster yields exactly ONE winner: the max-score member
+    // (score = id mod 97 peaks at id 484 in 401..500)
+    val giant = rows.filter(r => r.getLong(1) >= 401L && r.getLong(1) <= 500L)
+    assert(giant.length == 1 && giant.head.getLong(1) == 484L &&
+      giant.head.getDouble(2) == 96.0)
+  }
+
   test("ivfTrainAuto: no pre-count — the corpus is scanned at most once (bounded read)") {
     // the r4/r5 fix class (Pq.train, now ivfTrainAuto): deriving a sample
     // fraction from corpus.count() is one gratuitous full pass at 100 TB.
