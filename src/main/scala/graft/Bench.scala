@@ -11,13 +11,19 @@ import graft.sources.Tables
   * printed as ONE JSON line. Work is forced with the `noop` sink so
   * column computation cannot be pruned the way a bare count() allows.
   *
-  * Noise protocol: the composite benches that historically swing ±50%
-  * run-to-run on a shared box ([[Noisy]]) are timed as the MEDIAN of
-  * `SPARK_GRAFT_BENCH_REPS` (default 3) back-to-back runs — single-run
-  * numbers for those queries repeatedly mis-triaged regressions in
-  * rounds 3-5. Everything else stays single-run (their variance is a
-  * few percent and 3× the whole suite would triple the wall clock).
-  * Pass query names as args to bench only that subset (triage mode).
+  * Noise protocol (hardened in r7 after a box-contended driver run
+  * produced 16 phantom regressions): EVERY timed entry is the lower
+  * median of repeated back-to-back runs — `SPARK_GRAFT_BENCH_REPS_ALL`
+  * (default 2, where lower-median = min) for ordinary queries and
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) for the composite benches that
+  * historically swing ±50% on a shared box ([[Noisy]]). The emitted JSON
+  * carries `/proc/loadavg` at start and end plus wall-clock and the rep
+  * counts, so a contended run is self-identifying instead of reading as
+  * a code regression. Before the first measured query one representative
+  * query runs unmeasured: subset (triage) runs previously charged JVM/
+  * codegen warm-up to their first query, making them incomparable to
+  * full-suite numbers. Pass query names as args to bench only that
+  * subset.
   */
 object Bench {
 
@@ -39,7 +45,15 @@ object Bench {
     "cdc_user_state", "sessionize", "q21_waiting", "minhash_pairs",
     "semdedup_report", "dedup_cluster_resolve", "minhash_20k", "cdc_apply")
 
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  /** Lower median: the middle element for odd n, the LOWER of the two
+    * middles for even n (so reps=2 takes the min). Contention only ever
+    * inflates a wall-clock sample, so for timing the lower order
+    * statistic is the less biased pick. */
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Exception => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,15 +67,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val loadStart = loadavg()
+    val wall0 = System.nanoTime()
+
     // warm the JVM/codegen paths once with a tiny action
     Tables.read(spark, sfDir, "region").count()
 
     val repsNoisy = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val repsAll = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_ALL", "2").toInt)
     def timeN(name: String)(f: => Unit): Double = {
-      val reps = if (Noisy(name)) repsNoisy else 1
+      val reps = if (Noisy(name)) repsNoisy else repsAll
       median((1 to reps).map(_ => time(f)))
     }
     val only: Set[String] = args.toSet
+
+    // One representative query unmeasured before anything is timed:
+    // whole-stage codegen, Parquet footer reads and JIT warm-up otherwise
+    // land on the first measured query — in triage mode that made subset
+    // numbers up to 10x off their full-suite equivalents.
+    SparkEntry.queries.get("q6_selective").foreach(fn => force(fn(spark, sfDir)))
 
     val headline = Seq(
       "cdc_user_state", "q1_agg", "q3_join", "q5_region",
@@ -102,7 +126,7 @@ object Bench {
     val (nLineitem, snapSec) = if (want("snapshot_copy")) {
       val lineitem = Tables.read(spark, sfDir, "lineitem")
       val n = lineitem.count()
-      (n, time {
+      (n, timeN("snapshot_copy") {
         force(CoreOps.alignToTarget(lineitem,
           lineitem.schema.fields.map(f => graft.types.CHColumn(f.name,
             graft.types.CHType.fromSparkType(f.dataType, f.nullable))).toSeq))
@@ -137,8 +161,8 @@ object Bench {
         // cost, not scan noise (BASELINE.md: "≤ 2× plain append").
         val (plain, dedup) = if (want("dedup_a1")) {
           val benchTmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-          (time(events.write.mode("overwrite").parquet(s"$benchTmp/plain")),
-            time(CoreOps.dedupLastWinsAgg(events, Seq("user_id"), "event_id")
+          (timeN("dedup_a1")(events.write.mode("overwrite").parquet(s"$benchTmp/plain")),
+            timeN("dedup_a1")(CoreOps.dedupLastWinsAgg(events, Seq("user_id"), "event_id")
               .write.mode("overwrite").parquet(s"$benchTmp/dedup")))
         } else (0.0, 0.0)
         (n, cdc, plain, dedup)
@@ -158,7 +182,7 @@ object Bench {
           .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"), col("text"))
           .cache()
         val n = amplified.count()
-        val text = if (want("text_pipeline_20k")) time {
+        val text = if (want("text_pipeline_20k")) timeN("text_pipeline_20k") {
           force(amplified.select(col("doc_id"),
             graft.text.TextOps.tokenCount(col("text")).as("nt"),
             graft.text.TextOps.qualityScore(col("text")).as("q"),
@@ -195,8 +219,14 @@ object Bench {
         f""""dedup_overhead_x":${if (plainSec > 0) dedupSec / plainSec else 0.0}%.2f,""" +
         f""""text_docs_per_s":${rate(nDocs, textSec)}%.0f,""" +
         f""""minhash_docs_per_s":${rate(nDocs, minhashSec)}%.0f"""
+    // contention self-identification: 1-min loadavg before/after plus the
+    // run's own wall clock (>> sum of medians on a contended box)
+    val env =
+      f""""load_start":$loadStart%.2f,"load_end":${loadavg()}%.2f,""" +
+        f""""wall_clock_sec":${(System.nanoTime() - wall0) / 1e9}%.1f,""" +
+        s""""reps_all":$repsAll,"reps_noisy":$repsNoisy"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
