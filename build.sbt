@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Keep runtime litter out of the working tree: embedded Derby's boot
+  // log and pipe offset files land under target/ for sbt-forked runs
+  // (production keeps the cwd-relative defaults).
+  "-Dderby.stream.error.file=target/derby.log",
+  "-Dgraft.offsets.dir=target/offsets",
 )

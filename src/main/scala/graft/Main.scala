@@ -22,6 +22,16 @@ import graft.types.{CHColumn, CHType}
   */
 object Main {
 
+  /** Default directory for pipe offset files. Overridable via the
+    * `graft.offsets.dir` system property (or `GRAFT_OFFSETS_DIR` env) so
+    * test/bench runs can keep runtime state out of the working tree; a
+    * production deployment leaves it at `./offsets` next to the process
+    * like the reference's cwd-relative state files. */
+  private[graft] def offsetsDir: String =
+    sys.props.get("graft.offsets.dir")
+      .orElse(sys.env.get("GRAFT_OFFSETS_DIR"))
+      .getOrElse("./offsets")
+
   def main(args: Array[String]): Unit = {
     val usage = "usage: graft.Main run --config-file <cfg.json>"
     args.toList match {
@@ -201,7 +211,7 @@ object Main {
           tbl.mask_columns.toSet)
       }.toMap
       // slot advance rides the offset commit — AFTER all table writes
-      val offsets = new FileOffsetStore(s"./offsets/${pg.replication_slot_name}.offset") {
+      val offsets = new FileOffsetStore(s"$offsetsDir/${pg.replication_slot_name}.offset") {
         override def write(offset: Long): Unit = {
           super.write(offset); source.advance(offset)
         }
@@ -459,7 +469,7 @@ object Main {
             client.execute, maskColumns, config.copyBatchSize, dialect,
             insertExec = if (tc.distributed_inserts) Some(info) else None)
           val offsets = new FileOffsetStore(
-            offsetPath.getOrElse(s"./offsets/$pipeName.offset"))
+            offsetPath.getOrElse(s"$offsetsDir/$pipeName.offset"))
           // K6: O(1) existence probe, never COUNT(*) over the target
           val probe = () => client
             .queryScalar(dialect.nonEmptyProbe(tc.database, tc.table))

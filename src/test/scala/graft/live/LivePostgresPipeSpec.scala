@@ -109,7 +109,7 @@ class LivePostgresPipeSpec extends AnyFunSuite with SparkTestBase {
     val derbyUrl = "jdbc:derby:memory:livepg;create=true"
     val derby = new JdbcClient(JdbcConnInfo(derbyUrl))
     val tmp = java.nio.file.Files.createTempDirectory("graft-livepg").toString
-    val cwdOffsets = new java.io.File(s"./offsets/$slot.offset")
+    val cwdOffsets = new java.io.File(s"${graft.Main.offsetsDir}/$slot.offset")
     try {
       val fake = new FakePg(
         tables = Map(
@@ -159,7 +159,7 @@ class LivePostgresPipeSpec extends AnyFunSuite with SparkTestBase {
   test("re-run against the already-initialized world is a no-op initialize (idempotence)") {
     val derbyUrl = "jdbc:derby:memory:livepg2;create=true"
     val derby = new JdbcClient(JdbcConnInfo(derbyUrl))
-    val cwdOffsets = new java.io.File(s"./offsets/$slot.offset")
+    val cwdOffsets = new java.io.File(s"${graft.Main.offsetsDir}/$slot.offset")
     try {
       val mkFake = () => new FakePg(
         tables = Map("users" -> Seq(("id", "int8", false, true), ("name", "text", true, false))),
