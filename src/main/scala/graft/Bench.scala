@@ -136,7 +136,7 @@ object Bench {
     // CDC apply path (S2→A1→K1/K2): events → changelog → final state.
     // Amplified 10x (seq/user offsets keep keys disjoint per replica) so
     // the rate reflects steady-state work, not fixed job overhead.
-    val (nEvents, cdcSec, plainSec, dedupSec) =
+    val (nEvents, cdcSec, dedupSec, dedupOverheadX) =
       if (want("cdc_apply") || want("dedup_a1")) {
         val eventsBase = Tables.events(spark, sfDir)
         val baseSpan = eventsBase.agg(max(col("event_id"))).head.getLong(0) + 1
@@ -158,14 +158,23 @@ object Bench {
         events.unpersist()
         // Dedup (A1) overhead vs plain append at the same volume — both
         // sides do a real parquet append so the ratio reflects pipeline
-        // cost, not scan noise (BASELINE.md: "≤ 2× plain append").
-        val (plain, dedup) = if (want("dedup_a1")) {
+        // cost, not scan noise (BASELINE.md: "≤ 2× plain append"). The
+        // overhead is the lower-median of PER-PAIR ratios from
+        // back-to-back (plain, dedup) runs: both writes are short, so
+        // dividing two independently-medianed times let a one-off GC or
+        // page-cache swing on either side fabricate ratios from 0.9x to
+        // 4x run-to-run — pairing cancels the common box state.
+        val (dedup, overhead) = if (want("dedup_a1")) {
           val benchTmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-          (timeN("dedup_a1")(events.write.mode("overwrite").parquet(s"$benchTmp/plain")),
-            timeN("dedup_a1")(CoreOps.dedupLastWinsAgg(events, Seq("user_id"), "event_id")
-              .write.mode("overwrite").parquet(s"$benchTmp/dedup")))
+          val pairs = (1 to repsAll).map { _ =>
+            val p = time(events.write.mode("overwrite").parquet(s"$benchTmp/plain"))
+            val d = time(CoreOps.dedupLastWinsAgg(events, Seq("user_id"), "event_id")
+              .write.mode("overwrite").parquet(s"$benchTmp/dedup"))
+            (p, d)
+          }
+          (median(pairs.map(_._2)), median(pairs.map(pd => pd._2 / pd._1)))
         } else (0.0, 0.0)
-        (n, cdc, plain, dedup)
+        (n, cdc, dedup, overhead)
       } else (0L, 0.0, 0.0, 0.0)
 
     // Text/dedup throughput at real volume: amplify the documents table to
@@ -216,7 +225,7 @@ object Bench {
     val extra =
       f""""snapshot_rows_per_s":${rate(nLineitem, snapSec)}%.0f,""" +
         f""""cdc_events_per_s":${rate(nEvents, cdcSec)}%.0f,""" +
-        f""""dedup_overhead_x":${if (plainSec > 0) dedupSec / plainSec else 0.0}%.2f,""" +
+        f""""dedup_overhead_x":$dedupOverheadX%.2f,""" +
         f""""text_docs_per_s":${rate(nDocs, textSec)}%.0f,""" +
         f""""minhash_docs_per_s":${rate(nDocs, minhashSec)}%.0f"""
     // contention self-identification: 1-min loadavg before/after plus the
