@@ -70,6 +70,34 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cat.columns.toSet == Set("id", "__sig"))
   }
 
+  test("restart from checkpoint: the catalog carries dedup state across queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (b1, _) = corpus()
+    val tmp = Files.createTempDirectory("graft-snd-restart").toString
+    val delivered = ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    def start() = StreamingNearDedup.writer(
+        input.toDS().toDF("doc_id", "text"),
+        s"$tmp/catalog", s"$tmp/ckpt", "doc_id", "text",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+        surv => delivered ++= surv.collect().map(_.getLong(0))
+      }.start()
+
+    val q1 = start()
+    input.addData(b1); q1.processAllAvailable(); q1.stop()
+    val afterB1 = delivered.toSet
+
+    // a NEW query from the same checkpoint + catalog: near-dups of
+    // docs seen BEFORE the restart must still drop — the parquet
+    // catalog, not engine state, carries the dedup memory
+    val q2 = start()
+    input.addData(b1.take(20).map { case (id, t) => (id + 500000L, mutate(t)) })
+    q2.processAllAvailable(); q2.stop()
+    assert(delivered.toSet == afterB1,
+      "post-restart near-dups of pre-restart docs must all drop")
+  }
+
   test("a replayed batch after its catalog append emits nothing (replay converges)") {
     import spark.implicits._
     val (b1, _) = corpus()
