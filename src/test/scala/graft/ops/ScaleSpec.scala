@@ -286,6 +286,18 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("clusterPairs: a 300-hop chain converges within the default round valve") {
+    import spark.implicits._
+    // regression pin for the pointer-doubling depth math: 8 one-hop
+    // rounds reach depth 8, then doubling roughly doubles per round
+    // (17, 35, 71, 143, 287, 575...) — a 300-hop chain must converge
+    // comfortably inside the 16-round default instead of throwing or
+    // (the pre-r7 failure mode) silently splitting
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = graft.dedup.Dedup.clusterPairs(pairs).collect()
+    assert(labels.length == 301 && labels.forall(_.getLong(1) == 0L))
+  }
+
   test("keep-best winners: argmax is one combiner-backed agg — no window over the corpus") {
     import spark.implicits._
     // 100 two-doc clusters, singletons, and one 100-doc giant cluster:
