@@ -412,10 +412,14 @@ object Dedup {
     * converging THROWS rather than returning silently split clusters:
     * an under-merged component would pass unnoticed (dupes merely
     * survive) yet diverge from the true components — found by the r7
-    * ScaleSpec 100-node-chain pin against the old one-hop/10-round
-    * version, which quietly returned 90 wrong clusters. Each round is
-    * one aggregation over the edge list plus a |V|-row self-join;
-    * labels are checkpointed to keep plan depth bounded.
+    * ScaleSpec 300-hop-chain pin (`ScaleSpec` "a 300-hop chain converges
+    * within the default round valve") against the old one-hop/10-round
+    * version, which quietly returned split clusters. Convergence that
+    * lands EXACTLY on round `maxIters` is confirmed by one extra
+    * zero-change verification round rather than reported as failure
+    * (r7 ADVICE). Each round is one aggregation over the edge list plus
+    * a |V|-row self-join; labels are checkpointed to keep plan depth
+    * bounded.
     */
   def clusterPairs(
       pairs: DataFrame, maxIters: Int = 16): DataFrame = {
@@ -427,18 +431,14 @@ object Dedup {
       .distinct()
       .cache()
 
-    var labels = edges.select(col("src").as("id"), col("src").as("label"))
-      .unionByName(edges.select(col("dst").as("id"), col("dst").as("label")))
-      .groupBy("id").agg(fmin("label").as("label"))
-    var changed = true
-    var iter = 0
-    while (changed && iter < maxIters) {
-      // propagate: each node takes min(own label, neighbors' labels).
-      // The old label rides the aggregation (min ignores the neighbor
-      // rows' nulls; every aggregated id exists in `labels`), so the
-      // changed-node count comes out of the SAME job via `observe` —
-      // the former left_anti + isEmpty probe cost one extra Spark job
-      // per round over two checkpointed |V|-row frames.
+    // one propagation round: returns (new labels, #nodes whose label
+    // changed). Each node takes min(own label, neighbors' labels). The
+    // old label rides the aggregation (min ignores the neighbor rows'
+    // nulls; every aggregated id exists in `labels`), so the changed-node
+    // count comes out of the SAME job via `observe` — the former
+    // left_anti + isEmpty probe cost one extra Spark job per round over
+    // two checkpointed |V|-row frames.
+    def round(labels: DataFrame, iter: Int): (DataFrame, Long) = {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"),
@@ -470,20 +470,44 @@ object Dedup {
           .as("changed"))
         .drop("__old")
         .localCheckpoint(eager = true)
-      changed = obs.get("changed") match {
-        case n: Long => n > 0
-        case null => false // empty pair set: no rows, no propagation
-        case other => other.toString.toLong > 0
+      val nChanged = obs.get("changed") match {
+        case n: Long => n
+        case null => 0L // empty pair set: no rows, no propagation
+        case other => other.toString.toLong
       }
+      (next, nChanged)
+    }
+
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(fmin("label").as("label"))
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIters) {
+      val (next, nChanged) = round(labels, iter)
       labels = next
+      changed = nChanged > 0
       iter += 1
     }
+    if (changed) {
+      // the valve round itself changed labels — but that change may have
+      // BEEN the fixpoint (convergence exactly on round maxIters). One
+      // unconditional verification round distinguishes the two: zero
+      // changes proves convergence (and leaves the labels untouched);
+      // any change is genuine non-convergence (r7 ADVICE — the old code
+      // reported exact-on-valve convergence as failure).
+      val (verified, nChanged) = round(labels, iter)
+      if (nChanged > 0) {
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"clusterPairs did not converge in $maxIters rounds " +
+            s"($DoubleAfter one-hop + ${maxIters - DoubleAfter} doubling; " +
+            "covers components a few thousand hops deep at the defaults) — " +
+            "raise maxIters: each extra round roughly doubles the covered depth")
+      }
+      labels = verified
+    }
     edges.unpersist()
-    if (changed) throw new IllegalStateException(
-      s"clusterPairs did not converge in $maxIters rounds " +
-        s"($DoubleAfter one-hop + ${maxIters - DoubleAfter} doubling; " +
-        "covers components a few thousand hops deep at the defaults) — " +
-        "raise maxIters: each extra round roughly doubles the covered depth")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

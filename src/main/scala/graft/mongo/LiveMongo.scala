@@ -102,11 +102,14 @@ object LiveMongo {
     def iface(name: String): Class[_] =
       try resolve(name)
       catch {
-        // NoClassDefFoundError/LinkageError covers the partial-classpath
-        // case the hint enumerates: driver-sync present but its
-        // driver-core/bson dependencies missing
-        case _: ClassNotFoundException | _: LinkageError =>
-          throw new IllegalStateException(jarHint)
+        // Only the two missing-class cases map to the jar hint:
+        // ClassNotFoundException (driver absent) and NoClassDefFoundError
+        // (driver-sync present but driver-core/bson missing). Broader
+        // LinkageError — e.g. ExceptionInInitializerError from a genuine
+        // driver static-init failure — must NOT be masked as a packaging
+        // problem; it propagates. The original is chained either way.
+        case e @ (_: ClassNotFoundException | _: NoClassDefFoundError) =>
+          throw new IllegalStateException(jarHint, e)
       }
     val clientsCls = iface("com.mongodb.client.MongoClients")
     val clientIf = iface("com.mongodb.client.MongoClient")

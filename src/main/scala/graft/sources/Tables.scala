@@ -37,8 +37,22 @@ object Tables {
     val raw = read(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        requireUtcSession(spark, "Tables.events NTZ ts column")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
+  }
+
+  /** The NTZ→`TimestampType` cast is instant-preserving ONLY under a UTC
+    * session TZ (the project-wide convention every entry point pins). A
+    * caller with a non-UTC session would silently shift every event time,
+    * so the convention is asserted at the cast site instead of trusted. */
+  private[graft] def requireUtcSession(spark: SparkSession, what: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+      s"$what: casting TIMESTAMP_NTZ to TimestampType requires a UTC session " +
+        s"timezone (got '$tz') — a non-UTC session would shift every instant. " +
+        "Set spark.sql.session.timeZone=UTC.")
   }
 }

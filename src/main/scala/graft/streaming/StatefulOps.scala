@@ -38,6 +38,8 @@ object StatefulOps {
   private def asEventTime(df: DataFrame, tsCol: String): DataFrame =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>
+        graft.sources.Tables.requireUtcSession(
+          df.sparkSession, s"StatefulOps event-time column '$tsCol'")
         df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }

@@ -161,8 +161,13 @@ class LiveMongoPipeSpec extends AnyFunSuite with SparkTestBase {
           .asBatchSink(() => false))(spark)
 
       assert(pipe.syncLoop(sleeper = _ => ()) == 4L)
-      // the watch was configured exactly like the reference's
-      // (mongodb.rs:169-257): UpdateLookup after-images, raw documents
+      // the watch carries the reference's UpdateLookup after-image /
+      // raw-document / resume-token semantics (mongodb.rs:169-257).
+      // Deliberate divergence: the reference watches at DATABASE level
+      // with start_after; this glue watches the single configured
+      // collection with resumeAfter (simpler cursor lifecycle, but a
+      // collection-invalidate event would need a fresh watch rather
+      // than surviving via start_after)
       assert(StubServer.lastFullDocument == "UPDATE_LOOKUP")
       assert(StubServer.watchedAs.getSimpleName == "RawBsonDocument")
       // same downstream state as the scripted-seam and replay paths:

@@ -298,6 +298,23 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(labels.length == 301 && labels.forall(_.getLong(1) == 0L))
   }
 
+  test("clusterPairs: convergence exactly on the valve round verifies, not throws") {
+    import spark.implicits._
+    // a single edge needs exactly one propagation round; with maxIters=1
+    // that round IS the valve round and still reports a changed label.
+    // r7 ADVICE: the old code threw here because no confirming
+    // zero-change round ever ran — the fix runs one verification round.
+    val pair = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val labels = graft.dedup.Dedup.clusterPairs(pair, maxIters = 1).collect()
+    assert(labels.length == 2 && labels.forall(_.getLong(1) == 0L))
+    // and a genuinely unconverged component under the same tiny valve
+    // must still throw rather than return split clusters
+    val deep = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      graft.dedup.Dedup.clusterPairs(deep, maxIters = 1).collect()
+    }
+  }
+
   test("keep-best winners: argmax is one combiner-backed agg — no window over the corpus") {
     import spark.implicits._
     // 100 two-doc clusters, singletons, and one 100-doc giant cluster:
