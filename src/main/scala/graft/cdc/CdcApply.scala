@@ -87,7 +87,7 @@ object CdcApply {
     batchIds.zipWithIndex.foreach { case (b, i) =>
       val batch = withBatch.filter(col("__batch") === b).drop("__batch")
       state = applyBatch(state, batch, pkCols, seqCol)
-      if ((i + 1) % 4 == 0) state = state.localCheckpoint(eager = true)
+      if ((i + 1) % 4 == 0) state = graft.ops.Checkpoints.pin(state)
     }
     state
   }

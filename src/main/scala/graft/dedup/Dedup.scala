@@ -158,14 +158,14 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
     // (id, sig) is consumed three times (banding + both signature joins).
-    // localCheckpoint (NOT cache) materializes the narrow projection once:
+    // Checkpoints.pin (NOT cache) materializes the narrow projection once:
     // cache() would register it with the session CacheManager, which pins
     // the blocks until an explicit unpersist that a lazily-returned
     // DataFrame cannot schedule — a leak per invocation. Checkpoint blocks
     // are dropped by the ContextCleaner when the plan is garbage-collected.
-    val sig = withMinhashSignature(df, textCol, shingleSize, k)
-      .select(col(idCol).as("id"), col("__sig"))
-      .localCheckpoint()
+    val sig = graft.ops.Checkpoints.pin(
+      withMinhashSignature(df, textCol, shingleSize, k)
+        .select(col(idCol).as("id"), col("__sig")))
 
     val banded = sig.select(
       col("id"), col("__sig"),
@@ -290,8 +290,8 @@ object Dedup {
       shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val newSig = minhashNearCatalog(
-      newDocs, idCol, textCol, shingleSize, bands, rowsPerBand).localCheckpoint()
+    val newSig = graft.ops.Checkpoints.pin(minhashNearCatalog(
+      newDocs, idCol, textCol, shingleSize, bands, rowsPerBand))
     val newBanded = bandKeys(newSig, bands, rowsPerBand)
       .select(col("band"), col("band_key"), col("id").as("new_id"))
     val oldBanded = bandKeys(catalog, bands, rowsPerBand)
@@ -465,11 +465,10 @@ object Dedup {
               coalesce(col("__plabel"), col("label")).as("label"), col("__old"))
         }
       val obs = org.apache.spark.sql.Observation()
-      val next = stepped
+      val next = graft.ops.Checkpoints.pin(stepped
         .observe(obs, sum(when(col("label") =!= col("__old"), 1L).otherwise(0L))
           .as("changed"))
-        .drop("__old")
-        .localCheckpoint(eager = true)
+        .drop("__old"))
       val nChanged = obs.get("changed") match {
         case n: Long => n
         case null => 0L // empty pair set: no rows, no propagation

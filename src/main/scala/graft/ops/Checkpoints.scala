@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The lineage-pin seam for iterative and micro-batch operators
+  * (`clusterPairs` label rounds, BPE merge rounds, CDC fold state,
+  * streaming near-dedup batches, DSIR bucket counts).
+  *
+  * Default (`spark.graft.checkpointDir` unset): `localCheckpoint` —
+  * executor-local blocks, zero I/O beyond memory/disk spill, exactly
+  * right on `local[*]` and for short-lived jobs. The catch on a REAL
+  * cluster: local checkpoint blocks live only on their executor, so an
+  * executor loss mid-iteration kills the job instead of recomputing
+  * (an availability concern, not correctness — the job fails loudly).
+  *
+  * Cluster runs set `spark.conf.set("spark.graft.checkpointDir",
+  * "hdfs://…/ckpt")` (or any HDFS-compatible URI): every pin site then
+  * uses RELIABLE `Dataset.checkpoint`, which persists to the shared
+  * filesystem and survives executor loss at the cost of one write+read
+  * per pin. One config flips every operator — no per-call plumbing.
+  */
+object Checkpoints {
+
+  /** Session conf key; when set, pins use reliable checkpointing into
+    * this directory. */
+  val ConfKey = "spark.graft.checkpointDir"
+
+  private def reliableDir(spark: SparkSession): Option[String] =
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty)
+
+  /** True when pins in this session write reliable checkpoints. */
+  def isReliable(spark: SparkSession): Boolean = reliableDir(spark).isDefined
+
+  /** Materialize `df` once and truncate its lineage: reliable
+    * `checkpoint` when [[ConfKey]] is set, `localCheckpoint` otherwise.
+    * Always eager — every call site pins state that later stages (or a
+    * side effect between them) must see exactly once. */
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    reliableDir(spark) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
+}

@@ -58,11 +58,11 @@ object StreamingNearDedup {
     val catalog = readCatalog(spark, catalogDir)
     // the engine re-plans foreachBatch frames; checkpoint so the
     // dedup's self-joins don't recompute the upstream per reference
-    val docs = batch.select(col(idCol), col(textCol)).localCheckpoint()
-    val survivors = Dedup.dedupNearIncremental(
+    val docs = graft.ops.Checkpoints.pin(batch.select(col(idCol), col(textCol)))
+    val survivors = graft.ops.Checkpoints.pin(Dedup.dedupNearIncremental(
       docs, catalog, idCol, textCol,
-      shingleSize, bands, rowsPerBand, jaccardThreshold)
-      .localCheckpoint() // deliver + append must see ONE survivor set
+      shingleSize, bands, rowsPerBand,
+      jaccardThreshold)) // deliver + append must see ONE survivor set
     deliver(survivors)
     Dedup.minhashNearCatalog(survivors, idCol, textCol,
         shingleSize, bands, rowsPerBand)

@@ -114,7 +114,7 @@ object Bpe {
         val prev = words
         val next = prev.withColumn("syms",
           GraftFunctions.bpeMergePair(col("syms"), l, r))
-        words = (if (rank % checkpointEvery == 0) next.localCheckpoint()
+        words = (if (rank % checkpointEvery == 0) graft.ops.Checkpoints.pin(next)
                  else next).cache()
         words.count() // materialize before dropping the parent's cache
         prev.unpersist()

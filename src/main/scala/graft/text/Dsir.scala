@@ -55,11 +55,11 @@ object Dsir {
     val spark = raw.sparkSession
     // the count tables feed BOTH the bucket join and the totals — without
     // materialization each consumer re-aggregates the corpus, i.e. a
-    // second full scan per split at 100 TB. localCheckpoint pins the
+    // second full scan per split at 100 TB. Checkpoints.pin keeps the
     // ≤ `buckets` rows once (ContextCleaner reclaims the blocks when the
     // plan is collected; cache() would leak — see minhashCandidatePairs)
-    val rb = bucketCounts(raw, textCol, buckets).localCheckpoint()
-    val tb = bucketCounts(target, textCol, buckets).localCheckpoint()
+    val rb = graft.ops.Checkpoints.pin(bucketCounts(raw, textCol, buckets))
+    val tb = graft.ops.Checkpoints.pin(bucketCounts(target, textCol, buckets))
     val totals = rb.agg(coalesce(sum(col("n")), lit(0L)).as("n_raw"))
       .crossJoin(tb.agg(coalesce(sum(col("n")), lit(0L)).as("n_tgt")))
     spark.range(buckets).select(col("id").as("bucket"))

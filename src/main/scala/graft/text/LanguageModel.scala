@@ -99,9 +99,9 @@ object LanguageModel {
     // bigram counts, one for scoring — one per statistic plus the score
     // pass, the floor without fusing the two count streams. `bi` has a
     // single consumer; no checkpoint.
-    val uni = df.select(explode(TextOps.tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("ucnt"))
-      .localCheckpoint()
+    val uni = graft.ops.Checkpoints.pin(
+      df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("ucnt")))
     val tot = uni.agg(sum(col("ucnt")).as("tot"))
     val bi = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
     pairs
