@@ -1,0 +1,256 @@
+package graft.dedup
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The persistent MinHash signature catalog, stored PRE-BANDED and
+  * partitioned by band-key bucket — the 100 TB shape for incremental and
+  * streaming near-dedup state (r7 verdict item 1).
+  *
+  * Layout: parquet under `dir`, partitioned by `bucket =
+  * band_key mod numBuckets`, rows `(band, band_key, id, __sig, added)` —
+  * one row per (doc, band), the signature carried on each row, files
+  * sorted by `band_key` within every bucket. What each piece buys:
+  *
+  *  - **partition pruning**: a micro-batch's docs hash into a bounded
+  *    set of buckets; the catalog read carries a `bucket IN (…)`
+  *    partition filter, so per-trigger work is O(matching buckets), not
+  *    O(catalog). The flat layout this replaces re-read and re-banded
+  *    the ENTIRE catalog every trigger.
+  *  - **row-group skipping**: when the batch's distinct band keys fit
+  *    under `maxPushdownKeys`, the read also pushes `band_key IN (…)`
+  *    into the parquet scan; with files sorted by band_key, min/max
+  *    stats skip non-matching row groups inside the surviving buckets.
+  *  - **pre-banding**: banding is computed once at append time (the
+  *    signatures were just computed anyway), never again at read.
+  *  - **`added` tag**: a caller-supplied monotone batch tag enabling
+  *    age-based retention at [[compact]] — a year-long stream can stop
+  *    deduplicating against dead crawls.
+  *
+  * Crash/duplicate contract (shared with the CDC sinks): appends land
+  * AFTER survivor delivery, compaction writes merged files BEFORE
+  * deleting the inputs. Every reader tolerates duplicate catalog rows —
+  * candidate hits are deduplicated per (new, old) pair and signatures
+  * per id — so a crash between the two halves of any operation leaves
+  * harmless duplicates, never a lost or torn catalog.
+  *
+  * Storage: ~`bands`× the flat (id, __sig) layout (the signature rides
+  * every band row). At 10⁹ survivors × 16 bands × ~550 B ≈ 8 TB — the
+  * right trade against a full-catalog scan per trigger. `numBuckets`
+  * should scale with the expected survivor count (default 64; a 10⁹-doc
+  * catalog wants a few thousand so single buckets stay file-sized).
+  */
+object BandedCatalog {
+
+  val DefaultBuckets = 64
+
+  /** Distinct band keys above this are not pushed as an IN filter (the
+    * planner cost of giant literal lists outweighs row-group skipping);
+    * bucket-level partition pruning still applies. */
+  val DefaultMaxPushdownKeys = 20000
+
+  /** Data schema as read back (bucket is the partition column). */
+  private val DataSchema = StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("band_key", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("__sig", ArrayType(LongType), nullable = true),
+    StructField("added", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false)))
+
+  def bucketOf(bandKey: Column, numBuckets: Int): Column =
+    pmod(bandKey, lit(numBuckets.toLong)).cast(IntegerType)
+
+  // ------------------------------------------------------------- meta
+
+  /** Banding parameters are part of the LAYOUT: reading with different
+    * (bands, rowsPerBand) silently misses duplicates, a different
+    * numBuckets makes partition pruning drop the wrong buckets. They are
+    * recorded once at first append and asserted on every open. */
+  case class Meta(numBuckets: Int, bands: Int, rowsPerBand: Int, shingleSize: Int)
+
+  private def metaPath(dir: String) = new Path(dir, "_graft_catalog.json")
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
+    val out = fs(spark, dir).create(metaPath(dir), true)
+    try out.write(
+      s"""{"numBuckets":${m.numBuckets},"bands":${m.bands},"rowsPerBand":${m.rowsPerBand},"shingleSize":${m.shingleSize}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
+    val p = metaPath(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(name: String): Int =
+        s""""$name":(\\d+)""".r.findFirstMatchIn(text)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalStateException(
+            s"banded catalog meta at $p is missing '$name': $text"))
+      Some(Meta(field("numBuckets"), field("bands"), field("rowsPerBand"),
+        field("shingleSize")))
+    }
+  }
+
+  private def requireMeta(
+      spark: SparkSession, dir: String, m: Meta): Unit =
+    readMeta(spark, dir).foreach { have =>
+      require(have == m,
+        s"banded catalog at $dir was written with $have; " +
+          s"opening it with $m would silently miss duplicates")
+    }
+
+  // ---------------------------------------------------------- append
+
+  /** Band + bucket a flat `(id, __sig)` signature frame into catalog
+    * rows. `added` tags every row with the caller's batch marker. */
+  def bandRows(
+      signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      numBuckets: Int, added: Long): DataFrame =
+    Dedup.bandKeys(signatures, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col("id"), col("__sig"),
+        lit(added).as("added"),
+        bucketOf(col("band_key"), numBuckets).as("bucket"))
+
+  /** Append a batch of survivor signatures (flat `(id, __sig)` rows —
+    * the [[Dedup.minhashNearCatalog]] shape). One shuffle on the bucket
+    * key and a per-bucket sort, so each trigger writes at most one
+    * band_key-sorted file per touched bucket. */
+  def append(
+      signatures: DataFrame, dir: String,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      numBuckets: Int = DefaultBuckets, shingleSize: Int = 5,
+      added: Long = 0L): Unit = {
+    val spark = signatures.sparkSession
+    val m = Meta(numBuckets, bands, rowsPerBand, shingleSize)
+    requireMeta(spark, dir, m)
+    bandRows(signatures, bands, rowsPerBand, numBuckets, added)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("band_key")
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    if (readMeta(spark, dir).isEmpty) writeMeta(spark, dir, m)
+  }
+
+  // ------------------------------------------------------------ read
+
+  /** The whole catalog (empty frame before first append). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    if (!fs(spark, dir).exists(new Path(dir)) || readMeta(spark, dir).isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
+    else spark.read.schema(DataSchema).parquet(dir)
+
+  /** The catalog rows a batch of banded keys can possibly match:
+    * partition-prunes to the batch's buckets, and pushes the batch's
+    * distinct band keys into the scan when they fit under
+    * `maxPushdownKeys`. `batchBanded` needs a `band_key` column.
+    *
+    * The distinct-key collect is bounded: at most `maxPushdownKeys + 1`
+    * values come back (the +1 detects overflow → bucket-only pruning).
+    * Buckets are derived from the keys driver-side — ≤ numBuckets
+    * distinct values by construction. */
+  def readForBatch(
+      spark: SparkSession, dir: String, batchBanded: DataFrame,
+      maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame =
+    readMeta(spark, dir) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
+      case Some(m) =>
+        val full = spark.read.schema(DataSchema).parquet(dir)
+        // bucket pruning is ALWAYS on: ≤ numBuckets distinct values by
+        // construction, one bounded collect
+        val buckets = batchBanded
+          .select(bucketOf(col("band_key"), m.numBuckets).as("bucket"))
+          .distinct().collect().map(_.getInt(0))
+        if (buckets.isEmpty) full.limit(0)
+        else {
+          val pruned = full.filter(col("bucket").isin(buckets.toSeq: _*))
+          val keys = batchBanded.select(col("band_key"))
+            .distinct().limit(maxPushdownKeys + 1)
+            .collect().map(_.getLong(0))
+          if (keys.length > maxPushdownKeys) pruned
+          else pruned.filter(col("band_key").isin(keys.toSeq: _*))
+        }
+    }
+
+  // ------------------------------------------------------- compaction
+
+  private def dataFiles(f: FileSystem, dir: String): Seq[Path] = {
+    def walk(p: Path): Seq[Path] = {
+      val entries = f.listStatus(p).toSeq
+      entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath) ++
+        entries.filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+          .flatMap(s => walk(s.getPath))
+    }
+    val root = new Path(dir)
+    if (f.exists(root)) walk(root) else Seq.empty
+  }
+
+  /** Number of parquet data files currently in the catalog — the
+    * compaction trigger signal (per-trigger appends each add up to one
+    * file per touched bucket). */
+  def fileCount(spark: SparkSession, dir: String): Int =
+    dataFiles(fs(spark, dir), dir).size
+
+  /** Compact the per-trigger appends: rewrite the catalog as one
+    * band_key-sorted file per bucket, optionally dropping rows whose
+    * `added` tag is below `retainAddedFrom` (age/count retention — the
+    * caller decides what the tag means: batch id, crawl id, epoch day).
+    *
+    * Duplicate-tolerant swap: merged files are MOVED IN before the old
+    * files are deleted, so a crash anywhere leaves a catalog with (at
+    * worst) duplicate rows, which every reader already tolerates; no
+    * window exists where rows are missing. */
+  def compact(
+      spark: SparkSession, dir: String,
+      retainAddedFrom: Option[Long] = None): Unit = {
+    val f = fs(spark, dir)
+    if (readMeta(spark, dir).isEmpty) return
+    val oldFiles = dataFiles(f, dir)
+    if (oldFiles.isEmpty) return
+
+    val kept = retainAddedFrom match {
+      case Some(cutoff) =>
+        spark.read.schema(DataSchema).parquet(dir)
+          .filter(col("added") >= cutoff)
+      case None => spark.read.schema(DataSchema).parquet(dir)
+    }
+    // stage the merged catalog next to the live one, then move files in
+    val tmp = s"$dir/_compacting"
+    f.delete(new Path(tmp), true)
+    kept
+      // a doc's rows can appear in several input files after replayed
+      // appends or an interrupted compaction; collapse them while we are
+      // rewriting anyway, keeping the LATEST added tag (so retention
+      // ages a re-seen doc from its most recent sighting)
+      .groupBy(col("bucket"), col("band"), col("band_key"), col("id"))
+      .agg(first(col("__sig")).as("__sig"), max(col("added")).as("added"))
+      .select(col("band"), col("band_key"), col("id"), col("__sig"),
+        col("added"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("band_key")
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    for (bucketDir <- f.listStatus(new Path(tmp)).toSeq
+         if bucketDir.isDirectory && bucketDir.getPath.getName.startsWith("bucket=")) {
+      val target = new Path(dir, bucketDir.getPath.getName)
+      f.mkdirs(target)
+      for (part <- f.listStatus(bucketDir.getPath).toSeq
+           if part.isFile && part.getPath.getName.endsWith(".parquet"))
+        f.rename(part.getPath, new Path(target, s"compacted-${part.getPath.getName}"))
+    }
+    oldFiles.foreach(p => f.delete(p, false))
+    f.delete(new Path(tmp), true)
+  }
+}

@@ -265,7 +265,7 @@ object Dedup {
     withMinhashSignature(docs, textCol, shingleSize, bands * rowsPerBand)
       .select(col(idCol).as("id"), col("__sig"))
 
-  private def bandKeys(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[dedup] def bandKeys(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     df.select(col("id"), col("__sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
@@ -289,18 +289,52 @@ object Dedup {
       newDocs: DataFrame, catalog: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.7): DataFrame = {
+    val oldBanded = bandKeys(catalog, bands, rowsPerBand)
+      .select(col("band"), col("band_key"), col("id").as("old_id"))
+    val oldSigs = catalog.select(col("id").as("old_id"), col("__sig").as("sig_o"))
+    dedupNearIncrementalCore(newDocs, oldBanded, oldSigs, idCol, textCol,
+      shingleSize, bands, rowsPerBand, jaccardThreshold)
+  }
+
+  /** [[dedupNearIncremental]] against a PRE-BANDED catalog frame —
+    * `(band, band_key, id, __sig)` rows, normally the partition-pruned
+    * read of a [[BandedCatalog]] — so a micro-batch pays for the
+    * catalog BUCKETS its docs hash into, never a full-catalog re-band.
+    * Semantics are identical to the flat path (the banded rows ARE
+    * `bandKeys(catalog)` with the signature carried along); parity is
+    * pinned in StreamingNearDedupSpec. */
+  def dedupNearIncrementalBanded(
+      newDocs: DataFrame, bandedCatalog: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.7): DataFrame = {
+    val oldBanded = bandedCatalog
+      .select(col("band"), col("band_key"), col("id").as("old_id"))
+    // one signature row per catalog doc: a doc repeats across its band
+    // rows (and possibly across duplicate-tolerant compaction leftovers)
+    val oldSigs = bandedCatalog
+      .select(col("id").as("old_id"), col("__sig").as("sig_o"))
+      .dropDuplicates("old_id")
+    dedupNearIncrementalCore(newDocs, oldBanded, oldSigs, idCol, textCol,
+      shingleSize, bands, rowsPerBand, jaccardThreshold)
+  }
+
+  /** Shared incremental near-dedup core: candidate hits travel as ids
+    * only through the band join; signatures rejoin per DISTINCT pair. */
+  private def dedupNearIncrementalCore(
+      newDocs: DataFrame, oldBanded: DataFrame, oldSigs: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int,
+      jaccardThreshold: Double): DataFrame = {
     val k = bands * rowsPerBand
     val newSig = graft.ops.Checkpoints.pin(minhashNearCatalog(
       newDocs, idCol, textCol, shingleSize, bands, rowsPerBand))
     val newBanded = bandKeys(newSig, bands, rowsPerBand)
       .select(col("band"), col("band_key"), col("id").as("new_id"))
-    val oldBanded = bandKeys(catalog, bands, rowsPerBand)
-      .select(col("band"), col("band_key"), col("id").as("old_id"))
 
     val hits = newBanded.join(oldBanded, Seq("band", "band_key"))
       .select(col("new_id"), col("old_id")).dropDuplicates("new_id", "old_id")
       .join(newSig.select(col("id").as("new_id"), col("__sig").as("sig_n")), "new_id")
-      .join(catalog.select(col("id").as("old_id"), col("__sig").as("sig_o")), "old_id")
+      .join(oldSigs, "old_id")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_n"), col("sig_o"), (x, y) => x === y),
           b => b)).cast(DoubleType) / lit(k.toDouble))

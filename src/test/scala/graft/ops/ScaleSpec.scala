@@ -315,6 +315,41 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("banded catalog: a micro-batch's scan prunes partitions and pushes band keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-banded-prune")
+      .toString + "/catalog"
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    graft.dedup.BandedCatalog.append(
+      graft.dedup.Dedup.minhashNearCatalog(docs, "doc_id", "text"), dir)
+    val totalFiles = graft.dedup.BandedCatalog.fileCount(spark, dir)
+
+    // a 2-doc micro-batch touches ≤ 32 of the 64 buckets; the catalog
+    // read must carry a bucket partition filter (census-visible) and a
+    // band_key pushdown, and actually open fewer files than the catalog
+    val batch = Seq((900001L, "one tiny probe document"),
+      (900002L, "another tiny probe document")).toDF("doc_id", "text")
+    val probe = graft.dedup.BandedCatalog.bandRows(
+      graft.dedup.Dedup.minhashNearCatalog(batch, "doc_id", "text"),
+      bands = 16, rowsPerBand = 4,
+      numBuckets = graft.dedup.BandedCatalog.DefaultBuckets, added = 0L)
+    val pruned = graft.dedup.BandedCatalog.readForBatch(spark, dir, probe)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined,
+      s"catalog scan must partition-prune on bucket:\n$plan")
+    assert(plan.contains("In(band_key"),
+      s"batch band keys must push into the parquet scan:\n$plan")
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, s"no file scan in:\n$plan")
+    val numFiles = scans.head.metrics("numFiles").value
+    assert(numFiles < totalFiles,
+      s"pruned scan opened $numFiles of $totalFiles files — no pruning happened")
+  }
+
   test("keep-best winners: argmax is one combiner-backed agg — no window over the corpus") {
     import spark.implicits._
     // 100 two-doc clusters, singletons, and one 100-doc giant cluster:

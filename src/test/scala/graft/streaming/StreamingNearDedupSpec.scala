@@ -64,10 +64,26 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
     // agrees per the set equality above)
     val freshIds = b2.collect { case (id, _) if id < 100000L => id }.toSet
     assert(delivered.exists(p => freshIds.contains(p._1)))
-    // catalog state is one signature row per survivor — never texts
-    val cat = spark.read.parquet(s"$tmp/catalog")
-    assert(cat.count() == want.size)
-    assert(cat.columns.toSet == Set("id", "__sig"))
+    // catalog state is banded signature rows per survivor — never texts
+    val cat = graft.dedup.BandedCatalog.read(spark, s"$tmp/catalog")
+    assert(cat.select("id").distinct().count() == want.size)
+    assert(cat.columns.toSet ==
+      Set("band", "band_key", "id", "__sig", "added", "bucket"))
+    // batch/stream catalog interop: the banded batch entry point over
+    // the stream's catalog agrees with the flat oracled path over the
+    // equivalent flat catalog
+    val flat = cat.select(col("id"), col("__sig")).dropDuplicates("id")
+    val nextBatch = b1.take(5).map { case (id, t) => (id + 900000L, mutate(t)) } :+
+      (999999L, "a genuinely fresh document about nothing else " * 3)
+    val viaBanded = Dedup.dedupNearIncrementalBanded(
+      nextBatch.toDF("doc_id", "text"), cat, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val viaFlat = Dedup.dedupNearIncremental(
+      nextBatch.toDF("doc_id", "text"), flat, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBanded == viaFlat)
+    assert(viaBanded.contains(999999L))
+    assert(!viaBanded.exists(id => id >= 900000L && id < 999999L))
   }
 
   test("restart from checkpoint: the catalog carries dedup state across queries") {
@@ -109,5 +125,81 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
     val replay = StreamingNearDedup.applyBatch(
       b1.toDF("doc_id", "text"), s"$tmp/catalog", "doc_id", "text")
     assert(replay.isEmpty, "replayed docs must match their own signatures and drop")
+  }
+
+  test("compaction merges per-trigger appends and preserves dedup state") {
+    import spark.implicits._
+    val (b1, b2) = corpus()
+    val tmp = Files.createTempDirectory("graft-snd-compact").toString
+    val dir = s"$tmp/catalog"
+    // two triggers, auto-compaction disabled: each append leaves its own
+    // per-bucket files
+    StreamingNearDedup.applyBatch(
+      b1.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 0, added = 1L)
+    val s2 = StreamingNearDedup.applyBatch(
+      b2.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 0, added = 2L)
+    val beforeFiles = graft.dedup.BandedCatalog.fileCount(spark, dir)
+    val beforeState = graft.dedup.BandedCatalog.read(spark, dir)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+
+    graft.dedup.BandedCatalog.compact(spark, dir)
+    val afterFiles = graft.dedup.BandedCatalog.fileCount(spark, dir)
+    assert(afterFiles < beforeFiles,
+      s"compaction must shrink the file count ($beforeFiles -> $afterFiles)")
+    val afterState = graft.dedup.BandedCatalog.read(spark, dir)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(afterState == beforeState, "compaction must not change catalog state")
+
+    // dedup memory intact: near-dups of pre-compaction survivors drop
+    val mutants = (b1.take(5) ++ s2.collect().take(5)
+        .map(r => (r.getLong(0), r.getString(1))))
+      .map { case (id, t) => (id + 700000L, mutate(t)) }
+    val after = StreamingNearDedup.applyBatch(
+      mutants.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 0, added = 3L)
+    assert(after.isEmpty, "near-dups of pre-compaction docs must still drop")
+  }
+
+  test("retention: expired signatures stop suppressing new docs") {
+    import spark.implicits._
+    val (b1, _) = corpus()
+    val old = b1.take(10)
+    val fresh = b1.slice(50, 60)
+    val tmp = Files.createTempDirectory("graft-snd-ttl").toString
+    val dir = s"$tmp/catalog"
+    // work from the batches' actual SURVIVORS — only their signatures
+    // are in the catalog (the corpus carries planted near-dups of its
+    // own, so not every input doc lands there)
+    val s1 = StreamingNearDedup.applyBatch(
+      old.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 0, added = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val s2 = StreamingNearDedup.applyBatch(
+      fresh.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 0, added = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.nonEmpty && s2.nonEmpty)
+
+    // age out crawl 1: compaction drops every signature tagged below 2
+    graft.dedup.BandedCatalog.compact(spark, dir, retainAddedFrom = Some(2L))
+    val ids = graft.dedup.BandedCatalog.read(spark, dir)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == s2.map(_._1).toSet,
+      s"only crawl-2 signatures may remain, got $ids")
+
+    // near-dups of the EXPIRED crawl now survive; near-dups of the
+    // retained crawl still drop — the pin the verdict asked for
+    val probes = (s1.take(5).map { case (id, t) => (id + 300000L, mutate(t)) } ++
+      s2.take(5).map { case (id, t) => (id + 400000L, mutate(t)) }).toSeq
+    val out = StreamingNearDedup.applyBatch(
+      probes.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 0, added = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.take(5).forall { case (id, _) => out.contains(id + 300000L) },
+      "near-dups of expired signatures must survive after retention")
+    assert(s2.take(5).forall { case (id, _) => !out.contains(id + 400000L) },
+      "near-dups of retained signatures must still drop")
   }
 }
