@@ -43,7 +43,8 @@ object Bench {
     * resolve, cdc_apply). */
   private val Noisy = Set(
     "cdc_user_state", "sessionize", "q21_waiting", "minhash_pairs",
-    "semdedup_report", "dedup_cluster_resolve", "minhash_20k", "cdc_apply")
+    "semdedup_report", "dedup_cluster_resolve", "minhash_20k", "cdc_apply",
+    "cluster_deep_chain")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
     * middles for even n (so reps=2 takes the min). Contention only ever
@@ -217,9 +218,26 @@ object Bench {
         (n, text, minhash)
       } else (0L, 0.0, 0.0)
 
+    // Deep-chain cluster resolution: ONE maximal chain over the documents
+    // ids (2,000 hops — inside the default converge valve, ~250x the
+    // bench graph's 7-hop diameter), so the pointer-doubling branch
+    // (Dedup.clusterPairs round >= 8) gets a standing perf number — the
+    // 7-run graph the dedup_cluster_resolve query times converges in
+    // one-hop rounds and never engages it.
+    val chainSec = if (want("cluster_deep_chain")) {
+      val pairs = Tables.read(spark, sfDir, "documents")
+        .select(col("doc_id"))
+        .filter(col("doc_id") >= 1 && col("doc_id") < 2000)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      timeN("cluster_deep_chain") {
+        force(graft.dedup.Dedup.clusterPairs(pairs))
+      }
+    } else 0.0
+
     val metricTimes = Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
-      "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec)
+      "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
+      "cluster_deep_chain" -> chainSec)
       .filter { case (n, _) => want(n) }
     val all = queryTimes ++ metricTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -234,11 +252,15 @@ object Bench {
         f""""text_docs_per_s":${rate(nDocs, textSec)}%.0f,""" +
         f""""minhash_docs_per_s":${rate(nDocs, minhashSec)}%.0f"""
     // contention self-identification: 1-min loadavg before/after plus the
-    // run's own wall clock (>> sum of medians on a contended box)
+    // run's own wall clock (>> sum of medians on a contended box). The
+    // one-line verdict flag keys on load_start alone — the pre-run load
+    // is the only signal our own 32-thread run cannot have inflated
+    // (wall/sum ratios are rep-count-dependent even on an idle box).
     val env =
       f""""load_start":$loadStart%.2f,"load_end":${loadavg()}%.2f,""" +
         f""""wall_clock_sec":${(System.nanoTime() - wall0) / 1e9}%.1f,""" +
-        s""""reps_all":$repsAll,"reps_noisy":$repsNoisy"""
+        s""""reps_all":$repsAll,"reps_noisy":$repsNoisy,""" +
+        s""""contended":${loadStart > 1.0}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,$env,"sf":"$sfDir"}""")
     spark.stop()
