@@ -1,0 +1,236 @@
+package graft.dedup
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The persistent EXACT-dedup catalog — the 100 TB shape for the
+  * `(fp, h2)` state [[Dedup.dedupIncremental]] carries between crawls,
+  * with the same layout discipline (and the same retention/compaction
+  * answer to monotone growth — r7 verdict stretch item 6) as the
+  * near-dup [[BandedCatalog]]:
+  *
+  *  - parquet under `dir`, partitioned by `bucket = fp mod numBuckets`,
+  *    rows `(fp, h2, added)`, files sorted by `fp` within each bucket —
+  *    a batch's anti-join reads only the buckets its fingerprints hash
+  *    into (`bucket IN (…)` partition filter), plus an `fp IN (…)`
+  *    row-group pushdown when the batch's distinct fingerprints fit
+  *    under `maxPushdownKeys`. 16 bytes/doc of payload: at 10⁹ distinct
+  *    docs the catalog is ~16 GB — trivially smaller than the corpus it
+  *    shadows.
+  *  - `h2` is the HASHED collision re-check (`xxhash64` — an
+  *    independent family from `fingerprint64`, so a false drop needs a
+  *    simultaneous 2-hash collision). The raw-text `secondKey` variant
+  *    of [[Dedup.dedupIncremental]] stays available for byte-exact
+  *    semantics; a persistent catalog carrying full texts would not be
+  *    a catalog.
+  *  - **`added` tag + retention**: every row carries the caller's
+  *    monotone batch tag; [[compact]] can drop rows below a cutoff, so
+  *    a year-long pipeline stops suppressing new documents against
+  *    crawls it no longer serves. An expired document that re-appears
+  *    is ADMITTED once and re-enters the catalog with the current tag.
+  *  - **crash/duplicate contract** (same as BandedCatalog): appends
+  *    land after survivor delivery, compaction moves merged files in
+  *    before deleting inputs; duplicate `(fp, h2)` rows are harmless
+  *    (the anti-join suppresses against ANY matching row) and collapse
+  *    at the next compaction, keeping the LATEST `added` tag.
+  */
+object ExactCatalog {
+
+  val DefaultBuckets = 64
+  val DefaultMaxPushdownKeys = 20000
+
+  private val DataSchema = StructType(Seq(
+    StructField("fp", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
+    StructField("added", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false)))
+
+  def bucketOf(fp: Column, numBuckets: Int): Column =
+    pmod(fp, lit(numBuckets.toLong)).cast(IntegerType)
+
+  // ------------------------------------------------------------- meta
+
+  /** `numBuckets` is part of the layout (a different value makes
+    * partition pruning drop the wrong buckets) — recorded at first
+    * append, asserted on every open. */
+  private def metaPath(dir: String) = new Path(dir, "_graft_exact_catalog.json")
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def readMeta(spark: SparkSession, dir: String): Option[Int] = {
+    val p = metaPath(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"numBuckets":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+        .orElse(throw new IllegalStateException(
+          s"exact catalog meta at $p is malformed: $text"))
+    }
+  }
+
+  private def requireMeta(spark: SparkSession, dir: String, numBuckets: Int): Unit =
+    readMeta(spark, dir).foreach { have =>
+      require(have == numBuckets,
+        s"exact catalog at $dir was written with numBuckets=$have; " +
+          s"opening it with numBuckets=$numBuckets would prune wrong buckets")
+    }
+
+  private def writeMeta(spark: SparkSession, dir: String, numBuckets: Int): Unit = {
+    val out = fs(spark, dir).create(metaPath(dir), true)
+    try out.write(s"""{"numBuckets":$numBuckets}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ----------------------------------------------------------- entries
+
+  /** Catalog entries of a document frame: one `(fp, h2)` per doc (NOT
+    * distinct-collapsed — callers feed already-collapsed survivors). */
+  def entriesOf(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+      graft.functions.GraftFunctions.fingerprint64(col(textCol)).as("fp"),
+      xxhash64(col(textCol)).as("h2"))
+
+  // ------------------------------------------------------------ append
+
+  /** Append `(fp, h2)` entries under the caller's `added` tag: one
+    * shuffle on the bucket key, at most one fp-sorted file per touched
+    * bucket per call. */
+  def append(
+      entries: DataFrame, dir: String,
+      numBuckets: Int = DefaultBuckets, added: Long = 0L): Unit = {
+    val spark = entries.sparkSession
+    requireMeta(spark, dir, numBuckets)
+    entries.select(col("fp"), col("h2"), lit(added).as("added"),
+      bucketOf(col("fp"), numBuckets).as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("fp")
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    if (readMeta(spark, dir).isEmpty) writeMeta(spark, dir, numBuckets)
+  }
+
+  // -------------------------------------------------------------- read
+
+  /** The whole catalog (empty frame before first append). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    if (readMeta(spark, dir).isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
+    else spark.read.schema(DataSchema).parquet(dir)
+
+  /** The catalog rows a batch can possibly match: bucket partition
+    * pruning always (≤ numBuckets distinct values, one bounded collect),
+    * `fp IN (…)` scan pushdown when the batch's distinct fingerprints
+    * fit under `maxPushdownKeys` (files are fp-sorted, so min/max stats
+    * skip row groups). `batchEntries` needs an `fp` column. */
+  def readForBatch(
+      spark: SparkSession, dir: String, batchEntries: DataFrame,
+      maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame =
+    readMeta(spark, dir) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
+      case Some(numBuckets) =>
+        val full = spark.read.schema(DataSchema).parquet(dir)
+        val buckets = batchEntries
+          .select(bucketOf(col("fp"), numBuckets).as("bucket"))
+          .distinct().collect().map(_.getInt(0))
+        if (buckets.isEmpty) full.limit(0)
+        else {
+          val pruned = full.filter(col("bucket").isin(buckets.toSeq: _*))
+          val fps = batchEntries.select(col("fp"))
+            .distinct().limit(maxPushdownKeys + 1)
+            .collect().map(_.getLong(0))
+          if (fps.length > maxPushdownKeys) pruned
+          else pruned.filter(col("fp").isin(fps.toSeq: _*))
+        }
+    }
+
+  // ------------------------------------------------------- incremental
+
+  /** One crawl/micro-batch against the persistent catalog: in-batch
+    * collapse, anti-join against the PRUNED catalog read, survivors
+    * pinned (so delivery does not recompute past the append), appended
+    * under `added`, returned. Per-batch work is O(batch × bucket
+    * occupancy), never O(catalog). */
+  def applyBatch(
+      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      numBuckets: Int = DefaultBuckets, added: Long = 0L,
+      maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame = {
+    val spark = batch.sparkSession
+    val fresh = Dedup.dedupExact(batch, idCol, textCol)
+      .withColumn("__fp", graft.functions.GraftFunctions.fingerprint64(col(textCol)))
+      .withColumn("__h2", xxhash64(col(textCol)))
+    val cat = readForBatch(
+      spark, dir, fresh.select(col("__fp").as("fp")), maxPushdownKeys)
+    val survivors = graft.ops.Checkpoints.pin(
+      fresh.join(
+        cat.select(col("fp").as("__cfp"), col("h2").as("__ch2")),
+        col("__fp") === col("__cfp") && col("__h2") === col("__ch2"),
+        "left_anti"))
+    append(survivors.select(col("__fp").as("fp"), col("__h2").as("h2")),
+      dir, numBuckets, added)
+    survivors.drop("__fp", "__h2")
+  }
+
+  // ------------------------------------------------------- compaction
+
+  private def dataFiles(f: FileSystem, dir: String): Seq[Path] = {
+    def walk(p: Path): Seq[Path] = {
+      val entries = f.listStatus(p).toSeq
+      entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath) ++
+        entries.filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+          .flatMap(s => walk(s.getPath))
+    }
+    val root = new Path(dir)
+    if (f.exists(root)) walk(root) else Seq.empty
+  }
+
+  def fileCount(spark: SparkSession, dir: String): Int =
+    dataFiles(fs(spark, dir), dir).size
+
+  /** Rewrite the catalog as one fp-sorted file per bucket, collapsing
+    * duplicate `(fp, h2)` rows to their LATEST `added` tag, optionally
+    * dropping rows below `retainAddedFrom` (retention — the caller
+    * decides what the tag means: batch id, crawl id, epoch day).
+    * Duplicate-tolerant swap, same as [[BandedCatalog.compact]]. */
+  def compact(
+      spark: SparkSession, dir: String,
+      retainAddedFrom: Option[Long] = None): Unit = {
+    val f = fs(spark, dir)
+    if (readMeta(spark, dir).isEmpty) return
+    val oldFiles = dataFiles(f, dir)
+    if (oldFiles.isEmpty) return
+    val kept = retainAddedFrom match {
+      case Some(cutoff) =>
+        spark.read.schema(DataSchema).parquet(dir).filter(col("added") >= cutoff)
+      case None => spark.read.schema(DataSchema).parquet(dir)
+    }
+    val tmp = s"$dir/_compacting"
+    f.delete(new Path(tmp), true)
+    kept
+      .groupBy(col("bucket"), col("fp"), col("h2"))
+      .agg(max(col("added")).as("added"))
+      .select(col("fp"), col("h2"), col("added"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("fp")
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    for (bucketDir <- f.listStatus(new Path(tmp)).toSeq
+         if bucketDir.isDirectory && bucketDir.getPath.getName.startsWith("bucket=")) {
+      val target = new Path(dir, bucketDir.getPath.getName)
+      f.mkdirs(target)
+      for (part <- f.listStatus(bucketDir.getPath).toSeq
+           if part.isFile && part.getPath.getName.endsWith(".parquet"))
+        f.rename(part.getPath, new Path(target, s"compacted-${part.getPath.getName}"))
+    }
+    oldFiles.foreach(p => f.delete(p, false))
+    f.delete(new Path(tmp), true)
+  }
+}

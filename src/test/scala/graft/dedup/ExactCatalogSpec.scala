@@ -1,0 +1,134 @@
+package graft.dedup
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** The persistent exact-dedup catalog: parity with the flat in-memory
+  * path, pruned per-batch reads, duplicate tolerance, compaction, and
+  * age-based retention (expired signatures stop suppressing new docs —
+  * r7 stretch item 6, exact side; the near side is BandedCatalogSpec
+  * territory inside StreamingNearDedupSpec). */
+class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-exact-cat").toString
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("incremental dedup through the catalog matches the flat path") {
+    val dir = tmpDir()
+    val corpus = docs(1L -> "alpha", 2L -> "beta", 3L -> "alpha")
+    ExactCatalog.append(
+      ExactCatalog.entriesOf(Dedup.dedupExact(corpus, "doc_id", "text"), "text"),
+      dir, added = 0L)
+
+    val batch = docs(10L -> "alpha", 11L -> "gamma", 12L -> "gamma",
+      13L -> "beta", 14L -> "delta")
+    val viaCatalog = ExactCatalog.applyBatch(batch, dir, "doc_id", "text",
+      added = 1L)
+    val flat = Dedup.dedupIncremental(
+      batch, ExactCatalog.entriesOf(corpus, "text").distinct()
+        .select(col("fp"), col("h2")),
+      "doc_id", "text", secondKey = xxhash64(_))
+    assert(viaCatalog.select("doc_id").as[Long].collect().sorted.toSeq ==
+      flat.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(viaCatalog.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 14L))
+
+    // the batch's survivors entered the catalog: replaying the batch
+    // admits nothing
+    assert(ExactCatalog.applyBatch(batch, dir, "doc_id", "text",
+      added = 2L).isEmpty)
+  }
+
+  test("per-batch read prunes to the batch's buckets") {
+    val dir = tmpDir()
+    val corpus = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
+    ExactCatalog.append(ExactCatalog.entriesOf(corpus, "text"), dir)
+    val full = ExactCatalog.read(spark, dir)
+    assert(full.count() == 200)
+
+    val oneDoc = ExactCatalog.entriesOf(docs(999L -> "doc 7"), "text")
+    val pruned = ExactCatalog.readForBatch(spark, dir, oneDoc)
+    // fp pushdown: only the probe's fingerprint row comes back
+    assert(pruned.count() == 1)
+    assert(pruned.select("fp").as[Long].head() ==
+      oneDoc.select("fp").as[Long].head())
+    // and the scan carries a bucket partition filter (census-visible)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no bucket partition filter in:\n$plan")
+  }
+
+  test("retention: expired signatures stop suppressing, retained keep dropping") {
+    val dir = tmpDir()
+    // crawl 1 (added = 1) and crawl 2 (added = 2)
+    assert(ExactCatalog.applyBatch(docs(1L -> "old crawl", 2L -> "evergreen"),
+      dir, "doc_id", "text", added = 1L).count() == 2)
+    assert(ExactCatalog.applyBatch(docs(3L -> "new crawl"),
+      dir, "doc_id", "text", added = 2L).count() == 1)
+
+    // before retention, everything suppresses
+    assert(ExactCatalog.applyBatch(
+      docs(10L -> "old crawl", 11L -> "new crawl"),
+      dir, "doc_id", "text", added = 3L).isEmpty)
+
+    // retention drops crawl 1: its docs are admitted again, crawl 2+
+    // docs still suppress
+    ExactCatalog.compact(spark, dir, retainAddedFrom = Some(2L))
+    val readmitted = ExactCatalog.applyBatch(
+      docs(20L -> "old crawl", 21L -> "evergreen", 22L -> "new crawl"),
+      dir, "doc_id", "text", added = 4L)
+    assert(readmitted.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(20L, 21L))
+
+    // and the re-admitted doc re-entered the catalog under the new tag
+    assert(ExactCatalog.applyBatch(docs(30L -> "old crawl"),
+      dir, "doc_id", "text", added = 5L).isEmpty)
+  }
+
+  test("compaction merges per-batch files, keeps the latest added tag, and is duplicate-tolerant") {
+    val dir = tmpDir()
+    (1L to 5L).foreach { b =>
+      ExactCatalog.append(
+        ExactCatalog.entriesOf(docs(b -> s"doc $b", 100L -> "repeat"), "text"),
+        dir, added = b)
+    }
+    val before = ExactCatalog.fileCount(spark, dir)
+    assert(before >= 5)
+    // "repeat" appears 5 times (appends are duplicate-tolerant) but
+    // suppresses exactly like one row
+    assert(ExactCatalog.read(spark, dir).count() == 10)
+    assert(ExactCatalog.applyBatch(docs(50L -> "repeat"), dir, "doc_id",
+      "text", added = 6L).isEmpty)
+
+    ExactCatalog.compact(spark, dir)
+    assert(ExactCatalog.fileCount(spark, dir) < before)
+    val rows = ExactCatalog.read(spark, dir)
+    assert(rows.count() == 6) // 5 distinct docs + one collapsed repeat
+    // the collapsed repeat keeps its LATEST sighting tag
+    val repeatFp = ExactCatalog.entriesOf(docs(0L -> "repeat"), "text")
+      .select("fp").as[Long].head()
+    assert(rows.filter(col("fp") === repeatFp)
+      .select("added").as[Long].head() == 5L)
+    // dedup behavior unchanged after the rewrite
+    assert(ExactCatalog.applyBatch(docs(60L -> "repeat", 61L -> "doc 3"),
+      dir, "doc_id", "text", added = 7L).isEmpty)
+  }
+
+  test("numBuckets is a layout parameter: reopening with a different value fails") {
+    val dir = tmpDir()
+    ExactCatalog.append(ExactCatalog.entriesOf(docs(1L -> "a"), "text"),
+      dir, numBuckets = 16)
+    val e = intercept[IllegalArgumentException] {
+      ExactCatalog.append(ExactCatalog.entriesOf(docs(2L -> "b"), "text"),
+        dir, numBuckets = 32)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+  }
+}
