@@ -57,7 +57,16 @@ object StreamingNearDedup {
     * survivors' signatures (tagged `added` — the batch id in streaming,
     * any monotone crawl marker in batch use), compact when the catalog's
     * file count crosses `compactAboveFiles` (0 disables), and return the
-    * surviving (idCol, textCol) rows. */
+    * surviving (idCol, textCol) rows.
+    *
+    * `retainAddedBehind`: rolling retention window in `added` units —
+    * when set, each compaction drops catalog rows whose tag is more
+    * than that far behind the CURRENT batch's tag, so a long-running
+    * stream stops deduplicating against dead crawls (an expired doc
+    * that re-appears is admitted once and re-enters under the current
+    * tag). Retention only applies at compaction, so expiry granularity
+    * is the compaction cadence — exactly the semantics
+    * ExactCatalogSpec/StreamingNearDedupSpec pin. */
   def applyBatch(
       batch: DataFrame, catalogDir: String, idCol: String, textCol: String,
       shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
@@ -66,6 +75,7 @@ object StreamingNearDedup {
       maxPushdownKeys: Int = BandedCatalog.DefaultMaxPushdownKeys,
       compactAboveFiles: Int = 256,
       added: Long = 0L,
+      retainAddedBehind: Option[Long] = None,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     // the engine re-plans foreachBatch frames; pin so the dedup's
@@ -88,7 +98,8 @@ object StreamingNearDedup {
       catalogDir, bands, rowsPerBand, numBuckets, shingleSize, added)
     if (compactAboveFiles > 0 &&
         BandedCatalog.fileCount(spark, catalogDir) > compactAboveFiles)
-      BandedCatalog.compact(spark, catalogDir)
+      BandedCatalog.compact(spark, catalogDir,
+        retainAddedFrom = retainAddedBehind.map(b => added - b))
     survivors
   }
 
@@ -103,6 +114,7 @@ object StreamingNearDedup {
       numBuckets: Int = BandedCatalog.DefaultBuckets,
       maxPushdownKeys: Int = BandedCatalog.DefaultMaxPushdownKeys,
       compactAboveFiles: Int = 256,
+      retainAddedBehind: Option[Long] = None,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -113,7 +125,8 @@ object StreamingNearDedup {
           val _ = applyBatch(batch, catalogDir, idCol, textCol,
             shingleSize, bands, rowsPerBand, jaccardThreshold,
             numBuckets, maxPushdownKeys, compactAboveFiles,
-            added = batchId, deliver = deliver)
+            added = batchId, retainAddedBehind = retainAddedBehind,
+            deliver = deliver)
         }
       }
 }

@@ -202,4 +202,37 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(s2.take(5).forall { case (id, _) => !out.contains(id + 400000L) },
       "near-dups of retained signatures must still drop")
   }
+
+  test("rolling retention (retainAddedBehind) applies at auto-compaction") {
+    import spark.implicits._
+    val (b1, _) = corpus()
+    val old = b1.take(10)
+    val fresh = b1.slice(50, 60)
+    val tmp = Files.createTempDirectory("graft-snd-roll").toString
+    val dir = s"$tmp/catalog"
+    val s1 = StreamingNearDedup.applyBatch(
+      old.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 0, added = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch at added = 5 with a 2-batch retention window and a forced
+    // auto-compaction: cutoff = 5 - 2 = 3 ages out the added=1 rows,
+    // while this batch's own appends (added = 5) are retained
+    val s2 = StreamingNearDedup.applyBatch(
+      fresh.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 1, added = 5L, retainAddedBehind = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.nonEmpty && s2.nonEmpty)
+    val ids = graft.dedup.BandedCatalog.read(spark, dir)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == s2.map(_._1).toSet,
+      s"auto-compaction must have aged out the old crawl, got $ids")
+    val probes = (s1.take(5).map { case (id, t) => (id + 500000L, mutate(t)) } ++
+      s2.take(5).map { case (id, t) => (id + 600000L, mutate(t)) }).toSeq
+    val out = StreamingNearDedup.applyBatch(
+      probes.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 0, added = 6L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.take(5).forall { case (id, _) => out.contains(id + 500000L) })
+    assert(s2.take(5).forall { case (id, _) => !out.contains(id + 600000L) })
+  }
 }
