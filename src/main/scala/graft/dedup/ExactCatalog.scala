@@ -164,9 +164,13 @@ object ExactCatalog {
       numBuckets: Int = DefaultBuckets, added: Long = 0L,
       maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame = {
     val spark = batch.sparkSession
-    val fresh = Dedup.dedupExact(batch, idCol, textCol)
-      .withColumn("__fp", graft.functions.GraftFunctions.fingerprint64(col(textCol)))
-      .withColumn("__h2", xxhash64(col(textCol)))
+    // pin the in-batch collapse once: it feeds the pushdown probe, the
+    // anti-join AND (via survivors) the append — unpinned, the window
+    // would re-evaluate for each
+    val fresh = graft.ops.Checkpoints.pin(
+      Dedup.dedupExact(batch, idCol, textCol)
+        .withColumn("__fp", graft.functions.GraftFunctions.fingerprint64(col(textCol)))
+        .withColumn("__h2", xxhash64(col(textCol))))
     val cat = readForBatch(
       spark, dir, fresh.select(col("__fp").as("fp")), maxPushdownKeys)
     val survivors = graft.ops.Checkpoints.pin(
