@@ -112,6 +112,21 @@ object BandedCatalog {
           s"opening it with $m would silently miss duplicates")
     }
 
+  /** Data files without a meta file mean rows of UNKNOWN banding — a
+    * flat-layout catalog from before this format, or a crash between
+    * data and meta writes of a pre-fix version. Reading them as empty
+    * would silently drop all dedup state (every past signature stops
+    * suppressing), and appending would mix layouts; fail loudly
+    * instead. (The current writer makes this window impossible: meta
+    * lands BEFORE the first data write.) */
+  private def rejectOrphanData(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    require(dataFiles(f, dir).isEmpty,
+      s"catalog at $dir has parquet data but no meta file — refusing to " +
+        "treat unknown-layout rows as an empty catalog; rebuild the " +
+        "catalog (or restore its meta) before reading or appending")
+  }
+
   // ---------------------------------------------------------- append
 
   /** Band + bucket a flat `(id, __sig)` signature frame into catalog
@@ -136,20 +151,33 @@ object BandedCatalog {
     val spark = signatures.sparkSession
     val m = Meta(numBuckets, bands, rowsPerBand, shingleSize)
     requireMeta(spark, dir, m)
+    // meta BEFORE the first data write: a crash between the two must
+    // leave a readable (empty-but-typed) catalog, never data rows whose
+    // layout nothing records (see rejectOrphanData)
+    if (readMeta(spark, dir).isEmpty) {
+      rejectOrphanData(spark, dir)
+      writeMeta(spark, dir, m)
+    }
     bandRows(signatures, bands, rowsPerBand, numBuckets, added)
       .repartition(col("bucket"))
-      .sortWithinPartitions("band_key")
+      // bucket FIRST: the partitioned-file writer requires ordering by
+      // the partition column and would insert its own Sort(bucket) over
+      // a bare band_key sort — an extra (unstable) sort that both wastes
+      // work and voids the band_key file order the row-group skipping
+      // relies on. With the bucket prefix the writer's requirement is
+      // already satisfied and the band_key order survives verbatim.
+      .sortWithinPartitions("bucket", "band_key")
       .write.mode("append").partitionBy("bucket").parquet(dir)
-    if (readMeta(spark, dir).isEmpty) writeMeta(spark, dir, m)
   }
 
   // ------------------------------------------------------------ read
 
   /** The whole catalog (empty frame before first append). */
   def read(spark: SparkSession, dir: String): DataFrame =
-    if (!fs(spark, dir).exists(new Path(dir)) || readMeta(spark, dir).isEmpty)
+    if (!fs(spark, dir).exists(new Path(dir)) || readMeta(spark, dir).isEmpty) {
+      if (fs(spark, dir).exists(new Path(dir))) rejectOrphanData(spark, dir)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
-    else spark.read.schema(DataSchema).parquet(dir)
+    } else spark.read.schema(DataSchema).parquet(dir)
 
   /** The catalog rows a batch of banded keys can possibly match:
     * partition-prunes to the batch's buckets, and pushes the batch's
@@ -165,6 +193,7 @@ object BandedCatalog {
       maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame =
     readMeta(spark, dir) match {
       case None =>
+        if (fs(spark, dir).exists(new Path(dir))) rejectOrphanData(spark, dir)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
       case Some(m) =>
         val full = spark.read.schema(DataSchema).parquet(dir)
@@ -240,15 +269,24 @@ object BandedCatalog {
       .select(col("band"), col("band_key"), col("id"), col("__sig"),
         col("added"), col("bucket"))
       .repartition(col("bucket"))
-      .sortWithinPartitions("band_key")
+      .sortWithinPartitions("bucket", "band_key") // see append(): bucket prefix
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     for (bucketDir <- f.listStatus(new Path(tmp)).toSeq
          if bucketDir.isDirectory && bucketDir.getPath.getName.startsWith("bucket=")) {
       val target = new Path(dir, bucketDir.getPath.getName)
       f.mkdirs(target)
       for (part <- f.listStatus(bucketDir.getPath).toSeq
-           if part.isFile && part.getPath.getName.endsWith(".parquet"))
-        f.rename(part.getPath, new Path(target, s"compacted-${part.getPath.getName}"))
+           if part.isFile && part.getPath.getName.endsWith(".parquet")) {
+        val dest = new Path(target, s"compacted-${part.getPath.getName}")
+        // Hadoop rename reports failure by RETURNING FALSE (same trap
+        // Pipe.compact guards). Proceeding to the old-file delete after
+        // a failed move would drop the only copy of those rows — abort
+        // instead: the already-moved files are harmless duplicates of
+        // the still-present inputs, which every reader tolerates.
+        if (!f.rename(part.getPath, dest)) throw new java.io.IOException(
+          s"catalog compaction: rename ${part.getPath} -> $dest failed; " +
+            "old files left in place (duplicates only, no loss)")
+      }
     }
     oldFiles.foreach(p => f.delete(p, false))
     f.delete(new Path(tmp), true)

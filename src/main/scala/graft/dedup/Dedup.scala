@@ -156,7 +156,6 @@ object Dedup {
       rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.7,
       maxBucketSize: Int = 0): DataFrame = {
-    val k = bands * rowsPerBand
     // (id, sig) is consumed three times (banding + both signature joins).
     // Checkpoints.pin (NOT cache) materializes the narrow projection once:
     // cache() would register it with the session CacheManager, which pins
@@ -164,9 +163,24 @@ object Dedup {
     // DataFrame cannot schedule — a leak per invocation. Checkpoint blocks
     // are dropped by the ContextCleaner when the plan is garbage-collected.
     val sig = graft.ops.Checkpoints.pin(
-      withMinhashSignature(df, textCol, shingleSize, k)
+      withMinhashSignature(df, textCol, shingleSize, bands * rowsPerBand)
         .select(col(idCol).as("id"), col("__sig")))
+    minhashCandidatePairsFromSigs(
+      sig, bands, rowsPerBand, jaccardThreshold, maxBucketSize)
+  }
 
+  /** [[minhashCandidatePairs]] over an ALREADY-COMPUTED (and pinned)
+    * `(id, __sig)` frame — the seam that lets one MinHash pass feed the
+    * catalog probe, the incremental join, the in-batch pairs AND the
+    * catalog append (the signature scan is the dominant per-batch cost;
+    * computing it once per consumer doubled streaming trigger work). */
+  def minhashCandidatePairsFromSigs(
+      sig: DataFrame,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.7,
+      maxBucketSize: Int = 0): DataFrame = {
+    val k = bands * rowsPerBand
     val banded = sig.select(
       col("id"), col("__sig"),
       posexplode(transform(
@@ -306,7 +320,8 @@ object Dedup {
   def dedupNearIncrementalBanded(
       newDocs: DataFrame, bandedCatalog: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      jaccardThreshold: Double = 0.7): DataFrame = {
+      jaccardThreshold: Double = 0.7,
+      newSigs: Option[DataFrame] = None): DataFrame = {
     val oldBanded = bandedCatalog
       .select(col("band"), col("band_key"), col("id").as("old_id"))
     // one signature row per catalog doc: a doc repeats across its band
@@ -315,19 +330,25 @@ object Dedup {
       .select(col("id").as("old_id"), col("__sig").as("sig_o"))
       .dropDuplicates("old_id")
     dedupNearIncrementalCore(newDocs, oldBanded, oldSigs, idCol, textCol,
-      shingleSize, bands, rowsPerBand, jaccardThreshold)
+      shingleSize, bands, rowsPerBand, jaccardThreshold, newSigs)
   }
 
   /** Shared incremental near-dedup core: candidate hits travel as ids
-    * only through the band join; signatures rejoin per DISTINCT pair. */
+    * only through the band join; signatures rejoin per DISTINCT pair.
+    * `newSigs`: an already-PINNED `(id, __sig)` frame for the batch (the
+    * [[minhashNearCatalog]] shape) — callers that computed signatures
+    * anyway (the streaming loop: probe + append) pass it so the MinHash
+    * scan, the batch's dominant cost, runs once per trigger instead of
+    * once per consumer. */
   private def dedupNearIncrementalCore(
       newDocs: DataFrame, oldBanded: DataFrame, oldSigs: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int, bands: Int, rowsPerBand: Int,
-      jaccardThreshold: Double): DataFrame = {
+      jaccardThreshold: Double,
+      newSigs: Option[DataFrame] = None): DataFrame = {
     val k = bands * rowsPerBand
-    val newSig = graft.ops.Checkpoints.pin(minhashNearCatalog(
-      newDocs, idCol, textCol, shingleSize, bands, rowsPerBand))
+    val newSig = newSigs.getOrElse(graft.ops.Checkpoints.pin(minhashNearCatalog(
+      newDocs, idCol, textCol, shingleSize, bands, rowsPerBand)))
     val newBanded = bandKeys(newSig, bands, rowsPerBand)
       .select(col("band"), col("band_key"), col("id").as("new_id"))
 
@@ -342,8 +363,12 @@ object Dedup {
       .select(col("new_id").as(idCol)).distinct()
 
     val fresh = newDocs.join(hits, Seq(idCol), "left_anti")
-    val inBatchPairs = minhashCandidatePairs(
-      fresh, idCol, textCol, shingleSize, bands, rowsPerBand, jaccardThreshold)
+    // in-batch pairs band the SAME pinned signatures, filtered to the
+    // surviving ids — a projection over checkpoint blocks, not a rescan
+    val freshSigs = newSig.join(
+      fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val inBatchPairs = minhashCandidatePairsFromSigs(
+      freshSigs, bands, rowsPerBand, jaccardThreshold)
     dedupNearByClusters(fresh, idCol, inBatchPairs)
   }
 

@@ -83,6 +83,16 @@ object ExactCatalog {
           s"opening it with numBuckets=$numBuckets would prune wrong buckets")
     }
 
+  /** Data files without a meta file = rows of unknown bucketing; reading
+    * them as empty silently drops all dedup state. Fail loudly (see
+    * [[BandedCatalog]] — same contract; the writer makes the window
+    * impossible by writing meta before the first data write). */
+  private def rejectOrphanData(spark: SparkSession, dir: String): Unit =
+    require(dataFiles(fs(spark, dir), dir).isEmpty,
+      s"catalog at $dir has parquet data but no meta file — refusing to " +
+        "treat unknown-layout rows as an empty catalog; rebuild the " +
+        "catalog (or restore its meta) before reading or appending")
+
   private def writeMeta(spark: SparkSession, dir: String, numBuckets: Int): Unit = {
     val out = fs(spark, dir).create(metaPath(dir), true)
     try out.write(s"""{"numBuckets":$numBuckets}"""
@@ -109,21 +119,30 @@ object ExactCatalog {
       numBuckets: Int = DefaultBuckets, added: Long = 0L): Unit = {
     val spark = entries.sparkSession
     requireMeta(spark, dir, numBuckets)
+    // meta BEFORE the first data write — a crash between the two must
+    // leave a readable catalog, never unrecorded-layout rows
+    if (readMeta(spark, dir).isEmpty) {
+      rejectOrphanData(spark, dir)
+      writeMeta(spark, dir, numBuckets)
+    }
     entries.select(col("fp"), col("h2"), lit(added).as("added"),
       bucketOf(col("fp"), numBuckets).as("bucket"))
       .repartition(col("bucket"))
-      .sortWithinPartitions("fp")
+      // bucket prefix: satisfies the partitioned writer's required
+      // ordering so no extra Sort is planned and the fp file order
+      // (row-group min/max skipping) survives — see BandedCatalog.append
+      .sortWithinPartitions("bucket", "fp")
       .write.mode("append").partitionBy("bucket").parquet(dir)
-    if (readMeta(spark, dir).isEmpty) writeMeta(spark, dir, numBuckets)
   }
 
   // -------------------------------------------------------------- read
 
   /** The whole catalog (empty frame before first append). */
   def read(spark: SparkSession, dir: String): DataFrame =
-    if (readMeta(spark, dir).isEmpty)
+    if (readMeta(spark, dir).isEmpty) {
+      rejectOrphanData(spark, dir)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
-    else spark.read.schema(DataSchema).parquet(dir)
+    } else spark.read.schema(DataSchema).parquet(dir)
 
   /** The catalog rows a batch can possibly match: bucket partition
     * pruning always (≤ numBuckets distinct values, one bounded collect),
@@ -135,6 +154,7 @@ object ExactCatalog {
       maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame =
     readMeta(spark, dir) match {
       case None =>
+        rejectOrphanData(spark, dir)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
       case Some(numBuckets) =>
         val full = spark.read.schema(DataSchema).parquet(dir)
@@ -156,13 +176,23 @@ object ExactCatalog {
 
   /** One crawl/micro-batch against the persistent catalog: in-batch
     * collapse, anti-join against the PRUNED catalog read, survivors
-    * pinned (so delivery does not recompute past the append), appended
-    * under `added`, returned. Per-batch work is O(batch × bucket
-    * occupancy), never O(catalog). */
+    * pinned, DELIVERED via the callback, then appended under `added`,
+    * and returned. Per-batch work is O(batch × bucket occupancy), never
+    * O(catalog).
+    *
+    * Write your downstream inside `deliver`, not after the call: the
+    * append must land AFTER survivor delivery (the crash contract in
+    * the class doc) — a crash between an already-landed append and a
+    * post-return downstream write would suppress those documents on
+    * replay without them ever having been delivered (at-most-once
+    * loss). With `deliver`, a crash anywhere replays the batch into
+    * at-least-once delivery, same as [[graft.streaming
+    * .StreamingNearDedup.applyBatch]]. */
   def applyBatch(
       batch: DataFrame, dir: String, idCol: String, textCol: String,
       numBuckets: Int = DefaultBuckets, added: Long = 0L,
-      maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame = {
+      maxPushdownKeys: Int = DefaultMaxPushdownKeys,
+      deliver: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     // pin the in-batch collapse once: it feeds the pushdown probe, the
     // anti-join AND (via survivors) the append — unpinned, the window
@@ -178,9 +208,11 @@ object ExactCatalog {
         cat.select(col("fp").as("__cfp"), col("h2").as("__ch2")),
         col("__fp") === col("__cfp") && col("__h2") === col("__ch2"),
         "left_anti"))
+    val out = survivors.drop("__fp", "__h2")
+    deliver(out) // delivery BEFORE the append — see scaladoc
     append(survivors.select(col("__fp").as("fp"), col("__h2").as("h2")),
       dir, numBuckets, added)
-    survivors.drop("__fp", "__h2")
+    out
   }
 
   // ------------------------------------------------------- compaction
@@ -224,15 +256,21 @@ object ExactCatalog {
       .agg(max(col("added")).as("added"))
       .select(col("fp"), col("h2"), col("added"), col("bucket"))
       .repartition(col("bucket"))
-      .sortWithinPartitions("fp")
+      .sortWithinPartitions("bucket", "fp") // see append(): bucket prefix
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     for (bucketDir <- f.listStatus(new Path(tmp)).toSeq
          if bucketDir.isDirectory && bucketDir.getPath.getName.startsWith("bucket=")) {
       val target = new Path(dir, bucketDir.getPath.getName)
       f.mkdirs(target)
       for (part <- f.listStatus(bucketDir.getPath).toSeq
-           if part.isFile && part.getPath.getName.endsWith(".parquet"))
-        f.rename(part.getPath, new Path(target, s"compacted-${part.getPath.getName}"))
+           if part.isFile && part.getPath.getName.endsWith(".parquet")) {
+        val dest = new Path(target, s"compacted-${part.getPath.getName}")
+        // failed renames RETURN FALSE; deleting the inputs after one
+        // would lose rows — abort, leaving harmless duplicates
+        if (!f.rename(part.getPath, dest)) throw new java.io.IOException(
+          s"catalog compaction: rename ${part.getPath} -> $dest failed; " +
+            "old files left in place (duplicates only, no loss)")
+      }
     }
     oldFiles.foreach(p => f.delete(p, false))
     f.delete(new Path(tmp), true)

@@ -31,6 +31,16 @@ object Checkpoints {
   /** True when pins in this session write reliable checkpoints. */
   def isReliable(spark: SparkSession): Boolean = reliableDir(spark).isDefined
 
+  /** The configured dir LAST passed to `setCheckpointDir` on this JVM.
+    * `SparkContext.getCheckpointDir` cannot serve as the set-once guard:
+    * it returns `<dir>/<random-uuid>` (the context appends a UUID
+    * subdirectory on every set), so comparing it against the configured
+    * value never matches and every pin would mint a fresh UUID dir —
+    * thousands of scattered checkpoint directories over a long
+    * iterative run. One SparkContext per JVM in every supported
+    * deployment, so a plain volatile is enough. */
+  @volatile private var appliedDir: Option[String] = None
+
   /** Materialize `df` once and truncate its lineage: reliable
     * `checkpoint` when [[ConfKey]] is set, `localCheckpoint` otherwise.
     * Always eager — every call site pins state that later stages (or a
@@ -40,7 +50,10 @@ object Checkpoints {
     reliableDir(spark) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        if (!appliedDir.contains(dir) || sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir)
+          appliedDir = Some(dir)
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

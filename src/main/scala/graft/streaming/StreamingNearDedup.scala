@@ -81,8 +81,11 @@ object StreamingNearDedup {
     // the engine re-plans foreachBatch frames; pin so the dedup's
     // self-joins don't recompute the upstream per reference
     val docs = Checkpoints.pin(batch.select(col(idCol), col(textCol)))
-    // signatures once per batch: they are the pruning probe and (for
-    // the survivors) the catalog append
+    // signatures ONCE per batch: the same pinned frame feeds the
+    // pruning probe, the incremental join, the in-batch pairs (via
+    // newSigs) and the survivor append — the MinHash scan is the
+    // trigger's dominant compute, so every extra consumer used to
+    // double it
     val sigs = Checkpoints.pin(Dedup.minhashNearCatalog(
       docs, idCol, textCol, shingleSize, bands, rowsPerBand))
     val probe = BandedCatalog.bandRows(sigs, bands, rowsPerBand, numBuckets, 0L)
@@ -91,7 +94,8 @@ object StreamingNearDedup {
     val survivors = Checkpoints.pin(Dedup.dedupNearIncrementalBanded(
       docs, catalog, idCol, textCol,
       shingleSize, bands, rowsPerBand,
-      jaccardThreshold)) // deliver + append must see ONE survivor set
+      jaccardThreshold,
+      newSigs = Some(sigs))) // deliver + append must see ONE survivor set
     deliver(survivors)
     BandedCatalog.append(
       sigs.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"),

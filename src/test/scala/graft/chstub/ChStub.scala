@@ -441,8 +441,13 @@ final class ChStubEngine {
         if (t.columns.exists(_.name == cName))
           err(s"column $cName already exists in $db.$name")
         t.columns += new Column(cName, tpe, comment)
-        // existing rows have no value for the new column (CH backfills
-        // the type default on read; model as absent → defaultFor)
+        // CH backfills the type default for pre-existing rows; model it
+        // eagerly so later DELETE predicates and reads see the column
+        val dflt = defaultFor(tpe)
+        for (i <- t.rows.indices) {
+          val (seq, row) = t.rows(i)
+          if (!row.contains(cName)) t.rows(i) = (seq, row + (cName -> dflt))
+        }
       }
     }
 
@@ -471,4 +476,16 @@ final class ChStubEngine {
     case (x: BigDecimal, y: BigDecimal) => x.compare(y) == 0
     case (x, y) => x == y
   }
+
+  /** ClickHouse's column default for rows that predate an ADD COLUMN. */
+  private def defaultFor(tpe: ColType): Any =
+    if (tpe.nullable) null
+    else tpe.base match {
+      case "Bool" => false
+      case "String" | "UUID" | "Unknown" | "Time" => ""
+      case "Date" | "Date32" => LocalDate.EPOCH
+      case "DateTime" => LocalDateTime.of(1970, 1, 1, 0, 0, 0)
+      case "Array" => Vector.empty
+      case _ => BigDecimal(0)
+    }
 }

@@ -36,6 +36,7 @@ final class ChStubHttp(val engine: ChStubEngine) extends AutoCloseable {
         else { engine.execute(body); (200, "") }
       } catch {
         case e: IllegalArgumentException => (400, s"DB::Exception: ${e.getMessage}")
+        case scala.util.control.NonFatal(e) => (500, s"DB::Exception: $e")
       }
     val bytes = resp.getBytes(UTF_8)
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)

@@ -121,6 +121,34 @@ class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
       dir, "doc_id", "text", added = 7L).isEmpty)
   }
 
+  test("delivery happens BEFORE the catalog append (crash-replay contract)") {
+    val dir = tmpDir()
+    // at deliver time the survivors' fingerprints must NOT be in the
+    // catalog yet: a crash after append-but-before-downstream-delivery
+    // would otherwise suppress the docs on replay without them ever
+    // having been written anywhere (at-most-once loss)
+    var seenAtDeliver = -1L
+    var catalogAtDeliver = -1L
+    ExactCatalog.applyBatch(docs(1L -> "only doc"), dir, "doc_id", "text",
+      added = 1L, deliver = d => {
+        seenAtDeliver = d.count()
+        catalogAtDeliver = ExactCatalog.read(spark, dir).count()
+      })
+    assert(seenAtDeliver == 1L)
+    assert(catalogAtDeliver == 0L,
+      "append must land AFTER survivor delivery")
+    assert(ExactCatalog.read(spark, dir).count() == 1L)
+    // and a crash between delivery and append (simulated by a deliver
+    // that throws) leaves the catalog unchanged → replay re-delivers
+    intercept[RuntimeException] {
+      ExactCatalog.applyBatch(docs(2L -> "second doc"), dir, "doc_id",
+        "text", added = 2L, deliver = _ => throw new RuntimeException("sink down"))
+    }
+    val replayed = ExactCatalog.applyBatch(docs(2L -> "second doc"), dir,
+      "doc_id", "text", added = 2L)
+    assert(replayed.count() == 1L, "replay after failed delivery re-delivers")
+  }
+
   test("numBuckets is a layout parameter: reopening with a different value fails") {
     val dir = tmpDir()
     ExactCatalog.append(ExactCatalog.entriesOf(docs(1L -> "a"), "text"),
