@@ -149,6 +149,24 @@ class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(replayed.count() == 1L, "replay after failed delivery re-delivers")
   }
 
+  test("data files are fp-sorted on disk (row-group skipping contract)") {
+    val dir = tmpDir()
+    ExactCatalog.append(
+      ExactCatalog.entriesOf(docs((1L to 500L).map(i => i -> s"doc $i"): _*),
+        "text"), dir, numBuckets = 4)
+    // each parquet file read back INDIVIDUALLY must be fp-ascending —
+    // the partitioned writer requires ordering by the partition column,
+    // and a bare fp sort would be re-sorted by bucket alone (unstable),
+    // silently voiding the min/max skipping the layout is built on
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val fps = spark.read.parquet(f).select("fp").as[Long].collect()
+      assert(fps.sameElements(fps.sorted), s"file $f not fp-sorted")
+    }
+  }
+
   test("numBuckets is a layout parameter: reopening with a different value fails") {
     val dir = tmpDir()
     ExactCatalog.append(ExactCatalog.entriesOf(docs(1L -> "a"), "text"),

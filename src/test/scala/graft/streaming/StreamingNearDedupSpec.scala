@@ -203,6 +203,23 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
       "near-dups of retained signatures must still drop")
   }
 
+  test("catalog data files are band_key-sorted on disk (row-group skipping contract)") {
+    import spark.implicits._
+    val (b1, _) = corpus()
+    val tmp = Files.createTempDirectory("graft-snd-sorted").toString
+    val dir = s"$tmp/catalog"
+    StreamingNearDedup.applyBatch(
+      b1.toDF("doc_id", "text"), dir, "doc_id", "text",
+      compactAboveFiles = 0, numBuckets = 4, added = 1L)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f).select("band_key").as[Long].collect()
+      assert(keys.sameElements(keys.sorted), s"file $f not band_key-sorted")
+    }
+  }
+
   test("rolling retention (retainAddedBehind) applies at auto-compaction") {
     import spark.implicits._
     val (b1, _) = corpus()
