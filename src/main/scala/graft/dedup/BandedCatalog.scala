@@ -233,10 +233,33 @@ object BandedCatalog {
   def fileCount(spark: SparkSession, dir: String): Int =
     dataFiles(fs(spark, dir), dir).size
 
-  /** Compact the per-trigger appends: rewrite the catalog as one
-    * band_key-sorted file per bucket, optionally dropping rows whose
-    * `added` tag is below `retainAddedFrom` (age/count retention — the
-    * caller decides what the tag means: batch id, crawl id, epoch day).
+  /** Parquet data files per bucket — the PER-BUCKET compaction trigger.
+    * A catalog's steady-state floor is one file per bucket, so any
+    * global file-count threshold below `numBuckets` would force a full
+    * rewrite every time once the catalog has enough buckets; compaction
+    * decisions at scale must be per bucket (LSM-style). */
+  def bucketFileCounts(spark: SparkSession, dir: String): Map[Int, Int] =
+    dataFiles(fs(spark, dir), dir)
+      .flatMap { p =>
+        val parent = p.getParent.getName
+        if (parent.startsWith("bucket="))
+          Some(parent.stripPrefix("bucket=").toInt)
+        else None
+      }
+      .groupBy(identity).map { case (b, fs0) => (b, fs0.size) }
+
+  /** Compact the per-trigger appends: rewrite each selected bucket as
+    * one band_key-sorted file, optionally dropping rows whose `added`
+    * tag is below `retainAddedFrom` (age/count retention — the caller
+    * decides what the tag means: batch id, crawl id, epoch day).
+    *
+    * `buckets = None` compacts the WHOLE catalog — the retention-sweep
+    * shape (a cutoff only fully applies catalog-wide through a full
+    * sweep). `buckets = Some(…)` rewrites only those buckets — the
+    * steady-state hygiene shape at scale, where a full rewrite of a
+    * multi-TB catalog per trigger-window would dwarf the appends it
+    * merges; rows in unselected buckets are untouched (their retention
+    * applies whenever THEY next compact).
     *
     * Duplicate-tolerant swap: merged files are MOVED IN before the old
     * files are deleted, so a crash anywhere leaves a catalog with (at
@@ -244,17 +267,28 @@ object BandedCatalog {
     * window exists where rows are missing. */
   def compact(
       spark: SparkSession, dir: String,
-      retainAddedFrom: Option[Long] = None): Unit = {
+      retainAddedFrom: Option[Long] = None,
+      buckets: Option[Seq[Int]] = None): Unit = {
     val f = fs(spark, dir)
     if (readMeta(spark, dir).isEmpty) return
-    val oldFiles = dataFiles(f, dir)
+    val inScope: Path => Boolean = buckets match {
+      case None => _ => true
+      case Some(bs) =>
+        val names = bs.map(b => s"bucket=$b").toSet
+        p => names.contains(p.getParent.getName)
+    }
+    val oldFiles = dataFiles(f, dir).filter(inScope)
     if (oldFiles.isEmpty) return
 
-    val kept = retainAddedFrom match {
-      case Some(cutoff) =>
+    val scoped = buckets match {
+      case Some(bs) =>
         spark.read.schema(DataSchema).parquet(dir)
-          .filter(col("added") >= cutoff)
+          .filter(col("bucket").isin(bs: _*))
       case None => spark.read.schema(DataSchema).parquet(dir)
+    }
+    val kept = retainAddedFrom match {
+      case Some(cutoff) => scoped.filter(col("added") >= cutoff)
+      case None => scoped
     }
     // stage the merged catalog next to the live one, then move files in
     val tmp = s"$dir/_compacting"

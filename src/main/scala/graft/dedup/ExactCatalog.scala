@@ -232,22 +232,49 @@ object ExactCatalog {
   def fileCount(spark: SparkSession, dir: String): Int =
     dataFiles(fs(spark, dir), dir).size
 
-  /** Rewrite the catalog as one fp-sorted file per bucket, collapsing
+  /** Parquet data files per bucket — the per-bucket compaction trigger
+    * (see [[BandedCatalog.bucketFileCounts]]: global thresholds break
+    * once the steady-state floor of one file per bucket exceeds them). */
+  def bucketFileCounts(spark: SparkSession, dir: String): Map[Int, Int] =
+    dataFiles(fs(spark, dir), dir)
+      .flatMap { p =>
+        val parent = p.getParent.getName
+        if (parent.startsWith("bucket="))
+          Some(parent.stripPrefix("bucket=").toInt)
+        else None
+      }
+      .groupBy(identity).map { case (b, fs0) => (b, fs0.size) }
+
+  /** Rewrite each selected bucket as one fp-sorted file, collapsing
     * duplicate `(fp, h2)` rows to their LATEST `added` tag, optionally
     * dropping rows below `retainAddedFrom` (retention — the caller
-    * decides what the tag means: batch id, crawl id, epoch day).
-    * Duplicate-tolerant swap, same as [[BandedCatalog.compact]]. */
+    * decides what the tag means). `buckets = None` = full catalog (the
+    * retention-sweep shape); `Some(…)` = only those buckets (the
+    * steady-state hygiene shape — see [[BandedCatalog.compact]]).
+    * Duplicate-tolerant swap, same as there. */
   def compact(
       spark: SparkSession, dir: String,
-      retainAddedFrom: Option[Long] = None): Unit = {
+      retainAddedFrom: Option[Long] = None,
+      buckets: Option[Seq[Int]] = None): Unit = {
     val f = fs(spark, dir)
     if (readMeta(spark, dir).isEmpty) return
-    val oldFiles = dataFiles(f, dir)
+    val inScope: Path => Boolean = buckets match {
+      case None => _ => true
+      case Some(bs) =>
+        val names = bs.map(b => s"bucket=$b").toSet
+        p => names.contains(p.getParent.getName)
+    }
+    val oldFiles = dataFiles(f, dir).filter(inScope)
     if (oldFiles.isEmpty) return
-    val kept = retainAddedFrom match {
-      case Some(cutoff) =>
-        spark.read.schema(DataSchema).parquet(dir).filter(col("added") >= cutoff)
+    val scoped = buckets match {
+      case Some(bs) =>
+        spark.read.schema(DataSchema).parquet(dir)
+          .filter(col("bucket").isin(bs: _*))
       case None => spark.read.schema(DataSchema).parquet(dir)
+    }
+    val kept = retainAddedFrom match {
+      case Some(cutoff) => scoped.filter(col("added") >= cutoff)
+      case None => scoped
     }
     val tmp = s"$dir/_compacting"
     f.delete(new Path(tmp), true)

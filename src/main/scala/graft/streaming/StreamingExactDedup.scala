@@ -27,24 +27,37 @@ object StreamingExactDedup {
 
   /** One micro-batch: dedup against the bucket-pruned catalog read,
     * deliver survivors, append their fingerprints under `added`, then
-    * auto-compact past `compactAboveFiles` (0 disables), applying the
-    * rolling `retainAddedBehind` retention window when set. */
+    * auto-compact — PER BUCKET (`compactAboveFiles` is a per-bucket
+    * file threshold; 0 disables), with a FULL retention sweep every
+    * `retentionSweepEvery` batches when `retainAddedBehind` is set.
+    * Same trigger/retention model as [[StreamingNearDedup.applyBatch]]
+    * — see its scaladoc for why per-bucket is the only shape that
+    * survives a catalog with more buckets than any global threshold. */
   def applyBatch(
       batch: DataFrame, catalogDir: String, idCol: String, textCol: String,
       numBuckets: Int = ExactCatalog.DefaultBuckets,
       maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
-      compactAboveFiles: Int = 256,
+      compactAboveFiles: Int = 16,
       added: Long = 0L,
       retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     val survivors = ExactCatalog.applyBatch(
       batch, catalogDir, idCol, textCol, numBuckets, added,
       maxPushdownKeys, deliver)
-    if (compactAboveFiles > 0 &&
-        ExactCatalog.fileCount(spark, catalogDir) > compactAboveFiles)
-      ExactCatalog.compact(spark, catalogDir,
-        retainAddedFrom = retainAddedBehind.map(b => added - b))
+    if (compactAboveFiles > 0) {
+      val cutoff = retainAddedBehind.map(b => added - b)
+      if (cutoff.isDefined && retentionSweepEvery > 0 && added > 0 &&
+          added % retentionSweepEvery == 0)
+        ExactCatalog.compact(spark, catalogDir, cutoff) // full sweep
+      else {
+        val over = ExactCatalog.bucketFileCounts(spark, catalogDir)
+          .filter(_._2 > compactAboveFiles).keys.toSeq
+        if (over.nonEmpty)
+          ExactCatalog.compact(spark, catalogDir, cutoff, Some(over))
+      }
+    }
     survivors
   }
 
@@ -56,8 +69,9 @@ object StreamingExactDedup {
       idCol: String, textCol: String,
       numBuckets: Int = ExactCatalog.DefaultBuckets,
       maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
-      compactAboveFiles: Int = 256,
+      compactAboveFiles: Int = 16,
       retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -68,6 +82,7 @@ object StreamingExactDedup {
           val _ = applyBatch(batch, catalogDir, idCol, textCol,
             numBuckets, maxPushdownKeys, compactAboveFiles,
             added = batchId, retainAddedBehind = retainAddedBehind,
+            retentionSweepEvery = retentionSweepEvery,
             deliver = deliver)
         }
       }

@@ -59,23 +59,33 @@ object StreamingNearDedup {
     * file count crosses `compactAboveFiles` (0 disables), and return the
     * surviving (idCol, textCol) rows.
     *
+    * Compaction is PER BUCKET (LSM-style): `compactAboveFiles` is a
+    * per-bucket file threshold — only buckets whose append files piled
+    * past it are rewritten, so steady-state trigger cost is O(touched
+    * buckets), never a full-catalog rewrite (a global threshold breaks
+    * outright at scale: the post-compaction floor is one file per
+    * bucket, so any catalog with more buckets than the threshold would
+    * re-trigger a FULL multi-TB rewrite every batch).
+    *
     * `retainAddedBehind`: rolling retention window in `added` units —
-    * when set, each compaction drops catalog rows whose tag is more
-    * than that far behind the CURRENT batch's tag, so a long-running
-    * stream stops deduplicating against dead crawls (an expired doc
-    * that re-appears is admitted once and re-enters under the current
-    * tag). Retention only applies at compaction, so expiry granularity
-    * is the compaction cadence — exactly the semantics
-    * ExactCatalogSpec/StreamingNearDedupSpec pin. */
+    * rows whose tag is more than that far behind the current batch's
+    * tag are dropped whenever their bucket compacts, and every
+    * `retentionSweepEvery` batches a FULL sweep applies the cutoff
+    * catalog-wide (per-bucket compaction alone only ages out buckets
+    * that keep taking appends). An expired doc that re-appears is
+    * admitted once and re-enters under the current tag. Expiry
+    * granularity = the sweep cadence; semantics pinned in
+    * StreamingNearDedupSpec/ExactCatalogSpec. */
   def applyBatch(
       batch: DataFrame, catalogDir: String, idCol: String, textCol: String,
       shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.7,
       numBuckets: Int = BandedCatalog.DefaultBuckets,
       maxPushdownKeys: Int = BandedCatalog.DefaultMaxPushdownKeys,
-      compactAboveFiles: Int = 256,
+      compactAboveFiles: Int = 16,
       added: Long = 0L,
       retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     // the engine re-plans foreachBatch frames; pin so the dedup's
@@ -100,10 +110,18 @@ object StreamingNearDedup {
     BandedCatalog.append(
       sigs.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"),
       catalogDir, bands, rowsPerBand, numBuckets, shingleSize, added)
-    if (compactAboveFiles > 0 &&
-        BandedCatalog.fileCount(spark, catalogDir) > compactAboveFiles)
-      BandedCatalog.compact(spark, catalogDir,
-        retainAddedFrom = retainAddedBehind.map(b => added - b))
+    if (compactAboveFiles > 0) {
+      val cutoff = retainAddedBehind.map(b => added - b)
+      if (cutoff.isDefined && retentionSweepEvery > 0 && added > 0 &&
+          added % retentionSweepEvery == 0)
+        BandedCatalog.compact(spark, catalogDir, cutoff) // full sweep
+      else {
+        val over = BandedCatalog.bucketFileCounts(spark, catalogDir)
+          .filter(_._2 > compactAboveFiles).keys.toSeq
+        if (over.nonEmpty)
+          BandedCatalog.compact(spark, catalogDir, cutoff, Some(over))
+      }
+    }
     survivors
   }
 
@@ -117,8 +135,9 @@ object StreamingNearDedup {
       jaccardThreshold: Double = 0.7,
       numBuckets: Int = BandedCatalog.DefaultBuckets,
       maxPushdownKeys: Int = BandedCatalog.DefaultMaxPushdownKeys,
-      compactAboveFiles: Int = 256,
+      compactAboveFiles: Int = 16,
       retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -130,6 +149,7 @@ object StreamingNearDedup {
             shingleSize, bands, rowsPerBand, jaccardThreshold,
             numBuckets, maxPushdownKeys, compactAboveFiles,
             added = batchId, retainAddedBehind = retainAddedBehind,
+            retentionSweepEvery = retentionSweepEvery,
             deliver = deliver)
         }
       }

@@ -149,6 +149,30 @@ class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(replayed.count() == 1L, "replay after failed delivery re-delivers")
   }
 
+  test("selective compaction rewrites ONLY the chosen buckets") {
+    val dir = tmpDir()
+    // many appends so every bucket accumulates several files
+    (1L to 4L).foreach { b =>
+      ExactCatalog.append(
+        ExactCatalog.entriesOf(
+          docs((1L to 64L).map(i => (b * 1000 + i) -> s"doc ${b * 1000 + i}"): _*),
+          "text"), dir, numBuckets = 4, added = b)
+    }
+    val before = ExactCatalog.bucketFileCounts(spark, dir)
+    assert(before.size == 4 && before.values.forall(_ >= 2))
+    val target = before.keys.min
+    val rows = ExactCatalog.read(spark, dir).count()
+    ExactCatalog.compact(spark, dir, buckets = Some(Seq(target)))
+    val after = ExactCatalog.bucketFileCounts(spark, dir)
+    assert(after(target) == 1, s"selected bucket not compacted: $after")
+    // unselected buckets keep their file counts — the whole point: at
+    // scale a hygiene compaction must never rewrite the full catalog
+    before.foreach { case (b, n) =>
+      if (b != target) assert(after(b) == n, s"bucket $b was rewritten") }
+    assert(ExactCatalog.read(spark, dir).count() == rows,
+      "selective compaction must not change catalog state")
+  }
+
   test("data files are fp-sorted on disk (row-group skipping contract)") {
     val dir = tmpDir()
     ExactCatalog.append(

@@ -111,10 +111,12 @@ class StreamingExactDedupSpec extends AnyFunSuite with SparkTestBase {
     StreamingExactDedup.applyBatch(
       old.toDF("doc_id", "text"), dir, "doc_id", "text",
       compactAboveFiles = 0, added = 1L)
-    // batch at added = 5, window 2 → cutoff 3 ages out the added=1 rows
+    // batch at added = 5, window 2, on the sweep cadence (5 % 5 == 0):
+    // the FULL sweep applies cutoff 3 catalog-wide, aging out added=1
     StreamingExactDedup.applyBatch(
       fresh.toDF("doc_id", "text"), dir, "doc_id", "text",
-      compactAboveFiles = 1, added = 5L, retainAddedBehind = Some(2L))
+      compactAboveFiles = 1, added = 5L, retainAddedBehind = Some(2L),
+      retentionSweepEvery = 5L)
     val readmitted = StreamingExactDedup.applyBatch(
       (old.map { case (id, t) => (id + 300000L, t) } ++
         fresh.map { case (id, t) => (id + 400000L, t) })

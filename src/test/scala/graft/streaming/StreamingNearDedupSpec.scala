@@ -231,12 +231,16 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
       old.toDF("doc_id", "text"), dir, "doc_id", "text",
       compactAboveFiles = 0, added = 1L)
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    // batch at added = 5 with a 2-batch retention window and a forced
-    // auto-compaction: cutoff = 5 - 2 = 3 ages out the added=1 rows,
-    // while this batch's own appends (added = 5) are retained
+    // batch at added = 5 with a 2-batch retention window, landing on
+    // the retention-sweep cadence (5 % 5 == 0): the FULL sweep applies
+    // cutoff = 5 - 2 = 3 catalog-wide, aging out the added=1 rows in
+    // EVERY bucket (per-bucket hygiene compactions alone only age the
+    // buckets they rewrite), while this batch's own appends (added = 5)
+    // are retained
     val s2 = StreamingNearDedup.applyBatch(
       fresh.toDF("doc_id", "text"), dir, "doc_id", "text",
-      compactAboveFiles = 1, added = 5L, retainAddedBehind = Some(2L))
+      compactAboveFiles = 1, added = 5L, retainAddedBehind = Some(2L),
+      retentionSweepEvery = 5L)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(s1.nonEmpty && s2.nonEmpty)
     val ids = graft.dedup.BandedCatalog.read(spark, dir)
