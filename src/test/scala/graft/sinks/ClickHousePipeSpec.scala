@@ -245,6 +245,65 @@ class ClickHousePipeSpec extends AnyFunSuite with SparkTestBase {
     } finally stub.close()
   }
 
+  test("routed multi-table pipe executes against two stub tables (Main's live wiring)") {
+    import spark.implicits._
+    import graft.config.{PipeConfig, SourceConfig, TargetConfig}
+    import graft.pipe.{ChangelogReplaySource, FileOffsetStore, Initializer => Init, MultiTablePipe, TableSpec}
+    val stub = new ChStubHttp(new ChStubEngine)
+    try {
+      val dialect = ClickHouseDialect
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ch-multi").toString
+      val tcols = Seq(
+        CHColumn("id", CHType.Int64, isPrimaryKey = true),
+        CHColumn("v", CHType.CHNullable(CHType.Float64)),
+        CHColumn("secret", CHType.CHNullable(CHType.CHStr)))
+      // per routed table: initialize (K4) + StatementSink + probe —
+      // exactly Main.targetBatchSink's jdbc/clickhouse branch
+      def mkSink(table: String, mask: Set[String]) = {
+        Init.setupTable(
+          () => if (stub.engine.tableExists("graft", table))
+            stub.engine.table("graft", table).columns.map(_.name).toSeq else Nil,
+          stub.execute, dialect, "graft", table, tcols)
+        new StatementSink("graft", table, tcols, stub.execute, mask)
+          .asBatchSink(() => SqlDialect.truthy(
+            stub.post(dialect.nonEmptyProbe("graft", table))))
+      }
+      val tables = Map(
+        "users" -> TableSpec(tcols, mkSink("users", Set("secret")), Set("secret")),
+        "orders" -> TableSpec(tcols, mkSink("orders", Set.empty)))
+
+      val changelog = Seq(
+        ("I", 1L, "users", 1L, 10.0, "a"),
+        ("I", 2L, "orders", 1L, 5.0, "b"),
+        ("U", 3L, "users", 1L, 20.0, "c"),
+        ("D", 4L, "orders", 1L, 0.0, null),
+        ("I", 5L, "ghosts", 9L, 9.9, "x"), // unknown table: warn + skip
+        ("I", 6L, "orders", 2L, 7.0, "d")
+      ).toDF("op", "seq", "table", "id", "v", "secret")
+
+      val pipe = new MultiTablePipe(
+        PipeConfig(SourceConfig("parquet"), TargetConfig("parquet"),
+          peek_changes_limit = Some(3L)),
+        new ChangelogReplaySource(changelog),
+        tables, new FileOffsetStore(s"$tmp/offset"))
+      assert(pipe.syncLoop() == 6L)
+
+      // final states under the Replacing collapse, every statement
+      // having EXECUTED through the endpoint
+      val users = stub.engine.table("graft", "users").finalRows
+        .map(r => r("id") -> (r("v"), r("secret"))).toMap
+      assert(users == Map(BigDecimal(1) -> ((BigDecimal("20.0"), null))))
+      val orders = stub.engine.table("graft", "orders").finalRows
+        .map(r => r("id") -> r("v")).toMap
+      assert(orders == Map(BigDecimal(2) -> BigDecimal("7.0")))
+      // both targets created + populated over the wire: per-table DDL,
+      // INSERTs for both, one DELETE mutation for orders
+      val stmts = stub.engine.executed.toSeq
+      assert(stmts.count(_.startsWith("CREATE TABLE")) == 2)
+      assert(stmts.exists(_.startsWith("ALTER TABLE graft.orders DELETE")))
+    } finally stub.close()
+  }
+
   test("ReplacingMergeTree collapse: re-inserted keys keep the last insert") {
     val engine = new ChStubEngine
     engine.execute(ClickHouseDialect.createTableQuery("graft", "r",
