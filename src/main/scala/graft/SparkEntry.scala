@@ -993,6 +993,52 @@ object SparkEntry {
     "lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
+    // Model-based quality scoring with a PINNED linear head (the
+    // FineWeb-Edu / DCLM filter shape): margin = intercept + Σ wᵢ·fᵢ over
+    // the five scan-time feature columns, summed left-to-right with
+    // dyadic weights, so the DuckDB oracle states the margin BITWISE and
+    // the keep/drop sign exactly. Scoring is a pure scan — the 100 TB
+    // path has no shuffle and no model object.
+    "quality_model_fixed" -> ((s, dir) => {
+      val m = graft.text.QualityModel.LinearModel(
+        FixedQualityWeights, FixedQualityIntercept)
+      val margin = graft.text.QualityModel.marginColumn(col("text"), m)
+      docs(s, dir).select(col("doc_id"),
+        round(margin, 6).as("margin"),
+        (margin >= 0.0).as("keep"))
+    }),
+
+    // TRAINED quality model (distributed LBFGS on an 80% doc_id split,
+    // labels from the oracled quality heuristic), contract-oracled like
+    // the other trained paths: exact-statable counts plus Spark-computed
+    // accuracy/range booleans the oracle asserts literal TRUE — a
+    // trainer or scorer regression breaks the gate hash.
+    "quality_model" -> ((s, dir) => {
+      val labeled = docs(s, dir)
+        .withColumn("label",
+          (TextOps.qualityScore(col("text")) >= 0.5).cast("double"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(5)))
+      val model = graft.text.QualityModel.train(
+        labeled.filter(col("bucket") < 4), "text", "label")
+      val scored = labeled.select(col("label"), col("bucket"),
+        graft.text.QualityModel.scoreColumn(col("text"), model).as("score"))
+      val hit = (col("score") >= 0.5) === (col("label") === 1.0)
+      scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < 4, 1L).otherwise(0L)).as("n_train"),
+        sum(col("label").cast("long")).as("n_pos"),
+        ((sum(when(hit && col("bucket") < 4, 1L).otherwise(0L)) /
+          sum(when(col("bucket") < 4, 1L).otherwise(0L))) >= QmTrainAccFloor)
+          .as("train_acc_ok"),
+        ((sum(when(hit && col("bucket") === 4, 1L).otherwise(0L)) /
+          sum(when(col("bucket") === 4, 1L).otherwise(0L))) >= QmHoldoutAccFloor)
+          .as("holdout_acc_ok"),
+        (min(col("score")) >= 0.0 && max(col("score")) <= 1.0)
+          .as("scores_in_range"),
+        lit(model.weights.forall(w => !w.isNaN && !w.isInfinite) &&
+          !model.intercept.isNaN).as("weights_finite"))
+    }),
+
     // Unicode NFC normalization (canonical composition — the standard
     // first cleaning pass before dedup/shingling; mixed composed and
     // decomposed encodings of one grapheme defeat exact hashing). The
@@ -1705,6 +1751,22 @@ object SparkEntry {
     * hash over the string's UTF-8 BYTES ([[utf8BytesSql]]). */
   private def fingerprintSql(input: String): String =
     foldSql(utf8BytesSql(input))
+
+  /** Pinned quality-model head for `quality_model_fixed`: dyadic weights
+    * (exactly representable, decimal round-trip-stable) over the
+    * [[graft.text.QualityModel.FeatureNames]] columns, so the margin is
+    * bit-reproducible in any IEEE engine given the (already-oracled)
+    * feature doubles. Signs follow the heuristic: length and stopword
+    * density up, punctuation noise and repetition down. */
+  private[graft] val FixedQualityWeights: Seq[Double] =
+    Seq(1.5, 2.0, -4.0, -0.5, -1.0)
+  private[graft] val FixedQualityIntercept: Double = -0.25
+
+  /** Trained-quality-model accuracy floors (`quality_model` contract):
+    * measured train/holdout accuracy sits above 0.9 at sf0.001–0.1; the
+    * floors leave margin for sample wobble, not for a broken trainer. */
+  private[graft] val QmTrainAccFloor = 0.85
+  private[graft] val QmHoldoutAccFloor = 0.80
 
   /** Fixed centroids for `kmeans_assign_fixed`: dyadic rationals
     * (n/8 — exactly representable doubles whose decimal rendering
@@ -2808,6 +2870,85 @@ object SparkEntry {
         |         + least(stop_ratio * 4.0, 1.0) * 0.3
         |         - least(punct_ratio * 5.0, 1.0) * 0.2 + 0.2), 6) AS quality
         |FROM m
+        |""".stripMargin,
+
+    // Fixed-head quality model: restates the five feature columns (each
+    // already hash-proven via text_metrics / rep_ratios) and the
+    // left-to-right dyadic-weight margin bitwise. Weights interpolate
+    // from the same constants the Spark side uses, so the two heads can
+    // never drift.
+    "quality_model_fixed" -> {
+      val Seq(wLen, wStop, wPunct, wMean, wRep) = FixedQualityWeights
+      s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []
+        |              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+        |         length(text) AS n_chars
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS f_len,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be'], x))) AS DOUBLE)
+        |                   / len(toks) END AS f_stop,
+        |         CASE WHEN n_chars = 0 THEN 0.0
+        |              ELSE CAST(n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |                   / n_chars END AS f_punct,
+        |         least((CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |                   / len(toks) END) / 10.0, 1.0) AS f_mean_tok,
+        |         CASE WHEN len(toks) <= 0 THEN 0.0
+        |              ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                   / len(toks), 6) END AS f_rep
+        |  FROM t
+        |), m AS (
+        |  SELECT doc_id,
+        |         $FixedQualityIntercept + f_len * ($wLen) + f_stop * ($wStop)
+        |           + f_punct * ($wPunct) + f_mean_tok * ($wMean)
+        |           + f_rep * ($wRep) AS margin
+        |  FROM f
+        |)
+        |SELECT doc_id, round(margin, 6) AS margin, margin >= 0.0 AS keep
+        |FROM m
+        |""".stripMargin
+    },
+
+    // Trained quality model: the split and label counts are exact (the
+    // label is the oracled 6dp quality heuristic); the TRUE literals
+    // assert the Spark-computed train/holdout accuracy floors and score
+    // range — a trainer regression breaks the gate hash.
+    "quality_model" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         length(text) AS n_chars
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+        |         CASE WHEN n_chars = 0 THEN 0.0
+        |              ELSE CAST(n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |                   / n_chars END AS punct_ratio,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be'], x))) AS DOUBLE)
+        |                   / len(toks) END AS stop_ratio
+        |  FROM t
+        |), q AS (
+        |  SELECT doc_id,
+        |         round(greatest(0.0,
+        |           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |           + least(stop_ratio * 4.0, 1.0) * 0.3
+        |           - least(punct_ratio * 5.0, 1.0) * 0.2 + 0.2), 6) AS quality
+        |  FROM m
+        |)
+        |SELECT count(*) AS n_docs,
+        |       count(*) FILTER (WHERE doc_id % 5 < 4) AS n_train,
+        |       count(*) FILTER (WHERE quality >= 0.5) AS n_pos,
+        |       TRUE AS train_acc_ok, TRUE AS holdout_acc_ok,
+        |       TRUE AS scores_in_range, TRUE AS weights_finite
+        |FROM q
         |""".stripMargin,
 
     "lang_id" ->

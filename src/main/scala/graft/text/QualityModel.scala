@@ -58,13 +58,21 @@ object QualityModel {
     LinearModel(fit.coefficients.toArray.toSeq, fit.intercept)
   }
 
+  /** The inlined linear part (`intercept + Σ wᵢ·fᵢ`, summed LEFT TO
+    * RIGHT in [[FeatureNames]] order — the accumulation order is part of
+    * the cross-engine contract: with exact feature doubles, the margin is
+    * bit-reproducible). Sign decides the predicted label, so margin-based
+    * filtering never needs the transcendental sigmoid. */
+  def marginColumn(text: Column, model: LinearModel): Column =
+    featureColumns(text).zip(model.weights)
+      .map { case (f, w) => f * w }
+      .foldLeft(lit(model.intercept))(_ + _)
+
   /** Sigmoid of the inlined dot product — the scoring expression. Pure
     * arithmetic over the feature expressions: whole-stage codegen, zero
     * shuffles, nothing but the scan at any corpus size. */
   def scoreColumn(text: Column, model: LinearModel): Column = {
-    val dot = featureColumns(text).zip(model.weights)
-      .map { case (f, w) => f * w }
-      .foldLeft(lit(model.intercept))(_ + _)
+    val dot = marginColumn(text, model)
     lit(1.0) / (lit(1.0) + exp(-dot))
   }
 

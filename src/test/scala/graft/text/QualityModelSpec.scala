@@ -44,6 +44,23 @@ class QualityModelSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == s1.filter(_._2 >= 0.5).keySet)
   }
 
+  test("margin and sigmoid score agree on the decision boundary") {
+    import spark.implicits._
+    val m = QualityModel.LinearModel(Seq(1.5, 2.0, -4.0, -0.5, -1.0), -0.25)
+    val scored = docsDf.select(
+      QualityModel.marginColumn(col("text"), m).as("margin"),
+      QualityModel.scoreColumn(col("text"), m).as("score"))
+    // sigmoid is monotone: score >= 0.5 exactly when margin >= 0, and the
+    // score is always a valid probability
+    val bad = scored.filter(
+      ((col("score") >= 0.5) =!= (col("margin") >= 0.0)) ||
+        col("score") < 0.0 || col("score") > 1.0).count()
+    assert(bad == 0)
+    // both classes occur (the pinned gate head is not degenerate)
+    val kept = scored.filter(col("margin") >= 0.0).count()
+    assert(kept > 0 && kept < scored.count())
+  }
+
   test("model weights are O(features) plain doubles") {
     val m = QualityModel.LinearModel(Seq(0.1, -0.2, 0.3, 0.0, -0.5), 0.7)
     assert(m.weights.length == QualityModel.FeatureNames.length)
