@@ -174,6 +174,12 @@ object SparkEntry {
   private val IvfRecallFloor = 0.25
   private val PqRecallFloor = 0.40
 
+  /** On-disk IVF index per sf dir (`embed_topk_ivf_indexed`): built once
+    * into a scratch dir, then probed — the build-once/query-many shape
+    * [[graft.sim.IvfIndex]] exists for. */
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val q8Stats =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
 
@@ -861,6 +867,26 @@ object SparkEntry {
       annRecallContract(
         Similarity.ivfTopKTrained(e, q, "vec_id", "embedding", k = 10,
           centroids, nProbe = 3),
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10),
+        q.select(col("vec_id").as("query_id")),
+        k = 10, floor = IvfRecallFloor)
+    }),
+
+    // Same contract against the PERSISTENT IVF index (build once into a
+    // scratch dir, probe with pruned `list=…` scans — graft.sim.IvfIndex);
+    // same quantizer shape as embed_topk_ivf, so the same floor applies.
+    "embed_topk_ivf_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idxDir = ivfIndexDirs.computeIfAbsent(dir, { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivf-idx").toString + "/idx"
+        graft.sim.IvfIndex.build(e, "vec_id", "embedding", d, nLists = 8)
+        d
+      })
+      val q = e.filter(col("vec_id") % 100 === 0)
+      annRecallContract(
+        graft.sim.IvfIndex.topK(s, idxDir, q, "vec_id", "embedding",
+          k = 10, nProbe = 3),
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10),
         q.select(col("vec_id").as("query_id")),
         k = 10, floor = IvfRecallFloor)
@@ -3142,6 +3168,13 @@ object SparkEntry {
     // completeness/recall booleans (floors inlined from the constants
     // the queries use, so the two sides can never drift).
     "embed_topk_ivf" ->
+      s"""SELECT count(*) AS n_queries, 10 AS k,
+        |       CAST($IvfRecallFloor AS DOUBLE) AS recall_floor,
+        |       TRUE AS complete_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |""".stripMargin,
+
+    "embed_topk_ivf_indexed" ->
       s"""SELECT count(*) AS n_queries, 10 AS k,
         |       CAST($IvfRecallFloor AS DOUBLE) AS recall_floor,
         |       TRUE AS complete_ok, TRUE AS recall_ok

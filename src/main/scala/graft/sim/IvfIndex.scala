@@ -1,0 +1,186 @@
+package graft.sim
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A PERSISTENT IVF (inverted-file) ANN index — the similarity-search
+  * twin of the dedup catalogs ([[graft.dedup.BandedCatalog]]): build the
+  * index once, query it many times with file-pruned probe scans, grow it
+  * incrementally without retraining.
+  *
+  * The in-memory path ([[Similarity.ivfTopKTrained]]) re-trains and
+  * re-assigns the corpus on every call — right for one-shot queries,
+  * wrong for a 100 TB embedding store serving many query batches. This
+  * layout amortizes both:
+  *
+  *  - `dir/_graft_ivf.json` — meta (nLists, dim), written FIRST so a
+  *    crash mid-build never leaves data rows of unknown layout (same
+  *    contract as the catalogs); asserted on every open.
+  *  - `dir/centroids/` — the trained coarse quantizer, `(list, centroid)`
+  *    parquet (nLists × dim doubles — driver-small by construction).
+  *  - `dir/vectors/` — `(id, vec)` parquet PARTITIONED BY `list`: a
+  *    probe reads only the `list=…` directories its queries hash into
+  *    (partition pruning, census-visible in the scan), so query cost is
+  *    O(probed lists' occupancy), never O(corpus).
+  *
+  * At 100 TB: `nLists` scales with corpus size (√n is the usual rule) so
+  * single lists stay file-sized; the build is one shuffle on the list id;
+  * probes broadcast the (small) query side against the pruned shard scan.
+  */
+object IvfIndex {
+
+  private val VecSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(DoubleType), nullable = true),
+    StructField("list", IntegerType, nullable = false)))
+
+  // ------------------------------------------------------------- meta
+
+  /** nLists and dim are part of the layout: different values silently
+    * mis-probe (wrong centroid count) or mis-score (wrong dim). */
+  case class Meta(nLists: Int, dim: Int)
+
+  private def metaPath(dir: String) = new Path(dir, "_graft_ivf.json")
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
+    val out = fs(spark, dir).create(metaPath(dir), true)
+    try out.write(s"""{"nLists":${m.nLists},"dim":${m.dim}}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
+    val p = metaPath(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(name: String): Int =
+        s""""$name":(\\d+)""".r.findFirstMatchIn(text)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalStateException(
+            s"IVF index meta at $p is missing '$name': $text"))
+      Some(Meta(field("nLists"), field("dim")))
+    }
+  }
+
+  private def requireMeta(spark: SparkSession, dir: String): Meta =
+    readMeta(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no IVF index at $dir (missing ${metaPath(dir)}); build() it first"))
+
+  // ------------------------------------------------------------ build
+
+  /** Train the coarse quantizer on a bounded sample and write the full
+    * index. One distributed pass for the sample, one for the assignment
+    * + partitioned write (single shuffle on the list id). */
+  def build(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nLists: Int, targetRows: Long = 50000L, seed: Long = 42L,
+      rowCount: Option[Long] = None): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = Similarity.ivfTrainAuto(
+      corpus, vecCol, nLists, targetRows, seed, rowCount)
+    val dim = centroids.head.length
+    require(readMeta(spark, dir).isEmpty,
+      s"IVF index at $dir already exists; build() into a fresh dir " +
+        "(append new vectors with appendVectors())")
+    writeMeta(spark, dir, Meta(nLists, dim))
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeVectors(corpus, idCol, vecCol, dir, centroids)
+  }
+
+  /** Assign NEW vectors to the EXISTING centroids and append them — the
+    * incremental-growth path (an IVF's recall degrades gracefully as the
+    * corpus drifts from the trained quantizer; rebuild when it does). */
+  def appendVectors(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    requireMeta(spark, dir)
+    writeVectors(corpus, idCol, vecCol, dir, readCentroids(spark, dir))
+  }
+
+  private def writeVectors(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      centroids: Array[Array[Double]]): Unit =
+    Similarity.withIvfList(
+      corpus.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("vec")),
+      "vec", centroids, listCol = "list")
+      .repartition(col("list"))
+      // list prefix: satisfies the partitioned writer's required ordering
+      // so it inserts no extra Sort; id order gives row-group min/max
+      // stats for id-predicate scans (same reasoning as the catalogs)
+      .sortWithinPartitions("list", "id")
+      .write.mode("append").partitionBy("list").parquet(s"$dir/vectors")
+
+  // ------------------------------------------------------------- read
+
+  /** The trained centroids, ordered by list id (driver-small:
+    * nLists × dim doubles). */
+  def readCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val m = requireMeta(spark, dir)
+    val rows = spark.read.parquet(s"$dir/centroids")
+      .select(col("list"), col("centroid"))
+      .collect()
+    require(rows.length == m.nLists,
+      s"IVF index at $dir: ${rows.length} centroids, meta says ${m.nLists}")
+    rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+  }
+
+  /** All indexed vectors (probe-free full scan — parity tests and
+    * rebuilds; queries should use [[topK]]). */
+  def vectors(spark: SparkSession, dir: String): DataFrame = {
+    requireMeta(spark, dir)
+    spark.read.schema(VecSchema).parquet(s"$dir/vectors")
+  }
+
+  /** ANN top-k against the persistent index with multi-probe: each query
+    * searches its `nProbe` nearest lists; the vector scan carries a
+    * `list IN (…)` PARTITION FILTER (≤ nLists distinct values, collected
+    * from the query side — bounded), so only probed `list=…` directories
+    * are read. Output schema matches [[Similarity.ivfTopKTrained]]. */
+  def topK(
+      spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val centroids = readCentroids(spark, dir)
+    val scored = centroids.zipWithIndex.map { case (cen, i) =>
+      val cCol = array(cen.map(lit): _*)
+      val negHalfCC = -0.5 * cen.map(x => x * x).sum
+      struct((Similarity.dot(col("__qv"), cCol) + negHalfCC).as("score"),
+        lit(i).as("list"))
+    }
+    val q = queries
+      .select(col(idCol).cast(LongType).as("query_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__qv"))
+      .withColumn("list",
+        explode(slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
+          .getField("list")))
+    // static partition filter from the probed lists: ≤ nLists distinct
+    // values by construction, one bounded collect from the (small) query
+    // side — the scan then prunes at the directory level
+    val probed = q.select(col("list")).distinct().collect().map(_.getInt(0))
+    val pruned = vectors(spark, dir).filter(col("list").isin(probed.toSeq: _*))
+    val joined = pruned.join(broadcast(q), Seq("list"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine", Similarity.cosine(col("__qv"), col("vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}
