@@ -146,6 +146,84 @@ object IvfIndex {
     spark.read.schema(VecSchema).parquet(s"$dir/vectors")
   }
 
+  // ------------------------------------------------------- compaction
+
+  private def dataFiles(f: FileSystem, dir: String): Seq[Path] = {
+    def walk(p: Path): Seq[Path] = {
+      val entries = f.listStatus(p).toSeq
+      entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath) ++
+        entries.filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+          .flatMap(s => walk(s.getPath))
+    }
+    val root = new Path(s"$dir/vectors")
+    if (f.exists(root)) walk(root) else Seq.empty
+  }
+
+  /** Parquet data files per list — the per-list compaction trigger. A
+    * streaming ingest appends up to one file per touched list per
+    * micro-batch; like the dedup catalogs, the steady-state floor is one
+    * file per list, so compaction decisions at scale must be per list
+    * (LSM-style), never a whole-index rewrite per trigger-window. */
+  def listFileCounts(spark: SparkSession, dir: String): Map[Int, Int] =
+    dataFiles(fs(spark, dir), dir)
+      .flatMap { p =>
+        val parent = p.getParent.getName
+        if (parent.startsWith("list=")) Some(parent.stripPrefix("list=").toInt)
+        else None
+      }
+      .groupBy(identity).map { case (l, fs0) => (l, fs0.size) }
+
+  /** Rewrite the selected lists (all of them when `lists = None`) as one
+    * id-sorted file each, collapsing duplicate ids from replayed appends
+    * to one row. Same duplicate-tolerant swap as the catalogs: merged
+    * files MOVE IN before the inputs are deleted, so a crash anywhere
+    * leaves (at worst) duplicate vectors — and [[topK]]'s ranking is
+    * duplicate-stable (same id ⇒ same cosine ⇒ ties break on id), so
+    * readers tolerate the window. */
+  def compact(
+      spark: SparkSession, dir: String,
+      lists: Option[Seq[Int]] = None): Unit = {
+    val f = fs(spark, dir)
+    if (readMeta(spark, dir).isEmpty) return
+    val inScope: Path => Boolean = lists match {
+      case None => _ => true
+      case Some(ls) =>
+        val names = ls.map(l => s"list=$l").toSet
+        p => names.contains(p.getParent.getName)
+    }
+    val oldFiles = dataFiles(f, dir).filter(inScope)
+    if (oldFiles.isEmpty) return
+    val vecDir = s"$dir/vectors"
+    val scoped = lists match {
+      case Some(ls) => spark.read.schema(VecSchema).parquet(vecDir)
+        .filter(col("list").isin(ls: _*))
+      case None => spark.read.schema(VecSchema).parquet(vecDir)
+    }
+    val tmp = s"$dir/_compacting"
+    f.delete(new Path(tmp), true)
+    scoped
+      .groupBy(col("list"), col("id")).agg(first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), col("list"))
+      .repartition(col("list"))
+      .sortWithinPartitions("list", "id") // list prefix: see writeVectors
+      .write.mode("overwrite").partitionBy("list").parquet(tmp)
+    for (listDir <- f.listStatus(new Path(tmp)).toSeq
+         if listDir.isDirectory && listDir.getPath.getName.startsWith("list=")) {
+      val target = new Path(vecDir, listDir.getPath.getName)
+      f.mkdirs(target)
+      for (part <- f.listStatus(listDir.getPath).toSeq
+           if part.isFile && part.getPath.getName.endsWith(".parquet")) {
+        val dest = new Path(target, s"compacted-${part.getPath.getName}")
+        if (!f.rename(part.getPath, dest)) throw new java.io.IOException(
+          s"IVF compaction: rename ${part.getPath} -> $dest failed; " +
+            "old files left in place (duplicates only, no loss)")
+      }
+    }
+    oldFiles.foreach(p => f.delete(p, false))
+    f.delete(new Path(tmp), true)
+  }
+
   /** ANN top-k against the persistent index with multi-probe: each query
     * searches its `nProbe` nearest lists; the vector scan carries a
     * `list IN (…)` PARTITION FILTER (≤ nLists distinct values, collected
@@ -175,6 +253,13 @@ object IvfIndex {
     val joined = pruned.join(broadcast(q), Seq("list"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cosine", Similarity.cosine(col("__qv"), col("vec")))
+      // collapse duplicate ids BEFORE ranking: a replayed append (the
+      // crash window compact() tolerates) must not seat the same
+      // neighbor twice in a top-k; same id ⇒ same vector ⇒ max is the
+      // unchanged cosine, so the duplicate-free case is unaffected (a
+      // vector lives in exactly one list, so probing never duplicates)
+      .groupBy(col("query_id"), col("id"))
+      .agg(max(col("cosine")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))

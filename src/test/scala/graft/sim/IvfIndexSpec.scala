@@ -64,6 +64,69 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       k = 3, nProbe = 8).count() == 3)
   }
 
+  test("per-list compaction collapses appends and duplicates, preserves results") {
+    val dir = freshDir()
+    IvfIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      dir, nLists = 4)
+    // several appends (a streaming ingest's shape) + one REPLAYED append
+    IvfIndex.appendVectors(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding", dir)
+    IvfIndex.appendVectors(
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding", dir)
+    IvfIndex.appendVectors( // replay: duplicates, which readers tolerate
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding", dir)
+
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val before = IvfIndex.topK(spark, dir, q, "vec_id", "embedding",
+      k = 10, nProbe = 4).collect().map(_.toSeq).toSet
+    // duplicate rows exist but no neighbor is seated twice
+    val seats = IvfIndex.topK(spark, dir, q, "vec_id", "embedding",
+      k = 10, nProbe = 4).groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(seats == 0)
+
+    // compact only the overfull lists (LSM-style): row count collapses
+    // to the distinct ids, results identical
+    val over = IvfIndex.listFileCounts(spark, dir)
+      .filter(_._2 > 1).keys.toSeq
+    assert(over.nonEmpty)
+    IvfIndex.compact(spark, dir, lists = Some(over))
+    assert(IvfIndex.listFileCounts(spark, dir).forall(_._2 == 1))
+    assert(IvfIndex.vectors(spark, dir).count() == emb.count())
+    val after = IvfIndex.topK(spark, dir, q, "vec_id", "embedding",
+      k = 10, nProbe = 4).collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
+  test("streaming embedding ingest: foreachBatch appends land in the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    IvfIndex.build(emb.filter(col("vec_id") < 450), "vec_id", "embedding",
+      dir, nLists = 4)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val late = emb.filter(col("vec_id") >= 450)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    input.addData(late.toSeq: _*)
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          IvfIndex.appendVectors(batch, "vec_id", "embedding", dir)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(IvfIndex.vectors(spark, dir).count() == emb.count())
+    val probe = IvfIndex.topK(spark, dir,
+      emb.filter(col("vec_id") === 460), "vec_id", "embedding",
+      k = 3, nProbe = 4)
+    assert(probe.count() == 3)
+  }
+
   test("layout guards: no meta fails loudly, double build refuses") {
     val dir = freshDir()
     val e = intercept[IllegalStateException] {
