@@ -878,8 +878,16 @@ object SparkEntry {
     "embed_topk_ivf_indexed" -> ((s, dir) => {
       val e = emb(s, dir)
       val idxDir = ivfIndexDirs.computeIfAbsent(dir, { _ =>
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-ivf-idx").toString + "/idx"
+        val root = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+        // unlike the sibling in-memory caches, this one writes a copy of
+        // the embeddings table to disk — reap it with the JVM
+        sys.addShutdownHook {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
+          }
+          rm(root.toFile)
+        }
+        val d = root.toString + "/idx"
         graft.sim.IvfIndex.build(e, "vec_id", "embedding", d, nLists = 8)
         d
       })

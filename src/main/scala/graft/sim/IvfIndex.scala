@@ -2,7 +2,7 @@ package graft.sim
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -75,48 +75,86 @@ object IvfIndex {
 
   private def requireMeta(spark: SparkSession, dir: String): Meta =
     readMeta(spark, dir).getOrElse(throw new IllegalStateException(
-      s"no IVF index at $dir (missing ${metaPath(dir)}); build() it first"))
+      s"no IVF index at $dir (missing ${metaPath(dir)} — never built, or " +
+        "a crashed build left no commit marker); build() it first"))
+
+  /** Per-row dimension guard fused into the write/probe scan: a
+    * mismatched vector would otherwise score NULL against every centroid
+    * (VecDot's length contract), silently landing in the last list and
+    * never surfacing as a neighbor. The guard wraps the vector column
+    * itself so projection pruning can never skip it. Nulls pass (a null
+    * embedding row stays a null-scored row, as in the in-memory path). */
+  private def dimGuarded(vec: Column, dim: Int, what: String): Column =
+    when(vec.isNotNull && size(vec) =!= dim,
+      raise_error(concat(lit(s"$what expects dim $dim, got dim "),
+        size(vec).cast("string")))).otherwise(vec)
 
   // ------------------------------------------------------------ build
 
   /** Train the coarse quantizer on a bounded sample and write the full
     * index. One distributed pass for the sample, one for the assignment
-    * + partitioned write (single shuffle on the list id). */
+    * + partitioned write (single shuffle on the list id).
+    *
+    * The meta file is the build's COMMIT MARKER, written LAST — the
+    * opposite order from the accreting catalogs (whose meta must land
+    * before any of many independent appends). A build is ONE atomic
+    * construction: a crash mid-build leaves data without meta, every
+    * reader refuses it loudly ([[requireMeta]]), and re-running build()
+    * clears the incomplete remnants and completes. No window exists
+    * where a half-built index silently serves a subset of the corpus. */
   def build(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       nLists: Int, targetRows: Long = 50000L, seed: Long = 42L,
       rowCount: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
-    val centroids = Similarity.ivfTrainAuto(
-      corpus, vecCol, nLists, targetRows, seed, rowCount)
-    val dim = centroids.head.length
+    // refusal BEFORE the (expensive) quantizer training
     require(readMeta(spark, dir).isEmpty,
       s"IVF index at $dir already exists; build() into a fresh dir " +
         "(append new vectors with appendVectors())")
-    writeMeta(spark, dir, Meta(nLists, dim))
+    val f = fs(spark, dir)
+    if (f.exists(new Path(dir))) {
+      // only ever clear CRASHED-BUILD remnants: refuse to delete a dir
+      // holding anything but index-shaped entries (a caller pointing
+      // build() at the wrong path must not lose data)
+      val entries = f.listStatus(new Path(dir)).map(_.getPath.getName).toSet
+      val indexShaped = Set("centroids", "vectors", "_compacting")
+      require(entries.subsetOf(indexShaped),
+        s"refusing to build over $dir: it contains non-index entries " +
+          s"${(entries -- indexShaped).toSeq.sorted.mkString(", ")}")
+      f.delete(new Path(dir), true)
+    }
+    val centroids = Similarity.ivfTrainAuto(
+      corpus, vecCol, nLists, targetRows, seed, rowCount)
+    val dim = centroids.head.length
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    writeVectors(corpus, idCol, vecCol, dir, centroids)
+    writeVectors(corpus, idCol, vecCol, dir, centroids, dim)
+    writeMeta(spark, dir, Meta(nLists, dim)) // commit
   }
 
   /** Assign NEW vectors to the EXISTING centroids and append them — the
     * incremental-growth path (an IVF's recall degrades gracefully as the
-    * corpus drifts from the trained quantizer; rebuild when it does). */
+    * corpus drifts from the trained quantizer; rebuild when it does).
+    * A crash mid-append leaves a PARTIAL batch; the replay contract is
+    * the caller's (a streaming foreachBatch re-runs the batch), and the
+    * resulting duplicate rows are collapsed by [[topK]] and [[compact]].
+    */
   def appendVectors(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
     val spark = corpus.sparkSession
-    requireMeta(spark, dir)
-    writeVectors(corpus, idCol, vecCol, dir, readCentroids(spark, dir))
+    val m = requireMeta(spark, dir)
+    writeVectors(corpus, idCol, vecCol, dir, readCentroids(spark, dir), m.dim)
   }
 
   private def writeVectors(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      centroids: Array[Array[Double]]): Unit =
+      centroids: Array[Array[Double]], dim: Int): Unit =
     Similarity.withIvfList(
       corpus.select(col(idCol).cast(LongType).as("id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("vec")),
+        dimGuarded(col(vecCol).cast(ArrayType(DoubleType)), dim,
+          s"IVF index at $dir").as("vec")),
       "vec", centroids, listCol = "list")
       .repartition(col("list"))
       // list prefix: satisfies the partitioned writer's required ordering
@@ -128,7 +166,8 @@ object IvfIndex {
   // ------------------------------------------------------------- read
 
   /** The trained centroids, ordered by list id (driver-small:
-    * nLists × dim doubles). */
+    * nLists × dim doubles). Count and dimensions are validated against
+    * the meta on every read. */
   def readCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
     val m = requireMeta(spark, dir)
     val rows = spark.read.parquet(s"$dir/centroids")
@@ -136,7 +175,11 @@ object IvfIndex {
       .collect()
     require(rows.length == m.nLists,
       s"IVF index at $dir: ${rows.length} centroids, meta says ${m.nLists}")
-    rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val cs = rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    require(cs.forall(_.length == m.dim),
+      s"IVF index at $dir: centroid dims ${cs.map(_.length).distinct.toSeq} " +
+        s"do not all match meta dim ${m.dim}")
+    cs
   }
 
   /** All indexed vectors (probe-free full scan — parity tests and
@@ -232,19 +275,18 @@ object IvfIndex {
   def topK(
       spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val m = requireMeta(spark, dir)
     val centroids = readCentroids(spark, dir)
-    val scored = centroids.zipWithIndex.map { case (cen, i) =>
-      val cCol = array(cen.map(lit): _*)
-      val negHalfCC = -0.5 * cen.map(x => x * x).sum
-      struct((Similarity.dot(col("__qv"), cCol) + negHalfCC).as("score"),
-        lit(i).as("list"))
-    }
-    val q = queries
+    // pinned (small, by the top-k probe contract): the probed-list
+    // collect below and the join both consume the scored query frame —
+    // without the pin the query source is scanned and centroid-scored
+    // twice per call
+    val q = graft.ops.Checkpoints.pin(queries
       .select(col(idCol).cast(LongType).as("query_id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("__qv"))
+        dimGuarded(col(vecCol).cast(ArrayType(DoubleType)), m.dim,
+          s"IVF probe against $dir").as("__qv"))
       .withColumn("list",
-        explode(slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
-          .getField("list")))
+        Similarity.probeListsCol(col("__qv"), centroids, nProbe)))
     // static partition filter from the probed lists: ≤ nLists distinct
     // values by construction, one bounded collect from the (small) query
     // side — the scan then prunes at the directory level

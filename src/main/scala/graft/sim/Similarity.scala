@@ -258,17 +258,35 @@ object Similarity {
     * assignment is a pure scan — no shuffle, no model object on
     * executors. Squared L2 via the dot-product identity keeps it one
     * `aggregate` per centroid. */
-  def withIvfList(
-      df: DataFrame, vecCol: String, centroids: Array[Array[Double]],
-      listCol: String = "__list"): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
+  /** Per-centroid `(score, list)` structs for a vector column, scored by
+    * the dot identity: argmin ‖v−c‖² == argmax (v·c − 0.5·c·c) since v·v
+    * is constant per row. The ONE implementation every coarse-quantizer
+    * consumer shares — single-list assignment ([[withIvfList]]), query
+    * probing ([[ivfTopKTrained]], [[IvfIndex.topK]]) — so tie-breaking
+    * and the score identity cannot drift between the in-memory and
+    * persistent paths. */
+  private[sim] def centroidScores(
+      vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
       val cCol = array(c.map(lit): _*)
       val negHalfCC = -0.5 * c.map(x => x * x).sum
-      // argmin ||v - c||^2 == argmax (v·c - 0.5·c·c); v·v is constant per row
-      struct((dot(col(vecCol), cCol) + negHalfCC).as("score"), lit(i).as("list"))
+      struct((dot(vec, cCol) + negHalfCC).as("score"), lit(i).as("list"))
     }
-    df.withColumn(listCol, array_max(array(scored: _*)).getField("list"))
-  }
+
+  /** The `nProbe` nearest list ids for a vector column, as an exploded
+    * column (ties break toward the larger list id, matching the
+    * assignment argmax). */
+  private[sim] def probeListsCol(
+      vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    explode(slice(reverse(array_sort(array(centroidScores(vec, centroids): _*))),
+      1, nProbe).getField("list"))
+
+  def withIvfList(
+      df: DataFrame, vecCol: String, centroids: Array[Array[Double]],
+      listCol: String = "__list"): DataFrame =
+    df.withColumn(listCol,
+      array_max(array(centroidScores(col(vecCol), centroids): _*))
+        .getField("list"))
 
   /** IVF ANN top-k with multi-probe: queries search their own list plus
     * the `nProbe - 1` next-nearest lists, exact cosine ranks within the
@@ -282,14 +300,8 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       "__cv", centroids)
     // queries probe their nProbe nearest centroids
-    val scored = centroids.zipWithIndex.map { case (cen, i) =>
-      val cCol = array(cen.map(lit): _*)
-      val negHalfCC = -0.5 * cen.map(x => x * x).sum
-      struct((dot(col("__qv"), cCol) + negHalfCC).as("score"), lit(i).as("list"))
-    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__probe", explode(slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
-        .getField("list")))
+      .withColumn("__probe", probeListsCol(col("__qv"), centroids, nProbe))
     val joined = c.join(broadcast(q), col("__list") === col("__probe"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))

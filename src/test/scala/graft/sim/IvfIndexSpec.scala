@@ -30,20 +30,40 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     val dir = freshDir()
     IvfIndex.build(emb, "vec_id", "embedding", dir, nLists = 8)
     val q = emb.filter(col("vec_id") === 0)
-    val result = IvfIndex.topK(spark, dir, q, "vec_id", "embedding",
-      k = 5, nProbe = 2)
-    assert(result.count() == 5)
-    val plan = result.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("list"),
-      s"probe scan must partition-prune on list:\n$plan")
+    // AQE wraps scans in adaptive nodes the plan collect can't reach
+    // until execution; the census is about static shape, so pin it on
+    // the non-adaptive plan (same convention as graft.Explain) — both
+    // the frame construction AND the executedPlan access run with AQE
+    // off (the physical plan is built lazily at first access)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val result = IvfIndex.topK(spark, dir, q, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      assert(result.count() == 5)
+      // a NON-EMPTY PartitionFilters bracket naming list: every
+      // partitioned scan prints "PartitionFilters: [...]", so the assert
+      // must inspect the bracket CONTENT, not just the label's presence
+      val plan = result.queryExecution.executedPlan.toString
+      val partFilters = """PartitionFilters: \[([^\]]*)\]""".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(partFilters.exists(f => f.contains("list") && f.trim.nonEmpty),
+        s"probe scan must carry a non-empty list partition filter, " +
+          s"got brackets: $partFilters\n$plan")
 
-    // functional pruning check: a one-list filter reads strictly fewer
-    // files than the index holds (each list is its own directory)
-    val all = IvfIndex.vectors(spark, dir)
-      .select(input_file_name()).distinct().count()
-    val one = IvfIndex.vectors(spark, dir).filter(col("list") === 0)
-      .select(input_file_name()).distinct().count()
-    assert(one < all, s"one list read $one of $all files")
+      // functional pruning check on the ACTUAL probe plan: the files the
+      // topK scan reads are a strict subset of the index's files
+      // (nProbe=2 of 8 lists; each list is its own directory)
+      val allFiles = IvfIndex.vectors(spark, dir)
+        .select(input_file_name()).distinct().count()
+      val scans = result.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "vec") => s
+      }
+      assert(scans.nonEmpty, "expected a vectors file scan in the probe plan")
+      val probedFiles = scans.map(_.selectedPartitions.totalNumberOfFiles).sum
+      assert(probedFiles < allFiles,
+        s"probe read $probedFiles of $allFiles index files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("appendVectors grows the index without retraining") {
@@ -125,6 +145,50 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       emb.filter(col("vec_id") === 460), "vec_id", "embedding",
       k = 3, nProbe = 4)
     assert(probe.count() == 3)
+  }
+
+  test("dimension mismatches fail loudly instead of silently mis-scoring") {
+    val dir = freshDir()
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nLists = 4)
+    // a wrong-dim vector would score NULL against every centroid and
+    // silently land in the last list — the fused guard must throw instead
+    val short = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val e1 = intercept[Exception] {
+      IvfIndex.appendVectors(short, "vec_id", "embedding", dir)
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("expects dim 64"),
+      s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      IvfIndex.topK(spark, dir, short.limit(1), "vec_id", "embedding", k = 1)
+        .collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("expects dim 64"),
+      s"got: ${e2.getMessage}")
+  }
+
+  test("a crashed build (data, no meta) fails readers and rebuilds cleanly") {
+    val dir = freshDir()
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nLists = 4)
+    // simulate the crash window: data present, commit marker gone
+    val f = new java.io.File(dir, "_graft_ivf.json")
+    assert(f.delete())
+    val e = intercept[IllegalStateException] {
+      IvfIndex.vectors(spark, dir).count()
+    }
+    assert(e.getMessage.contains("build() it first"))
+    // re-building clears the remnants and completes
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nLists = 4)
+    assert(IvfIndex.vectors(spark, dir).count() == emb.count())
+    // but build never deletes a dir holding non-index content
+    val dir2 = freshDir()
+    new java.io.File(dir2).mkdirs()
+    assert(new java.io.File(dir2, "precious.txt").createNewFile())
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.build(emb, "vec_id", "embedding", dir2, nLists = 4)
+    }
+    assert(e2.getMessage.contains("non-index entries"))
+    assert(new java.io.File(dir2, "precious.txt").exists())
   }
 
   test("layout guards: no meta fails loudly, double build refuses") {

@@ -46,7 +46,10 @@ class QualityModelSpec extends AnyFunSuite with SparkTestBase {
 
   test("margin and sigmoid score agree on the decision boundary") {
     import spark.implicits._
-    val m = QualityModel.LinearModel(Seq(1.5, 2.0, -4.0, -0.5, -1.0), -0.25)
+    // the ACTUAL gate head — referencing the shared constants keeps this
+    // spec validating whatever quality_model_fixed ships
+    val m = QualityModel.LinearModel(
+      graft.SparkEntry.FixedQualityWeights, graft.SparkEntry.FixedQualityIntercept)
     val scored = docsDf.select(
       QualityModel.marginColumn(col("text"), m).as("margin"),
       QualityModel.scoreColumn(col("text"), m).as("score"))
