@@ -1480,6 +1480,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Temperature-scaled mixture sampling (α = 0.5): per-group keep
+    // rates ⌊1000·√(n_min/nₛ)⌋‰ derived from the corpus's own counts —
+    // the multilingual-LM flattening knob — through the deterministic
+    // content-hash gate. The testdata's sources are perfectly balanced
+    // (flattening would be a no-op), so the groups are a derived 60/30/10
+    // skew; sqrt is correctly rounded, so the oracle recomputes the
+    // identical permilles from the same integer counts.
+    "mixture_temperature" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("grp",
+        when(pmod(col("doc_id"), lit(10)) < 6, "heavy")
+          .when(pmod(col("doc_id"), lit(10)) < 9, "mid")
+          .otherwise("rare"))
+      d.filter(TextOps.temperatureMixFilter(d, "grp", "text", alpha = 0.5))
+        .select(col("doc_id"), col("grp"))
+    }),
+
     // Quality-ranked selection under a 400-token budget per source.
     "quality_select" -> ((s, dir) =>
       graft.text.Packing.selectUnderTokenBudget(
@@ -3622,6 +3638,27 @@ object SparkEntry {
         |WHERE ${fingerprintSql("text")} % 1000
         |      < CASE CAST(substr(source, 4) AS INT) % 3
         |          WHEN 0 THEN 200 WHEN 1 THEN 500 ELSE 800 END
+        |""".stripMargin,
+
+    "mixture_temperature" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN doc_id % 10 < 6 THEN 'heavy'
+        |              WHEN doc_id % 10 < 9 THEN 'mid'
+        |              ELSE 'rare' END AS grp
+        |  FROM documents
+        |), c AS (
+        |  SELECT grp, count(*) AS n FROM g GROUP BY grp
+        |), r AS (
+        |  SELECT grp,
+        |         greatest(CAST(floor(1000.0 * sqrt(
+        |           CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)
+        |         )) AS BIGINT), 1) AS permille
+        |  FROM c
+        |)
+        |SELECT g.doc_id, g.grp
+        |FROM g JOIN r ON g.grp = r.grp
+        |WHERE ${fingerprintSql("text")} % 1000 < r.permille
         |""".stripMargin,
 
     "quality_select" ->

@@ -183,6 +183,56 @@ object TextOps {
     graft.functions.GraftFunctions.fingerprint64(text) % 1000 < rate
   }
 
+  /** Per-source row counts, collected driver-side — the mixture-rate
+    * input. Bounded by the number of SOURCES (a mixture config is tens of
+    * entries), not rows; one map-side-combined shuffle on the source key.
+    */
+  def sourceCounts(df: org.apache.spark.sql.DataFrame,
+      sourceCol: String): Map[String, Long] =
+    df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Temperature-scaled mixture rates (the multilingual-LM sampling
+    * knob — XLM/mT5 style): natural source shares pₛ = nₛ/N flatten to
+    * qₛ ∝ pₛ^α, α ∈ (0, 1] (α = 1 keeps natural proportions, α → 0
+    * approaches uniform), realized as per-source KEEP rates normalized so
+    * the smallest source keeps everything:
+    * rateₛ = max(1, ⌊1000·(n_min/nₛ)^(1−α)⌋) permille.
+    *
+    * Exponent 0.5 (α = 0.5, the common default) routes through
+    * `math.sqrt` — correctly rounded per IEEE-754, so the DuckDB oracle
+    * reproduces the permilles BITWISE from the same integer counts.
+    * Other exponents use `math.pow` (not correctly-rounded by spec; a
+    * cross-engine one-ulp difference only matters if 1000·x lands within
+    * an ulp of an integer). The floor keeps every rate ≥ 1‰ so no source
+    * is ever silenced entirely. */
+  def temperatureMixPermille(
+      counts: Map[String, Long], alpha: Double): Map[String, Int] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      "counts must be non-empty and positive")
+    val nMin = counts.values.min.toDouble
+    val exp = 1.0 - alpha
+    counts.map { case (s, n) =>
+      val ratio = nMin / n.toDouble
+      val scaled =
+        if (exp == 0.5) 1000.0 * math.sqrt(ratio)
+        else 1000.0 * math.pow(ratio, exp)
+      s -> math.max(1, math.floor(scaled).toInt)
+    }
+  }
+
+  /** Temperature mixture sampling end to end: counts → flattened rates →
+    * the deterministic content-hash gate ([[weightedSampleFilter]]).
+    * Counts are ONE bounded aggregate; the filter itself is a pure scan.
+    */
+  def temperatureMixFilter(
+      df: org.apache.spark.sql.DataFrame, sourceCol: String,
+      textCol: String, alpha: Double): Column =
+    weightedSampleFilter(col(sourceCol), col(textCol),
+      temperatureMixPermille(sourceCounts(df, sourceCol), alpha),
+      defaultPermille = 1000)
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
     * hash every k-char window, then keep the MINIMUM hash of each run of
     * `w` consecutive window hashes. The selected set is position-robust —

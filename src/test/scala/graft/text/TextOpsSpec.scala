@@ -144,4 +144,55 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L).intersect(got(2L)).isEmpty)
     assert(got(4L) == Set(localPoly("short")))
   }
+
+  test("temperature mix rates: smallest source keeps all, rates flatten with alpha") {
+    val counts = Map("big" -> 9000L, "mid" -> 1000L, "small" -> 90L)
+    val half = TextOps.temperatureMixPermille(counts, alpha = 0.5)
+    // normalized: min-count source keeps 1000 permille
+    assert(half("small") == 1000)
+    // rate = floor(1000 * sqrt(n_min/n)): monotone down in n
+    assert(half("mid") == math.floor(1000.0 * math.sqrt(90.0 / 1000.0)).toInt)
+    assert(half("big") == math.floor(1000.0 * math.sqrt(90.0 / 9000.0)).toInt)
+    assert(half("small") > half("mid") && half("mid") > half("big"))
+    // alpha = 1 keeps NATURAL proportions: every rate is 1000 (no flattening)
+    assert(TextOps.temperatureMixPermille(counts, 1.0).values.forall(_ == 1000))
+    // flatter alpha suppresses the big source harder
+    val quarter = TextOps.temperatureMixPermille(counts, alpha = 0.25)
+    assert(quarter("big") < half("big"))
+    // the floor never silences a source
+    val extreme = TextOps.temperatureMixPermille(
+      Map("a" -> 1L, "b" -> 100000000L), alpha = 0.5)
+    assert(extreme("b") == 1)
+  }
+
+  test("temperature mix filter: deterministic, partitioning-independent, flattening") {
+    // the testdata's sources are perfectly balanced (flattening is a
+    // no-op there), so skew deterministically: 60/30/10 by doc_id
+    val docsDf = graft.sources.Tables
+      .read(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("grp",
+        when(pmod(col("doc_id"), lit(10)) < 6, "heavy")
+          .when(pmod(col("doc_id"), lit(10)) < 9, "mid")
+          .otherwise("rare"))
+    val kept = docsDf
+      .filter(TextOps.temperatureMixFilter(docsDf, "grp", "text", alpha = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < docsDf.count())
+    val kept2 = docsDf.repartition(13)
+      .filter(TextOps.temperatureMixFilter(docsDf, "grp", "text", alpha = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+    // post-sample shares are FLATTER than natural: the heavy group's
+    // sample share drops toward the flattened target, the rare group
+    // keeps everything (its rate is the normalized 1000 permille)
+    val natural = TextOps.sourceCounts(docsDf, "grp")
+    val sampled = TextOps.sourceCounts(
+      docsDf.filter(TextOps.temperatureMixFilter(docsDf, "grp", "text", 0.5)),
+      "grp")
+    assert(sampled("rare") == natural("rare"))
+    val natShare = natural("heavy").toDouble / natural.values.sum
+    val samShare = sampled("heavy").toDouble / sampled.values.sum
+    assert(samShare < natShare,
+      s"heavy share $samShare should flatten below natural $natShare")
+  }
 }
