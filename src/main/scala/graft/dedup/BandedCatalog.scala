@@ -213,6 +213,38 @@ object BandedCatalog {
         }
     }
 
+  // -------------------------------------------------------- rebucket
+
+  /** Re-shard the catalog into `toDir` under a DIFFERENT bucket count —
+    * the growth path when survivors outgrow the bucket choice (the class
+    * doc's sizing note: a 10⁹-doc catalog wants thousands of buckets,
+    * not the default 64). Banding parameters are UNCHANGED — they define
+    * which duplicates exist; only the physical sharding moves.
+    *
+    * Rebuild-into-fresh-dir, same rationale as
+    * [[ExactCatalog.rebucket]]: the source stays readable and untouched,
+    * the target lands complete (meta first, rows collapsed like
+    * [[compact]]), the caller cuts over by path; a crashed run is rerun
+    * into a fresh target (the non-empty guard refuses reuse loudly). */
+  def rebucket(
+      spark: SparkSession, fromDir: String, toDir: String,
+      newBuckets: Int): Unit = {
+    val m = readMeta(spark, fromDir).getOrElse(throw new IllegalArgumentException(
+      s"no banded catalog at $fromDir to rebucket"))
+    require(readMeta(spark, toDir).isEmpty &&
+      dataFiles(fs(spark, toDir), toDir).isEmpty,
+      s"rebucket target $toDir is not empty; use a fresh dir")
+    writeMeta(spark, toDir, m.copy(numBuckets = newBuckets))
+    read(spark, fromDir)
+      .groupBy(col("band"), col("band_key"), col("id"))
+      .agg(first(col("__sig")).as("__sig"), max(col("added")).as("added"))
+      .select(col("band"), col("band_key"), col("id"), col("__sig"),
+        col("added"), bucketOf(col("band_key"), newBuckets).as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "band_key") // see append(): bucket prefix
+      .write.mode("append").partitionBy("bucket").parquet(toDir)
+  }
+
   // ------------------------------------------------------- compaction
 
   private def dataFiles(f: FileSystem, dir: String): Seq[Path] = {

@@ -215,6 +215,40 @@ object ExactCatalog {
     out
   }
 
+  // -------------------------------------------------------- rebucket
+
+  /** Re-shard the catalog into `toDir` under a DIFFERENT bucket count —
+    * the growth path when the survivor count outgrows the bucket choice
+    * (a bucket should stay file-sized; `numBuckets` is fixed per layout
+    * because `bucket = fp mod numBuckets` IS the pruning contract).
+    *
+    * Deliberately a rebuild-into-fresh-dir, not an in-place mutation: a
+    * directory-level re-shard has no atomic swap on HDFS-like stores,
+    * while this shape needs none — the SOURCE stays readable and
+    * untouched throughout (writers pause, readers keep going), the new
+    * layout lands complete (meta-first, then one bucket-shuffled write,
+    * rows collapsed like [[compact]]), and the caller cuts over by path.
+    * A crash mid-rebucket leaves a half-written `toDir` whose meta is
+    * valid but whose rows are partial — rerun into a FRESH target (the
+    * non-empty-target guard makes reuse refuse loudly). */
+  def rebucket(
+      spark: SparkSession, fromDir: String, toDir: String,
+      newBuckets: Int): Unit = {
+    require(readMeta(spark, fromDir).isDefined,
+      s"no exact catalog at $fromDir to rebucket")
+    require(readMeta(spark, toDir).isEmpty &&
+      dataFiles(fs(spark, toDir), toDir).isEmpty,
+      s"rebucket target $toDir is not empty; use a fresh dir")
+    writeMeta(spark, toDir, newBuckets)
+    read(spark, fromDir)
+      .groupBy(col("fp"), col("h2")).agg(max(col("added")).as("added"))
+      .select(col("fp"), col("h2"), col("added"),
+        bucketOf(col("fp"), newBuckets).as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "fp") // see append(): bucket prefix
+      .write.mode("append").partitionBy("bucket").parquet(toDir)
+  }
+
   // ------------------------------------------------------- compaction
 
   private def dataFiles(f: FileSystem, dir: String): Seq[Path] = {

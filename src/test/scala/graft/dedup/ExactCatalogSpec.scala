@@ -201,4 +201,44 @@ class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("numBuckets"))
   }
+
+  test("rebucket re-shards into a fresh dir with dedup state intact") {
+    val dir = tmpDir()
+    val corpus = docs((1L to 100L).map(i => i -> s"doc $i"): _*)
+    ExactCatalog.append(ExactCatalog.entriesOf(corpus, "text"), dir,
+      numBuckets = 4, added = 7L)
+    // a second sighting of doc 1 under a later tag (rebucket keeps MAX)
+    ExactCatalog.append(ExactCatalog.entriesOf(docs(1L -> "doc 1"), "text"),
+      dir, numBuckets = 4, added = 9L)
+
+    val to = tmpDir() + "/re"
+    ExactCatalog.rebucket(spark, dir, to, newBuckets = 16)
+    assert(ExactCatalog.readMeta(spark, to).contains(16))
+    // collapsed: one row per (fp, h2), latest tag preserved
+    val rows = ExactCatalog.read(spark, to)
+    assert(rows.count() == 100)
+    assert(rows.filter(col("added") === 9L).count() == 1)
+    // every row sits in its CORRECT new bucket (the pruning contract)
+    assert(rows.filter(
+      ExactCatalog.bucketOf(col("fp"), 16) =!= col("bucket")).count() == 0)
+
+    // dedup state carried over: all-seen batch admits nothing, a fresh
+    // doc still gets through (callers now pass the NEW bucket count)
+    assert(ExactCatalog.applyBatch(
+      docs(50L -> "doc 50", 51L -> "doc 51"), to, "doc_id", "text",
+      numBuckets = 16, added = 10L).isEmpty)
+    assert(ExactCatalog.applyBatch(
+      docs(999L -> "brand new"), to, "doc_id", "text",
+      numBuckets = 16, added = 10L).count() == 1)
+
+    // guards: non-empty target refused; missing source refused
+    val e1 = intercept[IllegalArgumentException] {
+      ExactCatalog.rebucket(spark, dir, to, 32)
+    }
+    assert(e1.getMessage.contains("not empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      ExactCatalog.rebucket(spark, tmpDir(), tmpDir() + "/x", 8)
+    }
+    assert(e2.getMessage.contains("no exact catalog"))
+  }
 }

@@ -256,4 +256,48 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(s1.take(5).forall { case (id, _) => out.contains(id + 500000L) })
     assert(s2.take(5).forall { case (id, _) => !out.contains(id + 600000L) })
   }
+
+  test("rebucket re-shards the signature catalog with dedup state intact") {
+    import spark.implicits._
+    val (b1, _) = corpus()
+    val tmp = Files.createTempDirectory("graft-snd-rebucket").toString
+    val dir = s"$tmp/catalog"
+    val s1 = StreamingNearDedup.applyBatch(
+      b1.toDF("doc_id", "text"), dir, "doc_id", "text",
+      numBuckets = 4, added = 1L)
+    assert(s1.count() > 0)
+
+    val to = s"$tmp/catalog16"
+    graft.dedup.BandedCatalog.rebucket(spark, dir, to, newBuckets = 16)
+    val m = graft.dedup.BandedCatalog.readMeta(spark, to).get
+    // bucket count moved, banding parameters preserved verbatim
+    assert(m.numBuckets == 16)
+    val old = graft.dedup.BandedCatalog.readMeta(spark, dir).get
+    assert((m.bands, m.rowsPerBand, m.shingleSize) ==
+      (old.bands, old.rowsPerBand, old.shingleSize))
+    // identical logical state, rows in their CORRECT new buckets
+    val rows = graft.dedup.BandedCatalog.read(spark, to)
+    assert(rows.select("id").distinct().collect().map(_.getLong(0)).toSet ==
+      graft.dedup.BandedCatalog.read(spark, dir)
+        .select("id").distinct().collect().map(_.getLong(0)).toSet)
+    assert(rows.filter(graft.dedup.BandedCatalog
+      .bucketOf(col("band_key"), 16) =!= col("bucket")).count() == 0)
+
+    // dedup memory carried: near-dups of pre-rebucket survivors drop
+    // against the NEW layout (callers pass the new bucket count)
+    val mutants = b1.take(5).map { case (id, t) => (id + 800000L, mutate(t)) }
+    assert(StreamingNearDedup.applyBatch(
+      mutants.toDF("doc_id", "text"), to, "doc_id", "text",
+      numBuckets = 16, added = 2L).isEmpty)
+
+    // guards: non-empty target and missing source refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      graft.dedup.BandedCatalog.rebucket(spark, dir, to, 32)
+    }
+    assert(e1.getMessage.contains("not empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.dedup.BandedCatalog.rebucket(spark, s"$tmp/nope", s"$tmp/x", 8)
+    }
+    assert(e2.getMessage.contains("no banded catalog"))
+  }
 }
