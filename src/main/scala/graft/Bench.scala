@@ -105,7 +105,7 @@ object Bench {
       "span_dedup", "pack_plan", "mixture_sample", "mixture_temperature",
       "quality_select",
       "top_ngrams", "url_normalize", "domain_stats", "media_dims",
-      "wav_meta", "vocab_encode", "unigram_logppl", "kmeans_topics",
+      "wav_meta", "mp4_meta", "vocab_encode", "unigram_logppl", "kmeans_topics",
       "chunk_docs", "ppl_hist", "bpe_merges", "embed_topk_pq",
       "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch",
       "window_agg", "stratified_split", "gopher_filters",

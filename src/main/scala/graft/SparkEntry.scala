@@ -161,6 +161,48 @@ object SparkEntry {
       lit("64617461"), le32hex(dataBytes)))
   }
 
+  /** Big-endian hex renderings for ISO-BMFF fixtures (BMFF scalar fields
+    * are BE, unlike RIFF). */
+  private def be32hex(c: Column): Column = lpad(hex(c), 8, "0")
+  private def be64hex(c: Column): Column = lpad(hex(c), 16, "0")
+
+  /** A real ISO-BMFF (MP4) header — `ftyp` + `moov(mvhd + trak…)`,
+    * media payload out-of-band — with movie geometry derived from
+    * doc_id so the parse query has a column-statable oracle. Every 5th
+    * doc uses a VERSION 1 mvhd with a >2³² duration (the 64-bit field
+    * path); track count varies 1–3 (empty `trak` boxes — the kernel
+    * counts, it does not descend). */
+  private def syntheticMp4: Column = {
+    val brandHex = when(col("doc_id") % 3 === 0, "69736F6D") // isom
+      .when(col("doc_id") % 3 === 1, "6D703432")             // mp42
+      .otherwise("61766331")                                  // avc1
+    val timescale = when(col("doc_id") % 3 === 0, 600)
+      .when(col("doc_id") % 3 === 1, 1000).otherwise(90000).cast("int")
+    val isV1 = col("doc_id") % 5 === 0
+    val duration = (col("doc_id") % 9000 + 1).cast("long") +
+      when(isV1, lit(4294967296L)).otherwise(lit(0L))
+    val nTracks = (col("doc_id") % 3 + 1).cast("int")
+    val ftyp = concat(lit("00000010"), lit("66747970"), brandHex,
+      lit("00000000"))
+    val matrixEtc = lit("00010000" + "0100" + "0000" + "0" * 16 +
+      // unity matrix (9 × 32-bit) + 6 × 32-bit predefined + next_track_id
+      "000100000000000000000000000000000001000000000000000000000000000040000000" +
+      "0" * 48 + "00000002")
+    val mvhdV0 = concat(lit("0000006C"), lit("6D766864"), lit("00000000"),
+      lit("00000000"), lit("00000000"), be32hex(timescale),
+      be32hex(duration), matrixEtc)
+    val mvhdV1 = concat(lit("00000078"), lit("6D766864"), lit("01000000"),
+      lit("0" * 16), lit("0" * 16), be32hex(timescale),
+      be64hex(duration), matrixEtc)
+    val mvhd = when(isV1, mvhdV1).otherwise(mvhdV0)
+    val trak = lit("000000087472616B")
+    val traks = concat(trak,
+      when(nTracks >= 2, trak).otherwise(lit("")),
+      when(nTracks >= 3, trak).otherwise(lit("")))
+    val moovSize = lit(8) + when(isV1, 120).otherwise(108) + nTracks * 8
+    unhex(concat(ftyp, be32hex(moovSize), lit("6D6F6F76"), mvhd, traks))
+  }
+
   private val ivfCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
@@ -1333,6 +1375,21 @@ object SparkEntry {
     // RIFF/WAVE header parse (audio leg of the multimodal layer): the
     // codegen'd WavMeta expression walks the real chunk chain; frames
     // derive from the declared data size and block alignment.
+    // ISO-BMFF (MP4) container metadata: real box-walk of ftyp → moov →
+    // mvhd/trak over synthesized-from-columns headers, both mvhd
+    // versions exercised (every 5th doc is version 1 with a >2^32
+    // duration). Pure scan — header bytes only, the video-corpus
+    // profiling shape.
+    "mp4_meta" -> ((s, dir) => {
+      val m = graft.functions.GraftFunctions.mp4Meta(syntheticMp4)
+      docs(s, dir).select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          col("m.major_brand").as("major_brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          col("m.n_tracks").as("n_tracks"))
+    }),
+
     "wav_meta" -> ((s, dir) => {
       val m = graft.functions.GraftFunctions.wavMeta(syntheticWav)
       docs(s, dir).select(col("doc_id"), m.as("m"))
@@ -3359,6 +3416,19 @@ object SparkEntry {
         |            WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END AS mime,
         |       CAST(doc_id % 640 + 1 AS INT) AS width,
         |       CAST(doc_id % 480 + 1 AS INT) AS height
+        |FROM documents
+        |""".stripMargin,
+
+    "mp4_meta" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'isom'
+        |            WHEN 1 THEN 'mp42' ELSE 'avc1' END AS major_brand,
+        |       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 600
+        |            WHEN 1 THEN 1000 ELSE 90000 END AS INT) AS timescale,
+        |       CAST(doc_id % 9000 + 1
+        |            + CASE WHEN doc_id % 5 = 0 THEN 4294967296 ELSE 0 END
+        |         AS BIGINT) AS duration,
+        |       CAST(doc_id % 3 + 1 AS INT) AS n_tracks
         |FROM documents
         |""".stripMargin,
 

@@ -51,6 +51,9 @@ object GraftFunctions {
     (FunctionIdentifier("wav_meta"),
       new ExpressionInfo(classOf[WavMeta].getName, "wav_meta"),
       (exprs: Seq[Expression]) => WavMeta(exprs.head)),
+    (FunctionIdentifier("mp4_meta"),
+      new ExpressionInfo(classOf[Mp4Meta].getName, "mp4_meta"),
+      (exprs: Seq[Expression]) => Mp4Meta(exprs.head)),
     (FunctionIdentifier("tokenize_ws"),
       new ExpressionInfo(classOf[TokenizeWs].getName, "tokenize_ws"),
       (exprs: Seq[Expression]) => TokenizeWs(exprs.head)),
@@ -103,6 +106,7 @@ object GraftFunctions {
   def normalizeNfc(c: Column): Column = column(NormalizeNfc(expression(c)))
   def imageDims(c: Column): Column = column(ImageDims(expression(c)))
   def wavMeta(c: Column): Column = column(WavMeta(expression(c)))
+  def mp4Meta(c: Column): Column = column(Mp4Meta(expression(c)))
   def tokenizeWs(c: Column): Column = column(TokenizeWs(expression(c)))
   def tokenCountWs(c: Column): Column = column(TokenCountWs(expression(c)))
   def distinctTokenCountWs(c: Column): Column = column(DistinctTokenCountWs(expression(c)))

@@ -109,6 +109,120 @@ case class ImageDims(child: Expression)
     copy(child = newChild)
 }
 
+object Mp4Kernels {
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
+  /** (major_brand, timescale, duration, n_tracks) from an ISO-BMFF
+    * (MP4/MOV) container, walking the published box layout: `ftyp` must
+    * lead (its brand identifies the flavor), `moov` holds one `mvhd`
+    * (movie timescale + duration; version 0 = 32-bit fields, version 1 =
+    * 64-bit) and one `trak` per track. Null for non-BMFF or malformed
+    * input — never throws, and malformed sizes can never stall or
+    * reverse the cursor (same Long-cursor discipline as
+    * [[WavKernels.wavMeta]]). Boxes with size 1 carry a 64-bit
+    * largesize; size 0 means to-end-of-buffer (legal only for the last
+    * top-level box). Header-only payloads (no `mdat`) still report their
+    * movie geometry — media stored out-of-band. */
+  def mp4Meta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 16) return null
+    val n = b.length
+    // box walk helper returns the payload size or -1 on malformed
+    def boxSize(i: Long): Long = {
+      val s = be32(b, i.toInt)
+      if (s == 1L) { if (i + 16 > n) -1L else be64(b, i.toInt + 8) }
+      else if (s == 0L) n - i // to end of buffer
+      else s
+    }
+    if (!tag(b, 4, "ftyp")) return null
+    val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0
+    var i = 0L
+    var sawMoov = false
+    while (i + 8 <= n && !sawMoov) {
+      val size = boxSize(i)
+      if (size < 8) return null
+      if (tag(b, i.toInt + 4, "moov")) {
+        sawMoov = true
+        val end = math.min(i + size, n.toLong)
+        val hdr = if (be32(b, i.toInt) == 1L) 16L else 8L
+        var j = i + hdr
+        while (j + 8 <= end) {
+          val cs = {
+            val s = be32(b, j.toInt)
+            if (s == 1L) { if (j + 16 > end) -1L else be64(b, j.toInt + 8) }
+            else if (s == 0L) end - j
+            else s
+          }
+          if (cs < 8) return null
+          if (tag(b, j.toInt + 4, "mvhd")) {
+            if (j + 9 > end) return null
+            val v = b(j.toInt + 8) & 0xff
+            if (v == 1) {
+              if (j + 8 + 4 + 8 + 8 + 4 + 8 > end) return null
+              timescale = be32(b, j.toInt + 28)
+              duration = be64(b, j.toInt + 32)
+            } else {
+              if (j + 8 + 4 + 4 + 4 + 4 + 4 > end) return null
+              timescale = be32(b, j.toInt + 20)
+              duration = be32(b, j.toInt + 24)
+            }
+          } else if (tag(b, j.toInt + 4, "trak")) {
+            nTracks += 1
+          }
+          j += cs
+        }
+      }
+      i += size
+    }
+    if (!sawMoov || timescale <= 0 || duration < 0) return null
+    InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(brand),
+      timescale.toInt, duration, nTracks)
+  }
+}
+
+/** `mp4_meta(binary)` → `struct<major_brand string, timescale int,
+  * duration long, n_tracks int>` (null when the payload is not an
+  * ISO-BMFF container). Codegen'd scan-side expression like
+  * [[ImageDims]]/[[WavMeta]]: video-container geometry over a 100 TB
+  * corpus reads only header bytes per row. */
+case class Mp4Meta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("major_brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Mp4Kernels.mp4Meta(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      InternalRow ${ev.value}Tmp = graft.functions.Mp4Kernels.mp4Meta($c);
+      if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Tmp; }
+    """)
+
+  override def prettyName: String = "mp4_meta"
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4Meta =
+    copy(child = newChild)
+}
+
 object WavKernels {
 
   private def le16(b: Array[Byte], i: Int): Int =

@@ -66,6 +66,7 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(byName.keySet == Set(
       "fingerprint64", "simhash64", "minhash_signature", "minhash_text",
       "simhash_text", "minhash_fp", "simhash_fp", "image_dims", "wav_meta",
+      "mp4_meta",
       "tokenize_ws", "token_count_ws", "distinct_token_count_ws",
       "distinct_ngram_count_ws", "sum_token_chars_ws", "count_substr",
       "extract_html_text"))

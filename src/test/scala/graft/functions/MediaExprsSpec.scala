@@ -144,4 +144,86 @@ class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
     val viaSql = spark.sql("SELECT wav_meta(p) AS m FROM wavs").collect()
     assert(viaSql.head.getStruct(0) == Row(2, 16000, 16, 8L))
   }
+
+  // ---- MP4 / ISO-BMFF -------------------------------------------------
+
+  private def mp4(b: Array[Byte]): Option[(String, Int, Long, Int)] =
+    Option(Mp4Kernels.mp4Meta(b)).map(r =>
+      (r.getUTF8String(0).toString, r.getInt(1), r.getLong(2), r.getInt(3)))
+
+  /** rate + volume + reserveds + unity matrix + predefined + next_track. */
+  private def mvhdTail =
+    "00010000" + "0100" + "0000" + "00" * 8 +
+      "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000" +
+      "00000000" * 6 + "00000002"
+
+  /** ftyp(isom) + moov[mvhd v0 (timescale 600, duration 1200) + 2 trak]. */
+  private def canonicalMp4 = hexBytes(
+    "00000010 66747970 69736F6D 00000000" +
+    "00000084 6D6F6F76" +
+    "0000006C 6D766864 00000000 00000000 00000000 00000258 000004B0" +
+    mvhdTail +
+    "00000008 7472616B" + "00000008 7472616B")
+
+  test("MP4: ftyp brand + mvhd v0 timescale/duration + trak count") {
+    assert(mp4(canonicalMp4).contains(("isom", 600, 1200L, 2)))
+  }
+
+  test("MP4: version-1 mvhd reads the 64-bit duration") {
+    // mvhd v1 (size 0x78): 8-byte creation/modification, ts 90000,
+    // duration 2^32 + 5
+    val v1 = hexBytes(
+      "00000010 66747970 6D703432 00000000" +
+      "00000080 6D6F6F76" +
+      "00000078 6D766864 01000000" + "00" * 16 +
+      "00015F90 0000000100000005" + mvhdTail)
+    assert(mp4(v1).contains(("mp42", 90000, 4294967301L, 0)))
+  }
+
+  test("MP4: largesize (size==1) and size==0 (to end) boxes walk correctly") {
+    // moov declared via 64-bit largesize
+    val large = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000001 6D6F6F76 0000000000000084" +
+      "0000006C 6D766864 00000000 00000000 00000000 00000258 000004B0" +
+      mvhdTail + "00000008 7472616B")
+    assert(mp4(large).contains(("isom", 600, 1200L, 1)))
+    // a free box with size 0 (extends to EOF) after moov must not break
+    val sizeZeroTail = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000074 6D6F6F76" +
+      "0000006C 6D766864 00000000 00000000 00000000 00000258 000004B0" +
+      mvhdTail +
+      "00000000 66726565 AABB")
+    assert(mp4(sizeZeroTail).contains(("isom", 600, 1200L, 0)))
+  }
+
+  test("MP4: non-BMFF, truncated and malformed sizes return null, never hang") {
+    assert(mp4("not a video at all".getBytes).isEmpty)
+    assert(mp4(canonicalMp4.take(30)).isEmpty)      // truncated moov
+    assert(mp4(hexBytes("00000010 66747970 69736F6D 00000000")).isEmpty) // no moov
+    // box size < 8 is malformed
+    assert(mp4(hexBytes(
+      "00000010 66747970 69736F6D 00000000 00000003 6D6F6F76")).isEmpty)
+    // huge declared moov child size: cursor must terminate, not spin
+    assert(mp4(hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000020 6D6F6F76 FFFFFFF8 6D766864 0000000000000000")).isEmpty)
+  }
+
+  test("MP4 column expression: codegen agrees with the kernel; SQL name registered") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, canonicalMp4), (2L, "nope".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+      .select(col("id"), GraftFunctions.mp4Meta(col("payload")).as("m"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1) == Row("isom", 600, 1200L, 2))
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+    GraftFunctions.register(spark)
+    Seq(canonicalMp4).toDF("p").createOrReplaceTempView("mp4s")
+    assert(spark.sql("SELECT mp4_meta(p) AS m FROM mp4s").collect()
+      .head.getStruct(0) == Row("isom", 600, 1200L, 2))
+  }
 }
