@@ -229,6 +229,7 @@ object BandedCatalog {
   def rebucket(
       spark: SparkSession, fromDir: String, toDir: String,
       newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
     val m = readMeta(spark, fromDir).getOrElse(throw new IllegalArgumentException(
       s"no banded catalog at $fromDir to rebucket"))
     require(readMeta(spark, toDir).isEmpty &&

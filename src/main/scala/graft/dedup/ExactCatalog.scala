@@ -234,6 +234,7 @@ object ExactCatalog {
   def rebucket(
       spark: SparkSession, fromDir: String, toDir: String,
       newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
     require(readMeta(spark, fromDir).isDefined,
       s"no exact catalog at $fromDir to rebucket")
     require(readMeta(spark, toDir).isEmpty &&

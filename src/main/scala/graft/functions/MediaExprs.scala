@@ -134,12 +134,18 @@ object Mp4Kernels {
   def mp4Meta(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 16) return null
     val n = b.length
-    // box walk helper returns the payload size or -1 on malformed
+    // box walk helper returns the payload size or -1 on malformed; a
+    // size reaching past the buffer is CLAMPED OUT as malformed here —
+    // a 64-bit largesize near Long.MaxValue would otherwise overflow
+    // `i += size` and cycle the cursor forever (the WAV kernel's u32
+    // sizes cannot overflow a Long; 64-bit ones can)
     def boxSize(i: Long): Long = {
       val s = be32(b, i.toInt)
-      if (s == 1L) { if (i + 16 > n) -1L else be64(b, i.toInt + 8) }
-      else if (s == 0L) n - i // to end of buffer
-      else s
+      val raw =
+        if (s == 1L) { if (i + 16 > n) -1L else be64(b, i.toInt + 8) }
+        else if (s == 0L) n - i // to end of buffer
+        else s
+      if (raw > n - i) -1L else raw
     }
     if (!tag(b, 4, "ftyp")) return null
     val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -153,15 +159,17 @@ object Mp4Kernels {
       if (size < 8) return null
       if (tag(b, i.toInt + 4, "moov")) {
         sawMoov = true
-        val end = math.min(i + size, n.toLong)
+        val end = i + size // boxSize clamps to the buffer
         val hdr = if (be32(b, i.toInt) == 1L) 16L else 8L
         var j = i + hdr
         while (j + 8 <= end) {
           val cs = {
             val s = be32(b, j.toInt)
-            if (s == 1L) { if (j + 16 > end) -1L else be64(b, j.toInt + 8) }
-            else if (s == 0L) end - j
-            else s
+            val raw =
+              if (s == 1L) { if (j + 16 > end) -1L else be64(b, j.toInt + 8) }
+              else if (s == 0L) end - j
+              else s
+            if (raw > end - j) -1L else raw
           }
           if (cs < 8) return null
           if (tag(b, j.toInt + 4, "mvhd")) {
@@ -184,7 +192,11 @@ object Mp4Kernels {
       }
       i += size
     }
-    if (!sawMoov || timescale <= 0 || duration < 0) return null
+    // timescale is u32 per the spec; a value past Int.MaxValue would
+    // wrap negative under .toInt in a non-nullable field — treat it as
+    // malformed like the WAV kernel's sample-rate guard
+    if (!sawMoov || timescale <= 0 || timescale > Int.MaxValue ||
+      duration < 0) return null
     InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString(brand),
       timescale.toInt, duration, nTracks)

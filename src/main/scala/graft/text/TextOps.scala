@@ -228,10 +228,19 @@ object TextOps {
     */
   def temperatureMixFilter(
       df: org.apache.spark.sql.DataFrame, sourceCol: String,
-      textCol: String, alpha: Double): Column =
+      textCol: String, alpha: Double): Column = {
+    val counts = sourceCounts(df, sourceCol)
+    // a NULL source would poison the mixture both ways at once: its
+    // count would drive n_min (collapsing every real source's rate)
+    // while the generated `source === null` branch never matches, so
+    // null rows would sail through at the default rate — fail loudly
+    // instead of flattening wrong
+    require(!counts.contains(null),
+      s"temperature mixing over '$sourceCol' found NULL source values; " +
+        "fill or filter them first")
     weightedSampleFilter(col(sourceCol), col(textCol),
-      temperatureMixPermille(sourceCounts(df, sourceCol), alpha),
-      defaultPermille = 1000)
+      temperatureMixPermille(counts, alpha), defaultPermille = 1000)
+  }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
     * hash every k-char window, then keep the MINIMUM hash of each run of

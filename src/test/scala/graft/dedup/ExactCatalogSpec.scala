@@ -240,5 +240,11 @@ class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
       ExactCatalog.rebucket(spark, tmpDir(), tmpDir() + "/x", 8)
     }
     assert(e2.getMessage.contains("no exact catalog"))
+    // a non-positive bucket count would write a catalog whose every row
+    // lands in the null partition while meta records the junk count
+    val e3 = intercept[IllegalArgumentException] {
+      ExactCatalog.rebucket(spark, dir, tmpDir() + "/z", 0)
+    }
+    assert(e3.getMessage.contains("must be positive"))
   }
 }

@@ -209,6 +209,23 @@ class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(mp4(hexBytes(
       "00000010 66747970 69736F6D 00000000" +
       "00000020 6D6F6F76 FFFFFFF8 6D766864 0000000000000000")).isEmpty)
+    // a 64-bit largesize near Long.MaxValue must not OVERFLOW the Long
+    // cursor (i += size wrapping negative cycled forever before the
+    // past-the-buffer clamp; u32 WAV sizes can't hit this, 64-bit can)
+    assert(mp4(hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000001 66726565 7FFFFFFFFFFFFFF0")).isEmpty)
+    assert(mp4(hexBytes(      // same overflow inside the moov child walk
+      "00000010 66747970 69736F6D 00000000" +
+      "00000020 6D6F6F76 00000001 66726565 7FFFFFFFFFFFFFF0 00000000")).isEmpty)
+    // u32 timescale past Int.MaxValue would wrap negative in the
+    // non-nullable int field — malformed, like the WAV rate guard
+    val hugeTs = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000074 6D6F6F76" +
+      "0000006C 6D766864 00000000 00000000 00000000 80000000 000004B0" +
+      mvhdTail)
+    assert(mp4(hugeTs).isEmpty)
   }
 
   test("MP4 column expression: codegen agrees with the kernel; SQL name registered") {

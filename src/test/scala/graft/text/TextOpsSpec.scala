@@ -194,5 +194,16 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     val samShare = sampled("heavy").toDouble / sampled.values.sum
     assert(samShare < natShare,
       s"heavy share $samShare should flatten below natural $natShare")
+
+    // NULL sources refuse loudly: a null group would both drive n_min
+    // AND dodge its own rate branch (null-unsafe equality) — silently
+    // anti-flattening — so the op must throw instead
+    val withNulls = docsDf.withColumn("grp",
+      when(col("doc_id") % 7 === 0, lit(null.asInstanceOf[String]))
+        .otherwise(col("grp")))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.temperatureMixFilter(withNulls, "grp", "text", 0.5)
+    }
+    assert(e.getMessage.contains("NULL source values"))
   }
 }
