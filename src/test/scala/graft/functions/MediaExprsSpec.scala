@@ -228,6 +228,41 @@ class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(mp4(hugeTs).isEmpty)
   }
 
+  test("MP4 property: synthesized containers with junk boxes round-trip (seeded)") {
+    val rnd = new scala.util.Random(20260814L)
+    def be32h(v: Long) = f"$v%08X"
+    def be64h(v: Long) = f"$v%016X"
+    def junkBox(): String = { // unknown box the walk must SKIP verbatim
+      val payload = rnd.nextInt(24)
+      be32h(8 + payload) + "6A6E6B00" + "AB" * payload // 'jnk\0'
+    }
+    for (_ <- 1 to 200) {
+      val brand = Seq("isom", "mp42", "avc1", "qt  ")(rnd.nextInt(4))
+      val brandHex = brand.getBytes.map(b => f"$b%02X").mkString
+      val timescale = 1L + rnd.nextInt(Int.MaxValue)
+      val v1 = rnd.nextBoolean()
+      val duration =
+        if (v1) rnd.nextLong(1L << 40) else rnd.nextInt(Int.MaxValue).toLong
+      val nTracks = rnd.nextInt(6)
+      val mvhd =
+        if (v1) "00000078 6D766864 01000000" + "00" * 16 +
+          be32h(timescale) + be64h(duration) + mvhdTail
+        else "0000006C 6D766864 00000000 00000000 00000000" +
+          be32h(timescale) + be32h(duration) + mvhdTail
+      // moov children: junk boxes interleaved among mvhd and traks
+      val children = (Seq(mvhd) ++ Seq.fill(nTracks)("00000008 7472616B"))
+        .flatMap(c => if (rnd.nextBoolean()) Seq(junkBox(), c) else Seq(c))
+        .mkString
+      val childBytes = children.replaceAll("\\s", "").length / 2
+      val preMoov = if (rnd.nextBoolean()) junkBox() else ""
+      val bytes = hexBytes(
+        "00000010 66747970 " + brandHex + " 00000000" +
+        preMoov + be32h(8 + childBytes) + "6D6F6F76" + children)
+      assert(mp4(bytes).contains((brand, timescale.toInt, duration, nTracks)),
+        s"brand=$brand ts=$timescale v1=$v1 dur=$duration tracks=$nTracks")
+    }
+  }
+
   test("MP4 column expression: codegen agrees with the kernel; SQL name registered") {
     import spark.implicits._
     val rows = Seq(
