@@ -208,6 +208,24 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("the declared pure-scan queries stay exchange-free (100 TB scoring shape)") {
+    // each of these is a per-document scalar pipeline whose whole point
+    // is running at corpus scale as nothing but the scan — a shuffle
+    // sneaking into any of them is a silent 100 TB regression even when
+    // results stay correct (mixture_temperature's bounded counts
+    // aggregate runs at plan-CONSTRUCTION; the declared plan is the
+    // gate-applied scan)
+    val pureScans = Seq("quality_model_fixed", "mixture_temperature",
+      "mp4_meta", "text_metrics", "lang_id", "doc_fingerprint",
+      "pii_scrub", "normalize_text", "rep_ratios", "url_normalize",
+      "media_dims", "wav_meta", "simhash_docs", "sample_deterministic")
+    for (name <- pureScans) {
+      val q = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name grew a shuffle:\n$plan")
+    }
+  }
+
   test("PQ ANN: one shuffle (the top-k window); query side broadcasts") {
     val q = graft.SparkEntry.queries("embed_topk_pq")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
