@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * wrong for a 100 TB embedding store serving many query batches. This
   * layout amortizes both:
   *
-  *  - `dir/_graft_ivf.json` — meta (nLists, dim), written FIRST so a
-  *    crash mid-build never leaves data rows of unknown layout (same
-  *    contract as the catalogs); asserted on every open.
+  *  - `dir/_graft_ivf.json` — meta (nLists, dim), the build's COMMIT
+  *    MARKER (written LAST — see [[build]]); asserted on every open, so
+  *    a crashed build fails every reader loudly instead of serving a
+  *    partial corpus.
   *  - `dir/centroids/` — the trained coarse quantizer, `(list, centroid)`
   *    parquet (nLists × dim doubles — driver-small by construction).
   *  - `dir/vectors/` — `(id, vec)` parquet PARTITIONED BY `list`: a
