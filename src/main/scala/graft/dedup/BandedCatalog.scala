@@ -117,8 +117,10 @@ object BandedCatalog {
     * data and meta writes of a pre-fix version. Reading them as empty
     * would silently drop all dedup state (every past signature stops
     * suppressing), and appending would mix layouts; fail loudly
-    * instead. (The current writer makes this window impossible: meta
-    * lands BEFORE the first data write.) */
+    * instead. (The accreting append writer makes this window
+    * impossible: meta lands BEFORE the first data write. The one-shot
+    * [[rebucket]] inverts the order on purpose — meta LAST — so this
+    * guard doubles as its commit marker.) */
   private def rejectOrphanData(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
     require(dataFiles(f, dir).isEmpty,
@@ -223,9 +225,12 @@ object BandedCatalog {
     *
     * Rebuild-into-fresh-dir, same rationale as
     * [[ExactCatalog.rebucket]]: the source stays readable and untouched,
-    * the target lands complete (meta first, rows collapsed like
-    * [[compact]]), the caller cuts over by path; a crashed run is rerun
-    * into a fresh target (the non-empty guard refuses reuse loudly). */
+    * the target lands complete (rows collapsed like [[compact]], meta
+    * LAST as the commit marker — a crashed run leaves a target with no
+    * meta that every reader refuses loudly, never a silently-partial
+    * signature set), the caller cuts over by path; a crashed run is
+    * rerun into a fresh target (the non-empty guard refuses reuse
+    * loudly). */
   def rebucket(
       spark: SparkSession, fromDir: String, toDir: String,
       newBuckets: Int): Unit = {
@@ -235,7 +240,6 @@ object BandedCatalog {
     require(readMeta(spark, toDir).isEmpty &&
       dataFiles(fs(spark, toDir), toDir).isEmpty,
       s"rebucket target $toDir is not empty; use a fresh dir")
-    writeMeta(spark, toDir, m.copy(numBuckets = newBuckets))
     read(spark, fromDir)
       .groupBy(col("band"), col("band_key"), col("id"))
       .agg(first(col("__sig")).as("__sig"), max(col("added")).as("added"))
@@ -244,6 +248,8 @@ object BandedCatalog {
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "band_key") // see append(): bucket prefix
       .write.mode("append").partitionBy("bucket").parquet(toDir)
+    // commit marker: rows are complete
+    writeMeta(spark, toDir, m.copy(numBuckets = newBuckets))
   }
 
   // ------------------------------------------------------- compaction

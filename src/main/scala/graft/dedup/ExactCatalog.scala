@@ -85,8 +85,10 @@ object ExactCatalog {
 
   /** Data files without a meta file = rows of unknown bucketing; reading
     * them as empty silently drops all dedup state. Fail loudly (see
-    * [[BandedCatalog]] — same contract; the writer makes the window
-    * impossible by writing meta before the first data write). */
+    * [[BandedCatalog]] — same contract; the accreting [[append]] writer
+    * makes the window impossible by writing meta before the first data
+    * write, while the one-shot [[rebucket]] deliberately inverts the
+    * order so this guard doubles as its commit marker). */
   private def rejectOrphanData(spark: SparkSession, dir: String): Unit =
     require(dataFiles(fs(spark, dir), dir).isEmpty,
       s"catalog at $dir has parquet data but no meta file — refusing to " +
@@ -226,11 +228,15 @@ object ExactCatalog {
     * directory-level re-shard has no atomic swap on HDFS-like stores,
     * while this shape needs none — the SOURCE stays readable and
     * untouched throughout (writers pause, readers keep going), the new
-    * layout lands complete (meta-first, then one bucket-shuffled write,
-    * rows collapsed like [[compact]]), and the caller cuts over by path.
-    * A crash mid-rebucket leaves a half-written `toDir` whose meta is
-    * valid but whose rows are partial — rerun into a FRESH target (the
-    * non-empty-target guard makes reuse refuse loudly). */
+    * layout lands complete (one bucket-shuffled write, rows collapsed
+    * like [[compact]], then meta LAST as the commit marker — same
+    * discipline as `IvfIndex.build`: a one-shot build, unlike the
+    * accreting [[init]] path, can afford meta-as-commit), and the
+    * caller cuts over by path. A crash mid-rebucket leaves a `toDir`
+    * with rows but NO meta, so every reader fails loudly instead of
+    * silently accepting a partial fingerprint set (which would readmit
+    * duplicates); rerun into a FRESH target (the non-empty-target guard
+    * makes reuse refuse loudly). */
   def rebucket(
       spark: SparkSession, fromDir: String, toDir: String,
       newBuckets: Int): Unit = {
@@ -240,7 +246,6 @@ object ExactCatalog {
     require(readMeta(spark, toDir).isEmpty &&
       dataFiles(fs(spark, toDir), toDir).isEmpty,
       s"rebucket target $toDir is not empty; use a fresh dir")
-    writeMeta(spark, toDir, newBuckets)
     read(spark, fromDir)
       .groupBy(col("fp"), col("h2")).agg(max(col("added")).as("added"))
       .select(col("fp"), col("h2"), col("added"),
@@ -248,6 +253,7 @@ object ExactCatalog {
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "fp") // see append(): bucket prefix
       .write.mode("append").partitionBy("bucket").parquet(toDir)
+    writeMeta(spark, toDir, newBuckets) // commit marker: rows are complete
   }
 
   // ------------------------------------------------------- compaction

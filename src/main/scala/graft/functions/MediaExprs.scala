@@ -173,14 +173,21 @@ object Mp4Kernels {
           }
           if (cs < 8) return null
           if (tag(b, j.toInt + 4, "mvhd")) {
-            if (j + 9 > end) return null
+            // field reads are bounded by the mvhd box's OWN declared
+            // extent (j + cs), not just the enclosing moov end: a
+            // malformed mvhd whose size is smaller than its fields must
+            // not read sibling-box bytes as timescale/duration (cs is
+            // already clamped to <= end - j above, so this subsumes the
+            // moov bound)
+            val mvhdEnd = j + cs
+            if (j + 9 > mvhdEnd) return null
             val v = b(j.toInt + 8) & 0xff
             if (v == 1) {
-              if (j + 8 + 4 + 8 + 8 + 4 + 8 > end) return null
+              if (j + 8 + 4 + 8 + 8 + 4 + 8 > mvhdEnd) return null
               timescale = be32(b, j.toInt + 28)
               duration = be64(b, j.toInt + 32)
             } else {
-              if (j + 8 + 4 + 4 + 4 + 4 + 4 > end) return null
+              if (j + 8 + 4 + 4 + 4 + 4 + 4 > mvhdEnd) return null
               timescale = be32(b, j.toInt + 20)
               duration = be32(b, j.toInt + 24)
             }

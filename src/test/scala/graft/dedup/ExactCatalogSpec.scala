@@ -202,6 +202,26 @@ class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("numBuckets"))
   }
 
+  test("a crashed rebucket target (rows, no meta) fails loudly on read") {
+    val dir = tmpDir()
+    ExactCatalog.append(
+      ExactCatalog.entriesOf(
+        docs((1L to 20L).map(i => i -> s"d$i"): _*), "text"),
+      dir, numBuckets = 4)
+    val to = tmpDir() + "/re"
+    ExactCatalog.rebucket(spark, dir, to, 8)
+    // simulate the crash window: rows landed, the commit-marker meta
+    // (written LAST) did not — a reader must refuse, never silently
+    // accept a partial fingerprint set that would readmit duplicates
+    val p = new org.apache.hadoop.fs.Path(to, "_graft_exact_catalog.json")
+    assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false))
+    val e = intercept[IllegalArgumentException] {
+      ExactCatalog.read(spark, to).count()
+    }
+    assert(e.getMessage.contains("no meta file"))
+  }
+
   test("rebucket re-shards into a fresh dir with dedup state intact") {
     val dir = tmpDir()
     val corpus = docs((1L to 100L).map(i => i -> s"doc $i"): _*)

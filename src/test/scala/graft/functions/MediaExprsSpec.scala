@@ -228,6 +228,35 @@ class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(mp4(hugeTs).isEmpty)
   }
 
+  test("MP4: mvhd smaller than its declared fields returns null, not sibling bytes") {
+    // mvhd declares size 8 (header only); the plausible timescale /
+    // duration bytes that FOLLOW it belong to a sibling box and must
+    // not be read as mvhd fields (reads are bounded by j + cs, not just
+    // the moov end)
+    val tiny = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000028 6D6F6F76" +
+      "00000008 6D766864" +
+      "00000000" + "00000000 00000000" + "00000258 000004B0")
+    assert(mp4(tiny).isEmpty)
+    // v0 mvhd truncated mid-fields: size 12 < the 28 bytes v0 reads
+    // need; the timescale/duration land exactly where sibling bytes sit
+    val shortV0 = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000024 6D6F6F76" +
+      "0000000C 6D766864 00000000" +
+      "00000000 00000000" + "00000258 000004B0")
+    assert(mp4(shortV0).isEmpty)
+    // v1 mvhd truncated: size 0x24 < the 40 bytes v1 reads need — the
+    // 64-bit duration would straddle the box boundary into a sibling
+    val shortV1 = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000034 6D6F6F76" +
+      "00000024 6D766864 01000000" + "00" * 16 + "00015F90 00000001" +
+      "00000008 66726565")
+    assert(mp4(shortV1).isEmpty)
+  }
+
   test("MP4 property: synthesized containers with junk boxes round-trip (seeded)") {
     val rnd = new scala.util.Random(20260814L)
     def be32h(v: Long) = f"$v%08X"

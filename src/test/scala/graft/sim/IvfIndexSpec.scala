@@ -35,6 +35,10 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     // the non-adaptive plan (same convention as graft.Explain) — both
     // the frame construction AND the executedPlan access run with AQE
     // off (the physical plan is built lazily at first access)
+    // restore whatever the session previously had, not a hardcoded
+    // "true" — a suite configured with AQE off must not see the setting
+    // silently flipped by this test
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val result = IvfIndex.topK(spark, dir, q, "vec_id", "embedding",
@@ -63,7 +67,10 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       val probedFiles = scans.map(_.selectedPartitions.totalNumberOfFiles).sum
       assert(probedFiles < allFiles,
         s"probe read $probedFiles of $allFiles index files")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("appendVectors grows the index without retraining") {

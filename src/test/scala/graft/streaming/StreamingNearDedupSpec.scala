@@ -299,5 +299,16 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
       graft.dedup.BandedCatalog.rebucket(spark, s"$tmp/nope", s"$tmp/x", 8)
     }
     assert(e2.getMessage.contains("no banded catalog"))
+
+    // crash contract: rebucket writes meta LAST as the commit marker —
+    // a target with rows but no meta (the crash window) must refuse
+    // loudly on read, never read as a partial signature set
+    val p = new org.apache.hadoop.fs.Path(to, "_graft_catalog.json")
+    assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.dedup.BandedCatalog.read(spark, to).count()
+    }
+    assert(e3.getMessage.contains("no meta file"))
   }
 }
