@@ -242,6 +242,54 @@ object SparkEntry {
   private val semCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Shared core of `corpus_sketch` / `corpus_sketch_fixed`: per
+    * source, the exact sketch inputs (count, distinct texts,
+    * interpolated length percentiles) plus booleans the oracle asserts
+    * as literal TRUE. `distinct_within_rsd` bounds the HLL++ estimate
+    * by 3x its configured rsd (plus small-n slack); `q*_rank_ok` states
+    * the quantile sketch's actual guarantee: the rank interval the
+    * returned value occupies in the data, (#len<v, #len<=v], must come
+    * within eps*n+1 of the target rank p*n (eps = 1/accuracy). All
+    * joins are on the tiny source key -> broadcast. */
+  private def sketchContract(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      col("source"), col("text"), length(col("text")).cast("double").as("len"))
+    val sketch = base.groupBy(col("source")).agg(
+      approx_count_distinct(col("text"), rsd = 0.02).as("__approx"),
+      percentile_approx(col("len"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(5000)).as("__q"))
+    val exact = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      // rank targets use the NON-NULL len count: percentile sketches
+      // and the __lt/__le rank sums all ignore null lens, so a
+      // testdata generation with null texts would otherwise shift the
+      // target rank off the population the sketch actually saw
+      count(col("len")).as("__nlen"),
+      countDistinct(col("text")).as("n_distinct"),
+      round(percentile(col("len"), lit(0.5)), 6).as("p50_chars"),
+      round(percentile(col("len"), lit(0.9)), 6).as("p90_chars"),
+      round(percentile(col("len"), lit(0.99)), 6).as("p99_chars"))
+    val rankCols = (0 to 2).flatMap { i => Seq(
+      sum(when(col("len") < col("__q").getItem(i), 1L).otherwise(0L)).as(s"__lt$i"),
+      sum(when(col("len") <= col("__q").getItem(i), 1L).otherwise(0L)).as(s"__le$i")) }
+    val ranks = base
+      .join(broadcast(sketch.select(col("source"), col("__q"))), "source")
+      .groupBy(col("source")).agg(rankCols.head, rankCols.tail: _*)
+    val ps = Seq(0.5, 0.9, 0.99)
+    val slack = col("__nlen") / 5000.0 + lit(1.0)
+    def rankOk(i: Int) = {
+      val target = col("__nlen") * ps(i)
+      ((col(s"__le$i") + slack >= target) &&
+        (col(s"__lt$i") - slack <= target)).as(s"q${(ps(i) * 100).toInt}_rank_ok")
+    }
+    exact.join(broadcast(sketch), "source").join(broadcast(ranks), "source")
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        col("p50_chars"), col("p90_chars"), col("p99_chars"),
+        (abs(col("__approx") - col("n_distinct")) <=
+          greatest(col("n_distinct") * 0.06, lit(3.0))).as("distinct_within_rsd"),
+        rankOk(0), rankOk(1), rankOk(2))
+  }
+
   /** One per implemented operator from SURVEY.md sec 2 + pipeline layer. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----------------------------------------------------------------- CDC
@@ -1652,71 +1700,25 @@ object SparkEntry {
     // Sketch profiling: per-source HyperLogLog++ distinct-text estimates
     // and KLL-style approximate char-length quantiles — the O(1)-memory
     // corpus profile that replaces exact distinct/percentile scans at
-    // 100 TB (source_profile keeps the exact variant). Rows-only:
-    // sketch internals aren't portable SQL; relative-error bounds vs the
-    // exact answers are pinned in SketchSpec.
+    // 100 TB (source_profile keeps the exact variant). Gate shape
+    // (round 9, retiring the last no_oracle row): the estimates
+    // themselves aren't portable SQL, so the row carries the
+    // exact-statable input (n_docs) plus the sketch error-bound booleans
+    // the oracle asserts as literal TRUE — the trained-ANN contract
+    // pattern. A sketch regression flips a boolean and breaks the gate
+    // hash. Shares one core with `corpus_sketch_fixed` below, which
+    // additionally pins the exact baselines the bounds are stated
+    // against.
     "corpus_sketch" -> ((s, dir) =>
-      docs(s, dir)
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          approx_count_distinct(col("text"), rsd = 0.02).as("approx_distinct"),
-          percentile_approx(length(col("text")).cast("double"),
-            array(lit(0.5), lit(0.9), lit(0.99)), lit(5000)).as("len_quantiles"))
-        .select(col("source"), col("n_docs"), col("approx_distinct"),
-          col("len_quantiles").getItem(0).as("p50_chars"),
-          col("len_quantiles").getItem(1).as("p90_chars"),
-          col("len_quantiles").getItem(2).as("p99_chars"))),
+      sketchContract(s, dir).select(col("source"), col("n_docs"),
+        col("distinct_within_rsd"),
+        col("q50_rank_ok"), col("q90_rank_ok"), col("q99_rank_ok"))),
 
-    // Oracled companion that pins the sketch CONTRACTS in the gate (the
-    // estimates themselves aren't portable SQL): per source, the exact
-    // sketch inputs — count, distinct texts, interpolated length
-    // percentiles, all stated identically in DuckDB — plus booleans the
-    // oracle asserts as literal TRUE. `distinct_within_rsd` bounds the
-    // HLL++ estimate by 3x its configured rsd (plus small-n slack);
-    // `q*_rank_ok` states the quantile sketch's actual guarantee: the
-    // rank interval the returned value occupies in the data,
-    // (#len<v, #len<=v], must come within eps*n+1 of the target rank p*n
-    // (eps = 1/accuracy). A sketch regression flips a boolean and breaks
-    // the gate hash. All joins are on the tiny source key -> broadcast.
-    "corpus_sketch_fixed" -> ((s, dir) => {
-      val base = docs(s, dir).select(
-        col("source"), col("text"), length(col("text")).cast("double").as("len"))
-      val sketch = base.groupBy(col("source")).agg(
-        approx_count_distinct(col("text"), rsd = 0.02).as("__approx"),
-        percentile_approx(col("len"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(5000)).as("__q"))
-      val exact = base.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        // rank targets use the NON-NULL len count: percentile sketches
-        // and the __lt/__le rank sums all ignore null lens, so a
-        // testdata generation with null texts would otherwise shift the
-        // target rank off the population the sketch actually saw
-        count(col("len")).as("__nlen"),
-        countDistinct(col("text")).as("n_distinct"),
-        round(percentile(col("len"), lit(0.5)), 6).as("p50_chars"),
-        round(percentile(col("len"), lit(0.9)), 6).as("p90_chars"),
-        round(percentile(col("len"), lit(0.99)), 6).as("p99_chars"))
-      val rankCols = (0 to 2).flatMap { i => Seq(
-        sum(when(col("len") < col("__q").getItem(i), 1L).otherwise(0L)).as(s"__lt$i"),
-        sum(when(col("len") <= col("__q").getItem(i), 1L).otherwise(0L)).as(s"__le$i")) }
-      val ranks = base
-        .join(broadcast(sketch.select(col("source"), col("__q"))), "source")
-        .groupBy(col("source")).agg(rankCols.head, rankCols.tail: _*)
-      val ps = Seq(0.5, 0.9, 0.99)
-      val slack = col("__nlen") / 5000.0 + lit(1.0)
-      def rankOk(i: Int) = {
-        val target = col("__nlen") * ps(i)
-        ((col(s"__le$i") + slack >= target) &&
-          (col(s"__lt$i") - slack <= target)).as(s"q${(ps(i) * 100).toInt}_rank_ok")
-      }
-      exact.join(broadcast(sketch), "source").join(broadcast(ranks), "source")
-        .select(col("source"), col("n_docs"), col("n_distinct"),
-          col("p50_chars"), col("p90_chars"), col("p99_chars"),
-          (abs(col("__approx") - col("n_distinct")) <=
-            greatest(col("n_distinct") * 0.06, lit(3.0))).as("distinct_within_rsd"),
-          rankOk(0), rankOk(1), rankOk(2))
-    }),
+    // Oracled companion that pins the sketch contracts AND their exact
+    // baselines in the gate: per source, the exact sketch inputs —
+    // count, distinct texts, interpolated length percentiles, all
+    // stated identically in DuckDB — plus the same contract booleans.
+    "corpus_sketch_fixed" -> ((s, dir) => sketchContract(s, dir)),
 
     // Format parity: documents written and re-read through every
     // supported format (parquet/ORC/CSV/JSONL), integrity-checked by
@@ -3231,6 +3233,13 @@ object SparkEntry {
     // The TRUE literals ARE the assertion: the Spark side computes the
     // sketch-contract booleans from real estimates; any bound violation
     // hash-mismatches against these constants.
+    "corpus_sketch" ->
+      """SELECT source, count(*) AS n_docs,
+        |       TRUE AS distinct_within_rsd,
+        |       TRUE AS q50_rank_ok, TRUE AS q90_rank_ok, TRUE AS q99_rank_ok
+        |FROM documents GROUP BY source
+        |""".stripMargin,
+
     "corpus_sketch_fixed" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT text) AS n_distinct,

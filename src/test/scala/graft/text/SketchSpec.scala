@@ -4,9 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
-/** The corpus_sketch declared query is rows-only (sketch internals are not
-  * portable SQL); this pins its accuracy contract against exact answers.
-  */
+/** The corpus_sketch gate query oracles its error-bound contract as
+  * literal-TRUE booleans (sketch internals are not portable SQL); this
+  * pins the same accuracy contract directly against exact answers. */
 class SketchSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val docs =
