@@ -217,9 +217,19 @@ object Main {
         }
       }
       val pipe = new MultiTablePipe(config, routed, tables, offsets)
-      pipe.firstSync(tableInfos.map { case (tbl, _, _) =>
-        tbl.table_name -> (if (tbl.skip_copy) spark.emptyDataFrame
-          else JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)())
+      pipe.firstSync(tableInfos.map { case (tbl, columns, _) =>
+        tbl.table_name -> (() => if (tbl.skip_copy) spark.emptyDataFrame
+          else client.copyOut(tbl.qualifiedName, columns.map(_.name)) match {
+            // the reference's COPY TO STDOUT streaming snapshot
+            // (`src/adapter/postgres.rs:832-910`): raw text chunks
+            // through the D6/D7 chunk-safe parser; alignment/masking
+            // reapply downstream in MultiTablePipe.firstSync
+            case Some(chunks) =>
+              graft.sources.CopySource.snapshot(spark, chunks, columns)
+            // endpoint without COPY: Spark-native partitioned JDBC scan
+            case None =>
+              JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)()
+          })
       }.toMap)
       if (!config.disableSyncLoop) pipe.syncLoop()
     } finally {

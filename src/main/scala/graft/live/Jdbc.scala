@@ -201,6 +201,44 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
       .sortBy(_._1).map(_._2)
   }
 
+  /** COPY-based snapshot stream (S1 — the reference's streaming snapshot,
+    * `src/adapter/postgres.rs:832-910`): issue
+    * `COPY (SELECT "c1", … FROM tbl) TO STDOUT` and return the raw text
+    * chunks for [[graft.sources.CopySource.snapshot]] (D6/D7 chunked
+    * parse → aligned typed frame). Returns None when the endpoint has no
+    * COPY support (any non-Postgres driver) — callers fall back to the
+    * partitioned `spark.read.jdbc` scan. Implemented reflectively against
+    * pgjdbc's public `CopyManager` API (same pattern as the reflective
+    * Mongo transport in [[graft.mongo.LiveMongo]]) so the library carries
+    * no compile-time Postgres dependency. */
+  def copyOut(table: String, columns: Seq[String]): Option[Iterator[Array[Byte]]] =
+    copyOutSql(JdbcClient.copySql(table, columns))
+
+  /** Transport seam behind [[copyOut]]: execute one COPY … TO STDOUT
+    * statement, yielding its chunk stream. Overridable by executable test
+    * endpoints (the pgstub parses and serves the same statement text). */
+  protected def copyOutSql(sql: String): Option[Iterator[Array[Byte]]] =
+    try {
+      val bc = Class.forName("org.postgresql.core.BaseConnection")
+      val c = conn
+      val base: AnyRef =
+        if (bc.isInstance(c)) c
+        else if (c.isWrapperFor(bc)) c.unwrap(bc).asInstanceOf[AnyRef]
+        else return None
+      val cmCls = Class.forName("org.postgresql.copy.CopyManager")
+      val cm = cmCls.getConstructor(bc).newInstance(base)
+      val op = cmCls.getMethod("copyOut", classOf[String]).invoke(cm, sql)
+      val read = op.getClass.getMethod("readFromCopy")
+      // one COPY conversation, pulled serially on the driver (the
+      // reference's dedicated COPY connection); null chunk = stream end
+      Some(Iterator.continually(read.invoke(op).asInstanceOf[Array[Byte]])
+        .takeWhile(_ != null))
+    } catch {
+      // driver on the classpath but not Postgres-shaped → no COPY
+      case _: ClassNotFoundException => None
+      case _: NoClassDefFoundError   => None
+    }
+
   /** Primary-key column names, in key order (S5 PK membership —
     * `DatabaseMetaData.getPrimaryKeys` is the portable PK query). */
   def primaryKeys(schemaPattern: Option[String], table: String): Seq[String] = {
@@ -216,6 +254,15 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
     connOpt.foreach(c => if (!c.isClosed) c.close())
     connOpt = None
   }
+}
+
+object JdbcClient {
+  /** The COPY snapshot statement (reference issues the same shape,
+    * `src/adapter/postgres.rs:848-858`): explicit quoted column list so
+    * the text rows land in the target's declared order, wrapped SELECT so
+    * the statement stays valid for views and case-folded names. */
+  def copySql(table: String, columns: Seq[String]): String =
+    s"""COPY (SELECT ${columns.map(c => s""""$c"""").mkString(", ")} FROM $table) TO STDOUT"""
 }
 
 /** JDBC ↔ Spark row/schema conversion for the bounded driver-side reads. */

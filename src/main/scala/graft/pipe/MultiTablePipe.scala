@@ -27,10 +27,15 @@ class MultiTablePipe(
 
   @volatile var lastCounters: Seq[(String, String, Long)] = Seq.empty
 
-  def firstSync(snapshots: Map[String, DataFrame]): Unit =
+  /** Snapshots are thunks: the K6 emptiness probe decides per table
+    * whether the snapshot runs AT ALL, and an eager map would pull a full
+    * COPY stream (or open a scan) for tables whose non-empty targets then
+    * skip it (reference probes before copying:
+    * `src/pipes/postgres.rs:145-160`). */
+  def firstSync(snapshots: Map[String, () => DataFrame]): Unit =
     tables.foreach { case (name, spec) =>
       if (spec.sink.isEmpty) { // K6: skip non-empty targets
-        snapshots.get(name).filter(!_.isEmpty).foreach { snap =>
+        snapshots.get(name).map(_.apply()).filter(!_.isEmpty).foreach { snap =>
           val aligned = CoreOps
             .alignToTarget(snap, spec.columns, spec.maskColumns)
             .withColumn("op", lit("I"))
