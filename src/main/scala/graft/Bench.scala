@@ -97,7 +97,7 @@ object Bench {
       "q16_supplier_cnt", "q20_excess_supplier",
       "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf", "embed_topk_q8",
-      "embed_topk_ivf_indexed", "semdedup_report",
+      "embed_topk_ivf_indexed", "embed_topk_ivfpq_indexed", "semdedup_report",
       "quality_model_fixed", "quality_model",
       "text_metrics", "rep_ratios", "decontam_overlap", "bm25_topk",
       "doc_fingerprint", "curate_docs", "asof_click_purchase",

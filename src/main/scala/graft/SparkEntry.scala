@@ -215,12 +215,41 @@ object SparkEntry {
     * value; a probe or ranking regression lands near 0. */
   private val IvfRecallFloor = 0.25
   private val PqRecallFloor = 0.40
+  /** The IVF-PQ leg composes the IVF probe's recall with the ADC
+    * shortlist + exact-rerank agreement, so it sits at or slightly under
+    * the raw probe's recall (measured mean recall@10 at sf0.001 / 0.01 /
+    * 0.1: 0.76 / 0.66 / 0.57 — `graft.tools.IvfPqProbe`); the same
+    * under-half-the-worst floor discipline applies. */
+  private val IvfPqRecallFloor = 0.25
 
-  /** On-disk IVF index per sf dir (`embed_topk_ivf_indexed`): built once
-    * into a scratch dir, then probed — the build-once/query-many shape
-    * [[graft.sim.IvfIndex]] exists for. */
+  /** On-disk IVF index per sf dir (`embed_topk_ivf_indexed` and the PQ
+    * leg riding it): built once into a scratch dir, then probed — the
+    * build-once/query-many shape [[graft.sim.IvfIndex]] exists for. */
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PQ legs built per index dir (`embed_topk_ivfpq_indexed`). */
+  private val ivfPqLegs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The shared persistent index for an sf dir (built on first use). */
+  private def ivfIndexDirFor(
+      s: SparkSession, dir: String,
+      e: org.apache.spark.sql.DataFrame): String =
+    ivfIndexDirs.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+      // unlike the sibling in-memory caches, this one writes a copy of
+      // the embeddings table to disk — reap it with the JVM
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
+        }
+        rm(root.toFile)
+      }
+      val d = root.toString + "/idx"
+      graft.sim.IvfIndex.build(e, "vec_id", "embedding", d, nLists = 8)
+      d
+    })
 
   private val q8Stats =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
@@ -967,20 +996,7 @@ object SparkEntry {
     // same quantizer shape as embed_topk_ivf, so the same floor applies.
     "embed_topk_ivf_indexed" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idxDir = ivfIndexDirs.computeIfAbsent(dir, { _ =>
-        val root = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
-        // unlike the sibling in-memory caches, this one writes a copy of
-        // the embeddings table to disk — reap it with the JVM
-        sys.addShutdownHook {
-          def rm(p: java.io.File): Unit = {
-            Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
-          }
-          rm(root.toFile)
-        }
-        val d = root.toString + "/idx"
-        graft.sim.IvfIndex.build(e, "vec_id", "embedding", d, nLists = 8)
-        d
-      })
+      val idxDir = ivfIndexDirFor(s, dir, e)
       val q = e.filter(col("vec_id") % 100 === 0)
       annRecallContract(
         graft.sim.IvfIndex.topK(s, idxDir, q, "vec_id", "embedding",
@@ -988,6 +1004,29 @@ object SparkEntry {
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10),
         q.select(col("vec_id").as("query_id")),
         k = 10, floor = IvfRecallFloor)
+    }),
+
+    // The COMPRESSED leg of the persistent index (IVF-PQ, the FAISS
+    // IndexIVFPQ shape): the probe scans m=16-BYTE codes per vector in
+    // the probed lists (32x fewer scan bytes than the float vectors),
+    // scores by ADC table lookup, and reads raw vectors only for the 5x
+    // exact-rerank shortlist. Same recall-contract pattern as the
+    // sibling rows: completeness + mean recall@10 vs the independent
+    // brute-force top-k as oracle-asserted booleans.
+    "embed_topk_ivfpq_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idxDir = ivfIndexDirFor(s, dir, e)
+      ivfPqLegs.computeIfAbsent(idxDir, { d =>
+        graft.sim.IvfIndex.buildPq(s, d, m = 16, k = 16)
+        java.lang.Boolean.TRUE
+      })
+      val q = e.filter(col("vec_id") % 100 === 0)
+      annRecallContract(
+        graft.sim.IvfIndex.topKPq(s, idxDir, q, "vec_id", "embedding",
+          k = 10, nProbe = 3, rerank = 50),
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10),
+        q.select(col("vec_id").as("query_id")),
+        k = 10, floor = IvfPqRecallFloor)
     }),
 
     // The SAME trained-IVF probe pipeline with the training replaced by
@@ -3267,6 +3306,13 @@ object SparkEntry {
     "embed_topk_ivf_indexed" ->
       s"""SELECT count(*) AS n_queries, 10 AS k,
         |       CAST($IvfRecallFloor AS DOUBLE) AS recall_floor,
+        |       TRUE AS complete_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |""".stripMargin,
+
+    "embed_topk_ivfpq_indexed" ->
+      s"""SELECT count(*) AS n_queries, 10 AS k,
+        |       CAST($IvfPqRecallFloor AS DOUBLE) AS recall_floor,
         |       TRUE AS complete_ok, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0
         |""".stripMargin,

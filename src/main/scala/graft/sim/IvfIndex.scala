@@ -38,6 +38,13 @@ object IvfIndex {
     StructField("vec", ArrayType(DoubleType), nullable = true),
     StructField("list", IntegerType, nullable = false)))
 
+  private val CodeSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    // PqEncode's output shape (array<tinyint>): stored as-is so the ADC
+    // scan feeds PqAdc without a conversion in the hot path
+    StructField("pq_codes", ArrayType(ByteType), nullable = true),
+    StructField("list", IntegerType, nullable = false)))
+
   // ------------------------------------------------------------- meta
 
   /** nLists and dim are part of the layout: different values silently
@@ -118,7 +125,8 @@ object IvfIndex {
       // holding anything but index-shaped entries (a caller pointing
       // build() at the wrong path must not lose data)
       val entries = f.listStatus(new Path(dir)).map(_.getPath.getName).toSet
-      val indexShaped = Set("centroids", "vectors", "_compacting")
+      val indexShaped = Set("centroids", "vectors", "_compacting",
+        "codes", "pq_model", "_graft_ivf_pq.json")
       require(entries.subsetOf(indexShaped),
         s"refusing to build over $dir: it contains non-index entries " +
           s"${(entries -- indexShaped).toSeq.sorted.mkString(", ")}")
@@ -141,28 +149,50 @@ object IvfIndex {
     * A crash mid-append leaves a PARTIAL batch; the replay contract is
     * the caller's (a streaming foreachBatch re-runs the batch), and the
     * resulting duplicate rows are collapsed by [[topK]] and [[compact]].
-    */
+    *
+    * When the PQ leg exists ([[buildPq]]), the same batch is ALSO encoded
+    * and appended to the code store, so both legs stay in sync (the batch
+    * is lineage-pinned so the input is scanned once, not twice). Crash
+    * between the two writes: vectors landed, codes did not — the ADC
+    * probe misses the batch until the caller's replay re-runs it, and the
+    * replayed duplicates collapse exactly as above. */
   def appendVectors(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
     val spark = corpus.sparkSession
     val m = requireMeta(spark, dir)
-    writeVectors(corpus, idCol, vecCol, dir, readCentroids(spark, dir), m.dim)
+    val a = assigned(corpus, idCol, vecCol, dir, readCentroids(spark, dir), m.dim)
+    readPqMeta(spark, dir) match {
+      case None => writeAssigned(a, dir)
+      case Some(_) =>
+        val model = readPqModel(spark, dir)
+        val pinned = graft.ops.Checkpoints.pin(a)
+        writeAssigned(pinned, dir)
+        writeCodes(pinned, dir, model)
+    }
   }
 
-  private def writeVectors(
+  /** `(id, vec, list)` — the batch with its list assignment. */
+  private def assigned(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      centroids: Array[Array[Double]], dim: Int): Unit =
+      centroids: Array[Array[Double]], dim: Int): DataFrame =
     Similarity.withIvfList(
       corpus.select(col(idCol).cast(LongType).as("id"),
         dimGuarded(col(vecCol).cast(ArrayType(DoubleType)), dim,
           s"IVF index at $dir").as("vec")),
       "vec", centroids, listCol = "list")
-      .repartition(col("list"))
+
+  private def writeAssigned(a: DataFrame, dir: String): Unit =
+    a.repartition(col("list"))
       // list prefix: satisfies the partitioned writer's required ordering
       // so it inserts no extra Sort; id order gives row-group min/max
       // stats for id-predicate scans (same reasoning as the catalogs)
       .sortWithinPartitions("list", "id")
       .write.mode("append").partitionBy("list").parquet(s"$dir/vectors")
+
+  private def writeVectors(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      centroids: Array[Array[Double]], dim: Int): Unit =
+    writeAssigned(assigned(corpus, idCol, vecCol, dir, centroids, dim), dir)
 
   // ------------------------------------------------------------- read
 
@@ -192,7 +222,8 @@ object IvfIndex {
 
   // ------------------------------------------------------- compaction
 
-  private def dataFiles(f: FileSystem, dir: String): Seq[Path] = {
+  private def dataFiles(
+      f: FileSystem, dir: String, sub: String = "vectors"): Seq[Path] = {
     def walk(p: Path): Seq[Path] = {
       val entries = f.listStatus(p).toSeq
       entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -200,7 +231,7 @@ object IvfIndex {
         entries.filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
           .flatMap(s => walk(s.getPath))
     }
-    val root = new Path(s"$dir/vectors")
+    val root = new Path(s"$dir/$sub")
     if (f.exists(root)) walk(root) else Seq.empty
   }
 
@@ -224,37 +255,46 @@ object IvfIndex {
     * files MOVE IN before the inputs are deleted, so a crash anywhere
     * leaves (at worst) duplicate vectors — and [[topK]]'s ranking is
     * duplicate-stable (same id ⇒ same cosine ⇒ ties break on id), so
-    * readers tolerate the window. */
+    * readers tolerate the window. With a PQ leg present, the code store
+    * compacts the same way. */
   def compact(
       spark: SparkSession, dir: String,
       lists: Option[Seq[Int]] = None): Unit = {
-    val f = fs(spark, dir)
     if (readMeta(spark, dir).isEmpty) return
+    compactSub(spark, dir, "vectors", VecSchema, "vec", lists)
+    if (readPqMeta(spark, dir).isDefined)
+      compactSub(spark, dir, "codes", CodeSchema, "pq_codes", lists)
+  }
+
+  private def compactSub(
+      spark: SparkSession, dir: String, sub: String, schema: StructType,
+      valueCol: String, lists: Option[Seq[Int]]): Unit = {
+    val f = fs(spark, dir)
     val inScope: Path => Boolean = lists match {
       case None => _ => true
       case Some(ls) =>
         val names = ls.map(l => s"list=$l").toSet
         p => names.contains(p.getParent.getName)
     }
-    val oldFiles = dataFiles(f, dir).filter(inScope)
+    val oldFiles = dataFiles(f, dir, sub).filter(inScope)
     if (oldFiles.isEmpty) return
-    val vecDir = s"$dir/vectors"
+    val subDir = s"$dir/$sub"
     val scoped = lists match {
-      case Some(ls) => spark.read.schema(VecSchema).parquet(vecDir)
+      case Some(ls) => spark.read.schema(schema).parquet(subDir)
         .filter(col("list").isin(ls: _*))
-      case None => spark.read.schema(VecSchema).parquet(vecDir)
+      case None => spark.read.schema(schema).parquet(subDir)
     }
     val tmp = s"$dir/_compacting"
     f.delete(new Path(tmp), true)
     scoped
-      .groupBy(col("list"), col("id")).agg(first(col("vec")).as("vec"))
-      .select(col("id"), col("vec"), col("list"))
+      .groupBy(col("list"), col("id")).agg(first(col(valueCol)).as(valueCol))
+      .select(col("id"), col(valueCol), col("list"))
       .repartition(col("list"))
-      .sortWithinPartitions("list", "id") // list prefix: see writeVectors
+      .sortWithinPartitions("list", "id") // list prefix: see writeAssigned
       .write.mode("overwrite").partitionBy("list").parquet(tmp)
     for (listDir <- f.listStatus(new Path(tmp)).toSeq
          if listDir.isDirectory && listDir.getPath.getName.startsWith("list=")) {
-      val target = new Path(vecDir, listDir.getPath.getName)
+      val target = new Path(subDir, listDir.getPath.getName)
       f.mkdirs(target)
       for (part <- f.listStatus(listDir.getPath).toSeq
            if part.isFile && part.getPath.getName.endsWith(".parquet")) {
@@ -307,6 +347,177 @@ object IvfIndex {
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  // ----------------------------------------------------------- PQ leg
+  //
+  // The raw index stores float64 vectors: at 10⁹ × 768-dim that is ~6 TB
+  // scanned across probed lists. The PQ leg stores m-BYTE codes per
+  // vector in the same list partitioning (768-dim × m=96 → 64× smaller),
+  // probes score codes by ADC table lookup, and only the per-query
+  // shortlist finalists read their float vectors for the exact re-rank —
+  // the probe's scan bytes drop by the compression ratio while recall is
+  // recovered by the re-rank (the IVF-PQ shape of Jégou et al. 2011,
+  // "Product Quantization for Nearest Neighbor Search", and the FAISS
+  // IndexIVFPQ design — public literature).
+
+  /** PQ-leg layout parameters; the leg's COMMIT MARKER (written LAST by
+    * [[buildPq]] — a crashed PQ build fails every code reader loudly
+    * while the raw index stays fully usable). */
+  case class PqMeta(m: Int, k: Int, dsub: Int)
+
+  private def pqMetaPath(dir: String) = new Path(dir, "_graft_ivf_pq.json")
+
+  private def writePqMeta(spark: SparkSession, dir: String, m: PqMeta): Unit = {
+    val out = fs(spark, dir).create(pqMetaPath(dir), true)
+    try out.write(s"""{"m":${m.m},"k":${m.k},"dsub":${m.dsub}}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readPqMeta(spark: SparkSession, dir: String): Option[PqMeta] = {
+    val p = pqMetaPath(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(name: String): Int =
+        s""""$name":(\\d+)""".r.findFirstMatchIn(text)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalStateException(
+            s"IVF-PQ meta at $p is missing '$name': $text"))
+      Some(PqMeta(field("m"), field("k"), field("dsub")))
+    }
+  }
+
+  private def requirePqMeta(spark: SparkSession, dir: String): PqMeta =
+    readPqMeta(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no PQ leg on the IVF index at $dir (missing ${pqMetaPath(dir)} — " +
+        "never built, or a crashed buildPq left no commit marker); " +
+        "buildPq() it first"))
+
+  /** Train PQ codebooks on the indexed vectors and write the code store
+    * (`dir/codes/`, partitioned by `list` like the vectors) plus the
+    * persisted model (`dir/pq_model/`). The PQ meta is the commit
+    * marker, written LAST. Requires the raw index; refuses an existing
+    * PQ leg (retrain into a fresh index, or delete the leg first). */
+  def buildPq(
+      spark: SparkSession, dir: String, m: Int, k: Int = 256,
+      targetRows: Long = 20000L, seed: Long = 42L): Unit = {
+    val meta = requireMeta(spark, dir)
+    require(readPqMeta(spark, dir).isEmpty,
+      s"IVF index at $dir already has a PQ leg; buildPq into a fresh " +
+        "index (appendVectors keeps an existing leg in sync)")
+    require(meta.dim % m == 0,
+      s"dim ${meta.dim} not divisible into $m subspaces")
+    val f = fs(spark, dir)
+    // clear crashed-build remnants (codes/model without the commit meta)
+    Seq("codes", "pq_model").foreach(s => f.delete(new Path(s"$dir/$s"), true))
+    val vecs = vectors(spark, dir)
+    val model = Pq.train(vecs, "vec", m, k, targetRows, seed)
+    import spark.implicits._
+    Seq((model.m, model.k, model.dsub, model.cents.toSeq))
+      .toDF("m", "k", "dsub", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_model")
+    writeCodes(vecs, dir, model)
+    writePqMeta(spark, dir, PqMeta(model.m, model.k, model.dsub)) // commit
+  }
+
+  private def writeCodes(a: DataFrame, dir: String, model: Pq.PqModel): Unit =
+    Pq.encode(a, "vec", model)
+      .select(col("id"), col("pq_codes"), col("list"))
+      .repartition(col("list"))
+      .sortWithinPartitions("list", "id") // list prefix: see writeAssigned
+      .write.mode("append").partitionBy("list").parquet(s"$dir/codes")
+
+  /** The persisted codebooks, validated against the PQ meta. */
+  def readPqModel(spark: SparkSession, dir: String): Pq.PqModel = {
+    val pm = requirePqMeta(spark, dir)
+    val rows = spark.read.parquet(s"$dir/pq_model")
+      .select(col("m"), col("k"), col("dsub"), col("cents")).collect()
+    require(rows.length == 1,
+      s"IVF-PQ model at $dir/pq_model has ${rows.length} rows, expected 1")
+    val r = rows.head
+    val model = Pq.PqModel(r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getSeq[Double](3).toArray)
+    require(model.m == pm.m && model.k == pm.k && model.dsub == pm.dsub,
+      s"IVF-PQ model (${model.m},${model.k},${model.dsub}) does not match " +
+        s"meta (${pm.m},${pm.k},${pm.dsub}) at $dir")
+    require(model.cents.length == model.m * model.k * model.dsub,
+      s"IVF-PQ model at $dir: ${model.cents.length} centroid doubles, " +
+        s"expected ${model.m * model.k * model.dsub}")
+    model
+  }
+
+  /** All stored PQ codes (parity tests; probes use [[topKPq]]). */
+  def codes(spark: SparkSession, dir: String): DataFrame = {
+    requirePqMeta(spark, dir)
+    spark.read.schema(CodeSchema).parquet(s"$dir/codes")
+  }
+
+  /** ANN top-k through the compressed leg: probe the `nProbe` nearest
+    * lists per query, score the pruned CODE scan by ADC lookup (m byte
+    * lookups per row — no float vector reads), shortlist
+    * `max(k, rerank)` finalists per query, then exact-cosine re-rank
+    * ONLY the finalists against the raw vectors (same list pruning, and
+    * the finalist set is broadcast-small: queries × rerank). Output
+    * schema matches [[topK]]. Duplicate-tolerant like [[topK]]: replayed
+    * ids collapse before both rankings. */
+  def topKPq(
+      spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    val m = requireMeta(spark, dir)
+    val model = readPqModel(spark, dir)
+    val centroids = readCentroids(spark, dir)
+    val shim = org.apache.spark.sql.GraftColumnShim
+    // pinned: the probed-list collect, the ADC join and the re-rank join
+    // all consume the query frame (see topK)
+    val q = graft.ops.Checkpoints.pin(queries
+      .select(col(idCol).cast(LongType).as("query_id"),
+        dimGuarded(col(vecCol).cast(ArrayType(DoubleType)), m.dim,
+          s"IVF-PQ probe against $dir").as("__qv"))
+      .withColumn("list",
+        Similarity.probeListsCol(col("__qv"), centroids, nProbe))
+      .withColumn("__lut", shim.column(graft.functions.PqLut(
+        shim.expression(Pq.normalized(col("__qv"))),
+        model.cents, model.m, model.k, model.dsub))))
+    val probed = q.select(col("list")).distinct().collect().map(_.getInt(0))
+    val prunedCodes = codes(spark, dir)
+      .filter(col("list").isin(probed.toSeq: _*))
+    val scored = prunedCodes
+      .join(broadcast(q.select(col("list"), col("query_id"), col("__lut"))),
+        Seq("list"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adc", shim.column(graft.functions.PqAdc(
+        shim.expression(col("pq_codes")), shim.expression(col("__lut")),
+        model.k)))
+      .groupBy(col("query_id"), col("id")).agg(max(col("adc")).as("adc"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc").desc, col("id"))
+    val shortlist = scored.withColumn("rank", row_number().over(wAdc))
+      .filter(col("rank") <= math.max(k, rerank))
+      .select(col("query_id"), col("id"))
+    // finalists (queries × rerank) carry their query vector — broadcast
+    // against the pruned raw-vector scan; only finalist rows score cosine
+    val fin = shortlist
+      .join(q.select(col("query_id"), col("__qv")).distinct(), Seq("query_id"))
+    val prunedVecs = vectors(spark, dir)
+      .filter(col("list").isin(probed.toSeq: _*))
+      .select(col("id"), col("vec"))
+    val exact = prunedVecs.join(broadcast(fin), Seq("id"))
+      .withColumn("cosine", Similarity.cosine(col("__qv"), col("vec")))
+      .groupBy(col("query_id"), col("id"))
+      .agg(max(col("cosine")).as("cosine"))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    exact.withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))

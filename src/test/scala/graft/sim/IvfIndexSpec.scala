@@ -154,6 +154,121 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(probe.count() == 3)
   }
 
+  // ----------------------------------------------------------- PQ leg
+
+  private def bytesUnder(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length() else 0L }
+      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
+
+  test("PQ leg: ADC probe + exact re-rank tracks the raw probe; codes are much smaller") {
+    val dir = freshDir()
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nLists = 8)
+    IvfIndex.buildPq(spark, dir, m = 16, k = 16)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pq = IvfIndex.topKPq(spark, dir, q, "vec_id", "embedding",
+        k = 10, nProbe = 3, rerank = 50)
+      val raw = IvfIndex.topK(spark, dir, q, "vec_id", "embedding",
+        k = 10, nProbe = 3)
+      // per-query completeness: every query seats a full top-10
+      assert(pq.groupBy("query_id").count()
+        .filter(col("count") =!= 10).count() == 0)
+      // the exact re-rank over a 5x shortlist recovers most of what the
+      // raw probe finds over the SAME probed lists (loose floor — a
+      // broken ADC or LUT lands near 0)
+      val hits = pq.select("query_id", "neighbor_id")
+        .intersect(raw.select("query_id", "neighbor_id")).count()
+      val total = raw.count()
+      assert(total > 0 && hits.toDouble / total >= 0.5,
+        s"pq-vs-raw agreement ${hits.toDouble / total}")
+
+      // the ADC scan is list-pruned like the raw probe: the code files
+      // read are a strict subset of the code store
+      val allCodeFiles = IvfIndex.codes(spark, dir)
+        .select(input_file_name()).distinct().count()
+      val scans = pq.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "pq_codes") => s
+      }
+      assert(scans.nonEmpty, "expected a codes file scan in the PQ probe plan")
+      val probedFiles = scans.map(_.selectedPartitions.totalNumberOfFiles).sum
+      assert(probedFiles < allCodeFiles,
+        s"ADC probe read $probedFiles of $allCodeFiles code files")
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+
+    // compression-ratio pin: 16-byte codes vs 64×8-byte float vectors is
+    // 32x logical; parquet overhead included, the code store must still
+    // be at least 4x smaller on disk
+    val vb = bytesUnder(s"$dir/vectors")
+    val cb = bytesUnder(s"$dir/codes")
+    assert(vb > 0 && cb > 0 && cb * 4 <= vb, s"codes $cb B vs vectors $vb B")
+  }
+
+  test("PQ leg: appendVectors keeps codes in sync; compact covers both legs") {
+    val dir = freshDir()
+    IvfIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      dir, nLists = 4)
+    IvfIndex.buildPq(spark, dir, m = 16, k = 16)
+    IvfIndex.appendVectors(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding", dir)
+    IvfIndex.appendVectors( // replayed append: duplicates in BOTH legs
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding", dir)
+    IvfIndex.appendVectors(
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding", dir)
+    assert(IvfIndex.codes(spark, dir).count() ==
+      IvfIndex.vectors(spark, dir).count())
+
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val before = IvfIndex.topKPq(spark, dir, q, "vec_id", "embedding",
+      k = 10, nProbe = 4).collect().map(_.toSeq).toSet
+    // duplicates never seat a neighbor twice (collapse before ranking)
+    assert(before.nonEmpty)
+
+    IvfIndex.compact(spark, dir)
+    // both legs collapsed to the distinct corpus, results identical
+    assert(IvfIndex.vectors(spark, dir).count() == emb.count())
+    assert(IvfIndex.codes(spark, dir).count() == emb.count())
+    val after = IvfIndex.topKPq(spark, dir, q, "vec_id", "embedding",
+      k = 10, nProbe = 4).collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
+  test("PQ leg: crashed buildPq fails code readers loudly; the raw index keeps serving") {
+    val dir = freshDir()
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nLists = 4)
+    IvfIndex.buildPq(spark, dir, m = 16, k = 16)
+    // simulate the crash window: codes + model present, commit marker gone
+    assert(new java.io.File(dir, "_graft_ivf_pq.json").delete())
+    val e = intercept[IllegalStateException] {
+      IvfIndex.codes(spark, dir).count()
+    }
+    assert(e.getMessage.contains("buildPq() it first"))
+    assertThrows[IllegalStateException] { IvfIndex.readPqModel(spark, dir) }
+    assertThrows[IllegalStateException] {
+      IvfIndex.topKPq(spark, dir, emb.limit(1), "vec_id", "embedding", k = 1)
+    }
+    // the raw leg is unaffected
+    assert(IvfIndex.topK(spark, dir, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3, nProbe = 4).count() == 3)
+    // re-building the leg clears the remnants and completes
+    IvfIndex.buildPq(spark, dir, m = 16, k = 16)
+    assert(IvfIndex.codes(spark, dir).count() == emb.count())
+    // a live leg refuses a second buildPq
+    intercept[IllegalArgumentException] {
+      IvfIndex.buildPq(spark, dir, m = 16, k = 16)
+    }
+  }
+
   test("dimension mismatches fail loudly instead of silently mis-scoring") {
     val dir = freshDir()
     IvfIndex.build(emb, "vec_id", "embedding", dir, nLists = 4)
