@@ -287,6 +287,40 @@ object BandedCatalog {
       }
       .groupBy(identity).map { case (b, fs0) => (b, fs0.size) }
 
+  /** Parquet bytes per bucket — the growth signal behind
+    * [[graft.ops.GrowthPolicy]] (see [[ExactCatalog.bucketByteSizes]]). */
+  def bucketByteSizes(spark: SparkSession, dir: String): Map[Int, Long] = {
+    val f = fs(spark, dir)
+    dataFiles(f, dir)
+      .flatMap { p =>
+        val parent = p.getParent.getName
+        if (parent.startsWith("bucket="))
+          Some((parent.stripPrefix("bucket=").toInt, f.getFileStatus(p).getLen))
+        else None
+      }
+      .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).sum) }
+  }
+
+  /** Occupancy signals through the shared policy; `autoCompact = true`
+    * runs the recommended per-bucket compactions ([[rebucket]] is only
+    * ever recommended — fresh dir + caller-owned cutover). */
+  def maintain(
+      spark: SparkSession, dir: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = false): Seq[graft.ops.GrowthPolicy.Action] = {
+    val m = readMeta(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no banded catalog at $dir"))
+    val acts = graft.ops.GrowthPolicy.recommend(
+      m.numBuckets, bucketByteSizes(spark, dir), bucketFileCounts(spark, dir),
+      policy)
+    if (autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(bs) =>
+        compact(spark, dir, buckets = Some(bs))
+      case _ => ()
+    }
+    acts
+  }
+
   /** Compact the per-trigger appends: rewrite each selected bucket as
     * one band_key-sorted file, optionally dropping rows whose `added`
     * tag is below `retainAddedFrom` (age/count retention — the caller

@@ -286,6 +286,42 @@ object ExactCatalog {
       }
       .groupBy(identity).map { case (b, fs0) => (b, fs0.size) }
 
+  /** Parquet bytes per bucket — the growth signal behind
+    * [[graft.ops.GrowthPolicy]]: when the mean configured-bucket size
+    * outgrows the policy target, the catalog wants [[rebucket]]. */
+  def bucketByteSizes(spark: SparkSession, dir: String): Map[Int, Long] = {
+    val f = fs(spark, dir)
+    dataFiles(f, dir)
+      .flatMap { p =>
+        val parent = p.getParent.getName
+        if (parent.startsWith("bucket="))
+          Some((parent.stripPrefix("bucket=").toInt, f.getFileStatus(p).getLen))
+        else None
+      }
+      .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).sum) }
+  }
+
+  /** Occupancy signals through the shared policy; `autoCompact = true`
+    * runs the recommended per-bucket compactions (the one safely
+    * in-place action — [[rebucket]] needs a fresh dir and a caller-owned
+    * cutover, so it is only ever recommended). */
+  def maintain(
+      spark: SparkSession, dir: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = false): Seq[graft.ops.GrowthPolicy.Action] = {
+    val numBuckets = readMeta(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no exact catalog at $dir"))
+    val acts = graft.ops.GrowthPolicy.recommend(
+      numBuckets, bucketByteSizes(spark, dir), bucketFileCounts(spark, dir),
+      policy)
+    if (autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(bs) =>
+        compact(spark, dir, buckets = Some(bs))
+      case _ => ()
+    }
+    acts
+  }
+
   /** Rewrite each selected bucket as one fp-sorted file, collapsing
     * duplicate `(fp, h2)` rows to their LATEST `added` tag, optionally
     * dropping rows below `retainAddedFrom` (retention — the caller

@@ -1,0 +1,94 @@
+package graft.ops
+
+/** Growth and maintenance policy for the persistent bucketed stores —
+  * the exact-dedup catalog ([[graft.dedup.ExactCatalog]]), the banded
+  * signature catalog ([[graft.dedup.BandedCatalog]]) and the IVF/IVF-PQ
+  * index ([[graft.sim.IvfIndex]]). The stores expose mechanisms
+  * (`rebucket`, per-bucket `compact`, rebuild); this object decides WHEN,
+  * from their occupancy signals, so the decision thresholds live in one
+  * documented, spec-pinned place instead of ad-hoc operator judgment.
+  *
+  * The policy is a PURE function of the signals — no filesystem access —
+  * so the spec can pin that each action trips exactly at its documented
+  * threshold and never before. Each store wraps it in a `maintain(...)`
+  * helper that gathers its own signals and (flag-gated) auto-runs the
+  * one action that is safe in place: per-bucket compaction. Re-sharding
+  * and retraining build into a FRESH directory with a caller-owned
+  * cutover (see the stores' `rebucket`/`build` scaladoc), so the policy
+  * only ever RECOMMENDS those.
+  *
+  * SCALE.md §growth runbook documents the operational procedure.
+  */
+object GrowthPolicy {
+
+  /** Thresholds. Defaults target HDFS/S3-friendly file sizes: a bucket
+    * (or IVF list) should stay around one well-sized parquet file.
+    *
+    * @param targetBucketBytes re-shard when the MEAN bytes per
+    *   configured bucket exceeds this (empty buckets count — sizing is a
+    *   property of the layout, and `bucket = key mod numBuckets` spreads
+    *   a healthy keyspace near-uniformly, so a skewed mean means the
+    *   bucket count is wrong, not the data)
+    * @param maxFilesPerBucket compact a bucket when its parquet file
+    *   count exceeds this (steady-state floor is 1 file per bucket; each
+    *   micro-batch append adds at most one)
+    * @param maxDriftRatio (IVF only) recommend retrain when the
+    *   quantization error of incoming vectors exceeds this multiple of
+    *   the build-time reference
+    */
+  case class Policy(
+      targetBucketBytes: Long = 256L << 20,
+      maxFilesPerBucket: Int = 8,
+      maxDriftRatio: Double = 1.5)
+
+  sealed trait Action
+
+  /** Re-shard into `newBuckets` (always a fresh dir + cutover — never
+    * auto-run; for the IVF index this is a RETRAIN under `newBuckets`
+    * lists, since the list count is trained into the quantizer). */
+  case class Rebucket(newBuckets: Int, meanBucketBytes: Long) extends Action
+
+  /** LSM-merge the listed buckets in place (safe to auto-run: the
+    * stores' compact is a duplicate-tolerant swap). */
+  case class Compact(buckets: Seq[Int]) extends Action
+
+  /** (IVF) the coarse quantizer no longer fits the data — rebuild into a
+    * fresh dir (never auto-run). */
+  case class Retrain(driftRatio: Double) extends Action
+
+  /** The decision. Trips EXACTLY at the thresholds:
+    *  - [[Rebucket]] when `Σ bytes > targetBucketBytes × numBuckets`
+    *    (i.e. the mean configured-bucket size strictly exceeds the
+    *    target); the new count doubles `numBuckets` until the mean fits
+    *    (doubling keeps re-shards rare — O(log growth) of them over a
+    *    store's lifetime);
+    *  - [[Compact]] for every bucket whose file count strictly exceeds
+    *    `maxFilesPerBucket`;
+    *  - [[Retrain]] when the supplied drift ratio strictly exceeds
+    *    `maxDriftRatio`.
+    * An empty result means healthy. Multiple actions can co-trip (a
+    * store can be both over-sized and fragmented); [[Rebucket]] leads
+    * because a re-shard also collapses fragmentation, making the
+    * compaction moot if the operator acts on it first. */
+  def recommend(
+      numBuckets: Int,
+      bucketBytes: Map[Int, Long],
+      bucketFiles: Map[Int, Int],
+      policy: Policy = Policy(),
+      driftRatio: Option[Double] = None): Seq[Action] = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val total = bucketBytes.values.sum
+    val rebucket =
+      if (total > policy.targetBucketBytes * numBuckets) {
+        var n = numBuckets
+        while (total > policy.targetBucketBytes * n) n *= 2
+        Seq(Rebucket(n, total / numBuckets))
+      } else Seq.empty
+    val over = bucketFiles.filter(_._2 > policy.maxFilesPerBucket)
+      .keys.toSeq.sorted
+    val compact = if (over.nonEmpty) Seq(Compact(over)) else Seq.empty
+    val retrain = driftRatio.filter(_ > policy.maxDriftRatio)
+      .map(Retrain(_)).toSeq
+    rebucket ++ compact ++ retrain
+  }
+}

@@ -48,8 +48,13 @@ object IvfIndex {
   // ------------------------------------------------------------- meta
 
   /** nLists and dim are part of the layout: different values silently
-    * mis-probe (wrong centroid count) or mis-score (wrong dim). */
-  case class Meta(nLists: Int, dim: Int)
+    * mis-probe (wrong centroid count) or mis-score (wrong dim).
+    * `buildErrE6` is the build-time quantization-error reference (mean
+    * squared assignment distance of the training-discipline sample,
+    * ×1e6 as a long so the int-field meta format carries it) — the
+    * denominator of [[driftRatio]]; absent on pre-drift-signal indexes,
+    * which simply report no drift estimate. */
+  case class Meta(nLists: Int, dim: Int, buildErrE6: Option[Long] = None)
 
   private def metaPath(dir: String) = new Path(dir, "_graft_ivf.json")
 
@@ -58,7 +63,8 @@ object IvfIndex {
 
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     val out = fs(spark, dir).create(metaPath(dir), true)
-    try out.write(s"""{"nLists":${m.nLists},"dim":${m.dim}}"""
+    val err = m.buildErrE6.fold("")(e => s""","buildErrE6":$e""")
+    try out.write(s"""{"nLists":${m.nLists},"dim":${m.dim}$err}"""
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -72,12 +78,13 @@ object IvfIndex {
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+      def fieldOpt(name: String): Option[Long] =
+        s""""$name":(\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
       def field(name: String): Int =
-        s""""$name":(\\d+)""".r.findFirstMatchIn(text)
-          .map(_.group(1).toInt)
+        fieldOpt(name).map(_.toInt)
           .getOrElse(throw new IllegalStateException(
             s"IVF index meta at $p is missing '$name': $text"))
-      Some(Meta(field("nLists"), field("dim")))
+      Some(Meta(field("nLists"), field("dim"), fieldOpt("buildErrE6")))
     }
   }
 
@@ -140,7 +147,15 @@ object IvfIndex {
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     writeVectors(corpus, idCol, vecCol, dir, centroids, dim)
-    writeMeta(spark, dir, Meta(nLists, dim)) // commit
+    // build-time quantization-error reference for the drift signal,
+    // measured over the SAME bounded training-discipline sample (limit:
+    // partition-order, like the quantizer's own sample — the point is a
+    // consistent reference statistic, not an unbiased census)
+    val buildErr = assignError(
+      corpus.limit(math.min(targetRows, Similarity.MaxTrainRows).toInt),
+      vecCol, centroids)
+    writeMeta(spark, dir,
+      Meta(nLists, dim, Some(math.round(buildErr * 1e6)))) // commit
   }
 
   /** Assign NEW vectors to the EXISTING centroids and append them — the
@@ -248,6 +263,80 @@ object IvfIndex {
         else None
       }
       .groupBy(identity).map { case (l, fs0) => (l, fs0.size) }
+
+  /** Parquet bytes per list — the growth signal behind
+    * [[graft.ops.GrowthPolicy]]: a list should stay file-sized, and when
+    * the average outgrows the policy target the index wants a rebuild
+    * under a larger `nLists` (the list count is trained into the
+    * quantizer, so growing it is a retrain, not a reshuffle). */
+  def listByteSizes(spark: SparkSession, dir: String): Map[Int, Long] = {
+    val f = fs(spark, dir)
+    dataFiles(f, dir)
+      .flatMap { p =>
+        val parent = p.getParent.getName
+        if (parent.startsWith("list="))
+          Some((parent.stripPrefix("list=").toInt, f.getFileStatus(p).getLen))
+        else None
+      }
+      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).sum) }
+  }
+
+  /** Mean squared distance of a vector frame to its assigned centroid —
+    * the quantization error. One distributed aggregate, no collect
+    * (score identity: ‖v−c‖² = v·v − 2·(v·c − ½c·c), and the assignment
+    * argmax already maximizes the parenthesized score). */
+  def assignError(
+      df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): Double = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val best = array_max(array(Similarity.centroidScores(v, centroids): _*))
+      .getField("score")
+    df.filter(v.isNotNull)
+      .select((Similarity.dot(v, v) - lit(2.0) * best).as("__d2"))
+      .agg(avg(col("__d2"))).head.getDouble(0)
+  }
+
+  /** Centroid-drift estimate: the quantization error of `batch` (e.g.
+    * the vectors about to be appended, or a recent sample) relative to
+    * the build-time reference. ≈1 means the trained quantizer still fits;
+    * sustained ratios above the policy threshold mean recall is decaying
+    * and the index wants a retrain ([[graft.ops.GrowthPolicy]]). None on
+    * indexes built before the reference statistic existed. */
+  def driftRatio(
+      spark: SparkSession, dir: String,
+      batch: DataFrame, vecCol: String): Option[Double] = {
+    val m = requireMeta(spark, dir)
+    m.buildErrE6.filter(_ > 0).map { ref =>
+      assignError(batch, vecCol, readCentroids(spark, dir)) / (ref / 1e6)
+    }
+  }
+
+  /** Occupancy signals through the shared policy; `autoCompact = true`
+    * runs the recommended per-list compactions (the only safely in-place
+    * action — a Rebucket here means RETRAIN into a fresh dir under more
+    * lists, and Retrain is likewise a caller-owned rebuild + cutover).
+    * `driftBatch` supplies the vectors to estimate drift over (commonly
+    * the batch just appended). */
+  def maintain(
+      spark: SparkSession, dir: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = false,
+      driftBatch: Option[(DataFrame, String)] = None
+  ): Seq[graft.ops.GrowthPolicy.Action] = {
+    val m = requireMeta(spark, dir)
+    val drift = driftBatch.flatMap { case (df, vc) =>
+      driftRatio(spark, dir, df, vc)
+    }
+    val acts = graft.ops.GrowthPolicy.recommend(
+      m.nLists, listByteSizes(spark, dir), listFileCounts(spark, dir),
+      policy, driftRatio = drift)
+    if (autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(ls) =>
+        compact(spark, dir, lists = Some(ls))
+      case _ => ()
+    }
+    acts
+  }
 
   /** Rewrite the selected lists (all of them when `lists = None`) as one
     * id-sorted file each, collapsing duplicate ids from replayed appends
