@@ -236,10 +236,98 @@ object Bench {
       }
     } else 0.0
 
-    val metricTimes = Seq(
+    // Catalog scale evidence (r8 verdict item 3): the bucketed catalogs'
+    // whole point is per-trigger cost independent of catalog size. Time
+    // the SAME fixed 1k-doc batch against catalogs differing 10x in
+    // size; the *_flat rows run the full-catalog-read incremental path
+    // at the same sizes as the linear contrast. (The robust flatness
+    // witness is the files-opened census in ScaleSpec — these
+    // wall-clock rows make a regression visible in BENCH.)
+    val catalogNames = Seq(
+      "exact_trigger_1x", "exact_trigger_10x",
+      "exact_flat_1x", "exact_flat_10x",
+      "neardedup_trigger_1x", "neardedup_trigger_10x")
+    val catalogTimes: Seq[(String, Double)] =
+      if (catalogNames.exists(want)) {
+        val docsBase = Tables.read(spark, sfDir, "documents")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-cat-bench").toString
+        // exact: ~100k entries at 1x, ~1M at 10x (fp-shifted copies —
+        // entry mass is what the trigger prunes against)
+        val baseEntries = graft.dedup.ExactCatalog.entriesOf(docsBase, "text").cache()
+        val baseN = baseEntries.count()
+        // crossJoin amplification, NOT a copies-way union — a 2000-arm
+        // union plan takes minutes to ANALYZE before a row moves
+        def amplified(copies: Int): DataFrame =
+          spark.range(0, copies).toDF("__rep").crossJoin(baseEntries)
+            .select((col("fp") + col("__rep") * 1000003L).as("fp"), col("h2"))
+        val copies1x = math.max(1, (100000L / math.max(baseN, 1L)).toInt)
+        val exact1x = s"$tmp/exact1x"; val exact10x = s"$tmp/exact10x"
+        graft.dedup.ExactCatalog.append(amplified(copies1x), exact1x)
+        graft.dedup.ExactCatalog.append(amplified(copies1x * 10), exact10x)
+        // near-dedup: signatures computed ONCE, 1x = the corpus, 10x =
+        // ten id-shifted copies (signature mass, not re-hashing cost)
+        val sigs = graft.dedup.Dedup.minhashNearCatalog(
+          docsBase.select(col("doc_id"), col("text")), "doc_id", "text",
+          5, 16, 4).cache()
+        sigs.count()
+        val near1x = s"$tmp/near1x"; val near10x = s"$tmp/near10x"
+        graft.dedup.BandedCatalog.append(sigs, near1x)
+        (0 until 10).foreach { k =>
+          graft.dedup.BandedCatalog.append(
+            sigs.select((col("id") + lit(k * 10000000L)).as("id"), col("__sig")),
+            near10x)
+        }
+        // a FRESH batch per rep (ids/texts outside every catalog) so
+        // replayed reps do the same admit-then-append work each time
+        var repC = 0
+        def freshBatch(): DataFrame = {
+          repC += 1
+          docsBase.limit(1000).select(
+            (col("doc_id") + lit(repC * 50000000L)).as("doc_id"),
+            concat(col("text"), lit(s" uniq$repC")).as("text"))
+        }
+        val runs: Seq[(String, () => Unit)] = Seq(
+          "exact_trigger_1x" -> (() => {
+            val _ = graft.dedup.ExactCatalog.applyBatch(
+              freshBatch(), exact1x, "doc_id", "text",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          "exact_trigger_10x" -> (() => {
+            val _ = graft.dedup.ExactCatalog.applyBatch(
+              freshBatch(), exact10x, "doc_id", "text",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          "exact_flat_1x" -> (() => force(graft.dedup.Dedup.dedupIncremental(
+            freshBatch(),
+            graft.dedup.ExactCatalog.read(spark, exact1x)
+              .select(col("fp"), col("h2")),
+            "doc_id", "text", secondKey = xxhash64(_)))),
+          "exact_flat_10x" -> (() => force(graft.dedup.Dedup.dedupIncremental(
+            freshBatch(),
+            graft.dedup.ExactCatalog.read(spark, exact10x)
+              .select(col("fp"), col("h2")),
+            "doc_id", "text", secondKey = xxhash64(_)))),
+          "neardedup_trigger_1x" -> (() => {
+            val _ = graft.streaming.StreamingNearDedup.applyBatch(
+              freshBatch(), near1x, "doc_id", "text",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          "neardedup_trigger_10x" -> (() => {
+            val _ = graft.streaming.StreamingNearDedup.applyBatch(
+              freshBatch(), near10x, "doc_id", "text",
+              added = repC.toLong, deliver = d => force(d))
+          }))
+        val out = runs.filter(r => want(r._1))
+          .map { case (n, f) => n -> timeN(n)(f()) }
+        baseEntries.unpersist(); sigs.unpersist()
+        out
+      } else Seq.empty
+
+    val metricTimes = (Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
       "cluster_deep_chain" -> chainSec)
+      ++ catalogTimes)
       .filter { case (n, _) => want(n) }
     val all = queryTimes ++ metricTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -423,6 +423,60 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(acc2.value <= n)
   }
 
+  test("catalog growth leaves the per-trigger read constant: files opened = probed buckets only") {
+    import spark.implicits._
+    import graft.dedup.ExactCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-cat").toString
+    val nb = 8
+    def entries(fps: Seq[Long]) = fps.map(fp => (fp, fp * 31 + 7)).toDF("fp", "h2")
+    // seed across all buckets (bucket = fp mod 8)
+    ExactCatalog.append(entries(1L to 200L), dir, numBuckets = nb, added = 0L)
+    // the trigger's probe: fingerprints that all land in bucket 3
+    val probe = entries((0 until 50).map(i => 3L + 8L * i))
+
+    def filesScanned(): Long = {
+      val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = ExactCatalog.readForBatch(spark, dir, probe)
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.map(_.selectedPartitions.totalNumberOfFiles).sum
+      } finally prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+    def bucket3Files(): Int =
+      Option(new java.io.File(dir, "bucket=3").listFiles)
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+
+    val before = filesScanned()
+    assert(before >= 1 && before == bucket3Files(),
+      s"trigger read $before files, bucket 3 holds ${bucket3Files()}")
+    val totalBefore = ExactCatalog.fileCount(spark, dir)
+
+    // grow the catalog 4x with appends landing ONLY in other buckets —
+    // the probe's trigger cost must not notice
+    (0 until 4).foreach { k =>
+      val b = Seq(0L, 1L, 2L, 4L)(k)
+      ExactCatalog.append(
+        entries((1L to 200L).map(i => i * 8L + b)), dir,
+        numBuckets = nb, added = (k + 1).toLong)
+    }
+    assert(ExactCatalog.fileCount(spark, dir) >= totalBefore + 4)
+    val after = filesScanned()
+    assert(after == before,
+      s"per-trigger read grew with the catalog: $before -> $after files")
+
+    // growth INTO the probed bucket is what grows the read (and only
+    // by that bucket's own occupancy) — the O(bucket occupancy) claim
+    ExactCatalog.append(
+      entries((1L to 50L).map(i => i * 8L + 3L)), dir,
+      numBuckets = nb, added = 9L)
+    assert(filesScanned() == bucket3Files().toLong)
+  }
+
   test("BPE training leaves no cached vocab tables behind") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
