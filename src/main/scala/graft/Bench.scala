@@ -44,7 +44,7 @@ object Bench {
   private val Noisy = Set(
     "cdc_user_state", "sessionize", "q21_waiting", "minhash_pairs",
     "semdedup_report", "dedup_cluster_resolve", "minhash_20k", "cdc_apply",
-    "cluster_deep_chain")
+    "cluster_deep_chain", "pipeline_e2e_20k")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
     * middles for even n (so reps=2 takes the min). Contention only ever
@@ -110,7 +110,7 @@ object Bench {
       "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch",
       "window_agg", "stratified_split", "gopher_filters",
       "html_extract", "dedup_lines", "dsir_select", "bigram_logppl",
-      "dedup_cluster_resolve")
+      "dedup_cluster_resolve", "pipeline_e2e")
 
     val queryTimes = headline
       .filter(n => only.isEmpty || only(n))
@@ -189,8 +189,9 @@ object Bench {
     // ~20k docs with id offsets (each copy is an exact dup of its base, so
     // the dedup ops do real duplicate-cluster work) and measure rows/s
     // through the heaviest pipeline ops.
-    val (nDocs, textSec, minhashSec) =
-      if (want("text_pipeline_20k") || want("minhash_20k")) {
+    val (nDocs, textSec, minhashSec, e2eSec) =
+      if (want("text_pipeline_20k") || want("minhash_20k") ||
+          want("pipeline_e2e_20k")) {
         val docsBase = Tables.read(spark, sfDir, "documents")
         val baseCount = docsBase.count()
         val reps = math.max(1L, 20000L / math.max(baseCount, 1L))
@@ -216,9 +217,39 @@ object Bench {
             amplified, "doc_id", "text", bands = b, rowsPerBand = r,
             jaccardThreshold = 0.9))
         } else 0.0
+        // The COMPOSED training-data path as one lineage over the same
+        // 20k corpus: exact dedup → keep-best near dedup → quality gate
+        // → temperature mixture → pack plan. Each stage is benched
+        // individually elsewhere; this row gives the full pipeline a
+        // standing wall-time so a cross-stage regression (a lost pin, a
+        // join-strategy flip between stages) is visible even when every
+        // stage looks healthy alone.
+        val e2e = if (want("pipeline_e2e_20k")) timeN("pipeline_e2e_20k") {
+          val corpus = amplified.withColumn("source",
+            when(pmod(col("doc_id"), lit(10)) < 6, "heavy")
+              .when(pmod(col("doc_id"), lit(10)) < 9, "mid")
+              .otherwise("rare"))
+          val exact = graft.ops.Checkpoints.pin(
+            graft.dedup.Dedup.dedupExact(corpus, "doc_id", "text"))
+          val (b, r) = graft.dedup.Dedup.exactRecallBanding(64, 0.9)
+            .getOrElse((16, 4))
+          val pairs = graft.dedup.Dedup.minhashCandidatePairs(
+            exact, "doc_id", "text", bands = b, rowsPerBand = r,
+            jaccardThreshold = 0.9)
+            .select(col("id_a"), col("id_b"))
+          val near = graft.dedup.Dedup.dedupNearKeepBest(
+            exact, "doc_id", pairs,
+            graft.text.TextOps.tokenCount(col("text")).cast("long"))
+          val quality = graft.ops.Checkpoints.pin(
+            near.filter(graft.text.TextOps.qualityScore(col("text")) >= 0.5))
+          val mixed = quality.filter(graft.text.TextOps
+            .temperatureMixFilter(quality, "source", "text", alpha = 0.5))
+          force(graft.text.Packing.packPlan(
+            mixed, "doc_id", "text", "source", tokenBudget = 256))
+        } else 0.0
         amplified.unpersist()
-        (n, text, minhash)
-      } else (0L, 0.0, 0.0)
+        (n, text, minhash, e2e)
+      } else (0L, 0.0, 0.0, 0.0)
 
     // Deep-chain cluster resolution: ONE maximal chain over the documents
     // ids (2,000 hops — inside the default converge valve, ~250x the
@@ -326,7 +357,7 @@ object Bench {
     val metricTimes = (Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
-      "cluster_deep_chain" -> chainSec)
+      "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec)
       ++ catalogTimes)
       .filter { case (n, _) => want(n) }
     val all = queryTimes ++ metricTimes

@@ -1645,6 +1645,37 @@ object SparkEntry {
       graft.text.Packing.selectUnderTokenBudget(
         docs(s, dir), "doc_id", "text", "source", tokenBudget = 400)),
 
+    // The FULL training-data path as ONE oracled lineage (round 9):
+    // exact dedup → MinHash near-dup keep-best → quality gate →
+    // temperature mixture → pack plan. Every stage is individually
+    // oracled elsewhere (dedup_exact_docs, minhash_pairs,
+    // dedup_cluster_best, quality_select, mixture_temperature,
+    // pack_plan); this row hash-checks their COMPOSITION — the joins and
+    // filters BETWEEN stages — end to end in DuckDB. Bench twin:
+    // pipeline_e2e_20k times the same chain over the amplified corpus.
+    "pipeline_e2e" -> ((s, dir) => {
+      val exact = graft.ops.Checkpoints.pin(
+        Dedup.dedupExact(docs(s, dir), "doc_id", "text"))
+      val pairs = Dedup.minhashCandidatePairs(exact, "doc_id", "text",
+        shingleSize = 5, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val near = Dedup.dedupNearKeepBest(exact, "doc_id", pairs,
+        TextOps.tokenCount(col("text")).cast("long"))
+      // rounded on BOTH sides so the gate boundary cannot drift in the
+      // last float bits (the quality_select discipline)
+      val quality = near.filter(
+        round(TextOps.qualityScore(col("text")), 6) >= 0.5)
+      val grouped = graft.ops.Checkpoints.pin(
+        quality.withColumn("grp",
+          when(pmod(col("doc_id"), lit(10)) < 6, "heavy")
+            .when(pmod(col("doc_id"), lit(10)) < 9, "mid")
+            .otherwise(lit("rare"))))
+      val mixed = grouped.filter(
+        TextOps.temperatureMixFilter(grouped, "grp", "text", alpha = 0.5))
+      graft.text.Packing.packPlan(mixed, "doc_id", "text", "grp",
+        tokenBudget = 256)
+    }),
+
     // RAG-style overlapping chunking: 200-char windows, 40-char overlap —
     // pure posexplode scan (zero shuffles), oracled via generate_series.
     "chunk_docs" -> ((s, dir) =>
@@ -3816,6 +3847,100 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT source, doc_id, n_tokens, quality FROM ranked WHERE cum <= 400
+        |""".stripMargin,
+
+    // The composed pipeline, restated stage for stage from the already-
+    // oracled pieces: exact-dedup survivors (min doc_id per text),
+    // MinHash banding candidates at est >= 0.5 over the survivor set,
+    // connected components by recursive min-label reach, keep-best
+    // winners (max tokens, tie min id), the quality_select score gated
+    // at 0.5, temperature mixing (alpha = 0.5 via correctly-rounded
+    // sqrt) with counts over the GATED set, and the 256-token pack plan
+    // partitioned by the mixture group.
+    "pipeline_e2e" ->
+      s"""WITH RECURSIVE ${minhashSigCtesSql},
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        |), banded AS (
+        |  SELECT sg.doc_id, unnest(range($MinhashBands)) AS band,
+        |         unnest(${minhashBandKeysSql}) AS band_key
+        |  FROM sg JOIN surv USING (doc_id)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM banded a JOIN banded b2 USING (band, band_key)
+        |  WHERE a.doc_id < b2.doc_id
+        |), est AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sg sa ON sa.doc_id = id_a JOIN sg sb ON sb.doc_id = id_b
+        |  WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.5
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM est
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM est
+        |), reach(id, m) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.id
+        |), clusters AS (
+        |  SELECT id, min(m) AS cluster_id FROM reach GROUP BY id
+        |), scored AS (
+        |  SELECT coalesce(c.cluster_id, s.doc_id) AS cluster_id, s.doc_id,
+        |         d.text,
+        |         CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+        |              END AS BIGINT) AS n_tokens
+        |  FROM surv s JOIN documents d USING (doc_id)
+        |  LEFT JOIN clusters c ON c.id = s.doc_id
+        |), winners AS (
+        |  SELECT doc_id, text, n_tokens,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |                            ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM scored
+        |), wq AS (
+        |  SELECT doc_id, text, n_tokens,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |                   / length(text) END AS punct_ratio,
+        |         CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','was','at','by','be'], x))) AS DOUBLE)
+        |                   / len(regexp_split_to_array(trim(text), '\\s+')) END AS stop_ratio
+        |  FROM winners WHERE rn = 1
+        |), q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |         round(greatest(0.0,
+        |           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |           + least(stop_ratio * 4.0, 1.0) * 0.3
+        |           - least(punct_ratio * 5.0, 1.0) * 0.2 + 0.2), 6) AS quality
+        |  FROM wq
+        |), g AS (
+        |  SELECT doc_id, text, n_tokens,
+        |         CASE WHEN doc_id % 10 < 6 THEN 'heavy'
+        |              WHEN doc_id % 10 < 9 THEN 'mid'
+        |              ELSE 'rare' END AS grp
+        |  FROM q WHERE quality >= 0.5
+        |), cgrp AS (
+        |  SELECT grp, count(*) AS n FROM g GROUP BY grp
+        |), r AS (
+        |  SELECT grp,
+        |         greatest(CAST(floor(1000.0 * sqrt(
+        |           CAST((SELECT min(n) FROM cgrp) AS DOUBLE) / CAST(n AS DOUBLE)
+        |         )) AS BIGINT), 1) AS permille
+        |  FROM cgrp
+        |), mixed AS (
+        |  SELECT g.grp, g.doc_id, g.n_tokens
+        |  FROM g JOIN r ON g.grp = r.grp
+        |  WHERE ${fingerprintSql("text")} % 1000 < r.permille
+        |), packed AS (
+        |  SELECT grp, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM mixed
+        |)
+        |SELECT grp, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum_before // 256 AS BIGINT) AS pack_id,
+        |       CAST(cum_before % 256 AS BIGINT) AS pack_offset
+        |FROM packed
         |""".stripMargin,
 
     // size=200, overlap=40 ⇒ step=160; last chunk index = 0 for short docs,
