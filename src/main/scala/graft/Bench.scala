@@ -44,7 +44,9 @@ object Bench {
   private val Noisy = Set(
     "cdc_user_state", "sessionize", "q21_waiting", "minhash_pairs",
     "semdedup_report", "dedup_cluster_resolve", "minhash_20k", "cdc_apply",
-    "cluster_deep_chain", "pipeline_e2e_20k")
+    "cluster_deep_chain", "pipeline_e2e_20k",
+    "exact_trigger_1x", "exact_trigger_10x", "exact_flat_1x",
+    "exact_flat_10x", "neardedup_trigger_1x", "neardedup_trigger_10x")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
     * middles for even n (so reps=2 takes the min). Contention only ever
@@ -296,7 +298,10 @@ object Bench {
         graft.dedup.ExactCatalog.append(amplified(copies1x), exact1x)
         graft.dedup.ExactCatalog.append(amplified(copies1x * 10), exact10x)
         // near-dedup: signatures computed ONCE, 1x = the corpus, 10x =
-        // ten id-shifted copies (signature mass, not re-hashing cost)
+        // ten copies with SHIFTED signature values (signature mass with
+        // DISTINCT band keys, like real corpus growth — identical-key
+        // copies would concentrate 10x mass exactly on the keys every
+        // batch probes, the adversarial worst case rather than growth)
         val sigs = graft.dedup.Dedup.minhashNearCatalog(
           docsBase.select(col("doc_id"), col("text")), "doc_id", "text",
           5, 16, 4).cache()
@@ -305,7 +310,8 @@ object Bench {
         graft.dedup.BandedCatalog.append(sigs, near1x)
         (0 until 10).foreach { k =>
           graft.dedup.BandedCatalog.append(
-            sigs.select((col("id") + lit(k * 10000000L)).as("id"), col("__sig")),
+            sigs.select((col("id") + lit(k * 10000000L)).as("id"),
+              transform(col("__sig"), x => x + lit(k * 7919L)).as("__sig")),
             near10x)
         }
         // a FRESH batch per rep (ids/texts outside every catalog) so
