@@ -77,6 +77,12 @@ object GrowthPolicy {
       policy: Policy = Policy(),
       driftRatio: Option[Double] = None): Seq[Action] = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    // a zero/negative target would make the doubling loop spin until n
+    // overflows negative and never terminates
+    require(policy.targetBucketBytes > 0,
+      s"targetBucketBytes must be positive: ${policy.targetBucketBytes}")
+    require(policy.maxFilesPerBucket > 0,
+      s"maxFilesPerBucket must be positive: ${policy.maxFilesPerBucket}")
     val total = bucketBytes.values.sum
     val rebucket =
       if (total > policy.targetBucketBytes * numBuckets) {

@@ -291,9 +291,13 @@ object IvfIndex {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val best = array_max(array(Similarity.centroidScores(v, centroids): _*))
       .getField("score")
-    df.filter(v.isNotNull)
+    // NaN on an empty (or all-null) frame, not an NPE on the null avg —
+    // an empty micro-batch's drift estimate is "no evidence", and NaN
+    // never trips the policy's strict > threshold
+    Option(df.filter(v.isNotNull)
       .select((Similarity.dot(v, v) - lit(2.0) * best).as("__d2"))
-      .agg(avg(col("__d2"))).head.getDouble(0)
+      .agg(avg(col("__d2"))).head.get(0))
+      .fold(Double.NaN)(_.asInstanceOf[Double])
   }
 
   /** Centroid-drift estimate: the quantization error of `batch` (e.g.

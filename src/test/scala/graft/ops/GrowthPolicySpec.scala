@@ -50,6 +50,33 @@ class GrowthPolicySpec extends AnyFunSuite with SparkTestBase {
       Seq(Rebucket(2, 101L), Compact(Seq(0)), Retrain(2.0)))
   }
 
+  test("edge guards: degenerate thresholds refuse; an empty drift batch never trips") {
+    // a zero target would spin the doubling loop until overflow
+    assertThrows[IllegalArgumentException] {
+      GrowthPolicy.recommend(1, Map.empty, Map.empty,
+        Policy(targetBucketBytes = 0L))
+    }
+    assertThrows[IllegalArgumentException] {
+      GrowthPolicy.recommend(1, Map.empty, Map.empty,
+        Policy(maxFilesPerBucket = 0))
+    }
+    // NaN (no evidence) must not satisfy the strict > comparison
+    assert(GrowthPolicy.recommend(1, Map.empty, Map.empty, Policy(),
+      driftRatio = Some(Double.NaN)).isEmpty)
+    // an EMPTY batch's drift estimate is NaN, not an NPE
+    import graft.sim.IvfIndex
+    val emb = graft.sources.Tables.read(
+      spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-growth-nan")
+      .toString + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+      dir, nLists = 2)
+    val r = IvfIndex.driftRatio(spark, dir, emb.limit(0), "embedding")
+    assert(r.exists(_.isNaN))
+    assert(IvfIndex.maintain(spark, dir,
+      driftBatch = Some((emb.limit(0), "embedding"))).isEmpty)
+  }
+
   // ------------------------------------------------- store integration
 
   test("exact catalog maintain: real signals, auto-compact runs, rebucket only recommended") {
