@@ -100,6 +100,7 @@ object Bench {
       "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf", "embed_topk_q8",
       "embed_topk_ivf_indexed", "embed_topk_ivfpq_indexed", "semdedup_report",
+      "semdedup_incremental",
       "quality_model_fixed", "quality_model",
       "text_metrics", "rep_ratios", "decontam_overlap", "bm25_topk",
       "doc_fingerprint", "curate_docs", "asof_click_purchase",

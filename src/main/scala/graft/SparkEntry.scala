@@ -1133,6 +1133,60 @@ object SparkEntry {
             col("__fcn") > 10000L).as("fixed_agrees"))
     }),
 
+    // INCREMENTAL SemDeDup against the persistent IVF index (round 9) —
+    // the embedding-level twin of neardedup_incremental: the even half
+    // of the corpus is indexed, then ONE batch (the odd half + planted
+    // copies of indexed docs under fresh ids) flows through
+    // SemDedup.applyBatchIndexed. Contract row, r8 pattern: exact-
+    // statable input counts + booleans the oracle asserts TRUE — every
+    // planted copy drops (identical vector → its original's cluster at
+    // cosine 1.0), no survivor has a same-cluster pre-indexed partner at
+    // >= threshold (the PRUNED probe re-verified by an unpruned brute
+    // force), and the index grew by exactly the survivor count. A fresh
+    // scratch index per invocation: the operator MUTATES its index, so
+    // a cached one would flip the booleans on re-runs.
+    "semdedup_incremental" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("graft-semdd-gate")
+      sys.addShutdownHook {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
+        }
+        rm(root.toFile)
+      }
+      val idx = root.toString + "/idx"
+      val base = e.filter(col("vec_id") % 2 === 0)
+      graft.sim.IvfIndex.build(base, "vec_id", "embedding", idx, nLists = 16)
+      val planted = base.filter(col("vec_id") % 14 === 0)
+        .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+      val batch = e.filter(col("vec_id") % 2 === 1).unionByName(planted)
+      val before = graft.sim.IvfIndex.vectors(s, idx).count()
+      val surv = graft.sim.SemDedup.applyBatchIndexed(
+        batch, idx, "vec_id", "embedding", threshold = 0.95)
+      val nSurv = surv.count()
+      val survPlanted = surv.filter(col("vec_id") >= 100000000L).count()
+      val after = graft.sim.IvfIndex.vectors(s, idx).count()
+      // unpruned same-cluster brute force of survivors vs the PRE-batch
+      // indexed set — independent of the probe's partition pruning
+      val cents = graft.sim.IvfIndex.readCentroids(s, idx)
+      val sv = Similarity.withIvfList(
+        surv.select(col("vec_id").as("sid"), col("embedding").as("svec")),
+        "svec", cents, "__c")
+      val pv = Similarity.withIvfList(
+        base.select(col("vec_id").as("pid"), col("embedding").as("pvec")),
+        "pvec", cents, "__c")
+      val leaks = sv.join(pv, Seq("__c"))
+        .filter(Similarity.cosine(col("svec"), col("pvec")) >= 0.95)
+        .count()
+      e.agg(
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_fresh"),
+        sum(when(col("vec_id") % 14 === 0, 1L).otherwise(0L)).as("n_planted"))
+        .select(col("n_fresh"), col("n_planted"),
+          lit(survPlanted == 0L).as("planted_all_dropped"),
+          lit(leaks == 0L).as("no_same_cluster_leaks"),
+          lit(after - before == nSurv).as("growth_consistent"))
+    }),
+
     // SemDeDup with the fixed dyadic centroids: cluster assignment,
     // size valve, lower-id pair scan, unrounded threshold and the
     // per-dropped-doc aggregate are all stated in DuckDB — the complete
@@ -3370,6 +3424,17 @@ object SparkEntry {
         |       TRUE AS planted_ok, TRUE AS kept_ok, TRUE AS cos_ok,
         |       TRUE AS fixed_agrees
         |FROM embeddings WHERE vec_id % 10 = 0
+        |""".stripMargin,
+
+    "semdedup_incremental" ->
+      """SELECT CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_fresh,
+        |       CAST(sum(CASE WHEN vec_id % 14 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_planted,
+        |       TRUE AS planted_all_dropped,
+        |       TRUE AS no_same_cluster_leaks,
+        |       TRUE AS growth_consistent
+        |FROM embeddings
         |""".stripMargin,
 
     "embed_topk_lsh" -> embedTopkLshOracleSql,

@@ -75,4 +75,70 @@ object SemDedup {
       maxClusterSize).select(col("dropped_id"))
     df.join(dropped, col(idCol) === col("dropped_id"), "left_anti")
   }
+
+  /** INCREMENTAL semantic dedup against a persistent [[IvfIndex]] — the
+    * embedding-level twin of the text catalogs
+    * ([[graft.streaming.StreamingNearDedup]] /
+    * [[graft.dedup.ExactCatalog]]): the index holds the survivors'
+    * vectors, each new batch dedups in-batch and then against the
+    * indexed survivors, and the batch's own survivors grow the index.
+    *
+    * Semantics (survivor-catalog, arrival-order precedence — the same
+    * contract as the text paths): a batch doc drops iff
+    *  1. a LOWER-id batch member in its cluster has cosine ≥ threshold
+    *     (the in-batch [[semDedup]] rule, under the INDEX's quantizer so
+    *     clustering is consistent across batches), or
+    *  2. ANY indexed survivor in its cluster has cosine ≥ threshold
+    *     (the catalog wins regardless of id — it arrived first), or
+    *  3. its id is already indexed (replay suppression: a re-run batch
+    *     converges instead of re-admitting itself).
+    *
+    * Scale shape: stage 2 is the pruned probe — the vector scan carries
+    * the batch's `list IN (…)` partition filter, so per-batch cost is
+    * O(batch × probed-list occupancy), never O(index). No pair
+    * explosion: the check is a batch×occupancy join with a per-row
+    * cosine, not a self-join.
+    *
+    * Crash contract: `deliver` runs BEFORE the append (see
+    * [[graft.dedup.ExactCatalog.applyBatch]] — appending first would
+    * turn a crash into silent at-most-once loss). A replayed batch
+    * re-admits exactly its not-yet-indexed survivors (in-batch
+    * survivors mutually have cosine < threshold, so partially-appended
+    * siblings cannot suppress them) and duplicate-appended vectors
+    * collapse in [[IvfIndex.topK]]/[[IvfIndex.compact]].
+    *
+    * The index must exist — bootstrap by building it from the first
+    * batch's [[semDedup]] survivors. */
+  def applyBatchIndexed(
+      batch: DataFrame, indexDir: String, idCol: String, vecCol: String,
+      threshold: Double, maxClusterSize: Int = 10000,
+      deliver: DataFrame => Unit = _ => ()): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val spark = batch.sparkSession
+    val centroids = IvfIndex.readCentroids(spark, indexDir)
+    // stage 1: in-batch dedup under the index's own quantizer
+    val inBatch = graft.ops.Checkpoints.pin(
+      semDedup(batch, idCol, vecCol, centroids, threshold, maxClusterSize))
+    // stage 2: the pruned catalog probe (one list per doc — the paper's
+    // within-cluster rule, identical to stage 1's pairing scope)
+    val q = graft.ops.Checkpoints.pin(Similarity.withIvfList(
+      inBatch.select(col(idCol).cast(LongType).as("__qid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__qv")),
+      "__qv", centroids, "list"))
+    val probed = q.select(col("list")).distinct().collect().map(_.getInt(0))
+    val dropped =
+      if (probed.isEmpty) q.select(col("__qid")).limit(0)
+      else IvfIndex.vectors(spark, indexDir)
+        .filter(col("list").isin(probed.toSeq: _*))
+        .join(broadcast(q), Seq("list"))
+        .filter(col("id") === col("__qid") || // 3: replay suppression
+          Similarity.cosine(col("__qv"), col("vec")) >= threshold) // 2
+        .select(col("__qid")).distinct()
+    val survivors = graft.ops.Checkpoints.pin(
+      inBatch.join(dropped, col(idCol) === col("__qid"), "left_anti"))
+    deliver(survivors) // delivery BEFORE the append — crash contract
+    if (!survivors.isEmpty)
+      IvfIndex.appendVectors(survivors, idCol, vecCol, indexDir)
+    survivors
+  }
 }
