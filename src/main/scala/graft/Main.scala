@@ -219,17 +219,22 @@ object Main {
       val pipe = new MultiTablePipe(config, routed, tables, offsets)
       pipe.firstSync(tableInfos.map { case (tbl, columns, _) =>
         tbl.table_name -> (() => if (tbl.skip_copy) spark.emptyDataFrame
-          else client.copyOut(tbl.qualifiedName, columns.map(_.name)) match {
-            // the reference's COPY TO STDOUT streaming snapshot
-            // (`src/adapter/postgres.rs:832-910`): raw text chunks
-            // through the D6/D7 chunk-safe parser; alignment/masking
-            // reapply downstream in MultiTablePipe.firstSync
-            case Some(chunks) =>
-              graft.sources.CopySource.snapshot(spark, chunks, columns)
-            // endpoint without COPY: Spark-native partitioned JDBC scan
-            case None =>
-              JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)()
-          })
+          // COPY is OPT-IN (PostgresConfig.use_copy_snapshot): the
+          // reference's COPY TO STDOUT stream
+          // (`src/adapter/postgres.rs:832-910`) is one serial server
+          // conversation whose rows land on the driver before
+          // parallelizing — exact COPY text semantics, but a
+          // driver-memory ceiling. The default stays the partitioned
+          // executor-side JDBC scan (the 100 TB shape). A COPY-less
+          // driver under the flag falls back to the scan.
+          else if (pg.useCopySnapshot)
+            client.copyOut(tbl.qualifiedName, columns.map(_.name)) match {
+              case Some(chunks) =>
+                graft.sources.CopySource.snapshot(spark, chunks, columns)
+              case None =>
+                JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)()
+            }
+          else JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)())
       }.toMap)
       if (!config.disableSyncLoop) pipe.syncLoop()
     } finally {

@@ -1148,12 +1148,6 @@ object SparkEntry {
     "semdedup_incremental" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val root = java.nio.file.Files.createTempDirectory("graft-semdd-gate")
-      sys.addShutdownHook {
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
-        }
-        rm(root.toFile)
-      }
       val idx = root.toString + "/idx"
       val base = e.filter(col("vec_id") % 2 === 0)
       graft.sim.IvfIndex.build(base, "vec_id", "embedding", idx, nLists = 16)
@@ -1178,6 +1172,17 @@ object SparkEntry {
       val leaks = sv.join(pv, Seq("__c"))
         .filter(Similarity.cosine(col("svec"), col("pvec")) >= 0.95)
         .count()
+      // every contract value above is already materialized driver-side
+      // and the returned frame reads only the embeddings table, so the
+      // scratch index is reclaimed EAGERLY — repeated bench/verify
+      // invocations must not accumulate index copies (or, as an earlier
+      // version did, one shutdown-hook thread per call)
+      locally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
+        }
+        rm(root.toFile)
+      }
       e.agg(
         sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_fresh"),
         sum(when(col("vec_id") % 14 === 0, 1L).otherwise(0L)).as("n_planted"))

@@ -108,8 +108,19 @@ case class PostgresConfig(
     connection: ConnectionConfig,
     tables: Seq[TableSource] = Seq.empty,
     publication_name: String = "clockpipe_publication",
-    replication_slot_name: String = "clockpipe_slot"
-)
+    replication_slot_name: String = "clockpipe_slot",
+    // Snapshot transport. The DEFAULT first_sync is Spark's partitioned
+    // executor-side JDBC scan (the 100 TB shape — splits read in
+    // parallel with pushdown). `use_copy_snapshot = true` switches to
+    // the reference's COPY TO STDOUT stream
+    // (`src/adapter/postgres.rs:832-910`): ONE serial server
+    // conversation whose rows materialize on the driver before
+    // parallelizing — byte-exact COPY semantics for modest tables, a
+    // driver-memory ceiling on large ones. Opt-in for that reason.
+    use_copy_snapshot: Option[Boolean] = None
+) {
+  def useCopySnapshot: Boolean = use_copy_snapshot.getOrElse(false)
+}
 
 case class MongoConfig(
     connection: ConnectionConfig,

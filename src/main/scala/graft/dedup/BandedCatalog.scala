@@ -288,28 +288,14 @@ object BandedCatalog {
     * rewrite every time once the catalog has enough buckets; compaction
     * decisions at scale must be per bucket (LSM-style). */
   def bucketFileCounts(spark: SparkSession, dir: String): Map[Int, Int] =
-    dataFiles(fs(spark, dir), dir)
-      .flatMap { p =>
-        val parent = p.getParent.getName
-        if (parent.startsWith("bucket="))
-          Some(parent.stripPrefix("bucket=").toInt)
-        else None
-      }
-      .groupBy(identity).map { case (b, fs0) => (b, fs0.size) }
+    graft.ops.GrowthPolicy.partitionStats(fs(spark, dir), new Path(dir), "bucket=")
+      .map { case (b, s) => (b, s._1) }
 
   /** Parquet bytes per bucket — the growth signal behind
     * [[graft.ops.GrowthPolicy]] (see [[ExactCatalog.bucketByteSizes]]). */
-  def bucketByteSizes(spark: SparkSession, dir: String): Map[Int, Long] = {
-    val f = fs(spark, dir)
-    dataFiles(f, dir)
-      .flatMap { p =>
-        val parent = p.getParent.getName
-        if (parent.startsWith("bucket="))
-          Some((parent.stripPrefix("bucket=").toInt, f.getFileStatus(p).getLen))
-        else None
-      }
-      .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).sum) }
-  }
+  def bucketByteSizes(spark: SparkSession, dir: String): Map[Int, Long] =
+    graft.ops.GrowthPolicy.partitionStats(fs(spark, dir), new Path(dir), "bucket=")
+      .map { case (b, s) => (b, s._2) }
 
   /** Occupancy signals through the shared policy; `autoCompact = true`
     * runs the recommended per-bucket compactions ([[rebucket]] is only
@@ -320,9 +306,11 @@ object BandedCatalog {
       autoCompact: Boolean = false): Seq[graft.ops.GrowthPolicy.Action] = {
     val m = readMeta(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no banded catalog at $dir"))
+    val stats = graft.ops.GrowthPolicy.partitionStats(
+      fs(spark, dir), new Path(dir), "bucket=") // ONE walk for both signals
     val acts = graft.ops.GrowthPolicy.recommend(
-      m.numBuckets, bucketByteSizes(spark, dir), bucketFileCounts(spark, dir),
-      policy)
+      m.numBuckets, stats.map { case (b, s) => (b, s._2) },
+      stats.map { case (b, s) => (b, s._1) }, policy)
     if (autoCompact) acts.foreach {
       case graft.ops.GrowthPolicy.Compact(bs) =>
         compact(spark, dir, buckets = Some(bs))

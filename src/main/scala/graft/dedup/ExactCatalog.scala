@@ -285,29 +285,15 @@ object ExactCatalog {
     * (see [[BandedCatalog.bucketFileCounts]]: global thresholds break
     * once the steady-state floor of one file per bucket exceeds them). */
   def bucketFileCounts(spark: SparkSession, dir: String): Map[Int, Int] =
-    dataFiles(fs(spark, dir), dir)
-      .flatMap { p =>
-        val parent = p.getParent.getName
-        if (parent.startsWith("bucket="))
-          Some(parent.stripPrefix("bucket=").toInt)
-        else None
-      }
-      .groupBy(identity).map { case (b, fs0) => (b, fs0.size) }
+    graft.ops.GrowthPolicy.partitionStats(fs(spark, dir), new Path(dir), "bucket=")
+      .map { case (b, s) => (b, s._1) }
 
   /** Parquet bytes per bucket — the growth signal behind
     * [[graft.ops.GrowthPolicy]]: when the mean configured-bucket size
     * outgrows the policy target, the catalog wants [[rebucket]]. */
-  def bucketByteSizes(spark: SparkSession, dir: String): Map[Int, Long] = {
-    val f = fs(spark, dir)
-    dataFiles(f, dir)
-      .flatMap { p =>
-        val parent = p.getParent.getName
-        if (parent.startsWith("bucket="))
-          Some((parent.stripPrefix("bucket=").toInt, f.getFileStatus(p).getLen))
-        else None
-      }
-      .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).sum) }
-  }
+  def bucketByteSizes(spark: SparkSession, dir: String): Map[Int, Long] =
+    graft.ops.GrowthPolicy.partitionStats(fs(spark, dir), new Path(dir), "bucket=")
+      .map { case (b, s) => (b, s._2) }
 
   /** Occupancy signals through the shared policy; `autoCompact = true`
     * runs the recommended per-bucket compactions (the one safely
@@ -319,9 +305,11 @@ object ExactCatalog {
       autoCompact: Boolean = false): Seq[graft.ops.GrowthPolicy.Action] = {
     val numBuckets = readMeta(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no exact catalog at $dir"))
+    val stats = graft.ops.GrowthPolicy.partitionStats(
+      fs(spark, dir), new Path(dir), "bucket=") // ONE walk for both signals
     val acts = graft.ops.GrowthPolicy.recommend(
-      numBuckets, bucketByteSizes(spark, dir), bucketFileCounts(spark, dir),
-      policy)
+      numBuckets, stats.map { case (b, s) => (b, s._2) },
+      stats.map { case (b, s) => (b, s._1) }, policy)
     if (autoCompact) acts.foreach {
       case graft.ops.GrowthPolicy.Compact(bs) =>
         compact(spark, dir, buckets = Some(bs))

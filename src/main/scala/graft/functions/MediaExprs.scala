@@ -178,18 +178,22 @@ object Mp4Kernels {
             // malformed mvhd whose size is smaller than its fields must
             // not read sibling-box bytes as timescale/duration (cs is
             // already clamped to <= end - j above, so this subsumes the
-            // moov bound)
+            // moov bound). The payload starts after the box HEADER,
+            // which is 16 bytes when the size field is 1 (largesize) —
+            // a fixed +8 would read the largesize bytes as the version
+            // and shift every field by 8.
+            val hdr = if (be32(b, j.toInt) == 1L) 16L else 8L
             val mvhdEnd = j + cs
-            if (j + 9 > mvhdEnd) return null
-            val v = b(j.toInt + 8) & 0xff
+            if (j + hdr + 1 > mvhdEnd) return null
+            val v = b((j + hdr).toInt) & 0xff
             if (v == 1) {
-              if (j + 8 + 4 + 8 + 8 + 4 + 8 > mvhdEnd) return null
-              timescale = be32(b, j.toInt + 28)
-              duration = be64(b, j.toInt + 32)
+              if (j + hdr + 4 + 8 + 8 + 4 + 8 > mvhdEnd) return null
+              timescale = be32(b, (j + hdr + 20).toInt)
+              duration = be64(b, (j + hdr + 24).toInt)
             } else {
-              if (j + 8 + 4 + 4 + 4 + 4 + 4 > mvhdEnd) return null
-              timescale = be32(b, j.toInt + 20)
-              duration = be32(b, j.toInt + 24)
+              if (j + hdr + 4 + 4 + 4 + 4 + 4 > mvhdEnd) return null
+              timescale = be32(b, (j + hdr + 12).toInt)
+              duration = be32(b, (j + hdr + 16).toInt)
             }
           } else if (tag(b, j.toInt + 4, "trak")) {
             nTracks += 1

@@ -217,7 +217,16 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
   /** Transport seam behind [[copyOut]]: execute one COPY … TO STDOUT
     * statement, yielding its chunk stream. Overridable by executable test
     * endpoints (the pgstub parses and serves the same statement text). */
-  protected def copyOutSql(sql: String): Option[Iterator[Array[Byte]]] =
+  protected def copyOutSql(sql: String): Option[Iterator[Array[Byte]]] = {
+    // reflective calls wrap the server's real failure (a dropped table,
+    // a reset connection, a permission error) in
+    // InvocationTargetException — rethrow the CAUSE so callers see the
+    // SQLException, not reflection noise
+    def unwrapping[A](f: => A): A =
+      try f catch {
+        case e: java.lang.reflect.InvocationTargetException
+            if e.getCause != null => throw e.getCause
+      }
     try {
       val bc = Class.forName("org.postgresql.core.BaseConnection")
       val c = conn
@@ -226,18 +235,23 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
         else if (c.isWrapperFor(bc)) c.unwrap(bc).asInstanceOf[AnyRef]
         else return None
       val cmCls = Class.forName("org.postgresql.copy.CopyManager")
-      val cm = cmCls.getConstructor(bc).newInstance(base)
-      val op = cmCls.getMethod("copyOut", classOf[String]).invoke(cm, sql)
+      val cm = unwrapping(cmCls.getConstructor(bc).newInstance(base))
+      val op = unwrapping(
+        cmCls.getMethod("copyOut", classOf[String]).invoke(cm, sql))
       val read = op.getClass.getMethod("readFromCopy")
       // one COPY conversation, pulled serially on the driver (the
-      // reference's dedicated COPY connection); null chunk = stream end
-      Some(Iterator.continually(read.invoke(op).asInstanceOf[Array[Byte]])
+      // reference's dedicated COPY connection); null chunk = stream end.
+      // Mid-stream failures surface from inside the iterator (the pull
+      // site) — also unwrapped to the real cause.
+      Some(Iterator
+        .continually(unwrapping(read.invoke(op).asInstanceOf[Array[Byte]]))
         .takeWhile(_ != null))
     } catch {
       // driver on the classpath but not Postgres-shaped → no COPY
       case _: ClassNotFoundException => None
       case _: NoClassDefFoundError   => None
     }
+  }
 
   /** Primary-key column names, in key order (S5 PK membership —
     * `DatabaseMetaData.getPrimaryKeys` is the portable PK query). */

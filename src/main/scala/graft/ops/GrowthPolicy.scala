@@ -56,6 +56,32 @@ object GrowthPolicy {
     * fresh dir (never auto-run). */
   case class Retrain(driftRatio: Double) extends Action
 
+  /** One recursive listing of `root`, aggregating parquet
+    * (fileCount, bytes) per partition id parsed from the
+    * `prefix`-named parent directory — the shared occupancy-signal
+    * walker behind every store's `bucketFileCounts`/`bucketByteSizes`/
+    * `maintain`. One pass, lengths taken from the FileStatus the
+    * listing already returned (a per-file getFileStatus re-fetch would
+    * be O(files) extra metadata RPCs on object stores). */
+  def partitionStats(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      prefix: String): Map[Int, (Int, Long)] = {
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val entries = fs.listStatus(p).toSeq
+      entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")) ++
+        entries.filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+          .flatMap(s => walk(s.getPath))
+    }
+    val files = if (fs.exists(root)) walk(root) else Seq.empty
+    files.flatMap { s =>
+      val parent = s.getPath.getParent.getName
+      if (parent.startsWith(prefix))
+        Some((parent.stripPrefix(prefix).toInt, s.getLen))
+      else None
+    }.groupBy(_._1).map { case (b, xs) => (b, (xs.size, xs.map(_._2).sum)) }
+  }
+
   /** The decision. Trips EXACTLY at the thresholds:
     *  - [[Rebucket]] when `Σ bytes > targetBucketBytes × numBuckets`
     *    (i.e. the mean configured-bucket size strictly exceeds the
@@ -84,11 +110,19 @@ object GrowthPolicy {
     require(policy.maxFilesPerBucket > 0,
       s"maxFilesPerBucket must be positive: ${policy.maxFilesPerBucket}")
     val total = bucketBytes.values.sum
+    // overflow-safe sizing: `needed` is computed by DIVISION (a
+    // target × count product can overflow Long at petabyte totals, and
+    // an Int doubling loop would wrap negative and spin forever); the
+    // count doubles in a Long and caps at Int.MaxValue (bucket ids are
+    // Ints — a store needing more has outgrown this layout entirely)
+    val needed = (total + policy.targetBucketBytes - 1) / policy.targetBucketBytes
+    // ceil(total/target) > numBuckets ⟺ total > target × numBuckets —
+    // the same strict threshold, stated without the product
     val rebucket =
-      if (total > policy.targetBucketBytes * numBuckets) {
-        var n = numBuckets
-        while (total > policy.targetBucketBytes * n) n *= 2
-        Seq(Rebucket(n, total / numBuckets))
+      if (needed > numBuckets) {
+        var n = numBuckets.toLong
+        while (n < needed && n < Int.MaxValue) n *= 2
+        Seq(Rebucket(math.min(n, Int.MaxValue).toInt, total / numBuckets))
       } else Seq.empty
     val over = bucketFiles.filter(_._2 > policy.maxFilesPerBucket)
       .keys.toSeq.sorted

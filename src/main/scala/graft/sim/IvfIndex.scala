@@ -256,30 +256,23 @@ object IvfIndex {
     * file per list, so compaction decisions at scale must be per list
     * (LSM-style), never a whole-index rewrite per trigger-window. */
   def listFileCounts(spark: SparkSession, dir: String): Map[Int, Int] =
-    dataFiles(fs(spark, dir), dir)
-      .flatMap { p =>
-        val parent = p.getParent.getName
-        if (parent.startsWith("list=")) Some(parent.stripPrefix("list=").toInt)
-        else None
-      }
-      .groupBy(identity).map { case (l, fs0) => (l, fs0.size) }
+    partitionStats(spark, dir, "vectors", "list=")
+      .map { case (l, s) => (l, s._1) }
 
   /** Parquet bytes per list — the growth signal behind
     * [[graft.ops.GrowthPolicy]]: a list should stay file-sized, and when
     * the average outgrows the policy target the index wants a rebuild
     * under a larger `nLists` (the list count is trained into the
     * quantizer, so growing it is a retrain, not a reshuffle). */
-  def listByteSizes(spark: SparkSession, dir: String): Map[Int, Long] = {
-    val f = fs(spark, dir)
-    dataFiles(f, dir)
-      .flatMap { p =>
-        val parent = p.getParent.getName
-        if (parent.startsWith("list="))
-          Some((parent.stripPrefix("list=").toInt, f.getFileStatus(p).getLen))
-        else None
-      }
-      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).sum) }
-  }
+  def listByteSizes(spark: SparkSession, dir: String): Map[Int, Long] =
+    partitionStats(spark, dir, "vectors", "list=")
+      .map { case (l, s) => (l, s._2) }
+
+  private def partitionStats(
+      spark: SparkSession, dir: String, sub: String,
+      prefix: String): Map[Int, (Int, Long)] =
+    graft.ops.GrowthPolicy.partitionStats(
+      fs(spark, dir), new Path(s"$dir/$sub"), prefix)
 
   /** Mean squared distance of a vector frame to its assigned centroid —
     * the quantization error. One distributed aggregate, no collect
@@ -308,12 +301,19 @@ object IvfIndex {
     * indexes built before the reference statistic existed. */
   def driftRatio(
       spark: SparkSession, dir: String,
-      batch: DataFrame, vecCol: String): Option[Double] = {
-    val m = requireMeta(spark, dir)
+      batch: DataFrame, vecCol: String): Option[Double] =
+    driftRatioWith(requireMeta(spark, dir), readCentroids(spark, dir),
+      batch, vecCol)
+
+  /** [[driftRatio]] against already-loaded meta/centroids — [[maintain]]
+    * holds both, and re-reading the centroid parquet per maintenance
+    * tick would be repeated object-store I/O for values in hand. */
+  private def driftRatioWith(
+      m: Meta, centroids: Array[Array[Double]],
+      batch: DataFrame, vecCol: String): Option[Double] =
     m.buildErrE6.filter(_ > 0).map { ref =>
-      assignError(batch, vecCol, readCentroids(spark, dir)) / (ref / 1e6)
+      assignError(batch, vecCol, centroids) / (ref / 1e6)
     }
-  }
 
   /** Occupancy signals through the shared policy; `autoCompact = true`
     * runs the recommended per-list compactions (the only safely in-place
@@ -329,10 +329,12 @@ object IvfIndex {
   ): Seq[graft.ops.GrowthPolicy.Action] = {
     val m = requireMeta(spark, dir)
     val drift = driftBatch.flatMap { case (df, vc) =>
-      driftRatio(spark, dir, df, vc)
+      driftRatioWith(m, readCentroids(spark, dir), df, vc)
     }
+    val stats = partitionStats(spark, dir, "vectors", "list=")
     val acts = graft.ops.GrowthPolicy.recommend(
-      m.nLists, listByteSizes(spark, dir), listFileCounts(spark, dir),
+      m.nLists, stats.map { case (l, s) => (l, s._2) },
+      stats.map { case (l, s) => (l, s._1) },
       policy, driftRatio = drift)
     if (autoCompact) acts.foreach {
       case graft.ops.GrowthPolicy.Compact(ls) =>
@@ -572,15 +574,18 @@ object IvfIndex {
     val shim = org.apache.spark.sql.GraftColumnShim
     // pinned: the probed-list collect, the ADC join and the re-rank join
     // all consume the query frame (see topK)
+    // the LUT is computed BEFORE the probe-list explode: after it every
+    // query carries nProbe rows, and a post-explode LUT would evaluate
+    // (and pin, and broadcast) the m×k table nProbe times per query
     val q = graft.ops.Checkpoints.pin(queries
       .select(col(idCol).cast(LongType).as("query_id"),
         dimGuarded(col(vecCol).cast(ArrayType(DoubleType)), m.dim,
           s"IVF-PQ probe against $dir").as("__qv"))
-      .withColumn("list",
-        Similarity.probeListsCol(col("__qv"), centroids, nProbe))
       .withColumn("__lut", shim.column(graft.functions.PqLut(
         shim.expression(Pq.normalized(col("__qv"))),
-        model.cents, model.m, model.k, model.dsub))))
+        model.cents, model.m, model.k, model.dsub)))
+      .withColumn("list",
+        Similarity.probeListsCol(col("__qv"), centroids, nProbe)))
     val probed = q.select(col("list")).distinct().collect().map(_.getInt(0))
     val prunedCodes = codes(spark, dir)
       .filter(col("list").isin(probed.toSeq: _*))

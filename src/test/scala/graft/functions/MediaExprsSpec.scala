@@ -180,6 +180,17 @@ class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(mp4(v1).contains(("mp42", 90000, 4294967301L, 0)))
   }
 
+  test("MP4: an mvhd declared via 64-bit largesize reads fields after the 16-byte header") {
+    // mvhd with size==1 + largesize 0x74 (= 16 hdr + 100 payload):
+    // version byte sits at j+16, v0 timescale at j+28, duration at j+32
+    val large = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "0000007C 6D6F6F76" +
+      "00000001 6D766864 0000000000000074" +
+      "00000000 00000000 00000000 00000258 000004B0" + mvhdTail)
+    assert(mp4(large).contains(("isom", 600, 1200L, 0)))
+  }
+
   test("MP4: largesize (size==1) and size==0 (to end) boxes walk correctly") {
     // moov declared via 64-bit largesize
     val large = hexBytes(

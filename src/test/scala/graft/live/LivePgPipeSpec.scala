@@ -51,6 +51,7 @@ class LivePgPipeSpec extends AnyFunSuite with SparkTestBase {
          |  "source": {"source_type": "postgres", "postgres": {
          |    "connection": {"host": "h", "port": 5432, "database": "d"},
          |    "publication_name": "$pub", "replication_slot_name": "$slot",
+         |    "use_copy_snapshot": true,
          |    "tables": [
          |      {"table_name": "orders"},
          |      {"table_name": "users"}]}},

@@ -25,6 +25,12 @@ class GrowthPolicySpec extends AnyFunSuite with SparkTestBase {
     // 1700 B over 4 buckets: 8→800 and 16→1600 still too small, 32 fits
     assert(GrowthPolicy.recommend(4, bytes(1700), Map.empty, p) ==
       Seq(Rebucket(32, 425L)))
+    // petabyte-scale totals must terminate, not wrap an Int doubling
+    // loop negative: a small target against a huge store caps the
+    // recommendation at Int.MaxValue bucket ids
+    val huge = GrowthPolicy.recommend(4, bytes(Long.MaxValue / 4),
+      Map.empty, Policy(targetBucketBytes = 1024L, maxFilesPerBucket = 8))
+    assert(huge == Seq(Rebucket(Int.MaxValue, Long.MaxValue / 16)))
   }
 
   test("compact trips strictly above the per-bucket file cap, only for the offenders") {
