@@ -105,7 +105,7 @@ object Bench {
       "text_metrics", "rep_ratios", "decontam_overlap", "bm25_topk",
       "doc_fingerprint", "curate_docs", "asof_click_purchase",
       "sessionize", "source_profile",
-      "span_dedup", "pack_plan", "mixture_sample", "mixture_temperature",
+      "span_dedup", "pack_plan", "pack_plan_sharded", "mixture_sample", "mixture_temperature",
       "quality_select",
       "top_ngrams", "url_normalize", "domain_stats", "media_dims",
       "wav_meta", "mp4_meta", "vocab_encode", "unigram_logppl", "kmeans_topics",

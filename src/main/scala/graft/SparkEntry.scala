@@ -1655,6 +1655,20 @@ object SparkEntry {
       graft.text.Packing.packPlan(
         docs(s, dir), "doc_id", "text", "source", tokenBudget = 256)),
 
+    // Sharded pack planning — the 100 TB shape of pack_plan (per-
+    // (source, shard) local plans in parallel + the broadcast base-
+    // offset join that keeps pack ids globally disjoint), ORACLED
+    // end to end (round 9): the shard assignment routes through the
+    // portable content fingerprint so DuckDB restates the split, both
+    // window layers and the offset join exactly.
+    "pack_plan_sharded" -> ((s, dir) =>
+      graft.text.Packing.packPlanSharded(
+        docs(s, dir), "doc_id", "text", "source", tokenBudget = 256,
+        nShards = 4,
+        shardBy = Some(pmod(
+          graft.functions.GraftFunctions.fingerprint64(col("text")),
+          lit(4L))))),
+
     // Frequency-ranked vocabulary + token-id encoding (the tokenizer-
     // building step): top-24 words get ids 1..24 (the synthetic corpus
     // has ~31 distinct words, so OOV→0 is actually exercised); each doc
@@ -3857,6 +3871,38 @@ object SparkEntry {
         |       CAST(cum_before // 256 AS BIGINT) AS pack_id,
         |       CAST(cum_before % 256 AS BIGINT) AS pack_offset
         |FROM c
+        |""".stripMargin,
+
+    "pack_plan_sharded" ->
+      s"""WITH t AS (
+        |  SELECT source, doc_id,
+        |         ${fingerprintSql("text")} % 4 AS shard,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+        |  FROM documents
+        |), l AS (
+        |  SELECT source, shard, doc_id, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM t
+        |), lp AS (
+        |  SELECT source, shard, doc_id, n_tokens,
+        |         cum_before // 256 AS local_pack, cum_before % 256 AS pack_offset
+        |  FROM l
+        |), b AS (
+        |  SELECT source, shard, max(local_pack) + 1 AS n_packs
+        |  FROM lp GROUP BY source, shard
+        |), bo AS (
+        |  SELECT source, shard,
+        |         sum(n_packs) OVER (PARTITION BY source ORDER BY shard
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_packs AS base
+        |  FROM b
+        |)
+        |SELECT lp.source, CAST(lp.shard AS BIGINT) AS shard, lp.doc_id,
+        |       CAST(lp.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(bo.base + lp.local_pack AS BIGINT) AS pack_id,
+        |       CAST(lp.pack_offset AS BIGINT) AS pack_offset
+        |FROM lp JOIN bo USING (source, shard)
         |""".stripMargin,
 
     "mixture_sample" ->

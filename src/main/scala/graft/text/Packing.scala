@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,9 +48,15 @@ object Packing {
     * disjoint across shards within a source. */
   def packPlanSharded(
       docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
-      tokenBudget: Int, nShards: Int): DataFrame = {
+      tokenBudget: Int, nShards: Int,
+      // shard assignment, overridable: the default xxhash64 split is the
+      // production choice; callers needing a PORTABLE assignment (the
+      // oracle restates the pipeline in DuckDB, which has no xxhash64)
+      // pass their own expression, which must land in [0, nShards)
+      shardBy: Option[Column] = None): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val sharded = docs.withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards)))
+    val sharded = docs.withColumn("shard",
+      shardBy.getOrElse(pmod(xxhash64(col(idCol)), lit(nShards))))
     val w = Window.partitionBy(col(sourceCol), col("shard")).orderBy(col(idCol))
     val local = sharded.select(col(sourceCol), col("shard"), col(idCol),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
