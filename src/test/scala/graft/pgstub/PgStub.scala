@@ -573,6 +573,33 @@ final class PgStubEngine {
 
   // -------------------------------------------------------- evaluation
 
+  /** Column sets of the virtual catalog tables — the LEFT JOIN null row
+    * must carry the table's columns even when the table is EMPTY (a
+    * comment-free database has zero pg_description rows, and deriving
+    * the null row from a first row that does not exist made
+    * `pgd.description` resolve to an error instead of NULL). */
+  private def catalogColumns(qual: Option[String], name: String): Seq[String] =
+    (qual.map(_.toLowerCase), name.toLowerCase) match {
+      case (Some("information_schema"), "columns") => Seq(
+        "table_schema", "table_name", "column_name", "udt_name",
+        "is_nullable", "ordinal_position")
+      case (Some("information_schema"), "table_constraints") => Seq(
+        "constraint_name", "table_schema", "table_name", "constraint_type")
+      case (Some("information_schema"), "key_column_usage") => Seq(
+        "constraint_name", "table_schema", "column_name")
+      case (Some("pg_catalog"), "pg_statio_all_tables") => Seq(
+        "schemaname", "relname", "relid")
+      case (Some("pg_catalog"), "pg_description") => Seq(
+        "objoid", "objsubid", "description")
+      case (None, "pg_class") => Seq("oid", "relname", "relnamespace", "reltuples")
+      case (None, "pg_namespace") => Seq("oid", "nspname")
+      case (None, "pg_publication") => Seq("pubname")
+      case (None, "pg_publication_tables") => Seq("pubname", "schemaname", "tablename")
+      case (None, "pg_replication_slots") => Seq("slot_name", "plugin", "wal_status")
+      case _ => throw new IllegalArgumentException(
+        s"""relation "${qual.fold("")(_ + ".")}$name" does not exist""")
+    }
+
   /** Catalog virtual tables, materialized per query — tiny by design. */
   private def catalogRows(qual: Option[String], name: String): Seq[Map[String, Any]] = {
     val key = (qual.map(_.toLowerCase), name.toLowerCase)
@@ -829,9 +856,10 @@ final class PgStubEngine {
     val joined = sel.joins.foldLeft(base) { (acc, j) =>
       val alias = j.t.alias.getOrElse(j.t.name)
       val rows = catalogRows(j.t.qual, j.t.name)
+      // from the SCHEMA, not a first row: an empty catalog table must
+      // still null-extend with its full column set
       lazy val nullRow: Map[String, Any] =
-        rows.headOption.map(_.keys.map(_ -> (null: Any)).toMap)
-          .getOrElse(Map.empty)
+        catalogColumns(j.t.qual, j.t.name).map(_ -> (null: Any)).toMap
       acc.flatMap { bindings =>
         val matches = rows.filter { r =>
           evalBool(j.on, Env(bindings :+ (alias -> r), outer))
