@@ -3890,7 +3890,7 @@ object SparkEntry {
         |         cum_before // 256 AS local_pack, cum_before % 256 AS pack_offset
         |  FROM l
         |), b AS (
-        |  SELECT source, shard, max(local_pack) + 1 AS n_packs
+        |  SELECT source, shard, (sum(n_tokens) + 255) // 256 AS n_packs
         |  FROM lp GROUP BY source, shard
         |), bo AS (
         |  SELECT source, shard,

@@ -63,10 +63,16 @@ object Packing {
       .withColumn("__cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("__local_pack", expr(s"__cum_before DIV $tokenBudget"))
       .withColumn("pack_offset", col("__cum_before") % tokenBudget)
-    // per-(source, shard) pack counts → running base offset over shards
+    // per-(source, shard) pack counts → running base offset over shards.
+    // A shard OCCUPIES ceil(total_tokens / budget) packs — NOT
+    // max(start pack) + 1: a last doc that spans past its start pack
+    // overflows into packs no shard-local doc STARTS in, and basing the
+    // next shard on started packs would alias its pack ids onto windows
+    // still holding the previous shard's tail tokens.
     val wb = Window.partitionBy(col(sourceCol)).orderBy(col("shard"))
     val bases = local.groupBy(col(sourceCol), col("shard"))
-      .agg((max(col("__local_pack")) + 1).as("__n_packs"))
+      .agg(expr(s"(sum(n_tokens) + $tokenBudget - 1) DIV $tokenBudget")
+        .as("__n_packs"))
       .withColumn("__base", sum(col("__n_packs")).over(wb) - col("__n_packs"))
       .select(col(sourceCol), col("shard"), col("__base"))
     local.join(broadcast(bases), Seq(sourceCol, "shard"))

@@ -70,6 +70,48 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
         before += r.getAs[Long]("n_tokens")
       }
     }
+
+    // the PHYSICAL invariant the id-disjointness check alone misses: a
+    // doc's token interval [pack_id*budget + pack_offset, +n_tokens)
+    // must never overlap another doc's within a source — a base offset
+    // that counted STARTED packs instead of OCCUPIED packs let a
+    // shard's tail tokens share a window with the next shard's pack 0
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, g) =>
+      val iv = g.map { r =>
+        val start = r.getAs[Long]("pack_id") * 64 + r.getAs[Long]("pack_offset")
+        (start, start + r.getAs[Long]("n_tokens"))
+      }.sortBy(_._1)
+      iv.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          assert(e1 <= s2, s"source $s: token intervals overlap ($e1 > $s2)")
+        case _ =>
+      }
+    }
+  }
+
+  test("packPlanSharded: an overflowing shard tail never shares a pack window with the next shard") {
+    import spark.implicits._
+    // shard by doc_id parity; doc 0 (shard 0) spans four 8-token packs
+    // from a single 25-token doc whose LOCAL pack ids stop at 0 — the
+    // exact shape where a started-packs base aliased windows
+    val docs = Seq(
+      (0L, Array.fill(25)("w").mkString(" "), "s"),
+      (1L, "a b c", "s"),
+      (3L, "d e", "s")
+    ).toDF("doc_id", "text", "source")
+    val planned = Packing.packPlanSharded(
+      docs, "doc_id", "text", "source", tokenBudget = 8, nShards = 2,
+      shardBy = Some(pmod(col("doc_id"), lit(2L))))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+          r.getAs[Long]("pack_offset")))
+      .toMap
+    // shard 0: one doc, starts at pack 0; occupies ceil(25/8) = 4 packs
+    assert(planned(0L) == ((0L, 0L, 0L)))
+    // shard 1 must begin at pack 4 — pack ids 1..3 hold shard 0's tail
+    assert(planned(1L) == ((1L, 4L, 0L)))
+    assert(planned(3L) == ((1L, 4L, 3L)))
   }
 
   test("selectUnderTokenBudget keeps exactly the maximal quality-ranked prefix") {
