@@ -284,7 +284,17 @@ object Bench {
     val catalogTimes: Seq[(String, Double)] =
       if (catalogNames.exists(want)) {
         val docsBase = Tables.read(spark, sfDir, "documents")
-        val tmp = java.nio.file.Files.createTempDirectory("graft-cat-bench").toString
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-cat-bench")
+        // ~1M-entry catalogs per run — reap with the JVM (same pattern as
+        // the graft-ivf-idx scratch dir) so repeated benches don't
+        // accumulate disk
+        sys.addShutdownHook {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
+          }
+          rm(tmpRoot.toFile)
+        }
+        val tmp = tmpRoot.toString
         // exact: ~100k entries at 1x, ~1M at 10x (fp-shifted copies —
         // entry mass is what the trigger prunes against)
         val baseEntries = graft.dedup.ExactCatalog.entriesOf(docsBase, "text").cache()
@@ -302,18 +312,46 @@ object Bench {
         // ten copies with SHIFTED signature values (signature mass with
         // DISTINCT band keys, like real corpus growth — identical-key
         // copies would concentrate 10x mass exactly on the keys every
-        // batch probes, the adversarial worst case rather than growth)
+        // batch probes, the adversarial worst case rather than growth).
+        //
+        // REGIME (r9 verdict item 4): the old 64-bucket/1000-doc-batch
+        // shape probed every bucket with single-row-group files, so the
+        // pruning the design banks on had nothing to skip and flatness
+        // rested on the census pin alone. Here the skipping is real:
+        // 1024 buckets vs a 25-doc batch (≤400 band keys → ~1/3 of the
+        // bucket DIRECTORIES are even probed, the rest partition-pruned)
+        // and catalogs written as the compacted steady state — ONE
+        // band_key-sorted file per bucket with SMALL parquet row groups,
+        // so inside probed buckets the pushed `band_key IN (…)` skips
+        // row groups by min/max stats (the at-scale mechanism in
+        // miniature; default 128 MB row groups never split at bench SF).
+        val NearBuckets = 1024
         val sigs = graft.dedup.Dedup.minhashNearCatalog(
           docsBase.select(col("doc_id"), col("text")), "doc_id", "text",
           5, 16, 4).cache()
         sigs.count()
         val near1x = s"$tmp/near1x"; val near10x = s"$tmp/near10x"
-        graft.dedup.BandedCatalog.append(sigs, near1x)
-        (0 until 10).foreach { k =>
-          graft.dedup.BandedCatalog.append(
-            sigs.select((col("id") + lit(k * 10000000L)).as("id"),
-              transform(col("__sig"), x => x + lit(k * 7919L)).as("__sig")),
-            near10x)
+        def nearAmplified(copies: Int): DataFrame =
+          spark.range(0, copies).toDF("__rep").crossJoin(sigs)
+            .select((col("id") + col("__rep") * 10000000L).as("id"),
+              transform(col("__sig"), x => x + col("__rep") * 7919L).as("__sig"))
+        locally {
+          val hc = spark.sparkContext.hadoopConfiguration
+          val oldBlock = hc.get("parquet.block.size")
+          val oldPage = hc.get("parquet.page.size")
+          hc.setInt("parquet.block.size", 64 * 1024)
+          hc.setInt("parquet.page.size", 16 * 1024)
+          try {
+            graft.dedup.BandedCatalog.append(
+              nearAmplified(1), near1x, numBuckets = NearBuckets)
+            graft.dedup.BandedCatalog.append(
+              nearAmplified(10), near10x, numBuckets = NearBuckets)
+          } finally {
+            if (oldBlock == null) hc.unset("parquet.block.size")
+            else hc.set("parquet.block.size", oldBlock)
+            if (oldPage == null) hc.unset("parquet.page.size")
+            else hc.set("parquet.page.size", oldPage)
+          }
         }
         // a FRESH batch per rep (ids/texts outside every catalog) so
         // replayed reps do the same admit-then-append work each time
@@ -321,6 +359,15 @@ object Bench {
         def freshBatch(): DataFrame = {
           repC += 1
           docsBase.limit(1000).select(
+            (col("doc_id") + lit(repC * 50000000L)).as("doc_id"),
+            concat(col("text"), lit(s" uniq$repC")).as("text"))
+        }
+        // the near-trigger micro-batch: 25 docs ≤ 400 band keys, so the
+        // probed-bucket set is a strict minority of NearBuckets (see the
+        // regime note above)
+        def freshNearBatch(): DataFrame = {
+          repC += 1
+          docsBase.limit(25).select(
             (col("doc_id") + lit(repC * 50000000L)).as("doc_id"),
             concat(col("text"), lit(s" uniq$repC")).as("text"))
         }
@@ -347,25 +394,95 @@ object Bench {
             "doc_id", "text", secondKey = xxhash64(_)))),
           "neardedup_trigger_1x" -> (() => {
             val _ = graft.streaming.StreamingNearDedup.applyBatch(
-              freshBatch(), near1x, "doc_id", "text",
+              freshNearBatch(), near1x, "doc_id", "text",
+              numBuckets = NearBuckets,
               added = repC.toLong, deliver = d => force(d))
           }),
           "neardedup_trigger_10x" -> (() => {
             val _ = graft.streaming.StreamingNearDedup.applyBatch(
-              freshBatch(), near10x, "doc_id", "text",
+              freshNearBatch(), near10x, "doc_id", "text",
+              numBuckets = NearBuckets,
               added = repC.toLong, deliver = d => force(d))
           }))
-        val out = runs.filter(r => want(r._1))
+        val isNear: String => Boolean = _.startsWith("neardedup_")
+        val out = runs.filter(r => want(r._1) && !isNear(r._1))
           .map { case (n, f) => n -> timeN(n)(f()) }
+        // the near triggers run with the band_key IN list actually pushed
+        // to parquet: Spark's default inFilterThreshold (10) rewrites
+        // larger lists to a min/max RANGE filter, which over hash-valued
+        // band keys spans everything and skips nothing. Scoped to these
+        // rows so the other timings keep their r9 regime.
+        val inKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+        val oldIn = spark.conf.get(inKey)
+        val nearOut =
+          try {
+            spark.conf.set(inKey, "1024")
+            runs.filter(r => want(r._1) && isNear(r._1))
+              .map { case (n, f) => n -> timeN(n)(f()) }
+          } finally spark.conf.set(inKey, oldIn)
         baseEntries.unpersist(); sigs.unpersist()
-        out
+        out ++ nearOut
+      } else Seq.empty
+
+    // Incremental SemDeDup split (r9 verdict item 5): the oracle row
+    // `semdedup_incremental` deliberately rebuilds a fresh scratch index
+    // per invocation (its contract booleans must hold on re-runs), so its
+    // bench time is index-build dominated. The numbers that matter at
+    // 100 TB are the stages: BUILD (once per corpus) and APPLY (one
+    // micro-batch against the PERSISTENT index — the steady-state
+    // per-trigger cost). Apply reps get fresh-content batches — new ids
+    // plus a rep-varying direction mix so most docs miss the 0.95
+    // threshold and the append leg is exercised every rep (the
+    // freshBatch discipline, in embedding space).
+    val semddNames = Seq("semdedup_incr_build", "semdedup_incr_apply")
+    val semddTimes: Seq[(String, Double)] =
+      if (semddNames.exists(want)) {
+        val e = Tables.read(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val root = java.nio.file.Files.createTempDirectory("graft-semdd-bench")
+        sys.addShutdownHook {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
+          }
+          rm(root.toFile)
+        }
+        val base = e.filter(col("vec_id") % 2 === 0)
+        var bN = 0
+        val buildT: Seq[(String, Double)] =
+          if (want("semdedup_incr_build"))
+            Seq("semdedup_incr_build" -> timeN("semdedup_incr_build") {
+              bN += 1
+              graft.sim.IvfIndex.build(base, "vec_id", "embedding",
+                s"$root/b$bN", nLists = 16)
+            })
+          else Seq.empty
+        val applyT: Seq[(String, Double)] =
+          if (want("semdedup_incr_apply")) {
+            val idx = s"$root/apply"
+            graft.sim.IvfIndex.build(base, "vec_id", "embedding", idx,
+              nLists = 16)
+            var aN = 0
+            Seq("semdedup_incr_apply" -> timeN("semdedup_incr_apply") {
+              aN += 1
+              val mix = lit(0.35 * aN)
+              val batch = e.filter(col("vec_id") % 2 === 1).limit(1000)
+                .select((col("vec_id") + lit(aN * 50000000L)).as("vec_id"),
+                  zip_with(col("embedding").cast("array<double>"),
+                    reverse(col("embedding").cast("array<double>")),
+                    (a, b) => a + mix * b).as("embedding"))
+              val _ = graft.sim.SemDedup.applyBatchIndexed(
+                batch, idx, "vec_id", "embedding", threshold = 0.95,
+                deliver = d => force(d))
+            })
+          } else Seq.empty
+        buildT ++ applyT
       } else Seq.empty
 
     val metricTimes = (Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
       "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec)
-      ++ catalogTimes)
+      ++ catalogTimes ++ semddTimes)
       .filter { case (n, _) => want(n) }
     val all = queryTimes ++ metricTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -44,21 +44,43 @@ object Explain {
     spark.stop()
   }
 
-  /** One markdown census row, counted on the (non-AQE) `executedPlan`:
-    * `EnsureRequirements` has inserted the exchanges, and `PushedFilters`
-    * is read untruncated from scan metadata — plan toString elides the
-    * list. */
-  def censusRow(name: String, df: org.apache.spark.sql.DataFrame): String = {
+  private case class PlanStats(
+      scans: Int, shuffles: Int, broadcasts: Int, pushed: Int) {
+    def +(o: PlanStats): PlanStats = PlanStats(
+      scans + o.scans, shuffles + o.shuffles,
+      broadcasts + o.broadcasts, pushed + o.pushed)
+  }
+
+  /** Scan/exchange/pushdown counts of one plan, on the (non-AQE)
+    * `executedPlan`: `EnsureRequirements` has inserted the exchanges,
+    * and `PushedFilters` is read untruncated from scan metadata — plan
+    * toString elides the list. */
+  private def stats(df: org.apache.spark.sql.DataFrame): PlanStats = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     def walk(p: SparkPlan): Seq[SparkPlan] =
       p +: (p.children ++ p.subqueries).flatMap(walk)
     val nodes = walk(df.queryExecution.executedPlan)
     val scans = nodes.collect { case f: FileSourceScanExec => f }
-    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
-    val broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec])
-    val pushed = scans.count(s =>
-      s.metadata.get("PushedFilters").exists(v => v != "[]" && v.nonEmpty))
-    s"| $name | ${scans.length} | $shuffles | $broadcasts | $pushed |"
+    PlanStats(
+      scans.length,
+      nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+      nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+      scans.count(s =>
+        s.metadata.get("PushedFilters").exists(v => v != "[]" && v.nonEmpty)))
+  }
+
+  /** One markdown census row. `mk` is by-name: composed queries execute
+    * [[graft.ops.Checkpoints.pin]] stages EAGERLY while the query is
+    * constructed, so construction runs under a pin observer and each
+    * pinned stage's plan is tallied alongside the final frame's — the
+    * row is the composition's TRUE census, not just its last stage
+    * (stages end at earlier pins' checkpoint RDDs, so nothing
+    * double-counts). */
+  def censusRow(name: String, mk: => org.apache.spark.sql.DataFrame): String = {
+    var pinned = PlanStats(0, 0, 0, 0)
+    val df = graft.ops.Checkpoints.withObserver(d => pinned = pinned + stats(d))(mk)
+    val t = pinned + stats(df)
+    s"| $name | ${t.scans} | ${t.shuffles} | ${t.broadcasts} | ${t.pushed} |"
   }
 }

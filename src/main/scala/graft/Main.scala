@@ -228,12 +228,12 @@ object Main {
           // executor-side JDBC scan (the 100 TB shape). A COPY-less
           // driver under the flag falls back to the scan.
           else if (pg.useCopySnapshot)
-            client.copyOut(tbl.qualifiedName, columns.map(_.name)) match {
-              case Some(chunks) =>
-                graft.sources.CopySource.snapshot(spark, chunks, columns)
-              case None =>
-                JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)()
-            }
+            // bracket-consumed: a parse failure mid-stream cancels the
+            // COPY so the shared connection returns to command mode
+            client.copyOut(tbl.qualifiedName, columns.map(_.name))(chunks =>
+              graft.sources.CopySource.snapshot(spark, chunks, columns))
+              .getOrElse(
+                JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)())
           else JdbcChangelogSource.snapshotScan(spark, info, tbl.qualifiedName)())
       }.toMap)
       if (!config.disableSyncLoop) pipe.syncLoop()

@@ -217,10 +217,16 @@ object SparkEntry {
   private val PqRecallFloor = 0.40
   /** The IVF-PQ leg composes the IVF probe's recall with the ADC
     * shortlist + exact-rerank agreement, so it sits at or slightly under
-    * the raw probe's recall (measured mean recall@10 at sf0.001 / 0.01 /
-    * 0.1: 0.76 / 0.66 / 0.57 — `graft.tools.IvfPqProbe`); the same
-    * under-half-the-worst floor discipline applies. */
-  private val IvfPqRecallFloor = 0.25
+    * the raw probe's recall. Round 10 re-measured on a DENSER query set
+    * (`graft.tools.IvfPqProbe`, nq 25/25/100 vs the gate's 5/5/20) over
+    * a k×scheme grid: the r9 k=16 codebooks were the bottleneck (4-bit
+    * cells in 8-bit codes — sf0.1 recall 0.52); k=64 reaches
+    * 0.69 / 0.65 / 0.58 with residual encoding (raw-coding within one
+    * standard error: 0.69 / 0.64 / 0.59 — the residual win is small at
+    * bench nLists because the coarse cells are broad, and grows with the
+    * √n-scaled nLists a real corpus gets). Floor = half the worst
+    * measured (0.576), same under-half discipline. */
+  private val IvfPqRecallFloor = 0.28
 
   /** On-disk IVF index per sf dir (`embed_topk_ivf_indexed` and the PQ
     * leg riding it): built once into a scratch dir, then probed — the
@@ -1017,7 +1023,10 @@ object SparkEntry {
       val e = emb(s, dir)
       val idxDir = ivfIndexDirFor(s, dir, e)
       ivfPqLegs.computeIfAbsent(idxDir, { d =>
-        graft.sim.IvfIndex.buildPq(s, d, m = 16, k = 16)
+        // k=64 codebooks (see IvfPqRecallFloor): 2-D subspaces quantize
+        // fine at 64 cells and the ADC shortlist stops starving the
+        // exact re-rank; codes stay m=16 bytes either way
+        graft.sim.IvfIndex.buildPq(s, d, m = 16, k = 64)
         java.lang.Boolean.TRUE
       })
       val q = e.filter(col("vec_id") % 100 === 0)
@@ -3890,7 +3899,8 @@ object SparkEntry {
         |         cum_before // 256 AS local_pack, cum_before % 256 AS pack_offset
         |  FROM l
         |), b AS (
-        |  SELECT source, shard, (sum(n_tokens) + 255) // 256 AS n_packs
+        |  SELECT source, shard,
+        |         greatest((sum(n_tokens) + 255) // 256, max(local_pack) + 1) AS n_packs
         |  FROM lp GROUP BY source, shard
         |), bo AS (
         |  SELECT source, shard,

@@ -211,13 +211,32 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
     * pgjdbc's public `CopyManager` API (same pattern as the reflective
     * Mongo transport in [[graft.mongo.LiveMongo]]) so the library carries
     * no compile-time Postgres dependency. */
-  def copyOut(table: String, columns: Seq[String]): Option[Iterator[Array[Byte]]] =
-    copyOutSql(JdbcClient.copySql(table, columns))
+  def copyOut[A](table: String, columns: Seq[String])(
+      consume: Iterator[Array[Byte]] => A): Option[A] =
+    copyOutSql(JdbcClient.copySql(table, columns)).map { s =>
+      // bracket: the COPY conversation runs on the SHARED long-lived
+      // connection, and a consumer that throws (or returns) mid-stream
+      // would otherwise leave it stuck in COPY_OUT protocol state —
+      // every later statement (catalog queries, the peek loop) fails.
+      // The reference avoids this with a dedicated COPY connection
+      // (src/adapter/postgres.rs:832-910); here the abort hook cancels
+      // the operation so the one connection returns to command mode.
+      var ok = false
+      try { val a = consume(s.chunks); ok = true; a }
+      finally {
+        if (!ok) s.abort()
+        // drained successfully ⇒ hasNext already saw the end marker and
+        // is side-effect-free; an undrained-but-returned consumer still
+        // holds the protocol open ⇒ cancel
+        else if (s.chunks.hasNext) s.abort()
+      }
+    }
 
   /** Transport seam behind [[copyOut]]: execute one COPY … TO STDOUT
-    * statement, yielding its chunk stream. Overridable by executable test
-    * endpoints (the pgstub parses and serves the same statement text). */
-  protected def copyOutSql(sql: String): Option[Iterator[Array[Byte]]] = {
+    * statement, yielding its chunk stream plus the cancel hook. Overridable
+    * by executable test endpoints (the pgstub parses and serves the same
+    * statement text; its abort is a no-op — no protocol state to free). */
+  protected def copyOutSql(sql: String): Option[JdbcClient.CopyStream] = {
     // reflective calls wrap the server's real failure (a dropped table,
     // a reset connection, a permission error) in
     // InvocationTargetException — rethrow the CAUSE so callers see the
@@ -239,13 +258,22 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
       val op = unwrapping(
         cmCls.getMethod("copyOut", classOf[String]).invoke(cm, sql))
       val read = op.getClass.getMethod("readFromCopy")
-      // one COPY conversation, pulled serially on the driver (the
-      // reference's dedicated COPY connection); null chunk = stream end.
-      // Mid-stream failures surface from inside the iterator (the pull
-      // site) — also unwrapped to the real cause.
-      Some(Iterator
-        .continually(unwrapping(read.invoke(op).asInstanceOf[Array[Byte]]))
-        .takeWhile(_ != null))
+      val isActive = op.getClass.getMethod("isActive")
+      val cancel = op.getClass.getMethod("cancelCopy")
+      // one COPY conversation, pulled serially on the driver; null chunk
+      // = stream end. Mid-stream failures surface from inside the
+      // iterator (the pull site) — also unwrapped to the real cause.
+      Some(new JdbcClient.CopyStream(
+        Iterator
+          .continually(unwrapping(read.invoke(op).asInstanceOf[Array[Byte]]))
+          .takeWhile(_ != null),
+        () =>
+          // best-effort: the point is freeing the connection from
+          // COPY_OUT; a cancel failing because the server already
+          // dropped the conversation is the same end state
+          try { if (isActive.invoke(op).asInstanceOf[Boolean])
+            unwrapping(cancel.invoke(op)) }
+          catch { case _: Exception => () }))
     } catch {
       // driver on the classpath but not Postgres-shaped → no COPY
       case _: ClassNotFoundException => None
@@ -271,6 +299,14 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
 }
 
 object JdbcClient {
+  /** An open COPY … TO STDOUT conversation: the chunk stream plus the
+    * cancel hook that frees the connection from COPY_OUT protocol state
+    * when the consumer stops before the stream ends. */
+  final class CopyStream(
+      val chunks: Iterator[Array[Byte]], abort0: () => Unit) {
+    def abort(): Unit = abort0()
+  }
+
   /** The COPY snapshot statement (reference issues the same shape,
     * `src/adapter/postgres.rs:848-858`): explicit quoted column list so
     * the text rows land in the target's declared order, wrapped SELECT so

@@ -41,11 +41,29 @@ object Checkpoints {
     * deployment, so a plain volatile is enough. */
   @volatile private var appliedDir: Option[String] = None
 
+  /** Census observer seam ([[graft.Explain]]): composed queries pin
+    * stages EAGERLY at plan construction, so their work is invisible to
+    * a census that only walks the final DataFrame's plan. When set,
+    * every pin first hands its (not-yet-truncated) DataFrame to the
+    * observer, which tallies the stage's scans/exchanges; stages + final
+    * plan sum to the composition's true census without double-counting
+    * (each stage's lineage ends at the previous pins' checkpoint RDDs).
+    * Tool-side, single-threaded by construction; never part of the
+    * operator contract. */
+  @volatile private var observer: Option[DataFrame => Unit] = None
+
+  /** Run `body` with every [[pin]] reporting its input frame to `f`. */
+  def withObserver[A](f: DataFrame => Unit)(body: => A): A = {
+    observer = Some(f)
+    try body finally observer = None
+  }
+
   /** Materialize `df` once and truncate its lineage: reliable
     * `checkpoint` when [[ConfKey]] is set, `localCheckpoint` otherwise.
     * Always eager — every call site pins state that later stages (or a
     * side effect between them) must see exactly once. */
   def pin(df: DataFrame): DataFrame = {
+    observer.foreach(_(df))
     val spark = df.sparkSession
     reliableDir(spark) match {
       case Some(dir) =>

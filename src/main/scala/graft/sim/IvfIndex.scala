@@ -154,8 +154,11 @@ object IvfIndex {
     val buildErr = assignError(
       corpus.limit(math.min(targetRows, Similarity.MaxTrainRows).toInt),
       vecCol, centroids)
+    // clamped at 0: float error can put the mean a hair NEGATIVE, and a
+    // signed value would fail the unsigned meta-field regex on read —
+    // the index would silently lose its drift reference
     writeMeta(spark, dir,
-      Meta(nLists, dim, Some(math.round(buildErr * 1e6)))) // commit
+      Meta(nLists, dim, Some(math.max(0L, math.round(buildErr * 1e6))))) // commit
   }
 
   /** Assign NEW vectors to the EXISTING centroids and append them — the
@@ -167,22 +170,30 @@ object IvfIndex {
     *
     * When the PQ leg exists ([[buildPq]]), the same batch is ALSO encoded
     * and appended to the code store, so both legs stay in sync (the batch
-    * is lineage-pinned so the input is scanned once, not twice). Crash
-    * between the two writes: vectors landed, codes did not — the ADC
-    * probe misses the batch until the caller's replay re-runs it, and the
-    * replayed duplicates collapse exactly as above. */
+    * is lineage-pinned so the input is scanned once, not twice). Codes
+    * are written FIRST: every id-based replay-suppression check (e.g.
+    * [[SemDedup.applyBatchIndexed]] rule 3) reads the VECTORS store, so
+    * the store that gates replay must land LAST. A crash between the two
+    * writes leaves orphan codes with NO vectors — the replayed batch is
+    * NOT suppressed, re-runs this append, and the duplicate codes
+    * collapse in [[topKPq]]/[[compact]] (the reverse order would leave
+    * vectors that suppress the replay while the code store permanently
+    * lacks the batch — a silent ADC-probe hole). Orphan codes are
+    * harmless meanwhile: [[topKPq]]'s exact re-rank inner-joins the raw
+    * vectors, so an id without a vector can never be emitted. */
   def appendVectors(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
     val spark = corpus.sparkSession
     val m = requireMeta(spark, dir)
-    val a = assigned(corpus, idCol, vecCol, dir, readCentroids(spark, dir), m.dim)
+    val centroids = readCentroids(spark, dir)
+    val a = assigned(corpus, idCol, vecCol, dir, centroids, m.dim)
     readPqMeta(spark, dir) match {
       case None => writeAssigned(a, dir)
-      case Some(_) =>
+      case Some(pm) =>
         val model = readPqModel(spark, dir)
         val pinned = graft.ops.Checkpoints.pin(a)
+        writeCodes(pinned, dir, model, pm, centroids)
         writeAssigned(pinned, dir)
-        writeCodes(pinned, dir, model)
     }
   }
 
@@ -461,15 +472,21 @@ object IvfIndex {
 
   /** PQ-leg layout parameters; the leg's COMMIT MARKER (written LAST by
     * [[buildPq]] — a crashed PQ build fails every code reader loudly
-    * while the raw index stays fully usable). */
-  case class PqMeta(m: Int, k: Int, dsub: Int)
+    * while the raw index stays fully usable). `residual = true` means
+    * codes encode v̂ − ĉ_list (the assigned coarse centroid, normalized)
+    * instead of v̂ — part of the LAYOUT (codes from one scheme scored
+    * under the other are garbage), so it lives in the commit marker;
+    * absent on legs built before the residual scheme → raw. */
+  case class PqMeta(m: Int, k: Int, dsub: Int, residual: Boolean = false)
 
   private def pqMetaPath(dir: String) = new Path(dir, "_graft_ivf_pq.json")
 
   private def writePqMeta(spark: SparkSession, dir: String, m: PqMeta): Unit = {
     val out = fs(spark, dir).create(pqMetaPath(dir), true)
-    try out.write(s"""{"m":${m.m},"k":${m.k},"dsub":${m.dsub}}"""
-      .getBytes(StandardCharsets.UTF_8))
+    val res = if (m.residual) 1 else 0
+    try out.write(
+      s"""{"m":${m.m},"k":${m.k},"dsub":${m.dsub},"residual":$res}"""
+        .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -482,13 +499,45 @@ object IvfIndex {
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+      def fieldOpt(name: String): Option[Int] =
+        s""""$name":(\\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
       def field(name: String): Int =
-        s""""$name":(\\d+)""".r.findFirstMatchIn(text)
-          .map(_.group(1).toInt)
-          .getOrElse(throw new IllegalStateException(
-            s"IVF-PQ meta at $p is missing '$name': $text"))
-      Some(PqMeta(field("m"), field("k"), field("dsub")))
+        fieldOpt(name).getOrElse(throw new IllegalStateException(
+          s"IVF-PQ meta at $p is missing '$name': $text"))
+      Some(PqMeta(field("m"), field("k"), field("dsub"),
+        fieldOpt("residual").exists(_ != 0)))
     }
+  }
+
+  /** v̂ − ĉ_list: the PQ-residual of a vector against its assigned coarse
+    * centroid, both L2-normalized — the IVF-PQ residual refinement
+    * (Jégou et al. 2011 §IV; FAISS IndexIVFPQ encodes residuals by
+    * default). Residual magnitudes shrink with cluster tightness, so the
+    * per-subspace codebooks spend their 256 cells on a much smaller cell
+    * volume than raw-vector coding — directly more ADC resolution. The
+    * NORMALIZED centroid is the anchor (coarse centroids are trained on
+    * raw vectors whose norms need not be 1; any fixed anchor keeps the
+    * dot decomposition exact, and the unit-sphere projection keeps it
+    * CLOSE to v̂, which is what shrinks the residuals). */
+  private def residualCol(
+      vec: Column, list: Column, centroids: Array[Array[Double]]): Column = {
+    val anchors = typedLit(centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (if (n == 0.0) c else c.map(_ / n)).toSeq
+    }.toSeq)
+    zip_with(Pq.normalized(vec), element_at(anchors, list + lit(1)),
+      (x, y) => x - y)
+  }
+
+  /** dot(q̂, ĉ_list) — the per-(query, probed-list) scalar that restores
+    * absolute cosine scale to residual-ADC scores (see [[topKPq]]). */
+  private def anchorBias(
+      qv: Column, list: Column, centroids: Array[Array[Double]]): Column = {
+    val anchors = typedLit(centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (if (n == 0.0) c else c.map(_ / n)).toSeq
+    }.toSeq)
+    Similarity.dot(Pq.normalized(qv), element_at(anchors, list + lit(1)))
   }
 
   private def requirePqMeta(spark: SparkSession, dir: String): PqMeta =
@@ -501,10 +550,16 @@ object IvfIndex {
     * (`dir/codes/`, partitioned by `list` like the vectors) plus the
     * persisted model (`dir/pq_model/`). The PQ meta is the commit
     * marker, written LAST. Requires the raw index; refuses an existing
-    * PQ leg (retrain into a fresh index, or delete the leg first). */
+    * PQ leg (retrain into a fresh index, or delete the leg first).
+    *
+    * `residual = true` (the default) trains and encodes v̂ − ĉ_list
+    * ([[residualCol]]) — the standard IVF-PQ refinement: residuals are
+    * far tighter than raw unit vectors, so the same m bytes carry more
+    * resolution and ADC ranking (and thus rerank recall) improves. */
   def buildPq(
       spark: SparkSession, dir: String, m: Int, k: Int = 256,
-      targetRows: Long = 20000L, seed: Long = 42L): Unit = {
+      targetRows: Long = 20000L, seed: Long = 42L,
+      residual: Boolean = true): Unit = {
     val meta = requireMeta(spark, dir)
     require(readPqMeta(spark, dir).isEmpty,
       s"IVF index at $dir already has a PQ leg; buildPq into a fresh " +
@@ -515,21 +570,38 @@ object IvfIndex {
     // clear crashed-build remnants (codes/model without the commit meta)
     Seq("codes", "pq_model").foreach(s => f.delete(new Path(s"$dir/$s"), true))
     val vecs = vectors(spark, dir)
-    val model = Pq.train(vecs, "vec", m, k, targetRows, seed)
+    val pm0 = PqMeta(m, 0, 0, residual) // scheme for writeCodes; k/dsub from model
+    val centroids = readCentroids(spark, dir)
+    val model =
+      if (residual) Pq.train(
+        vecs.select(residualCol(col("vec"), col("list"), centroids).as("__r"),
+          col("id"), col("list")),
+        "__r", m, k, targetRows, seed, normalize = false)
+      else Pq.train(vecs, "vec", m, k, targetRows, seed)
     import spark.implicits._
     Seq((model.m, model.k, model.dsub, model.cents.toSeq))
       .toDF("m", "k", "dsub", "cents")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_model")
-    writeCodes(vecs, dir, model)
-    writePqMeta(spark, dir, PqMeta(model.m, model.k, model.dsub)) // commit
+    writeCodes(vecs, dir, model, pm0, centroids)
+    writePqMeta(spark, dir,
+      PqMeta(model.m, model.k, model.dsub, residual)) // commit
   }
 
-  private def writeCodes(a: DataFrame, dir: String, model: Pq.PqModel): Unit =
-    Pq.encode(a, "vec", model)
-      .select(col("id"), col("pq_codes"), col("list"))
+  private def writeCodes(
+      a: DataFrame, dir: String, model: Pq.PqModel, pm: PqMeta,
+      centroids: Array[Array[Double]]): Unit = {
+    val shim = org.apache.spark.sql.GraftColumnShim
+    val codeInput =
+      if (pm.residual) residualCol(col("vec"), col("list"), centroids)
+      else Pq.normalized(col("vec"))
+    a.select(col("id"),
+        shim.column(graft.functions.PqEncode(shim.expression(codeInput),
+          model.cents, model.m, model.k, model.dsub)).as("pq_codes"),
+        col("list"))
       .repartition(col("list"))
       .sortWithinPartitions("list", "id") // list prefix: see writeAssigned
       .write.mode("append").partitionBy("list").parquet(s"$dir/codes")
+  }
 
   /** The persisted codebooks, validated against the PQ meta. */
   def readPqModel(spark: SparkSession, dir: String): Pq.PqModel = {
@@ -569,6 +641,7 @@ object IvfIndex {
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
       rerank: Int = 50): DataFrame = {
     val m = requireMeta(spark, dir)
+    val pm = requirePqMeta(spark, dir)
     val model = readPqModel(spark, dir)
     val centroids = readCentroids(spark, dir)
     val shim = org.apache.spark.sql.GraftColumnShim
@@ -576,7 +649,11 @@ object IvfIndex {
     // all consume the query frame (see topK)
     // the LUT is computed BEFORE the probe-list explode: after it every
     // query carries nProbe rows, and a post-explode LUT would evaluate
-    // (and pin, and broadcast) the m×k table nProbe times per query
+    // (and pin, and broadcast) the m×k table nProbe times per query.
+    // This holds for the RESIDUAL scheme too — inner products decompose
+    // linearly (dot(q̂, v̂) = dot(q̂, ĉ_l) + dot(q̂, r)), so the list-
+    // dependent part is the SCALAR `__bias` below, not a per-list LUT as
+    // in FAISS's L2 formulation (whose ‖q − c_l − r‖² has cross terms).
     val q = graft.ops.Checkpoints.pin(queries
       .select(col(idCol).cast(LongType).as("query_id"),
         dimGuarded(col(vecCol).cast(ArrayType(DoubleType)), m.dim,
@@ -585,15 +662,19 @@ object IvfIndex {
         shim.expression(Pq.normalized(col("__qv"))),
         model.cents, model.m, model.k, model.dsub)))
       .withColumn("list",
-        Similarity.probeListsCol(col("__qv"), centroids, nProbe)))
+        Similarity.probeListsCol(col("__qv"), centroids, nProbe))
+      // post-explode (needs the probed list); one dot per (query, probe)
+      .withColumn("__bias",
+        if (pm.residual) anchorBias(col("__qv"), col("list"), centroids)
+        else lit(0.0)))
     val probed = q.select(col("list")).distinct().collect().map(_.getInt(0))
     val prunedCodes = codes(spark, dir)
       .filter(col("list").isin(probed.toSeq: _*))
     val scored = prunedCodes
-      .join(broadcast(q.select(col("list"), col("query_id"), col("__lut"))),
-        Seq("list"))
+      .join(broadcast(q.select(col("list"), col("query_id"), col("__lut"),
+        col("__bias"))), Seq("list"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("adc", shim.column(graft.functions.PqAdc(
+      .withColumn("adc", col("__bias") + shim.column(graft.functions.PqAdc(
         shim.expression(col("pq_codes")), shim.expression(col("__lut")),
         model.k)))
       .groupBy(col("query_id"), col("id")).agg(max(col("adc")).as("adc"))

@@ -57,14 +57,19 @@ object Pq {
   def train(
       corpus: DataFrame, vecCol: String, m: Int, k: Int,
       targetRows: Long = 20000L, seed: Long = 42L,
-      sampleFraction: Option[Double] = None): PqModel = {
+      sampleFraction: Option[Double] = None,
+      // false when the input column is ALREADY in code space (e.g. the
+      // IVF-PQ residuals v̂ − ĉ_list — re-normalizing a residual would
+      // destroy the linear dot decomposition the ADC bias relies on)
+      normalize: Boolean = true): PqModel = {
     require(k > 1 && k <= 256, s"k must be in (1, 256]: $k")
     val base = sampleFraction match {
       case Some(f) if f < 1.0 => corpus.sample(f, seed)
       case _ => corpus
     }
     val collected = base
-      .select(normalized(col(vecCol)))
+      .select(if (normalize) normalized(col(vecCol))
+        else col(vecCol).cast(ArrayType(DoubleType)))
       .limit(math.min(targetRows, Similarity.MaxTrainRows).toInt)
       .collect().map(_.getSeq[Double](0).toArray)
     require(collected.nonEmpty, "cannot train PQ on an empty corpus")

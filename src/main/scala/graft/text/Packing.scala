@@ -68,11 +68,16 @@ object Packing {
     // max(start pack) + 1: a last doc that spans past its start pack
     // overflows into packs no shard-local doc STARTS in, and basing the
     // next shard on started packs would alias its pack ids onto windows
-    // still holding the previous shard's tail tokens.
+    // still holding the previous shard's tail tokens. The max(start)+1
+    // term still participates under greatest(): a trailing ZERO-token doc
+    // sitting exactly on a pack boundary (or an all-empty shard) starts a
+    // pack that holds no tokens, so ceil alone would hand its pack_id to
+    // the next shard — pack ids must stay disjoint even for empty docs.
     val wb = Window.partitionBy(col(sourceCol)).orderBy(col("shard"))
     val bases = local.groupBy(col(sourceCol), col("shard"))
-      .agg(expr(s"(sum(n_tokens) + $tokenBudget - 1) DIV $tokenBudget")
-        .as("__n_packs"))
+      .agg(greatest(
+        expr(s"(sum(n_tokens) + $tokenBudget - 1) DIV $tokenBudget"),
+        max(col("__local_pack")) + lit(1L)).as("__n_packs"))
       .withColumn("__base", sum(col("__n_packs")).over(wb) - col("__n_packs"))
       .select(col(sourceCol), col("shard"), col("__base"))
     local.join(broadcast(bases), Seq(sourceCol, "shard"))

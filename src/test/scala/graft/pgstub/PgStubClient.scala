@@ -35,8 +35,10 @@ final class PgStubClient(val engine: PgStubEngine, copyChunkSize: Int = 7)
         .toVector)
   }
 
-  override protected def copyOutSql(sql: String): Option[Iterator[Array[Byte]]] =
-    Some(engine.copyChunks(sql, copyChunkSize))
+  override protected def copyOutSql(sql: String): Option[graft.live.JdbcClient.CopyStream] =
+    // abort is a no-op: the in-memory stub holds no protocol state
+    Some(new graft.live.JdbcClient.CopyStream(
+      engine.copyChunks(sql, copyChunkSize), () => ()))
 
   /** First non-null value decides the column type; all-null (or empty)
     * columns degrade to string, which every consumer null-checks. */

@@ -178,6 +178,50 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(readmitted == surv.diff(half))
   }
 
+  test("incremental: PQ-leg crash between code and vector appends heals on replay (codes land first)") {
+    val idx = freshIdx()
+    IvfIndex.build(embAll.filter(col("vec_id") < 300), "vec_id", "embedding",
+      idx, nLists = 4)
+    IvfIndex.buildPq(spark, idx, m = 16, k = 16)
+    val batch = embAll.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    def vecFiles(): Set[java.nio.file.Path] = {
+      val root = java.nio.file.Paths.get(idx, "vectors")
+      val s = java.nio.file.Files.walk(root)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val before = vecFiles()
+    val surv = SemDedup.applyBatchIndexed(batch, idx, "vec_id", "embedding", 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv.nonEmpty)
+    // simulate the crash AFTER writeCodes, BEFORE writeAssigned: remove
+    // exactly the vector files this append created, leaving its codes
+    // orphaned — the on-disk state the old vectors-first order turned
+    // into a PERMANENT silent ADC hole (replay suppression reads the
+    // vectors store, which under that order already held the batch)
+    (vecFiles() -- before).foreach(java.nio.file.Files.delete(_))
+    val q = embAll.filter(col("vec_id") % 100 === 0)
+    def neighbors() = IvfIndex.topKPq(spark, idx, q, "vec_id", "embedding",
+        k = 10, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // mid-window the orphan codes are inert: the exact re-rank inner-joins
+    // the raw vectors, so a code without a vector can never be emitted
+    assert(neighbors().forall { case (_, n) => !surv.contains(n) })
+    // replay is NOT suppressed (rule 3 probes the vectors store) — the
+    // whole surviving set re-admits, codes collapse, vectors land
+    val replay = SemDedup.applyBatchIndexed(batch, idx, "vec_id", "embedding", 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(replay == surv)
+    assert(IvfIndex.vectors(spark, idx)
+      .filter(col("id").isin(surv.toSeq: _*)).count() == surv.size)
+    // duplicate codes from the replay collapse: one row per (query, id)
+    val after = neighbors()
+    assert(after.distinct.length == after.length)
+    assert(after.exists { case (_, n) => surv.contains(n) })
+  }
+
   test("incremental: streaming writer — a later micro-batch's copy of an earlier one drops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -82,7 +82,7 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
         (start, start + r.getAs[Long]("n_tokens"))
       }.sortBy(_._1)
       iv.sliding(2).foreach {
-        case Seq((_, e1), (s2, _)) =>
+        case Array((_, e1), (s2, _)) =>
           assert(e1 <= s2, s"source $s: token intervals overlap ($e1 > $s2)")
         case _ =>
       }
@@ -112,6 +112,91 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     // shard 1 must begin at pack 4 — pack ids 1..3 hold shard 0's tail
     assert(planned(1L) == ((1L, 4L, 0L)))
     assert(planned(3L) == ((1L, 4L, 3L)))
+  }
+
+  test("property: packPlanSharded invariants on random docs/budgets/shards") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    // token counts include 0 (empty doc), boundary-exact and > budget;
+    // sparse ids leave some shards empty under the modulo assignment
+    val genCase = for {
+      budget <- Gen.chooseNum(1, 24)
+      nShards <- Gen.chooseNum(1, 5)
+      n <- Gen.chooseNum(1, 30)
+      docs <- Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(0L, 60L),
+        Gen.frequency(
+          3 -> Gen.const(0),
+          2 -> Gen.const(budget),          // lands exactly on boundaries
+          5 -> Gen.chooseNum(0, budget * 3)),
+        Gen.oneOf("sA", "sB")))
+    } yield (budget, nShards, docs.distinctBy(d => (d._3, d._1)))
+    graft.PropCheck.check(Prop.forAll(genCase) { case (budget, nShards, docs) =>
+      val df = docs.map { case (id, nTok, src) =>
+        (id, Seq.fill(nTok)("w").mkString(" "), src)
+      }.toDF("doc_id", "text", "source")
+      val rows = Packing.packPlanSharded(df, "doc_id", "text", "source",
+          tokenBudget = budget, nShards = nShards,
+          shardBy = Some(pmod(col("doc_id"), lit(nShards.toLong))))
+        .collect()
+      val count = rows.length == docs.length
+      val offs = rows.forall { r =>
+        val o = r.getAs[Long]("pack_offset"); o >= 0 && o < budget
+      }
+      // (source, pack_id) never spans shards — even for zero-token docs
+      // starting exactly on a pack boundary (the r10 occupied-pack fix)
+      val disjoint = rows
+        .groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("pack_id")))
+        .forall { case (_, g) => g.map(_.getAs[Long]("shard")).distinct.length == 1 }
+      // within (source, shard) in id order the docs are CONTIGUOUS in
+      // token space and the shard opens on a pack boundary
+      val fold = rows.groupBy(r =>
+        (r.getAs[String]("source"), r.getAs[Long]("shard"))).forall { case (_, g) =>
+        val inOrder = g.sortBy(_.getAs[Long]("doc_id"))
+        val first = inOrder.head
+        var pos = first.getAs[Long]("pack_id") * budget
+        first.getAs[Long]("pack_offset") == 0L && inOrder.forall { r =>
+          val ok = r.getAs[Long]("pack_id") * budget +
+            r.getAs[Long]("pack_offset") == pos
+          pos += r.getAs[Long]("n_tokens")
+          ok
+        }
+      }
+      // no token-interval overlap anywhere within a source
+      val noOverlap = rows.groupBy(_.getAs[String]("source")).forall { case (_, g) =>
+        val iv = g.map { r =>
+          val s = r.getAs[Long]("pack_id") * budget + r.getAs[Long]("pack_offset")
+          (s, s + r.getAs[Long]("n_tokens"))
+        }.sortBy(_._1)
+        iv.sliding(2).forall {
+          case Array((_, e1), (s2, _)) => e1 <= s2
+          case _ => true
+        }
+      }
+      count && offs && disjoint && fold && noOverlap
+    }, minSuccessful = 25)
+  }
+
+  test("packPlanSharded: trailing zero-token doc on a pack boundary keeps ids disjoint") {
+    import spark.implicits._
+    // shard 0 totals exactly 8 tokens (ceil = 1 pack) but its trailing
+    // EMPTY doc starts pack 1 — the next shard must base at 2, not 1
+    val docs = Seq(
+      (0L, Array.fill(8)("w").mkString(" "), "s"),
+      (2L, "", "s"),
+      (1L, "a b", "s")
+    ).toDF("doc_id", "text", "source")
+    val planned = Packing.packPlanSharded(
+      docs, "doc_id", "text", "source", tokenBudget = 8, nShards = 2,
+      shardBy = Some(pmod(col("doc_id"), lit(2L))))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+          r.getAs[Long]("pack_offset")))
+      .toMap
+    assert(planned(0L) == ((0L, 0L, 0L)))
+    assert(planned(2L) == ((0L, 1L, 0L))) // empty doc starts (and is) pack 1
+    assert(planned(1L) == ((1L, 2L, 0L))) // shard 1 may not reuse pack 1
   }
 
   test("selectUnderTokenBudget keeps exactly the maximal quality-ranked prefix") {

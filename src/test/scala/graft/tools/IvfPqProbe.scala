@@ -15,18 +15,23 @@ object IvfPqProbe {
     val sfs = if (args.nonEmpty) args.toSeq else Seq("0.001", "0.01")
     for (sf <- sfs) {
       val e = graft.sources.Tables.read(spark, s"/root/testdata/sf$sf", "embeddings")
-      val dir = java.nio.file.Files.createTempDirectory("ivfpq-probe").toString + "/idx"
-      IvfIndex.build(e, "vec_id", "embedding", dir, nLists = 8)
-      IvfIndex.buildPq(spark, dir, m = 16, k = 16)
-      val q = e.filter(col("vec_id") % 100 === 0)
-      val approx = IvfIndex.topKPq(spark, dir, q, "vec_id", "embedding",
-        k = 10, nProbe = 3, rerank = 50)
+      // denser query set than the gate query's %100 (tri-scale nq of
+      // 5/5/20 is too noisy to adjudicate scheme changes)
+      val q = e.filter(col("vec_id") % 20 === 0)
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
-      val hits = approx.select(col("query_id"), col("neighbor_id"))
-        .join(exact.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id")).count()
+        .select(col("query_id"), col("neighbor_id")).cache()
       val nq = q.count()
-      println(f"sf$sf recall@10=${hits.toDouble / (nq * 10)}%.4f nq=$nq")
+      for (pqK <- Seq(16, 64); residual <- Seq(true, false)) {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpq-probe").toString + "/idx"
+        IvfIndex.build(e, "vec_id", "embedding", dir, nLists = 8)
+        IvfIndex.buildPq(spark, dir, m = 16, k = pqK, residual = residual)
+        val approx = IvfIndex.topKPq(spark, dir, q, "vec_id", "embedding",
+          k = 10, nProbe = 3, rerank = 50)
+        val hits = approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id")).count()
+        println(f"sf$sf k=$pqK residual=$residual recall@10=${hits.toDouble / (nq * 10)}%.4f nq=$nq")
+      }
+      exact.unpersist()
     }
     spark.stop()
   }
