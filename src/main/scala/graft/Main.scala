@@ -154,7 +154,12 @@ object Main {
   private[graft] def runPostgresWith(
       spark: SparkSession, config: PipeConfig,
       pg: graft.config.PostgresConfig, client: JdbcClient,
-      info: JdbcConnInfo, url: String): Unit = {
+      info: JdbcConnInfo, url: String,
+      // target transport seam, mirroring the SOURCE `client` param: the
+      // production default dials the configured JDBC url; executable
+      // test endpoints (the ClickHouse statement stub) substitute their
+      // parsed engine behind the same JdbcClient verbs
+      targetClientFor: JdbcConnInfo => JdbcClient = new JdbcClient(_)): Unit = {
     implicit val s: SparkSession = spark
     val tableClients = scala.collection.mutable.ArrayBuffer.empty[AutoCloseable]
     try {
@@ -207,7 +212,8 @@ object Main {
           columns,
           targetBatchSink(spark, config, columns, tbl.qualifiedName, tableClients,
             initComment = Some(comment),
-            initOptions = tbl.tableOptions(parentOpts)),
+            initOptions = tbl.tableOptions(parentOpts),
+            clientFor = targetClientFor),
           tbl.mask_columns.toSet)
       }.toMap
       // slot advance rides the offset commit — AFTER all table writes
@@ -259,7 +265,8 @@ object Main {
       columns: Seq[CHColumn], pipeName: String,
       closers: scala.collection.mutable.Buffer[AutoCloseable],
       initComment: Option[String] = None,
-      initOptions: graft.ddl.TableOptions = graft.ddl.TableOptions()): graft.pipe.BatchSink = {
+      initOptions: graft.ddl.TableOptions = graft.ddl.TableOptions(),
+      clientFor: JdbcConnInfo => JdbcClient = new JdbcClient(_)): graft.pipe.BatchSink = {
     implicit val s: SparkSession = spark
     config.target.target_type match {
       case "parquet" =>
@@ -279,7 +286,7 @@ object Main {
             tcConfigured.copy(table = pipeName.split('.').last)
           else tcConfigured
         val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
-        val client = new JdbcClient(info)
+        val client = clientFor(info)
         closers += client
         pingOrAbort(client, "target", tc.url)
         initComment.foreach { comment =>
