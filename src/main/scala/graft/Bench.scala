@@ -58,6 +58,29 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Exception => -1.0 }
 
+  /** Shared scratch parent for bench temp state (the ~1M-entry catalog
+    * and index fixtures). ONE idempotent shutdown hook as a crash
+    * backstop; the normal path reaps everything via [[sweepScratch]] at
+    * the end of each invocation, so repeated benches in a long-lived JVM
+    * neither accumulate hooks nor hold scratch disk until exit. */
+  private val scratchParent =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
+  private val scratchHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def rmTree(p: java.io.File): Unit = {
+    Option(p.listFiles).foreach(_.foreach(rmTree)); val _ = p.delete()
+  }
+  private def scratch(prefix: String): String = synchronized {
+    if (scratchParent.get == null)
+      scratchParent.set(java.nio.file.Files.createTempDirectory("graft-bench-scratch"))
+    if (scratchHookArmed.compareAndSet(false, true))
+      sys.addShutdownHook {
+        Option(scratchParent.get()).foreach(p => rmTree(p.toFile))
+      }
+    java.nio.file.Files.createTempDirectory(scratchParent.get(), prefix).toString
+  }
+  private def sweepScratch(): Unit =
+    Option(scratchParent.getAndSet(null)).foreach(p => rmTree(p.toFile))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -174,7 +197,7 @@ object Bench {
         // Contention only ever adds time, so the fastest pair overall is
         // the cleanest measurement of both sides at once.
         val (dedup, overhead) = if (want("dedup_a1")) {
-          val benchTmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+          val benchTmp = scratch("graft-bench")
           val pairs = (1 to repsAll).map { _ =>
             val p = time(events.write.mode("overwrite").parquet(s"$benchTmp/plain"))
             val d = time(CoreOps.dedupLastWinsAgg(events, Seq("user_id"), "event_id")
@@ -284,17 +307,9 @@ object Bench {
     val catalogTimes: Seq[(String, Double)] =
       if (catalogNames.exists(want)) {
         val docsBase = Tables.read(spark, sfDir, "documents")
-        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-cat-bench")
-        // ~1M-entry catalogs per run — reap with the JVM (same pattern as
-        // the graft-ivf-idx scratch dir) so repeated benches don't
-        // accumulate disk
-        sys.addShutdownHook {
-          def rm(p: java.io.File): Unit = {
-            Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
-          }
-          rm(tmpRoot.toFile)
-        }
-        val tmp = tmpRoot.toString
+        // ~1M-entry catalogs per run — swept at the end of the bench
+        // (shutdown hook as crash backstop only)
+        val tmp = scratch("graft-cat-bench")
         // exact: ~100k entries at 1x, ~1M at 10x (fp-shifted copies —
         // entry mass is what the trigger prunes against)
         val baseEntries = graft.dedup.ExactCatalog.entriesOf(docsBase, "text").cache()
@@ -439,13 +454,7 @@ object Bench {
       if (semddNames.exists(want)) {
         val e = Tables.read(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        val root = java.nio.file.Files.createTempDirectory("graft-semdd-bench")
-        sys.addShutdownHook {
-          def rm(p: java.io.File): Unit = {
-            Option(p.listFiles).foreach(_.foreach(rm)); val _ = p.delete()
-          }
-          rm(root.toFile)
-        }
+        val root = scratch("graft-semdd-bench")
         val base = e.filter(col("vec_id") % 2 === 0)
         var bN = 0
         val buildT: Seq[(String, Double)] =
@@ -508,6 +517,7 @@ object Bench {
         s""""contended":${loadStart > 1.0}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,$env,"sf":"$sfDir"}""")
+    sweepScratch()
     spark.stop()
   }
 }

@@ -343,12 +343,14 @@ object Main {
           throw new IllegalArgumentException("target.jdbc required"))
         (tc, if (tc.dialect == "ansi") AnsiDialect else ClickHouseDialect)
       case _ =>
-        val ch = config.target.clickhouse.getOrElse(
-          throw new IllegalArgumentException("target.clickhouse required")).connection
+        val chCfg = config.target.clickhouse.getOrElse(
+          throw new IllegalArgumentException("target.clickhouse required"))
+        val ch = chCfg.connection
         (JdbcTargetConfig(
           url = s"jdbc:clickhouse://${ch.host}:${ch.port}/${ch.database}",
           user = ch.username, password = ch.password,
-          database = ch.database, table = pipeName.split('.').last),
+          database = ch.database, table = pipeName.split('.').last,
+          distributed_inserts = chCfg.distributedInserts),
           ClickHouseDialect)
     }
 

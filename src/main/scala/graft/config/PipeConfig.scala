@@ -159,8 +159,14 @@ case class ClickHouseConfig(
     // defaults under `target.clickhouse` (`src/config.rs:271-285`), not at
     // the top level — both accepted here for ported configs.
     disable_sync_loop: Option[Boolean] = None,
-    table_options: Option[TableOptionsConfig] = None
+    table_options: Option[TableOptionsConfig] = None,
+    // Execute INSERT statements per-partition on executors (the 100 TB
+    // shape — statement text never transits the driver). `false` routes
+    // every statement through the pipe's single target client, for
+    // targets only the driver can reach (and substituted test clients).
+    distributed_inserts: Option[Boolean] = None
 ) {
+  def distributedInserts: Boolean = distributed_inserts.getOrElse(true)
   def parentTableOptions: TableOptions =
     table_options.map(_.toTableOptions).getOrElse(TableOptions())
 }

@@ -319,6 +319,32 @@ object BandedCatalog {
     acts
   }
 
+  /** [[maintain]] over a [[graft.ops.VersionedStore]] root — the
+    * fully-executable lifecycle: auto-compact in place, and a tripped
+    * Rebucket EXECUTED as [[rebucket]] into the next version (readers
+    * keep resolving a committed version at every instant; a crash
+    * mid-rebucket leaves the new version meta-less and the old one
+    * serving). Predecessors are retired after the swap. Returns the
+    * serving dir plus the actions that tripped. */
+  def maintainVersioned(
+      spark: SparkSession, root: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = true
+  ): (String, Seq[graft.ops.GrowthPolicy.Action]) = {
+    val committed = (d: String) => readMeta(spark, d).isDefined
+    val cur = graft.ops.VersionedStore.current(spark, root, committed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed banded catalog under versioned root $root"))
+    val acts = maintain(spark, cur, policy, autoCompact)
+    val moved = acts.collectFirst {
+      case graft.ops.GrowthPolicy.Rebucket(n, _) =>
+        graft.ops.VersionedStore.cutover(spark, root, committed)(
+          rebucket(spark, cur, _, n))
+    }
+    moved.foreach(_ => graft.ops.VersionedStore.retire(spark, root, committed))
+    (moved.getOrElse(cur), acts)
+  }
+
   /** Compact the per-trigger appends: rewrite each selected bucket as
     * one band_key-sorted file, optionally dropping rows whose `added`
     * tag is below `retainAddedFrom` (age/count retention — the caller

@@ -220,8 +220,12 @@ object ExactCatalog {
         "left_anti"))
     val out = survivors.drop("__fp", "__h2")
     deliver(out) // delivery BEFORE the append — see scaladoc
+    // layout from the catalog's meta when it exists (`numBuckets` is the
+    // CREATE-TIME default only — see StreamingNearDedup.applyBatch): the
+    // read above already pruned under the meta count, and the append
+    // must land in the same layout
     append(survivors.select(col("__fp").as("fp"), col("__h2").as("h2")),
-      dir, numBuckets, added)
+      dir, readMeta(spark, dir).getOrElse(numBuckets), added)
     out
   }
 
@@ -316,6 +320,29 @@ object ExactCatalog {
       case _ => ()
     }
     acts
+  }
+
+  /** [[maintain]] over a [[graft.ops.VersionedStore]] root — the
+    * fully-executable lifecycle (see [[BandedCatalog.maintainVersioned]]):
+    * auto-compact in place, a tripped Rebucket executed as [[rebucket]]
+    * into the next version, predecessors retired after the swap. */
+  def maintainVersioned(
+      spark: SparkSession, root: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = true
+  ): (String, Seq[graft.ops.GrowthPolicy.Action]) = {
+    val committed = (d: String) => readMeta(spark, d).isDefined
+    val cur = graft.ops.VersionedStore.current(spark, root, committed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed exact catalog under versioned root $root"))
+    val acts = maintain(spark, cur, policy, autoCompact)
+    val moved = acts.collectFirst {
+      case graft.ops.GrowthPolicy.Rebucket(n, _) =>
+        graft.ops.VersionedStore.cutover(spark, root, committed)(
+          rebucket(spark, cur, _, n))
+    }
+    moved.foreach(_ => graft.ops.VersionedStore.retire(spark, root, committed))
+    (moved.getOrElse(cur), acts)
   }
 
   /** Rewrite each selected bucket as one fp-sorted file, collapsing

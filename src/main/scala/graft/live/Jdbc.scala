@@ -227,8 +227,12 @@ class JdbcClient(info: JdbcConnInfo) extends AutoCloseable {
         if (!ok) s.abort()
         // drained successfully ⇒ hasNext already saw the end marker and
         // is side-effect-free; an undrained-but-returned consumer still
-        // holds the protocol open ⇒ cancel
-        else if (s.chunks.hasNext) s.abort()
+        // holds the protocol open ⇒ cancel. The probe itself can pull
+        // one more chunk from the live stream and may THROW on a
+        // mid-stream server failure — best-effort, like the abort hook,
+        // so a broken end-of-stream can't override a completed consume.
+        else try { if (s.chunks.hasNext) s.abort() }
+        catch { case _: Exception => try s.abort() catch { case _: Exception => () } }
       }
     }
 

@@ -48,22 +48,24 @@ object Checkpoints {
     * observer, which tallies the stage's scans/exchanges; stages + final
     * plan sum to the composition's true census without double-counting
     * (each stage's lineage ends at the previous pins' checkpoint RDDs).
-    * Tool-side, single-threaded by construction; never part of the
-    * operator contract. */
-  @volatile private var observer: Option[DataFrame => Unit] = None
+    * Tool-side; never part of the operator contract. Thread-LOCAL so a
+    * census never observes pins from concurrent threads (a Spark job
+    * running in parallel with the census would otherwise be mis-tallied
+    * into it), and nested [[withObserver]] scopes restore the enclosing
+    * observer instead of clearing it. */
+  private val observer = new scala.util.DynamicVariable[Option[DataFrame => Unit]](None)
 
-  /** Run `body` with every [[pin]] reporting its input frame to `f`. */
-  def withObserver[A](f: DataFrame => Unit)(body: => A): A = {
-    observer = Some(f)
-    try body finally observer = None
-  }
+  /** Run `body` with every [[pin]] ON THIS THREAD reporting its input
+    * frame to `f`; the prior observer (if any) is restored on exit. */
+  def withObserver[A](f: DataFrame => Unit)(body: => A): A =
+    observer.withValue(Some(f))(body)
 
   /** Materialize `df` once and truncate its lineage: reliable
     * `checkpoint` when [[ConfKey]] is set, `localCheckpoint` otherwise.
     * Always eager — every call site pins state that later stages (or a
     * side effect between them) must see exactly once. */
   def pin(df: DataFrame): DataFrame = {
-    observer.foreach(_(df))
+    observer.value.foreach(_(df))
     val spark = df.sparkSession
     reliableDir(spark) match {
       case Some(dir) =>

@@ -13,9 +13,11 @@ package graft.ops
   * threshold and never before. Each store wraps it in a `maintain(...)`
   * helper that gathers its own signals and (flag-gated) auto-runs the
   * one action that is safe in place: per-bucket compaction. Re-sharding
-  * and retraining build into a FRESH directory with a caller-owned
-  * cutover (see the stores' `rebucket`/`build` scaladoc), so the policy
-  * only ever RECOMMENDS those.
+  * and retraining build into a FRESH directory with a cutover: plain
+  * `maintain` only RECOMMENDS those (caller-owned swap), while each
+  * store's `maintainVersioned` EXECUTES them through
+  * [[VersionedStore]] — readers resolve a committed version at every
+  * instant, crash-mid-rebuild included.
   *
   * SCALE.md §growth runbook documents the operational procedure.
   */
@@ -44,8 +46,10 @@ object GrowthPolicy {
   sealed trait Action
 
   /** Re-shard into `newBuckets` (always a fresh dir + cutover — never
-    * auto-run; for the IVF index this is a RETRAIN under `newBuckets`
-    * lists, since the list count is trained into the quantizer). */
+    * run in place; `maintainVersioned` executes it through
+    * [[VersionedStore]]. For the IVF index this is a RETRAIN under
+    * `newBuckets` lists, since the list count is trained into the
+    * quantizer). */
   case class Rebucket(newBuckets: Int, meanBucketBytes: Long) extends Action
 
   /** LSM-merge the listed buckets in place (safe to auto-run: the
@@ -53,7 +57,8 @@ object GrowthPolicy {
   case class Compact(buckets: Seq[Int]) extends Action
 
   /** (IVF) the coarse quantizer no longer fits the data — rebuild into a
-    * fresh dir (never auto-run). */
+    * fresh dir (never run in place; `IvfIndex.maintainVersioned`
+    * executes it through [[VersionedStore]]). */
   case class Retrain(driftRatio: Double) extends Action
 
   /** One recursive listing of `root`, aggregating parquet

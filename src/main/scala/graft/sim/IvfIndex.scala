@@ -355,6 +355,59 @@ object IvfIndex {
     acts
   }
 
+  /** Rebuild the index from its OWN stored vectors into a fresh dir —
+    * the executable body of [[graft.ops.GrowthPolicy]]'s Retrain (same
+    * list count, fresh quantizer for drifted data) and Rebucket (more
+    * lists — the list count is trained into the quantizer, so an IVF
+    * re-shard IS a retrain). Replay-duplicated ids collapse first (one
+    * row per id, like [[compact]]); an existing PQ leg is re-trained on
+    * the new assignment so the rebuilt index serves the same probes.
+    * `toDir` must be fresh — the [[graft.ops.VersionedStore]] cutover
+    * supplies one and owns the serving swap. */
+  def retrain(
+      spark: SparkSession, fromDir: String, toDir: String,
+      nLists: Option[Int] = None): Unit = {
+    val m = requireMeta(spark, fromDir)
+    val vecs = vectors(spark, fromDir)
+      .groupBy(col("id")).agg(first(col("vec")).as("vec"))
+    build(vecs, "id", "vec", toDir, nLists.getOrElse(m.nLists))
+    readPqMeta(spark, fromDir).foreach(pm =>
+      buildPq(spark, toDir, pm.m, pm.k, residual = pm.residual))
+  }
+
+  /** [[maintain]] over a [[graft.ops.VersionedStore]] root — the
+    * fully-executable lifecycle: signals through the shared policy,
+    * auto-compact in place, and the recommend-only actions EXECUTED as a
+    * [[retrain]] into the next version (Rebucket retrains under the
+    * policy's doubled list count; Retrain keeps the count) with retired
+    * predecessors swept. Readers keep resolving a committed version at
+    * every instant (crash mid-retrain leaves the new version
+    * uncommitted and the old one serving — the VersionedStore crash
+    * contract). Returns the serving dir after maintenance plus the
+    * actions that tripped. */
+  def maintainVersioned(
+      spark: SparkSession, root: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = true,
+      driftBatch: Option[(DataFrame, String)] = None
+  ): (String, Seq[graft.ops.GrowthPolicy.Action]) = {
+    val committed = (d: String) => readMeta(spark, d).isDefined
+    val cur = graft.ops.VersionedStore.current(spark, root, committed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed IVF index under versioned root $root"))
+    val acts = maintain(spark, cur, policy, autoCompact, driftBatch)
+    val rebuilt = acts.collectFirst {
+      case graft.ops.GrowthPolicy.Rebucket(n, _) =>
+        graft.ops.VersionedStore.cutover(spark, root, committed)(
+          retrain(spark, cur, _, Some(n)))
+      case graft.ops.GrowthPolicy.Retrain(_) =>
+        graft.ops.VersionedStore.cutover(spark, root, committed)(
+          retrain(spark, cur, _))
+    }
+    rebuilt.foreach(_ => graft.ops.VersionedStore.retire(spark, root, committed))
+    (rebuilt.getOrElse(cur), acts)
+  }
+
   /** Rewrite the selected lists (all of them when `lists = None`) as one
     * id-sorted file each, collapsing duplicate ids from replayed appends
     * to one row. Same duplicate-tolerant swap as the catalogs: merged

@@ -59,6 +59,12 @@ object StreamingNearDedup {
     * file count crosses `compactAboveFiles` (0 disables), and return the
     * surviving (idCol, textCol) rows.
     *
+    * The `shingleSize`/`bands`/`rowsPerBand`/`numBuckets` arguments are
+    * CREATE-TIME defaults only: an existing catalog's meta is
+    * authoritative for its layout, so every later batch (and every
+    * restarted stream) probes with the catalog's own banding and bucket
+    * count whatever the call site passes.
+    *
     * Compaction is PER BUCKET (LSM-style): `compactAboveFiles` is a
     * per-bucket file threshold — only buckets whose append files piled
     * past it are rewritten, so steady-state trigger cost is O(touched
@@ -88,6 +94,15 @@ object StreamingNearDedup {
       retentionSweepEvery: Long = 256L,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
+    // LAYOUT comes from the CATALOG when it exists: banding and bucket
+    // count are layout properties recorded in its meta (like PqMeta),
+    // and a reader probing an existing catalog with different values
+    // would silently miss duplicates (wrong band keys) or prune the
+    // wrong buckets. The passed values apply only to a catalog this
+    // batch CREATES — afterwards the meta is authoritative, so e.g. a
+    // 1024-bucket catalog keeps its regime no matter what callers pass.
+    val m = BandedCatalog.readMeta(spark, catalogDir)
+      .getOrElse(BandedCatalog.Meta(numBuckets, bands, rowsPerBand, shingleSize))
     // the engine re-plans foreachBatch frames; pin so the dedup's
     // self-joins don't recompute the upstream per reference
     val docs = Checkpoints.pin(batch.select(col(idCol), col(textCol)))
@@ -97,19 +112,20 @@ object StreamingNearDedup {
     // trigger's dominant compute, so every extra consumer used to
     // double it
     val sigs = Checkpoints.pin(Dedup.minhashNearCatalog(
-      docs, idCol, textCol, shingleSize, bands, rowsPerBand))
-    val probe = BandedCatalog.bandRows(sigs, bands, rowsPerBand, numBuckets, 0L)
+      docs, idCol, textCol, m.shingleSize, m.bands, m.rowsPerBand))
+    val probe = BandedCatalog.bandRows(sigs, m.bands, m.rowsPerBand,
+      m.numBuckets, 0L)
     val catalog = BandedCatalog.readForBatch(
       spark, catalogDir, probe, maxPushdownKeys)
     val survivors = Checkpoints.pin(Dedup.dedupNearIncrementalBanded(
       docs, catalog, idCol, textCol,
-      shingleSize, bands, rowsPerBand,
+      m.shingleSize, m.bands, m.rowsPerBand,
       jaccardThreshold,
       newSigs = Some(sigs))) // deliver + append must see ONE survivor set
     deliver(survivors)
     BandedCatalog.append(
       sigs.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"),
-      catalogDir, bands, rowsPerBand, numBuckets, shingleSize, added)
+      catalogDir, m.bands, m.rowsPerBand, m.numBuckets, m.shingleSize, added)
     if (compactAboveFiles > 0) {
       val cutoff = retainAddedBehind.map(b => added - b)
       if (cutoff.isDefined && retentionSweepEvery > 0 && added > 0 &&

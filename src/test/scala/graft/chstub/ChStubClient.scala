@@ -8,7 +8,8 @@ import graft.live.{JdbcClient, JdbcConnInfo}
   * speaks (`ping`/`execute`/`queryScalar`/`columnsOf`) routed into the
   * executable ClickHouse statement engine instead of a socket, so the
   * full reference topology (postgres → clickhouse) runs through
-  * `Main.runPostgresWith` with zero real services. */
+  * `Main.runPostgresWith` with zero real services — exercised end to end
+  * by [[graft.live.FullTopologySpec]]. */
 class ChStubClient(val engine: ChStubEngine)
     extends JdbcClient(JdbcConnInfo("jdbc:graft-chstub:none")) {
 

@@ -135,4 +135,123 @@ class GrowthPolicySpec extends AnyFunSuite with SparkTestBase {
     assert(acts == Seq(Retrain(far)) ||
       acts.exists { case Retrain(r) => r > 1.5; case _ => false })
   }
+
+  // ----------------------------------------- executed growth lifecycle
+
+  test("drift-tripped IVF retrain EXECUTES through VersionedStore; apply semantics hold across the cutover") {
+    import graft.sim.{IvfIndex, SemDedup}
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft-growth-vroot").toString
+    val committed = (d: String) => IvfIndex.readMeta(spark, d).isDefined
+
+    // v1: initial build through the cutover
+    val base = emb.filter(col("vec_id") < 300)
+    val baseN = base.count()
+    val v1 = VersionedStore.cutover(spark, root, committed)(
+      IvfIndex.build(base, "vec_id", "embedding", _, nLists = 4))
+    assert(v1 == VersionedStore.versionDir(root, 1))
+
+    // a batch applies against the serving resolution and grows v1
+    val batch1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    val s1 = SemDedup.applyBatchIndexed(batch1,
+      VersionedStore.current(spark, root, committed).get,
+      "vec_id", "embedding", 0.95)
+    val s1N = s1.count()
+    assert(s1N > 0)
+
+    // a crashed retrain: the dir materializes but never commits — v1
+    // keeps serving (the VersionedStore crash contract, here exercised
+    // through the store's own commit probe)
+    intercept[RuntimeException] {
+      VersionedStore.cutover(spark, root, committed) { d =>
+        new java.io.File(d).mkdirs()
+        throw new RuntimeException("crash mid-retrain")
+      }
+    }
+    assert(VersionedStore.current(spark, root, committed).contains(v1))
+
+    // healthy maintenance: no actions, serving unchanged
+    val (same, none) = IvfIndex.maintainVersioned(spark, root,
+      Policy(targetBucketBytes = 1L << 30, maxFilesPerBucket = 64))
+    assert(same == v1 && none.isEmpty)
+
+    // drift-tripped: maintainVersioned retrains into the next version
+    // (numbered past the crash remnant) and retires v1 + the remnant
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x * 10.0 + 3.0).as("embedding"))
+    val (serving, acts) = IvfIndex.maintainVersioned(spark, root,
+      Policy(targetBucketBytes = 1L << 30, maxFilesPerBucket = 64,
+        maxDriftRatio = 1.5),
+      driftBatch = Some((shifted.limit(100), "embedding")))
+    assert(acts.exists { case Retrain(r) => r > 1.5; case _ => false })
+    assert(serving == VersionedStore.versionDir(root, 3))
+    assert(VersionedStore.current(spark, root, committed).contains(serving))
+    assert(!new java.io.File(v1).exists(), "retired predecessor must be swept")
+    assert(!new java.io.File(VersionedStore.versionDir(root, 2)).exists(),
+      "crashed remnant must be swept")
+
+    // the retrained index carries base + the batch-1 survivors
+    assert(IvfIndex.vectors(spark, serving).select("id").distinct().count()
+      == baseN + s1N)
+
+    // apply semantics hold across the cutover:
+    // (a) replaying batch 1 admits nothing — replay suppression carried
+    val replay = SemDedup.applyBatchIndexed(batch1, serving,
+      "vec_id", "embedding", 0.95)
+    assert(replay.isEmpty, "replayed batch must converge after the retrain")
+    // (b) planted exact copies of indexed vectors still drop (identical
+    // vectors co-locate under ANY quantizer); survivors are fresh-only
+    val copies = base.limit(5)
+      .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+    val fresh = emb.filter(col("vec_id") >= 350 && col("vec_id") < 360)
+      .select((col("vec_id") + 200000000L).as("vec_id"), col("embedding"))
+    val s2 = SemDedup.applyBatchIndexed(copies.unionByName(fresh), serving,
+      "vec_id", "embedding", 0.95)
+    val s2Ids = s2.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s2Ids.nonEmpty && s2Ids.forall(_ >= 200000000L),
+      s"planted copies must drop, fresh may survive: $s2Ids")
+  }
+
+  test("catalog rebucket EXECUTES through VersionedStore, preserving dedup state across the cutover") {
+    import graft.dedup.ExactCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-growth-vcat").toString
+    val committed = (d: String) => ExactCatalog.readMeta(spark, d).isDefined
+    def docs(r: Range) = r.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+
+    // v1 via cutover (the accreting store commits meta-first, so the
+    // first append IS the commit)
+    val v1 = VersionedStore.cutover(spark, root, committed)(d =>
+      ExactCatalog.append(ExactCatalog.entriesOf(docs(0 until 200), "text"),
+        d, numBuckets = 2))
+    (1 until 4).foreach(b => ExactCatalog.append(
+      ExactCatalog.entriesOf(docs(b * 200 until (b + 1) * 200), "text"),
+      VersionedStore.current(spark, root, committed).get,
+      numBuckets = 2, added = b.toLong))
+    val fpCount = ExactCatalog.read(spark, v1)
+      .select("fp", "h2").distinct().count()
+
+    // every real catalog exceeds a 1-byte bucket target → Rebucket,
+    // EXECUTED into v2 with a doubled count; v1 retired
+    val (serving, acts) = ExactCatalog.maintainVersioned(spark, root,
+      Policy(targetBucketBytes = 1L, maxFilesPerBucket = 64))
+    assert(acts.exists { case Rebucket(n, _) => n > 2; case _ => false })
+    assert(serving == VersionedStore.versionDir(root, 2))
+    assert(ExactCatalog.readMeta(spark, serving).exists(_ > 2))
+    assert(!new java.io.File(v1).exists(), "retired predecessor must be swept")
+    // state preserved: same distinct fingerprint set size
+    assert(ExactCatalog.read(spark, serving)
+      .select("fp", "h2").distinct().count() == fpCount)
+
+    // dedup behavior preserved: replaying seen docs against the
+    // re-sharded serving catalog admits nothing; fresh docs survive.
+    // applyBatch derives the NEW bucket count from the catalog's meta —
+    // the stale create-time default (2) must not mis-prune.
+    val replay = ExactCatalog.applyBatch(
+      docs(100 until 300), serving, "doc_id", "text", numBuckets = 2)
+    assert(replay.isEmpty)
+    val freshBatch = ExactCatalog.applyBatch(
+      docs(800 until 820), serving, "doc_id", "text", numBuckets = 2)
+    assert(freshBatch.count() == 20)
+  }
 }

@@ -311,4 +311,66 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e3.getMessage.contains("no meta file"))
   }
+
+  test("catalog meta is authoritative: default-arg batches adopt the regime; versioned rebucket preserves it") {
+    import spark.implicits._
+    import graft.dedup.BandedCatalog
+    val (b1, b2) = corpus()
+    val root = Files.createTempDirectory("graft-snd-meta").toString + "/vroot"
+    val committed = (d: String) => BandedCatalog.readMeta(spark, d).isDefined
+
+    // v1 created at a NON-default regime (the bench's prune-capable
+    // shape in miniature: many buckets, different banding)
+    var s1Ids = Set.empty[Long]
+    val v1 = graft.ops.VersionedStore.cutover(spark, root, committed) { d =>
+      s1Ids = StreamingNearDedup.applyBatch(
+        b1.toDF("doc_id", "text"), d, "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 8, numBuckets = 32,
+        added = 1L).collect().map(_.getLong(0)).toSet
+    }
+    val m0 = BandedCatalog.readMeta(spark, v1).get
+    assert(m0 == BandedCatalog.Meta(32, 8, 8, 3)) // meta round-trip
+
+    // a batch with DEFAULT layout args adopts the catalog's regime:
+    // near-dups of batch-1 docs drop (probing with the meta's banding —
+    // default 16×4 band keys would never match rows banded 8×8), fresh
+    // docs survive, and the appended rows land in the META's buckets
+    val out = StreamingNearDedup.applyBatch(
+      b2.toDF("doc_id", "text"), v1, "doc_id", "text", added = 2L)
+    val outIds = out.collect().map(_.getLong(0)).toSet
+    // every planted mutant dropped (only possible when the probe bands
+    // with the META's 8×8 regime); survivors are genuinely-fresh docs
+    // (a strict-equality check would over-pin: the corpus has planted
+    // near-dups of its own, and 3-shingles legitimately catch more)
+    assert(outIds.nonEmpty && outIds.forall(_ < 100000L), s"survivors: $outIds")
+    assert(BandedCatalog.readMeta(spark, v1).contains(m0))
+    assert(BandedCatalog.read(spark, v1)
+      .filter(BandedCatalog.bucketOf(col("band_key"), 32) =!= col("bucket"))
+      .count() == 0)
+
+    // versioned growth: a tight byte target trips Rebucket, EXECUTED
+    // into v2 — banding preserved, bucket count doubled past 32
+    val (serving, acts) = BandedCatalog.maintainVersioned(spark, root,
+      graft.ops.GrowthPolicy.Policy(targetBucketBytes = 1L, maxFilesPerBucket = 64))
+    assert(acts.exists {
+      case graft.ops.GrowthPolicy.Rebucket(n, _) => n > 32; case _ => false
+    })
+    assert(serving == graft.ops.VersionedStore.versionDir(root, 2))
+    assert(!new java.io.File(v1).exists(), "retired predecessor must be swept")
+    val m1 = BandedCatalog.readMeta(spark, serving).get
+    assert(m1.numBuckets > 32 &&
+      (m1.bands, m1.rowsPerBand, m1.shingleSize) == (8, 8, 3))
+
+    // dedup memory carried through the cutover, still under default
+    // args: mutants of the LONGEST batch-1 SURVIVORS (long text keeps
+    // the mutated Jaccard near 1, so the 8-row bands collide
+    // deterministically; a dropped or short doc would test probability,
+    // not the meta-derived probe) drop against v2
+    val mutants = b1.filter(d => s1Ids.contains(d._1))
+      .sortBy(-_._2.length).take(5)
+      .map { case (id, t) => (id + 950000L, mutate(t)) }
+    assert(StreamingNearDedup.applyBatch(
+      mutants.toDF("doc_id", "text"), serving, "doc_id", "text",
+      added = 3L).isEmpty)
+  }
 }
