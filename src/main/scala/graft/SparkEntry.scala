@@ -209,24 +209,27 @@ object SparkEntry {
   /** Recall floors for the trained-ANN gate contracts
     * ([[annRecallContract]]) — regression tripwires, not quality claims
     * (the tighter distribution pins live in SimilaritySpec/PqSpec).
-    * Measured mean recall@10 on the driver testdata (sf0.001 / 0.01 /
-    * 0.1): IVF 3-of-8-probe 0.80 / 0.66 / 0.64; PQ + 5x exact rerank
-    * 0.88 / 0.90 / 0.73. Floors sit under half the worst measured
-    * value; a probe or ranking regression lands near 0. */
-  private val IvfRecallFloor = 0.25
+    * Round 11 re-measured at the EXACT gate configuration
+    * (`graft.tools.GateRecallProbe` — same planted-dup corpus, query
+    * set, probe counts and codebooks as the gate queries), mean
+    * recall@10 at sf0.001 / 0.01 / 0.1: IVF 3-of-8-probe (ad-hoc and
+    * indexed legs identical) 0.74 / 0.88 / 0.665; PQ + 5x exact rerank
+    * 0.84 / 0.88 / 0.745. Training is fully seeded (Similarity.lloyd,
+    * Pq.train), so these are reproducible, and each floor sits at half
+    * the worst measured SF — tight enough that a probe, ranking, or
+    * codebook regression (which lands recall near 0) trips the oracle,
+    * with 2x headroom over measurement. */
+  private val IvfRecallFloor = 0.33
   private val PqRecallFloor = 0.40
   /** The IVF-PQ leg composes the IVF probe's recall with the ADC
     * shortlist + exact-rerank agreement, so it sits at or slightly under
-    * the raw probe's recall. Round 10 re-measured on a DENSER query set
-    * (`graft.tools.IvfPqProbe`, nq 25/25/100 vs the gate's 5/5/20) over
-    * a k×scheme grid: the r9 k=16 codebooks were the bottleneck (4-bit
-    * cells in 8-bit codes — sf0.1 recall 0.52); k=64 reaches
-    * 0.69 / 0.65 / 0.58 with residual encoding (raw-coding within one
-    * standard error: 0.69 / 0.64 / 0.59 — the residual win is small at
-    * bench nLists because the coarse cells are broad, and grows with the
-    * √n-scaled nLists a real corpus gets). Floor = half the worst
-    * measured (0.576), same under-half discipline. */
-  private val IvfPqRecallFloor = 0.28
+    * the raw probe's recall: gate-config measurement (r11,
+    * `GateRecallProbe`) 0.74 / 0.88 / 0.645. The denser-query sweep
+    * (`graft.tools.IvfPqProbe`, nq 25/25/100) that chose k=64 codebooks
+    * + residual encoding in r10 measured 0.69 / 0.65 / 0.58 and stays
+    * the scheme-change adjudicator. Floor = half the worst gate-config
+    * value (0.645), same under-half discipline as the other legs. */
+  private val IvfPqRecallFloor = 0.32
 
   /** On-disk IVF index per sf dir (`embed_topk_ivf_indexed` and the PQ
     * leg riding it): built once into a scratch dir, then probed — the
