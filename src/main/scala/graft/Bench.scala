@@ -66,9 +66,7 @@ object Bench {
   private val scratchParent =
     new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
   private val scratchHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def rmTree(p: java.io.File): Unit = {
-    Option(p.listFiles).foreach(_.foreach(rmTree)); val _ = p.delete()
-  }
+  private def rmTree(p: java.io.File): Unit = SparkEntry.deleteRecursively(p)
   private def scratch(prefix: String): String = synchronized {
     if (scratchParent.get == null)
       scratchParent.set(java.nio.file.Files.createTempDirectory("graft-bench-scratch"))

@@ -210,26 +210,27 @@ object SparkEntry {
     * ([[annRecallContract]]) — regression tripwires, not quality claims
     * (the tighter distribution pins live in SimilaritySpec/PqSpec).
     * Round 11 re-measured at the EXACT gate configuration
-    * (`graft.tools.GateRecallProbe` — same planted-dup corpus, query
-    * set, probe counts and codebooks as the gate queries), mean
-    * recall@10 at sf0.001 / 0.01 / 0.1: IVF 3-of-8-probe (ad-hoc and
-    * indexed legs identical) 0.74 / 0.88 / 0.665; PQ + 5x exact rerank
-    * 0.84 / 0.88 / 0.745. Training is fully seeded (Similarity.lloyd,
-    * Pq.train), so these are reproducible, and each floor sits at half
-    * the worst measured SF — tight enough that a probe, ranking, or
-    * codebook regression (which lands recall near 0) trips the oracle,
-    * with 2x headroom over measurement. */
-  private val IvfRecallFloor = 0.33
-  private val PqRecallFloor = 0.40
+    * (`graft.tools.GateRecallProbe` — the RAW embeddings corpus the
+    * gates query, the gates' `vec_id % 100 = 0` query set, nq 5/5/20,
+    * same probe counts and codebooks), mean recall@10 at
+    * sf0.001 / 0.01 / 0.1: IVF 3-of-8-probe (ad-hoc and indexed legs
+    * identical) 0.80 / 0.66 / 0.635; PQ + 5x exact rerank
+    * 0.88 / 0.90 / 0.73. Training is fully seeded (Similarity.lloyd,
+    * Pq.train), so these are reproducible; every floor = half the worst
+    * measured SF rounded down to 2 decimals — tight enough that a
+    * probe, ranking, or codebook regression (which lands recall near 0)
+    * trips the oracle, with 2x headroom over measurement. */
+  private val IvfRecallFloor = 0.31
+  private val PqRecallFloor = 0.36
   /** The IVF-PQ leg composes the IVF probe's recall with the ADC
     * shortlist + exact-rerank agreement, so it sits at or slightly under
     * the raw probe's recall: gate-config measurement (r11,
-    * `GateRecallProbe`) 0.74 / 0.88 / 0.645. The denser-query sweep
+    * `GateRecallProbe`) 0.80 / 0.66 / 0.615. The denser-query sweep
     * (`graft.tools.IvfPqProbe`, nq 25/25/100) that chose k=64 codebooks
     * + residual encoding in r10 measured 0.69 / 0.65 / 0.58 and stays
     * the scheme-change adjudicator. Floor = half the worst gate-config
-    * value (0.645), same under-half discipline as the other legs. */
-  private val IvfPqRecallFloor = 0.32
+    * value (0.615), same discipline as the other legs. */
+  private val IvfPqRecallFloor = 0.30
 
   /** On-disk IVF index per sf dir (`embed_topk_ivf_indexed` and the PQ
     * leg riding it): built once into a scratch dir, then probed — the
@@ -261,7 +262,9 @@ object SparkEntry {
   private val semddTemplates =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
-  private def deleteRecursively(p: java.io.File): Unit = {
+  /** Local-filesystem tree delete (shared with [[Bench]]'s scratch
+    * lifecycle — keep the one copy). */
+  private[graft] def deleteRecursively(p: java.io.File): Unit = {
     Option(p.listFiles).foreach(_.foreach(deleteRecursively))
     val _ = p.delete()
   }

@@ -335,11 +335,20 @@ object BandedCatalog {
     val cur = graft.ops.VersionedStore.current(spark, root, committed)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed banded catalog under versioned root $root"))
-    val acts = maintain(spark, cur, policy, autoCompact)
+    // recommend first WITHOUT the in-place compaction — a tripped
+    // Rebucket rewrites the whole store into the next version anyway,
+    // so compacting the predecessor it retires is wasted I/O (see
+    // ExactCatalog.maintainVersioned)
+    val acts = maintain(spark, cur, policy, autoCompact = false)
     val moved = acts.collectFirst {
       case graft.ops.GrowthPolicy.Rebucket(n, _) =>
         graft.ops.VersionedStore.cutover(spark, root, committed)(
           rebucket(spark, cur, _, n))
+    }
+    if (moved.isEmpty && autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(bs) =>
+        compact(spark, cur, buckets = Some(bs))
+      case _ => ()
     }
     moved.foreach(_ => graft.ops.VersionedStore.retire(spark, root, committed))
     (moved.getOrElse(cur), acts)

@@ -335,11 +335,21 @@ object ExactCatalog {
     val cur = graft.ops.VersionedStore.current(spark, root, committed)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed exact catalog under versioned root $root"))
-    val acts = maintain(spark, cur, policy, autoCompact)
+    // recommend first WITHOUT the in-place compaction: a grown store
+    // typically trips Compact and Rebucket together, and the Rebucket
+    // rewrite ([[rebucket]] collapses duplicates itself) supersedes a
+    // compact of the predecessor it is about to retire — running both
+    // would double the rewrite I/O of the growth event
+    val acts = maintain(spark, cur, policy, autoCompact = false)
     val moved = acts.collectFirst {
       case graft.ops.GrowthPolicy.Rebucket(n, _) =>
         graft.ops.VersionedStore.cutover(spark, root, committed)(
           rebucket(spark, cur, _, n))
+    }
+    if (moved.isEmpty && autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(bs) =>
+        compact(spark, cur, buckets = Some(bs))
+      case _ => ()
     }
     moved.foreach(_ => graft.ops.VersionedStore.retire(spark, root, committed))
     (moved.getOrElse(cur), acts)

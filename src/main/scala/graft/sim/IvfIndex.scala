@@ -53,8 +53,12 @@ object IvfIndex {
     * squared assignment distance of the training-discipline sample,
     * ×1e6 as a long so the int-field meta format carries it) — the
     * denominator of [[driftRatio]]; absent on pre-drift-signal indexes,
-    * which simply report no drift estimate. */
-  case class Meta(nLists: Int, dim: Int, buildErrE6: Option[Long] = None)
+    * which simply report no drift estimate. `expectPq` declares at
+    * build time that a PQ leg is part of this index's contract
+    * ([[retrain]] of a PQ-carrying index sets it): the IVF meta alone
+    * then does NOT mark the index serving-complete — see [[committed]]. */
+  case class Meta(nLists: Int, dim: Int, buildErrE6: Option[Long] = None,
+      expectPq: Boolean = false)
 
   private def metaPath(dir: String) = new Path(dir, "_graft_ivf.json")
 
@@ -64,7 +68,8 @@ object IvfIndex {
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     val out = fs(spark, dir).create(metaPath(dir), true)
     val err = m.buildErrE6.fold("")(e => s""","buildErrE6":$e""")
-    try out.write(s"""{"nLists":${m.nLists},"dim":${m.dim}$err}"""
+    val pq = if (m.expectPq) ""","expectPq":1""" else ""
+    try out.write(s"""{"nLists":${m.nLists},"dim":${m.dim}$err$pq}"""
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -84,7 +89,8 @@ object IvfIndex {
         fieldOpt(name).map(_.toInt)
           .getOrElse(throw new IllegalStateException(
             s"IVF index meta at $p is missing '$name': $text"))
-      Some(Meta(field("nLists"), field("dim"), fieldOpt("buildErrE6")))
+      Some(Meta(field("nLists"), field("dim"), fieldOpt("buildErrE6"),
+        fieldOpt("expectPq").contains(1L)))
     }
   }
 
@@ -92,6 +98,17 @@ object IvfIndex {
     readMeta(spark, dir).getOrElse(throw new IllegalStateException(
       s"no IVF index at $dir (missing ${metaPath(dir)} — never built, or " +
         "a crashed build left no commit marker); build() it first"))
+
+  /** SERVING-COMPLETE probe for versioned lifecycles: the IVF meta has
+    * landed AND every leg the meta declares has its own commit marker.
+    * [[retrain]] of a PQ-carrying index writes the IVF meta with
+    * `expectPq` (it must — [[buildPq]] reads that meta), so a crash in
+    * the window between the raw build and the PQ commit leaves the new
+    * version visibly incomplete and [[maintainVersioned]]'s resolution
+    * keeps serving the predecessor instead of retiring it. */
+  def committed(spark: SparkSession, dir: String): Boolean =
+    readMeta(spark, dir).exists(m =>
+      !m.expectPq || readPqMeta(spark, dir).isDefined)
 
   /** Per-row dimension guard fused into the write/probe scan: a
     * mismatched vector would otherwise score NULL against every centroid
@@ -120,7 +137,7 @@ object IvfIndex {
   def build(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       nLists: Int, targetRows: Long = 50000L, seed: Long = 42L,
-      rowCount: Option[Long] = None): Unit = {
+      rowCount: Option[Long] = None, expectPq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     // refusal BEFORE the (expensive) quantizer training
     require(readMeta(spark, dir).isEmpty,
@@ -158,7 +175,8 @@ object IvfIndex {
     // signed value would fail the unsigned meta-field regex on read —
     // the index would silently lose its drift reference
     writeMeta(spark, dir,
-      Meta(nLists, dim, Some(math.max(0L, math.round(buildErr * 1e6))))) // commit
+      Meta(nLists, dim, Some(math.max(0L, math.round(buildErr * 1e6))),
+        expectPq)) // commit (of the raw leg; see `committed` when expectPq)
   }
 
   /** Assign NEW vectors to the EXISTING centroids and append them — the
@@ -368,10 +386,17 @@ object IvfIndex {
       spark: SparkSession, fromDir: String, toDir: String,
       nLists: Option[Int] = None): Unit = {
     val m = requireMeta(spark, fromDir)
+    val pq = readPqMeta(spark, fromDir)
     val vecs = vectors(spark, fromDir)
       .groupBy(col("id")).agg(first(col("vec")).as("vec"))
-    build(vecs, "id", "vec", toDir, nLists.getOrElse(m.nLists))
-    readPqMeta(spark, fromDir).foreach(pm =>
+    // when the source carries a PQ leg, the rebuilt IVF meta DECLARES it
+    // (expectPq) before the leg exists: buildPq needs that meta to run,
+    // so the overall retrain can't put its commit marker last — instead
+    // the declaration keeps the version un-[[committed]] until the PQ
+    // meta (written last by buildPq) lands
+    build(vecs, "id", "vec", toDir, nLists.getOrElse(m.nLists),
+      expectPq = pq.isDefined)
+    pq.foreach(pm =>
       buildPq(spark, toDir, pm.m, pm.k, residual = pm.residual))
   }
 
@@ -391,11 +416,17 @@ object IvfIndex {
       autoCompact: Boolean = true,
       driftBatch: Option[(DataFrame, String)] = None
   ): (String, Seq[graft.ops.GrowthPolicy.Action]) = {
-    val committed = (d: String) => readMeta(spark, d).isDefined
+    // the STRICT probe: an IVF meta alone doesn't commit a version whose
+    // meta declares a PQ leg (retrain crash window) — see [[committed]]
+    val committed = (d: String) => this.committed(spark, d)
     val cur = graft.ops.VersionedStore.current(spark, root, committed)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed IVF index under versioned root $root"))
-    val acts = maintain(spark, cur, policy, autoCompact, driftBatch)
+    // recommend first WITHOUT the in-place compaction — a tripped
+    // Rebucket/Retrain rebuilds the whole index into the next version
+    // ([[retrain]] collapses replay duplicates itself), so compacting
+    // the predecessor it retires is wasted I/O
+    val acts = maintain(spark, cur, policy, autoCompact = false, driftBatch)
     val rebuilt = acts.collectFirst {
       case graft.ops.GrowthPolicy.Rebucket(n, _) =>
         graft.ops.VersionedStore.cutover(spark, root, committed)(
@@ -403,6 +434,11 @@ object IvfIndex {
       case graft.ops.GrowthPolicy.Retrain(_) =>
         graft.ops.VersionedStore.cutover(spark, root, committed)(
           retrain(spark, cur, _))
+    }
+    if (rebuilt.isEmpty && autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(ls) =>
+        compact(spark, cur, lists = Some(ls))
+      case _ => ()
     }
     rebuilt.foreach(_ => graft.ops.VersionedStore.retire(spark, root, committed))
     (rebuilt.getOrElse(cur), acts)

@@ -254,4 +254,55 @@ class GrowthPolicySpec extends AnyFunSuite with SparkTestBase {
       docs(800 until 820), serving, "doc_id", "text", numBuckets = 2)
     assert(freshBatch.count() == 20)
   }
+
+  test("retrain of a PQ-carrying index: a crash between the raw build and the PQ commit leaves the version uncommitted") {
+    import graft.sim.IvfIndex
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft-growth-pqcrash")
+      .toString
+    val strict = (d: String) => IvfIndex.committed(spark, d)
+
+    // v1: IVF + PQ leg, serving-complete under the strict probe
+    val v1 = VersionedStore.cutover(spark, root, strict) { d =>
+      IvfIndex.build(emb, "vec_id", "embedding", d, nLists = 4)
+      IvfIndex.buildPq(spark, d, m = 16, k = 16)
+    }
+    assert(IvfIndex.committed(spark, v1))
+
+    // retrain's crash window, reproduced exactly: the raw rebuild lands
+    // its IVF meta (declaring the PQ leg, as retrain does), then the JVM
+    // dies before buildPq commits
+    intercept[RuntimeException] {
+      VersionedStore.cutover(spark, root, strict) { d =>
+        IvfIndex.build(emb, "vec_id", "embedding", d, nLists = 4,
+          expectPq = true)
+        throw new RuntimeException("crash before buildPq")
+      }
+    }
+    val remnant = VersionedStore.versionDir(root, 2)
+    // the raw meta ALONE would have resolved the remnant as serving (the
+    // hazard this contract closes); the strict probe keeps v1 serving
+    assert(IvfIndex.readMeta(spark, remnant).isDefined)
+    assert(!IvfIndex.committed(spark, remnant))
+    assert(VersionedStore.current(spark, root, strict).contains(v1))
+
+    // a drift-tripped maintenance retrain completes: the new version
+    // carries a committed PQ leg, serves PQ probes, and the remnant +
+    // predecessor are swept
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x * 10.0 + 3.0).as("embedding"))
+    val (serving, acts) = IvfIndex.maintainVersioned(spark, root,
+      Policy(targetBucketBytes = 1L << 30, maxFilesPerBucket = 64,
+        maxDriftRatio = 1.5),
+      driftBatch = Some((shifted.limit(100), "embedding")))
+    assert(acts.exists { case Retrain(r) => r > 1.5; case _ => false })
+    assert(serving == VersionedStore.versionDir(root, 3))
+    assert(IvfIndex.readPqMeta(spark, serving).isDefined &&
+      IvfIndex.committed(spark, serving))
+    assert(!new java.io.File(remnant).exists(), "remnant must be swept")
+    assert(!new java.io.File(v1).exists(), "predecessor must be swept")
+    assert(IvfIndex.topKPq(spark, serving, emb.limit(3),
+      "vec_id", "embedding", k = 5, nProbe = 2, rerank = 20).count() > 0)
+  }
 }

@@ -2,14 +2,15 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import graft.sim.{IvfIndex, Pq, Similarity}
 
-/** Measures mean recall@10 of the three trained-ANN gate queries at
-  * their EXACT gate configuration (same planted-dup corpus, query set,
-  * probe counts and codebook sizes as `SparkEntry`'s
-  * `embed_topk_ivf[_indexed]` / `embed_topk_pq` /
-  * `embed_topk_ivfpq_indexed`) — the numbers the recall FLOORS are set
-  * from. Run with `sbt "Test/runMain graft.tools.GateRecallProbe"`
-  * when re-tuning; [[IvfPqProbe]] stays the denser-query scheme-change
-  * adjudicator. */
+/** Measures mean recall@10 of the trained-ANN gate queries at their
+  * EXACT gate configuration — the RAW embeddings corpus (no planted
+  * rows: the gate queries run on `emb(s, dir)` as-is), the gate's
+  * `vec_id % 100 = 0` query set, and the gate's probe counts and
+  * codebook sizes (`SparkEntry`'s `embed_topk_ivf[_indexed]` /
+  * `embed_topk_pq` / `embed_topk_ivfpq_indexed`) — the numbers the
+  * recall FLOORS are set from. Run with
+  * `sbt "Test/runMain graft.tools.GateRecallProbe"` when re-tuning;
+  * [[IvfPqProbe]] stays the denser-query scheme-change adjudicator. */
 object GateRecallProbe {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
@@ -19,11 +20,8 @@ object GateRecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val sfs = if (args.nonEmpty) args.toSeq else Seq("0.001", "0.01", "0.1")
     for (sf <- sfs) {
-      val raw = graft.sources.Tables.read(spark, s"/root/testdata/sf$sf", "embeddings")
+      val e = graft.sources.Tables.read(spark, s"/root/testdata/sf$sf", "embeddings")
         .select(col("vec_id"), col("embedding"))
-      // the gate corpus: planted near-exact copies at shifted ids
-      val e = raw.unionByName(raw.filter(col("vec_id") % 10 === 0).select(
-        (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
       val q = e.filter(col("vec_id") % 100 === 0)
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id")).cache()
