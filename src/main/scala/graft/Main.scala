@@ -365,16 +365,34 @@ object Main {
     * each committed batch (`src/adapter/mongodb.rs:259-302`). A live
     * deployment replaces the file fetch with a `watch` cursor behind the
     * same callback (see docs/MIGRATION.md). */
-  private def runMongo(spark: SparkSession, config: PipeConfig): Unit = {
+  private def runMongo(spark: SparkSession, config: PipeConfig): Unit =
+    runMongoWith(spark, config)
+
+  /** The Mongo pipe body behind the same two seams as
+    * [[runPostgresWith]]: `driverResolve` substitutes the change-stream
+    * driver's class resolution (the offline stub driver in
+    * MongoFullTopologySpec; production reflects over the real
+    * `mongodb-driver-sync` coordinates), and `targetClientFor` the
+    * target transport (the ClickHouse statement stub; production dials
+    * the configured JDBC url). `pollForever` overrides the live
+    * transport's poll-on-empty loop — a bounded verification run drains
+    * the pending stream and returns, the deployment default keeps the
+    * reference's tail-forever loop (`src/pipes/mongodb.rs:313-345`). */
+  private[graft] def runMongoWith(
+      spark: SparkSession, config: PipeConfig,
+      driverResolve: Option[String => Class[_]] = None,
+      targetClientFor: JdbcConnInfo => JdbcClient = new JdbcClient(_),
+      pollForever: Option[Boolean] = None): Unit = {
     implicit val s: SparkSession = spark
     val mc = config.source.mongodb.getOrElse(
       throw new IllegalArgumentException("source.mongodb required"))
     mc.resumeTokenStorage // validate: only the reference's `file` backend exists
     // transport: recorded replay when bson_dir is set; otherwise the
     // live driver behind LiveMongo's classpath probe — absent jar fails
-    // HERE with the hint, before any per-collection state is touched
+    // HERE with the hint, before any per-collection state is touched.
+    // An injected resolver IS the driver, so the probe defers to it.
     val live = mc.bson_dir.isEmpty
-    if (live && !graft.mongo.LiveMongo.driverPresent)
+    if (live && driverResolve.isEmpty && !graft.mongo.LiveMongo.driverPresent)
       throw new IllegalStateException(
         "live MongoDB needs org.mongodb:mongodb-driver-sync on the " +
           "classpath (no driver jar in this build), or set " +
@@ -396,7 +414,8 @@ object Main {
           val (opener, closer) = graft.mongo.LiveMongo.reflectiveTransport(
             graft.mongo.LiveMongo.uri(conn.host, conn.port,
               conn.username, conn.password, conn.app_name),
-            conn.database, coll.table_name)
+            conn.database, coll.table_name,
+            driverResolve.getOrElse(Class.forName(_)))
           transportClosers += closer
           graft.mongo.LiveMongo.fetchCallback(opener)
       }
@@ -427,7 +446,7 @@ object Main {
         case "jdbc" | "clickhouse" =>
           val (tc, dialect) = mongoTargetJdbc(config, mc, coll)
           val info = connInfo(tc.url, tc.user, tc.password, tc.driver)
-          val client = new JdbcClient(info)
+          val client = targetClientFor(info)
           closers += client
           pingOrAbort(client, "target", tc.url)
           // initialize: a fresh Mongo target is created `_id`-only
@@ -467,7 +486,8 @@ object Main {
       // or the reference's target.clickhouse location) stops after the
       // initialize phase (reference: `src/config.rs:280-284`). A live
       // transport polls forever (the reference's loop); replay drains.
-      try if (!config.disableSyncLoop) pipe.syncLoop(live = live)
+      try if (!config.disableSyncLoop)
+        pipe.syncLoop(live = pollForever.getOrElse(live))
       finally (closers ++ transportClosers).foreach(
         c => try c.close() catch { case _: Exception => () })
     }
