@@ -119,6 +119,7 @@ object Bench {
       "q2_min_cost", "q9_profit", "q11_important_value", "q12_late_priority",
       "q16_supplier_cnt", "q20_excess_supplier",
       "dedup_exact_docs", "dedup_incremental", "minhash_pairs", "simhash_docs",
+      "substr_dedup_clean",
       "embed_topk", "embed_topk_lsh", "embed_topk_ivf", "embed_topk_q8",
       "embed_topk_ivf_indexed", "embed_topk_ivfpq_indexed", "semdedup_report",
       "semdedup_incremental",

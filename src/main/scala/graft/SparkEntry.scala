@@ -911,6 +911,19 @@ object SparkEntry {
     "dedup_exact_docs" -> ((s, dir) =>
       Dedup.exactDupGroups(docs(s, dir), "doc_id", "text")),
 
+    // Repeated-SUBSTRING removal (Lee et al. 2022, window-fingerprint
+    // form): duplicated w-token windows (60-bit paired-polynomial fps,
+    // one prefix-hash scan) → keep-first-owner → merged maximal removal
+    // spans → token-level rewrite. Shuffle mass: one 8-byte-fp hash-agg
+    // plus an AQE-broadcast join of the tiny duplicated-fp set.
+    "substr_dedup_spans" -> ((s, dir) =>
+      graft.dedup.SubstrDedup.removedSpans(
+        docs(s, dir), "doc_id", "text", SubstrDedupW)),
+    "substr_dedup_clean" -> ((s, dir) =>
+      graft.dedup.SubstrDedup.dedupSubstrings(
+        docs(s, dir), "doc_id", "text", SubstrDedupW)
+        .filter(col("n_removed") > 0)),
+
     // MinHash+LSH near-dup candidates, FULLY oracled since round 6: the
     // portable signature kernel (rolling fingerprints + affine lanes)
     // lets DuckDB restate banding, bucket join and lane-match Jaccard
@@ -2055,6 +2068,43 @@ object SparkEntry {
     * hash over the string's UTF-8 BYTES ([[utf8BytesSql]]). */
   private def fingerprintSql(input: String): String =
     foldSql(utf8BytesSql(input))
+
+  /** Window width (tokens) for the repeated-substring dedup gate rows —
+    * shared between the Spark queries and the inlined oracle SQL so the
+    * two sides cannot drift. 8 tokens ≈ the scale of templated
+    * boilerplate the synthetic corpus plants (~4% of sf0.01's windows
+    * recur across documents). */
+  private[graft] val SubstrDedupW = 8
+
+  /** DuckDB SQL for one element of `token_window_fps`: the 60-bit paired
+    * polynomial (base-31 bits 0-29 | base-37 << 30) over the window
+    * string's UTF-8 bytes — the [[GraftHash.tokenWindowFps]] pairing. */
+  private def windowFpSql(winExpr: String): String =
+    s"(${foldSql(utf8BytesSql(winExpr))} | " +
+      s"(${foldSql(utf8BytesSql(winExpr), 37)} << 30))"
+
+  /** Shared oracle prefix for the `substr_dedup_*` rows: tokens → all
+    * `SubstrDedupW`-token window fingerprints with positions → window
+    * values in ≥2 distinct docs keep their min-doc owner → non-owner
+    * occurrences are the removal starts. */
+  private def substrDedupRemSql: String = {
+    val w = SubstrDedupW
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), wnd AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    ${windowFpSql(s"concat_ws(' ', toks[CAST(i AS INT) : CAST(i + ${w - 1} AS INT)])")} AS fp
+       |  FROM t, unnest(range(1, len(toks) - ${w - 2})) AS u(i)
+       |  WHERE len(toks) >= $w
+       |), own AS (
+       |  SELECT fp, min(doc_id) AS owner FROM wnd GROUP BY fp
+       |  HAVING min(doc_id) <> max(doc_id)
+       |), rem AS (
+       |  SELECT wnd.doc_id, wnd.pos FROM wnd JOIN own USING (fp)
+       |  WHERE wnd.doc_id > own.owner
+       |)""".stripMargin
+  }
 
   /** Pinned quality-model head for `quality_model_fixed`: dyadic weights
     * (exactly representable, decimal round-trip-stable) over the
@@ -3519,6 +3569,44 @@ object SparkEntry {
     "minhash_pairs" -> minhashPairsOracleSql,
 
     "neardup_verify" -> neardupVerifyOracleSql,
+
+    // Repeated-substring removal: merged maximal removed-token runs.
+    // Islands split where the gap between consecutive removal starts
+    // exceeds the window width (Spark merges at s <= hi + 1).
+    "substr_dedup_spans" ->
+      s"""$substrDedupRemSql, isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > $SubstrDedupW
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM rem)
+        |)
+        |SELECT doc_id, min(pos) AS span_lo,
+        |       max(pos) + ${SubstrDedupW - 1} AS span_hi
+        |FROM isl GROUP BY doc_id, island
+        |""".stripMargin,
+
+    // The rewrite, affected docs only: surviving tokens re-joined with
+    // single spaces (a fully-duplicated doc empties to '').
+    "substr_dedup_clean" ->
+      s"""$substrDedupRemSql, remtok AS (
+        |  SELECT DISTINCT doc_id, pos + o AS idx
+        |  FROM rem, unnest(range(0, $SubstrDedupW)) AS v(o)
+        |), tok AS (
+        |  SELECT t.doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT)] AS tok
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE t.doc_id IN (SELECT doc_id FROM rem)
+        |)
+        |SELECT tok.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(r.idx) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN r.idx IS NULL THEN tok.tok END,
+        |                      ' ' ORDER BY tok.idx), '') AS clean_text
+        |FROM tok LEFT JOIN remtok r ON r.doc_id = tok.doc_id AND r.idx = tok.idx
+        |GROUP BY tok.doc_id
+        |""".stripMargin,
 
     "simhash_docs" -> simhashDocsOracleSql,
 

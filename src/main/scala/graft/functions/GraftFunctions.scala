@@ -74,7 +74,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => CountSubstr(exprs.head, exprs(1))),
     (FunctionIdentifier("extract_html_text"),
       new ExpressionInfo(classOf[ExtractHtmlText].getName, "extract_html_text"),
-      (exprs: Seq[Expression]) => ExtractHtmlText(exprs.head))
+      (exprs: Seq[Expression]) => ExtractHtmlText(exprs.head)),
+    (FunctionIdentifier("token_window_fps"),
+      new ExpressionInfo(classOf[TokenWindowFps].getName, "token_window_fps"),
+      (exprs: Seq[Expression]) => TokenWindowFps(exprs.head, kOf(exprs(1))))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -103,6 +106,8 @@ object GraftFunctions {
   def simhashFp(c: Column): Column = column(SimHashFp(expression(c)))
   def shingleFpSet(c: Column, shingleSize: Int): Column =
     column(ShingleFpSet(expression(c), shingleSize))
+  def tokenWindowFps(c: Column, w: Int): Column =
+    column(TokenWindowFps(expression(c), w))
   def normalizeNfc(c: Column): Column = column(NormalizeNfc(expression(c)))
   def imageDims(c: Column): Column = column(ImageDims(expression(c)))
   def wavMeta(c: Column): Column = column(WavMeta(expression(c)))

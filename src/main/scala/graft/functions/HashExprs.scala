@@ -344,6 +344,87 @@ object GraftHash {
     }
     ArrayData.toArrayData(best)
   }
+
+  /** 60-bit fingerprints of every `w`-token window of the text, in
+    * position order: element i (0-based) is the window starting at token
+    * i+1 of [[TextKernels.tokenizeWs]]'s array. Each window's value is
+    * `fingerprint64(join) | fingerprint37(join) << 30` where `join` is
+    * the window's tokens joined by a single space — the same 60-bit
+    * pairing as [[simhashFp]], so a cross-window collision needs BOTH
+    * independent polynomials to collide (corpus-scale safe where a bare
+    * 30-bit fingerprint would birthday-collide in ~50 k windows).
+    * Restatable in any SQL engine as two fold-hashes over the UTF-8
+    * bytes of `concat_ws(' ', toks[i : i+w-1])`.
+    *
+    * Computed from prefix hashes over the space-joined token stream —
+    * O(bytes) total work per document, not O(windows × w) string
+    * re-hashing. Texts with fewer than `w` tokens yield an empty array
+    * (no window, never a short-text whole-doc hash: unlike the shingle
+    * kernels this feeds span REMOVAL, where a whole-short-doc
+    * pseudo-window would delete entire documents). */
+  def tokenWindowFps(s: UTF8String, w: Int): ArrayData = {
+    val toks = TextKernels.tokenizeWs(s)
+    val n = toks.numElements()
+    if (n < w) return ArrayData.toArrayData(Array.empty[Long])
+    // space-joined stream: token bytes with single 0x20 separators
+    val tokBytes = new Array[Array[Byte]](n)
+    var total = n - 1 // the separators
+    var t = 0
+    while (t < n) {
+      val b = toks.getUTF8String(t).getBytes
+      tokBytes(t) = b
+      total += b.length
+      t += 1
+    }
+    // prefix hashes H[k] over the first k stream bytes and pow tables,
+    // both polynomial bases, all arithmetic mod FpMod in longs; off(t)
+    // is the stream offset of token t's first byte (past its separator)
+    val h31 = new Array[Long](total + 1)
+    val h37 = new Array[Long](total + 1)
+    val p31 = new Array[Long](total + 1)
+    val p37 = new Array[Long](total + 1)
+    p31(0) = 1L; p37(0) = 1L
+    val off = new Array[Int](n)
+    var k = 0
+    t = 0
+    while (t < n) {
+      if (t > 0) { // separator byte precedes every token but the first
+        val c = ' '.toInt
+        h31(k + 1) = (h31(k) * 31 + c) % FpMod
+        h37(k + 1) = (h37(k) * 37 + c) % FpMod
+        p31(k + 1) = p31(k) * 31 % FpMod
+        p37(k + 1) = p37(k) * 37 % FpMod
+        k += 1
+      }
+      off(t) = k
+      val b = tokBytes(t)
+      var i = 0
+      while (i < b.length) {
+        val c = b(i) & 0xff
+        h31(k + 1) = (h31(k) * 31 + c) % FpMod
+        h37(k + 1) = (h37(k) * 37 + c) % FpMod
+        p31(k + 1) = p31(k) * 31 % FpMod
+        p37(k + 1) = p37(k) * 37 % FpMod
+        k += 1
+        i += 1
+      }
+      t += 1
+    }
+    val windows = n - w + 1
+    val out = new Array[Long](windows)
+    var wi = 0
+    while (wi < windows) {
+      val b = off(wi)
+      val last = wi + w - 1
+      val e = off(last) + tokBytes(last).length
+      val len = e - b
+      val f31 = java.lang.Math.floorMod(h31(e) - h31(b) * p31(len) % FpMod, FpMod)
+      val f37 = java.lang.Math.floorMod(h37(e) - h37(b) * p37(len) % FpMod, FpMod)
+      out(wi) = f31 | (f37 << 30)
+      wi += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** `fingerprint64(text)` — rolling-hash document fingerprint as a native
@@ -486,4 +567,23 @@ case class ShingleFpSet(child: Expression, shingleSize: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleFpSet =
     copy(child = newChild)
   override def prettyName: String = "shingle_fp_set"
+}
+
+/** `token_window_fps(text, w)` — the 60-bit PORTABLE fingerprint of every
+  * `w`-token window ([[GraftHash.tokenWindowFps]]), position-ordered so
+  * `posexplode` recovers (window start, fp) pairs for substring-level
+  * dedup. Prefix-hash computation, codegen'd single static call. */
+case class TokenWindowFps(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w > 0 && w <= 512, s"window token count out of range: $w")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.tokenWindowFps(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHash.tokenWindowFps($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowFps =
+    copy(child = newChild)
+  override def prettyName: String = "token_window_fps"
 }
