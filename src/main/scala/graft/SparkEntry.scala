@@ -924,6 +924,20 @@ object SparkEntry {
         docs(s, dir), "doc_id", "text", SubstrDedupW)
         .filter(col("n_removed") > 0)),
 
+    // Cross-crawl substring dedup: the id%3=0 split is the prior corpus
+    // whose distinct window-fp SET is the carried catalog state; the
+    // rest is the new crawl. Catalog windows own by value; in-batch
+    // duplicates keep the lowest batch id.
+    "substr_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.dedup.SubstrDedup.dedupSubstringsIncremental(
+        d.filter(col("doc_id") % 3 =!= 0),
+        graft.dedup.SubstrDedup.windowFpSet(
+          d.filter(col("doc_id") % 3 === 0), "text", SubstrDedupW),
+        "doc_id", "text", SubstrDedupW)
+        .filter(col("n_removed") > 0)
+    }),
+
     // MinHash+LSH near-dup candidates, FULLY oracled since round 6: the
     // portable signature kernel (rolling fingerprints + affine lanes)
     // lets DuckDB restate banding, bucket join and lane-match Jaccard
@@ -2083,11 +2097,9 @@ object SparkEntry {
     s"(${foldSql(utf8BytesSql(winExpr))} | " +
       s"(${foldSql(utf8BytesSql(winExpr), 37)} << 30))"
 
-  /** Shared oracle prefix for the `substr_dedup_*` rows: tokens → all
-    * `SubstrDedupW`-token window fingerprints with positions → window
-    * values in ≥2 distinct docs keep their min-doc owner → non-owner
-    * occurrences are the removal starts. */
-  private def substrDedupRemSql: String = {
+  /** Oracle CTEs shared by every `substr_dedup_*` row: tokens → all
+    * `SubstrDedupW`-token window fingerprints with positions. */
+  private def substrWndSql: String = {
     val w = SubstrDedupW
     s"""WITH t AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -2097,13 +2109,60 @@ object SparkEntry {
        |    ${windowFpSql(s"concat_ws(' ', toks[CAST(i AS INT) : CAST(i + ${w - 1} AS INT)])")} AS fp
        |  FROM t, unnest(range(1, len(toks) - ${w - 2})) AS u(i)
        |  WHERE len(toks) >= $w
-       |), own AS (
+       |)""".stripMargin
+  }
+
+  /** One-shot removal starts: window values in ≥2 distinct docs keep
+    * their min-doc owner; non-owner occurrences are removed. */
+  private def substrDedupRemSql: String =
+    s"""$substrWndSql, own AS (
        |  SELECT fp, min(doc_id) AS owner FROM wnd GROUP BY fp
        |  HAVING min(doc_id) <> max(doc_id)
        |), rem AS (
        |  SELECT wnd.doc_id, wnd.pos FROM wnd JOIN own USING (fp)
        |  WHERE wnd.doc_id > own.owner
        |)""".stripMargin
+
+  /** Incremental removal starts: catalog = docs with id%3=0 (their
+    * window set owns by VALUE), batch = the rest (in-batch duplicates
+    * keep the lowest batch id). Restates
+    * `SubstrDedup.removalStartsIncremental`'s rule literally. */
+  private def substrDedupIncRemSql: String =
+    s"""$substrWndSql, cat AS (
+       |  SELECT DISTINCT fp FROM wnd WHERE doc_id % 3 = 0
+       |), bocc AS (
+       |  SELECT * FROM wnd WHERE doc_id % 3 <> 0
+       |), bown AS (
+       |  SELECT fp, min(doc_id) AS owner FROM bocc GROUP BY fp
+       |  HAVING min(doc_id) <> max(doc_id)
+       |), rem AS (
+       |  SELECT bocc.doc_id, bocc.pos FROM bocc
+       |  LEFT JOIN cat ON cat.fp = bocc.fp
+       |  LEFT JOIN bown ON bown.fp = bocc.fp
+       |  WHERE cat.fp IS NOT NULL OR bocc.doc_id > bown.owner
+       |)""".stripMargin
+
+  /** The rewrite tail shared by the one-shot and incremental clean rows:
+    * affected docs only, surviving tokens re-joined with single spaces
+    * (a fully-duplicated doc empties to ''). */
+  private def substrDedupCleanSql(remPrefix: String): String = {
+    val w = SubstrDedupW
+    s"""$remPrefix, remtok AS (
+       |  SELECT DISTINCT doc_id, pos + o AS idx
+       |  FROM rem, unnest(range(0, $w)) AS v(o)
+       |), tok AS (
+       |  SELECT t.doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT)] AS tok
+       |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       |  WHERE t.doc_id IN (SELECT doc_id FROM rem)
+       |)
+       |SELECT tok.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(r.idx) AS BIGINT) AS n_removed,
+       |  coalesce(string_agg(CASE WHEN r.idx IS NULL THEN tok.tok END,
+       |                      ' ' ORDER BY tok.idx), '') AS clean_text
+       |FROM tok LEFT JOIN remtok r ON r.doc_id = tok.doc_id AND r.idx = tok.idx
+       |GROUP BY tok.doc_id
+       |""".stripMargin
   }
 
   /** Pinned quality-model head for `quality_model_fixed`: dyadic weights
@@ -3590,23 +3649,11 @@ object SparkEntry {
 
     // The rewrite, affected docs only: surviving tokens re-joined with
     // single spaces (a fully-duplicated doc empties to '').
-    "substr_dedup_clean" ->
-      s"""$substrDedupRemSql, remtok AS (
-        |  SELECT DISTINCT doc_id, pos + o AS idx
-        |  FROM rem, unnest(range(0, $SubstrDedupW)) AS v(o)
-        |), tok AS (
-        |  SELECT t.doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT)] AS tok
-        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
-        |  WHERE t.doc_id IN (SELECT doc_id FROM rem)
-        |)
-        |SELECT tok.doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(count(r.idx) AS BIGINT) AS n_removed,
-        |  coalesce(string_agg(CASE WHEN r.idx IS NULL THEN tok.tok END,
-        |                      ' ' ORDER BY tok.idx), '') AS clean_text
-        |FROM tok LEFT JOIN remtok r ON r.doc_id = tok.doc_id AND r.idx = tok.idx
-        |GROUP BY tok.doc_id
-        |""".stripMargin,
+    "substr_dedup_clean" -> substrDedupCleanSql(substrDedupRemSql),
+
+    // The incremental rewrite: catalog corpus (id%3=0) owns its window
+    // VALUES; in-batch duplicates keep the lowest batch id.
+    "substr_dedup_incremental" -> substrDedupCleanSql(substrDedupIncRemSql),
 
     "simhash_docs" -> simhashDocsOracleSql,
 

@@ -69,13 +69,57 @@ object SubstrDedup {
       .select(col(idCol), col("pos"))
   }
 
+  /** The distinct window-fingerprint SET of a corpus — the membership
+    * state an INCREMENTAL pipeline carries between crawls (one 8-byte
+    * value per distinct window; ownership needs no doc id because the
+    * catalog corpus always owns — see [[removalStartsIncremental]]).
+    * Column: `fp`. */
+  def windowFpSet(docs: DataFrame, textCol: String, w: Int): DataFrame =
+    docs.select(explode(GraftFunctions.tokenWindowFps(col(textCol), w))
+        .as("fp"))
+      .distinct()
+
+  /** Incremental removal starts for a NEW batch against the window set of
+    * all previously-processed crawls: a batch occurrence is removed iff
+    * its window value already EXISTS in the catalog (the prior corpus
+    * owns every window it contains — one prior occurrence plus this one
+    * is cross-document duplication, and crawl order makes the prior copy
+    * first), or it duplicates within the batch and a lower-id batch doc
+    * owns it. When every catalog id precedes every batch id this equals
+    * the one-shot [[removalStarts]] of the union restricted to batch
+    * docs (parity spec-pinned); processing order decides ownership
+    * otherwise, as in every incremental operator here.
+    *
+    * Scale: the occurrence←catalog join is an 8-byte-key hash join
+    * (bucket co-location for a persistent catalog); the in-batch owner
+    * side is small and broadcasts. */
+  def removalStartsIncremental(
+      batch: DataFrame, catalogFps: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame = {
+    val occ = windowOccurrences(batch, idCol, textCol, w)
+    val owners = occ.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("__owner"), max(col(idCol)).as("__maxid"))
+      .filter(col("__owner") =!= col("__maxid"))
+      .select(col("fp"), col("__owner"))
+    occ
+      .join(catalogFps.select(col("fp"), lit(1).as("__incat")), Seq("fp"), "left")
+      .join(owners, Seq("fp"), "left")
+      .filter(col("__incat").isNotNull || col(idCol) > col("__owner"))
+      .select(col(idCol), col("pos"))
+  }
+
   /** Maximal removed-token runs per document: (id, span_lo, span_hi),
     * 1-based inclusive token indices — overlapping and adjacent removed
     * windows merged (starts sorted per doc, fold with the `s ≤ hi+1`
     * merge rule; `hi` is monotone because starts are sorted). */
   def removedSpans(
-      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val perDoc = removalStarts(docs, idCol, textCol, w)
+      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    spansFromStarts(removalStarts(docs, idCol, textCol, w), idCol, w)
+
+  /** [[removedSpans]] from an explicit removal-start set (the batch and
+    * incremental paths share this merge stage). */
+  def spansFromStarts(starts: DataFrame, idCol: String, w: Int): DataFrame = {
+    val perDoc = starts
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     val spans = aggregate(
@@ -101,8 +145,28 @@ object SubstrDedup {
     * so the join broadcasts under AQE; the kept-token filter tests each
     * token index against the doc's merged spans (spans ≪ tokens). */
   def dedupSubstrings(
-      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val spans = removedSpans(docs, idCol, textCol, w)
+      docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    rewriteWithSpans(docs, removedSpans(docs, idCol, textCol, w), idCol, textCol)
+
+  /** Incremental rewrite of a new batch against the catalog window set —
+    * [[removalStartsIncremental]] semantics, [[dedupSubstrings]] output
+    * shape. The caller advances the catalog afterwards with
+    * `catalogFps union windowFpSet(batch)` distinct (or an append to the
+    * persistent store). */
+  def dedupSubstringsIncremental(
+      batch: DataFrame, catalogFps: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame =
+    rewriteWithSpans(batch,
+      spansFromStarts(
+        removalStartsIncremental(batch, catalogFps, idCol, textCol, w),
+        idCol, w),
+      idCol, textCol)
+
+  /** The rewrite stage shared by the batch and incremental paths. */
+  private def rewriteWithSpans(
+      docs: DataFrame, spanRows: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val spans = spanRows
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_lo"), col("span_hi"))).as("__spans"))
     docs.join(spans, Seq(idCol), "left")

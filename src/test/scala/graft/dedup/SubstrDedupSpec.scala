@@ -114,6 +114,47 @@ class SubstrDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.size == corpus.count())
   }
 
+  test("incremental: catalog owns by value — even against lower batch ids") {
+    import spark.implicits._
+    val catalog = Seq(
+      (100L, s"stored crawl doc with $passage inside it")).toDF("doc_id", "text")
+    val batch = Seq(
+      // LOWER id than the catalog doc: the catalog still owns
+      (7L, s"new crawl doc repeating $passage verbatim"),
+      // batch-internal duplication: 8 keeps (lowest batch id), 9 loses
+      (8L, "shared batch only run w1 w2 w3 w4 w5 tail8"),
+      (9L, "prefix9 shared batch only run w1 w2 w3 w4 w5"),
+      (10L, "nothing here repeats anything at all ever seen")
+    ).toDF("doc_id", "text")
+    val catFps = SubstrDedup.windowFpSet(catalog, "text", W)
+    val out = SubstrDedup.dedupSubstringsIncremental(
+        batch, catFps, "doc_id", "text", W)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(7L) == ((8L, "new crawl doc repeating verbatim")))
+    assert(out(8L)._1 == 0L)
+    assert(out(9L) == ((9L, "prefix9"))) // the 9 shared tokens all went
+    assert(out(10L)._1 == 0L)
+  }
+
+  test("incremental == one-shot batch on the union when catalog ids precede batch ids") {
+    import spark.implicits._
+    val catalog = corpus.filter($"doc_id" <= 3)
+    val batch = corpus.filter($"doc_id" > 3)
+      .unionByName(Seq(
+        (7L, s"late crawl copies $passage again"),
+        (8L, s"and so does this one $passage thanks")).toDF("doc_id", "text"))
+    val catFps = SubstrDedup.windowFpSet(catalog, "text", W)
+    val inc = SubstrDedup.dedupSubstringsIncremental(
+        batch, catFps, "doc_id", "text", W)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val oneShot = SubstrDedup.dedupSubstrings(
+        catalog.unionByName(batch), "doc_id", "text", W)
+      .filter($"doc_id" > 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(inc == oneShot)
+    assert(inc.exists(r => r._1 == 7L && r._3 == 8L)) // the passage went
+  }
+
   test("adjacent-but-disjoint duplicated runs merge; separated runs do not") {
     import spark.implicits._
     // two shared 4-token runs in doc 12, separated by one private token
