@@ -938,6 +938,27 @@ object SparkEntry {
         .filter(col("n_removed") > 0)
     }),
 
+    // Same contract through the PERSISTENT window-fp catalog
+    // (SubstrCatalog: bucket-partitioned parquet, pruned per-batch
+    // probe — the state shape a year-long pipeline carries): the prior
+    // corpus's window set is appended to a fresh scratch catalog, the
+    // new crawl applied through it. Shares substr_dedup_incremental's
+    // oracle verbatim (parity is also spec-pinned). Fresh dir per
+    // invocation — applyBatch ADVANCES its catalog, so a shared one
+    // would scrub replays.
+    "substr_dedup_catalog" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cat = java.nio.file.Files
+        .createTempDirectory("graft-substr-cat-q").toString
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(
+          d.filter(col("doc_id") % 3 === 0), "text", SubstrDedupW), cat)
+      graft.dedup.SubstrCatalog.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0), cat,
+        "doc_id", "text", SubstrDedupW, added = 1L)
+        .filter(col("n_removed") > 0)
+    }),
+
     // MinHash+LSH near-dup candidates, FULLY oracled since round 6: the
     // portable signature kernel (rolling fingerprints + affine lanes)
     // lets DuckDB restate banding, bucket join and lane-match Jaccard
@@ -3654,6 +3675,9 @@ object SparkEntry {
     // The incremental rewrite: catalog corpus (id%3=0) owns its window
     // VALUES; in-batch duplicates keep the lowest batch id.
     "substr_dedup_incremental" -> substrDedupCleanSql(substrDedupIncRemSql),
+
+    // the persistent-catalog twin delivers the identical rewrite
+    "substr_dedup_catalog" -> substrDedupCleanSql(substrDedupIncRemSql),
 
     "simhash_docs" -> simhashDocsOracleSql,
 

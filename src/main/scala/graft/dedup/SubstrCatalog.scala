@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persistent WINDOW-FINGERPRINT catalog — the 100 TB shape for the
+  * distinct window-fp SET [[SubstrDedup.dedupSubstringsIncremental]]
+  * carries between crawls (Lee et al. 2022 span dedup, incremental
+  * form). A year-long pipeline cannot re-fingerprint every prior crawl
+  * per batch, and the in-memory set (~8 B per distinct corpus window ≈
+  * one per corpus token) outgrows any driver long before the corpus
+  * outgrows the cluster — so the set lives as a parquet catalog with
+  * the SAME layout discipline as the exact-dedup catalog, to which all
+  * storage mechanics delegate ([[ExactCatalog]]: bucket-partitioned by
+  * `fp mod numBuckets`, fp-sorted files for row-group skipping, meta-
+  * recorded bucket count, `added`-tag retention, per-bucket compaction,
+  * rebucket-into-fresh-dir growth, [[graft.ops.VersionedStore]]
+  * lifecycle).
+  *
+  * The delegated rows carry `h2 = fp`: the exact catalog's second hash
+  * guards one-hash text collisions, but a window fingerprint IS already
+  * a paired-polynomial 60-bit value
+  * ([[graft.functions.GraftHash.tokenWindowFps]] — two independent
+  * 30-bit lanes), and span dedup tolerates a ~2⁻⁶⁰ false window hit by
+  * construction (the paper's suffix-array restatements all hash).
+  * Duplicating the column costs nothing on disk — constant-per-row
+  * within a (fp)-sorted row group, RLE collapses it — and buys the
+  * entire maintenance surface with zero new layout code.
+  *
+  * Ownership needs no doc ids in the catalog: the prior corpus always
+  * owns a window it contains (crawl order makes its copy first), so
+  * membership is the whole state — see
+  * [[SubstrDedup.removalStartsIncremental]].
+  *
+  * Scale shape per batch: occurrences are fingerprinted once (one scan,
+  * pinned), the catalog probe reads ONLY the buckets the batch's
+  * windows hash into (partition pruning; `fp IN` row-group pushdown
+  * under the key cap, which window-fp batches typically overflow —
+  * bucket pruning still bounds the read to batch-touched buckets), the
+  * join is an 8-byte-key hash join, and the advance appends only the
+  * batch's NOVEL distinct fps, so the catalog stays distinct-modulo-
+  * replay without a global rewrite. Per-batch work is O(batch × bucket
+  * occupancy), never O(catalog).
+  *
+  * Crash/replay contract (deliver-before-append, as everywhere): the
+  * rewritten batch is DELIVERED via the callback before any append, so
+  * one complete, correct delivery always precedes catalog advance. A
+  * replay whose append already landed is SUPPRESSIVE — the batch's own
+  * windows are now catalog members, so the replayed delivery scrubs
+  * them as cross-crawl duplicates (for the exact catalog replay
+  * delivers zero survivors; here it delivers over-removed rewrites).
+  * Downstream must therefore be idempotent per document id, keeping the
+  * FIRST delivered rewrite — the standard at-least-once discipline, and
+  * the reason `deliver` is a callback rather than "write after the call
+  * returns".
+  */
+object SubstrCatalog {
+
+  /** Catalog entries of a document frame: the distinct window-fp set in
+    * the delegated `(fp, h2 = fp)` shape (see class doc). */
+  def entriesOf(docs: DataFrame, textCol: String, w: Int): DataFrame =
+    SubstrDedup.windowFpSet(docs, textCol, w)
+      .select(col("fp"), col("fp").as("h2"))
+
+  /** Append a distinct window-fp set under the caller's `added` tag. */
+  def append(
+      entries: DataFrame, dir: String,
+      numBuckets: Int = ExactCatalog.DefaultBuckets, added: Long = 0L): Unit =
+    ExactCatalog.append(entries, dir, numBuckets, added)
+
+  /** The whole catalog's fp set (empty before the first append). */
+  def readFps(spark: SparkSession, dir: String): DataFrame =
+    ExactCatalog.read(spark, dir).select(col("fp"))
+
+  /** One crawl/micro-batch against the persistent catalog: window
+    * occurrences pinned once, pruned catalog probe, incremental
+    * keep-first-owner span removal + token rewrite
+    * ([[SubstrDedup.dedupSubstringsIncremental]] semantics,
+    * [[SubstrDedup.dedupSubstrings]] output shape: `(idCol, n_tokens,
+    * n_removed, clean_text)`), DELIVERED via the callback, then the
+    * batch's novel distinct fps appended under `added`, and returned.
+    *
+    * `numBuckets` is the CREATE-TIME default only — an existing
+    * catalog's meta decides the layout (same contract as
+    * [[ExactCatalog.applyBatch]]). */
+  def applyBatch(
+      batch: DataFrame, dir: String, idCol: String, textCol: String, w: Int,
+      numBuckets: Int = ExactCatalog.DefaultBuckets, added: Long = 0L,
+      maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
+      deliver: DataFrame => Unit = _ => ()): DataFrame = {
+    val spark = batch.sparkSession
+    // pin the occurrence scan once: it feeds the pushdown probe, the
+    // ownership aggregate, the catalog join AND the advance
+    val occ = graft.ops.Checkpoints.pin(
+      SubstrDedup.windowOccurrences(batch, idCol, textCol, w))
+    val catFps = ExactCatalog.readForBatch(
+      spark, dir, occ.select(col("fp")), maxPushdownKeys)
+      .select(col("fp"))
+    val out = rewrite(batch, occ, catFps, idCol, textCol, w)
+    deliver(out) // delivery BEFORE the append — see class doc
+    // advance = the batch's distinct fps the catalog lacks; the anti-join
+    // runs against the SAME pruned read (a catalog fp outside the probed
+    // buckets can't equal a batch fp by construction of the pruning)
+    val novel = occ.select(col("fp")).distinct()
+      .join(catFps, Seq("fp"), "left_anti")
+      .select(col("fp"), col("fp").as("h2"))
+    ExactCatalog.append(novel, dir,
+      ExactCatalog.readMeta(spark, dir).getOrElse(numBuckets), added)
+    out
+  }
+
+  /** The incremental rewrite stage shared with [[applyBatch]] — also the
+    * parity surface the spec pins against the in-memory
+    * [[SubstrDedup.dedupSubstringsIncremental]]. */
+  private def rewrite(
+      batch: DataFrame, occ: DataFrame, catFps: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame =
+    SubstrDedup.dedupSubstringsFromStarts(
+      batch,
+      SubstrDedup.removalStartsIncrementalFromOcc(occ, catFps, idCol),
+      idCol, textCol, w)
+
+  // ------------------------------------------------------- maintenance
+  // The layout is byte-identical to the exact catalog's, so the whole
+  // lifecycle delegates; only the entry semantics differ.
+
+  def fileCount(spark: SparkSession, dir: String): Int =
+    ExactCatalog.fileCount(spark, dir)
+
+  def compact(
+      spark: SparkSession, dir: String,
+      retainAddedFrom: Option[Long] = None,
+      buckets: Option[Seq[Int]] = None): Unit =
+    ExactCatalog.compact(spark, dir, retainAddedFrom, buckets)
+
+  def rebucket(
+      spark: SparkSession, fromDir: String, toDir: String,
+      newBuckets: Int): Unit =
+    ExactCatalog.rebucket(spark, fromDir, toDir, newBuckets)
+
+  def maintain(
+      spark: SparkSession, dir: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = false): Seq[graft.ops.GrowthPolicy.Action] =
+    ExactCatalog.maintain(spark, dir, policy, autoCompact)
+
+  def maintainVersioned(
+      spark: SparkSession, root: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = true
+  ): (String, Seq[graft.ops.GrowthPolicy.Action]) =
+    ExactCatalog.maintainVersioned(spark, root, policy, autoCompact)
+}

@@ -95,8 +95,17 @@ object SubstrDedup {
     * side is small and broadcasts. */
   def removalStartsIncremental(
       batch: DataFrame, catalogFps: DataFrame,
-      idCol: String, textCol: String, w: Int): DataFrame = {
-    val occ = windowOccurrences(batch, idCol, textCol, w)
+      idCol: String, textCol: String, w: Int): DataFrame =
+    removalStartsIncrementalFromOcc(
+      windowOccurrences(batch, idCol, textCol, w), catalogFps, idCol)
+
+  /** [[removalStartsIncremental]] from pre-computed occurrences — the
+    * seam [[SubstrCatalog.applyBatch]] uses so one pinned occurrence
+    * frame feeds the pruned catalog probe, this join AND the catalog
+    * advance without re-running the window-fingerprint scan. `occ`
+    * needs columns (`idCol`, `pos`, `fp`). */
+  def removalStartsIncrementalFromOcc(
+      occ: DataFrame, catalogFps: DataFrame, idCol: String): DataFrame = {
     val owners = occ.groupBy(col("fp"))
       .agg(min(col(idCol)).as("__owner"), max(col(idCol)).as("__maxid"))
       .filter(col("__owner") =!= col("__maxid"))
@@ -161,6 +170,14 @@ object SubstrDedup {
         removalStartsIncremental(batch, catalogFps, idCol, textCol, w),
         idCol, w),
       idCol, textCol)
+
+  /** Output-shaped rewrite from an explicit removal-start set — the
+    * stage [[SubstrCatalog.applyBatch]] shares with the in-memory
+    * incremental path (both end `starts → merged spans → rewrite`). */
+  def dedupSubstringsFromStarts(
+      docs: DataFrame, starts: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame =
+    rewriteWithSpans(docs, spansFromStarts(starts, idCol, w), idCol, textCol)
 
   /** The rewrite stage shared by the batch and incremental paths. */
   private def rewriteWithSpans(
