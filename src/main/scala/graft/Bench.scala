@@ -46,7 +46,8 @@ object Bench {
     "semdedup_report", "dedup_cluster_resolve", "minhash_20k", "cdc_apply",
     "cluster_deep_chain", "pipeline_e2e_20k",
     "exact_trigger_1x", "exact_trigger_10x", "exact_flat_1x",
-    "exact_flat_10x", "neardedup_trigger_1x", "neardedup_trigger_10x")
+    "exact_flat_10x", "neardedup_trigger_1x", "neardedup_trigger_10x",
+    "substr_trigger_1x", "substr_trigger_10x")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
     * middles for even n (so reps=2 takes the min). Contention only ever
@@ -302,7 +303,8 @@ object Bench {
     val catalogNames = Seq(
       "exact_trigger_1x", "exact_trigger_10x",
       "exact_flat_1x", "exact_flat_10x",
-      "neardedup_trigger_1x", "neardedup_trigger_10x")
+      "neardedup_trigger_1x", "neardedup_trigger_10x",
+      "substr_trigger_1x", "substr_trigger_10x")
     val catalogTimes: Seq[(String, Double)] =
       if (catalogNames.exists(want)) {
         val docsBase = Tables.read(spark, sfDir, "documents")
@@ -349,6 +351,22 @@ object Bench {
           spark.range(0, copies).toDF("__rep").crossJoin(sigs)
             .select((col("id") + col("__rep") * 10000000L).as("id"),
               transform(col("__sig"), x => x + col("__rep") * 7919L).as("__sig"))
+        // window-fp (substring-dedup) catalogs: same prune-capable regime
+        // as near — 1024 buckets, one fp-sorted small-row-group file per
+        // bucket. A substring trigger's key mass is ~window-per-token, two
+        // orders denser than doc fingerprints, so the at-scale mechanism
+        // is row-group skipping via the pushed `fp IN (…)` inside probed
+        // buckets (bucket pruning only helps for tiny batches); the shifted
+        // copies grow catalog mass with DISTINCT fps, like real crawls.
+        val subEntries = graft.dedup.SubstrCatalog.entriesOf(
+          docsBase, "text", SparkEntry.SubstrDedupW).cache()
+        val subN = subEntries.count()
+        def subAmplified(copies: Int): DataFrame =
+          spark.range(0, copies).toDF("__rep").crossJoin(subEntries)
+            .select((col("fp") + col("__rep") * 1000003L).as("fp"),
+              (col("fp") + col("__rep") * 1000003L).as("h2"))
+        val subCopies = math.max(1, (100000L / math.max(subN, 1L)).toInt)
+        val substr1x = s"$tmp/substr1x"; val substr10x = s"$tmp/substr10x"
         locally {
           val hc = spark.sparkContext.hadoopConfiguration
           val oldBlock = hc.get("parquet.block.size")
@@ -360,6 +378,10 @@ object Bench {
               nearAmplified(1), near1x, numBuckets = NearBuckets)
             graft.dedup.BandedCatalog.append(
               nearAmplified(10), near10x, numBuckets = NearBuckets)
+            graft.dedup.SubstrCatalog.append(
+              subAmplified(subCopies), substr1x, numBuckets = NearBuckets)
+            graft.dedup.SubstrCatalog.append(
+              subAmplified(subCopies * 10), substr10x, numBuckets = NearBuckets)
           } finally {
             if (oldBlock == null) hc.unset("parquet.block.size")
             else hc.set("parquet.block.size", oldBlock)
@@ -384,6 +406,17 @@ object Bench {
           docsBase.limit(25).select(
             (col("doc_id") + lit(repC * 50000000L)).as("doc_id"),
             concat(col("text"), lit(s" uniq$repC")).as("text"))
+        }
+        // the substring trigger micro-batch: 2 docs whose body windows
+        // are catalog members (scrubbed, not re-appended) and whose
+        // rep-unique tail windows are novel (appended) — every rep pays
+        // probe + rewrite + append, the steady-state trigger shape
+        def freshSubstrBatch(): DataFrame = {
+          repC += 1
+          docsBase.limit(2).select(
+            (col("doc_id") + lit(repC * 50000000L)).as("doc_id"),
+            concat(col("text"),
+              lit(s" uniq$repC rep tail marker tokens $repC")).as("text"))
         }
         val runs: Seq[(String, () => Unit)] = Seq(
           "exact_trigger_1x" -> (() => {
@@ -417,8 +450,23 @@ object Bench {
               freshNearBatch(), near10x, "doc_id", "text",
               numBuckets = NearBuckets,
               added = repC.toLong, deliver = d => force(d))
+          }),
+          "substr_trigger_1x" -> (() => {
+            val _ = graft.dedup.SubstrCatalog.applyBatch(
+              freshSubstrBatch(), substr1x, "doc_id", "text",
+              SparkEntry.SubstrDedupW, numBuckets = NearBuckets,
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          "substr_trigger_10x" -> (() => {
+            val _ = graft.dedup.SubstrCatalog.applyBatch(
+              freshSubstrBatch(), substr10x, "doc_id", "text",
+              SparkEntry.SubstrDedupW, numBuckets = NearBuckets,
+              added = repC.toLong, deliver = d => force(d))
           }))
-        val isNear: String => Boolean = _.startsWith("neardedup_")
+        // near + substr triggers want their key IN lists actually pushed
+        // (see the threshold note below); exact keeps the r9 regime
+        val isNear: String => Boolean =
+          n => n.startsWith("neardedup_") || n.startsWith("substr_trigger_")
         val out = runs.filter(r => want(r._1) && !isNear(r._1))
           .map { case (n, f) => n -> timeN(n)(f()) }
         // the near triggers run with the band_key IN list actually pushed
@@ -430,11 +478,13 @@ object Bench {
         val oldIn = spark.conf.get(inKey)
         val nearOut =
           try {
-            spark.conf.set(inKey, "1024")
+            // 4096 covers the substr triggers' window-fp lists (~500/doc)
+            // as well as the ≤400 near band keys
+            spark.conf.set(inKey, "4096")
             runs.filter(r => want(r._1) && isNear(r._1))
               .map { case (n, f) => n -> timeN(n)(f()) }
           } finally spark.conf.set(inKey, oldIn)
-        baseEntries.unpersist(); sigs.unpersist()
+        baseEntries.unpersist(); sigs.unpersist(); subEntries.unpersist()
         out ++ nearOut
       } else Seq.empty
 
