@@ -47,7 +47,7 @@ object Bench {
     "cluster_deep_chain", "pipeline_e2e_20k",
     "exact_trigger_1x", "exact_trigger_10x", "exact_flat_1x",
     "exact_flat_10x", "neardedup_trigger_1x", "neardedup_trigger_10x",
-    "substr_trigger_1x", "substr_trigger_10x")
+    "substr_trigger_1x", "substr_trigger_10x", "curate_trigger")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
     * middles for even n (so reps=2 takes the min). Contention only ever
@@ -304,7 +304,7 @@ object Bench {
       "exact_trigger_1x", "exact_trigger_10x",
       "exact_flat_1x", "exact_flat_10x",
       "neardedup_trigger_1x", "neardedup_trigger_10x",
-      "substr_trigger_1x", "substr_trigger_10x")
+      "substr_trigger_1x", "substr_trigger_10x", "curate_trigger")
     val catalogTimes: Seq[(String, Double)] =
       if (catalogNames.exists(want)) {
         val docsBase = Tables.read(spark, sfDir, "documents")
@@ -462,11 +462,21 @@ object Bench {
               freshSubstrBatch(), substr10x, "doc_id", "text",
               SparkEntry.SubstrDedupW, numBuckets = NearBuckets,
               added = repC.toLong, deliver = d => force(d))
+          }),
+          // the composed curation trigger: one fresh micro-batch through
+          // all three tiers' catalogs (meta decides each layout) — the
+          // steady-state per-trigger cost of the full-topology operator
+          "curate_trigger" -> (() => {
+            val _ = graft.streaming.StreamingCurate.applyBatch(
+              freshSubstrBatch(), exact1x, near1x, substr1x,
+              "doc_id", "text", SparkEntry.SubstrDedupW,
+              added = repC.toLong, deliver = d => force(d))
           }))
         // near + substr triggers want their key IN lists actually pushed
         // (see the threshold note below); exact keeps the r9 regime
         val isNear: String => Boolean =
-          n => n.startsWith("neardedup_") || n.startsWith("substr_trigger_")
+          n => n.startsWith("neardedup_") || n.startsWith("substr_trigger_") ||
+            n == "curate_trigger" // runs the near + substr probes inside
         val out = runs.filter(r => want(r._1) && !isNear(r._1))
           .map { case (n, f) => n -> timeN(n)(f()) }
         // the near triggers run with the band_key IN list actually pushed

@@ -959,6 +959,33 @@ object SparkEntry {
         .filter(col("n_removed") > 0)
     }),
 
+    // The COMPOSED streaming curation pipeline (exact → near → substr
+    // rewrite), one micro-batch against three persistent catalogs built
+    // from the prior corpus (id%3=0) — the full-topology twin of the
+    // individually-oracled tier rows, fully oracled end to end: the
+    // oracle restates exact anti-join + LSH banding/verify/cluster +
+    // window-fp scrub as one CTE chain. Fresh dirs per invocation (the
+    // operator advances all three catalogs).
+    "curate_stream_batch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-curate-q").toString
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr")
+      graft.streaming.StreamingCurate.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0),
+        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L)
+        .filter(col("n_tokens") > 0)
+    }),
+
     // MinHash+LSH near-dup candidates, FULLY oracled since round 6: the
     // portable signature kernel (rolling fingerprints + affine lanes)
     // lets DuckDB restate banding, bucket join and lane-match Jaccard
@@ -2675,6 +2702,100 @@ object SparkEntry {
        |WHERE c.cluster_id IS NULL OR f.doc_id = c.cluster_id
        |""".stripMargin
 
+  /** Full `curate_stream_batch` oracle — the three dedup tiers as one
+    * CTE chain over the same split (catalogs = id%3=0, batch = rest):
+    * exact anti-join + in-batch min-id collapse (`dedup_incremental`'s
+    * rule), LSH banding → catalog drop → in-batch verify + reachability
+    * clusters (`neardedup_incremental`'s chain, re-rooted at the exact
+    * survivors), then the window-fp scrub (`substr_dedup_incremental`'s
+    * rule, re-rooted at the near survivors) emitting EVERY survivor's
+    * rewrite. Thresholds and constants are the same shared literals the
+    * tier oracles inline, so the sides cannot drift. */
+  private def curateStreamOracleSql: String = {
+    val w = SubstrDedupW
+    s"""WITH RECURSIVE ${minhashSigCtesSql},
+       |${substrWndSql.stripPrefix("WITH ")},
+       |exact_cat AS (
+       |  SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
+       |), b0 AS (
+       |  SELECT min(doc_id) AS doc_id, text
+       |  FROM documents WHERE doc_id % 3 != 0 GROUP BY text
+       |), exact_surv AS (
+       |  SELECT f.doc_id FROM b0 f
+       |  LEFT JOIN exact_cat c ON f.text = c.text
+       |  WHERE c.text IS NULL
+       |), ncat AS (SELECT * FROM sg WHERE doc_id % 3 = 0),
+       |nw AS (
+       |  SELECT * FROM sg WHERE doc_id IN (SELECT doc_id FROM exact_surv)
+       |), nb AS (
+       |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
+       |         unnest(${minhashBandKeysSql}) AS band_key FROM nw
+       |), ob AS (
+       |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
+       |         unnest(${minhashBandKeysSql}) AS band_key FROM ncat
+       |), hitp AS (
+       |  SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+       |  FROM nb JOIN ob USING (band, band_key)
+       |), drops AS (
+       |  SELECT DISTINCT new_id FROM hitp
+       |  JOIN nw sa ON sa.doc_id = new_id
+       |  JOIN ncat sb ON sb.doc_id = old_id
+       |  WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.8
+       |), fresh AS (
+       |  SELECT * FROM nw WHERE doc_id NOT IN (SELECT new_id FROM drops)
+       |), fb AS (
+       |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
+       |         unnest(${minhashBandKeysSql}) AS band_key FROM fresh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM fb a JOIN fb b2 USING (band, band_key)
+       |  WHERE a.doc_id < b2.doc_id
+       |), epairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN fresh sa ON sa.doc_id = id_a JOIN fresh sb ON sb.doc_id = id_b
+       |  WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.8
+       |), e AS (
+       |  SELECT id_a AS a, id_b AS b FROM epairs
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM epairs
+       |), reach(id, m) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.id
+       |), clusters AS (
+       |  SELECT id, min(m) AS cluster_id FROM reach GROUP BY id
+       |), near_surv AS (
+       |  SELECT f.doc_id FROM fresh f LEFT JOIN clusters c ON c.id = f.doc_id
+       |  WHERE c.cluster_id IS NULL OR f.doc_id = c.cluster_id
+       |), scat AS (
+       |  SELECT DISTINCT fp FROM wnd WHERE doc_id % 3 = 0
+       |), bocc AS (
+       |  SELECT * FROM wnd WHERE doc_id IN (SELECT doc_id FROM near_surv)
+       |), bown AS (
+       |  SELECT fp, min(doc_id) AS owner FROM bocc GROUP BY fp
+       |  HAVING min(doc_id) <> max(doc_id)
+       |), rem AS (
+       |  SELECT bocc.doc_id, bocc.pos FROM bocc
+       |  LEFT JOIN scat ON scat.fp = bocc.fp
+       |  LEFT JOIN bown ON bown.fp = bocc.fp
+       |  WHERE scat.fp IS NOT NULL OR bocc.doc_id > bown.owner
+       |), remtok AS (
+       |  SELECT DISTINCT doc_id, pos + o AS idx
+       |  FROM rem, unnest(range(0, $w)) AS v(o)
+       |), tok AS (
+       |  SELECT t.doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT)] AS tok
+       |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       |  WHERE t.doc_id IN (SELECT doc_id FROM near_surv)
+       |)
+       |SELECT tok.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(r.idx) AS BIGINT) AS n_removed,
+       |  coalesce(string_agg(CASE WHEN r.idx IS NULL THEN tok.tok END,
+       |                      ' ' ORDER BY tok.idx), '') AS clean_text
+       |FROM tok LEFT JOIN remtok r ON r.doc_id = tok.doc_id AND r.idx = tok.idx
+       |GROUP BY tok.doc_id
+       |""".stripMargin
+  }
+
   /** Shared CTE prefix for the DSIR oracles: whitespace tokens → hashed
     * bucket (the `doc_fingerprint` rolling hash over UTF-8 bytes, mod
     * 10k — [[fingerprintSql]]) → per-split counts → dense smoothed
@@ -3682,6 +3803,8 @@ object SparkEntry {
     "simhash_docs" -> simhashDocsOracleSql,
 
     "neardedup_incremental" -> neardedupIncrementalOracleSql,
+
+    "curate_stream_batch" -> curateStreamOracleSql,
 
     "dedup_cluster_resolve" ->
       """WITH RECURSIVE e AS (

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
+
+/** The COMPOSED streaming curation pipeline: every micro-batch runs the
+  * three text dedup tiers in sequence, each against its own persistent
+  * catalog —
+  *
+  *   1. EXACT ([[ExactCatalog]]): drop literal copies of anything the
+  *      corpus has seen; in-batch copies keep the lowest id. Cheapest
+  *      tier first — every doc it drops never pays MinHash or window
+  *      fingerprinting.
+  *   2. NEAR ([[StreamingNearDedup]] / [[graft.dedup.BandedCatalog]]):
+  *      drop docs whose estimated Jaccard against the corpus clears the
+  *      threshold; in-batch near-dup clusters collapse to their
+  *      reachability-min representative. Runs on the RAW text so its
+  *      signatures stay comparable with the catalog's.
+  *   3. SUBSTRING ([[SubstrCatalog]]): rewrite the survivors, scrubbing
+  *      every ≥w-token span whose windows the corpus already carries
+  *      (the rewrite tier runs LAST — it changes the text, and the
+  *      filter tiers' state is keyed on what was ingested, not on
+  *      scrubbed derivatives).
+  *
+  * Output per batch: `(idCol, n_tokens, n_removed, clean_text)` for the
+  * docs that survived both filter tiers.
+  *
+  * Crash contract — the reason this is one operator and not three
+  * chained `foreachBatch` writers: each tier appends AFTER its deliver
+  * callback returns, so nesting the tiers inside each other's callbacks
+  * makes EVERY catalog append land after the FINAL delivery
+  * (deliver → substr append → near append → exact append). Chaining
+  * three independent writers instead would let tier N's append land
+  * before tier N+1 ever ran — a crash between them silently suppresses
+  * the in-flight docs on replay without them ever reaching downstream
+  * (at-most-once loss). Nested, a crash anywhere replays the batch into
+  * at-least-once delivery; a replay whose appends partially landed is
+  * suppressive (exact/near re-drop, substr re-scrubs — downstream keeps
+  * the FIRST delivery per doc id, as everywhere in this family).
+  */
+object StreamingCurate {
+
+  /** One micro-batch through all three tiers (pure enough to unit-test
+    * without the engine). Layout parameters are CREATE-TIME defaults
+    * only — each catalog's meta is authoritative once it exists. */
+  def applyBatch(
+      batch: DataFrame,
+      exactDir: String, nearDir: String, substrDir: String,
+      idCol: String, textCol: String, w: Int,
+      shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.7,
+      numBuckets: Int = ExactCatalog.DefaultBuckets,
+      nearNumBuckets: Int = BandedCatalog.DefaultBuckets,
+      compactAboveFiles: Int = 16,
+      added: Long = 0L,
+      retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
+      deliver: DataFrame => Unit = _ => ()): DataFrame = {
+    var out: DataFrame = batch.sparkSession.emptyDataFrame
+    val _ = StreamingExactDedup.applyBatch(
+      batch, exactDir, idCol, textCol, numBuckets,
+      compactAboveFiles = compactAboveFiles, added = added,
+      retainAddedBehind = retainAddedBehind,
+      retentionSweepEvery = retentionSweepEvery,
+      deliver = exactSurvivors => {
+        val _ = StreamingNearDedup.applyBatch(
+          exactSurvivors, nearDir, idCol, textCol,
+          shingleSize, bands, rowsPerBand, jaccardThreshold,
+          nearNumBuckets, compactAboveFiles = compactAboveFiles,
+          added = added, retainAddedBehind = retainAddedBehind,
+          retentionSweepEvery = retentionSweepEvery,
+          deliver = nearSurvivors => {
+            out = StreamingSubstrDedup.applyBatch(
+              nearSurvivors, substrDir, idCol, textCol, w, numBuckets,
+              compactAboveFiles = compactAboveFiles, added = added,
+              retainAddedBehind = retainAddedBehind,
+              retentionSweepEvery = retentionSweepEvery,
+              deliver = deliver)
+          })
+      })
+    out
+  }
+
+  /** foreachBatch writer: `deliver` receives each micro-batch's curated
+    * rewrites (write them to the downstream sink there). Catalog rows
+    * are tagged with the engine's batch id. */
+  def writer(
+      docs: DataFrame,
+      exactDir: String, nearDir: String, substrDir: String,
+      checkpointDir: String,
+      idCol: String, textCol: String, w: Int,
+      shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.7,
+      numBuckets: Int = ExactCatalog.DefaultBuckets,
+      nearNumBuckets: Int = BandedCatalog.DefaultBuckets,
+      compactAboveFiles: Int = 16,
+      retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
+      trigger: Trigger = Trigger.AvailableNow())(
+      deliver: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val _ = applyBatch(batch, exactDir, nearDir, substrDir,
+            idCol, textCol, w, shingleSize, bands, rowsPerBand,
+            jaccardThreshold, numBuckets, nearNumBuckets,
+            compactAboveFiles, added = batchId,
+            retainAddedBehind = retainAddedBehind,
+            retentionSweepEvery = retentionSweepEvery,
+            deliver = deliver)
+        }
+      }
+}

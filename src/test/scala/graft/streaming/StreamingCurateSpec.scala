@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.Files
+import scala.collection.mutable.ArrayBuffer
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestBase
+import graft.dedup.{BandedCatalog, ExactCatalog}
+
+/** The composed streaming curation pipeline ([[StreamingCurate]]):
+  * every tier fires against its own catalog within one micro-batch,
+  * streaming equals sequential batch composition, and the strict crash
+  * contract — NO catalog advances when the final delivery fails (the
+  * all-appends-after-final-delivery ordering that makes the composition
+  * one operator rather than three chained writers). The composed
+  * Spark-vs-DuckDB semantics are oracled end to end by the
+  * `curate_stream_batch` CORRECTNESS row. */
+class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val W = 4
+
+  private val b1 = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "pack my box with five dozen liquor jugs while the band plays on")
+
+  private val b2 = Seq(
+    10L -> b1.head._2, // exact copy of doc 1 → exact tier drops
+    11L -> (b1(1)._2 + " xx"), // near-dup of doc 2 → near tier drops
+    // carries doc 2's "my box with five dozen" span in fresh text →
+    // substr tier scrubs, filter tiers keep
+    12L -> "completely different content here about weather my box with five dozen reports daily",
+    13L -> "unrelated streaming data flows through the night pipeline quietly",
+    14L -> "duplicate pair text appears twice in this batch exactly",
+    15L -> "duplicate pair text appears twice in this batch exactly") // in-batch copy → dropped
+
+  private def dirs(tag: String): (String, String, String) = {
+    val tmp = Files.createTempDirectory(s"graft-curate-$tag").toString
+    (s"$tmp/exact", s"$tmp/near", s"$tmp/substr")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  private def catCounts(e: String, n: String, s: String): (Long, Long, Long) =
+    (ExactCatalog.read(spark, e).count(),
+      BandedCatalog.read(spark, n).count(),
+      ExactCatalog.read(spark, s).count())
+
+  test("all three tiers fire; streaming equals sequential batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: sequential applyBatch into its own catalog set
+    val (re, rn, rs) = dirs("ref")
+    val r1 = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
+      re, rn, rs, "doc_id", "text", W, added = 0L)
+    val r2 = StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
+      re, rn, rs, "doc_id", "text", W, added = 1L)
+    val want = (rows(r1) ++ rows(r2)).toSet
+
+    val (se, sn, ss) = dirs("stream")
+    val delivered = ArrayBuffer.empty[(Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCurate.writer(
+        input.toDS().toDF("doc_id", "text"), se, sn, ss,
+        s"${Files.createTempDirectory("graft-curate-ck")}", "doc_id", "text", W,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))(
+        df => delivered ++= rows(df)).start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(delivered.toSet == want)
+
+    // the per-tier evidence the composition is FOR:
+    val byId = delivered.map(r => r._1 -> r).toMap
+    assert(!byId.contains(10L), "exact tier must drop the literal copy")
+    assert(!byId.contains(11L), "near tier must drop the near-dup")
+    assert(!byId.contains(15L), "in-batch exact copy keeps the lower id")
+    assert(byId.contains(14L) && byId(14L)._3 == 0L)
+    assert(byId(12L)._3 > 0 && !byId(12L)._4.contains("box"),
+      "substr tier must scrub the catalog span")
+    assert(byId(12L)._4.startsWith("completely different content"))
+    assert(byId(13L)._3 == 0L)
+    assert(b1.forall { case (id, _) => byId(id)._3 == 0L })
+  }
+
+  test("crash contract: a failed final delivery advances NO catalog") {
+    val (e, n, s) = dirs("crash")
+    val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
+      e, n, s, "doc_id", "text", W, added = 0L)
+    val before = catCounts(e, n, s)
+    val boom = intercept[RuntimeException] {
+      StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
+        e, n, s, "doc_id", "text", W, added = 1L,
+        deliver = _ => throw new RuntimeException("sink down"))
+    }
+    assert(boom.getMessage == "sink down")
+    assert(catCounts(e, n, s) == before,
+      "no tier's append may land before the final delivery")
+    // replay after the crash delivers the full correct batch
+    val replay = rows(StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
+      e, n, s, "doc_id", "text", W, added = 1L))
+    val ids = replay.map(_._1).toSet
+    assert(ids == Set(12L, 13L, 14L))
+    assert(catCounts(e, n, s) != before)
+  }
+}
