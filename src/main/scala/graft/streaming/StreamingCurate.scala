@@ -17,7 +17,14 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   *      threshold; in-batch near-dup clusters collapse to their
   *      reachability-min representative. Runs on the RAW text so its
   *      signatures stay comparable with the catalog's.
-  *   3. SUBSTRING ([[SubstrCatalog]]): rewrite the survivors, scrubbing
+  *   3. SEMANTIC ([[graft.sim.SemDedup]] over a persistent
+  *      [[graft.sim.IvfIndex]]) — OPTIONAL, engaged by `semIndexDir`
+  *      when the batch carries an embedding column: drop docs whose
+  *      embedding cosine against the corpus index clears the SemDeDup
+  *      threshold (Abbas 2023). The near tier projects to (id, text),
+  *      so the embeddings are re-joined from the pinned batch by id —
+  *      a broadcast-sized join at micro-batch scale.
+  *   4. SUBSTRING ([[SubstrCatalog]]): rewrite the survivors, scrubbing
   *      every ≥w-token span whose windows the corpus already carries
   *      (the rewrite tier runs LAST — it changes the text, and the
   *      filter tiers' state is keyed on what was ingested, not on
@@ -30,7 +37,8 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   * chained `foreachBatch` writers: each tier appends AFTER its deliver
   * callback returns, so nesting the tiers inside each other's callbacks
   * makes EVERY catalog append land after the FINAL delivery
-  * (deliver → substr append → near append → exact append). Chaining
+  * (deliver → substr append → sem index append → near append → exact
+  * append). Chaining
   * three independent writers instead would let tier N's append land
   * before tier N+1 ever ran — a crash between them silently suppresses
   * the in-flight docs on replay without them ever reaching downstream
@@ -56,10 +64,28 @@ object StreamingCurate {
       added: Long = 0L,
       retainAddedBehind: Option[Long] = None,
       retentionSweepEvery: Long = 256L,
+      semIndexDir: Option[String] = None,
+      embCol: String = "embedding",
+      semThreshold: Double = 0.95,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     var out: DataFrame = batch.sparkSession.emptyDataFrame
+    // 4-tier chains read the batch twice (tier 1 and the embedding
+    // re-join) — pin once so the second consumer replays a checkpoint,
+    // not the upstream
+    val src =
+      if (semIndexDir.isDefined) graft.ops.Checkpoints.pin(batch) else batch
+    // the substring rewrite, shared by the 3- and 4-tier chains
+    def substrTier(survivors: DataFrame): Unit =
+      out = StreamingSubstrDedup.applyBatch(
+        survivors.select(org.apache.spark.sql.functions.col(idCol),
+          org.apache.spark.sql.functions.col(textCol)),
+        substrDir, idCol, textCol, w, numBuckets,
+        compactAboveFiles = compactAboveFiles, added = added,
+        retainAddedBehind = retainAddedBehind,
+        retentionSweepEvery = retentionSweepEvery,
+        deliver = deliver)
     val _ = StreamingExactDedup.applyBatch(
-      batch, exactDir, idCol, textCol, numBuckets,
+      src, exactDir, idCol, textCol, numBuckets,
       compactAboveFiles = compactAboveFiles, added = added,
       retainAddedBehind = retainAddedBehind,
       retentionSweepEvery = retentionSweepEvery,
@@ -70,13 +96,15 @@ object StreamingCurate {
           nearNumBuckets, compactAboveFiles = compactAboveFiles,
           added = added, retainAddedBehind = retainAddedBehind,
           retentionSweepEvery = retentionSweepEvery,
-          deliver = nearSurvivors => {
-            out = StreamingSubstrDedup.applyBatch(
-              nearSurvivors, substrDir, idCol, textCol, w, numBuckets,
-              compactAboveFiles = compactAboveFiles, added = added,
-              retainAddedBehind = retainAddedBehind,
-              retentionSweepEvery = retentionSweepEvery,
-              deliver = deliver)
+          deliver = nearSurvivors => semIndexDir match {
+            case None => substrTier(nearSurvivors)
+            case Some(idx) =>
+              import org.apache.spark.sql.functions.col
+              val withEmb = nearSurvivors.join(
+                src.select(col(idCol), col(embCol)), Seq(idCol))
+              val _ = graft.sim.SemDedup.applyBatchIndexed(
+                withEmb, idx, idCol, embCol, semThreshold,
+                deliver = semSurvivors => substrTier(semSurvivors))
           })
       })
     out
@@ -97,6 +125,9 @@ object StreamingCurate {
       compactAboveFiles: Int = 16,
       retainAddedBehind: Option[Long] = None,
       retentionSweepEvery: Long = 256L,
+      semIndexDir: Option[String] = None,
+      embCol: String = "embedding",
+      semThreshold: Double = 0.95,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -110,6 +141,8 @@ object StreamingCurate {
             compactAboveFiles, added = batchId,
             retainAddedBehind = retainAddedBehind,
             retentionSweepEvery = retentionSweepEvery,
+            semIndexDir = semIndexDir, embCol = embCol,
+            semThreshold = semThreshold,
             deliver = deliver)
         }
       }

@@ -85,6 +85,44 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(b1.forall { case (id, _) => byId(id)._3 == 0L })
   }
 
+  test("optional semantic tier: an embedding near-copy drops, the index advances last") {
+    val (e, n, s) = dirs("sem")
+    val semIdx = s"${Files.createTempDirectory("graft-curate-ivf")}/idx"
+    // corpus index: 8 axis-ish vectors in 2 lists
+    val corpusVecs = (0 until 8).map(i => (100L + i,
+      Seq(math.cos(i * 0.1), math.sin(i * 0.1), if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("vec_id", "embedding")
+    graft.sim.IvfIndex.build(corpusVecs, "vec_id", "embedding", semIdx, nLists = 2)
+
+    // doc 20: fresh TEXT but embedding ~= corpus vector 100 → only the
+    // semantic tier can drop it; doc 21: orthogonal-ish embedding, kept
+    val batch = Seq(
+      (20L, "fresh text semantically equal to an indexed document",
+        Seq(math.cos(0.0) + 1e-9, math.sin(0.0), 1.0)),
+      (21L, "fresh text with a genuinely new embedding direction",
+        Seq(-0.9, 0.1, -0.4)))
+      .toDF("doc_id", "text", "embedding")
+    val out = rows(StreamingCurate.applyBatch(batch, e, n, s,
+      "doc_id", "text", W, added = 0L,
+      semIndexDir = Some(semIdx), semThreshold = 0.95))
+    assert(out.map(_._1).toSet == Set(21L),
+      s"semantic tier must drop doc 20, got ${out.map(_._1)}")
+    // the survivor's embedding entered the index (appends after delivery)
+    assert(graft.sim.IvfIndex.vectors(spark, semIdx)
+      .filter($"id" === 21L).count() == 1)
+    // and a failed final delivery leaves the INDEX unadvanced too
+    val nVecs = graft.sim.IvfIndex.vectors(spark, semIdx).count()
+    val _ = intercept[RuntimeException] {
+      StreamingCurate.applyBatch(
+        Seq((30L, "another new doc", Seq(0.1, -0.8, 0.5)))
+          .toDF("doc_id", "text", "embedding"),
+        e, n, s, "doc_id", "text", W, added = 1L,
+        semIndexDir = Some(semIdx),
+        deliver = _ => throw new RuntimeException("down"))
+    }
+    assert(graft.sim.IvfIndex.vectors(spark, semIdx).count() == nVecs)
+  }
+
   test("crash contract: a failed final delivery advances NO catalog") {
     val (e, n, s) = dirs("crash")
     val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
