@@ -42,6 +42,16 @@ object ExactCatalog {
   val DefaultBuckets = 64
   val DefaultMaxPushdownKeys = 20000
 
+  /** Meta `kind` tag for whole-document exact-dedup entries. The layout
+    * machinery here is shared with other fingerprint catalogs (the
+    * window-fp [[SubstrCatalog]]), and their dirs are byte-compatible —
+    * which is exactly why the meta must say WHICH fingerprint universe
+    * the rows come from: opening a window-fp catalog as a document
+    * catalog (or vice versa) would anti-join documents against window
+    * hashes and silently dedup nothing (or everything). Readers and
+    * appenders refuse a kind mismatch. */
+  val KindExact = "exact"
+
   private val DataSchema = StructType(Seq(
     StructField("fp", LongType, nullable = false),
     StructField("h2", LongType, nullable = false),
@@ -76,12 +86,38 @@ object ExactCatalog {
     }
   }
 
-  private def requireMeta(spark: SparkSession, dir: String, numBuckets: Int): Unit =
+  /** The recorded fingerprint universe ([[KindExact]],
+    * [[SubstrCatalog.Kind]], …); None for a missing meta. */
+  def readMetaKind(spark: SparkSession, dir: String): Option[String] = {
+    val p = metaPath(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"kind":"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+    }
+  }
+
+  private def requireKind(spark: SparkSession, dir: String, kind: String): Unit =
+    readMetaKind(spark, dir).foreach { have =>
+      require(have == kind,
+        s"catalog at $dir holds '$have' fingerprints; reading or appending " +
+          s"it as '$kind' would mix fingerprint universes and silently " +
+          "break the dedup")
+    }
+
+  private def requireMeta(
+      spark: SparkSession, dir: String, numBuckets: Int, kind: String): Unit = {
     readMeta(spark, dir).foreach { have =>
       require(have == numBuckets,
         s"exact catalog at $dir was written with numBuckets=$have; " +
           s"opening it with numBuckets=$numBuckets would prune wrong buckets")
     }
+    requireKind(spark, dir, kind)
+  }
 
   /** Data files without a meta file = rows of unknown bucketing; reading
     * them as empty silently drops all dedup state. Fail loudly (see
@@ -95,9 +131,10 @@ object ExactCatalog {
         "treat unknown-layout rows as an empty catalog; rebuild the " +
         "catalog (or restore its meta) before reading or appending")
 
-  private def writeMeta(spark: SparkSession, dir: String, numBuckets: Int): Unit = {
+  private def writeMeta(
+      spark: SparkSession, dir: String, numBuckets: Int, kind: String): Unit = {
     val out = fs(spark, dir).create(metaPath(dir), true)
-    try out.write(s"""{"numBuckets":$numBuckets}"""
+    try out.write(s"""{"numBuckets":$numBuckets,"kind":"$kind"}"""
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -118,14 +155,15 @@ object ExactCatalog {
     * bucket per call. */
   def append(
       entries: DataFrame, dir: String,
-      numBuckets: Int = DefaultBuckets, added: Long = 0L): Unit = {
+      numBuckets: Int = DefaultBuckets, added: Long = 0L,
+      kind: String = KindExact): Unit = {
     val spark = entries.sparkSession
-    requireMeta(spark, dir, numBuckets)
+    requireMeta(spark, dir, numBuckets, kind)
     // meta BEFORE the first data write — a crash between the two must
     // leave a readable catalog, never unrecorded-layout rows
     if (readMeta(spark, dir).isEmpty) {
       rejectOrphanData(spark, dir)
-      writeMeta(spark, dir, numBuckets)
+      writeMeta(spark, dir, numBuckets, kind)
     }
     entries.select(col("fp"), col("h2"), lit(added).as("added"),
       bucketOf(col("fp"), numBuckets).as("bucket"))
@@ -140,11 +178,15 @@ object ExactCatalog {
   // -------------------------------------------------------------- read
 
   /** The whole catalog (empty frame before first append). */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  def read(spark: SparkSession, dir: String,
+      kind: String = KindExact): DataFrame =
     if (readMeta(spark, dir).isEmpty) {
       rejectOrphanData(spark, dir)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
-    } else spark.read.schema(DataSchema).parquet(dir)
+    } else {
+      requireKind(spark, dir, kind)
+      spark.read.schema(DataSchema).parquet(dir)
+    }
 
   /** The catalog rows a batch can possibly match: bucket partition
     * pruning always (≤ numBuckets distinct values, one bounded collect),
@@ -153,12 +195,14 @@ object ExactCatalog {
     * skip row groups). `batchEntries` needs an `fp` column. */
   def readForBatch(
       spark: SparkSession, dir: String, batchEntries: DataFrame,
-      maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame =
+      maxPushdownKeys: Int = DefaultMaxPushdownKeys,
+      kind: String = KindExact): DataFrame =
     readMeta(spark, dir) match {
       case None =>
         rejectOrphanData(spark, dir)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
       case Some(numBuckets) =>
+        requireKind(spark, dir, kind)
         val full = spark.read.schema(DataSchema).parquet(dir)
         // ONE bounded collect in the common case (see
         // [[BandedCatalog.readForBatch]]): capped distinct fingerprints,
@@ -258,14 +302,19 @@ object ExactCatalog {
     require(readMeta(spark, toDir).isEmpty &&
       dataFiles(fs(spark, toDir), toDir).isEmpty,
       s"rebucket target $toDir is not empty; use a fresh dir")
-    read(spark, fromDir)
+    // kind-agnostic layout op: read under the source's OWN kind (the
+    // universe carries over to toDir's meta below)
+    read(spark, fromDir, readMetaKind(spark, fromDir).getOrElse(KindExact))
       .groupBy(col("fp"), col("h2")).agg(max(col("added")).as("added"))
       .select(col("fp"), col("h2"), col("added"),
         bucketOf(col("fp"), newBuckets).as("bucket"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "fp") // see append(): bucket prefix
       .write.mode("append").partitionBy("bucket").parquet(toDir)
-    writeMeta(spark, toDir, newBuckets) // commit marker: rows are complete
+    // commit marker: rows are complete; kind carries over — a rebucket
+    // never changes the fingerprint universe
+    writeMeta(spark, toDir, newBuckets,
+      readMetaKind(spark, fromDir).getOrElse(KindExact))
   }
 
   // ------------------------------------------------------- compaction

@@ -56,6 +56,12 @@ import org.apache.spark.sql.functions._
   */
 object SubstrCatalog {
 
+  /** Meta `kind` tag: window fingerprints, NOT document fingerprints —
+    * the dirs are byte-compatible with [[ExactCatalog]]'s, so the meta
+    * says which universe the rows come from and every reader/appender
+    * on either side refuses a mismatch (see [[ExactCatalog.KindExact]]). */
+  val Kind = "substr_window_fp"
+
   /** Catalog entries of a document frame: the distinct window-fp set in
     * the delegated `(fp, h2 = fp)` shape (see class doc). */
   def entriesOf(docs: DataFrame, textCol: String, w: Int): DataFrame =
@@ -66,11 +72,11 @@ object SubstrCatalog {
   def append(
       entries: DataFrame, dir: String,
       numBuckets: Int = ExactCatalog.DefaultBuckets, added: Long = 0L): Unit =
-    ExactCatalog.append(entries, dir, numBuckets, added)
+    ExactCatalog.append(entries, dir, numBuckets, added, kind = Kind)
 
   /** The whole catalog's fp set (empty before the first append). */
   def readFps(spark: SparkSession, dir: String): DataFrame =
-    ExactCatalog.read(spark, dir).select(col("fp"))
+    ExactCatalog.read(spark, dir, kind = Kind).select(col("fp"))
 
   /** One crawl/micro-batch against the persistent catalog: window
     * occurrences pinned once, pruned catalog probe, incremental
@@ -94,7 +100,7 @@ object SubstrCatalog {
     val occ = graft.ops.Checkpoints.pin(
       SubstrDedup.windowOccurrences(batch, idCol, textCol, w))
     val catFps = ExactCatalog.readForBatch(
-      spark, dir, occ.select(col("fp")), maxPushdownKeys)
+      spark, dir, occ.select(col("fp")), maxPushdownKeys, kind = Kind)
       .select(col("fp"))
     val out = rewrite(batch, occ, catFps, idCol, textCol, w)
     deliver(out) // delivery BEFORE the append — see class doc
@@ -105,7 +111,8 @@ object SubstrCatalog {
       .join(catFps, Seq("fp"), "left_anti")
       .select(col("fp"), col("fp").as("h2"))
     ExactCatalog.append(novel, dir,
-      ExactCatalog.readMeta(spark, dir).getOrElse(numBuckets), added)
+      ExactCatalog.readMeta(spark, dir).getOrElse(numBuckets), added,
+      kind = Kind)
     out
   }
 

@@ -78,26 +78,26 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
     val _ = SubstrCatalog.applyBatch(batch, dir, "doc_id", "text", W, added = 1L)
     val distinctUnion = SubstrDedup
       .windowFpSet(prior.union(batch), "text", W).count()
-    assert(ExactCatalog.read(spark, dir).count() == distinctUnion)
+    assert(ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count() == distinctUnion)
     // replay whose append already landed: delivery is SUPPRESSIVE (the
     // batch's own windows are catalog members — every ≥W-token doc is
     // fully scrubbed), and the catalog still gains nothing
     val replay = rowsOf(SubstrCatalog.applyBatch(
       batch, dir, "doc_id", "text", W, added = 2L))
     assert(replay.forall(r => r._3 == r._2 && r._4.isEmpty))
-    assert(ExactCatalog.read(spark, dir).count() == distinctUnion)
+    assert(ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count() == distinctUnion)
   }
 
   test("crash ordering: a failed delivery leaves the catalog unadvanced") {
     val dir = tmpDir()
     SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir)
-    val before = ExactCatalog.read(spark, dir).count()
+    val before = ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count()
     val boom = intercept[RuntimeException] {
       SubstrCatalog.applyBatch(batch, dir, "doc_id", "text", W, added = 1L,
         deliver = _ => throw new RuntimeException("downstream down"))
     }
     assert(boom.getMessage == "downstream down")
-    assert(ExactCatalog.read(spark, dir).count() == before)
+    assert(ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count() == before)
     // the replay after the crash delivers the full, correct rewrite
     val replay = SubstrCatalog.applyBatch(
       batch, dir, "doc_id", "text", W, added = 1L)
@@ -123,13 +123,39 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(out2.head._3 > 0)
   }
 
+  test("kind-marked meta: the two fingerprint universes refuse each other's dirs") {
+    val dir = tmpDir()
+    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir)
+    // a document-dedup reader/appender on a window-fp catalog
+    val e1 = intercept[IllegalArgumentException] {
+      ExactCatalog.read(spark, dir).count()
+    }
+    assert(e1.getMessage.contains("fingerprint universes"))
+    val _ = intercept[IllegalArgumentException] {
+      ExactCatalog.applyBatch(prior, dir, "doc_id", "text")
+    }
+    // and the reverse: a window-fp reader on a document catalog
+    val exactDir = tmpDir()
+    ExactCatalog.append(ExactCatalog.entriesOf(prior, "text"), exactDir)
+    val _2 = intercept[IllegalArgumentException] {
+      SubstrCatalog.applyBatch(batch, exactDir, "doc_id", "text", W)
+    }
+    // rebucket carries the kind over — the new version still refuses
+    val dir2 = tmpDir() + "/v2"
+    SubstrCatalog.rebucket(spark, dir, dir2, newBuckets = 8)
+    assert(ExactCatalog.readMetaKind(spark, dir2).contains(SubstrCatalog.Kind))
+    val _3 = intercept[IllegalArgumentException] {
+      ExactCatalog.read(spark, dir2).count()
+    }
+  }
+
   test("empty catalog bootstrap: first batch equals the one-shot dedup") {
     val dir = tmpDir()
     val viaCatalog = SubstrCatalog.applyBatch(
       batch, dir, "doc_id", "text", W, added = 0L)
     assert(rowsOf(viaCatalog) ==
       rowsOf(SubstrDedup.dedupSubstrings(batch, "doc_id", "text", W)))
-    assert(ExactCatalog.read(spark, dir).count() ==
+    assert(ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count() ==
       SubstrDedup.windowFpSet(batch, "text", W).count())
   }
 }
