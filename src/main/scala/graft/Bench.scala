@@ -465,10 +465,24 @@ object Bench {
           }),
           // the composed curation trigger: one fresh micro-batch through
           // all three tiers' catalogs (meta decides each layout) — the
-          // steady-state per-trigger cost of the full-topology operator
+          // steady-state per-trigger cost of the full-topology operator.
+          // The batch must SURVIVE the filter tiers so the substring
+          // rewrite+append leg is actually paid every rep: a tail-mutated
+          // base doc would near-dup-drop (Jaccard vs its rep-0 catalog
+          // signature ≈ 0.75-0.9 > 0.7), so each doc keeps only an
+          // 8-token catalog prefix (one window → the scrub fires) ahead
+          // of rep-unique filler (novel windows → the append fires)
           "curate_trigger" -> (() => {
+            repC += 1
+            val filler = (1 to 24).map(j => s"u$repC$j").mkString(" ")
+            val batch = docsBase.limit(2).select(
+              (col("doc_id") + lit(repC * 50000000L)).as("doc_id"),
+              concat(
+                array_join(slice(split(col("text"), "\\s+"), 1,
+                  SparkEntry.SubstrDedupW), " "),
+                lit(s" $filler")).as("text"))
             val _ = graft.streaming.StreamingCurate.applyBatch(
-              freshSubstrBatch(), exact1x, near1x, substr1x,
+              batch, exact1x, near1x, substr1x,
               "doc_id", "text", SparkEntry.SubstrDedupW,
               added = repC.toLong, deliver = d => force(d))
           }))

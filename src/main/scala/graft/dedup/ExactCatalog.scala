@@ -102,11 +102,20 @@ object ExactCatalog {
   }
 
   private def requireKind(spark: SparkSession, dir: String, kind: String): Unit =
-    readMetaKind(spark, dir).foreach { have =>
-      require(have == kind,
-        s"catalog at $dir holds '$have' fingerprints; reading or appending " +
-          s"it as '$kind' would mix fingerprint universes and silently " +
-          "break the dedup")
+    readMetaKind(spark, dir) match {
+      case Some(have) =>
+        require(have == kind,
+          s"catalog at $dir holds '$have' fingerprints; reading or appending " +
+            s"it as '$kind' would mix fingerprint universes and silently " +
+            "break the dedup")
+      case None if readMeta(spark, dir).isDefined =>
+        // kind-less meta = written before the tag existed, when every
+        // catalog was document-exact — only the exact reader may accept
+        // it (an untagged dir must never pass as some OTHER universe)
+        require(kind == KindExact,
+          s"catalog at $dir predates kind tags (document-exact era); " +
+            s"refusing to open it as '$kind'")
+      case None => () // no meta at all: the orphan-data guard decides
     }
 
   private def requireMeta(
@@ -164,7 +173,10 @@ object ExactCatalog {
     if (readMeta(spark, dir).isEmpty) {
       rejectOrphanData(spark, dir)
       writeMeta(spark, dir, numBuckets, kind)
-    }
+    } else if (readMetaKind(spark, dir).isEmpty)
+      // kind-validated above (a kind-less meta only admits the exact
+      // reader) — self-heal the tag so the catalog is guarded from now on
+      writeMeta(spark, dir, readMeta(spark, dir).get, kind)
     entries.select(col("fp"), col("h2"), lit(added).as("added"),
       bucketOf(col("fp"), numBuckets).as("bucket"))
       .repartition(col("bucket"))

@@ -102,7 +102,13 @@ object SubstrCatalog {
     val catFps = ExactCatalog.readForBatch(
       spark, dir, occ.select(col("fp")), maxPushdownKeys, kind = Kind)
       .select(col("fp"))
-    val out = rewrite(batch, occ, catFps, idCol, textCol, w)
+    // pin the rewrite (like every applyBatch in the family): deliver AND
+    // the returned frame must see one materialized result — unpinned,
+    // the return value would re-run the rewrite against the catalog's
+    // CURRENT file listing, which a later compaction deletes out from
+    // under it
+    val out = graft.ops.Checkpoints.pin(
+      rewrite(batch, occ, catFps, idCol, textCol, w))
     deliver(out) // delivery BEFORE the append — see class doc
     // advance = the batch's distinct fps the catalog lacks; the anti-join
     // runs against the SAME pruned read (a catalog fp outside the probed

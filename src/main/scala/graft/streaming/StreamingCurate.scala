@@ -18,12 +18,17 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   *      reachability-min representative. Runs on the RAW text so its
   *      signatures stay comparable with the catalog's.
   *   3. SEMANTIC ([[graft.sim.SemDedup]] over a persistent
-  *      [[graft.sim.IvfIndex]]) — OPTIONAL, engaged by `semIndexDir`
-  *      when the batch carries an embedding column: drop docs whose
-  *      embedding cosine against the corpus index clears the SemDeDup
-  *      threshold (Abbas 2023). The near tier projects to (id, text),
-  *      so the embeddings are re-joined from the pinned batch by id —
-  *      a broadcast-sized join at micro-batch scale.
+  *      [[graft.sim.IvfIndex]]) — OPTIONAL, engaged by `semIndexDir`.
+  *      Configuring it is a caller CONTRACT, checked loudly up front:
+  *      every batch must carry `embCol`, and the index must already be
+  *      BUILT (an IVF index needs trained centroids, so unlike the
+  *      fingerprint catalogs this tier cannot bootstrap from an empty
+  *      dir — build it from the prior corpus, or from the first crawl,
+  *      before streaming). Drops docs whose embedding cosine against
+  *      the corpus index clears the SemDeDup threshold (Abbas 2023).
+  *      The near tier projects to (id, text), so the embeddings are
+  *      re-joined from the pinned batch by id — a broadcast-sized join
+  *      at micro-batch scale.
   *   4. SUBSTRING ([[SubstrCatalog]]): rewrite the survivors, scrubbing
   *      every ≥w-token span whose windows the corpus already carries
   *      (the rewrite tier runs LAST — it changes the text, and the
@@ -69,6 +74,16 @@ object StreamingCurate {
       semThreshold: Double = 0.95,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     var out: DataFrame = batch.sparkSession.emptyDataFrame
+    // the semantic tier's caller contract, checked BEFORE any tier
+    // probes or appends: a missing embedding column (or an unbuilt
+    // index) must fail the batch up front, not mid-chain after the
+    // exact/near catalogs already did work
+    semIndexDir.foreach { idx =>
+      require(batch.columns.contains(embCol),
+        s"semIndexDir is configured but the batch has no '$embCol' " +
+          s"column (batch columns: ${batch.columns.mkString(", ")})")
+      val _ = graft.sim.IvfIndex.readCentroids(batch.sparkSession, idx)
+    }
     // 4-tier chains read the batch twice (tier 1 and the embedding
     // re-join) — pin once so the second consumer replays a checkpoint,
     // not the upstream

@@ -46,18 +46,10 @@ object StreamingExactDedup {
     val survivors = ExactCatalog.applyBatch(
       batch, catalogDir, idCol, textCol, numBuckets, added,
       maxPushdownKeys, deliver)
-    if (compactAboveFiles > 0) {
-      val cutoff = retainAddedBehind.map(b => added - b)
-      if (cutoff.isDefined && retentionSweepEvery > 0 && added > 0 &&
-          added % retentionSweepEvery == 0)
-        ExactCatalog.compact(spark, catalogDir, cutoff) // full sweep
-      else {
-        val over = ExactCatalog.bucketFileCounts(spark, catalogDir)
-          .filter(_._2 > compactAboveFiles).keys.toSeq
-        if (over.nonEmpty)
-          ExactCatalog.compact(spark, catalogDir, cutoff, Some(over))
-      }
-    }
+    CatalogHygiene.afterAppend(
+      compactAboveFiles, added, retainAddedBehind, retentionSweepEvery)(
+      ExactCatalog.bucketFileCounts(spark, catalogDir),
+      ExactCatalog.compact(spark, catalogDir, _, _))
     survivors
   }
 

@@ -126,18 +126,10 @@ object StreamingNearDedup {
     BandedCatalog.append(
       sigs.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"),
       catalogDir, m.bands, m.rowsPerBand, m.numBuckets, m.shingleSize, added)
-    if (compactAboveFiles > 0) {
-      val cutoff = retainAddedBehind.map(b => added - b)
-      if (cutoff.isDefined && retentionSweepEvery > 0 && added > 0 &&
-          added % retentionSweepEvery == 0)
-        BandedCatalog.compact(spark, catalogDir, cutoff) // full sweep
-      else {
-        val over = BandedCatalog.bucketFileCounts(spark, catalogDir)
-          .filter(_._2 > compactAboveFiles).keys.toSeq
-        if (over.nonEmpty)
-          BandedCatalog.compact(spark, catalogDir, cutoff, Some(over))
-      }
-    }
+    CatalogHygiene.afterAppend(
+      compactAboveFiles, added, retainAddedBehind, retentionSweepEvery)(
+      BandedCatalog.bucketFileCounts(spark, catalogDir),
+      BandedCatalog.compact(spark, catalogDir, _, _))
     survivors
   }
 

@@ -55,18 +55,10 @@ object StreamingSubstrDedup {
     val out = SubstrCatalog.applyBatch(
       batch, catalogDir, idCol, textCol, w, numBuckets, added,
       maxPushdownKeys, deliver)
-    if (compactAboveFiles > 0) {
-      val cutoff = retainAddedBehind.map(b => added - b)
-      if (cutoff.isDefined && retentionSweepEvery > 0 && added > 0 &&
-          added % retentionSweepEvery == 0)
-        SubstrCatalog.compact(spark, catalogDir, cutoff) // full sweep
-      else {
-        val over = ExactCatalog.bucketFileCounts(spark, catalogDir)
-          .filter(_._2 > compactAboveFiles).keys.toSeq
-        if (over.nonEmpty)
-          SubstrCatalog.compact(spark, catalogDir, cutoff, Some(over))
-      }
-    }
+    CatalogHygiene.afterAppend(
+      compactAboveFiles, added, retainAddedBehind, retentionSweepEvery)(
+      ExactCatalog.bucketFileCounts(spark, catalogDir),
+      SubstrCatalog.compact(spark, catalogDir, _, _))
     out
   }
 
