@@ -149,6 +149,33 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("versioned lifecycle: a tripped rebucket serves the new version, kind intact") {
+    import graft.ops.{GrowthPolicy, VersionedStore}
+    val root = Files.createTempDirectory("graft-substr-vroot").toString
+    val committed = (d: String) => ExactCatalog.readMeta(spark, d).isDefined
+    val v1 = VersionedStore.cutover(spark, root, committed)(
+      SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), _,
+        numBuckets = 2))
+    val fpCount = SubstrCatalog.readFps(spark, v1).count()
+
+    // byte-size policy trips Rebucket; maintainVersioned executes it
+    // into v2, retires v1, and the kind tag must carry over
+    val (serving, acts) = SubstrCatalog.maintainVersioned(spark, root,
+      GrowthPolicy.Policy(targetBucketBytes = 1L, maxFilesPerBucket = 64))
+    assert(acts.exists {
+      case GrowthPolicy.Rebucket(n, _) => n > 2; case _ => false })
+    assert(serving == VersionedStore.versionDir(root, 2))
+    assert(!new java.io.File(v1).exists(), "retired predecessor must be swept")
+    assert(ExactCatalog.readMetaKind(spark, serving).contains(SubstrCatalog.Kind))
+    assert(SubstrCatalog.readFps(spark, serving).distinct().count() == fpCount)
+    // scrubbing still works against the re-sharded serving version, with
+    // the stale create-time bucket count ignored in favor of the meta
+    val out = rowsOf(SubstrCatalog.applyBatch(
+      docs(40L -> "the quick brown fox jumps far away tonight"), serving,
+      "doc_id", "text", W, numBuckets = 2, added = 9L))
+    assert(out.head._3 > 0)
+  }
+
   test("empty catalog bootstrap: first batch equals the one-shot dedup") {
     val dir = tmpDir()
     val viaCatalog = SubstrCatalog.applyBatch(
