@@ -379,9 +379,11 @@ object Bench {
             graft.dedup.BandedCatalog.append(
               nearAmplified(10), near10x, numBuckets = NearBuckets)
             graft.dedup.SubstrCatalog.append(
-              subAmplified(subCopies), substr1x, numBuckets = NearBuckets)
+              subAmplified(subCopies), substr1x, SparkEntry.SubstrDedupW,
+              numBuckets = NearBuckets)
             graft.dedup.SubstrCatalog.append(
-              subAmplified(subCopies * 10), substr10x, numBuckets = NearBuckets)
+              subAmplified(subCopies * 10), substr10x, SparkEntry.SubstrDedupW,
+              numBuckets = NearBuckets)
           } finally {
             if (oldBlock == null) hc.unset("parquet.block.size")
             else hc.set("parquet.block.size", oldBlock)

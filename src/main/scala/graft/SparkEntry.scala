@@ -952,7 +952,8 @@ object SparkEntry {
         .createTempDirectory("graft-substr-cat-q").toString
       graft.dedup.SubstrCatalog.append(
         graft.dedup.SubstrCatalog.entriesOf(
-          d.filter(col("doc_id") % 3 === 0), "text", SubstrDedupW), cat)
+          d.filter(col("doc_id") % 3 === 0), "text", SubstrDedupW), cat,
+        SubstrDedupW)
       graft.dedup.SubstrCatalog.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0), cat,
         "doc_id", "text", SubstrDedupW, added = 1L)
@@ -978,7 +979,7 @@ object SparkEntry {
         Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
       graft.dedup.SubstrCatalog.append(
         graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
-        s"$tmp/substr")
+        s"$tmp/substr", SubstrDedupW)
       graft.streaming.StreamingCurate.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0),
         s"$tmp/exact", s"$tmp/near", s"$tmp/substr",

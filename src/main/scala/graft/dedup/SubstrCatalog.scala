@@ -59,8 +59,22 @@ object SubstrCatalog {
   /** Meta `kind` tag: window fingerprints, NOT document fingerprints —
     * the dirs are byte-compatible with [[ExactCatalog]]'s, so the meta
     * says which universe the rows come from and every reader/appender
-    * on either side refuses a mismatch (see [[ExactCatalog.KindExact]]). */
-  val Kind = "substr_window_fp"
+    * on either side refuses a mismatch (see [[ExactCatalog.KindExact]]).
+    * The tag CARRIES THE WINDOW WIDTH: `w` is a layout property exactly
+    * like the bucket count (a w=8 catalog probed with w=4 windows is a
+    * different fingerprint universe — nothing would ever match), so it
+    * is recorded at creation, derived on open, and a same-prefix
+    * different-w tag refuses through the ordinary kind machinery. */
+  val KindPrefix = "substr_window_fp_w"
+
+  def kindFor(w: Int): String = s"$KindPrefix$w"
+
+  /** The catalog's recorded window width (None: no catalog, or not a
+    * window-fp catalog). */
+  def metaW(spark: SparkSession, dir: String): Option[Int] =
+    ExactCatalog.readMetaKind(spark, dir)
+      .filter(_.startsWith(KindPrefix))
+      .map(_.stripPrefix(KindPrefix).toInt)
 
   /** Catalog entries of a document frame: the distinct window-fp set in
     * the delegated `(fp, h2 = fp)` shape (see class doc). */
@@ -68,15 +82,25 @@ object SubstrCatalog {
     SubstrDedup.windowFpSet(docs, textCol, w)
       .select(col("fp"), col("fp").as("h2"))
 
-  /** Append a distinct window-fp set under the caller's `added` tag. */
+  /** Append a distinct window-fp set (fingerprinted at width `w`) under
+    * the caller's `added` tag. */
   def append(
-      entries: DataFrame, dir: String,
+      entries: DataFrame, dir: String, w: Int,
       numBuckets: Int = ExactCatalog.DefaultBuckets, added: Long = 0L): Unit =
-    ExactCatalog.append(entries, dir, numBuckets, added, kind = Kind)
+    ExactCatalog.append(entries, dir, numBuckets, added, kind = kindFor(w))
 
-  /** The whole catalog's fp set (empty before the first append). */
-  def readFps(spark: SparkSession, dir: String): DataFrame =
-    ExactCatalog.read(spark, dir, kind = Kind).select(col("fp"))
+  /** The whole catalog's fp set (empty before the first append; refuses
+    * a dir whose rows are not window fingerprints). */
+  def readFps(spark: SparkSession, dir: String): DataFrame = {
+    val kind = ExactCatalog.readMetaKind(spark, dir) match {
+      case Some(k) =>
+        require(k.startsWith(KindPrefix),
+          s"catalog at $dir holds '$k' fingerprints, not window fps")
+        k
+      case None => kindFor(0) // empty dir: ExactCatalog.read returns empty
+    }
+    ExactCatalog.read(spark, dir, kind = kind).select(col("fp"))
+  }
 
   /** One crawl/micro-batch against the persistent catalog: window
     * occurrences pinned once, pruned catalog probe, incremental
@@ -86,21 +110,25 @@ object SubstrCatalog {
     * n_removed, clean_text)`), DELIVERED via the callback, then the
     * batch's novel distinct fps appended under `added`, and returned.
     *
-    * `numBuckets` is the CREATE-TIME default only — an existing
-    * catalog's meta decides the layout (same contract as
-    * [[ExactCatalog.applyBatch]]). */
+    * `numBuckets` AND `w` are CREATE-TIME defaults only — an existing
+    * catalog's meta decides both (same contract as
+    * [[ExactCatalog.applyBatch]]; a caller passing a different `w` than
+    * the catalog was built with would otherwise probe a disjoint
+    * fingerprint universe and scrub nothing). */
   def applyBatch(
       batch: DataFrame, dir: String, idCol: String, textCol: String, w: Int,
       numBuckets: Int = ExactCatalog.DefaultBuckets, added: Long = 0L,
       maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
+    val effW = metaW(spark, dir).getOrElse(w) // meta wins once it exists
     // pin the occurrence scan once: it feeds the pushdown probe, the
     // ownership aggregate, the catalog join AND the advance
     val occ = graft.ops.Checkpoints.pin(
-      SubstrDedup.windowOccurrences(batch, idCol, textCol, w))
+      SubstrDedup.windowOccurrences(batch, idCol, textCol, effW))
     val catFps = ExactCatalog.readForBatch(
-      spark, dir, occ.select(col("fp")), maxPushdownKeys, kind = Kind)
+      spark, dir, occ.select(col("fp")), maxPushdownKeys,
+      kind = kindFor(effW))
       .select(col("fp"))
     // pin the rewrite (like every applyBatch in the family): deliver AND
     // the returned frame must see one materialized result — unpinned,
@@ -108,7 +136,7 @@ object SubstrCatalog {
     // CURRENT file listing, which a later compaction deletes out from
     // under it
     val out = graft.ops.Checkpoints.pin(
-      rewrite(batch, occ, catFps, idCol, textCol, w))
+      rewrite(batch, occ, catFps, idCol, textCol, effW))
     deliver(out) // delivery BEFORE the append — see class doc
     // advance = the batch's distinct fps the catalog lacks; the anti-join
     // runs against the SAME pruned read (a catalog fp outside the probed
@@ -118,7 +146,7 @@ object SubstrCatalog {
       .select(col("fp"), col("fp").as("h2"))
     ExactCatalog.append(novel, dir,
       ExactCatalog.readMeta(spark, dir).getOrElse(numBuckets), added,
-      kind = Kind)
+      kind = kindFor(effW))
     out
   }
 

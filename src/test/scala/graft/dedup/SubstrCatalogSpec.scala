@@ -40,7 +40,7 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
 
   test("applyBatch matches the in-memory incremental path") {
     val dir = tmpDir()
-    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir)
+    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir, W)
     val viaCatalog = SubstrCatalog.applyBatch(
       batch, dir, "doc_id", "text", W, added = 1L)
     val flat = SubstrDedup.dedupSubstringsIncremental(
@@ -58,7 +58,7 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
 
   test("catalog advances: a later batch is deduped against an earlier one") {
     val dir = tmpDir()
-    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir)
+    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir, W)
     val _ = SubstrCatalog.applyBatch(batch, dir, "doc_id", "text", W, added = 1L)
     val batch2 = docs(
       20L -> "completely novel content with no duplication again maybe",
@@ -74,30 +74,30 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
 
   test("appends are novel-only: overlapping batches never grow duplicate rows") {
     val dir = tmpDir()
-    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir)
+    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir, W)
     val _ = SubstrCatalog.applyBatch(batch, dir, "doc_id", "text", W, added = 1L)
     val distinctUnion = SubstrDedup
       .windowFpSet(prior.union(batch), "text", W).count()
-    assert(ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count() == distinctUnion)
+    assert(ExactCatalog.read(spark, dir, SubstrCatalog.kindFor(W)).count() == distinctUnion)
     // replay whose append already landed: delivery is SUPPRESSIVE (the
     // batch's own windows are catalog members — every ≥W-token doc is
     // fully scrubbed), and the catalog still gains nothing
     val replay = rowsOf(SubstrCatalog.applyBatch(
       batch, dir, "doc_id", "text", W, added = 2L))
     assert(replay.forall(r => r._3 == r._2 && r._4.isEmpty))
-    assert(ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count() == distinctUnion)
+    assert(ExactCatalog.read(spark, dir, SubstrCatalog.kindFor(W)).count() == distinctUnion)
   }
 
   test("crash ordering: a failed delivery leaves the catalog unadvanced") {
     val dir = tmpDir()
-    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir)
-    val before = ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count()
+    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir, W)
+    val before = ExactCatalog.read(spark, dir, SubstrCatalog.kindFor(W)).count()
     val boom = intercept[RuntimeException] {
       SubstrCatalog.applyBatch(batch, dir, "doc_id", "text", W, added = 1L,
         deliver = _ => throw new RuntimeException("downstream down"))
     }
     assert(boom.getMessage == "downstream down")
-    assert(ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count() == before)
+    assert(ExactCatalog.read(spark, dir, SubstrCatalog.kindFor(W)).count() == before)
     // the replay after the crash delivers the full, correct rewrite
     val replay = SubstrCatalog.applyBatch(
       batch, dir, "doc_id", "text", W, added = 1L)
@@ -108,7 +108,7 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
   test("layout is meta-derived: appends follow the created bucket count") {
     val dir = tmpDir()
     SubstrCatalog.append(
-      SubstrCatalog.entriesOf(prior, "text", W), dir, numBuckets = 4)
+      SubstrCatalog.entriesOf(prior, "text", W), dir, W, numBuckets = 4)
     // a later caller passing the DEFAULT bucket count must not fracture
     // the layout — meta wins
     val _ = SubstrCatalog.applyBatch(batch, dir, "doc_id", "text", W, added = 1L)
@@ -123,9 +123,22 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(out2.head._3 > 0)
   }
 
+  test("w is a layout property: a wrong-w caller probes with the catalog's own width") {
+    val dir = tmpDir()
+    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir, W)
+    assert(SubstrCatalog.metaW(spark, dir).contains(W))
+    // a caller passing w = W + 3 would fingerprint disjoint windows and
+    // scrub nothing — the meta-derived width must win (same contract as
+    // numBuckets) and the prior-corpus span still scrubs
+    val out = rowsOf(SubstrCatalog.applyBatch(
+      docs(50L -> "intro the quick brown fox jumps outro"), dir,
+      "doc_id", "text", w = W + 3, added = 1L))
+    assert(out.head._3 > 0 && !out.head._4.contains("quick"))
+  }
+
   test("kind-marked meta: the two fingerprint universes refuse each other's dirs") {
     val dir = tmpDir()
-    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir)
+    SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), dir, W)
     // a document-dedup reader/appender on a window-fp catalog
     val e1 = intercept[IllegalArgumentException] {
       ExactCatalog.read(spark, dir).count()
@@ -143,7 +156,7 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
     // rebucket carries the kind over — the new version still refuses
     val dir2 = tmpDir() + "/v2"
     SubstrCatalog.rebucket(spark, dir, dir2, newBuckets = 8)
-    assert(ExactCatalog.readMetaKind(spark, dir2).contains(SubstrCatalog.Kind))
+    assert(ExactCatalog.readMetaKind(spark, dir2).contains(SubstrCatalog.kindFor(W)))
     val _3 = intercept[IllegalArgumentException] {
       ExactCatalog.read(spark, dir2).count()
     }
@@ -154,7 +167,7 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
     val root = Files.createTempDirectory("graft-substr-vroot").toString
     val committed = (d: String) => ExactCatalog.readMeta(spark, d).isDefined
     val v1 = VersionedStore.cutover(spark, root, committed)(
-      SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), _,
+      SubstrCatalog.append(SubstrCatalog.entriesOf(prior, "text", W), _, W,
         numBuckets = 2))
     val fpCount = SubstrCatalog.readFps(spark, v1).count()
 
@@ -166,7 +179,7 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
       case GrowthPolicy.Rebucket(n, _) => n > 2; case _ => false })
     assert(serving == VersionedStore.versionDir(root, 2))
     assert(!new java.io.File(v1).exists(), "retired predecessor must be swept")
-    assert(ExactCatalog.readMetaKind(spark, serving).contains(SubstrCatalog.Kind))
+    assert(ExactCatalog.readMetaKind(spark, serving).contains(SubstrCatalog.kindFor(W)))
     assert(SubstrCatalog.readFps(spark, serving).distinct().count() == fpCount)
     // scrubbing still works against the re-sharded serving version, with
     // the stale create-time bucket count ignored in favor of the meta
@@ -182,7 +195,7 @@ class SubstrCatalogSpec extends AnyFunSuite with SparkTestBase {
       batch, dir, "doc_id", "text", W, added = 0L)
     assert(rowsOf(viaCatalog) ==
       rowsOf(SubstrDedup.dedupSubstrings(batch, "doc_id", "text", W)))
-    assert(ExactCatalog.read(spark, dir, SubstrCatalog.Kind).count() ==
+    assert(ExactCatalog.read(spark, dir, SubstrCatalog.kindFor(W)).count() ==
       SubstrDedup.windowFpSet(batch, "text", W).count())
   }
 }

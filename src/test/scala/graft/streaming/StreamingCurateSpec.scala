@@ -47,7 +47,7 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
   private def catCounts(e: String, n: String, s: String): (Long, Long, Long) =
     (ExactCatalog.read(spark, e).count(),
       BandedCatalog.read(spark, n).count(),
-      ExactCatalog.read(spark, s, graft.dedup.SubstrCatalog.Kind).count())
+      ExactCatalog.read(spark, s, graft.dedup.SubstrCatalog.kindFor(W)).count())
 
   test("all three tiers fire; streaming equals sequential batch composition") {
     implicit val sqlCtx = spark.sqlContext

@@ -62,7 +62,7 @@ class StreamingSubstrDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(byId(10L)._4 == "prefix suffix" && byId(10L)._3 == 6L)
     assert(byId(11L)._3 == 0L)
     // catalog holds 8-byte window fps — never documents
-    val cat = ExactCatalog.read(spark, s"$tmp/catalog", SubstrCatalog.Kind)
+    val cat = ExactCatalog.read(spark, s"$tmp/catalog", SubstrCatalog.kindFor(W))
     assert(cat.columns.toSet == Set("fp", "h2", "added", "bucket"))
   }
 
