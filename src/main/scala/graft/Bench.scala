@@ -130,7 +130,7 @@ object Bench {
       "sessionize", "source_profile",
       "span_dedup", "pack_plan", "pack_plan_sharded", "mixture_sample", "mixture_temperature",
       "quality_select",
-      "top_ngrams", "url_normalize", "domain_stats", "media_dims",
+      "top_ngrams", "ngram_cms", "url_normalize", "domain_stats", "media_dims",
       "wav_meta", "mp4_meta", "vocab_encode", "unigram_logppl", "kmeans_topics",
       "chunk_docs", "ppl_hist", "bpe_merges", "embed_topk_pq",
       "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch",

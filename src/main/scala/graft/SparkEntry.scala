@@ -1597,6 +1597,46 @@ object SparkEntry {
         .orderBy(col("n").desc, col("gram")).limit(50)
     }),
 
+    // Heavy hitters via count-min sketch — the third sketch family
+    // (corpus_sketch covers HLL++ distinct counts and KLL-style
+    // quantiles). At 100 TB the exact gram groupBy is the thing you
+    // CANNOT afford per report; the CMS is one pass, map-side
+    // mergeable, ~112 KB at eps=1e-3 — the exact counts here are the
+    // ORACLE side of the contract, not the production path. Contract
+    // booleans state the sketch's actual guarantee per probed item:
+    // est ≥ true (always) and est ≤ true + ⌈eps·N⌉ (with the configured
+    // confidence; fixed seed ⇒ deterministic per corpus, verified at
+    // all three SFs). Probes are the exact top-10 trigrams
+    // (count-desc, gram-asc tie-break, same collation both engines —
+    // the top_ngrams precedent).
+    "ngram_cms" -> ((s, dir) => {
+      val grams = when(
+        graft.functions.GraftFunctions.tokenCountWs(col("text")) < 3,
+        array().cast("array<string>"))
+        .otherwise(graft.functions.GraftFunctions
+          .wordNgrams(col("text"), 3, distinct = false))
+      // two passes over the source (sketch + exact contract counts),
+      // each pinned as its TINY result so the census sees the stages;
+      // materializing the gram stream itself would be the wrong trade
+      // at scale (corpus-sized checkpoint vs one extra column scan)
+      val gramDf = docs(s, dir).select(explode(grams).as("gram"))
+      val skBytes = graft.ops.Checkpoints.pin(gramDf
+        .agg(expr("count_min_sketch(gram, 0.001d, 0.99d, 42)").as("sk")))
+        .head.getAs[Array[Byte]](0)
+      val sketch = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val slack = math.ceil(0.001 * sketch.totalCount()).toLong
+      val topk = graft.ops.Checkpoints.pin(
+        gramDf.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram")).limit(10))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      import s.implicits._
+      topk.toSeq.map { case (g, n) =>
+        val est = sketch.estimateCount(g)
+        (g, n, est >= n, est <= n + slack)
+      }.toDF("gram", "n", "cms_lower_ok", "cms_upper_ok")
+    }),
+
     // URL normalization (UrlOps): dirty urls are BUILT from columns
     // (upper-cased www host, default port, tracking params, fragment,
     // trailing slash) so the oracle can state the expected canonical form
@@ -3894,6 +3934,21 @@ object SparkEntry {
         |)
         |SELECT gram, count(*) AS n FROM g
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 50
+        |""".stripMargin,
+
+    // exact top-10 + the CMS guarantee booleans as literal TRUE — the
+    // contract-row pattern (see `corpus_sketch`)
+    "ngram_cms" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+        |  FROM toks
+        |)
+        |SELECT gram, count(*) AS n,
+        |       TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+        |FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 10
         |""".stripMargin,
 
     "url_normalize" ->
