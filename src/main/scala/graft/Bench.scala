@@ -590,8 +590,28 @@ object Bench {
         f""""wall_clock_sec":${(System.nanoTime() - wall0) / 1e9}%.1f,""" +
         s""""reps_all":$repsAll,"reps_noisy":$repsNoisy,""" +
         s""""contended":${loadStart > 1.0}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,$env,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,$env,"sf":"$sfDir"}"""
+    println(line)
+    // Artifact naming encodes the noise protocol (r11 verdict item 7):
+    // when asked to write the JSON to a file, a run that FAILED the
+    // contention gate (load_start > 1.0 at JVM start) refuses the given
+    // name and writes `<name>_contended.json` instead — a contended run
+    // can no longer masquerade as a graded artifact. stdout keeps the
+    // line either way (driver compatibility).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      val path =
+        if (loadStart <= 1.0) out
+        else {
+          val renamed = out.stripSuffix(".json") + "_contended.json"
+          System.err.println(
+            s"bench: load_start $loadStart > 1.0 — refusing graded name " +
+              s"$out, writing $renamed")
+          renamed
+        }
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     sweepScratch()
     spark.stop()
   }

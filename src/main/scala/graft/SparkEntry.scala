@@ -945,19 +945,23 @@ object SparkEntry {
     // new crawl applied through it. Shares substr_dedup_incremental's
     // oracle verbatim (parity is also spec-pinned). Fresh dir per
     // invocation — applyBatch ADVANCES its catalog, so a shared one
-    // would scrub replays.
+    // would scrub replays. The dir is reclaimed EAGERLY before the frame
+    // returns (r11 ADVICE): applyBatch pins its rewrite, so the returned
+    // frame reads checkpoint blocks, never the deleted catalog files.
     "substr_dedup_catalog" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cat = java.nio.file.Files
-        .createTempDirectory("graft-substr-cat-q").toString
+      val root = java.nio.file.Files.createTempDirectory("graft-substr-cat-q")
+      val cat = root.toString + "/cat"
       graft.dedup.SubstrCatalog.append(
         graft.dedup.SubstrCatalog.entriesOf(
           d.filter(col("doc_id") % 3 === 0), "text", SubstrDedupW), cat,
         SubstrDedupW)
-      graft.dedup.SubstrCatalog.applyBatch(
+      val out = graft.dedup.SubstrCatalog.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0), cat,
         "doc_id", "text", SubstrDedupW, added = 1L)
         .filter(col("n_removed") > 0)
+      deleteRecursively(root.toFile)
+      out
     }),
 
     // The COMPOSED streaming curation pipeline (exact → near → substr
@@ -966,12 +970,14 @@ object SparkEntry {
     // individually-oracled tier rows, fully oracled end to end: the
     // oracle restates exact anti-join + LSH banding/verify/cluster +
     // window-fp scrub as one CTE chain. Fresh dirs per invocation (the
-    // operator advances all three catalogs).
+    // operator advances all three catalogs), reclaimed EAGERLY before
+    // the frame returns (r11 ADVICE — the final substr tier pins its
+    // rewrite, so the returned frame reads checkpoint blocks only).
     "curate_stream_batch" -> ((s, dir) => {
       val d = docs(s, dir)
       val prior = d.filter(col("doc_id") % 3 === 0)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-curate-q").toString
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-q")
+      val tmp = root.toString
       graft.dedup.ExactCatalog.append(
         graft.dedup.ExactCatalog.entriesOf(
           Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
@@ -980,11 +986,13 @@ object SparkEntry {
       graft.dedup.SubstrCatalog.append(
         graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
         s"$tmp/substr", SubstrDedupW)
-      graft.streaming.StreamingCurate.applyBatch(
+      val out = graft.streaming.StreamingCurate.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0),
         s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
         "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L)
         .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
     }),
 
     // MinHash+LSH near-dup candidates, FULLY oracled since round 6: the

@@ -70,11 +70,16 @@ object SubstrCatalog {
   def kindFor(w: Int): String = s"$KindPrefix$w"
 
   /** The catalog's recorded window width (None: no catalog, or not a
-    * window-fp catalog). */
+    * window-fp catalog). The suffix must be FULLY numeric: a corrupted
+    * or future same-prefix tag (`substr_window_fp_w8x`) falls through to
+    * None here, so callers reach the kind machinery's loud
+    * universe-mismatch refusal instead of a bare NumberFormatException
+    * (r11 ADVICE). */
+  private val KindRe = (java.util.regex.Pattern.quote(KindPrefix) + """(\d+)""").r
   def metaW(spark: SparkSession, dir: String): Option[Int] =
-    ExactCatalog.readMetaKind(spark, dir)
-      .filter(_.startsWith(KindPrefix))
-      .map(_.stripPrefix(KindPrefix).toInt)
+    ExactCatalog.readMetaKind(spark, dir).collect {
+      case KindRe(w) => w.toInt
+    }
 
   /** Catalog entries of a document frame: the distinct window-fp set in
     * the delegated `(fp, h2 = fp)` shape (see class doc). */
