@@ -131,6 +131,30 @@ object SparkEntry {
       .otherwise(jpg))
   }
 
+  /** Planted DECODABLE image per doc (real PNG bytes via
+    * [[graft.functions.ImageFixtures]], decoded by the real ImageIO
+    * codec): doc_id%10==7 → byte-exact copy of doc_id-21's base image;
+    * %10==8 → perceptual near-dup of doc_id-42's (2× upscale + brightness
+    * — new bytes and dims, pHash-adjacent); everything else an original
+    * with its own seed. The -21/-42 strides keep every duplicate pair in
+    * ONE doc_id%3 class (21 and 42 are multiples of 3), so the curate
+    * gates' prior/batch split never severs a pair, and land both bases on
+    * %10==6 originals. Duplicate structure is therefore fully statable
+    * from doc_id arithmetic while the hashes require the real decode. */
+  private val ImgCopyStride = 21L
+  private val ImgNearStride = 42L
+  private def isImgCopy: Column =
+    col("doc_id") % 10 === 7 && col("doc_id") >= ImgCopyStride
+  private def isImgNear: Column =
+    col("doc_id") % 10 === 8 && col("doc_id") >= ImgNearStride
+  private def plantedImage: Column = {
+    val seed = when(isImgCopy, col("doc_id") - ImgCopyStride)
+      .when(isImgNear, col("doc_id") - ImgNearStride)
+      .otherwise(col("doc_id"))
+    GraftFunctions.syntheticPng(seed,
+      when(isImgNear, lit(1)).otherwise(lit(0)))
+  }
+
   /** Little-endian hex renderings of int columns, for assembling binary
     * RIFF fixtures with `unhex` (RIFF scalar fields are LE). */
   private def le16hex(c: Column): Column = {
@@ -990,6 +1014,169 @@ object SparkEntry {
         d.filter(col("doc_id") % 3 =!= 0),
         s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
         "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L)
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
+    // ------------------------------------------------------- image dedup
+    // Perceptual image hashing over REAL pixel decode (javax.imageio —
+    // the JDK codecs), contract-oracled on planted PNGs (the ngram_cms
+    // pattern: exact-statable counts from doc_id arithmetic + Spark-
+    // computed booleans the oracle asserts literal TRUE). The decode and
+    // both hash kernels sit under every boolean: a codec, resample, DCT
+    // or blocking regression flips one and breaks the gate hash.
+    "image_phash" -> ((s, dir) => {
+      val hashed = docs(s, dir).select(
+        col("doc_id"),
+        isImgCopy.as("__is_copy"), isImgNear.as("__is_near"),
+        plantedImage.as("__img"))
+        .select(col("doc_id"), col("__is_copy"), col("__is_near"),
+          GraftFunctions.imagePHash(col("__img")).as("__ph"),
+          GraftFunctions.imageDHash(col("__img")).as("__dh"),
+          GraftFunctions.imageDims(col("__img")).as("__dims"),
+          length(col("__img")).as("__len"))
+      val bases = hashed.select(col("doc_id").as("__bid"),
+        col("__ph").as("__bph"), col("__dh").as("__bdh"),
+        col("__len").as("__blen"))
+      val joined = hashed
+        .withColumn("__base_id",
+          when(col("__is_copy"), col("doc_id") - ImgCopyStride)
+            .when(col("__is_near"), col("doc_id") - ImgNearStride))
+        .join(bases, col("__base_id") === col("__bid"), "left")
+        // consecutive non-copy hash for the separation witness, computed
+        // BEFORE the aggregate (window-in-agg is not allowed)
+        .withColumn("__next_ph",
+          lead(col("__ph"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__is_copy")).orderBy(col("doc_id"))))
+      joined.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__is_copy"), 1L).otherwise(0L)).as("n_copies"),
+        sum(when(col("__is_near"), 1L).otherwise(0L)).as("n_neardups"),
+        min(col("__ph").isNotNull && col("__dh").isNotNull).as("all_decoded_ok"),
+        // real container parse agrees with the planted geometry (near
+        // variants are 64x64 upscales, everything else 32x32)
+        min(col("__dims.width") === when(col("__is_near"), 64).otherwise(32) &&
+          col("__dims.height") === when(col("__is_near"), 64).otherwise(32))
+          .as("dims_ok"),
+        min(when(col("__is_copy"),
+          col("__ph") === col("__bph") && col("__dh") === col("__bdh") &&
+            col("__len") === col("__blen")).otherwise(lit(true)))
+          .as("copies_hashes_equal_ok"),
+        // the planted near-dup: DIFFERENT bytes (here: provably different
+        // container dims), pHash within the quarter-blocking radius
+        min(when(col("__is_near"),
+          bit_count(col("__ph").bitwiseXOR(col("__bph"))) <= 3 &&
+            col("__len") =!= col("__blen")).otherwise(lit(true)))
+          .as("neardups_phash_close_ok"),
+        // distinct planted patterns stay far apart: consecutive non-copy
+        // docs (a linear witness set over distinct seeds) never land
+        // inside 2x the dedup radius + headroom — the separation floor
+        // the kernel spec pins at 12
+        min(when(col("__is_copy") || col("__is_near"), lit(true))
+          .otherwise(bit_count(col("__ph").bitwiseXOR(col("__next_ph"))) > 8))
+          .as("originals_separated_ok"))
+    }),
+
+    // Byte-exact image dedup over the planted payloads — fully row-
+    // oracled: the duplicate-group structure is doc_id arithmetic (every
+    // %10==6 original has exactly one byte-copy 21 ids later, bounds
+    // permitting), while producing it requires hashing and re-comparing
+    // real binary payloads.
+    "image_dedup_exact" -> ((s, dir) =>
+      graft.dedup.ImageDedup.exactDupGroups(
+        docs(s, dir).select(col("doc_id"), plantedImage.as("img")),
+        "doc_id", "img")),
+
+    // Cross-crawl image dedup through the PERSISTENT catalogs (the
+    // semdedup_incremental pattern): prior corpus = originals
+    // (%10 <= 6), batch = copies (exact tier must drop), near-dups
+    // (perceptual tier must drop) and fresh images (must survive), run
+    // through the production streaming wrapper. Fresh dirs per
+    // invocation, reclaimed eagerly.
+    "image_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-imgcat-q")
+      val prior = d.filter(col("doc_id") % 10 <= 6)
+        .select(col("doc_id"), plantedImage.as("img"))
+      graft.dedup.ImageCatalog.appendExact(
+        graft.dedup.ImageCatalog.exactEntriesOf(prior, "img"), s"$root/e")
+      graft.dedup.ImageCatalog.appendPhash(
+        graft.dedup.ImageCatalog.phashEntriesOf(
+          graft.dedup.ImageDedup.withPHash(prior, "img")
+            .select(col("doc_id").as("id"), col("phash"))), s"$root/p")
+      // fresh = %10==9 docs re-seeded far outside every planted universe
+      val batch = d.filter(col("doc_id") % 10 >= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 9,
+            GraftFunctions.syntheticPng(col("doc_id") + 1000000000L, lit(0)))
+            .otherwise(plantedImage).as("img"))
+      val out = graft.streaming.StreamingImageDedup.applyBatch(
+        batch, s"$root/e", s"$root/p", "doc_id", "img", added = 1L)
+      val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
+      // small %10 in {7,8} ids (below the stride) are ORIGINALS by
+      // construction — they must survive alongside the fresh images
+      val keptCopies = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
+      val keptNears = kept.count(i => i % 10 == 8 && i >= ImgNearStride)
+      val keptOrig = kept.count(i =>
+        (i % 10 == 7 && i < ImgCopyStride) || (i % 10 == 8 && i < ImgNearStride))
+      val keptFresh = kept.count(_ % 10 == 9)
+      deleteRecursively(root.toFile)
+      import s.implicits._
+      batch.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(isImgCopy, 1L).otherwise(0L)).as("n_copies"),
+        sum(when(isImgNear, 1L).otherwise(0L)).as("n_neardups"),
+        sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
+        sum(when((col("doc_id") % 10 === 7 && !isImgCopy) ||
+          (col("doc_id") % 10 === 8 && !isImgNear), 1L).otherwise(0L))
+          .as("n_small_originals"))
+        .crossJoin(Seq((
+          keptCopies == 0, keptNears == 0,
+          keptFresh.toLong, keptOrig.toLong)).toDF(
+          "copies_all_dropped_ok", "neardups_all_dropped_ok",
+          "n_fresh_kept", "n_small_orig_kept"))
+        .select(col("n_batch"), col("n_copies"), col("n_neardups"),
+          col("n_fresh"), col("copies_all_dropped_ok"),
+          col("neardups_all_dropped_ok"),
+          (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
+          (col("n_small_orig_kept") === col("n_small_originals"))
+            .as("small_originals_kept_ok"))
+    }),
+
+    // The composed curation pipeline WITH the image tier engaged
+    // (image exact → image phash → text exact → near → substr), fully
+    // oracled end to end: the image payload is planted so the image
+    // tiers' drop set is exactly statable from doc_id arithmetic (the
+    // -21/-42 strides keep duplicate pairs inside one %3 class — see
+    // plantedImage), letting the oracle re-root curate_stream_batch's
+    // CTE chain at the image survivors.
+    "curate_stream_batch_img" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        plantedImage.as("img"))
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-img-q")
+      val tmp = root.toString
+      graft.dedup.ImageCatalog.appendExact(
+        graft.dedup.ImageCatalog.exactEntriesOf(prior, "img"), s"$tmp/ie")
+      graft.dedup.ImageCatalog.appendPhash(
+        graft.dedup.ImageCatalog.phashEntriesOf(
+          graft.dedup.ImageDedup.withPHash(prior, "img")
+            .select(col("doc_id").as("id"), col("phash"))), s"$tmp/ip")
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0),
+        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
+        imageCol = Some("img"),
+        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"))
         .filter(col("n_tokens") > 0)
       deleteRecursively(root.toFile)
       out
@@ -2759,8 +2946,13 @@ object SparkEntry {
     * survivors), then the window-fp scrub (`substr_dedup_incremental`'s
     * rule, re-rooted at the near survivors) emitting EVERY survivor's
     * rewrite. Thresholds and constants are the same shared literals the
-    * tier oracles inline, so the sides cannot drift. */
-  private def curateStreamOracleSql: String = {
+    * tier oracles inline, so the sides cannot drift.
+    *
+    * `batchPred`: extra SQL predicate narrowing the batch — the image-
+    * tier restatement for `curate_stream_batch_img` (the planted image
+    * scheme makes the image tiers' drop set pure doc_id arithmetic, so
+    * the oracle re-roots the text chain at the image survivors). */
+  private def curateStreamOracleSql(batchPred: String = ""): String = {
     val w = SubstrDedupW
     s"""WITH RECURSIVE ${minhashSigCtesSql},
        |${substrWndSql.stripPrefix("WITH ")},
@@ -2768,7 +2960,7 @@ object SparkEntry {
        |  SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
        |), b0 AS (
        |  SELECT min(doc_id) AS doc_id, text
-       |  FROM documents WHERE doc_id % 3 != 0 GROUP BY text
+       |  FROM documents WHERE doc_id % 3 != 0 $batchPred GROUP BY text
        |), exact_surv AS (
        |  SELECT f.doc_id FROM b0 f
        |  LEFT JOIN exact_cat c ON f.text = c.text
@@ -3853,7 +4045,51 @@ object SparkEntry {
 
     "neardedup_incremental" -> neardedupIncrementalOracleSql,
 
-    "curate_stream_batch" -> curateStreamOracleSql,
+    "curate_stream_batch" -> curateStreamOracleSql(),
+
+    // Image dedup gates: counts are pure doc_id arithmetic (the planted
+    // -21/-42 stride scheme — see plantedImage); the decode-derived
+    // booleans are asserted literal TRUE.
+    "image_phash" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_copies,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 8 AND doc_id >= 42) AS n_neardups,
+        |  TRUE AS all_decoded_ok, TRUE AS dims_ok,
+        |  TRUE AS copies_hashes_equal_ok, TRUE AS neardups_phash_close_ok,
+        |  TRUE AS originals_separated_ok
+        |""".stripMargin,
+
+    // Byte-exact image dedup: every %10==6 original has exactly one
+    // byte-copy 21 ids later (doc_ids are contiguous from 0), near-dup
+    // variants have distinct bytes, sub-stride %10==7 docs are originals.
+    "image_dedup_exact" ->
+      """SELECT CAST(doc_id AS BIGINT) AS canonical_id,
+        |  CAST(CASE WHEN doc_id % 10 = 6
+        |                  AND doc_id + 21 <= (SELECT max(doc_id) FROM documents)
+        |            THEN 2 ELSE 1 END AS BIGINT) AS n_dups
+        |FROM documents
+        |WHERE NOT (doc_id % 10 = 7 AND doc_id >= 21)
+        |""".stripMargin,
+
+    "image_dedup_incremental" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 >= 7) AS n_batch,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_copies,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 8 AND doc_id >= 42) AS n_neardups,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 9) AS n_fresh,
+        |  TRUE AS copies_all_dropped_ok, TRUE AS neardups_all_dropped_ok,
+        |  TRUE AS fresh_all_kept_ok, TRUE AS small_originals_kept_ok
+        |""".stripMargin,
+
+    // Image tier restated as doc_id arithmetic (every batch copy/near-dup
+    // has its base in the same batch or the prior — the stride scheme),
+    // then the text-tier chain re-rooted at the image survivors.
+    "curate_stream_batch_img" -> curateStreamOracleSql(
+      "AND NOT (doc_id % 10 = 7 AND doc_id >= 21) " +
+        "AND NOT (doc_id % 10 = 8 AND doc_id >= 42)"),
 
     "dedup_cluster_resolve" ->
       """WITH RECURSIVE e AS (

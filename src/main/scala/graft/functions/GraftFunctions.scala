@@ -77,7 +77,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ExtractHtmlText(exprs.head)),
     (FunctionIdentifier("token_window_fps"),
       new ExpressionInfo(classOf[TokenWindowFps].getName, "token_window_fps"),
-      (exprs: Seq[Expression]) => TokenWindowFps(exprs.head, kOf(exprs(1))))
+      (exprs: Seq[Expression]) => TokenWindowFps(exprs.head, kOf(exprs(1)))),
+    (FunctionIdentifier("image_phash"),
+      new ExpressionInfo(classOf[ImagePHash].getName, "image_phash"),
+      (exprs: Seq[Expression]) => ImagePHash(exprs.head)),
+    (FunctionIdentifier("image_dhash"),
+      new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),
+      (exprs: Seq[Expression]) => ImageDHash(exprs.head))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -130,6 +136,10 @@ object GraftFunctions {
   def bpeEncodeWord(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncodeWord(expression(c), merges))
   def extractHtmlText(c: Column): Column = column(ExtractHtmlText(expression(c)))
+  def imagePHash(c: Column): Column = column(ImagePHash(expression(c)))
+  def imageDHash(c: Column): Column = column(ImageDHash(expression(c)))
+  def syntheticPng(seed: Column, variant: Column): Column =
+    column(SyntheticPng(expression(seed), expression(variant)))
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the optimizer

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extract / frame-sample run per partition in
   * batches.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `stubDecode*` produce deterministic fake features derived
-  * from the bytes. Everything Spark-side — schema, partitioning, batch
-  * iteration shape, null discipline — is real and tested, so swapping the
-  * stub for a JNI/ONNX decoder changes one function body, not the plan.
+  * IMAGE decode is REAL since round 12 ([[decodeFeatures]] /
+  * [[graft.functions.ImageKernels]] — `javax.imageio`, the JDK's built-in
+  * PNG/JPEG/GIF/BMP codecs; also behind the `image_phash`/`image_dhash`
+  * perceptual-dedup expressions). AUDIO/VIDEO codecs are not on the JDK,
+  * so [[stubDecodeFeatures]] remains the declared deterministic stand-in
+  * for those payloads: the mapPartitions batch shape, output schema and
+  * null discipline are real and tested, so swapping in a JNI/ONNX decoder
+  * changes one function body, not the plan.
   */
 object Multimodal {
 
@@ -62,11 +65,36 @@ object Multimodal {
       coalesce(length(col(dataCol)).cast(LongType), lit(0L)).as("byte_len")))
   }
 
-  /** STUB image decode → fixed-size feature vector. Deterministic fake:
-    * features are byte-histogram-ish moments of the payload. The real
-    * implementation would decode pixels here; the mapPartitions batch
-    * shape, output schema and null handling are what the pipeline relies
-    * on and they are real.
+  /** REAL image decode → fixed-size feature vector: per-row
+    * `javax.imageio` pixel decode, features = the L1-normalized
+    * `featureDim`-bin luma histogram
+    * ([[graft.functions.ImageKernels.lumaHistogram]]); null features for
+    * null or undecodable payloads (crawl data is hostile — the kernel
+    * never throws). Same mapPartitions batch shape, output schema and
+    * null discipline the stub established; only the pixels became real. */
+  def decodeFeatures(
+      df: DataFrame, dataCol: String, featureDim: Int = 16): DataFrame = {
+    val outSchema = df.schema.add(StructField("features",
+      ArrayType(FloatType, containsNull = false), nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val dataIdx = df.schema.fieldIndex(dataCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload = if (row.isNullAt(dataIdx)) null else row.getAs[Array[Byte]](dataIdx)
+        val feats =
+          if (payload == null) null
+          else graft.functions.ImageKernels.lumaHistogram(payload, featureDim)
+        Row.fromSeq(row.toSeq :+ (if (feats == null) null else feats.toSeq))
+      }
+    }(enc).toDF(outSchema.fieldNames: _*)
+  }
+
+  /** STUB decode → fixed-size feature vector for payload types the JDK
+    * has no codec for (audio frames, video packets): deterministic
+    * byte-histogram-ish moments of the payload. Image columns should use
+    * [[decodeFeatures]] (real pixels); this remains the honest stand-in
+    * for a JNI/ONNX audio/video decoder — batch shape, schema and null
+    * handling identical, so the swap changes one function body.
     */
   def stubDecodeFeatures(
       df: DataFrame, dataCol: String, featureDim: Int = 16): DataFrame = {
@@ -80,7 +108,7 @@ object Multimodal {
         val feats: Array[Float] =
           if (payload == null) null
           else {
-            // ??? real decoder goes here; deterministic stand-in:
+            // deterministic stand-in (no JDK codec for audio/video):
             val f = new Array[Float](featureDim)
             var i = 0
             while (i < payload.length) {

@@ -5,9 +5,15 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
 
 /** The COMPOSED streaming curation pipeline: every micro-batch runs the
-  * three text dedup tiers in sequence, each against its own persistent
-  * catalog —
+  * dedup tiers in sequence, each against its own persistent catalog —
   *
+  *   0. IMAGE ([[graft.dedup.ImageCatalog]] via [[StreamingImageDedup]])
+  *      — OPTIONAL, engaged by `imageCol`: byte-exact then perceptual
+  *      (pHash quarter-blocked) image dedup runs FIRST — a 100 TB
+  *      multimodal crawl dedups images before anything else
+  *      (LAION/DataComp-style), and every doc it drops never pays text
+  *      shingling or a second pixel decode. Requires both image catalog
+  *      dirs; checked loudly up front like the semantic tier.
   *   1. EXACT ([[ExactCatalog]]): drop literal copies of anything the
   *      corpus has seen; in-batch copies keep the lowest id. Cheapest
   *      tier first — every doc it drops never pays MinHash or window
@@ -43,7 +49,7 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   * callback returns, so nesting the tiers inside each other's callbacks
   * makes EVERY catalog append land after the FINAL delivery
   * (deliver → substr append → sem index append → near append → exact
-  * append). Chaining
+  * append → image appends). Chaining
   * three independent writers instead would let tier N's append land
   * before tier N+1 ever ran — a crash between them silently suppresses
   * the in-flight docs on replay without them ever reaching downstream
@@ -72,6 +78,10 @@ object StreamingCurate {
       semIndexDir: Option[String] = None,
       embCol: String = "embedding",
       semThreshold: Double = 0.95,
+      imageCol: Option[String] = None,
+      imageExactDir: Option[String] = None,
+      imagePhashDir: Option[String] = None,
+      imageMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     var out: DataFrame = batch.sparkSession.emptyDataFrame
     // the semantic tier's caller contract, checked BEFORE any tier
@@ -84,12 +94,23 @@ object StreamingCurate {
           s"column (batch columns: ${batch.columns.mkString(", ")})")
       val _ = graft.sim.IvfIndex.readCentroids(batch.sparkSession, idx)
     }
-    // 4-tier chains read the batch twice (tier 1 and the embedding
-    // re-join) — pin once so the second consumer replays a checkpoint,
-    // not the upstream
+    // the image tier's caller contract, same up-front discipline
+    imageCol.foreach { ic =>
+      require(batch.columns.contains(ic),
+        s"imageCol is configured but the batch has no '$ic' column " +
+          s"(batch columns: ${batch.columns.mkString(", ")})")
+      require(imageExactDir.isDefined && imagePhashDir.isDefined,
+        "imageCol is configured but imageExactDir/imagePhashDir are not — " +
+          "the image tier needs both persistent catalogs")
+    }
+    // multi-consumer chains read the batch more than once (the image
+    // tier, tier 1 and the embedding re-join) — pin once so later
+    // consumers replay a checkpoint, not the upstream
     val src =
-      if (semIndexDir.isDefined) graft.ops.Checkpoints.pin(batch) else batch
-    // the substring rewrite, shared by the 3- and 4-tier chains
+      if (semIndexDir.isDefined || imageCol.isDefined)
+        graft.ops.Checkpoints.pin(batch)
+      else batch
+    // the substring rewrite, shared by every chain length
     def substrTier(survivors: DataFrame): Unit =
       out = StreamingSubstrDedup.applyBatch(
         survivors.select(org.apache.spark.sql.functions.col(idCol),
@@ -99,29 +120,44 @@ object StreamingCurate {
         retainAddedBehind = retainAddedBehind,
         retentionSweepEvery = retentionSweepEvery,
         deliver = deliver)
-    val _ = StreamingExactDedup.applyBatch(
-      src, exactDir, idCol, textCol, numBuckets,
-      compactAboveFiles = compactAboveFiles, added = added,
-      retainAddedBehind = retainAddedBehind,
-      retentionSweepEvery = retentionSweepEvery,
-      deliver = exactSurvivors => {
-        val _ = StreamingNearDedup.applyBatch(
-          exactSurvivors, nearDir, idCol, textCol,
-          shingleSize, bands, rowsPerBand, jaccardThreshold,
-          nearNumBuckets, compactAboveFiles = compactAboveFiles,
-          added = added, retainAddedBehind = retainAddedBehind,
+    // text tiers (exact → near → [sem] → substr) over the image
+    // survivors (or the whole batch when the image tier is off)
+    def textTiers(textBatch: DataFrame): Unit = {
+      val _ = StreamingExactDedup.applyBatch(
+        textBatch, exactDir, idCol, textCol, numBuckets,
+        compactAboveFiles = compactAboveFiles, added = added,
+        retainAddedBehind = retainAddedBehind,
+        retentionSweepEvery = retentionSweepEvery,
+        deliver = exactSurvivors => {
+          val _ = StreamingNearDedup.applyBatch(
+            exactSurvivors, nearDir, idCol, textCol,
+            shingleSize, bands, rowsPerBand, jaccardThreshold,
+            nearNumBuckets, compactAboveFiles = compactAboveFiles,
+            added = added, retainAddedBehind = retainAddedBehind,
+            retentionSweepEvery = retentionSweepEvery,
+            deliver = nearSurvivors => semIndexDir match {
+              case None => substrTier(nearSurvivors)
+              case Some(idx) =>
+                import org.apache.spark.sql.functions.col
+                val withEmb = nearSurvivors.join(
+                  src.select(col(idCol), col(embCol)), Seq(idCol))
+                val _ = graft.sim.SemDedup.applyBatchIndexed(
+                  withEmb, idx, idCol, embCol, semThreshold,
+                  deliver = semSurvivors => substrTier(semSurvivors))
+            })
+        })
+    }
+    imageCol match {
+      case None => textTiers(src)
+      case Some(ic) =>
+        val _ = StreamingImageDedup.applyBatch(
+          src, imageExactDir.get, imagePhashDir.get, idCol, ic,
+          imageMaxHamming, numBuckets,
+          compactAboveFiles = compactAboveFiles, added = added,
+          retainAddedBehind = retainAddedBehind,
           retentionSweepEvery = retentionSweepEvery,
-          deliver = nearSurvivors => semIndexDir match {
-            case None => substrTier(nearSurvivors)
-            case Some(idx) =>
-              import org.apache.spark.sql.functions.col
-              val withEmb = nearSurvivors.join(
-                src.select(col(idCol), col(embCol)), Seq(idCol))
-              val _ = graft.sim.SemDedup.applyBatchIndexed(
-                withEmb, idx, idCol, embCol, semThreshold,
-                deliver = semSurvivors => substrTier(semSurvivors))
-          })
-      })
+          deliver = imageSurvivors => textTiers(imageSurvivors))
+    }
     out
   }
 
@@ -143,6 +179,10 @@ object StreamingCurate {
       semIndexDir: Option[String] = None,
       embCol: String = "embedding",
       semThreshold: Double = 0.95,
+      imageCol: Option[String] = None,
+      imageExactDir: Option[String] = None,
+      imagePhashDir: Option[String] = None,
+      imageMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -158,6 +198,8 @@ object StreamingCurate {
             retentionSweepEvery = retentionSweepEvery,
             semIndexDir = semIndexDir, embCol = embCol,
             semThreshold = semThreshold,
+            imageCol = imageCol, imageExactDir = imageExactDir,
+            imagePhashDir = imagePhashDir, imageMaxHamming = imageMaxHamming,
             deliver = deliver)
         }
       }

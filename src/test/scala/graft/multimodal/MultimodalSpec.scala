@@ -41,6 +41,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == again)
   }
 
+  test("real decode: luma-histogram features for decodable images, null for junk") {
+    import spark.implicits._
+    val withReal = Seq(
+      ("img1", graft.functions.ImageFixtures.syntheticPng(1L, 0)),
+      ("img2", graft.functions.ImageFixtures.syntheticPng(2L, 0)),
+      ("junk", Array[Byte](1, 2, 3, 4)),
+      ("none", null)
+    ).toDF("media_id", "data")
+    val rows = Multimodal.decodeFeatures(withReal, "data", featureDim = 8)
+      .select("media_id", "features").collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[Float](1))).toMap
+    assert(rows("none").isEmpty)
+    assert(rows("junk").isEmpty) // undecodable -> null, never a throw
+    assert(rows("img1").get.length == 8)
+    assert(math.abs(rows("img1").get.map(_.toDouble).sum - 1.0) < 1e-5)
+    assert(rows("img1") != rows("img2")) // pixels, not payload moments
+    // agrees with the kernel called directly (same decode path)
+    val direct = graft.functions.ImageKernels.lumaHistogram(
+      graft.functions.ImageFixtures.syntheticPng(1L, 0), 8)
+    assert(rows("img1").get == direct.toSeq)
+  }
+
   test("frame sampling emits n offsets per payload, within bounds") {
     val out = Multimodal.sampleFrames(media.filter(col("data").isNotNull), "data", n = 3)
     val grouped = out.select("media_id", "frame_idx", "byte_offset").collect()

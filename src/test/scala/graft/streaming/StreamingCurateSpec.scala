@@ -123,6 +123,57 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.sim.IvfIndex.vectors(spark, semIdx).count() == nVecs)
   }
 
+  test("optional image tier runs FIRST: image dups drop before any text tier, appends still last") {
+    import graft.functions.ImageFixtures
+    val (e, n, s) = dirs("img")
+    val tmp = Files.createTempDirectory("graft-curate-imgcat").toString
+    val (ie, ip) = (s"$tmp/ie", s"$tmp/ip")
+    def img(seed: Long, variant: Int = 0) = ImageFixtures.syntheticPng(seed, variant)
+    // batch 1 seeds the catalogs
+    val d1 = Seq((1L, b1.head._2, img(1)), (2L, b1(1)._2, img(2)))
+      .toDF("doc_id", "text", "img")
+    val _ = StreamingCurate.applyBatch(d1, e, n, s, "doc_id", "text", W,
+      added = 0L, imageCol = Some("img"),
+      imageExactDir = Some(ie), imagePhashDir = Some(ip))
+    // batch 2: 30 = FRESH text but byte-copy image of doc 1 (only the
+    // image exact tier can drop it); 31 = fresh text, perceptual
+    // near-dup image of doc 2; 32 = fresh on every axis
+    val d2 = Seq(
+      (30L, "totally new text that only the image tier could reject", img(1)),
+      (31L, "other new text that only perceptual hashing could reject", img(2, 1)),
+      (32L, "a genuinely novel document with a genuinely novel image", img(32)))
+      .toDF("doc_id", "text", "img")
+    val out = rows(StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
+      added = 1L, imageCol = Some("img"),
+      imageExactDir = Some(ie), imagePhashDir = Some(ip)))
+    assert(out.map(_._1).toSet == Set(32L),
+      s"image tiers must drop 30 (exact) and 31 (phash), got ${out.map(_._1)}")
+    // crash contract extends to the image catalogs: failed final
+    // delivery leaves them unadvanced
+    val before = (ExactCatalog.read(spark, ie,
+      graft.dedup.ImageCatalog.KindExact).count(),
+      ExactCatalog.read(spark, ip, graft.dedup.ImageCatalog.KindPhash).count())
+    val _2 = intercept[RuntimeException] {
+      StreamingCurate.applyBatch(
+        Seq((40L, "yet another novel doc body", img(40)))
+          .toDF("doc_id", "text", "img"),
+        e, n, s, "doc_id", "text", W, added = 2L,
+        imageCol = Some("img"),
+        imageExactDir = Some(ie), imagePhashDir = Some(ip),
+        deliver = _ => throw new RuntimeException("down"))
+    }
+    assert((ExactCatalog.read(spark, ie,
+      graft.dedup.ImageCatalog.KindExact).count(),
+      ExactCatalog.read(spark, ip,
+        graft.dedup.ImageCatalog.KindPhash).count()) == before)
+    // misconfiguration fails loudly BEFORE any tier does work
+    val boom = intercept[IllegalArgumentException] {
+      StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
+        imageCol = Some("img"))
+    }
+    assert(boom.getMessage.contains("imageExactDir"))
+  }
+
   test("crash contract: a failed final delivery advances NO catalog") {
     val (e, n, s) = dirs("crash")
     val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
