@@ -133,6 +133,36 @@ object StreamingNearDedup {
     survivors
   }
 
+  /** [[applyBatch]] against a [[graft.ops.VersionedStore]] ROOT instead
+    * of a fixed dir (see [[VersionedTier]]): the serving version is
+    * resolved per trigger, and every `maintainEvery` batches
+    * [[BandedCatalog.maintainVersioned]] runs — a tripped Rebucket cuts
+    * the stream over to the rebuilt catalog without a restart, dedup
+    * state intact. */
+  def applyBatchVersioned(
+      batch: DataFrame, root: String, idCol: String, textCol: String,
+      shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.7,
+      numBuckets: Int = BandedCatalog.DefaultBuckets,
+      maxPushdownKeys: Int = BandedCatalog.DefaultMaxPushdownKeys,
+      compactAboveFiles: Int = 16,
+      added: Long = 0L,
+      retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      maintainEvery: Long = 64L,
+      deliver: DataFrame => Unit = _ => ()): DataFrame = {
+    val spark = batch.sparkSession
+    VersionedTier.run(spark, root,
+      d => BandedCatalog.readMeta(spark, d).isDefined,
+      maintainEvery, added,
+      () => { val _ = BandedCatalog.maintainVersioned(spark, root, policy) })(
+      serving => applyBatch(batch, serving, idCol, textCol,
+        shingleSize, bands, rowsPerBand, jaccardThreshold, numBuckets,
+        maxPushdownKeys, compactAboveFiles, added, retainAddedBehind,
+        retentionSweepEvery, deliver))
+  }
+
   /** foreachBatch writer: `deliver` receives each micro-batch's
     * survivors (write them to the downstream sink there). Catalog rows
     * are tagged with the engine's batch id. */

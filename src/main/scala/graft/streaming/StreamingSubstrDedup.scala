@@ -62,6 +62,33 @@ object StreamingSubstrDedup {
     out
   }
 
+  /** [[applyBatch]] against a [[graft.ops.VersionedStore]] ROOT (see
+    * [[VersionedTier]]): serving version resolved per trigger, a tripped
+    * Rebucket executed every `maintainEvery` batches through
+    * [[SubstrCatalog.maintainVersioned]] — mid-stream cutover, window-fp
+    * state intact. */
+  def applyBatchVersioned(
+      batch: DataFrame, root: String, idCol: String, textCol: String,
+      w: Int,
+      numBuckets: Int = ExactCatalog.DefaultBuckets,
+      maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
+      compactAboveFiles: Int = 16,
+      added: Long = 0L,
+      retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      maintainEvery: Long = 64L,
+      deliver: DataFrame => Unit = _ => ()): DataFrame = {
+    val spark = batch.sparkSession
+    VersionedTier.run(spark, root,
+      d => ExactCatalog.readMeta(spark, d).isDefined,
+      maintainEvery, added,
+      () => { val _ = SubstrCatalog.maintainVersioned(spark, root, policy) })(
+      serving => applyBatch(batch, serving, idCol, textCol, w, numBuckets,
+        maxPushdownKeys, compactAboveFiles, added, retainAddedBehind,
+        retentionSweepEvery, deliver))
+  }
+
   /** foreachBatch writer: `deliver` receives each micro-batch's
     * rewrites (write them to the downstream sink there). Catalog rows
     * are tagged with the engine's batch id. */

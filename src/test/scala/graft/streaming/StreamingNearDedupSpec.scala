@@ -373,4 +373,48 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
       mutants.toDF("doc_id", "text"), serving, "doc_id", "text",
       added = 3L).isEmpty)
   }
+
+  test("versioned root: tripped maintenance cuts the STREAM over mid-flight, state intact") {
+    import spark.implicits._
+    import graft.dedup.BandedCatalog
+    val (b1, _) = corpus()
+    val root = Files.createTempDirectory("graft-snd-vroot").toString + "/vroot"
+    // trigger 1 bootstraps v1 from an empty root
+    val s1 = StreamingNearDedup.applyBatchVersioned(
+      b1.toDF("doc_id", "text"), root, "doc_id", "text",
+      numBuckets = 4, added = 1L)
+    val s1Ids = s1.collect().map(_.getLong(0)).toSet
+    assert(s1Ids.nonEmpty)
+    assert(graft.ops.VersionedStore.current(spark, root,
+      d => BandedCatalog.readMeta(spark, d).isDefined)
+      .contains(graft.ops.VersionedStore.versionDir(root, 1)))
+
+    // trigger 2 lands on the maintenance cadence with a tight byte
+    // target: Rebucket trips and EXECUTES into v2 — no stream restart,
+    // the operator itself cut over
+    val mutantsA = b1.filter(d => s1Ids.contains(d._1))
+      .sortBy(-_._2.length).take(5)
+      .map { case (id, t) => (id + 700000L, mutate(t)) }
+    val s2 = StreamingNearDedup.applyBatchVersioned(
+      mutantsA.toDF("doc_id", "text"), root, "doc_id", "text",
+      added = 2L, maintainEvery = 2L,
+      policy = graft.ops.GrowthPolicy.Policy(
+        targetBucketBytes = 1L, maxFilesPerBucket = 64))
+    assert(s2.isEmpty, "near-dups of v1 survivors must drop before the cutover")
+    val serving = graft.ops.VersionedStore.current(spark, root,
+      d => BandedCatalog.readMeta(spark, d).isDefined).get
+    assert(serving == graft.ops.VersionedStore.versionDir(root, 2))
+    assert(!new java.io.File(graft.ops.VersionedStore.versionDir(root, 1))
+      .exists(), "retired predecessor must be swept")
+    assert(BandedCatalog.readMeta(spark, serving).get.numBuckets > 4)
+
+    // trigger 3 probes the NEW version with default args: dedup memory
+    // carried through the mid-stream rebucket
+    val mutantsB = b1.filter(d => s1Ids.contains(d._1))
+      .sortBy(-_._2.length).take(5)
+      .map { case (id, t) => (id + 990000L, mutate(t)) }
+    assert(StreamingNearDedup.applyBatchVersioned(
+      mutantsB.toDF("doc_id", "text"), root, "doc_id", "text",
+      added = 3L).isEmpty)
+  }
 }

@@ -122,4 +122,36 @@ class StreamingSubstrDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(30L) == 0L, "the expired crawl's span must be re-admitted")
     assert(out(31L) > 0L, "the retained crawl's span must still scrub")
   }
+
+  test("versioned root: mid-stream rebucket cutover, window-fp state intact") {
+    val root = Files.createTempDirectory("graft-ssd-vroot").toString + "/vroot"
+    // trigger 1 bootstraps v1
+    val _ = StreamingSubstrDedup.applyBatchVersioned(
+      b1.toDF("doc_id", "text"), root, "doc_id", "text", W,
+      numBuckets = 4, added = 1L)
+    val committed = (d: String) => ExactCatalog.readMeta(spark, d).isDefined
+    assert(graft.ops.VersionedStore.current(spark, root, committed)
+      .contains(graft.ops.VersionedStore.versionDir(root, 1)))
+    // trigger 2 on the maintenance cadence with a tight byte target:
+    // Rebucket executes into v2; the batch itself still scrubs against v1
+    val out2 = StreamingSubstrDedup.applyBatchVersioned(
+      b2.toDF("doc_id", "text"), root, "doc_id", "text", W,
+      added = 2L, maintainEvery = 2L,
+      policy = graft.ops.GrowthPolicy.Policy(
+        targetBucketBytes = 1L, maxFilesPerBucket = 64))
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(out2(10L) > 0L && out2(11L) == 0L)
+    val serving = graft.ops.VersionedStore.current(spark, root, committed).get
+    assert(serving == graft.ops.VersionedStore.versionDir(root, 2))
+    assert(SubstrCatalog.metaW(spark, serving).contains(W),
+      "the rebuilt version must carry the window-width kind")
+    // trigger 3 probes v2: spans seen in EITHER prior trigger still
+    // scrub — the cutover carried the whole window-fp set
+    val out3 = StreamingSubstrDedup.applyBatchVersioned(
+      Seq(20L -> "tail alpha beta gamma delta epsilon zeta more",
+        21L -> "brand new third crawl material entirely").toDF("doc_id", "text"),
+      root, "doc_id", "text", W, added = 3L)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(out3(20L) > 0L && out3(21L) == 0L)
+  }
 }
