@@ -65,6 +65,49 @@ class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
       s"no bucket partition filter in:\n$plan")
   }
 
+  test("key-overflow probe pushes per-bucket fp RANGES; results match the capped path") {
+    val dir = tmpDir()
+    val corpus = docs((1L to 300L).map(i => i -> s"doc $i"): _*)
+    ExactCatalog.append(ExactCatalog.entriesOf(corpus, "text"), dir)
+    val batch = ExactCatalog.entriesOf(
+      docs((1L to 40L).map(i => (1000L + i) -> s"doc $i"): _*), "text")
+
+    // force overflow: 40 distinct fps against a cap of 8. The overflow
+    // read is a SUPERSET read (ranges, not equalities — the downstream
+    // anti-join does the equality), so soundness = every row the capped
+    // equality read returns is present
+    val overflow = ExactCatalog.readForBatch(spark, dir, batch,
+      maxPushdownKeys = 8)
+    val capped = ExactCatalog.readForBatch(spark, dir, batch)
+    val overflowFps = overflow.select("fp").as[Long].collect().toSet
+    val cappedFps = capped.select("fp").as[Long].collect().toSet
+    assert(cappedFps.subsetOf(overflowFps),
+      s"overflow probe lost matches: ${cappedFps -- overflowFps}")
+
+    // the fp ranges reached the parquet scan as pushed data filters
+    // (row-group skipping evidence — files are fp-sorted on disk)
+    val plan = overflow.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [Or(") && plan.contains("(fp"),
+      s"no pushed fp range in:\n${plan.take(2000)}")
+
+    // OPERATOR-level parity: applyBatch under a forced-overflow cap
+    // admits exactly the same survivors as under the default cap
+    val dirA = tmpDir(); val dirB = tmpDir()
+    val prior = docs((1L to 100L).map(i => i -> s"doc $i"): _*)
+    ExactCatalog.append(ExactCatalog.entriesOf(prior, "text"), dirA)
+    ExactCatalog.append(ExactCatalog.entriesOf(prior, "text"), dirB)
+    val mixed = docs(((1L to 30L).map(i => (2000L + i) -> s"doc $i") ++
+      (1L to 10L).map(i => (3000L + i) -> s"fresh $i")): _*)
+    val viaOverflow = ExactCatalog.applyBatch(mixed, dirA, "doc_id", "text",
+      added = 1L, maxPushdownKeys = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val viaCapped = ExactCatalog.applyBatch(mixed, dirB, "doc_id", "text",
+      added = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaOverflow == viaCapped)
+    assert(viaOverflow == (1L to 10L).map(3000L + _).toSet)
+  }
+
   test("retention: expired signatures stop suppressing, retained keep dropping") {
     val dir = tmpDir()
     // crawl 1 (added = 1) and crawl 2 (added = 2)
