@@ -1832,6 +1832,38 @@ object SparkEntry {
       }.toDF("gram", "n", "cms_lower_ok", "cms_upper_ok")
     }),
 
+    // The STREAMING CMS accumulator (graft.streaming.StreamingSketch):
+    // the corpus arrives as two micro-batches (doc_id parity split),
+    // each folded map-side to its own sketch and merged into the
+    // persisted accumulator — the contract then asserts the MERGED
+    // sketch's guarantee against the exact top-10 trigrams of the WHOLE
+    // corpus (counter-wise, merge-of-batches IS the sketch of the
+    // concatenation; the byte-level identity is spec-pinned). Same
+    // bounds as ngram_cms: est >= true, est <= true + ceil(eps*N).
+    "ngram_cms_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-cms-q")
+      val skDir = root.toString
+      val d = docs(s, dir)
+      graft.streaming.StreamingSketch.applyBatch(
+        graft.streaming.StreamingSketch.wordNgramItems(
+          d.filter(col("doc_id") % 2 === 0), "text", 3), skDir, added = 1L)
+      val sketch = graft.streaming.StreamingSketch.applyBatch(
+        graft.streaming.StreamingSketch.wordNgramItems(
+          d.filter(col("doc_id") % 2 =!= 0), "text", 3), skDir, added = 2L)
+      val slack = math.ceil(0.001 * sketch.totalCount()).toLong
+      val gramDf = graft.streaming.StreamingSketch.wordNgramItems(d, "text", 3)
+      val topk = graft.ops.Checkpoints.pin(
+        gramDf.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram")).limit(10))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      deleteRecursively(root.toFile)
+      import s.implicits._
+      topk.toSeq.map { case (g, n) =>
+        val est = sketch.estimateCount(g)
+        (g, n, est >= n, est <= n + slack)
+      }.toDF("gram", "n", "cms_lower_ok", "cms_upper_ok")
+    }),
+
     // URL normalization (UrlOps): dirty urls are BUILT from columns
     // (upper-cased www host, default port, tracking params, fragment,
     // trailing slash) so the oracle can state the expected canonical form
@@ -4183,6 +4215,22 @@ object SparkEntry {
     // exact top-10 + the CMS guarantee booleans as literal TRUE — the
     // contract-row pattern (see `corpus_sketch`)
     "ngram_cms" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+        |  FROM toks
+        |)
+        |SELECT gram, count(*) AS n,
+        |       TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+        |FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 10
+        |""".stripMargin,
+
+    // the streaming accumulator's merged sketch answers for the SAME
+    // whole-corpus top-10 contract (merge-of-batches == sketch of the
+    // concatenation, spec-pinned byte-for-byte)
+    "ngram_cms_stream" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
         |), g AS (
