@@ -396,12 +396,15 @@ object Bench {
           }
         }
         // the 4-tier trigger's PREBUILT semantic index (steady-state
-        // regime — built once, outside the timed region)
+        // regime — built once, outside the timed region). Each prep is
+        // gated on ITS rows (triage runs naming other rows must not pay
+        // ~5.5M-row catalog builds of untimed wall clock).
         val embBase = Tables.read(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val semIdx = s"$tmp/curate-ivf/idx"
-        graft.sim.IvfIndex.build(embBase.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", semIdx, nLists = 16)
+        if (want("curate_trigger_sem"))
+          graft.sim.IvfIndex.build(embBase.filter(col("vec_id") % 2 === 0),
+            "vec_id", "embedding", semIdx, nLists = 16)
         // image catalogs: entry mass with hash-realistic distribution
         // (fp = xxhash64 of a counter; phash rows = its 4 quarter keys),
         // 1x ~100k images, 10x ~1M — what the pruned probe reads against
@@ -413,10 +416,14 @@ object Bench {
         def imgPhashEntries(n: Long) = spark.range(0, n)
           .select(explode(graft.dedup.ImageDedup.quarterKeys(
             xxhash64(col("id")))).as("fp"), xxhash64(col("id")).as("h2"))
-        graft.dedup.ImageCatalog.appendExact(imgExactEntries(100000L), imgExact1x)
-        graft.dedup.ImageCatalog.appendExact(imgExactEntries(1000000L), imgExact10x)
-        graft.dedup.ImageCatalog.appendPhash(imgPhashEntries(100000L), imgPhash1x)
-        graft.dedup.ImageCatalog.appendPhash(imgPhashEntries(1000000L), imgPhash10x)
+        if (want("image_trigger_1x")) {
+          graft.dedup.ImageCatalog.appendExact(imgExactEntries(100000L), imgExact1x)
+          graft.dedup.ImageCatalog.appendPhash(imgPhashEntries(100000L), imgPhash1x)
+        }
+        if (want("image_trigger_10x")) {
+          graft.dedup.ImageCatalog.appendExact(imgExactEntries(1000000L), imgExact10x)
+          graft.dedup.ImageCatalog.appendPhash(imgPhashEntries(1000000L), imgPhash10x)
+        }
         // a FRESH batch per rep (ids/texts outside every catalog) so
         // replayed reps do the same admit-then-append work each time
         var repC = 0

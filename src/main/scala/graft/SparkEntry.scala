@@ -1071,8 +1071,10 @@ object SparkEntry {
           .as("neardups_phash_close_ok"),
         // distinct planted patterns stay far apart: consecutive non-copy
         // docs (a linear witness set over distinct seeds) never land
-        // inside 2x the dedup radius + headroom — the separation floor
-        // the kernel spec pins at 12
+        // inside the gate floor of 8 — looser than the 200-seed kernel
+        // spec's pin of 12 because this witness set is ~100x larger (the
+        // Binomial(63, 1/2) minimum shrinks with set size), while still
+        // >2x the dedup radius
         min(when(col("__is_copy") || col("__is_near"), lit(true))
           .otherwise(bit_count(col("__ph").bitwiseXOR(col("__next_ph"))) > 8))
           .as("originals_separated_ok"))

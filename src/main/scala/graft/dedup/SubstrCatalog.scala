@@ -78,8 +78,8 @@ object SubstrCatalog {
   private val KindRe = (java.util.regex.Pattern.quote(KindPrefix) + """(\d+)""").r
   def metaW(spark: SparkSession, dir: String): Option[Int] =
     ExactCatalog.readMetaKind(spark, dir).collect {
-      case KindRe(w) => w.toInt
-    }
+      case KindRe(w) => w
+    }.flatMap(_.toIntOption) // Int-overflow digits also fall through to None
 
   /** Catalog entries of a document frame: the distinct window-fp set in
     * the delegated `(fp, h2 = fp)` shape (see class doc). */

@@ -30,15 +30,32 @@ object ImageKernels {
   val MaxPixels: Long = 1L << 24
 
   /** Decode to a BufferedImage, null for undecodable/oversized/empty
-    * payloads — never throws (crawl data is hostile by default). */
+    * payloads — never throws (crawl data is hostile by default). The
+    * dimension guard reads the HEADER via the reader API before any
+    * raster is allocated: checking after `ImageIO.read` would let a
+    * small compressed bomb allocate its multi-GB raster first (and the
+    * resulting OutOfMemoryError is not a NonFatal) — found in the r12
+    * self-review. */
   def decode(b: Array[Byte]): BufferedImage =
     if (b == null || b.length == 0) null
     else
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
-          img.getWidth.toLong * img.getHeight > MaxPixels) null
-        else img
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val w = r.getWidth(0)
+              val h = r.getHeight(0)
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) null
+              else r.read(0)
+            } finally r.dispose()
+          }
+        } finally if (iis != null) iis.close()
       } catch { case scala.util.control.NonFatal(_) => null }
 
   /** ITU-R BT.601 luma of an ARGB pixel (the published SDTV weighting;

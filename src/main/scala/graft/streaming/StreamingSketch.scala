@@ -16,10 +16,13 @@ import org.apache.spark.util.sketch.CountMinSketch
   * the concatenation, exactly), and the result lands with an atomic
   * tmp+rename swap.
   *
-  * Layout properties (the catalog `kind` discipline): `eps`,
+  * Layout properties (the catalog layout discipline): `eps`,
   * `confidence` and `seed` define the counter geometry and hashing —
   * merging sketches of different geometry is meaningless, so they are
-  * recorded at creation and refused on mismatch.
+  * recorded at creation and AUTHORITATIVE from then on: later calls'
+  * geometry arguments are create-time defaults only (the family
+  * convention — every batch folds under the meta's geometry, so a
+  * divergent caller cannot corrupt the merge, only be ignored).
   *
   * Replay contract: the file carries `lastAdded`; a batch whose `added`
   * tag is not strictly greater is a NO-OP (foreachBatch batch ids are
@@ -98,8 +101,9 @@ object StreamingSketch {
   /** Merge one micro-batch's items into the persisted sketch. `items`
     * must be a single string column (explode grams upstream). Geometry
     * parameters are CREATE-TIME defaults — an existing sketch's meta is
-    * authoritative, and a mismatch refuses loudly. Returns the merged
-    * sketch (or the current one for a replayed/no-op batch). */
+    * authoritative and divergent arguments are ignored (see class doc).
+    * Returns the merged sketch (or the current one for a replayed
+    * no-op batch). */
   def applyBatch(
       items: DataFrame, dir: String, added: Long,
       eps: Double = DefaultEps, confidence: Double = DefaultConfidence,
@@ -116,9 +120,12 @@ object StreamingSketch {
       (Meta(eps, confidence, seed, Long.MinValue),
         CountMinSketch.create(eps, confidence, seed)))
     if (added <= meta.lastAdded) return current // replay: merge at most once
-    // geometry from the META (create-time args only bootstrap)
+    // geometry from the META (create-time args only bootstrap); the
+    // column name is backtick-quoted — an unquoted splice would parse
+    // names like `n-gram` as arithmetic
+    val quoted = "`" + col0.replace("`", "``") + "`"
     val skBytes = items
-      .agg(expr(s"count_min_sketch($col0, ${meta.eps}d, ${meta.confidence}d, " +
+      .agg(expr(s"count_min_sketch($quoted, ${meta.eps}d, ${meta.confidence}d, " +
         s"${meta.seed})").as("sk"))
       .head.getAs[Array[Byte]](0)
     val batchSketch = CountMinSketch.readFrom(
