@@ -155,6 +155,19 @@ object SparkEntry {
       when(isImgNear, lit(1)).otherwise(lit(0)))
   }
 
+  /** Planted decodable WAV-PCM payload per doc, the audio mirror of
+    * [[plantedImage]] (same −21/−42 stride scheme): %10==7 → byte-exact
+    * copy; %10==8 → HALF-VOLUME re-encode (different bytes, identical
+    * envelope hash — the volume invariance the kernel claims); else an
+    * original with its own seeded envelope. */
+  private def plantedAudio: Column = {
+    val seed = when(isImgCopy, col("doc_id") - ImgCopyStride)
+      .when(isImgNear, col("doc_id") - ImgNearStride)
+      .otherwise(col("doc_id"))
+    GraftFunctions.syntheticWav(seed,
+      when(isImgNear, lit(1)).otherwise(lit(0)))
+  }
+
   /** Little-endian hex renderings of int columns, for assembling binary
     * RIFF fixtures with `unhex` (RIFF scalar fields are LE). */
   private def le16hex(c: Column): Column = {
@@ -1118,6 +1131,97 @@ object SparkEntry {
       val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
       // small %10 in {7,8} ids (below the stride) are ORIGINALS by
       // construction — they must survive alongside the fresh images
+      val keptCopies = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
+      val keptNears = kept.count(i => i % 10 == 8 && i >= ImgNearStride)
+      val keptOrig = kept.count(i =>
+        (i % 10 == 7 && i < ImgCopyStride) || (i % 10 == 8 && i < ImgNearStride))
+      val keptFresh = kept.count(_ % 10 == 9)
+      deleteRecursively(root.toFile)
+      import s.implicits._
+      batch.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(isImgCopy, 1L).otherwise(0L)).as("n_copies"),
+        sum(when(isImgNear, 1L).otherwise(0L)).as("n_neardups"),
+        sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
+        sum(when((col("doc_id") % 10 === 7 && !isImgCopy) ||
+          (col("doc_id") % 10 === 8 && !isImgNear), 1L).otherwise(0L))
+          .as("n_small_originals"))
+        .crossJoin(Seq((
+          keptCopies == 0, keptNears == 0,
+          keptFresh.toLong, keptOrig.toLong)).toDF(
+          "copies_all_dropped_ok", "neardups_all_dropped_ok",
+          "n_fresh_kept", "n_small_orig_kept"))
+        .select(col("n_batch"), col("n_copies"), col("n_neardups"),
+          col("n_fresh"), col("copies_all_dropped_ok"),
+          col("neardups_all_dropped_ok"),
+          (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
+          (col("n_small_orig_kept") === col("n_small_originals"))
+            .as("small_originals_kept_ok"))
+    }),
+
+    // The AUDIO leg of the multimodal dedup tier: real RIFF/PCM sample
+    // decode under the volume-invariant energy-envelope hash, same
+    // contract shape as image_phash. Near-dups here are HALF-VOLUME
+    // re-encodes — different bytes, provably identical hash.
+    "audio_envelope" -> ((s, dir) => {
+      val hashed = docs(s, dir).select(
+        col("doc_id"),
+        isImgCopy.as("__is_copy"), isImgNear.as("__is_near"),
+        plantedAudio.as("__wav"))
+        .select(col("doc_id"), col("__is_copy"), col("__is_near"),
+          GraftFunctions.audioEnvelopeHash(col("__wav")).as("__fp"),
+          GraftFunctions.wavMeta(col("__wav")).as("__meta"),
+          length(col("__wav")).as("__len"))
+      val bases = hashed.select(col("doc_id").as("__bid"),
+        col("__fp").as("__bfp"), col("__len").as("__blen"))
+      val joined = hashed
+        .withColumn("__base_id",
+          when(col("__is_copy"), col("doc_id") - ImgCopyStride)
+            .when(col("__is_near"), col("doc_id") - ImgNearStride))
+        .join(bases, col("__base_id") === col("__bid"), "left")
+        .withColumn("__next_fp",
+          lead(col("__fp"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__is_copy")).orderBy(col("doc_id"))))
+      joined.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__is_copy"), 1L).otherwise(0L)).as("n_copies"),
+        sum(when(col("__is_near"), 1L).otherwise(0L)).as("n_neardups"),
+        min(col("__fp").isNotNull).as("all_decoded_ok"),
+        // real header walk agrees with the planted geometry
+        min(col("__meta.channels") === 1 && col("__meta.sample_rate") === 8000 &&
+          col("__meta.bits") === 16).as("geometry_ok"),
+        min(when(col("__is_copy"),
+          col("__fp") === col("__bfp") && col("__len") === col("__blen"))
+          .otherwise(lit(true))).as("copies_hash_equal_ok"),
+        // volume invariance is EXACT: the half-volume re-encode carries
+        // different bytes but the identical envelope hash
+        min(when(col("__is_near"),
+          col("__fp") === col("__bfp") && col("__len") === col("__blen"))
+          .otherwise(lit(true))).as("neardups_hash_equal_ok"),
+        min(when(col("__is_copy") || col("__is_near"), lit(true))
+          .otherwise(bit_count(col("__fp").bitwiseXOR(col("__next_fp"))) > 8))
+          .as("originals_separated_ok"))
+    }),
+
+    // Cross-crawl audio dedup through the persistent envelope catalog
+    // (the image_dedup_incremental pattern): byte copies AND half-volume
+    // re-encodes both collide with their base's envelope hash, so ONE
+    // perceptual tier drops both; fresh recordings survive.
+    "audio_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-audcat-q")
+      val prior = d.filter(col("doc_id") % 10 <= 6)
+        .select(col("doc_id"), plantedAudio.as("wav"))
+      val _ = graft.dedup.AudioDedup.applyBatchEnvelope(
+        prior, s"$root/env", "doc_id", "wav", added = 0L)
+      val batch = d.filter(col("doc_id") % 10 >= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 9,
+            GraftFunctions.syntheticWav(col("doc_id") + 1000000000L, lit(0)))
+            .otherwise(plantedAudio).as("wav"))
+      val out = graft.dedup.AudioDedup.applyBatchEnvelope(
+        batch, s"$root/env", "doc_id", "wav", added = 1L)
+      val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
       val keptCopies = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
       val keptNears = kept.count(i => i % 10 == 8 && i >= ImgNearStride)
       val keptOrig = kept.count(i =>
@@ -4108,6 +4212,28 @@ object SparkEntry {
         |""".stripMargin,
 
     "image_dedup_incremental" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 >= 7) AS n_batch,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_copies,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 8 AND doc_id >= 42) AS n_neardups,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 9) AS n_fresh,
+        |  TRUE AS copies_all_dropped_ok, TRUE AS neardups_all_dropped_ok,
+        |  TRUE AS fresh_all_kept_ok, TRUE AS small_originals_kept_ok
+        |""".stripMargin,
+
+    "audio_envelope" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_copies,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 8 AND doc_id >= 42) AS n_neardups,
+        |  TRUE AS all_decoded_ok, TRUE AS geometry_ok,
+        |  TRUE AS copies_hash_equal_ok, TRUE AS neardups_hash_equal_ok,
+        |  TRUE AS originals_separated_ok
+        |""".stripMargin,
+
+    "audio_dedup_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 >= 7) AS n_batch,
         |  (SELECT count(*) FROM documents
         |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_copies,

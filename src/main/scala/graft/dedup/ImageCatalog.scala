@@ -112,19 +112,34 @@ object ImageCatalog {
       maxHamming: Int = ImageDedup.MaxBlockedHamming,
       numBuckets: Int = ExactCatalog.DefaultBuckets, added: Long = 0L,
       maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
-      deliver: DataFrame => Unit = _ => ()): DataFrame = {
+      deliver: DataFrame => Unit = _ => ()): DataFrame =
+    applyBatchHash(batch, dir, idCol, binCol,
+      graft.functions.GraftFunctions.imagePHash, KindPhash,
+      maxHamming, numBuckets, added, maxPushdownKeys, deliver)
+
+  /** The hash-parametric core behind [[applyBatchPhash]] (and the audio
+    * tier's [[AudioDedup.applyBatchEnvelope]]): quarter blocking and the
+    * catalog layout are agnostic to WHICH 64-bit perceptual hash fills
+    * the rows — only the decode expression and the `kind` universe tag
+    * differ per modality. */
+  private[dedup] def applyBatchHash(
+      batch: DataFrame, dir: String, idCol: String, binCol: String,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      kind: String,
+      maxHamming: Int, numBuckets: Int, added: Long,
+      maxPushdownKeys: Int,
+      deliver: DataFrame => Unit): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= ImageDedup.MaxBlockedHamming,
       s"quarter blocking guarantees recall only to Hamming " +
         s"${ImageDedup.MaxBlockedHamming}; got $maxHamming")
     val spark = batch.sparkSession
     // ONE decode pass feeds the probe, the in-batch pairs AND the append
     val hashed = graft.ops.Checkpoints.pin(
-      ImageDedup.withPHash(batch.select(col(idCol), col(binCol)), binCol)
-        .select(col(idCol).as("id"), col("phash")))
+      batch.select(col(idCol).as("id"), hashOf(col(binCol)).as("phash")))
     val probe = hashed.filter(col("phash").isNotNull)
       .select(explode(ImageDedup.quarterKeys(col("phash"))).as("fp"), col("phash"))
     val cat = ExactCatalog.readForBatch(
-      spark, dir, probe.select(col("fp")), maxPushdownKeys, kind = KindPhash)
+      spark, dir, probe.select(col("fp")), maxPushdownKeys, kind = kind)
     val hits = probe
       .join(cat.select(col("fp"), col("h2").as("__cat_ph")), Seq("fp"))
       .filter(bit_count(col("phash").bitwiseXOR(col("__cat_ph"))) <= maxHamming)
@@ -145,10 +160,11 @@ object ImageCatalog {
     val out = graft.ops.Checkpoints.pin(
       Dedup.dedupNearByClusters(fresh, idCol, pairs))
     deliver(out) // delivery BEFORE the append — class doc
-    appendPhash(
+    ExactCatalog.append(
       phashEntriesOf(hashed.join(
         out.select(col(idCol).as("id")), Seq("id"), "left_semi")),
-      dir, ExactCatalog.readMeta(spark, dir).getOrElse(numBuckets), added)
+      dir, ExactCatalog.readMeta(spark, dir).getOrElse(numBuckets), added,
+      kind = kind)
     out
   }
 

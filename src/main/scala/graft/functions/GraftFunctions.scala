@@ -83,7 +83,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ImagePHash(exprs.head)),
     (FunctionIdentifier("image_dhash"),
       new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),
-      (exprs: Seq[Expression]) => ImageDHash(exprs.head))
+      (exprs: Seq[Expression]) => ImageDHash(exprs.head)),
+    (FunctionIdentifier("audio_envelope_hash"),
+      new ExpressionInfo(classOf[AudioEnvelopeHash].getName, "audio_envelope_hash"),
+      (exprs: Seq[Expression]) => AudioEnvelopeHash(exprs.head))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -138,8 +141,11 @@ object GraftFunctions {
   def extractHtmlText(c: Column): Column = column(ExtractHtmlText(expression(c)))
   def imagePHash(c: Column): Column = column(ImagePHash(expression(c)))
   def imageDHash(c: Column): Column = column(ImageDHash(expression(c)))
+  def audioEnvelopeHash(c: Column): Column = column(AudioEnvelopeHash(expression(c)))
   def syntheticPng(seed: Column, variant: Column): Column =
     column(SyntheticPng(expression(seed), expression(variant)))
+  def syntheticWav(seed: Column, variant: Column): Column =
+    column(SyntheticWav(expression(seed), expression(variant)))
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the optimizer
