@@ -1250,6 +1250,52 @@ object SparkEntry {
             .as("small_originals_kept_ok"))
     }),
 
+    // The FULLY-multimodal composed pipeline: image exact → image phash
+    // → AUDIO envelope → text exact → near → substr, six persistent
+    // catalogs, fully oracled. Audio near-dups are planted on their OWN
+    // stride (−63, %10==9 docs — disjoint from the image dups and inside
+    // one %3 class since 63 ≡ 0 mod 3), so the audio tier has an
+    // observable drop set the image tiers cannot explain: the oracle
+    // restates both media tiers as doc_id arithmetic and re-roots the
+    // text chain at their survivors.
+    "curate_stream_batch_av" -> ((s, dir) => {
+      val isAudNear = col("doc_id") % 10 === 9 && col("doc_id") >= 63
+      val audio = GraftFunctions.syntheticWav(
+        when(isAudNear, col("doc_id") - 63).otherwise(col("doc_id")),
+        when(isAudNear, lit(1)).otherwise(lit(0)))
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        plantedImage.as("img"), audio.as("wav"))
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-av-q")
+      val tmp = root.toString
+      graft.dedup.ImageCatalog.appendExact(
+        graft.dedup.ImageCatalog.exactEntriesOf(prior, "img"), s"$tmp/ie")
+      graft.dedup.ImageCatalog.appendPhash(
+        graft.dedup.ImageCatalog.phashEntriesOf(
+          graft.dedup.ImageDedup.withPHash(prior, "img")
+            .select(col("doc_id").as("id"), col("phash"))), s"$tmp/ip")
+      val _ = graft.dedup.AudioDedup.applyBatchEnvelope(
+        prior, s"$tmp/ae", "doc_id", "wav", added = 0L)
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0),
+        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
+        imageCol = Some("img"),
+        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+        audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"))
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
     // The composed curation pipeline WITH the image tier engaged
     // (image exact → image phash → text exact → near → substr), fully
     // oracled end to end: the image payload is planted so the image
@@ -4250,6 +4296,13 @@ object SparkEntry {
     "curate_stream_batch_img" -> curateStreamOracleSql(
       "AND NOT (doc_id % 10 = 7 AND doc_id >= 21) " +
         "AND NOT (doc_id % 10 = 8 AND doc_id >= 42)"),
+
+    // ... and with the audio tier too: its planted drop set (%10==9 at
+    // stride 63) is disjoint from the image tiers' by construction.
+    "curate_stream_batch_av" -> curateStreamOracleSql(
+      "AND NOT (doc_id % 10 = 7 AND doc_id >= 21) " +
+        "AND NOT (doc_id % 10 = 8 AND doc_id >= 42) " +
+        "AND NOT (doc_id % 10 = 9 AND doc_id >= 63)"),
 
     "dedup_cluster_resolve" ->
       """WITH RECURSIVE e AS (

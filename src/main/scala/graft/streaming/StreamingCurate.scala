@@ -14,6 +14,10 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   *      (LAION/DataComp-style), and every doc it drops never pays text
   *      shingling or a second pixel decode. Requires both image catalog
   *      dirs; checked loudly up front like the semantic tier.
+  *   0b. AUDIO ([[graft.dedup.AudioDedup]]) — OPTIONAL, engaged by
+  *      `audioCol`: the volume-invariant envelope-hash tier over real
+  *      PCM decode, after the image tiers (it subsumes byte-exact audio
+  *      dedup — a byte copy has the identical envelope hash).
   *   1. EXACT ([[ExactCatalog]]): drop literal copies of anything the
   *      corpus has seen; in-batch copies keep the lowest id. Cheapest
   *      tier first — every doc it drops never pays MinHash or window
@@ -82,6 +86,9 @@ object StreamingCurate {
       imageExactDir: Option[String] = None,
       imagePhashDir: Option[String] = None,
       imageMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
+      audioCol: Option[String] = None,
+      audioEnvDir: Option[String] = None,
+      audioMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     var out: DataFrame = batch.sparkSession.emptyDataFrame
     // the semantic tier's caller contract, checked BEFORE any tier
@@ -94,7 +101,7 @@ object StreamingCurate {
           s"column (batch columns: ${batch.columns.mkString(", ")})")
       val _ = graft.sim.IvfIndex.readCentroids(batch.sparkSession, idx)
     }
-    // the image tier's caller contract, same up-front discipline
+    // the image/audio tiers' caller contracts, same up-front discipline
     imageCol.foreach { ic =>
       require(batch.columns.contains(ic),
         s"imageCol is configured but the batch has no '$ic' column " +
@@ -103,11 +110,19 @@ object StreamingCurate {
         "imageCol is configured but imageExactDir/imagePhashDir are not — " +
           "the image tier needs both persistent catalogs")
     }
-    // multi-consumer chains read the batch more than once (the image
-    // tier, tier 1 and the embedding re-join) — pin once so later
+    audioCol.foreach { ac =>
+      require(batch.columns.contains(ac),
+        s"audioCol is configured but the batch has no '$ac' column " +
+          s"(batch columns: ${batch.columns.mkString(", ")})")
+      require(audioEnvDir.isDefined,
+        "audioCol is configured but audioEnvDir is not — the audio tier " +
+          "needs its persistent envelope catalog")
+    }
+    // multi-consumer chains read the batch more than once (the media
+    // tiers, tier 1 and the embedding re-join) — pin once so later
     // consumers replay a checkpoint, not the upstream
     val src =
-      if (semIndexDir.isDefined || imageCol.isDefined)
+      if (semIndexDir.isDefined || imageCol.isDefined || audioCol.isDefined)
         graft.ops.Checkpoints.pin(batch)
       else batch
     // the substring rewrite, shared by every chain length
@@ -147,8 +162,24 @@ object StreamingCurate {
             })
         })
     }
+    // the audio tier (when engaged) sits between the image tiers and
+    // the text tiers, nested in the same deliver chain so its append
+    // also lands after the final delivery
+    def audioThenText(upstream: DataFrame): Unit = audioCol match {
+      case None => textTiers(upstream)
+      case Some(ac) =>
+        val _ = graft.dedup.AudioDedup.applyBatchEnvelope(
+          upstream, audioEnvDir.get, idCol, ac, audioMaxHamming,
+          numBuckets, added = added,
+          deliver = audioSurvivors => textTiers(audioSurvivors))
+        CatalogHygiene.afterAppend(
+          compactAboveFiles, added, retainAddedBehind, retentionSweepEvery)(
+          graft.dedup.ExactCatalog.bucketFileCounts(
+            batch.sparkSession, audioEnvDir.get),
+          graft.dedup.AudioDedup.compact(batch.sparkSession, audioEnvDir.get, _, _))
+    }
     imageCol match {
-      case None => textTiers(src)
+      case None => audioThenText(src)
       case Some(ic) =>
         val _ = StreamingImageDedup.applyBatch(
           src, imageExactDir.get, imagePhashDir.get, idCol, ic,
@@ -156,7 +187,7 @@ object StreamingCurate {
           compactAboveFiles = compactAboveFiles, added = added,
           retainAddedBehind = retainAddedBehind,
           retentionSweepEvery = retentionSweepEvery,
-          deliver = imageSurvivors => textTiers(imageSurvivors))
+          deliver = imageSurvivors => audioThenText(imageSurvivors))
     }
     out
   }
@@ -183,6 +214,9 @@ object StreamingCurate {
       imageExactDir: Option[String] = None,
       imagePhashDir: Option[String] = None,
       imageMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
+      audioCol: Option[String] = None,
+      audioEnvDir: Option[String] = None,
+      audioMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -200,6 +234,8 @@ object StreamingCurate {
             semThreshold = semThreshold,
             imageCol = imageCol, imageExactDir = imageExactDir,
             imagePhashDir = imagePhashDir, imageMaxHamming = imageMaxHamming,
+            audioCol = audioCol, audioEnvDir = audioEnvDir,
+            audioMaxHamming = audioMaxHamming,
             deliver = deliver)
         }
       }

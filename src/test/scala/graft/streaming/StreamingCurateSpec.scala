@@ -174,6 +174,53 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(boom.getMessage.contains("imageExactDir"))
   }
 
+  test("optional audio tier: a half-volume re-encode drops between image and text tiers") {
+    import graft.functions.{AudioFixtures, ImageFixtures}
+    val (e, n, s) = dirs("av")
+    val tmp = Files.createTempDirectory("graft-curate-avcat").toString
+    def img(seed: Long) = ImageFixtures.syntheticPng(seed, 0)
+    def wav(seed: Long, v: Int = 0) = AudioFixtures.syntheticWav(seed, v)
+    val d1 = Seq((1L, b1.head._2, img(1), wav(1)), (2L, b1(1)._2, img(2), wav(2)))
+      .toDF("doc_id", "text", "img", "wav")
+    val _ = StreamingCurate.applyBatch(d1, e, n, s, "doc_id", "text", W,
+      added = 0L, imageCol = Some("img"),
+      imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+      audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"))
+    // batch 2: 50 = fresh text+image but HALF-VOLUME audio of doc 1
+    // (only the audio tier can drop it); 51 = fresh on every axis
+    val d2 = Seq(
+      (50L, "new words that only the audio envelope could reject", img(50), wav(1, 1)),
+      (51L, "a wholly novel multimodal document in this batch", img(51), wav(51)))
+      .toDF("doc_id", "text", "img", "wav")
+    val out = rows(StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
+      added = 1L, imageCol = Some("img"),
+      imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+      audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae")))
+    assert(out.map(_._1).toSet == Set(51L),
+      s"audio tier must drop 50, got ${out.map(_._1)}")
+    // crash contract covers the audio catalog too
+    val before = ExactCatalog.read(spark, s"$tmp/ae",
+      graft.dedup.AudioDedup.KindEnvelope).count()
+    val _2 = intercept[RuntimeException] {
+      StreamingCurate.applyBatch(
+        Seq((60L, "another fresh doc", img(60), wav(60)))
+          .toDF("doc_id", "text", "img", "wav"),
+        e, n, s, "doc_id", "text", W, added = 2L,
+        imageCol = Some("img"),
+        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+        audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
+        deliver = _ => throw new RuntimeException("down"))
+    }
+    assert(ExactCatalog.read(spark, s"$tmp/ae",
+      graft.dedup.AudioDedup.KindEnvelope).count() == before)
+    // misconfiguration fails loudly
+    val boom = intercept[IllegalArgumentException] {
+      StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
+        audioCol = Some("wav"))
+    }
+    assert(boom.getMessage.contains("audioEnvDir"))
+  }
+
   test("crash contract: a failed final delivery advances NO catalog") {
     val (e, n, s) = dirs("crash")
     val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
