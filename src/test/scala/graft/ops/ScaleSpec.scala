@@ -477,6 +477,59 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(filesScanned() == bucket3Files().toLong)
   }
 
+  test("image-phash catalog: quarter-key probe prunes buckets; growth elsewhere leaves the read flat") {
+    import spark.implicits._
+    import graft.dedup.{ImageCatalog, ImageDedup}
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-imgcat").toString
+    val nb = 8
+    def phashEntries(hashes: Seq[Long]) =
+      ImageCatalog.phashEntriesOf(hashes.zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }.toDF("id", "phash"))
+    ImageCatalog.appendPhash(phashEntries((1L to 200L).map(_ * 0x9e3779b97f4aL)),
+      dir, numBuckets = nb, added = 0L)
+    // the probe: one image hash → 4 quarter keys → ≤4 buckets
+    val probeHash = 42L * 0x9e3779b97f4aL
+    val probe = phashEntries(Seq(probeHash)).select(col("fp"))
+    val _ = ImageDedup.MaxBlockedHamming // blocking contract under test
+    def filesScanned(): Long = {
+      val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        graft.dedup.ExactCatalog.readForBatch(spark, dir, probe,
+          kind = ImageCatalog.KindPhash)
+          .queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }.map(_.selectedPartitions.totalNumberOfFiles).sum
+      } finally prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+    val before = filesScanned()
+    assert(before >= 1 && before <= nb.toLong,
+      s"probe must read a strict bucket subset, got $before")
+    // grow the catalog 4x — the probe's read must not notice (new
+    // entries use hash masses disjoint from the probe's quarter keys
+    // only by bucket residue chance, so assert <=, the pruning bound)
+    (1 to 4).foreach { k =>
+      ImageCatalog.appendPhash(
+        phashEntries((1L to 200L).map(i => (i + 1000L * k) * 0x517cc1b727220a95L)),
+        dir, numBuckets = nb, added = k.toLong)
+    }
+    val after = filesScanned()
+    // the probe touches the SAME ≤4 quarter-key buckets; growth added
+    // at most one file per touched bucket per append
+    assert(after <= before + 4 * 4,
+      s"per-trigger read outgrew the probed buckets: $before -> $after")
+    // and the audio kind refuses this dir (universe guard at scale too)
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.ExactCatalog.readForBatch(spark, dir, probe,
+        kind = graft.dedup.AudioDedup.KindEnvelope)
+    }
+    assert(e.getMessage.contains("image_phash_q16"))
+  }
+
   test("BPE training leaves no cached vocab tables behind") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
