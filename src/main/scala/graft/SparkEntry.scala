@@ -1159,6 +1159,68 @@ object SparkEntry {
             .as("small_originals_kept_ok"))
     }),
 
+    // The VIDEO leg: real AVI/RIFF container walk + per-frame pixel
+    // decode; a video's fingerprint is its sampled frame-hash sequence.
+    // Same planted-stride contract shape as image_phash; near-dups are
+    // whole-video re-encodes (every frame upscaled + brightness-shifted:
+    // different bytes and frame sizes, aligned hashes within radius).
+    "video_frame_hashes" -> ((s, dir) => {
+      val hashed = docs(s, dir).select(
+        col("doc_id"),
+        isImgCopy.as("__is_copy"), isImgNear.as("__is_near"),
+        GraftFunctions.syntheticAvi(
+          when(isImgCopy, col("doc_id") - ImgCopyStride)
+            .when(isImgNear, col("doc_id") - ImgNearStride)
+            .otherwise(col("doc_id")),
+          when(isImgNear, lit(1)).otherwise(lit(0))).as("__avi"))
+        .select(col("doc_id"), col("__is_copy"), col("__is_near"),
+          GraftFunctions.videoFramePhashes(col("__avi"), 4).as("__fh"),
+          length(col("__avi")).as("__len"))
+      val bases = hashed.select(col("doc_id").as("__bid"),
+        col("__fh").as("__bfh"), col("__len").as("__blen"))
+      val joined = hashed
+        .withColumn("__base_id",
+          when(col("__is_copy"), col("doc_id") - ImgCopyStride)
+            .when(col("__is_near"), col("doc_id") - ImgNearStride))
+        .join(bases, col("__base_id") === col("__bid"), "left")
+        .withColumn("__next_f0",
+          lead(element_at(col("__fh"), 1), 1)
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__is_copy")).orderBy(col("doc_id"))))
+      joined.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__is_copy"), 1L).otherwise(0L)).as("n_copies"),
+        sum(when(col("__is_near"), 1L).otherwise(0L)).as("n_neardups"),
+        min(col("__fh").isNotNull && size(col("__fh")) === 4)
+          .as("all_decoded_ok"),
+        min(when(col("__is_copy"),
+          col("__fh") === col("__bfh") && col("__len") === col("__blen"))
+          .otherwise(lit(true))).as("copies_sequence_equal_ok"),
+        min(when(col("__is_near"),
+          graft.dedup.VideoDedup.alignedMaxHamming(
+            col("__fh"), col("__bfh")) <= 3 &&
+            col("__len") =!= col("__blen")).otherwise(lit(true)))
+          .as("neardups_aligned_close_ok"),
+        min(when(col("__is_copy") || col("__is_near"), lit(true))
+          .otherwise(bit_count(element_at(col("__fh"), 1)
+            .bitwiseXOR(col("__next_f0"))) > 8))
+          .as("originals_separated_ok"))
+    }),
+
+    // In-corpus video near-dedup, fully ROW-oracled: survivors are pure
+    // doc_id arithmetic (the stride scheme), producing them requires the
+    // real container walk + frame decodes + aligned-Hamming clustering.
+    "video_dedup_near" -> ((s, dir) =>
+      graft.dedup.VideoDedup.dedupNearVideos(
+        docs(s, dir).select(col("doc_id"),
+          GraftFunctions.syntheticAvi(
+            when(isImgCopy, col("doc_id") - ImgCopyStride)
+              .when(isImgNear, col("doc_id") - ImgNearStride)
+              .otherwise(col("doc_id")),
+            when(isImgNear, lit(1)).otherwise(lit(0))).as("vid")),
+        "doc_id", "vid")
+        .select(col("doc_id"))),
+
     // The AUDIO leg of the multimodal dedup tier: real RIFF/PCM sample
     // decode under the volume-invariant energy-envelope hash, same
     // contract shape as image_phash. Near-dups here are HALF-VOLUME
@@ -4266,6 +4328,22 @@ object SparkEntry {
         |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 9) AS n_fresh,
         |  TRUE AS copies_all_dropped_ok, TRUE AS neardups_all_dropped_ok,
         |  TRUE AS fresh_all_kept_ok, TRUE AS small_originals_kept_ok
+        |""".stripMargin,
+
+    "video_frame_hashes" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_copies,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 8 AND doc_id >= 42) AS n_neardups,
+        |  TRUE AS all_decoded_ok, TRUE AS copies_sequence_equal_ok,
+        |  TRUE AS neardups_aligned_close_ok, TRUE AS originals_separated_ok
+        |""".stripMargin,
+
+    "video_dedup_near" ->
+      """SELECT doc_id FROM documents
+        |WHERE NOT (doc_id % 10 = 7 AND doc_id >= 21)
+        |  AND NOT (doc_id % 10 = 8 AND doc_id >= 42)
         |""".stripMargin,
 
     "audio_envelope" ->

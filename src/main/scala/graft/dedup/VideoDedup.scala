@@ -1,0 +1,75 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Video deduplication — the third media leg: a video's fingerprint is
+  * its evenly-sampled FRAME-HASH sequence
+  * ([[graft.functions.VideoKernels.framePhashes]] — real AVI/RIFF
+  * container walk + real per-frame pixel decode), and two videos are
+  * near-duplicates when their aligned frame hashes all sit within the
+  * blocking radius. Candidate generation blocks on the FIRST sampled
+  * frame's 16-bit quarters (one shuffle): near-dup videos have
+  * near-dup first frames, so the image tier's pigeonhole guarantee
+  * (Hamming ≤ 3 ⇒ a shared quarter) carries over; the aligned
+  * max-per-frame Hamming filter then confirms per candidate pair.
+  */
+object VideoDedup {
+
+  val DefaultSampledFrames = 4
+
+  def withFramePhashes(df: DataFrame, binCol: String,
+      n: Int = DefaultSampledFrames, out: String = "frame_phashes"): DataFrame =
+    df.withColumn(out,
+      graft.functions.GraftFunctions.videoFramePhashes(col(binCol), n))
+
+  /** Max per-frame Hamming distance between two aligned frame-hash
+    * arrays (null when lengths differ — different sampling is a
+    * different fingerprint universe). */
+  def alignedMaxHamming(a: Column, b: Column): Column =
+    when(size(a) === size(b),
+      array_max(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)))))
+
+  /** Near-duplicate candidate pairs: first-frame quarter blocking →
+    * aligned max-Hamming filter. One bucket-explode shuffle, pairs carry
+    * ids + frame arrays (small: n longs each). */
+  def videoCandidatePairs(
+      df: DataFrame, idCol: String, binCol: String,
+      n: Int = DefaultSampledFrames,
+      maxHamming: Int = ImageDedup.MaxBlockedHamming): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= ImageDedup.MaxBlockedHamming,
+      s"quarter blocking guarantees recall only to Hamming " +
+        s"${ImageDedup.MaxBlockedHamming}; got $maxHamming")
+    val hashed = graft.ops.Checkpoints.pin(
+      withFramePhashes(df.select(col(idCol), col(binCol)), binCol, n)
+        .filter(col("frame_phashes").isNotNull)
+        .select(col(idCol).as("id"), col("frame_phashes")))
+    val banded = hashed.select(
+      explode(ImageDedup.quarterKeys(element_at(col("frame_phashes"), 1)))
+        .as("qkey"),
+      struct(col("id"), col("frame_phashes").as("fh")).as("m"))
+    banded
+      .groupBy(col("qkey"))
+      .agg(collect_list(col("m")).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(filter(
+        flatten(transform(col("members"), a =>
+          transform(col("members"), b => struct(
+            a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            a.getField("fh").as("fh_a"), b.getField("fh").as("fh_b"))))),
+        p => p.getField("id_a") < p.getField("id_b"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        alignedMaxHamming(col("p.fh_a"), col("p.fh_b")).as("max_hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("max_hamming").isNotNull && col("max_hamming") <= maxHamming)
+  }
+
+  /** Full in-corpus video dedup: candidate pairs → connected components
+    * → keep the min-id video per cluster; non-video payloads survive. */
+  def dedupNearVideos(
+      df: DataFrame, idCol: String, binCol: String,
+      n: Int = DefaultSampledFrames,
+      maxHamming: Int = ImageDedup.MaxBlockedHamming): DataFrame =
+    Dedup.dedupNearByClusters(df, idCol,
+      videoCandidatePairs(df, idCol, binCol, n, maxHamming))
+}

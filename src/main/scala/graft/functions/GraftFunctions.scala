@@ -86,7 +86,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ImageDHash(exprs.head)),
     (FunctionIdentifier("audio_envelope_hash"),
       new ExpressionInfo(classOf[AudioEnvelopeHash].getName, "audio_envelope_hash"),
-      (exprs: Seq[Expression]) => AudioEnvelopeHash(exprs.head))
+      (exprs: Seq[Expression]) => AudioEnvelopeHash(exprs.head)),
+    (FunctionIdentifier("video_frame_phashes"),
+      new ExpressionInfo(classOf[VideoFramePhashes].getName, "video_frame_phashes"),
+      (exprs: Seq[Expression]) => VideoFramePhashes(exprs.head, kOf(exprs(1))))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -142,10 +145,14 @@ object GraftFunctions {
   def imagePHash(c: Column): Column = column(ImagePHash(expression(c)))
   def imageDHash(c: Column): Column = column(ImageDHash(expression(c)))
   def audioEnvelopeHash(c: Column): Column = column(AudioEnvelopeHash(expression(c)))
+  def videoFramePhashes(c: Column, n: Int): Column =
+    column(VideoFramePhashes(expression(c), n))
   def syntheticPng(seed: Column, variant: Column): Column =
     column(SyntheticPng(expression(seed), expression(variant)))
   def syntheticWav(seed: Column, variant: Column): Column =
     column(SyntheticWav(expression(seed), expression(variant)))
+  def syntheticAvi(seed: Column, variant: Column): Column =
+    column(SyntheticAvi(expression(seed), expression(variant)))
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the optimizer
