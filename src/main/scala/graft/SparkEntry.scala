@@ -168,6 +168,18 @@ object SparkEntry {
       when(isImgNear, lit(1)).otherwise(lit(0)))
   }
 
+  /** Planted decodable AVI payload per doc, the video mirror (same
+    * stride scheme): %10==8 → whole-video re-encode (every frame
+    * upscaled + brightness-shifted — new bytes and frame sizes, aligned
+    * frame hashes within radius). */
+  private def plantedVideo: Column = {
+    val seed = when(isImgCopy, col("doc_id") - ImgCopyStride)
+      .when(isImgNear, col("doc_id") - ImgNearStride)
+      .otherwise(col("doc_id"))
+    GraftFunctions.syntheticAvi(seed,
+      when(isImgNear, lit(1)).otherwise(lit(0)))
+  }
+
   /** Little-endian hex renderings of int columns, for assembling binary
     * RIFF fixtures with `unhex` (RIFF scalar fields are LE). */
   private def le16hex(c: Column): Column = {
@@ -1168,11 +1180,7 @@ object SparkEntry {
       val hashed = docs(s, dir).select(
         col("doc_id"),
         isImgCopy.as("__is_copy"), isImgNear.as("__is_near"),
-        GraftFunctions.syntheticAvi(
-          when(isImgCopy, col("doc_id") - ImgCopyStride)
-            .when(isImgNear, col("doc_id") - ImgNearStride)
-            .otherwise(col("doc_id")),
-          when(isImgNear, lit(1)).otherwise(lit(0))).as("__avi"))
+        plantedVideo.as("__avi"))
         .select(col("doc_id"), col("__is_copy"), col("__is_near"),
           GraftFunctions.videoFramePhashes(col("__avi"), 4).as("__fh"),
           length(col("__avi")).as("__len"))
@@ -1212,12 +1220,7 @@ object SparkEntry {
     // real container walk + frame decodes + aligned-Hamming clustering.
     "video_dedup_near" -> ((s, dir) =>
       graft.dedup.VideoDedup.dedupNearVideos(
-        docs(s, dir).select(col("doc_id"),
-          GraftFunctions.syntheticAvi(
-            when(isImgCopy, col("doc_id") - ImgCopyStride)
-              .when(isImgNear, col("doc_id") - ImgNearStride)
-              .otherwise(col("doc_id")),
-            when(isImgNear, lit(1)).otherwise(lit(0))).as("vid")),
+        docs(s, dir).select(col("doc_id"), plantedVideo.as("vid")),
         "doc_id", "vid")
         .select(col("doc_id"))),
 

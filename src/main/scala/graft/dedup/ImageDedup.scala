@@ -80,7 +80,11 @@ object ImageDedup {
     * filter over an already-computed `(id, phash)` frame (the seam that
     * lets one decode pass feed probe, pairs and catalog append — decode
     * is the dominant cost here, ~10⁴× the hash joins). Same one-shuffle
-    * bucket-explode shape as [[Dedup.simhashCandidatePairs]]. */
+    * bucket-explode shape as [[Dedup.simhashCandidatePairs]] and (with
+    * an array payload) [[VideoDedup.videoCandidatePairs]] — a
+    * blocking-shape fix must land in all three. No bucket valve here:
+    * an identical pHash IS an actual near-dup, so hot buckets are
+    * genuine duplicate mass, not logo-style coincidence. */
   def phashCandidatePairsFromHashes(
       hashed: DataFrame, maxHamming: Int = MaxBlockedHamming): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= MaxBlockedHamming,

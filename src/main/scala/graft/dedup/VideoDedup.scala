@@ -32,11 +32,25 @@ object VideoDedup {
 
   /** Near-duplicate candidate pairs: first-frame quarter blocking →
     * aligned max-Hamming filter. One bucket-explode shuffle, pairs carry
-    * ids + frame arrays (small: n longs each). */
+    * ids + frame arrays (small: n longs each). Same one-shuffle shape as
+    * [[ImageDedup.phashCandidatePairsFromHashes]] with an array payload
+    * and an aligned compare — kept side by side rather than generalized
+    * so each modality's payload/compare stays readable; a blocking-shape
+    * fix must land in both (cross-referenced in both scaladocs).
+    *
+    * `maxBucketSize` (0 = unlimited): unlike images — where an identical
+    * hash means an actual near-dup — many DISTINCT videos legitimately
+    * share a first frame (black lead-ins, studio logos), and such a hot
+    * bucket goes quadratic in the in-place pair explode. Oversized
+    * buckets are dropped (standard LSH hygiene, the
+    * [[Dedup.minhashCandidatePairs]] valve); callers needing recall on
+    * logo-fronted corpora should sample more frames and block on a
+    * middle frame instead. */
   def videoCandidatePairs(
       df: DataFrame, idCol: String, binCol: String,
       n: Int = DefaultSampledFrames,
-      maxHamming: Int = ImageDedup.MaxBlockedHamming): DataFrame = {
+      maxHamming: Int = ImageDedup.MaxBlockedHamming,
+      maxBucketSize: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= ImageDedup.MaxBlockedHamming,
       s"quarter blocking guarantees recall only to Hamming " +
         s"${ImageDedup.MaxBlockedHamming}; got $maxHamming")
@@ -48,10 +62,13 @@ object VideoDedup {
       explode(ImageDedup.quarterKeys(element_at(col("frame_phashes"), 1)))
         .as("qkey"),
       struct(col("id"), col("frame_phashes").as("fh")).as("m"))
+    val bucketFilter =
+      if (maxBucketSize > 0) size(col("members")).between(2, maxBucketSize)
+      else size(col("members")) > 1
     banded
       .groupBy(col("qkey"))
       .agg(collect_list(col("m")).as("members"))
-      .filter(size(col("members")) > 1)
+      .filter(bucketFilter)
       .select(explode(filter(
         flatten(transform(col("members"), a =>
           transform(col("members"), b => struct(

@@ -10,7 +10,12 @@ import org.apache.spark.sql.types._
   * no codec library involved. The audio leg of the multimodal dedup
   * tier: where images get a DCT perceptual hash, PCM audio gets a
   * VOLUME-INVARIANT energy-envelope difference hash.
-  */
+  *
+  * The RIFF chunk walk here is deliberately a THIRD private copy
+  * (siblings: [[WavKernels.wavMeta]] metadata-only, [[VideoKernels]]
+  * AVI lists) — each kernel's walk carries different state and bounds,
+  * and the shared part is ~10 lines; a chunk-walk hardening must be
+  * checked against all three (cross-referenced so none is missed). */
 object AudioKernels {
 
   /** Same guard class as [[ImageKernels.MaxPixels]]: never materialize

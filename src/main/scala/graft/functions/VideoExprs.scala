@@ -20,10 +20,23 @@ import org.apache.spark.sql.types._
   */
 object VideoKernels {
 
+  /** Hostile-input caps (the [[ImageKernels.MaxPixels]] guard class): a
+    * crafted payload of millions of tiny frame chunks must not allocate
+    * an unbounded offset table, and nested LIST groups must not recurse
+    * an unbounded stack — both found in the r12 self-review. Sampling
+    * needs the chunk COUNT for even coverage, so the table is capped
+    * (2²⁰ frames ≈ 9.7 h at 30 fps — any real video fits) rather than
+    * streamed. */
+  val MaxFrameChunks = 1 << 20
+  val MaxListDepth = 64
+
   /** Byte offsets + lengths of the video-frame chunks inside an
     * AVI/RIFF payload, in stream order; null for non-AVI or malformed
     * input — never throws, cursor strictly advances (the WavKernels
-    * Long-cursor discipline; declared sizes clamped to the buffer). */
+    * Long-cursor discipline; declared sizes clamped to the buffer).
+    * Descends into `LIST('movi')` and the interleaving `LIST('rec ')`
+    * groups the published AVI layout wraps frame-time chunks in; the
+    * walk is ITERATIVE over an explicit bounded range stack. */
   def aviFrameChunks(b: Array[Byte]): Array[(Int, Int)] = {
     if (b == null || b.length < 24) return null
     def tag(i: Long, t: String): Boolean =
@@ -37,7 +50,6 @@ object VideoKernels {
     if (!tag(0, "RIFF") || !tag(8, "AVI ")) return null
     val n = b.length
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    // walk top-level chunks; descend into LIST('movi') only
     def isFrameTag(i: Long): Boolean = {
       // '##dc' (compressed) / '##db' (uncompressed) video chunks, any
       // stream number — the published stream-chunk naming
@@ -46,21 +58,37 @@ object VideoKernels {
         b(i.toInt + 1) >= '0' && b(i.toInt + 1) <= '9' &&
         ((c2 == 'd' && (c3 == 'c' || c3 == 'b')))
     }
-    def walk(from: Long, to: Long): Unit = {
-      var i = from
-      while (i + 8 <= to) {
+    // explicit (from, to, depth) stack, IN-ORDER DFS — on a descendable
+    // LIST the remainder of the current range is pushed as the resume
+    // point and the list body is scanned first, so frames keep stream
+    // order across sibling 'rec ' groups; a crafted tower of nested
+    // LIST headers can neither blow the thread stack (depth cap) nor,
+    // with the frame cap, grow memory past the bounded table
+    var stack = List((12L, n.toLong, 0))
+    while (stack.nonEmpty && frames.size < MaxFrameChunks) {
+      var (i, to, depth) = stack.head
+      stack = stack.tail
+      var descended = false
+      while (!descended && i + 8 <= to && frames.size < MaxFrameChunks) {
         val size = le32(i + 4)
         val body = i + 8
         val clamped = math.min(size, to - body)
-        if (clamped < 0) return
-        if (tag(i, "LIST") && clamped >= 4 && tag(body, "movi"))
-          walk(body + 4, body + clamped)
-        else if (isFrameTag(i) && clamped > 0)
-          frames += ((body.toInt, clamped.toInt))
-        i = body + clamped + (clamped & 1L) // word-aligned like WAV
+        if (clamped < 0) { i = to } // truncated header: stop this range
+        else {
+          val next = body + clamped + (clamped & 1L) // word-aligned like WAV
+          if (tag(i, "LIST") && clamped >= 4 && depth < MaxListDepth &&
+            (tag(body, "movi") || tag(body, "rec "))) {
+            stack = (body + 4, body + clamped, depth + 1) ::
+              (next, to, depth) :: stack
+            descended = true
+          } else {
+            if (isFrameTag(i) && clamped > 0)
+              frames += ((body.toInt, clamped.toInt))
+            i = next
+          }
+        }
       }
     }
-    walk(12L, n.toLong)
     if (frames.isEmpty) null else frames.toArray
   }
 

@@ -25,6 +25,42 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestBase {
       graft.functions.AudioFixtures.syntheticWav(1L, 0)) == null)
   }
 
+  test("interleaved AVIs: frames inside LIST('rec ') groups are found, in stream order") {
+    // hand-assemble RIFF('AVI ')/LIST('movi') wrapping each frame in its
+    // own LIST('rec ') — the published interleaving layout
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val frames = (0 until 3).map(f =>
+      graft.functions.ImageFixtures.syntheticPng(900L + f, 0))
+    def chunk(tag: String, body: Array[Byte]) =
+      tag.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val recs = frames.map(p => chunk("LIST", "rec ".getBytes("US-ASCII") ++
+      chunk("00dc", p))).reduce(_ ++ _)
+    val movi = "movi".getBytes("US-ASCII") ++ recs
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    val chunks = VideoKernels.aviFrameChunks(avi)
+    assert(chunks != null && chunks.length == 3, "rec-wrapped frames must be found")
+    // stream order preserved across sibling rec groups
+    chunks.zipWithIndex.foreach { case ((off, len), i) =>
+      val h = graft.functions.ImageKernels.phash64(
+        java.util.Arrays.copyOfRange(avi, off, off + len))
+      assert(h == graft.functions.ImageKernels.phash64(frames(i)), s"frame $i")
+    }
+    // a crafted tower of nested lists neither recurses unboundedly nor
+    // hangs: depth cap stops the descent, the walk returns (null here —
+    // no frames above the cap)
+    var tower = chunk("00dc", frames.head)
+    (0 until 200).foreach { _ =>
+      tower = chunk("LIST", "rec ".getBytes("US-ASCII") ++ tower)
+    }
+    val deep = "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + 4 + tower.length) ++
+      "AVI ".getBytes("US-ASCII") ++
+      chunk("LIST", "movi".getBytes("US-ASCII") ++ tower)
+    val _ = VideoKernels.aviFrameChunks(deep) // must neither throw nor hang
+  }
+
   test("frame sampling: even coverage, caps at available frames, per-frame pHash real") {
     val avi = VideoFixtures.syntheticAvi(7L, 0, frames = 6)
     val h4 = VideoKernels.framePhashes(avi, 4)
