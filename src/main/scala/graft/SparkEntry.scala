@@ -1224,6 +1224,55 @@ object SparkEntry {
         "doc_id", "vid")
         .select(col("doc_id"))),
 
+    // Cross-crawl video dedup through the persistent two-tier catalog
+    // (the image/audio incremental pattern): byte copies collide at
+    // aligned Hamming 0 and re-encodes within the radius, so ONE
+    // perceptual tier drops both; fresh videos survive. Runs through the
+    // production streaming wrapper against a fresh catalog pair root,
+    // reclaimed eagerly.
+    "video_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-vidcat-q")
+      val prior = d.filter(col("doc_id") % 10 <= 6)
+        .select(col("doc_id"), plantedVideo.as("vid"))
+      val _ = graft.dedup.VideoCatalog.applyBatch(
+        prior, s"$root/vc", "doc_id", "vid", added = 0L)
+      val batch = d.filter(col("doc_id") % 10 >= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 9,
+            GraftFunctions.syntheticAvi(col("doc_id") + 1000000000L, lit(0)))
+            .otherwise(plantedVideo).as("vid"))
+      val out = graft.streaming.StreamingVideoDedup.applyBatch(
+        batch, s"$root/vc", "doc_id", "vid", added = 1L)
+      val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
+      val keptCopies = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
+      val keptNears = kept.count(i => i % 10 == 8 && i >= ImgNearStride)
+      val keptOrig = kept.count(i =>
+        (i % 10 == 7 && i < ImgCopyStride) || (i % 10 == 8 && i < ImgNearStride))
+      val keptFresh = kept.count(_ % 10 == 9)
+      deleteRecursively(root.toFile)
+      import s.implicits._
+      batch.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(isImgCopy, 1L).otherwise(0L)).as("n_copies"),
+        sum(when(isImgNear, 1L).otherwise(0L)).as("n_neardups"),
+        sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
+        sum(when((col("doc_id") % 10 === 7 && !isImgCopy) ||
+          (col("doc_id") % 10 === 8 && !isImgNear), 1L).otherwise(0L))
+          .as("n_small_originals"))
+        .crossJoin(Seq((
+          keptCopies == 0, keptNears == 0,
+          keptFresh.toLong, keptOrig.toLong)).toDF(
+          "copies_all_dropped_ok", "neardups_all_dropped_ok",
+          "n_fresh_kept", "n_small_orig_kept"))
+        .select(col("n_batch"), col("n_copies"), col("n_neardups"),
+          col("n_fresh"), col("copies_all_dropped_ok"),
+          col("neardups_all_dropped_ok"),
+          (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
+          (col("n_small_orig_kept") === col("n_small_originals"))
+            .as("small_originals_kept_ok"))
+    }),
+
     // The AUDIO leg of the multimodal dedup tier: real RIFF/PCM sample
     // decode under the volume-invariant energy-envelope hash, same
     // contract shape as image_phash. Near-dups here are HALF-VOLUME
@@ -1356,6 +1405,61 @@ object SparkEntry {
         imageCol = Some("img"),
         imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
         audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"))
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
+    // The FOUR-MODALITY composed pipeline: image exact → image phash →
+    // audio envelope → VIDEO frame-sequence → text exact → near →
+    // substr, eight persistent catalogs, fully oracled. Video near-dups
+    // are planted on their OWN stride (−84, %10==5 docs — disjoint from
+    // the image (%10∈{7,8}) and audio (%10==9) drop sets, and inside one
+    // %3 class since 84 ≡ 0 mod 3), so the video tier has an observable
+    // drop set no other tier can explain: the oracle restates all three
+    // media tiers as doc_id arithmetic and re-roots the text chain at
+    // their joint survivors.
+    "curate_stream_batch_avv" -> ((s, dir) => {
+      val isAudNear = col("doc_id") % 10 === 9 && col("doc_id") >= 63
+      val audio = GraftFunctions.syntheticWav(
+        when(isAudNear, col("doc_id") - 63).otherwise(col("doc_id")),
+        when(isAudNear, lit(1)).otherwise(lit(0)))
+      val isVidNear = col("doc_id") % 10 === 5 && col("doc_id") >= 84
+      val video = GraftFunctions.syntheticAvi(
+        when(isVidNear, col("doc_id") - 84).otherwise(col("doc_id")),
+        when(isVidNear, lit(1)).otherwise(lit(0)))
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        plantedImage.as("img"), audio.as("wav"), video.as("avi"))
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-avv-q")
+      val tmp = root.toString
+      graft.dedup.ImageCatalog.appendExact(
+        graft.dedup.ImageCatalog.exactEntriesOf(prior, "img"), s"$tmp/ie")
+      graft.dedup.ImageCatalog.appendPhash(
+        graft.dedup.ImageCatalog.phashEntriesOf(
+          graft.dedup.ImageDedup.withPHash(prior, "img")
+            .select(col("doc_id").as("id"), col("phash"))), s"$tmp/ip")
+      val _ = graft.dedup.AudioDedup.applyBatchEnvelope(
+        prior, s"$tmp/ae", "doc_id", "wav", added = 0L)
+      graft.dedup.VideoCatalog.append(
+        graft.dedup.VideoCatalog.withSignature(prior, "doc_id", "avi", 4),
+        s"$tmp/vc", 4)
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0),
+        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
+        imageCol = Some("img"),
+        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+        audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
+        videoCol = Some("avi"), videoDir = Some(s"$tmp/vc"))
         .filter(col("n_tokens") > 0)
       deleteRecursively(root.toFile)
       out
@@ -4360,6 +4464,17 @@ object SparkEntry {
         |  TRUE AS originals_separated_ok
         |""".stripMargin,
 
+    "video_dedup_incremental" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 >= 7) AS n_batch,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_copies,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 8 AND doc_id >= 42) AS n_neardups,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 9) AS n_fresh,
+        |  TRUE AS copies_all_dropped_ok, TRUE AS neardups_all_dropped_ok,
+        |  TRUE AS fresh_all_kept_ok, TRUE AS small_originals_kept_ok
+        |""".stripMargin,
+
     "audio_dedup_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 >= 7) AS n_batch,
         |  (SELECT count(*) FROM documents
@@ -4384,6 +4499,14 @@ object SparkEntry {
       "AND NOT (doc_id % 10 = 7 AND doc_id >= 21) " +
         "AND NOT (doc_id % 10 = 8 AND doc_id >= 42) " +
         "AND NOT (doc_id % 10 = 9 AND doc_id >= 63)"),
+
+    // ... and the full four-modality chain: the video tier's planted
+    // drop set (%10==5 at stride 84) is disjoint from both media sets.
+    "curate_stream_batch_avv" -> curateStreamOracleSql(
+      "AND NOT (doc_id % 10 = 7 AND doc_id >= 21) " +
+        "AND NOT (doc_id % 10 = 8 AND doc_id >= 42) " +
+        "AND NOT (doc_id % 10 = 9 AND doc_id >= 63) " +
+        "AND NOT (doc_id % 10 = 5 AND doc_id >= 84)"),
 
     "dedup_cluster_resolve" ->
       """WITH RECURSIVE e AS (

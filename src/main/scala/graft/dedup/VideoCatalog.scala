@@ -1,0 +1,305 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persistent VIDEO dedup catalog — the cross-crawl state for
+  * [[VideoDedup]]'s frame-sequence fingerprints, completing the media
+  * catalog family ([[ImageCatalog]] images, [[AudioDedup]] audio). A
+  * video's fingerprint is its evenly-sampled frame-hash SEQUENCE, so
+  * unlike the scalar-hash catalogs the confirm needs the whole array —
+  * the catalog is therefore TWO tiers under one root, BOTH delegating
+  * every layout concern to [[ExactCatalog]] (the `(fp, h2)` row shape
+  * buys meta/kind discipline, bucket pruning, key/range pushdown,
+  * retention, per-bucket compaction, rebucket growth and the
+  * [[graft.ops.VersionedStore]] lifecycle with zero new layout code —
+  * the [[SubstrCatalog]]/[[ImageCatalog]] delegation move):
+  *
+  *  - **blocking tier** (`<root>/block`, kind `video_block_q16_f{n}`):
+  *    four rows per video — `fp = (quarter idx << 16) | quarter value`
+  *    of the FIRST sampled frame's pHash ([[ImageDedup.quarterKeys]]),
+  *    `h2 = vid`, the video's signature id (`xxhash64` of its frame-hash
+  *    array). Near-dup videos have near-dup first frames, so the image
+  *    tier's pigeonhole guarantee carries over: Hamming ≤ 3 on the first
+  *    frame ⇒ a shared quarter ⇒ the candidate is generated.
+  *  - **signature tier** (`<root>/sig`, kind `video_sig_f{n}`): one row
+  *    per (video, sampled frame k) — `fp = (vid << 6) | k` (k < n ≤ 64,
+  *    the kernel's own bound; a bitwise encoding because ANSI mode
+  *    rejects the wrapping multiply a `vid*n + k` packing would need),
+  *    `h2 = the frame-k pHash`. The k-indexed fp encoding is what lets
+  *    an array-valued signature live in the scalar catalog layout: the
+  *    prober GENERATES the fps itself from candidate vids, so the read
+  *    stays bucket-pruned and key-pushed like every delegated probe, and
+  *    the array is reassembled by sorting the returned `(k, hash)`
+  *    pairs. Distinct `(vid, k)` pairs map to distinct fps, so rows
+  *    never collide across frames; a vid
+  *    collision between two distinct videos (~2⁻⁶⁴ per pair, the
+  *    [[SubstrCatalog]] tolerance class) interleaves their rows at the
+  *    same positions — the contiguity guard below drops such a candidate
+  *    rather than confirm against a chimera array.
+  *
+  * The sampled frame count `n` is a layout property exactly like the
+  * bucket count (arrays sampled at a different n are a different
+  * fingerprint universe — [[VideoDedup.alignedMaxHamming]] is null on
+  * length mismatch by design), so it is carried in both kinds and a
+  * wrong-n open refuses through the shared kind machinery (the
+  * [[SubstrCatalog.KindPrefix]] precedent).
+  *
+  * One perceptual tier subsumes byte-exact video dedup (a byte copy has
+  * the identical frame-hash sequence — aligned Hamming 0), the
+  * [[AudioDedup]] precedent.
+  *
+  * Crash/replay contract (deliver-before-append, as everywhere in the
+  * family): survivors are delivered before any append; sig rows land
+  * before blocking rows, so a crash between the two leaves candidates
+  * that are never generated (blocking row absent) — the replayed batch
+  * re-appends identical rows, which are harmless duplicates that
+  * collapse at the next compaction. A partial sig append (some k rows
+  * missing) reconstructs a non-contiguous pair set the guard drops, so
+  * the replay re-delivers and re-appends — suppression only ever happens
+  * against a COMPLETE catalog signature.
+  */
+object VideoCatalog {
+
+  val BlockKindPrefix = "video_block_q16_f"
+  val SigKindPrefix = "video_sig_f"
+
+  def blockKind(n: Int): String = s"$BlockKindPrefix$n"
+  def sigKind(n: Int): String = s"$SigKindPrefix$n"
+  def blockDir(root: String): String = s"$root/block"
+  def sigDir(root: String): String = s"$root/sig"
+
+  /** The catalog's recorded sampled-frame count (None: no catalog, or
+    * not a video catalog). Regex-parsed like [[SubstrCatalog.metaW]]: a
+    * malformed or overflowing suffix falls through to the kind
+    * machinery's loud universe-mismatch refusal. */
+  private val BlockKindRe =
+    (java.util.regex.Pattern.quote(BlockKindPrefix) + """(\d+)""").r
+  def metaFrames(spark: SparkSession, root: String): Option[Int] =
+    ExactCatalog.readMetaKind(spark, blockDir(root)).collect {
+      case BlockKindRe(n) => n
+    }.flatMap(_.toIntOption)
+
+  /** `(id, fhs)` with the frame-hash array and its signature id — ONE
+    * decode pass feeds probe, in-batch pairs and append. */
+  def withSignature(df: DataFrame, idCol: String, binCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.videoFramePhashes(col(binCol), n)
+        .as("fhs"))
+      .withColumn("vid", xxhash64(col("fhs")))
+
+  // ----------------------------------------------------------- entries
+
+  /** The sig tier's k-indexed fp encoding (class doc). */
+  def frameFp(vid: org.apache.spark.sql.Column,
+      k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftleft(vid, 6).bitwiseOR(k.cast("long"))
+
+  /** Signature-tier entries of a hashed `(id, fhs, vid)` frame: one
+    * `(fp = (vid << 6) | k, h2 = frame-k hash)` row per sampled frame. */
+  def sigEntriesOf(hashed: DataFrame, n: Int): DataFrame =
+    hashed.filter(col("fhs").isNotNull)
+      .select(col("vid"), posexplode(col("fhs")).as(Seq("k", "fh")))
+      .select(frameFp(col("vid"), col("k")).as("fp"), col("fh").as("h2"))
+      .distinct()
+
+  /** Blocking-tier entries: one `(fp = first-frame quarter key,
+    * h2 = vid)` row per quarter. */
+  def blockEntriesOf(hashed: DataFrame): DataFrame =
+    hashed.filter(col("fhs").isNotNull)
+      .select(explode(ImageDedup.quarterKeys(element_at(col("fhs"), 1)))
+        .as("fp"), col("vid").as("h2"))
+      .distinct()
+
+  /** Append a hashed `(id, fhs, vid)` frame's entries to both tiers —
+    * sig first (see class doc crash ordering). Layout parameters are
+    * CREATE-TIME defaults; an existing catalog's meta is authoritative. */
+  def append(hashed: DataFrame, root: String, n: Int,
+      numBuckets: Int = ExactCatalog.DefaultBuckets, added: Long = 0L): Unit = {
+    val spark = hashed.sparkSession
+    val effN = metaFrames(spark, root).getOrElse(n)
+    val buckets = ExactCatalog.readMeta(spark, blockDir(root))
+      .getOrElse(numBuckets)
+    ExactCatalog.append(sigEntriesOf(hashed, effN), sigDir(root),
+      buckets, added, kind = sigKind(effN))
+    ExactCatalog.append(blockEntriesOf(hashed), blockDir(root),
+      buckets, added, kind = blockKind(effN))
+  }
+
+  // ------------------------------------------------------- incremental
+
+  /** One crawl/micro-batch against the persistent catalog: decode once
+    * (pinned), drop batch videos whose aligned frame-hash sequence sits
+    * within `maxHamming` of any catalog video's (pruned two-tier probe),
+    * collapse in-batch near-dup clusters to their min-id representative
+    * ([[VideoDedup.videoCandidatePairsFromHashes]] over the same pinned
+    * hashes), deliver, then append the survivors' entries. Non-video /
+    * undecodable payloads pass through (a quality-filter concern, not
+    * duplicates).
+    *
+    * `maxCandidatesPerKey` is the catalog-side hot-bucket valve (the
+    * [[VideoDedup.videoCandidatePairs]] lens: identical first frames
+    * across DISTINCT videos are common — black lead-ins, logos — and a
+    * hot quarter key would fan every matching batch video out to its
+    * whole posting list): quarter keys carrying more candidate vids are
+    * dropped from candidate generation, a documented recall valve, never
+    * a correctness hazard (fewer candidates ⇒ fewer drops). */
+  def applyBatch(
+      batch: DataFrame, root: String, idCol: String, binCol: String,
+      n: Int = VideoDedup.DefaultSampledFrames,
+      maxHamming: Int = ImageDedup.MaxBlockedHamming,
+      numBuckets: Int = ExactCatalog.DefaultBuckets, added: Long = 0L,
+      maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
+      maxCandidatesPerKey: Int = 4096,
+      deliver: DataFrame => Unit = _ => ()): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= ImageDedup.MaxBlockedHamming,
+      s"quarter blocking guarantees recall only to Hamming " +
+        s"${ImageDedup.MaxBlockedHamming}; got $maxHamming")
+    val spark = batch.sparkSession
+    val effN = metaFrames(spark, root).getOrElse(n)
+    val hashed = graft.ops.Checkpoints.pin(
+      withSignature(batch, idCol, binCol, effN))
+    // tier 1: first-frame quarter keys -> candidate catalog vids
+    val probeKeys = hashed.filter(col("fhs").isNotNull)
+      .select(col("id"), col("fhs"),
+        explode(ImageDedup.quarterKeys(element_at(col("fhs"), 1))).as("fp"))
+    val blockCat = ExactCatalog.readForBatch(
+      spark, blockDir(root), probeKeys.select(col("fp")), maxPushdownKeys,
+      kind = blockKind(effN))
+    val postings = blockCat.groupBy(col("fp"))
+      .agg(collect_set(col("h2")).as("vids"))
+      .filter(size(col("vids")) <= maxCandidatesPerKey) // recall valve
+      .select(col("fp"), explode(col("vids")).as("cvid"))
+    val cands = probeKeys.join(postings, Seq("fp"))
+      .dropDuplicates("id", "cvid")
+      .select(col("id"), col("fhs"), col("cvid"))
+    // tier 2: candidate vids -> reassembled catalog frame arrays. The
+    // prober generates the k-indexed fps itself, so the read is pruned
+    // exactly like every delegated probe.
+    val candFps = cands.select(col("cvid")).distinct()
+      .select(col("cvid"), explode(sequence(lit(0), lit(effN - 1))).as("k"))
+      .withColumn("fp", frameFp(col("cvid"), col("k")))
+    val sigCat = ExactCatalog.readForBatch(
+      spark, sigDir(root), candFps.select(col("fp")), maxPushdownKeys,
+      kind = sigKind(effN))
+    val catArrays = candFps
+      .join(sigCat.select(col("fp"), col("h2").as("fh")), Seq("fp"))
+      .select(col("cvid"), col("k"), col("fh")).distinct()
+      .groupBy(col("cvid"))
+      .agg(array_sort(collect_list(struct(col("k"), col("fh")))).as("pairs"))
+      // contiguity guard: k must be exactly 0..m-1 with one hash each —
+      // a partial append (or a ~2^-64 vid collision interleaving two
+      // videos) fails it and the candidate is dropped, never confirmed
+      .filter(forall(
+        zip_with(col("pairs"), sequence(lit(0), size(col("pairs")) - 1),
+          (p, i) => p.getField("k") === i),
+        b => b))
+      .select(col("cvid"),
+        transform(col("pairs"), p => p.getField("fh")).as("cfhs"))
+    val dropped = cands.join(catArrays, Seq("cvid"))
+      .filter(VideoDedup.alignedMaxHamming(col("fhs"), col("cfhs"))
+        .isNotNull &&
+        VideoDedup.alignedMaxHamming(col("fhs"), col("cfhs")) <= maxHamming)
+      .select(col("id")).distinct()
+    val freshIds = hashed.select(col("id"))
+      .join(dropped, Seq("id"), "left_anti")
+    val fresh = batch.join(freshIds.select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    // in-batch collapse over the SAME pinned hashes, restricted to the
+    // catalog survivors — a projection over checkpoint blocks, no rescan
+    val freshHashes = hashed.join(freshIds, Seq("id"), "left_semi")
+    val pairs = VideoDedup.videoCandidatePairsFromHashes(
+      freshHashes.select(col("id"), col("fhs").as("frame_phashes")),
+      maxHamming)
+    val out = graft.ops.Checkpoints.pin(
+      Dedup.dedupNearByClusters(fresh, idCol, pairs))
+    deliver(out) // delivery BEFORE the append — class doc
+    append(hashed.join(out.select(col(idCol).as("id")), Seq("id"),
+      "left_semi"), root, effN,
+      ExactCatalog.readMeta(spark, blockDir(root)).getOrElse(numBuckets),
+      added)
+    out
+  }
+
+  // ------------------------------------------------------- maintenance
+  // The lifecycle delegates per tier; pair-level ops keep both dirs in
+  // the SAME layout (they are created together and probed together).
+
+  def bucketFileCounts(spark: SparkSession, root: String): Map[Int, Int] = {
+    val b = ExactCatalog.bucketFileCounts(spark, blockDir(root))
+    val s = ExactCatalog.bucketFileCounts(spark, sigDir(root))
+    (b.keySet ++ s.keySet).map(k =>
+      k -> math.max(b.getOrElse(k, 0), s.getOrElse(k, 0))).toMap
+  }
+
+  def compact(
+      spark: SparkSession, root: String,
+      retainAddedFrom: Option[Long] = None,
+      buckets: Option[Seq[Int]] = None): Unit = {
+    ExactCatalog.compact(spark, sigDir(root), retainAddedFrom, buckets)
+    ExactCatalog.compact(spark, blockDir(root), retainAddedFrom, buckets)
+  }
+
+  /** Re-shard BOTH tiers into `toRoot` under a new bucket count. Sig
+    * first, block last: [[isCommitted]] requires both metas, and the
+    * block tier's meta doubles as the pair's commit marker — a crash
+    * between the two leaves an uncommitted version every resolve skips. */
+  def rebucket(
+      spark: SparkSession, fromRoot: String, toRoot: String,
+      newBuckets: Int): Unit = {
+    ExactCatalog.rebucket(spark, sigDir(fromRoot), sigDir(toRoot), newBuckets)
+    ExactCatalog.rebucket(spark, blockDir(fromRoot), blockDir(toRoot),
+      newBuckets)
+  }
+
+  /** Committed = BOTH tiers carry meta (see [[rebucket]] ordering). */
+  def isCommitted(spark: SparkSession, root: String): Boolean =
+    ExactCatalog.readMeta(spark, blockDir(root)).isDefined &&
+      ExactCatalog.readMeta(spark, sigDir(root)).isDefined
+
+  /** Growth signals from the SIG tier (n rows per video vs the block
+    * tier's 4 — it is the denser and therefore binding layout); a
+    * recommended Compact runs on both tiers. */
+  def maintain(
+      spark: SparkSession, root: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = false): Seq[graft.ops.GrowthPolicy.Action] = {
+    val acts = ExactCatalog.maintain(spark, sigDir(root), policy,
+      autoCompact = false)
+    if (autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(bs) =>
+        compact(spark, root, buckets = Some(bs))
+      case _ => ()
+    }
+    acts
+  }
+
+  /** [[maintain]] over a [[graft.ops.VersionedStore]] root holding
+    * version dirs that are themselves catalog PAIRS — a tripped Rebucket
+    * re-shards both tiers into the next version atomically-by-marker
+    * (see [[rebucket]]), predecessors retired after the swap. */
+  def maintainVersioned(
+      spark: SparkSession, root: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = true
+  ): (String, Seq[graft.ops.GrowthPolicy.Action]) = {
+    val committed = (d: String) => isCommitted(spark, d)
+    val cur = graft.ops.VersionedStore.current(spark, root, committed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed video catalog under versioned root $root"))
+    val acts = maintain(spark, cur, policy, autoCompact = false)
+    val moved = acts.collectFirst {
+      case graft.ops.GrowthPolicy.Rebucket(n, _) =>
+        graft.ops.VersionedStore.cutover(spark, root, committed)(
+          rebucket(spark, cur, _, n))
+    }
+    if (moved.isEmpty && autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(bs) =>
+        compact(spark, cur, buckets = Some(bs))
+      case _ => ()
+    }
+    moved.foreach(_ => graft.ops.VersionedStore.retire(spark, root, committed))
+    (moved.getOrElse(cur), acts)
+  }
+}

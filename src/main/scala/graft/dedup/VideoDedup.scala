@@ -50,15 +50,26 @@ object VideoDedup {
       df: DataFrame, idCol: String, binCol: String,
       n: Int = DefaultSampledFrames,
       maxHamming: Int = ImageDedup.MaxBlockedHamming,
+      maxBucketSize: Int = 4096): DataFrame =
+    videoCandidatePairsFromHashes(
+      graft.ops.Checkpoints.pin(
+        withFramePhashes(df.select(col(idCol), col(binCol)), binCol, n)
+          .select(col(idCol).as("id"), col("frame_phashes"))),
+      maxHamming, maxBucketSize)
+
+  /** [[videoCandidatePairs]] over an already-computed
+    * `(id, frame_phashes)` frame — the seam that lets one decode pass
+    * feed probe, in-batch pairs and catalog append
+    * ([[VideoCatalog.applyBatch]]; the
+    * [[ImageDedup.phashCandidatePairsFromHashes]] precedent). */
+  def videoCandidatePairsFromHashes(
+      hashed: DataFrame,
+      maxHamming: Int = ImageDedup.MaxBlockedHamming,
       maxBucketSize: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= ImageDedup.MaxBlockedHamming,
       s"quarter blocking guarantees recall only to Hamming " +
         s"${ImageDedup.MaxBlockedHamming}; got $maxHamming")
-    val hashed = graft.ops.Checkpoints.pin(
-      withFramePhashes(df.select(col(idCol), col(binCol)), binCol, n)
-        .filter(col("frame_phashes").isNotNull)
-        .select(col(idCol).as("id"), col("frame_phashes")))
-    val banded = hashed.select(
+    val banded = hashed.filter(col("frame_phashes").isNotNull).select(
       explode(ImageDedup.quarterKeys(element_at(col("frame_phashes"), 1)))
         .as("qkey"),
       struct(col("id"), col("frame_phashes").as("fh")).as("m"))

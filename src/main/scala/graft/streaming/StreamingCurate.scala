@@ -18,6 +18,12 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   *      `audioCol`: the volume-invariant envelope-hash tier over real
   *      PCM decode, after the image tiers (it subsumes byte-exact audio
   *      dedup — a byte copy has the identical envelope hash).
+  *   0c. VIDEO ([[graft.dedup.VideoCatalog]] via [[StreamingVideoDedup]])
+  *      — OPTIONAL, engaged by `videoCol`: aligned frame-hash-sequence
+  *      dedup over the real AVI container walk + per-frame pixel decode,
+  *      after the audio tier (the most expensive media decode runs on
+  *      the smallest surviving set; like audio, one perceptual tier
+  *      subsumes byte-exact video dedup).
   *   1. EXACT ([[ExactCatalog]]): drop literal copies of anything the
   *      corpus has seen; in-batch copies keep the lowest id. Cheapest
   *      tier first — every doc it drops never pays MinHash or window
@@ -53,7 +59,7 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   * callback returns, so nesting the tiers inside each other's callbacks
   * makes EVERY catalog append land after the FINAL delivery
   * (deliver → substr append → sem index append → near append → exact
-  * append → image appends). Chaining
+  * append → video appends → audio append → image appends). Chaining
   * three independent writers instead would let tier N's append land
   * before tier N+1 ever ran — a crash between them silently suppresses
   * the in-flight docs on replay without them ever reaching downstream
@@ -89,6 +95,9 @@ object StreamingCurate {
       audioCol: Option[String] = None,
       audioEnvDir: Option[String] = None,
       audioMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
+      videoCol: Option[String] = None,
+      videoDir: Option[String] = None,
+      videoMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     var out: DataFrame = batch.sparkSession.emptyDataFrame
     // the semantic tier's caller contract, checked BEFORE any tier
@@ -118,11 +127,20 @@ object StreamingCurate {
         "audioCol is configured but audioEnvDir is not — the audio tier " +
           "needs its persistent envelope catalog")
     }
+    videoCol.foreach { vc =>
+      require(batch.columns.contains(vc),
+        s"videoCol is configured but the batch has no '$vc' column " +
+          s"(batch columns: ${batch.columns.mkString(", ")})")
+      require(videoDir.isDefined,
+        "videoCol is configured but videoDir is not — the video tier " +
+          "needs its persistent catalog pair root")
+    }
     // multi-consumer chains read the batch more than once (the media
     // tiers, tier 1 and the embedding re-join) — pin once so later
     // consumers replay a checkpoint, not the upstream
     val src =
-      if (semIndexDir.isDefined || imageCol.isDefined || audioCol.isDefined)
+      if (semIndexDir.isDefined || imageCol.isDefined || audioCol.isDefined ||
+          videoCol.isDefined)
         graft.ops.Checkpoints.pin(batch)
       else batch
     // the substring rewrite, shared by every chain length
@@ -162,16 +180,30 @@ object StreamingCurate {
             })
         })
     }
-    // the audio tier (when engaged) sits between the image tiers and
-    // the text tiers, nested in the same deliver chain so its append
-    // also lands after the final delivery
-    def audioThenText(upstream: DataFrame): Unit = audioCol match {
+    // the video tier (when engaged) sits between the audio tier and the
+    // text tiers, nested in the same deliver chain so its appends also
+    // land after the final delivery
+    def videoThenText(upstream: DataFrame): Unit = videoCol match {
       case None => textTiers(upstream)
+      case Some(vc) =>
+        val _ = StreamingVideoDedup.applyBatch(
+          upstream, videoDir.get, idCol, vc,
+          maxHamming = videoMaxHamming, numBuckets = numBuckets,
+          compactAboveFiles = compactAboveFiles, added = added,
+          retainAddedBehind = retainAddedBehind,
+          retentionSweepEvery = retentionSweepEvery,
+          deliver = videoSurvivors => textTiers(videoSurvivors))
+    }
+    // the audio tier (when engaged) sits between the image tiers and
+    // the video/text tiers, nested in the same deliver chain so its
+    // append also lands after the final delivery
+    def audioThenText(upstream: DataFrame): Unit = audioCol match {
+      case None => videoThenText(upstream)
       case Some(ac) =>
         val _ = graft.dedup.AudioDedup.applyBatchEnvelope(
           upstream, audioEnvDir.get, idCol, ac, audioMaxHamming,
           numBuckets, added = added,
-          deliver = audioSurvivors => textTiers(audioSurvivors))
+          deliver = audioSurvivors => videoThenText(audioSurvivors))
         CatalogHygiene.afterAppend(
           compactAboveFiles, added, retainAddedBehind, retentionSweepEvery)(
           graft.dedup.ExactCatalog.bucketFileCounts(
@@ -217,6 +249,9 @@ object StreamingCurate {
       audioCol: Option[String] = None,
       audioEnvDir: Option[String] = None,
       audioMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
+      videoCol: Option[String] = None,
+      videoDir: Option[String] = None,
+      videoMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -236,6 +271,8 @@ object StreamingCurate {
             imagePhashDir = imagePhashDir, imageMaxHamming = imageMaxHamming,
             audioCol = audioCol, audioEnvDir = audioEnvDir,
             audioMaxHamming = audioMaxHamming,
+            videoCol = videoCol, videoDir = videoDir,
+            videoMaxHamming = videoMaxHamming,
             deliver = deliver)
         }
       }

@@ -221,6 +221,66 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(boom.getMessage.contains("audioEnvDir"))
   }
 
+  test("optional video tier: a whole-video re-encode drops between audio and text tiers") {
+    import graft.functions.{AudioFixtures, ImageFixtures, VideoFixtures}
+    val (e, n, s) = dirs("avv")
+    val tmp = Files.createTempDirectory("graft-curate-avvcat").toString
+    def img(seed: Long) = ImageFixtures.syntheticPng(seed, 0)
+    def wav(seed: Long) = AudioFixtures.syntheticWav(seed, 0)
+    def avi(seed: Long, v: Int = 0) = VideoFixtures.syntheticAvi(seed, v)
+    val d1 = Seq(
+      (1L, b1.head._2, img(1), wav(1), avi(1)),
+      (2L, b1(1)._2, img(2), wav(2), avi(2)))
+      .toDF("doc_id", "text", "img", "wav", "avi")
+    val _ = StreamingCurate.applyBatch(d1, e, n, s, "doc_id", "text", W,
+      added = 0L, imageCol = Some("img"),
+      imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+      audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
+      videoCol = Some("avi"), videoDir = Some(s"$tmp/vc"))
+    // batch 2: 70 = fresh text+image+audio but a WHOLE-VIDEO re-encode
+    // of doc 1's video (only the video tier can drop it); 71 = fresh on
+    // every axis
+    val d2 = Seq(
+      (70L, "new words that only frame-sequence hashing could reject",
+        img(70), wav(70), avi(1, 1)),
+      (71L, "a wholly novel four-modality document in this batch",
+        img(71), wav(71), avi(71)))
+      .toDF("doc_id", "text", "img", "wav", "avi")
+    val out = rows(StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
+      added = 1L, imageCol = Some("img"),
+      imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+      audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
+      videoCol = Some("avi"), videoDir = Some(s"$tmp/vc")))
+    assert(out.map(_._1).toSet == Set(71L),
+      s"video tier must drop 70, got ${out.map(_._1)}")
+    // crash contract covers both video tiers too
+    val before = (ExactCatalog.read(spark, s"$tmp/vc/block",
+      graft.dedup.VideoCatalog.blockKind(4)).count(),
+      ExactCatalog.read(spark, s"$tmp/vc/sig",
+        graft.dedup.VideoCatalog.sigKind(4)).count())
+    val _2 = intercept[RuntimeException] {
+      StreamingCurate.applyBatch(
+        Seq((80L, "another fresh doc", img(80), wav(80), avi(80)))
+          .toDF("doc_id", "text", "img", "wav", "avi"),
+        e, n, s, "doc_id", "text", W, added = 2L,
+        imageCol = Some("img"),
+        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+        audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
+        videoCol = Some("avi"), videoDir = Some(s"$tmp/vc"),
+        deliver = _ => throw new RuntimeException("down"))
+    }
+    assert((ExactCatalog.read(spark, s"$tmp/vc/block",
+      graft.dedup.VideoCatalog.blockKind(4)).count(),
+      ExactCatalog.read(spark, s"$tmp/vc/sig",
+        graft.dedup.VideoCatalog.sigKind(4)).count()) == before)
+    // misconfiguration fails loudly
+    val boom = intercept[IllegalArgumentException] {
+      StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
+        videoCol = Some("avi"))
+    }
+    assert(boom.getMessage.contains("videoDir"))
+  }
+
   test("crash contract: a failed final delivery advances NO catalog") {
     val (e, n, s) = dirs("crash")
     val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
