@@ -224,4 +224,76 @@ object ImageCatalog {
       autoCompact: Boolean = true
   ): (String, Seq[graft.ops.GrowthPolicy.Action]) =
     ExactCatalog.maintainVersioned(spark, root, policy, autoCompact)
+
+  // ------------------------------------------------- pair-root lifecycle
+  // The streaming tier owns BOTH image catalogs, so its versioned root
+  // holds version dirs that are catalog PAIRS (`v{n}/exact`,
+  // `v{n}/phash`) — the [[VideoCatalog]] pair-root shape: one cutover
+  // moves both tiers, the pair commits only when both metas exist.
+
+  def pairExactDir(root: String): String = s"$root/exact"
+  def pairPhashDir(root: String): String = s"$root/phash"
+
+  /** Committed = BOTH tiers carry meta (see [[rebucketPair]] ordering). */
+  def isCommittedPair(spark: SparkSession, root: String): Boolean =
+    ExactCatalog.readMeta(spark, pairExactDir(root)).isDefined &&
+      ExactCatalog.readMeta(spark, pairPhashDir(root)).isDefined
+
+  /** Re-shard both tiers into `toRoot`. Phash first, exact last: the
+    * exact tier's meta doubles as the pair's commit marker — a crash
+    * between the two leaves an uncommitted version every resolve skips. */
+  def rebucketPair(
+      spark: SparkSession, fromRoot: String, toRoot: String,
+      newBuckets: Int): Unit = {
+    ExactCatalog.rebucket(spark, pairPhashDir(fromRoot),
+      pairPhashDir(toRoot), newBuckets)
+    ExactCatalog.rebucket(spark, pairExactDir(fromRoot),
+      pairExactDir(toRoot), newBuckets)
+  }
+
+  /** Growth signals from the PHASH tier (four rows per image vs the
+    * exact tier's one — the denser, binding layout); a recommended
+    * Compact runs on both tiers. */
+  def maintainPair(
+      spark: SparkSession, root: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = false): Seq[graft.ops.GrowthPolicy.Action] = {
+    val acts = ExactCatalog.maintain(spark, pairPhashDir(root), policy,
+      autoCompact = false)
+    if (autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(bs) =>
+        compact(spark, pairPhashDir(root), buckets = Some(bs))
+        compact(spark, pairExactDir(root), buckets = Some(bs))
+      case _ => ()
+    }
+    acts
+  }
+
+  /** [[maintainPair]] over a [[graft.ops.VersionedStore]] root of PAIR
+    * version dirs — the same executable lifecycle as
+    * [[VideoCatalog.maintainVersioned]]. */
+  def maintainVersionedPair(
+      spark: SparkSession, root: String,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      autoCompact: Boolean = true
+  ): (String, Seq[graft.ops.GrowthPolicy.Action]) = {
+    val committed = (d: String) => isCommittedPair(spark, d)
+    val cur = graft.ops.VersionedStore.current(spark, root, committed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed image catalog pair under versioned root $root"))
+    val acts = maintainPair(spark, cur, policy, autoCompact = false)
+    val moved = acts.collectFirst {
+      case graft.ops.GrowthPolicy.Rebucket(n, _) =>
+        graft.ops.VersionedStore.cutover(spark, root, committed)(
+          rebucketPair(spark, cur, _, n))
+    }
+    if (moved.isEmpty && autoCompact) acts.foreach {
+      case graft.ops.GrowthPolicy.Compact(bs) =>
+        compact(spark, pairPhashDir(cur), buckets = Some(bs))
+        compact(spark, pairExactDir(cur), buckets = Some(bs))
+      case _ => ()
+    }
+    moved.foreach(_ => graft.ops.VersionedStore.retire(spark, root, committed))
+    (moved.getOrElse(cur), acts)
+  }
 }

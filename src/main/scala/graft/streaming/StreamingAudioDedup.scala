@@ -2,22 +2,23 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import graft.dedup.{ExactCatalog, ImageCatalog, ImageDedup}
+import graft.dedup.{AudioDedup, ExactCatalog, ImageDedup}
 
-/** Streaming IMAGE dedup over the persistent [[ImageCatalog]] pair —
-  * byte-exact tier first (an exact drop never pays a pixel decode), the
-  * perceptual tier nested inside its delivery position so every catalog
-  * append lands after the final delivery (the [[StreamingCurate]]
-  * composition shape; same at-least-once crash contract as every tier in
-  * the family: a replay whose appends landed is suppressive, downstream
-  * keeps the FIRST delivery per id). */
-object StreamingImageDedup {
+/** Streaming AUDIO dedup over the persistent envelope catalog — the
+  * wrapper around [[AudioDedup.applyBatchEnvelope]] that carries the
+  * family's hygiene and versioned-root surfaces (the tier previously
+  * ran with inline hygiene inside [[StreamingCurate]]; one perceptual
+  * tier subsumes byte-exact audio dedup, so unlike images this wrapper
+  * owns a SINGLE catalog dir). Same at-least-once crash contract as
+  * every tier: survivors delivered before the append, a replay whose
+  * append landed is suppressive, downstream keeps the FIRST delivery
+  * per id. */
+object StreamingAudioDedup {
 
-  /** One micro-batch through both tiers + per-bucket catalog hygiene
-    * (see [[CatalogHygiene]]) on both catalogs. */
+  /** One micro-batch through the envelope catalog + per-bucket hygiene
+    * (see [[CatalogHygiene]]). */
   def applyBatch(
-      batch: DataFrame, exactDir: String, phashDir: String,
-      idCol: String, binCol: String,
+      batch: DataFrame, dir: String, idCol: String, binCol: String,
       maxHamming: Int = ImageDedup.MaxBlockedHamming,
       numBuckets: Int = ExactCatalog.DefaultBuckets,
       maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
@@ -27,24 +28,21 @@ object StreamingImageDedup {
       retentionSweepEvery: Long = 256L,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
-    val survivors = ImageCatalog.applyBatch(
-      batch, exactDir, phashDir, idCol, binCol, maxHamming,
-      numBuckets, added, maxPushdownKeys, deliver)
-    Seq(exactDir, phashDir).foreach { dir =>
-      CatalogHygiene.afterAppend(
-        compactAboveFiles, added, retainAddedBehind, retentionSweepEvery)(
-        ImageCatalog.bucketFileCounts(spark, dir),
-        ImageCatalog.compact(spark, dir, _, _))
-    }
-    survivors
+    val out = AudioDedup.applyBatchEnvelope(
+      batch, dir, idCol, binCol, maxHamming, numBuckets, added,
+      maxPushdownKeys, deliver)
+    CatalogHygiene.afterAppend(
+      compactAboveFiles, added, retainAddedBehind, retentionSweepEvery)(
+      ExactCatalog.bucketFileCounts(spark, dir),
+      AudioDedup.compact(spark, dir, _, _))
+    out
   }
 
-  /** [[applyBatch]] against a [[graft.ops.VersionedStore]] ROOT of
-    * catalog PAIRS (`v{n}/exact`, `v{n}/phash` — see
-    * [[ImageCatalog.maintainVersionedPair]] and [[VersionedTier]]):
-    * serving pair resolved per trigger, a tripped Rebucket executed
-    * every `maintainEvery` batches — mid-stream cutover, dedup state
-    * intact. */
+  /** [[applyBatch]] against a [[graft.ops.VersionedStore]] ROOT (see
+    * [[VersionedTier]]): serving catalog resolved per trigger, a tripped
+    * Rebucket executed every `maintainEvery` batches through
+    * [[ExactCatalog.maintainVersioned]] (kind-agnostic — the envelope
+    * universe tag carries over) — mid-stream cutover, state intact. */
   def applyBatchVersioned(
       batch: DataFrame, root: String, idCol: String, binCol: String,
       maxHamming: Int = ImageDedup.MaxBlockedHamming,
@@ -59,20 +57,19 @@ object StreamingImageDedup {
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     VersionedTier.run(spark, root,
-      d => ImageCatalog.isCommittedPair(spark, d),
+      d => ExactCatalog.readMeta(spark, d).isDefined,
       maintainEvery, added,
-      () => { val _ = ImageCatalog.maintainVersionedPair(spark, root, policy) })(
-      serving => applyBatch(batch, ImageCatalog.pairExactDir(serving),
-        ImageCatalog.pairPhashDir(serving), idCol, binCol, maxHamming,
+      () => { val _ = ExactCatalog.maintainVersioned(spark, root, policy) })(
+      serving => applyBatch(batch, serving, idCol, binCol, maxHamming,
         numBuckets, maxPushdownKeys, compactAboveFiles, added,
         retainAddedBehind, retentionSweepEvery, deliver))
   }
 
-  /** foreachBatch writer: `deliver` receives each micro-batch's image
+  /** foreachBatch writer: `deliver` receives each micro-batch's audio
     * survivors. Catalog rows are tagged with the engine's batch id. */
   def writer(
-      docs: DataFrame, exactDir: String, phashDir: String,
-      checkpointDir: String, idCol: String, binCol: String,
+      docs: DataFrame, dir: String, checkpointDir: String,
+      idCol: String, binCol: String,
       maxHamming: Int = ImageDedup.MaxBlockedHamming,
       numBuckets: Int = ExactCatalog.DefaultBuckets,
       maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
@@ -86,8 +83,8 @@ object StreamingImageDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val _ = applyBatch(batch, exactDir, phashDir, idCol, binCol,
-            maxHamming, numBuckets, maxPushdownKeys, compactAboveFiles,
+          val _ = applyBatch(batch, dir, idCol, binCol, maxHamming,
+            numBuckets, maxPushdownKeys, compactAboveFiles,
             added = batchId, retainAddedBehind = retainAddedBehind,
             retentionSweepEvery = retentionSweepEvery, deliver = deliver)
         }

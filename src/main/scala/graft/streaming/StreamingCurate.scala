@@ -200,15 +200,12 @@ object StreamingCurate {
     def audioThenText(upstream: DataFrame): Unit = audioCol match {
       case None => videoThenText(upstream)
       case Some(ac) =>
-        val _ = graft.dedup.AudioDedup.applyBatchEnvelope(
+        val _ = StreamingAudioDedup.applyBatch(
           upstream, audioEnvDir.get, idCol, ac, audioMaxHamming,
-          numBuckets, added = added,
+          numBuckets, compactAboveFiles = compactAboveFiles, added = added,
+          retainAddedBehind = retainAddedBehind,
+          retentionSweepEvery = retentionSweepEvery,
           deliver = audioSurvivors => videoThenText(audioSurvivors))
-        CatalogHygiene.afterAppend(
-          compactAboveFiles, added, retainAddedBehind, retentionSweepEvery)(
-          graft.dedup.ExactCatalog.bucketFileCounts(
-            batch.sparkSession, audioEnvDir.get),
-          graft.dedup.AudioDedup.compact(batch.sparkSession, audioEnvDir.get, _, _))
     }
     imageCol match {
       case None => audioThenText(src)

@@ -92,4 +92,38 @@ class AudioDedupSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("audio_env_q16"))
   }
+
+  test("versioned root: tripped maintenance cuts the stream over mid-flight, state intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-aud-vroot")
+      .toString + "/vroot"
+    // trigger 1 bootstraps v1 from an empty root
+    val s1 = graft.streaming.StreamingAudioDedup.applyBatchVersioned(
+      recs(0L until 6L, identity), root, "id", "wav",
+      numBuckets = 4, added = 1L)
+    assert(s1.count() == 6)
+    assert(graft.ops.VersionedStore.current(spark, root,
+      d => ExactCatalog.readMeta(spark, d).isDefined)
+      .contains(graft.ops.VersionedStore.versionDir(root, 1)))
+    // trigger 2 on the maintenance cadence with a tight byte target:
+    // Rebucket trips and EXECUTES into v2 mid-stream (half-volume
+    // re-encodes of v1 survivors drop before the cutover)
+    val s2 = graft.streaming.StreamingAudioDedup.applyBatchVersioned(
+      recs(100L until 103L, _ - 100L, _ => 1), root, "id", "wav",
+      added = 2L, maintainEvery = 2L,
+      policy = graft.ops.GrowthPolicy.Policy(
+        targetBucketBytes = 1L, maxFilesPerBucket = 64))
+    assert(s2.count() == 0)
+    val serving = graft.ops.VersionedStore.current(spark, root,
+      d => ExactCatalog.readMeta(spark, d).isDefined).get
+    assert(serving == graft.ops.VersionedStore.versionDir(root, 2))
+    assert(!new java.io.File(graft.ops.VersionedStore.versionDir(root, 1))
+      .exists(), "retired predecessor must be swept")
+    // the rebucketed catalog still carries the envelope universe tag
+    assert(ExactCatalog.readMetaKind(spark, serving)
+      .contains(AudioDedup.KindEnvelope))
+    // trigger 3 probes the NEW version with default args
+    assert(graft.streaming.StreamingAudioDedup.applyBatchVersioned(
+      recs(200L until 203L, _ - 200L), root, "id", "wav",
+      added = 3L).count() == 0)
+  }
 }

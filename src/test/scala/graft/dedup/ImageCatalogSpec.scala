@@ -121,6 +121,36 @@ class ImageCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(ExactCatalog.read(spark, to, kind = ImageCatalog.KindExact).count() == 5)
   }
 
+  test("versioned pair root: tripped maintenance cuts the stream over mid-flight, state intact") {
+    val root = tmpDir() + "/vroot"
+    // trigger 1 bootstraps v1 (both tiers) from an empty root
+    val s1 = graft.streaming.StreamingImageDedup.applyBatchVersioned(
+      imgs(0L until 6L, identity), root, "id", "img",
+      numBuckets = 4, added = 1L)
+    assert(s1.count() == 6)
+    assert(graft.ops.VersionedStore.current(spark, root,
+      d => ImageCatalog.isCommittedPair(spark, d))
+      .contains(graft.ops.VersionedStore.versionDir(root, 1)))
+    // trigger 2 lands on the maintenance cadence with a tight byte
+    // target: Rebucket trips and EXECUTES both tiers into v2 mid-stream
+    val s2 = graft.streaming.StreamingImageDedup.applyBatchVersioned(
+      imgs(100L until 103L, _ - 100L), root, "id", "img",
+      added = 2L, maintainEvery = 2L,
+      policy = graft.ops.GrowthPolicy.Policy(
+        targetBucketBytes = 1L, maxFilesPerBucket = 64))
+    assert(s2.count() == 0, "copies of v1 survivors must drop before the cutover")
+    val serving = graft.ops.VersionedStore.current(spark, root,
+      d => ImageCatalog.isCommittedPair(spark, d)).get
+    assert(serving == graft.ops.VersionedStore.versionDir(root, 2))
+    assert(!new java.io.File(graft.ops.VersionedStore.versionDir(root, 1))
+      .exists(), "retired predecessor must be swept")
+    // trigger 3 probes the NEW pair with default args: perceptual
+    // near-dups of v1 survivors drop too — both tiers carried over
+    assert(graft.streaming.StreamingImageDedup.applyBatchVersioned(
+      imgs(200L until 203L, _ - 197L, _ => 1), root, "id", "img",
+      added = 3L).count() == 0)
+  }
+
   test("streaming wrapper: hygiene compacts per bucket, state persists across batches") {
     val root = tmpDir()
     val b1 = imgs(0L until 8L, identity)
