@@ -2185,6 +2185,43 @@ object SparkEntry {
       }.toDF("gram", "n", "cms_lower_ok", "cms_upper_ok")
     }),
 
+    // The STREAMING HLL distinct accumulator (StreamingDistinct): the
+    // corpus's TRIGRAM stream (16k–27k distinct values across the SFs —
+    // well past the sketch's exact coupon range, so the estimator is
+    // genuinely exercised; the raw token vocabulary is only ~31 words)
+    // arrives as two micro-batches (doc_id parity split — heavy
+    // cross-batch overlap by construction), each folded map-side to its
+    // own sketch and UNIONED into the persisted accumulator. At 100 TB
+    // the exact global countDistinct per report is the unaffordable
+    // thing; here it is the ORACLE side: the contract asserts the merged
+    // estimate lands inside the HLL error bound of the exact distinct
+    // count (fixed hash, no RNG — deterministic per corpus, verified at
+    // all three SFs) and that an at-least-once REPLAY of the last batch
+    // is a no-op.
+    "vocab_hll_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-hll-q")
+      val hllDir = root.toString
+      val d = docs(s, dir)
+      def grams(part: DataFrame) =
+        graft.streaming.StreamingSketch.wordNgramItems(part, "text", 3)
+      graft.streaming.StreamingDistinct.applyBatch(
+        grams(d.filter(col("doc_id") % 2 === 0)), hllDir, added = 1L)
+      val merged = graft.streaming.StreamingDistinct.applyBatch(
+        grams(d.filter(col("doc_id") % 2 =!= 0)), hllDir, added = 2L)
+      val replayed = graft.streaming.StreamingDistinct.applyBatch(
+        grams(d.filter(col("doc_id") % 2 =!= 0)), hllDir, added = 2L)
+      val est = merged.getEstimate
+      deleteRecursively(root.toFile)
+      val exact = grams(d)
+        .agg(countDistinct(col("gram")).as("n")).head.getLong(0)
+      // 3-sigma HLL bound at lgK 12 (RSE 1.04/sqrt(4096) ~ 1.6%)
+      import s.implicits._
+      Seq((exact,
+        math.abs(est - exact) / exact <= 0.049,
+        replayed.getEstimate == est))
+        .toDF("n_grams_distinct", "est_within_bound_ok", "replay_noop_ok")
+    }),
+
     // URL normalization (UrlOps): dirty urls are BUILT from columns
     // (upper-cased www host, default port, tracking params, fragment,
     // trailing slash) so the oracle can state the expected canonical form
@@ -4626,6 +4663,22 @@ object SparkEntry {
         |SELECT gram, count(*) AS n,
         |       TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
         |FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 10
+        |""".stripMargin,
+
+    // exact distinct trigram count + the accumulator's bound/replay
+    // booleans as literal TRUE (the contract-row pattern; same gram
+    // stream as ngram_cms).
+    "vocab_hll_stream" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+        |  FROM toks
+        |)
+        |SELECT count(DISTINCT gram) AS n_grams_distinct,
+        |       TRUE AS est_within_bound_ok, TRUE AS replay_noop_ok
+        |FROM g
         |""".stripMargin,
 
     "url_normalize" ->
