@@ -49,7 +49,8 @@ object Bench {
     "exact_flat_10x", "neardedup_trigger_1x", "neardedup_trigger_10x",
     "substr_trigger_1x", "substr_trigger_10x", "curate_trigger",
     "substr_trigger_ovf_10x", "curate_trigger_sem",
-    "image_trigger_1x", "image_trigger_10x")
+    "image_trigger_1x", "image_trigger_10x",
+    "video_trigger_1x", "video_trigger_10x")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
     * middles for even n (so reps=2 takes the min). Contention only ever
@@ -136,7 +137,7 @@ object Bench {
       "wav_meta", "mp4_meta", "vocab_encode", "unigram_logppl", "kmeans_topics",
       "chunk_docs", "ppl_hist", "bpe_merges", "embed_topk_pq",
       "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch",
-      "window_agg", "stratified_split", "gopher_filters",
+      "window_agg", "stratified_split", "gopher_filters", "zorder_key",
       "html_extract", "dedup_lines", "dsir_select", "bigram_logppl",
       "dedup_cluster_resolve", "pipeline_e2e")
 
@@ -308,7 +309,8 @@ object Bench {
       "neardedup_trigger_1x", "neardedup_trigger_10x",
       "substr_trigger_1x", "substr_trigger_10x", "curate_trigger",
       "substr_trigger_ovf_10x", "curate_trigger_sem",
-      "image_trigger_1x", "image_trigger_10x")
+      "image_trigger_1x", "image_trigger_10x",
+      "video_trigger_1x", "video_trigger_10x")
     val catalogTimes: Seq[(String, Double)] =
       if (catalogNames.exists(want)) {
         val docsBase = Tables.read(spark, sfDir, "documents")
@@ -424,6 +426,28 @@ object Bench {
           graft.dedup.ImageCatalog.appendExact(imgExactEntries(1000000L), imgExact10x)
           graft.dedup.ImageCatalog.appendPhash(imgPhashEntries(1000000L), imgPhash10x)
         }
+        // video catalog pairs: hash-realistic entry mass — per video a
+        // vid = xxhash64(counter), 4 blocking rows (first-frame quarter
+        // keys) + 4 k-indexed sig rows; 1x ~100k videos, 10x ~1M
+        val vid1x = s"$tmp/vid1x"; val vid10x = s"$tmp/vid10x"
+        def videoCatalogEntries(n: Long, root: String): Unit = {
+          val ids = spark.range(0, n)
+          graft.dedup.ExactCatalog.append(
+            ids.select(col("id"), explode(sequence(lit(0), lit(3))).as("k"))
+              .select(graft.dedup.VideoCatalog.frameFp(
+                xxhash64(col("id")), col("k")).as("fp"),
+                xxhash64(col("id"), col("k")).as("h2")),
+            graft.dedup.VideoCatalog.sigDir(root),
+            kind = graft.dedup.VideoCatalog.sigKind(4))
+          graft.dedup.ExactCatalog.append(
+            ids.select(explode(graft.dedup.ImageDedup.quarterKeys(
+              xxhash64(col("id"), lit(0)))).as("fp"),
+              xxhash64(col("id")).as("h2")),
+            graft.dedup.VideoCatalog.blockDir(root),
+            kind = graft.dedup.VideoCatalog.blockKind(4))
+        }
+        if (want("video_trigger_1x")) videoCatalogEntries(100000L, vid1x)
+        if (want("video_trigger_10x")) videoCatalogEntries(1000000L, vid10x)
         // a FRESH batch per rep (ids/texts outside every catalog) so
         // replayed reps do the same admit-then-append work each time
         var repC = 0
@@ -433,6 +457,13 @@ object Bench {
             (col("id") + lit(repC * 50000000L)).as("doc_id"),
             graft.functions.GraftFunctions.syntheticPng(
               col("id") + lit(repC * 50000000L), lit(0)).as("img"))
+        }
+        def freshVideoBatch(): org.apache.spark.sql.DataFrame = {
+          repC += 1
+          spark.range(0, 12).select(
+            (col("id") + lit(repC * 50000000L)).as("doc_id"),
+            graft.functions.GraftFunctions.syntheticAvi(
+              col("id") + lit(repC * 50000000L), lit(0)).as("vid"))
         }
         def freshBatch(): DataFrame = {
           repC += 1
@@ -592,13 +623,30 @@ object Bench {
             val _ = graft.streaming.StreamingImageDedup.applyBatch(
               freshImageBatch(), imgExact10x, imgPhash10x, "doc_id", "img",
               added = repC.toLong, deliver = d => force(d))
+          }),
+          // video-dedup per-trigger cost vs catalog mass: a 12-video
+          // batch (12 real AVI container walks x 4 frame decodes = 48
+          // pixel decodes, comparable decode mass to the image rows)
+          // against catalog pairs differing 10x. Flatness = the two-tier
+          // pruned probe reads O(batch quarters + candidates), never
+          // O(catalog).
+          "video_trigger_1x" -> (() => {
+            val _ = graft.streaming.StreamingVideoDedup.applyBatch(
+              freshVideoBatch(), vid1x, "doc_id", "vid",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          "video_trigger_10x" -> (() => {
+            val _ = graft.streaming.StreamingVideoDedup.applyBatch(
+              freshVideoBatch(), vid10x, "doc_id", "vid",
+              added = repC.toLong, deliver = d => force(d))
           }))
         // near + substr triggers want their key IN lists actually pushed
         // (see the threshold note below); exact keeps the r9 regime
         val isNear: String => Boolean =
           n => n.startsWith("neardedup_") || n.startsWith("substr_trigger_") ||
             n == "curate_trigger" || n == "curate_trigger_sem" ||
-            n.startsWith("image_trigger_") // all run IN-pushed probes inside
+            n.startsWith("image_trigger_") || n.startsWith("video_trigger_")
+            // all of the above run IN-pushed probes inside
         val out = runs.filter(r => want(r._1) && !isNear(r._1))
           .map { case (n, f) => n -> timeN(n)(f()) }
         // the near triggers run with the band_key IN list actually pushed
@@ -668,11 +716,60 @@ object Bench {
         buildT ++ applyT
       } else Seq.empty
 
+    // Z-order layout evidence: amplify events to ~1M rows over an
+    // expanded x domain, lay the SAME rows out two ways — natural
+    // arrival order vs the z-curve of (x, y) — with small parquet row
+    // groups (the at-scale skipping mechanism in miniature, the near-
+    // catalog regime), then time an identical 2-D box scan on each.
+    // The z layout's win is row-group min/max pruning on BOTH axes;
+    // zorder_write prices the layout itself (one range exchange).
+    val zNames = Seq("zorder_write", "zorder_scan_box", "zorder_scan_base")
+    val zTimes: Seq[(String, Double)] =
+      if (zNames.exists(want)) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"),
+            floor(col("value")).cast("long").as("v"))
+        val n0 = math.max(ev.count(), 1L)
+        val reps = math.max(1L, 1000000L / n0)
+        val amp = spark.range(0, reps).toDF("__rep").crossJoin(ev)
+          .select((col("user_id") + col("__rep") * 1500L).as("x"),
+            col("v").as("y"), col("event_id"))
+        val tmp = scratch("graft-zorder-bench")
+        val hc = spark.sparkContext.hadoopConfiguration
+        val oldBlock = hc.get("parquet.block.size")
+        val oldPage = hc.get("parquet.page.size")
+        hc.setInt("parquet.block.size", 64 * 1024)
+        hc.setInt("parquet.page.size", 16 * 1024)
+        val writeT =
+          try {
+            amp.repartition(32)
+              .write.mode("overwrite").parquet(s"$tmp/base")
+            timeN("zorder_write") {
+              graft.ops.Layout.zorderBy(amp, col("x"), col("y"), 32)
+                .write.mode("overwrite").parquet(s"$tmp/z")
+            }
+          } finally {
+            if (oldBlock == null) hc.unset("parquet.block.size")
+            else hc.set("parquet.block.size", oldBlock)
+            if (oldPage == null) hc.unset("parquet.page.size")
+            else hc.set("parquet.page.size", oldPage)
+          }
+        def boxScan(dir: String): Unit =
+          force(spark.read.parquet(dir)
+            .filter(col("x") >= 100 && col("x") < 200 &&
+              col("y") >= 0 && col("y") < 50))
+        Seq(
+          "zorder_write" -> writeT,
+          "zorder_scan_base" -> timeN("zorder_scan_base")(boxScan(s"$tmp/base")),
+          "zorder_scan_box" -> timeN("zorder_scan_box")(boxScan(s"$tmp/z")))
+          .filter { case (n, _) => want(n) }
+      } else Seq.empty
+
     val metricTimes = (Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
       "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec)
-      ++ catalogTimes ++ semddTimes)
+      ++ catalogTimes ++ semddTimes ++ zTimes)
       .filter { case (n, _) => want(n) }
     val all = queryTimes ++ metricTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -2567,6 +2567,19 @@ object SparkEntry {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("total_value"))),
 
+    // Z-ORDER layout key (graft.ops.Layout / interleave_bits): the
+    // Morton interleave of two event coordinates, row-oracled — DuckDB
+    // restates the interleave as 62 bit-arithmetic terms, so every
+    // event's key is hash-checked bit for bit. The layout operator
+    // itself (range exchange + in-partition sort over this key, file-
+    // level 2-D clustering) is pinned by LayoutSpec; the bench row
+    // measures the pruning win.
+    "zorder_key" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          graft.ops.Layout.zorderKey(
+            col("user_id"), floor(col("value")).cast("long")).as("zkey"))),
+
     // Deterministic stratified train/eval split: the content-hash gate
     // keyed per (source, bucket) — reproducible across engines and
     // partitionings, summarized as per-source split sizes.
@@ -5277,6 +5290,22 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2
         |""".stripMargin,
+
+    // the Morton interleave restated as bit arithmetic over the same
+    // coordinates (31 bits per axis; the planted domains are tiny, but
+    // the restatement is the full-width formula)
+    "zorder_key" -> {
+      val terms = (0 until 31).map(k =>
+        s"(((ux >> $k) & 1) << ${2 * k}) | (((uy >> $k) & 1) << ${2 * k + 1})")
+        .mkString(" | ")
+      s"""WITH c AS (
+         |  SELECT event_id, user_id AS ux,
+         |         CAST(floor("value") AS BIGINT) AS uy
+         |  FROM events
+         |)
+         |SELECT event_id, $terms AS zkey FROM c
+         |""".stripMargin
+    },
 
     "format_roundtrip" ->
       """SELECT f AS format, n_docs, n_distinct, total_chars

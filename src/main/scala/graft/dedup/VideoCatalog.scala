@@ -64,6 +64,18 @@ object VideoCatalog {
   val BlockKindPrefix = "video_block_q16_f"
   val SigKindPrefix = "video_sig_f"
 
+  /** The SIG probe's own IN-pushdown cap, below the family default: its
+    * key set is candidates × n — it grows with CATALOG density times
+    * batch size, not batch size alone (a 12-video batch against a
+    * 1M-video catalog already probes ~3k fps) — and a pushed IN
+    * becomes a LEFT-DEEP OR tree inside parquet's filter evaluator,
+    * which overflows the task stack past a few thousand arms (found by
+    * running it; the balanced-or-tree lesson of
+    * [[ExactCatalog.readForBatch]], one layer down). Past this cap the
+    * probe falls to the per-bucket RANGE path, which is the correct
+    * steady-state at real batch sizes anyway. */
+  val SigProbeMaxPushdownKeys = 1024
+
   def blockKind(n: Int): String = s"$BlockKindPrefix$n"
   def sigKind(n: Int): String = s"$SigKindPrefix$n"
   def blockDir(root: String): String = s"$root/block"
@@ -181,7 +193,8 @@ object VideoCatalog {
       .select(col("cvid"), explode(sequence(lit(0), lit(effN - 1))).as("k"))
       .withColumn("fp", frameFp(col("cvid"), col("k")))
     val sigCat = ExactCatalog.readForBatch(
-      spark, sigDir(root), candFps.select(col("fp")), maxPushdownKeys,
+      spark, sigDir(root), candFps.select(col("fp")),
+      math.min(maxPushdownKeys, SigProbeMaxPushdownKeys),
       kind = sigKind(effN))
     val catArrays = candFps
       .join(sigCat.select(col("fp"), col("h2").as("fh")), Seq("fp"))

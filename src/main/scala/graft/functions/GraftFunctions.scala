@@ -89,7 +89,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => AudioEnvelopeHash(exprs.head)),
     (FunctionIdentifier("video_frame_phashes"),
       new ExpressionInfo(classOf[VideoFramePhashes].getName, "video_frame_phashes"),
-      (exprs: Seq[Expression]) => VideoFramePhashes(exprs.head, kOf(exprs(1))))
+      (exprs: Seq[Expression]) => VideoFramePhashes(exprs.head, kOf(exprs(1)))),
+    (FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (exprs: Seq[Expression]) => InterleaveBits(exprs.head, exprs(1)))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -145,6 +148,8 @@ object GraftFunctions {
   def imagePHash(c: Column): Column = column(ImagePHash(expression(c)))
   def imageDHash(c: Column): Column = column(ImageDHash(expression(c)))
   def audioEnvelopeHash(c: Column): Column = column(AudioEnvelopeHash(expression(c)))
+  def interleaveBits(a: Column, b: Column): Column =
+    column(InterleaveBits(expression(a), expression(b)))
   def videoFramePhashes(c: Column, n: Int): Column =
     column(VideoFramePhashes(expression(c), n))
   def syntheticPng(seed: Column, variant: Column): Column =

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.ZOrderKernels
+
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("kernel matches the bit-by-bit reference on planted coordinates") {
+    def reference(a: Long, b: Long): Long =
+      (0 until 31).map(k =>
+        (((a >> k) & 1L) << (2 * k)) | (((b >> k) & 1L) << (2 * k + 1)))
+        .reduce(_ | _)
+    // deterministic LCG walk over the coordinate space, plus the edges
+    val edges = Seq(0L, 1L, 2L, ZOrderKernels.MaxCoord,
+      ZOrderKernels.MaxCoord - 1, 0x55555555L, 0x2AAAAAAAL)
+    var s = 12345L
+    val walked = (0 until 200).map { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33) & ZOrderKernels.MaxCoord
+    }
+    for (a <- edges ++ walked.take(20); b <- edges ++ walked.drop(180))
+      assert(ZOrderKernels.interleave(a, b) == reference(a, b), s"($a, $b)")
+    // the key stays non-negative: signed ordering IS curve ordering
+    assert(ZOrderKernels.interleave(
+      ZOrderKernels.MaxCoord, ZOrderKernels.MaxCoord) > 0L)
+  }
+
+  test("expression: out-of-range and null coordinates yield NULL, never a scrambled key") {
+    val df = Seq(
+      (1L, Some(3L), Some(5L)),
+      (2L, Some(-1L), Some(5L)),
+      (3L, Some(3L), Some(1L << 31)),
+      (4L, None, Some(5L))).toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.GraftFunctions.interleaveBits(col("a"), col("b"))
+          .as("z"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L).contains(ZOrderKernels.interleave(3L, 5L)))
+    assert(rows(2L).isEmpty && rows(3L).isEmpty && rows(4L).isEmpty)
+    // and the SQL registration answers too
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT interleave_bits(3L, 5L)").head.getLong(0) ==
+      ZOrderKernels.interleave(3L, 5L))
+  }
+
+  test("bucket31 clamps and scales a numeric domain into the coordinate range") {
+    val df = Seq(-5.0, 0.0, 49.9, 99.9, 250.0).toDF("v")
+      .select(Layout.bucket31(col("v"), 0.0, 100.0, 64).as("b"))
+    assert(df.as[Long].collect().toSeq == Seq(0L, 0L, 31L, 63L, 63L))
+  }
+
+  test("z-layout clusters BOTH axes: per-file bounding boxes shrink vs a row-major layout") {
+    // a 64x64 grid in row-major order — the worst case for the y axis
+    val grid = spark.range(64L * 64L)
+      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    grid.repartitionByRange(16, col("y") * 64 + col("x"))
+      .sortWithinPartitions(col("y") * 64 + col("x"))
+      .write.parquet(s"$tmp/rowmajor")
+    Layout.zorderBy(grid, col("x"), col("y"), numFiles = 16)
+      .write.parquet(s"$tmp/zorder")
+    def meanArea(dir: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1))
+          .as("area"))
+      spans.agg(avg("area")).head.getDouble(0)
+    }
+    val rm = meanArea(s"$tmp/rowmajor")
+    val zo = meanArea(s"$tmp/zorder")
+    // row-major files span the full x axis (area ~64*4=256); z-ordered
+    // files cover compact curve quadrants (16 files over a 64x64 grid =
+    // 16x16 boxes, area 256... so compare along the MINOR axis instead:
+    // the row-major x span is 64, the z-ordered x span is 16)
+    def meanXSpan(dir: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x") + 1).as("xs"))
+        .agg(avg("xs")).head.getDouble(0)
+    val rmX = meanXSpan(s"$tmp/rowmajor")
+    val zoX = meanXSpan(s"$tmp/zorder")
+    assert(rmX == 64.0, s"row-major files span the full x axis, got $rmX")
+    assert(zoX <= 20.0, s"z-ordered files must cover compact x ranges, got $zoX")
+    // an x-box predicate therefore touches a minority of z-ordered files
+    def filesTouching(dir: String, xLo: Int, xHi: Int): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("lo"), max("x").as("hi"))
+        .filter(col("hi") >= xLo && col("lo") <= xHi).count()
+    assert(filesTouching(s"$tmp/rowmajor", 0, 7) == 16L)
+    assert(filesTouching(s"$tmp/zorder", 0, 7) <= 6L)
+    // and the layout never changes results: same rows either way
+    val a = spark.read.parquet(s"$tmp/zorder")
+      .filter(col("x") < 8 && col("y") < 8).count()
+    assert(a == 64L)
+    assert(zo <= rm, s"z-ordered mean box area $zo vs row-major $rm")
+    graft.SparkEntry.deleteRecursively(new java.io.File(tmp))
+  }
+}
