@@ -1044,6 +1044,54 @@ object SparkEntry {
       out
     }),
 
+    // The composed pipeline WITH the statistics surface engaged: same
+    // 3-tier chain as curate_stream_batch, plus the per-trigger CMS +
+    // HLL fold over the CURATED output's trigrams (StreamingCurate's
+    // statsDir). The gate reports the exact top-10 curated trigrams
+    // (DuckDB recomputes them from its own restatement of the chain)
+    // with the accumulators' guarantee booleans — a regression in any
+    // tier shifts the curated text and breaks the exact counts; a
+    // regression in the stats fold flips a boolean.
+    "curate_stream_batch_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-st-q")
+      val tmp = root.toString
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0),
+        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
+        statsDir = Some(s"$tmp/stats"))
+      val grams = graft.streaming.StreamingSketch.wordNgramItems(
+        out.select(col("clean_text")), "clean_text", 3)
+      val topk = graft.ops.Checkpoints.pin(
+        grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram")).limit(10))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val exactDistinct = grams
+        .agg(countDistinct(col("gram")).as("n")).head.getLong(0)
+      val cms = graft.streaming.StreamingSketch.read(s, s"$tmp/stats/cms").get
+      val slack = math.ceil(
+        graft.streaming.StreamingSketch.DefaultEps * cms.totalCount()).toLong
+      val hllEst = graft.streaming.StreamingDistinct.estimate(s, s"$tmp/stats/hll")
+      val hllOk = exactDistinct == 0L ||
+        math.abs(hllEst - exactDistinct) / exactDistinct <= 0.049
+      deleteRecursively(root.toFile)
+      import s.implicits._
+      topk.toSeq.map { case (g, n) =>
+        (g, n, cms.estimateCount(g) >= n, cms.estimateCount(g) <= n + slack,
+          hllOk)
+      }.toDF("gram", "n", "cms_lower_ok", "cms_upper_ok", "hll_within_ok")
+    }),
+
     // ------------------------------------------------------- image dedup
     // Perceptual image hashing over REAL pixel decode (javax.imageio —
     // the JDK codecs), contract-oracled on planted PNGs (the ngram_cms
@@ -4549,6 +4597,27 @@ object SparkEntry {
       "AND NOT (doc_id % 10 = 7 AND doc_id >= 21) " +
         "AND NOT (doc_id % 10 = 8 AND doc_id >= 42) " +
         "AND NOT (doc_id % 10 = 9 AND doc_id >= 63)"),
+
+    // the same chain's curated output, re-grammed: exact top-10
+    // trigrams of the clean_text the chain emits, accumulator booleans
+    // literal TRUE (the contract-row pattern over a fully-restated
+    // corpus)
+    "curate_stream_batch_stats" ->
+      s"""SELECT gram, n, TRUE AS cms_lower_ok, TRUE AS cms_upper_ok,
+         |       TRUE AS hll_within_ok
+         |FROM (
+         |  WITH toks2 AS (
+         |    SELECT regexp_split_to_array(trim(clean_text), '\\s+') AS t
+         |    FROM (${curateStreamOracleSql()}) curated
+         |  ), g2 AS (
+         |    SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+         |    FROM toks2
+         |  )
+         |  SELECT gram, count(*) AS n FROM g2
+         |  GROUP BY gram ORDER BY n DESC, gram LIMIT 10
+         |) sub
+         |""".stripMargin,
 
     // ... and the full four-modality chain: the video tier's planted
     // drop set (%10==5 at stride 84) is disjoint from both media sets.

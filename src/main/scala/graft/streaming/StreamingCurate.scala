@@ -54,6 +54,11 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   * Output per batch: `(idCol, n_tokens, n_removed, clean_text)` for the
   * docs that survived both filter tiers.
   *
+  * An OPTIONAL statistics surface (`statsDir`) folds the curated
+  * output's word n-grams into the persistent CMS + HLL accumulators
+  * after everything else — see the note at the fold site for the
+  * at-most-once stats contract.
+  *
   * Crash contract — the reason this is one operator and not three
   * chained `foreachBatch` writers: each tier appends AFTER its deliver
   * callback returns, so nesting the tiers inside each other's callbacks
@@ -98,6 +103,8 @@ object StreamingCurate {
       videoCol: Option[String] = None,
       videoDir: Option[String] = None,
       videoMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
+      statsDir: Option[String] = None,
+      statsNgram: Int = 3,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     var out: DataFrame = batch.sparkSession.emptyDataFrame
     // the semantic tier's caller contract, checked BEFORE any tier
@@ -218,6 +225,26 @@ object StreamingCurate {
           retentionSweepEvery = retentionSweepEvery,
           deliver = imageSurvivors => audioThenText(imageSurvivors))
     }
+    // OPTIONAL statistics surface, LAST (after the delivery and every
+    // catalog append): fold the curated output's word n-grams into the
+    // persistent heavy-hitter CMS ([[StreamingSketch]]) and distinct-
+    // count HLL ([[StreamingDistinct]]) under `statsDir` — the corpus
+    // statistics a year-long curation stream reports from, accumulated
+    // as it filters. Never a delivery gate: both stores tag `added` and
+    // merge at most once, so an at-least-once replay cannot double-
+    // count; the price of running last is the converse window — a crash
+    // AFTER the catalog appends but BEFORE this merge loses the batch's
+    // stats contribution (the replay's suppressed output folds instead).
+    // At-most-once stats over at-least-once delivery is the right trade
+    // for a reporting surface; moving the fold before the appends would
+    // just flip it to double-counting.
+    statsDir.foreach { sd =>
+      val grams = StreamingSketch.wordNgramItems(
+        out.select(org.apache.spark.sql.functions.col("clean_text")),
+        "clean_text", statsNgram)
+      val _ = StreamingSketch.applyBatch(grams, s"$sd/cms", added)
+      val _2 = StreamingDistinct.applyBatch(grams, s"$sd/hll", added)
+    }
     out
   }
 
@@ -249,6 +276,8 @@ object StreamingCurate {
       videoCol: Option[String] = None,
       videoDir: Option[String] = None,
       videoMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
+      statsDir: Option[String] = None,
+      statsNgram: Int = 3,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -270,6 +299,7 @@ object StreamingCurate {
             audioMaxHamming = audioMaxHamming,
             videoCol = videoCol, videoDir = videoDir,
             videoMaxHamming = videoMaxHamming,
+            statsDir = statsDir, statsNgram = statsNgram,
             deliver = deliver)
         }
       }

@@ -281,6 +281,32 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(boom.getMessage.contains("videoDir"))
   }
 
+  test("optional stats surface: curated-output n-grams accumulate across triggers, replay merges once") {
+    val (e, n, s) = dirs("stats")
+    val sd = Files.createTempDirectory("graft-curate-stats").toString
+    val out1 = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
+      e, n, s, "doc_id", "text", W, added = 1L, statsDir = Some(sd))
+    val out2 = StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
+      e, n, s, "doc_id", "text", W, added = 2L, statsDir = Some(sd))
+    // the accumulators hold exactly the delivered outputs' gram stream
+    def gramsOf(df: org.apache.spark.sql.DataFrame) =
+      StreamingSketch.wordNgramItems(df.select($"clean_text"), "clean_text", 3)
+        .as[String].collect().toSeq
+    val all = gramsOf(out1) ++ gramsOf(out2)
+    val cms = StreamingSketch.read(spark, s"$sd/cms").get
+    assert(cms.totalCount() == all.size.toLong)
+    val top = all.groupBy(identity).maxBy(g => (g._2.size, g._1))
+    assert(cms.estimateCount(top._1) >= top._2.size.toLong)
+    val est = StreamingDistinct.estimate(spark, s"$sd/hll")
+    assert(math.abs(est - all.distinct.size) < 1.0, s"hll $est vs ${all.distinct.size}")
+    // a replayed trigger merges NOTHING (both stores tag added)
+    val _ = StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
+      e, n, s, "doc_id", "text", W, added = 2L, statsDir = Some(sd))
+    assert(StreamingSketch.read(spark, s"$sd/cms").get.totalCount() ==
+      all.size.toLong)
+    assert(StreamingDistinct.estimate(spark, s"$sd/hll") == est)
+  }
+
   test("crash contract: a failed final delivery advances NO catalog") {
     val (e, n, s) = dirs("crash")
     val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
