@@ -2270,6 +2270,48 @@ object SparkEntry {
         .toDF("n_grams_distinct", "est_within_bound_ok", "replay_noop_ok")
     }),
 
+    // The STREAMING log-binned histogram accumulator
+    // (StreamingHistogram — the quantile leg of the statistics family):
+    // doc token counts arrive as two parity micro-batches, fold into the
+    // persisted counts vector (merge-of-batches == histogram of the
+    // concatenation, byte-exact, spec-pinned), and the contract asserts
+    // each quantile BRACKET from the merged histogram contains the exact
+    // discrete quantile (rank ceil(q·n)) — which the oracle recomputes
+    // from scratch. Deterministic by construction (no sketch
+    // randomness); at 100 TB the per-report global sort is the
+    // unaffordable thing, the ≤1024-row binned fold is not.
+    "doclen_hist_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-histq")
+      val hd = root.toString
+      val d = docs(s, dir)
+      val counts = d.select(col("doc_id"),
+        GraftFunctions.tokenCountWs(col("text")).cast("long").as("ntok"))
+      graft.streaming.StreamingHistogram.applyBatch(
+        counts.filter(col("doc_id") % 2 === 0).select(col("ntok")),
+        hd, added = 1L)
+      graft.streaming.StreamingHistogram.applyBatch(
+        counts.filter(col("doc_id") % 2 =!= 0).select(col("ntok")),
+        hd, added = 2L)
+      val n = counts.count()
+      // the exact discrete quantiles — here they are the ORACLE side of
+      // the contract (one global sort at gate scale; production reads
+      // the bracket from the 8 KB histogram instead)
+      val ranked = graft.ops.Checkpoints.pin(counts.select(col("ntok"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("ntok")))))
+      val qs = Seq(0.5, 0.9, 0.99)
+      val rows = qs.map { q =>
+        val rank = math.ceil(q * n).toLong
+        val exact = ranked.filter(col("rn") === rank).head.getLong(0)
+        val Some((lo, hi)) =
+          graft.streaming.StreamingHistogram.quantileBracket(s, hd, q)
+        (q, exact, lo <= exact && exact < hi)
+      }
+      deleteRecursively(root.toFile)
+      import s.implicits._
+      rows.toDF("q", "exact_ntok", "bracket_ok")
+    }),
+
     // URL normalization (UrlOps): dirty urls are BUILT from columns
     // (upper-cased www host, default port, tracking params, fragment,
     // trailing slash) so the oracle can state the expected canonical form
@@ -4761,6 +4803,27 @@ object SparkEntry {
         |SELECT count(DISTINCT gram) AS n_grams_distinct,
         |       TRUE AS est_within_bound_ok, TRUE AS replay_noop_ok
         |FROM g
+        |""".stripMargin,
+
+    // exact discrete quantiles of the token counts at rank ceil(q·n)
+    // (double q on both sides so the rank arithmetic is bit-identical),
+    // bracket boolean literal TRUE. Token-count CASE matches tokenize_ws.
+    "doclen_hist_stream" ->
+      """WITH c AS (
+        |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |              END AS BIGINT) AS ntok
+        |  FROM documents
+        |), r AS (
+        |  SELECT ntok, row_number() OVER (ORDER BY ntok) AS rn FROM c
+        |), n AS (SELECT count(*) AS cnt FROM c)
+        |SELECT q,
+        |       (SELECT ntok FROM r, n
+        |        WHERE rn = CAST(ceil(q * CAST(cnt AS DOUBLE)) AS BIGINT))
+        |         AS exact_ntok,
+        |       TRUE AS bracket_ok
+        |FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |             (CAST(0.99 AS DOUBLE))) t(q)
         |""".stripMargin,
 
     "url_normalize" ->
