@@ -117,8 +117,10 @@ object StreamingDistinct {
       (Meta(lgK, Long.MinValue), new HllSketch(lgK)))
     if (added <= meta.lastAdded) return current // replay: merge at most once
     val quoted = "`" + col0.replace("`", "``") + "`"
-    val skBytes = items
-      .agg(expr(s"hll_sketch_agg($quoted, ${meta.lgK})").as("sk"))
+    // pinned 1-row aggregate: negligible cost, and the plan census sees
+    // the map-side sketch fold (the ngram_cms gate's discipline)
+    val skBytes = graft.ops.Checkpoints.pin(items
+      .agg(expr(s"hll_sketch_agg($quoted, ${meta.lgK})").as("sk")))
       .head.getAs[Array[Byte]](0)
     val merged =
       if (skBytes == null) current // an all-null/empty batch adds nothing

@@ -116,10 +116,12 @@ object StreamingHistogram {
     val (meta, current) = existing.getOrElse(
       (Meta(binsPerLn, maxBins, Long.MinValue), Array.fill(maxBins)(0L)))
     if (added <= meta.lastAdded) return current // replay: merge at most once
-    val batchCounts = items
+    // pinned ≤ maxBins-row aggregate: negligible cost, and the plan
+    // census sees the map-side binned fold (the ngram_cms discipline)
+    val batchCounts = graft.ops.Checkpoints.pin(items
       .filter(col(col0).isNotNull)
       .groupBy(binOf(col(col0), meta.binsPerLn, meta.maxBins).as("bin"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
       .collect() // ≤ maxBins rows, map-side combined — bounded by design
     val merged = current.clone()
     batchCounts.foreach(r => merged(r.getInt(0)) += r.getLong(1))

@@ -124,9 +124,11 @@ object StreamingSketch {
     // column name is backtick-quoted — an unquoted splice would parse
     // names like `n-gram` as arithmetic
     val quoted = "`" + col0.replace("`", "``") + "`"
-    val skBytes = items
+    // pinned 1-row aggregate: negligible cost, and the plan census sees
+    // the map-side sketch fold (the ngram_cms gate's discipline)
+    val skBytes = graft.ops.Checkpoints.pin(items
       .agg(expr(s"count_min_sketch($quoted, ${meta.eps}d, ${meta.confidence}d, " +
-        s"${meta.seed})").as("sk"))
+        s"${meta.seed})").as("sk")))
       .head.getAs[Array[Byte]](0)
     val batchSketch = CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(skBytes))
