@@ -729,8 +729,11 @@ object Bench {
         val ev = Tables.events(spark, sfDir)
           .select(col("event_id"), col("user_id"),
             floor(col("value")).cast("long").as("v"))
+        // ~4M rows: at 1M both scans sit at the fixed job-overhead floor
+        // (~0.12 s) and the contrast vanishes into noise; 4M with 64 KB
+        // row groups gives the box scan real skipping to show
         val n0 = math.max(ev.count(), 1L)
-        val reps = math.max(1L, 1000000L / n0)
+        val reps = math.max(1L, 4000000L / n0)
         val amp = spark.range(0, reps).toDF("__rep").crossJoin(ev)
           .select((col("user_id") + col("__rep") * 1500L).as("x"),
             col("v").as("y"), col("event_id"))

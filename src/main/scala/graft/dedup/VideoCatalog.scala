@@ -179,11 +179,17 @@ object VideoCatalog {
     val blockCat = ExactCatalog.readForBatch(
       spark, blockDir(root), probeKeys.select(col("fp")), maxPushdownKeys,
       kind = blockKind(effN))
-    val postings = blockCat.groupBy(col("fp"))
-      .agg(collect_set(col("h2")).as("vids"))
-      .filter(size(col("vids")) <= maxCandidatesPerKey) // recall valve
-      .select(col("fp"), explode(col("vids")).as("cvid"))
-    val cands = probeKeys.join(postings, Seq("fp"))
+    // counts-first valve: a hot key is detected from a map-side-combined
+    // COUNT and anti-joined away — no posting list is ever materialized
+    // per group (a collect_set would build the full hot set in memory
+    // before the filter could drop it). Replay-duplicate rows inflate
+    // the count; harmless for a valve.
+    val hotKeys = blockCat.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCandidatesPerKey).select(col("fp"))
+    val cands = probeKeys
+      .join(blockCat.join(hotKeys, Seq("fp"), "left_anti")
+        .select(col("fp"), col("h2").as("cvid")), Seq("fp"))
       .dropDuplicates("id", "cvid")
       .select(col("id"), col("fhs"), col("cvid"))
     // tier 2: candidate vids -> reassembled catalog frame arrays. The
