@@ -2077,6 +2077,59 @@ object SparkEntry {
         "doc_id", "text", n = 3)
     }),
 
+    // STREAMING decontamination against a persistent eval-gram registry
+    // (StreamingDecontam): the %20==0 split's distinct trigram
+    // fingerprints are REGISTERED once (out of band — benchmark sets
+    // are known up front), and the training batch probes the registry
+    // with the usual pruned read, dropping every doc sharing >= 1
+    // distinct trigram. Fully row-oracled: survivors are the complement
+    // of decontam_overlap's hit set. The registry is read-only from the
+    // stream side — a pure idempotent filter.
+    "decontam_stream_batch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-dc-q")
+      graft.streaming.StreamingDecontam.register(
+        d.filter(col("doc_id") % 20 === 0), s"$root/reg", "text")
+      // pin before reclaiming the scratch registry: applyBatch is a pure
+      // lazy filter, so the returned frame would otherwise read deleted
+      // catalog files
+      val out = graft.ops.Checkpoints.pin(
+        graft.streaming.StreamingDecontam.applyBatch(
+          d.filter(col("doc_id") % 20 =!= 0), s"$root/reg", "doc_id", "text")
+          .select(col("doc_id")))
+      deleteRecursively(root.toFile)
+      out
+    }),
+
+    // ... and the decontam tier composed into the curation pipeline:
+    // the registry is probed FIRST among the text tiers, so the oracle
+    // re-roots the chain at the uncontaminated batch (a NOT IN over the
+    // same gram CTEs as decontam_overlap).
+    "curate_stream_batch_dc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-dc-q")
+      val tmp = root.toString
+      graft.streaming.StreamingDecontam.register(
+        d.filter(col("doc_id") % 20 === 0), s"$tmp/reg", "text")
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0),
+        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
+        decontamDir = Some(s"$tmp/reg"))
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
     // DSIR importance resampling (Dsir): target = every 10th doc (the
     // "trusted" split), raw = the rest. The dense 10k-bucket log-ratio
     // table and the top-200 most-target-like docs are both stated
@@ -3431,6 +3484,24 @@ object SparkEntry {
        |WHERE c.cluster_id IS NULL OR f.doc_id = c.cluster_id
        |""".stripMargin
 
+  /** The contaminated-train-doc id set (shares ≥1 distinct trigram with
+    * the %20==0 eval split) as a parenthesized subquery — the
+    * `decontam_overlap` gram CTEs, reused by the streaming-decontam
+    * oracles. */
+  private def contaminatedIdsSql: String =
+    """(WITH gg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+      |    i -> concat_ws(' ',
+      |      regexp_split_to_array(trim(text), '\s+')[i],
+      |      regexp_split_to_array(trim(text), '\s+')[i+1],
+      |      regexp_split_to_array(trim(text), '\s+')[i+2]))) ) AS gram
+      |  FROM documents
+      |), evv AS (
+      |  SELECT DISTINCT gram FROM gg WHERE doc_id % 20 = 0
+      |)
+      |SELECT DISTINCT gg.doc_id FROM gg JOIN evv USING (gram))""".stripMargin
+
   /** Full `curate_stream_batch` oracle — the three dedup tiers as one
     * CTE chain over the same split (catalogs = id%3=0, batch = rest):
     * exact anti-join + in-batch min-id collapse (`dedup_incremental`'s
@@ -4399,6 +4470,17 @@ object SparkEntry {
         |WHERE g.doc_id % 20 != 0
         |GROUP BY g.doc_id
         |""".stripMargin,
+
+    // survivors = the complement of decontam_overlap's hit set
+    "decontam_stream_batch" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id % 20 != 0 AND doc_id NOT IN $contaminatedIdsSql
+         |""".stripMargin,
+
+    // the curate chain re-rooted at the uncontaminated batch (the
+    // decontam tier runs FIRST among the text tiers)
+    "curate_stream_batch_dc" -> curateStreamOracleSql(
+      s"AND doc_id NOT IN $contaminatedIdsSql"),
 
     "doc_fingerprint" ->
       s"""SELECT doc_id,

@@ -24,6 +24,14 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   *      after the audio tier (the most expensive media decode runs on
   *      the smallest surviving set; like audio, one perceptual tier
   *      subsumes byte-exact video dedup).
+  *   0d. DECONTAMINATION ([[StreamingDecontam]]) — OPTIONAL, engaged by
+  *      `decontamDir`: drop docs sharing ≥ `decontamMinHits` distinct
+  *      word n-grams with the registered benchmark/eval sets. FIRST
+  *      among the text tiers: eval text can never be trained on, so no
+  *      dedup work should be spent on it — and a contaminated doc must
+  *      never become a cluster's kept representative and shadow its
+  *      clean near-dups. A read-only registry: training batches never
+  *      advance it (pure idempotent filter, no crash ordering).
   *   1. EXACT ([[ExactCatalog]]): drop literal copies of anything the
   *      corpus has seen; in-batch copies keep the lowest id. Cheapest
   *      tier first — every doc it drops never pays MinHash or window
@@ -105,6 +113,8 @@ object StreamingCurate {
       videoMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
       statsDir: Option[String] = None,
       statsNgram: Int = 3,
+      decontamDir: Option[String] = None,
+      decontamMinHits: Long = 1L,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     var out: DataFrame = batch.sparkSession.emptyDataFrame
     // the semantic tier's caller contract, checked BEFORE any tier
@@ -160,9 +170,14 @@ object StreamingCurate {
         retainAddedBehind = retainAddedBehind,
         retentionSweepEvery = retentionSweepEvery,
         deliver = deliver)
-    // text tiers (exact → near → [sem] → substr) over the image
-    // survivors (or the whole batch when the image tier is off)
-    def textTiers(textBatch: DataFrame): Unit = {
+    // text tiers ([decontam] → exact → near → [sem] → substr) over the
+    // media survivors (or the whole batch when the media tiers are off)
+    def textTiers(upstream: DataFrame): Unit = {
+      val textBatch = decontamDir match {
+        case None => upstream
+        case Some(dd) => StreamingDecontam.applyBatch(
+          upstream, dd, idCol, textCol, minHits = decontamMinHits)
+      }
       val _ = StreamingExactDedup.applyBatch(
         textBatch, exactDir, idCol, textCol, numBuckets,
         compactAboveFiles = compactAboveFiles, added = added,
@@ -278,6 +293,8 @@ object StreamingCurate {
       videoMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
       statsDir: Option[String] = None,
       statsNgram: Int = 3,
+      decontamDir: Option[String] = None,
+      decontamMinHits: Long = 1L,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -300,6 +317,7 @@ object StreamingCurate {
             videoCol = videoCol, videoDir = videoDir,
             videoMaxHamming = videoMaxHamming,
             statsDir = statsDir, statsNgram = statsNgram,
+            decontamDir = decontamDir, decontamMinHits = decontamMinHits,
             deliver = deliver)
         }
       }

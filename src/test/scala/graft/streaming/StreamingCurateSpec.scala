@@ -307,6 +307,33 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingDistinct.estimate(spark, s"$sd/hll") == est)
   }
 
+  test("optional decontamination tier: eval-overlapping docs drop FIRST, the registry never advances") {
+    val (e, n, s) = dirs("dc")
+    val reg = Files.createTempDirectory("graft-curate-dc").toString + "/reg"
+    StreamingDecontam.register(
+      Seq(900L -> "the secret benchmark answer is forty two exactly")
+        .toDF("doc_id", "text"), reg, "text")
+    val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
+      e, n, s, "doc_id", "text", W, added = 0L, decontamDir = Some(reg))
+    val d2 = Seq(
+      // carries the eval trigram "benchmark answer is" in fresh text —
+      // only the decontam tier can drop it
+      20L -> "students leaked the benchmark answer is printed in books",
+      21L -> "a perfectly clean training document about the weather today")
+      .toDF("doc_id", "text")
+    val out = rows(StreamingCurate.applyBatch(d2, e, n, s,
+      "doc_id", "text", W, added = 1L, decontamDir = Some(reg)))
+    assert(out.map(_._1).toSet == Set(21L),
+      s"decontam tier must drop 20, got ${out.map(_._1)}")
+    // dropped BEFORE the exact tier: doc 20's text never entered the
+    // exact catalog (its fingerprint is absent)
+    import org.apache.spark.sql.functions.{col, lit}
+    val fp20 = spark.range(1).select(graft.functions.GraftFunctions
+      .fingerprint64(lit(d2.collect()(0).getString(1))).as("fp"))
+      .head.getLong(0)
+    assert(ExactCatalog.read(spark, e).filter(col("fp") === fp20).count() == 0)
+  }
+
   test("crash contract: a failed final delivery advances NO catalog") {
     val (e, n, s) = dirs("crash")
     val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
