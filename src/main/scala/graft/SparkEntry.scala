@@ -2101,6 +2101,55 @@ object SparkEntry {
       out
     }),
 
+    // The NORMALIZATION gate (r13 verdict's one `weak`): the probe batch
+    // carries a case/punctuation-MANGLED copy of EVERY eval doc
+    // (ASCII-uppercased, spaces reflowed to ", ", "!!" appended, ids
+    // displaced past the corpus range). Normalized grams are invariant
+    // under the mangle, so every copy must drop against the lowercase
+    // registry — the oracle's survivor set contains no mangled id, and a
+    // raw-gram regression (the v1 evasion) would leave all of them
+    // surviving and hash-mismatch.
+    "decontam_stream_mangled" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-dc-mg-q")
+      graft.streaming.StreamingDecontam.register(
+        d.filter(col("doc_id") % 20 === 0), s"$root/reg", "text")
+      val train = d.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val mangled = d.filter(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(translate(regexp_replace(col("text"), " ", ", "),
+          "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+          lit("!!")).as("text"))
+      val out = graft.ops.Checkpoints.pin(
+        graft.streaming.StreamingDecontam.applyBatch(
+          train.union(mangled), s"$root/reg", "doc_id", "text")
+          .select(col("doc_id")))
+      deleteRecursively(root.toFile)
+      out
+    }),
+
+    // Multi-registry probe (one pass, union drop semantics): two
+    // registries at DIFFERENT widths (n=3 over the %20==0 split, n=4
+    // over %20==1) probed by a single applyBatchMulti — one shingle pass
+    // per distinct width, survivors avoid both hit sets (spec-pinned
+    // equal to sequential application).
+    "decontam_stream_multi" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-dc-mu-q")
+      graft.streaming.StreamingDecontam.register(
+        d.filter(col("doc_id") % 20 === 0), s"$root/r3", "text", n = 3)
+      graft.streaming.StreamingDecontam.register(
+        d.filter(col("doc_id") % 20 === 1), s"$root/r4", "text", n = 4)
+      val out = graft.ops.Checkpoints.pin(
+        graft.streaming.StreamingDecontam.applyBatchMulti(
+          d.filter(col("doc_id") % 20 =!= 0 && col("doc_id") % 20 =!= 1),
+          Seq(s"$root/r3", s"$root/r4"), "doc_id", "text")
+          .select(col("doc_id")))
+      deleteRecursively(root.toFile)
+      out
+    }),
+
     // ... and the decontam tier composed into the curation pipeline:
     // the registry is probed FIRST among the text tiers, so the oracle
     // re-roots the chain at the uncontaminated batch (a NOT IN over the
@@ -3484,23 +3533,36 @@ object SparkEntry {
        |WHERE c.cluster_id IS NULL OR f.doc_id = c.cluster_id
        |""".stripMargin
 
-  /** The contaminated-train-doc id set (shares ≥1 distinct trigram with
-    * the %20==0 eval split) as a parenthesized subquery — the
+  /** Per-doc NORMALIZED n-gram CTE body (DuckDB): tokens are maximal
+    * ASCII-alphanumeric runs lowercased — the EXACT restatement of
+    * [[graft.functions.TextKernels.normWordNgrams]] (split on
+    * `[^a-zA-Z0-9]+`, drop empties, `lower` each pure-ASCII token; the
+    * out-of-bounds list elements are NULL and `concat_ws` skips them,
+    * which reproduces the fewer-than-n degrade join). Emits
+    * `(doc_id, gram)` rows named `$alias`. */
+  private def normGramCteSql(alias: String, n: Int): String = {
+    val terms = (0 until n).map(k => s"ntoks[i+$k]").mkString(", ")
+    s"""$alias AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(ntoks) - ${n - 1}, 1) + 1),
+       |    i -> concat_ws(' ', $terms)))) AS gram
+       |  FROM (SELECT doc_id, list_transform(list_filter(
+       |          regexp_split_to_array(text, '[^a-zA-Z0-9]+'), t -> t != ''),
+       |          t -> lower(t)) AS ntoks
+       |        FROM documents)
+       |)""".stripMargin
+  }
+
+  /** The contaminated-train-doc id set (shares ≥1 distinct NORMALIZED
+    * n-gram with the given eval split) as a parenthesized subquery — the
     * `decontam_overlap` gram CTEs, reused by the streaming-decontam
     * oracles. */
-  private def contaminatedIdsSql: String =
-    """(WITH gg AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
-      |    i -> concat_ws(' ',
-      |      regexp_split_to_array(trim(text), '\s+')[i],
-      |      regexp_split_to_array(trim(text), '\s+')[i+1],
-      |      regexp_split_to_array(trim(text), '\s+')[i+2]))) ) AS gram
-      |  FROM documents
-      |), evv AS (
-      |  SELECT DISTINCT gram FROM gg WHERE doc_id % 20 = 0
-      |)
-      |SELECT DISTINCT gg.doc_id FROM gg JOIN evv USING (gram))""".stripMargin
+  private def contaminatedIdsSql(n: Int = 3,
+      evalPred: String = "doc_id % 20 = 0"): String =
+    s"""(WITH ${normGramCteSql("gg", n)}, evv AS (
+       |  SELECT DISTINCT gram FROM gg WHERE $evalPred
+       |)
+       |SELECT DISTINCT gg.doc_id FROM gg JOIN evv USING (gram))""".stripMargin
 
   /** Full `curate_stream_batch` oracle — the three dedup tiers as one
     * CTE chain over the same split (catalogs = id%3=0, batch = rest):
@@ -4454,15 +4516,7 @@ object SparkEntry {
         |""".stripMargin,
 
     "decontam_overlap" ->
-      """WITH g AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
-        |    i -> concat_ws(' ',
-        |      regexp_split_to_array(trim(text), '\s+')[i],
-        |      regexp_split_to_array(trim(text), '\s+')[i+1],
-        |      regexp_split_to_array(trim(text), '\s+')[i+2]))) ) AS gram
-        |  FROM documents
-        |), ev AS (
+      s"""WITH ${normGramCteSql("g", 3)}, ev AS (
         |  SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
         |)
         |SELECT g.doc_id, count(*) AS n_shared_grams
@@ -4474,13 +4528,32 @@ object SparkEntry {
     // survivors = the complement of decontam_overlap's hit set
     "decontam_stream_batch" ->
       s"""SELECT doc_id FROM documents
-         |WHERE doc_id % 20 != 0 AND doc_id NOT IN $contaminatedIdsSql
+         |WHERE doc_id % 20 != 0 AND doc_id NOT IN ${contaminatedIdsSql()}
+         |""".stripMargin,
+
+    // The NORMALIZATION evidence: the Spark side injects case/punct-
+    // MANGLED copies of every eval doc into the probe batch; the oracle
+    // states the survivors WITHOUT any mangled id — every mangled copy
+    // must drop (normalized grams match the lowercase registry) or the
+    // row set hash-mismatches.
+    "decontam_stream_mangled" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id % 20 != 0 AND doc_id NOT IN ${contaminatedIdsSql()}
+         |""".stripMargin,
+
+    // Multi-registry probe: registries at n=3 (eval %20==0) and n=4
+    // (eval %20==1), one union probe; survivors avoid BOTH hit sets.
+    "decontam_stream_multi" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id % 20 NOT IN (0, 1)
+         |  AND doc_id NOT IN ${contaminatedIdsSql(3, "doc_id % 20 = 0")}
+         |  AND doc_id NOT IN ${contaminatedIdsSql(4, "doc_id % 20 = 1")}
          |""".stripMargin,
 
     // the curate chain re-rooted at the uncontaminated batch (the
     // decontam tier runs FIRST among the text tiers)
     "curate_stream_batch_dc" -> curateStreamOracleSql(
-      s"AND doc_id NOT IN $contaminatedIdsSql"),
+      s"AND doc_id NOT IN ${contaminatedIdsSql()}"),
 
     "doc_fingerprint" ->
       s"""SELECT doc_id,

@@ -140,6 +140,8 @@ object GraftFunctions {
   def splitChars(c: Column): Column = column(SplitChars(expression(c)))
   def wordNgrams(c: Column, n: Int, distinct: Boolean): Column =
     column(WordNgrams(expression(c), n, distinct))
+  def normWordNgrams(c: Column, n: Int, distinct: Boolean): Column =
+    column(NormWordNgrams(expression(c), n, distinct))
   def bpeMergePair(c: Column, left: String, right: String): Column =
     column(BpeMergePair(expression(c), left, right))
   def bpeEncodeWord(c: Column, merges: Seq[(String, String)]): Column =

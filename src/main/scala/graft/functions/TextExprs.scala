@@ -192,10 +192,18 @@ object TextKernels {
     val arr = new Array[UTF8String](cnt)
     var i = 0
     while (i < cnt) { arr(i) = toks.getUTF8String(i); i += 1 }
+    joinNgrams(arr, n, distinct)
+  }
+
+  /** Space-join a token array into its n-grams (shared tail of
+    * [[wordNgrams]] and [[normWordNgrams]] — the degrade contract lives
+    * here: fewer-than-n tokens yield ONE element, the space-join of the
+    * whole list, empty token list → [""]). */
+  private def joinNgrams(arr: Array[UTF8String], n: Int,
+      distinct: Boolean): ArrayData = {
+    val cnt = arr.length
     val space = UTF8String.fromString(" ")
     if (cnt < n) {
-      // degrade: one element, the space-join of all tokens (empty text →
-      // join of [] = empty string)
       var joined = if (cnt == 0) UTF8String.EMPTY_UTF8 else arr(0)
       var j = 1
       while (j < cnt) { joined = UTF8String.concat(joined, space, arr(j)); j += 1 }
@@ -203,7 +211,7 @@ object TextKernels {
     }
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String](cnt - n + 1)
     val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
-    i = 0
+    var i = 0
     while (i + n <= cnt) {
       var gram = arr(i)
       var j = 1
@@ -212,6 +220,50 @@ object TextKernels {
       i += 1
     }
     ArrayData.toArrayData(out.toArray)
+  }
+
+  @inline private def isAsciiAlnum(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+
+  /** NORMALIZED word n-grams — the decontamination shingling kernel.
+    * Tokens are maximal runs of ASCII ALPHANUMERIC bytes, lowercased
+    * bytewise (A–Z → a–z); every other byte — punctuation, whitespace,
+    * and any non-ASCII byte — is a separator. This is the published
+    * decontamination normalization (GPT-3 appendix C; PaLM; Llama 2:
+    * lowercase + punctuation strip + whitespace collapse before n-gram
+    * matching) realized as one allocation-light byte scan, so "The
+    * capital of France." and "the capital of france" fingerprint to the
+    * SAME grams and a reformatted eval answer cannot evade the registry.
+    * The ASCII-only fold is deliberate: it is exactly restatable in the
+    * oracle (split on `[^a-zA-Z0-9]+`, lower each pure-ASCII token) with
+    * no Unicode case-mapping divergence between engines; non-ASCII text
+    * contributes no grams on either side. Degrade contract identical to
+    * [[wordNgrams]] (fewer than n tokens → the whole join; none → [""]).
+    * UTF-8 continuation bytes are ≥ 0x80, so treating every non-ASCII
+    * byte as a separator never splits a token — multi-byte characters
+    * are separators wholesale. */
+  def normWordNgrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val end = bytes.length
+    val toks = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    while (i < end) {
+      while (i < end && !isAsciiAlnum(bytes(i))) i += 1
+      if (i < end) {
+        val ts = i
+        while (i < end && isAsciiAlnum(bytes(i))) i += 1
+        val len = i - ts
+        val tb = new Array[Byte](len)
+        var j = 0
+        while (j < len) {
+          val b = bytes(ts + j)
+          tb(j) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          j += 1
+        }
+        toks += UTF8String.fromBytes(tb)
+      }
+    }
+    joinNgrams(toks.toArray, n, distinct)
   }
 
   /** Code-point split: "abc" → ["a","b","c"] (multi-byte aware; no regex,
@@ -351,6 +403,24 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
   override def prettyName: String = "word_ngrams"
+}
+
+/** `norm_word_ngrams(text, n)` — normalized (lowercased, punctuation-
+  * stripped) word n-grams from one byte scan; the decontamination
+  * shingle ([[TextKernels.normWordNgrams]]). */
+case class NormWordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0 && n <= 32, s"ngram size out of range: $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.normWordNgrams(input.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.normWordNgrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): NormWordNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "norm_word_ngrams"
 }
 
 /** `distinct_ngram_count_ws(text, n)` — distinct word-n-gram count. */

@@ -9,11 +9,21 @@ import graft.dedup.ExactCatalog
   * [[graft.text.TextOps.contaminationFlags]], as a persistent-catalog
   * streaming tier): a year-long curation stream must never train on
   * eval text, and the eval sets are known up front — so their distinct
-  * word-n-gram FINGERPRINTS live in an [[ExactCatalog]]-delegated
-  * registry (`fp = fingerprint64(gram)`, `h2 = xxhash64(gram)` — a
-  * false drop needs a simultaneous two-hash collision, the family
+  * NORMALIZED word-n-gram FINGERPRINTS live in an [[ExactCatalog]]-
+  * delegated registry (`fp = fingerprint64(gram)`, `h2 = xxhash64(gram)`
+  * — a false drop needs a simultaneous two-hash collision, the family
   * discipline) and every micro-batch probes it with the usual
   * bucket-pruned, key-pushed read.
+  *
+  * Grams are NORMALIZED on BOTH sides ([[graft.text.TextOps
+  * .normWordShingles]]: lowercase, ASCII-alphanumeric token runs —
+  * the GPT-3 appendix C / PaLM / Llama normalization), so a benchmark
+  * answer re-flowed as "the capital of france" cannot evade a registry
+  * built from "The capital of France." — the evasion the raw-text
+  * v1 kind permitted. The normalization is part of the fingerprint
+  * UNIVERSE, so the kind carries a `_norm` marker and a v1 (raw-gram)
+  * registry refuses loudly through the shared kind machinery instead of
+  * silently matching nothing.
   *
   * Unlike the dedup tiers this catalog is READ-ONLY from the stream's
   * side: training batches never advance it (a training doc is not
@@ -29,24 +39,37 @@ import graft.dedup.ExactCatalog
 object StreamingDecontam {
 
   val KindPrefix = "decontam_gram_n"
-  def kindFor(n: Int): String = s"$KindPrefix$n"
+  val KindSuffix = "_norm" // normalization is a fingerprint-universe property
+  def kindFor(n: Int): String = s"$KindPrefix$n$KindSuffix"
 
   /** The registry's recorded n-gram width (None: no registry, or not a
-    * decontam registry). Regex-parsed like [[graft.dedup.SubstrCatalog
-    * .metaW]] — malformed tags fall through to the kind machinery's
-    * loud refusal. */
+    * NORMALIZED decontam registry — a v1 raw-gram kind deliberately does
+    * not parse, so the open falls through to the kind machinery's loud
+    * refusal). Regex-parsed like [[graft.dedup.SubstrCatalog.metaW]]. */
   private val KindRe =
-    (java.util.regex.Pattern.quote(KindPrefix) + """(\d+)""").r
+    (java.util.regex.Pattern.quote(KindPrefix) + """(\d+)""" +
+      java.util.regex.Pattern.quote(KindSuffix)).r
   def metaN(spark: SparkSession, dir: String): Option[Int] =
     ExactCatalog.readMetaKind(spark, dir).collect {
       case KindRe(n) => n
     }.flatMap(_.toIntOption)
 
-  /** Registry entries of an eval/benchmark frame: the distinct word
-    * n-grams' paired fingerprints. */
+  /** `(id, fp, h2)` of a frame's distinct normalized n-grams — the probe
+    * side's shingle pass, shared across registries of the same width. */
+  private def gramsOf(batch: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    batch.select(col(idCol).as("id"),
+      explode(graft.text.TextOps.normWordShingles(col(textCol), n))
+        .as("gram"))
+      .select(col("id"),
+        graft.functions.GraftFunctions.fingerprint64(col("gram")).as("fp"),
+        xxhash64(col("gram")).as("h2"))
+
+  /** Registry entries of an eval/benchmark frame: the distinct
+    * normalized word n-grams' paired fingerprints. */
   def evalEntriesOf(evalDocs: DataFrame, textCol: String, n: Int): DataFrame =
     evalDocs
-      .select(explode(graft.text.TextOps.wordShingles(col(textCol), n))
+      .select(explode(graft.text.TextOps.normWordShingles(col(textCol), n))
         .as("gram"))
       .distinct()
       .select(
@@ -66,35 +89,57 @@ object StreamingDecontam {
       kind = kindFor(effN))
   }
 
-  /** One micro-batch against the registry: shingle once (pinned), drop
-    * every doc sharing at least `minHits` distinct n-grams with the
-    * registered eval sets (the [[graft.text.TextOps.contaminationFlags]]
-    * rule at `minHits = 1`), deliver the survivors. Pure filter — no
-    * append, no crash ordering (see class doc). An empty/missing
-    * registry passes everything (nothing registered = nothing to leak). */
+  /** One micro-batch against ONE registry — [[applyBatchMulti]] with a
+    * single dir; see there for the semantics. */
   def applyBatch(
       batch: DataFrame, dir: String, idCol: String, textCol: String,
       n: Int = 3, minHits: Long = 1L,
       maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
+      deliver: DataFrame => Unit = _ => ()): DataFrame =
+    applyBatchMulti(batch, Seq(dir), idCol, textCol, n, minHits,
+      maxPushdownKeys, deliver)
+
+  /** One micro-batch against SEVERAL registries in one pass: shingle
+    * once per DISTINCT registered width (pinned — not once per
+    * registry), probe each registry's catalog with its own pruned read,
+    * and drop every doc sharing at least `minHits` DISTINCT n-grams with
+    * ANY single registry (the [[graft.text.TextOps.contaminationFlags]]
+    * rule at `minHits = 1`). Equivalent to applying the registries
+    * sequentially — each tier is a pure filter, so sequential
+    * application drops exactly the UNION of the per-registry drop sets
+    * (spec-pinned) — but pays one shingle pass and one anti-join instead
+    * of R of each. Pure filter — no append, no crash ordering (class
+    * doc). An empty/missing registry passes everything (nothing
+    * registered = nothing to leak); an empty `dirs` is the identity.
+    *
+    * The hit count joins against the registry's DISTINCT `(fp, h2)`
+    * pairs: the catalog may hold duplicate rows (the same gram
+    * registered by two eval sets, or a replayed register() before
+    * compaction), and counting joined rows instead of distinct shared
+    * grams would let one gram satisfy `minHits > 1` alone. */
+  def applyBatchMulti(
+      batch: DataFrame, dirs: Seq[String], idCol: String, textCol: String,
+      n: Int = 3, minHits: Long = 1L,
+      maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     require(minHits >= 1L, s"minHits must be >= 1: $minHits")
+    if (dirs.isEmpty) { deliver(batch); return batch }
     val spark = batch.sparkSession
-    val effN = metaN(spark, dir).getOrElse(n)
-    val grams = graft.ops.Checkpoints.pin(
-      batch.select(col(idCol).as("id"),
-        explode(graft.text.TextOps.wordShingles(col(textCol), effN))
-          .as("gram"))
-        .select(col("id"),
-          graft.functions.GraftFunctions.fingerprint64(col("gram")).as("fp"),
-          xxhash64(col("gram")).as("h2")))
-    val cat = ExactCatalog.readForBatch(
-      spark, dir, grams.select(col("fp")), maxPushdownKeys,
-      kind = kindFor(effN))
-    val dropped = grams
-      .join(cat.select(col("fp"), col("h2")), Seq("fp", "h2"))
-      .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
-      .filter(col("__hits") >= minHits)
-      .select(col("id").as(idCol))
+    val effNs = dirs.map(d => d -> metaN(spark, d).getOrElse(n))
+    val gramsByN = effNs.map(_._2).distinct.map { en =>
+      en -> graft.ops.Checkpoints.pin(gramsOf(batch, idCol, textCol, en))
+    }.toMap
+    val dropped = effNs.map { case (d, en) =>
+      val grams = gramsByN(en)
+      val cat = ExactCatalog.readForBatch(
+        spark, d, grams.select(col("fp")), maxPushdownKeys,
+        kind = kindFor(en))
+      grams
+        .join(cat.select(col("fp"), col("h2")).distinct(), Seq("fp", "h2"))
+        .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
+        .filter(col("__hits") >= minHits)
+        .select(col("id"))
+    }.reduce(_ union _).distinct().select(col("id").as(idCol))
     val out = batch.join(dropped, Seq(idCol), "left_anti")
     deliver(out)
     out

@@ -45,6 +45,16 @@ object TextOps {
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.wordNgrams(text, n, distinct = true)
 
+  /** NORMALIZED word n-gram shingles — the DECONTAMINATION shingle:
+    * tokens are maximal ASCII-alphanumeric runs, lowercased, so case and
+    * punctuation reflows ("The capital of France." vs "the capital of
+    * france") fingerprint identically on both the register and probe
+    * sides (the GPT-3/PaLM/Llama normalization discipline; see
+    * [[graft.functions.TextKernels.normWordNgrams]] for the exact byte
+    * contract and its oracle restatement). */
+  def normWordShingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.normWordNgrams(text, n, distinct = true)
+
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality
     * filters): the fraction of duplicated tokens / word n-grams inside a
     * document. High values mark boilerplate and degenerate generations.
@@ -69,8 +79,11 @@ object TextOps {
   }
 
   /** Decontamination (train/eval overlap): count per train document of
-    * DISTINCT word n-grams that also occur anywhere in the eval corpus —
-    * the standard n-gram membership test for benchmark leakage.
+    * DISTINCT NORMALIZED word n-grams ([[normWordShingles]] — lowercase,
+    * punctuation-stripped, the published decontamination discipline)
+    * that also occur anywhere in the eval corpus — the standard n-gram
+    * membership test for benchmark leakage, robust to case/punctuation
+    * reflows of the eval text.
     *
     * Shape at 100 TB: the eval side collapses to its distinct gram set
     * (eval corpora are small — benchmarks, held-out splits) and
@@ -84,10 +97,10 @@ object TextOps {
       eval: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
     val evalGrams = eval
-      .select(explode(wordShingles(col(textCol), n)).as("gram"))
+      .select(explode(normWordShingles(col(textCol), n)).as("gram"))
       .distinct()
     val trainGrams = train
-      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), explode(normWordShingles(col(textCol), n)).as("gram"))
     trainGrams
       .join(org.apache.spark.sql.functions.broadcast(evalGrams), "gram")
       .groupBy(col(idCol))

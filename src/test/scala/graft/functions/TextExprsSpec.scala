@@ -95,6 +95,47 @@ class TextExprsSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("normWordNgrams kernel == lowercase/alnum-split model (property)") {
+    // mixed-case + punctuation generator: the decontamination kernel's
+    // adversarial surface is case flips and punctuation reflow
+    val normPiece: Gen[String] = Gen.oneOf(
+      Gen.oneOf(" ", "\t", ".", ",!", "--", "", "?!", "... "),
+      Gen.oneOf("a", "Ab", "THE", "föö", "日本語", "x1", "Paris", "FrAnCe9"),
+      Gen.alphaNumStr.map(_.take(8)))
+    val normGen: Gen[String] = Gen.listOf(normPiece).map(_.mkString)
+    PropCheck.check(Prop.forAll(normGen) { s =>
+      // reference model: split on non-alnum runs, drop empties, ASCII-
+      // lower each token (pure-ASCII tokens, so ROOT locale is exact)
+      val toks = s.split("[^a-zA-Z0-9]+").toSeq.filter(_.nonEmpty)
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      def kernel(distinct: Boolean): Seq[String] = {
+        val ad = TextKernels.normWordNgrams(UTF8String.fromString(s), 3, distinct)
+        (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+      }
+      val degradeOk =
+        kernel(true) == Seq(toks.mkString(" ")) &&
+          kernel(false) == Seq(toks.mkString(" "))
+      val fullOk = {
+        val all = toks.sliding(3).map(_.mkString(" ")).toSeq
+        kernel(false) == all && kernel(true) == all.distinct
+      }
+      if (toks.size < 3) degradeOk else fullOk
+    })
+  }
+
+  test("normWordNgrams is invariant under case/punctuation mangling (property)") {
+    PropCheck.check(Prop.forAll(Gen.listOf(Gen.oneOf(
+      "the", "Quick", "BROWN", "fox9", " ")).map(_.mkString(" "))) { s =>
+      val mangled = s.toUpperCase(java.util.Locale.ROOT)
+        .replace(" ", ", ") + "!!"
+      def grams(x: String): Seq[String] = {
+        val ad = TextKernels.normWordNgrams(UTF8String.fromString(x), 3, true)
+        (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+      }
+      grams(s) == grams(mangled)
+    })
+  }
+
   test("countSubstr: empty needle and overlap discipline") {
     assert(TextKernels.countSubstr(
       UTF8String.fromString("aaaa"), UTF8String.fromString("aa")) == 2L) // non-overlapping

@@ -50,6 +50,77 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("normalization: case/punctuation reflows of eval text still drop") {
+    val dir = Files.createTempDirectory("graft-dc-nm").toString + "/reg"
+    StreamingDecontam.register(evalDocs, dir, "text")
+    val batch = Seq(
+      // the GPT-3-appendix evasion shapes: case flip, punctuation reflow,
+      // both at once — every normalized gram matches the registry
+      1L -> "The Capital of France is Paris, obviously!",
+      2L -> "TWO PLUS TWO EQUALS FOUR... in base ten?!",
+      3L -> "the,capital,of,france,is,paris,obviously",
+      4L -> "a wholly unrelated training document about rivers").toDF("doc_id", "text")
+    val out = StreamingDecontam.applyBatch(batch, dir, "doc_id", "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(4L))
+  }
+
+  test("duplicate registry rows never inflate the hit count past minHits") {
+    val dir = Files.createTempDirectory("graft-dc-dup").toString + "/reg"
+    StreamingDecontam.register(evalDocs, dir, "text")
+    StreamingDecontam.register(evalDocs, dir, "text", added = 1L) // every row twice
+    // shares exactly ONE eval trigram — with row-counted hits the
+    // duplicated registry would count it twice and wrongly drop at
+    // minHits = 2
+    val batch = Seq(
+      2L -> "students wrote plus two equals on the board today").toDF("doc_id", "text")
+    assert(StreamingDecontam.applyBatch(batch, dir, "doc_id", "text",
+      minHits = 2L).count() == 1)
+    // ... while a genuinely-two-gram doc still drops at minHits = 2
+    val twoGrams = Seq(
+      5L -> "plus two equals four was scribbled there").toDF("doc_id", "text")
+    assert(StreamingDecontam.applyBatch(twoGrams, dir, "doc_id", "text",
+      minHits = 2L).count() == 0)
+  }
+
+  test("multi-registry probe equals sequential application") {
+    val root = Files.createTempDirectory("graft-dc-mu").toString
+    val evalA = Seq(100L -> "the capital of france is paris").toDF("doc_id", "text")
+    val evalB = Seq(200L -> "rivers flow downhill to the sea at last").toDF("doc_id", "text")
+    StreamingDecontam.register(evalA, s"$root/a", "text", n = 3)
+    StreamingDecontam.register(evalB, s"$root/b", "text", n = 4)
+    val batch = Seq(
+      1L -> "the capital of france is paris obviously",  // hits A only
+      2L -> "all rivers flow downhill to the sea at last",// hits B only
+      3L -> "the capital of france is where rivers flow downhill to the sea at last", // both
+      4L -> "nothing shared with either eval set").toDF("doc_id", "text")
+    val multi = StreamingDecontam.applyBatchMulti(
+      batch, Seq(s"$root/a", s"$root/b"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sequential = StreamingDecontam.applyBatch(
+      StreamingDecontam.applyBatch(batch, s"$root/a", "doc_id", "text"),
+      s"$root/b", "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(multi == sequential)
+    assert(multi == Set(4L))
+    // empty dirs is the identity
+    assert(StreamingDecontam.applyBatchMulti(
+      batch, Seq.empty, "doc_id", "text").count() == 4)
+  }
+
+  test("a v1 raw-gram registry refuses loudly instead of matching nothing") {
+    val dir = Files.createTempDirectory("graft-dc-v1").toString + "/reg"
+    // simulate a pre-normalization registry: same row shape, old kind tag
+    ExactCatalog.append(
+      StreamingDecontam.evalEntriesOf(evalDocs, "text", 3), dir,
+      kind = "decontam_gram_n3")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDecontam.applyBatch(
+        Seq(1L -> "anything").toDF("doc_id", "text"), dir, "doc_id", "text")
+        .count()
+    }
+    assert(e.getMessage.contains("decontam_gram_n3"))
+  }
+
   test("kind universe guard both ways; an empty registry passes everything") {
     val dir = Files.createTempDirectory("graft-dc-k").toString + "/reg"
     StreamingDecontam.register(evalDocs, dir, "text")
