@@ -555,8 +555,9 @@ object Bench {
                   SparkEntry.SubstrDedupW), " "),
                 lit(s" $filler")).as("text"))
             val _ = graft.streaming.StreamingCurate.applyBatch(
-              batch, exact1x, near1x, substr1x,
-              "doc_id", "text", SparkEntry.SubstrDedupW,
+              batch, graft.streaming.StreamingCurate.CurateConfig(
+                exact1x, near1x, substr1x,
+                "doc_id", "text", SparkEntry.SubstrDedupW),
               added = repC.toLong, deliver = d => force(d))
           }),
           // the window-fp OVERFLOW regime (r11 verdict item 6): a batch
@@ -604,10 +605,11 @@ object Bench {
                 .orderBy("vec_id")).as("__rn"))
             val batch = docsIdx.join(embIdx, "__rn").drop("__rn")
             val _ = graft.streaming.StreamingCurate.applyBatch(
-              batch, exact1x, near1x, substr1x,
-              "doc_id", "text", SparkEntry.SubstrDedupW,
-              added = repC.toLong, semIndexDir = Some(semIdx),
-              deliver = d => force(d))
+              batch, graft.streaming.StreamingCurate.CurateConfig(
+                exact1x, near1x, substr1x,
+                "doc_id", "text", SparkEntry.SubstrDedupW,
+                semIndexDir = Some(semIdx)),
+              added = repC.toLong, deliver = d => force(d))
           }),
           // image-dedup per-trigger cost vs catalog mass (the r12 tier's
           // standing perf rows): a 50-image batch — REAL PNG decode per

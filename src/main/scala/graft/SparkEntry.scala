@@ -1037,8 +1037,9 @@ object SparkEntry {
         s"$tmp/substr", SubstrDedupW)
       val out = graft.streaming.StreamingCurate.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0),
-        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L)
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8), added = 1L)
         .filter(col("n_tokens") > 0)
       deleteRecursively(root.toFile)
       out
@@ -1067,9 +1068,10 @@ object SparkEntry {
         s"$tmp/substr", SubstrDedupW)
       val out = graft.streaming.StreamingCurate.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0),
-        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
-        statsDir = Some(s"$tmp/stats"))
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          statsDir = Some(s"$tmp/stats")), added = 1L)
       val grams = graft.streaming.StreamingSketch.wordNgramItems(
         out.select(col("clean_text")), "clean_text", 3)
       val topk = graft.ops.Checkpoints.pin(
@@ -1448,11 +1450,12 @@ object SparkEntry {
         s"$tmp/substr", SubstrDedupW)
       val out = graft.streaming.StreamingCurate.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0),
-        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
-        imageCol = Some("img"),
-        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
-        audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"))
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          imageCol = Some("img"),
+          imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+          audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae")), added = 1L)
         .filter(col("n_tokens") > 0)
       deleteRecursively(root.toFile)
       out
@@ -1502,12 +1505,13 @@ object SparkEntry {
         s"$tmp/substr", SubstrDedupW)
       val out = graft.streaming.StreamingCurate.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0),
-        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
-        imageCol = Some("img"),
-        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
-        audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
-        videoCol = Some("avi"), videoDir = Some(s"$tmp/vc"))
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          imageCol = Some("img"),
+          imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
+          audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
+          videoCol = Some("avi"), videoDir = Some(s"$tmp/vc")), added = 1L)
         .filter(col("n_tokens") > 0)
       deleteRecursively(root.toFile)
       out
@@ -1542,10 +1546,11 @@ object SparkEntry {
         s"$tmp/substr", SubstrDedupW)
       val out = graft.streaming.StreamingCurate.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0),
-        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
-        imageCol = Some("img"),
-        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"))
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          imageCol = Some("img"),
+          imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip")), added = 1L)
         .filter(col("n_tokens") > 0)
       deleteRecursively(root.toFile)
       out
@@ -2171,9 +2176,10 @@ object SparkEntry {
         s"$tmp/substr", SubstrDedupW)
       val out = graft.streaming.StreamingCurate.applyBatch(
         d.filter(col("doc_id") % 3 =!= 0),
-        s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-        "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8, added = 1L,
-        decontamDir = Some(s"$tmp/reg"))
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          decontamDir = Some(s"$tmp/reg")), added = 1L)
         .filter(col("n_tokens") > 0)
       deleteRecursively(root.toFile)
       out

@@ -83,11 +83,14 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   */
 object StreamingCurate {
 
-  /** One micro-batch through all three tiers (pure enough to unit-test
-    * without the engine). Layout parameters are CREATE-TIME defaults
-    * only — each catalog's meta is authoritative once it exists. */
-  def applyBatch(
-      batch: DataFrame,
+  /** Every tier's configuration in ONE object (r13 verdict: the
+    * applyBatch/writer pair used to thread ~24 parameters TWICE, and the
+    * duplicated default lists were one added tier away from diverging
+    * silently). Layout parameters are CREATE-TIME defaults only — each
+    * catalog's meta is authoritative once it exists. Per-BATCH values
+    * (`added`, `deliver`) stay call arguments: they change every
+    * trigger, the config never does. */
+  final case class CurateConfig(
       exactDir: String, nearDir: String, substrDir: String,
       idCol: String, textCol: String, w: Int,
       shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
@@ -95,7 +98,6 @@ object StreamingCurate {
       numBuckets: Int = ExactCatalog.DefaultBuckets,
       nearNumBuckets: Int = BandedCatalog.DefaultBuckets,
       compactAboveFiles: Int = 16,
-      added: Long = 0L,
       retainAddedBehind: Option[Long] = None,
       retentionSweepEvery: Long = 256L,
       semIndexDir: Option[String] = None,
@@ -114,8 +116,14 @@ object StreamingCurate {
       statsDir: Option[String] = None,
       statsNgram: Int = 3,
       decontamDir: Option[String] = None,
-      decontamMinHits: Long = 1L,
+      decontamMinHits: Long = 1L)
+
+  /** One micro-batch through all tiers (pure enough to unit-test
+    * without the engine). */
+  def applyBatch(
+      batch: DataFrame, cfg: CurateConfig, added: Long = 0L,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
+    import cfg._
     var out: DataFrame = batch.sparkSession.emptyDataFrame
     // the semantic tier's caller contract, checked BEFORE any tier
     // probes or appends: a missing embedding column (or an unbuilt
@@ -265,36 +273,11 @@ object StreamingCurate {
 
   /** foreachBatch writer: `deliver` receives each micro-batch's curated
     * rewrites (write them to the downstream sink there). Catalog rows
-    * are tagged with the engine's batch id. */
+    * are tagged with the engine's batch id — the same [[CurateConfig]]
+    * drives every trigger, so the config cannot drift from the batch
+    * path by construction. */
   def writer(
-      docs: DataFrame,
-      exactDir: String, nearDir: String, substrDir: String,
-      checkpointDir: String,
-      idCol: String, textCol: String, w: Int,
-      shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      jaccardThreshold: Double = 0.7,
-      numBuckets: Int = ExactCatalog.DefaultBuckets,
-      nearNumBuckets: Int = BandedCatalog.DefaultBuckets,
-      compactAboveFiles: Int = 16,
-      retainAddedBehind: Option[Long] = None,
-      retentionSweepEvery: Long = 256L,
-      semIndexDir: Option[String] = None,
-      embCol: String = "embedding",
-      semThreshold: Double = 0.95,
-      imageCol: Option[String] = None,
-      imageExactDir: Option[String] = None,
-      imagePhashDir: Option[String] = None,
-      imageMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
-      audioCol: Option[String] = None,
-      audioEnvDir: Option[String] = None,
-      audioMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
-      videoCol: Option[String] = None,
-      videoDir: Option[String] = None,
-      videoMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
-      statsDir: Option[String] = None,
-      statsNgram: Int = 3,
-      decontamDir: Option[String] = None,
-      decontamMinHits: Long = 1L,
+      docs: DataFrame, cfg: CurateConfig, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow())(
       deliver: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
@@ -302,23 +285,7 @@ object StreamingCurate {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val _ = applyBatch(batch, exactDir, nearDir, substrDir,
-            idCol, textCol, w, shingleSize, bands, rowsPerBand,
-            jaccardThreshold, numBuckets, nearNumBuckets,
-            compactAboveFiles, added = batchId,
-            retainAddedBehind = retainAddedBehind,
-            retentionSweepEvery = retentionSweepEvery,
-            semIndexDir = semIndexDir, embCol = embCol,
-            semThreshold = semThreshold,
-            imageCol = imageCol, imageExactDir = imageExactDir,
-            imagePhashDir = imagePhashDir, imageMaxHamming = imageMaxHamming,
-            audioCol = audioCol, audioEnvDir = audioEnvDir,
-            audioMaxHamming = audioMaxHamming,
-            videoCol = videoCol, videoDir = videoDir,
-            videoMaxHamming = videoMaxHamming,
-            statsDir = statsDir, statsNgram = statsNgram,
-            decontamDir = decontamDir, decontamMinHits = decontamMinHits,
-            deliver = deliver)
+          val _ = applyBatch(batch, cfg, added = batchId, deliver = deliver)
         }
       }
 }

@@ -54,18 +54,19 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     // reference: sequential applyBatch into its own catalog set
     val (re, rn, rs) = dirs("ref")
     val r1 = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
-      re, rn, rs, "doc_id", "text", W, added = 0L)
+      StreamingCurate.CurateConfig(re, rn, rs, "doc_id", "text", W),
+      added = 0L)
     val r2 = StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
-      re, rn, rs, "doc_id", "text", W, added = 1L)
+      StreamingCurate.CurateConfig(re, rn, rs, "doc_id", "text", W),
+      added = 1L)
     val want = (rows(r1) ++ rows(r2)).toSet
 
     val (se, sn, ss) = dirs("stream")
     val delivered = ArrayBuffer.empty[(Long, Long, Long, String)]
     val input = MemoryStream[(Long, String)]
-    val q = StreamingCurate.writer(
-        input.toDS().toDF("doc_id", "text"), se, sn, ss,
-        s"${Files.createTempDirectory("graft-curate-ck")}", "doc_id", "text", W,
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))(
+    val q = StreamingCurate.writer(input.toDS().toDF("doc_id", "text"),
+        StreamingCurate.CurateConfig(se, sn, ss, "doc_id", "text", W),
+        s"${Files.createTempDirectory("graft-curate-ck")}", trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))(
         df => delivered ++= rows(df)).start()
     input.addData(b1); q.processAllAvailable()
     input.addData(b2); q.processAllAvailable()
@@ -102,9 +103,9 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
       (21L, "fresh text with a genuinely new embedding direction",
         Seq(-0.9, 0.1, -0.4)))
       .toDF("doc_id", "text", "embedding")
-    val out = rows(StreamingCurate.applyBatch(batch, e, n, s,
-      "doc_id", "text", W, added = 0L,
-      semIndexDir = Some(semIdx), semThreshold = 0.95))
+    val out = rows(StreamingCurate.applyBatch(batch,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, semIndexDir = Some(semIdx), semThreshold = 0.95),
+      added = 0L))
     assert(out.map(_._1).toSet == Set(21L),
       s"semantic tier must drop doc 20, got ${out.map(_._1)}")
     // the survivor's embedding entered the index (appends after delivery)
@@ -113,12 +114,10 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     // and a failed final delivery leaves the INDEX unadvanced too
     val nVecs = graft.sim.IvfIndex.vectors(spark, semIdx).count()
     val _ = intercept[RuntimeException] {
-      StreamingCurate.applyBatch(
-        Seq((30L, "another new doc", Seq(0.1, -0.8, 0.5)))
+      StreamingCurate.applyBatch(Seq((30L, "another new doc", Seq(0.1, -0.8, 0.5)))
           .toDF("doc_id", "text", "embedding"),
-        e, n, s, "doc_id", "text", W, added = 1L,
-        semIndexDir = Some(semIdx),
-        deliver = _ => throw new RuntimeException("down"))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, semIndexDir = Some(semIdx)),
+      added = 1L, deliver = _ => throw new RuntimeException("down"))
     }
     assert(graft.sim.IvfIndex.vectors(spark, semIdx).count() == nVecs)
   }
@@ -132,9 +131,9 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     // batch 1 seeds the catalogs
     val d1 = Seq((1L, b1.head._2, img(1)), (2L, b1(1)._2, img(2)))
       .toDF("doc_id", "text", "img")
-    val _ = StreamingCurate.applyBatch(d1, e, n, s, "doc_id", "text", W,
-      added = 0L, imageCol = Some("img"),
-      imageExactDir = Some(ie), imagePhashDir = Some(ip))
+    val _ = StreamingCurate.applyBatch(d1,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img"), imageExactDir = Some(ie), imagePhashDir = Some(ip)),
+      added = 0L)
     // batch 2: 30 = FRESH text but byte-copy image of doc 1 (only the
     // image exact tier can drop it); 31 = fresh text, perceptual
     // near-dup image of doc 2; 32 = fresh on every axis
@@ -143,9 +142,9 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
       (31L, "other new text that only perceptual hashing could reject", img(2, 1)),
       (32L, "a genuinely novel document with a genuinely novel image", img(32)))
       .toDF("doc_id", "text", "img")
-    val out = rows(StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
-      added = 1L, imageCol = Some("img"),
-      imageExactDir = Some(ie), imagePhashDir = Some(ip)))
+    val out = rows(StreamingCurate.applyBatch(d2,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img"), imageExactDir = Some(ie), imagePhashDir = Some(ip)),
+      added = 1L))
     assert(out.map(_._1).toSet == Set(32L),
       s"image tiers must drop 30 (exact) and 31 (phash), got ${out.map(_._1)}")
     // crash contract extends to the image catalogs: failed final
@@ -154,13 +153,10 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
       graft.dedup.ImageCatalog.KindExact).count(),
       ExactCatalog.read(spark, ip, graft.dedup.ImageCatalog.KindPhash).count())
     val _2 = intercept[RuntimeException] {
-      StreamingCurate.applyBatch(
-        Seq((40L, "yet another novel doc body", img(40)))
+      StreamingCurate.applyBatch(Seq((40L, "yet another novel doc body", img(40)))
           .toDF("doc_id", "text", "img"),
-        e, n, s, "doc_id", "text", W, added = 2L,
-        imageCol = Some("img"),
-        imageExactDir = Some(ie), imagePhashDir = Some(ip),
-        deliver = _ => throw new RuntimeException("down"))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img"), imageExactDir = Some(ie), imagePhashDir = Some(ip)),
+      added = 2L, deliver = _ => throw new RuntimeException("down"))
     }
     assert((ExactCatalog.read(spark, ie,
       graft.dedup.ImageCatalog.KindExact).count(),
@@ -168,8 +164,8 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
         graft.dedup.ImageCatalog.KindPhash).count()) == before)
     // misconfiguration fails loudly BEFORE any tier does work
     val boom = intercept[IllegalArgumentException] {
-      StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
-        imageCol = Some("img"))
+      StreamingCurate.applyBatch(d2,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img")))
     }
     assert(boom.getMessage.contains("imageExactDir"))
   }
@@ -182,41 +178,35 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     def wav(seed: Long, v: Int = 0) = AudioFixtures.syntheticWav(seed, v)
     val d1 = Seq((1L, b1.head._2, img(1), wav(1)), (2L, b1(1)._2, img(2), wav(2)))
       .toDF("doc_id", "text", "img", "wav")
-    val _ = StreamingCurate.applyBatch(d1, e, n, s, "doc_id", "text", W,
-      added = 0L, imageCol = Some("img"),
-      imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
-      audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"))
+    val _ = StreamingCurate.applyBatch(d1,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img"), imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"), audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae")),
+      added = 0L)
     // batch 2: 50 = fresh text+image but HALF-VOLUME audio of doc 1
     // (only the audio tier can drop it); 51 = fresh on every axis
     val d2 = Seq(
       (50L, "new words that only the audio envelope could reject", img(50), wav(1, 1)),
       (51L, "a wholly novel multimodal document in this batch", img(51), wav(51)))
       .toDF("doc_id", "text", "img", "wav")
-    val out = rows(StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
-      added = 1L, imageCol = Some("img"),
-      imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
-      audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae")))
+    val out = rows(StreamingCurate.applyBatch(d2,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img"), imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"), audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae")),
+      added = 1L))
     assert(out.map(_._1).toSet == Set(51L),
       s"audio tier must drop 50, got ${out.map(_._1)}")
     // crash contract covers the audio catalog too
     val before = ExactCatalog.read(spark, s"$tmp/ae",
       graft.dedup.AudioDedup.KindEnvelope).count()
     val _2 = intercept[RuntimeException] {
-      StreamingCurate.applyBatch(
-        Seq((60L, "another fresh doc", img(60), wav(60)))
+      StreamingCurate.applyBatch(Seq((60L, "another fresh doc", img(60), wav(60)))
           .toDF("doc_id", "text", "img", "wav"),
-        e, n, s, "doc_id", "text", W, added = 2L,
-        imageCol = Some("img"),
-        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
-        audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
-        deliver = _ => throw new RuntimeException("down"))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img"), imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"), audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae")),
+      added = 2L, deliver = _ => throw new RuntimeException("down"))
     }
     assert(ExactCatalog.read(spark, s"$tmp/ae",
       graft.dedup.AudioDedup.KindEnvelope).count() == before)
     // misconfiguration fails loudly
     val boom = intercept[IllegalArgumentException] {
-      StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
-        audioCol = Some("wav"))
+      StreamingCurate.applyBatch(d2,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, audioCol = Some("wav")))
     }
     assert(boom.getMessage.contains("audioEnvDir"))
   }
@@ -232,11 +222,9 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
       (1L, b1.head._2, img(1), wav(1), avi(1)),
       (2L, b1(1)._2, img(2), wav(2), avi(2)))
       .toDF("doc_id", "text", "img", "wav", "avi")
-    val _ = StreamingCurate.applyBatch(d1, e, n, s, "doc_id", "text", W,
-      added = 0L, imageCol = Some("img"),
-      imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
-      audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
-      videoCol = Some("avi"), videoDir = Some(s"$tmp/vc"))
+    val _ = StreamingCurate.applyBatch(d1,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img"), imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"), audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"), videoCol = Some("avi"), videoDir = Some(s"$tmp/vc")),
+      added = 0L)
     // batch 2: 70 = fresh text+image+audio but a WHOLE-VIDEO re-encode
     // of doc 1's video (only the video tier can drop it); 71 = fresh on
     // every axis
@@ -246,11 +234,9 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
       (71L, "a wholly novel four-modality document in this batch",
         img(71), wav(71), avi(71)))
       .toDF("doc_id", "text", "img", "wav", "avi")
-    val out = rows(StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
-      added = 1L, imageCol = Some("img"),
-      imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
-      audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
-      videoCol = Some("avi"), videoDir = Some(s"$tmp/vc")))
+    val out = rows(StreamingCurate.applyBatch(d2,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img"), imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"), audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"), videoCol = Some("avi"), videoDir = Some(s"$tmp/vc")),
+      added = 1L))
     assert(out.map(_._1).toSet == Set(71L),
       s"video tier must drop 70, got ${out.map(_._1)}")
     // crash contract covers both video tiers too
@@ -259,15 +245,10 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
       ExactCatalog.read(spark, s"$tmp/vc/sig",
         graft.dedup.VideoCatalog.sigKind(4)).count())
     val _2 = intercept[RuntimeException] {
-      StreamingCurate.applyBatch(
-        Seq((80L, "another fresh doc", img(80), wav(80), avi(80)))
+      StreamingCurate.applyBatch(Seq((80L, "another fresh doc", img(80), wav(80), avi(80)))
           .toDF("doc_id", "text", "img", "wav", "avi"),
-        e, n, s, "doc_id", "text", W, added = 2L,
-        imageCol = Some("img"),
-        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"),
-        audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"),
-        videoCol = Some("avi"), videoDir = Some(s"$tmp/vc"),
-        deliver = _ => throw new RuntimeException("down"))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, imageCol = Some("img"), imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip"), audioCol = Some("wav"), audioEnvDir = Some(s"$tmp/ae"), videoCol = Some("avi"), videoDir = Some(s"$tmp/vc")),
+      added = 2L, deliver = _ => throw new RuntimeException("down"))
     }
     assert((ExactCatalog.read(spark, s"$tmp/vc/block",
       graft.dedup.VideoCatalog.blockKind(4)).count(),
@@ -275,8 +256,8 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
         graft.dedup.VideoCatalog.sigKind(4)).count()) == before)
     // misconfiguration fails loudly
     val boom = intercept[IllegalArgumentException] {
-      StreamingCurate.applyBatch(d2, e, n, s, "doc_id", "text", W,
-        videoCol = Some("avi"))
+      StreamingCurate.applyBatch(d2,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, videoCol = Some("avi")))
     }
     assert(boom.getMessage.contains("videoDir"))
   }
@@ -285,9 +266,11 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     val (e, n, s) = dirs("stats")
     val sd = Files.createTempDirectory("graft-curate-stats").toString
     val out1 = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
-      e, n, s, "doc_id", "text", W, added = 1L, statsDir = Some(sd))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, statsDir = Some(sd)),
+      added = 1L)
     val out2 = StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
-      e, n, s, "doc_id", "text", W, added = 2L, statsDir = Some(sd))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, statsDir = Some(sd)),
+      added = 2L)
     // the accumulators hold exactly the delivered outputs' gram stream
     def gramsOf(df: org.apache.spark.sql.DataFrame) =
       StreamingSketch.wordNgramItems(df.select($"clean_text"), "clean_text", 3)
@@ -301,7 +284,8 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - all.distinct.size) < 1.0, s"hll $est vs ${all.distinct.size}")
     // a replayed trigger merges NOTHING (both stores tag added)
     val _ = StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
-      e, n, s, "doc_id", "text", W, added = 2L, statsDir = Some(sd))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, statsDir = Some(sd)),
+      added = 2L)
     assert(StreamingSketch.read(spark, s"$sd/cms").get.totalCount() ==
       all.size.toLong)
     assert(StreamingDistinct.estimate(spark, s"$sd/hll") == est)
@@ -314,15 +298,17 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
       Seq(900L -> "the secret benchmark answer is forty two exactly")
         .toDF("doc_id", "text"), reg, "text")
     val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
-      e, n, s, "doc_id", "text", W, added = 0L, decontamDir = Some(reg))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, decontamDir = Some(reg)),
+      added = 0L)
     val d2 = Seq(
       // carries the eval trigram "benchmark answer is" in fresh text —
       // only the decontam tier can drop it
       20L -> "students leaked the benchmark answer is printed in books",
       21L -> "a perfectly clean training document about the weather today")
       .toDF("doc_id", "text")
-    val out = rows(StreamingCurate.applyBatch(d2, e, n, s,
-      "doc_id", "text", W, added = 1L, decontamDir = Some(reg)))
+    val out = rows(StreamingCurate.applyBatch(d2,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W, decontamDir = Some(reg)),
+      added = 1L))
     assert(out.map(_._1).toSet == Set(21L),
       s"decontam tier must drop 20, got ${out.map(_._1)}")
     // dropped BEFORE the exact tier: doc 20's text never entered the
@@ -337,19 +323,21 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
   test("crash contract: a failed final delivery advances NO catalog") {
     val (e, n, s) = dirs("crash")
     val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
-      e, n, s, "doc_id", "text", W, added = 0L)
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W),
+      added = 0L)
     val before = catCounts(e, n, s)
     val boom = intercept[RuntimeException] {
       StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
-        e, n, s, "doc_id", "text", W, added = 1L,
-        deliver = _ => throw new RuntimeException("sink down"))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W),
+      added = 1L, deliver = _ => throw new RuntimeException("sink down"))
     }
     assert(boom.getMessage == "sink down")
     assert(catCounts(e, n, s) == before,
       "no tier's append may land before the final delivery")
     // replay after the crash delivers the full correct batch
     val replay = rows(StreamingCurate.applyBatch(b2.toDF("doc_id", "text"),
-      e, n, s, "doc_id", "text", W, added = 1L))
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W),
+      added = 1L))
     val ids = replay.map(_._1).toSet
     assert(ids == Set(12L, 13L, 14L))
     assert(catCounts(e, n, s) != before)
