@@ -1086,12 +1086,34 @@ object SparkEntry {
       val hllEst = graft.streaming.StreamingDistinct.estimate(s, s"$tmp/stats/hll")
       val hllOk = exactDistinct == 0L ||
         math.abs(hllEst - exactDistinct) / exactDistinct <= 0.049
+      // the histogram leg: for each reported quantile, the persisted
+      // bracket must be EXACTLY the bin of the true rank statistic
+      // (rank = ceil(q*n), computed by a sort+limit+max job — the
+      // limit(1) argmax discipline, no O(batch) collect). Bin indices
+      // compared through the same binLower/binUpper doubles, so the
+      // boolean is exact, not tolerance-flaky.
+      val nOut = out.count()
+      val histOk = Seq(0.5, 0.9, 0.99).map { q =>
+        val rank = math.max(1L, math.ceil(q * nOut).toLong)
+        val v = out.select(length(col("clean_text")).cast("long").as("l"))
+          .orderBy(col("l")).limit(rank.toInt).agg(max(col("l")))
+          .head.getLong(0)
+        val b = math.min(
+          math.floor(math.log1p(v.toDouble) *
+            graft.streaming.StreamingHistogram.DefaultBinsPerLn).toInt,
+          graft.streaming.StreamingHistogram.DefaultMaxBins - 1)
+        graft.streaming.StreamingHistogram
+          .quantileBracket(s, s"$tmp/stats/hist", q)
+          .contains((graft.streaming.StreamingHistogram.binLower(b),
+            graft.streaming.StreamingHistogram.binUpper(b)))
+      }
       deleteRecursively(root.toFile)
       import s.implicits._
       topk.toSeq.map { case (g, n) =>
         (g, n, cms.estimateCount(g) >= n, cms.estimateCount(g) <= n + slack,
-          hllOk)
-      }.toDF("gram", "n", "cms_lower_ok", "cms_upper_ok", "hll_within_ok")
+          hllOk, histOk(0), histOk(1), histOk(2))
+      }.toDF("gram", "n", "cms_lower_ok", "cms_upper_ok", "hll_within_ok",
+        "p50_bracket_ok", "p90_bracket_ok", "p99_bracket_ok")
     }),
 
     // ------------------------------------------------------- image dedup
@@ -4807,7 +4829,8 @@ object SparkEntry {
     // corpus)
     "curate_stream_batch_stats" ->
       s"""SELECT gram, n, TRUE AS cms_lower_ok, TRUE AS cms_upper_ok,
-         |       TRUE AS hll_within_ok
+         |       TRUE AS hll_within_ok, TRUE AS p50_bracket_ok,
+         |       TRUE AS p90_bracket_ok, TRUE AS p99_bracket_ok
          |FROM (
          |  WITH toks2 AS (
          |    SELECT regexp_split_to_array(trim(clean_text), '\\s+') AS t

@@ -24,14 +24,17 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   *      after the audio tier (the most expensive media decode runs on
   *      the smallest surviving set; like audio, one perceptual tier
   *      subsumes byte-exact video dedup).
-  *   0d. DECONTAMINATION ([[StreamingDecontam]]) — OPTIONAL, engaged by
-  *      `decontamDir`: drop docs sharing ≥ `decontamMinHits` distinct
-  *      word n-grams with the registered benchmark/eval sets. FIRST
-  *      among the text tiers: eval text can never be trained on, so no
-  *      dedup work should be spent on it — and a contaminated doc must
-  *      never become a cluster's kept representative and shadow its
-  *      clean near-dups. A read-only registry: training batches never
-  *      advance it (pure idempotent filter, no crash ordering).
+  *   (before everything) DECONTAMINATION ([[StreamingDecontam]]) —
+  *      OPTIONAL, engaged by `decontamDir`: drop docs sharing
+  *      ≥ `decontamMinHits` distinct normalized word n-grams with the
+  *      registered benchmark/eval sets. FIRST overall, ahead even of
+  *      the media tiers (r13 ADVICE): it needs only `textCol`, and a
+  *      contaminated doc must neither pay the media decodes (the most
+  *      expensive work in the chain) nor become a media cluster's kept
+  *      representative whose fingerprints enter the persistent media
+  *      catalogs — that would permanently suppress future CLEAN docs
+  *      carrying the same media. A read-only registry: training batches
+  *      never advance it (pure idempotent filter, no crash ordering).
   *   1. EXACT ([[ExactCatalog]]): drop literal copies of anything the
   *      corpus has seen; in-batch copies keep the lowest id. Cheapest
   *      tier first — every doc it drops never pays MinHash or window
@@ -63,9 +66,10 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   * docs that survived both filter tiers.
   *
   * An OPTIONAL statistics surface (`statsDir`) folds the curated
-  * output's word n-grams into the persistent CMS + HLL accumulators
-  * after everything else — see the note at the fold site for the
-  * at-most-once stats contract.
+  * output's word n-grams into the persistent CMS + HLL accumulators and
+  * its doc lengths into the deterministic log-binned histogram
+  * ([[StreamingHistogram]] — the quantile leg) after everything else —
+  * see the note at the fold site for the at-most-once stats contract.
   *
   * Crash contract — the reason this is one operator and not three
   * chained `foreachBatch` writers: each tier appends AFTER its deliver
@@ -161,11 +165,12 @@ object StreamingCurate {
           "needs its persistent catalog pair root")
     }
     // multi-consumer chains read the batch more than once (the media
-    // tiers, tier 1 and the embedding re-join) — pin once so later
-    // consumers replay a checkpoint, not the upstream
+    // tiers, tier 1, the embedding re-join, and the decontam probe's
+    // gram pass + anti-join) — pin once so later consumers replay a
+    // checkpoint, not the upstream
     val src =
       if (semIndexDir.isDefined || imageCol.isDefined || audioCol.isDefined ||
-          videoCol.isDefined)
+          videoCol.isDefined || decontamDir.isDefined)
         graft.ops.Checkpoints.pin(batch)
       else batch
     // the substring rewrite, shared by every chain length
@@ -178,16 +183,12 @@ object StreamingCurate {
         retainAddedBehind = retainAddedBehind,
         retentionSweepEvery = retentionSweepEvery,
         deliver = deliver)
-    // text tiers ([decontam] → exact → near → [sem] → substr) over the
-    // media survivors (or the whole batch when the media tiers are off)
+    // text tiers (exact → near → [sem] → substr) over the media
+    // survivors (or the whole decontaminated batch when the media tiers
+    // are off)
     def textTiers(upstream: DataFrame): Unit = {
-      val textBatch = decontamDir match {
-        case None => upstream
-        case Some(dd) => StreamingDecontam.applyBatch(
-          upstream, dd, idCol, textCol, minHits = decontamMinHits)
-      }
       val _ = StreamingExactDedup.applyBatch(
-        textBatch, exactDir, idCol, textCol, numBuckets,
+        upstream, exactDir, idCol, textCol, numBuckets,
         compactAboveFiles = compactAboveFiles, added = added,
         retainAddedBehind = retainAddedBehind,
         retentionSweepEvery = retentionSweepEvery,
@@ -237,11 +238,20 @@ object StreamingCurate {
           retentionSweepEvery = retentionSweepEvery,
           deliver = audioSurvivors => videoThenText(audioSurvivors))
     }
+    // decontamination runs FIRST overall (class doc): a contaminated doc
+    // never pays a media decode and its media fingerprints never enter
+    // the persistent media catalogs. A pure lazy filter over the pinned
+    // src — single downstream consumer, so no extra pin.
+    val cleanSrc = decontamDir match {
+      case None => src
+      case Some(dd) => StreamingDecontam.applyBatch(
+        src, dd, idCol, textCol, minHits = decontamMinHits)
+    }
     imageCol match {
-      case None => audioThenText(src)
+      case None => audioThenText(cleanSrc)
       case Some(ic) =>
         val _ = StreamingImageDedup.applyBatch(
-          src, imageExactDir.get, imagePhashDir.get, idCol, ic,
+          cleanSrc, imageExactDir.get, imagePhashDir.get, idCol, ic,
           imageMaxHamming, numBuckets,
           compactAboveFiles = compactAboveFiles, added = added,
           retainAddedBehind = retainAddedBehind,
@@ -262,11 +272,19 @@ object StreamingCurate {
     // for a reporting surface; moving the fold before the appends would
     // just flip it to double-counting.
     statsDir.foreach { sd =>
+      import org.apache.spark.sql.functions.{col, length}
       val grams = StreamingSketch.wordNgramItems(
-        out.select(org.apache.spark.sql.functions.col("clean_text")),
-        "clean_text", statsNgram)
+        out.select(col("clean_text")), "clean_text", statsNgram)
       val _ = StreamingSketch.applyBatch(grams, s"$sd/cms", added)
       val _2 = StreamingDistinct.applyBatch(grams, s"$sd/hll", added)
+      // the quantile leg (r13 verdict item 3): curated doc LENGTHS fold
+      // into the deterministic log-binned histogram — length drift is
+      // the classic corpus-quality regression signal a year-long stream
+      // reports from. Same added-tag at-most-once contract as the other
+      // two accumulators.
+      val _3 = StreamingHistogram.applyBatch(
+        out.select(length(col("clean_text")).cast("long").as("len")),
+        s"$sd/hist", added)
     }
     out
   }

@@ -289,6 +289,42 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingSketch.read(spark, s"$sd/cms").get.totalCount() ==
       all.size.toLong)
     assert(StreamingDistinct.estimate(spark, s"$sd/hll") == est)
+    // the quantile leg: every delivered doc's length folded, replay
+    // included nothing, and the median bracket contains the true median
+    val nDocs = rows(out1).size + rows(out2).size
+    assert(StreamingHistogram.totalCount(spark, s"$sd/hist") == nDocs.toLong)
+    val lens = (rows(out1) ++ rows(out2)).map(_._4.length).sorted
+    val median = lens(math.ceil(0.5 * nDocs).toInt - 1).toDouble
+    val (lo, hi) = StreamingHistogram.quantileBracket(spark, s"$sd/hist", 0.5).get
+    assert(lo <= median && median < hi, s"median $median outside [$lo, $hi)")
+  }
+
+  test("decontamination runs BEFORE the media tiers: contaminated media never enters the catalogs") {
+    import graft.functions.ImageFixtures
+    val (e, n, s) = dirs("dcimg")
+    val tmp = Files.createTempDirectory("graft-curate-dcimg").toString
+    val reg = s"$tmp/reg"
+    StreamingDecontam.register(
+      Seq(900L -> "the secret benchmark answer is forty two exactly")
+        .toDF("doc_id", "text"), reg, "text")
+    def img(seed: Long) = ImageFixtures.syntheticPng(seed, 0)
+    // doc 20 is contaminated AND carries image 20; doc 21 is clean with
+    // the SAME image. If decontam ran after the image tiers, doc 20
+    // would enter the image catalogs and permanently suppress doc 21.
+    val batch = Seq(
+      (20L, "students leaked the benchmark answer is printed in books", img(20)),
+      (21L, "a perfectly clean training document about the weather today", img(20)))
+      .toDF("doc_id", "text", "img")
+    val out = rows(StreamingCurate.applyBatch(batch,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W,
+        decontamDir = Some(reg), imageCol = Some("img"),
+        imageExactDir = Some(s"$tmp/ie"), imagePhashDir = Some(s"$tmp/ip")),
+      added = 0L))
+    assert(out.map(_._1).toSet == Set(21L),
+      s"contaminated doc must drop, clean same-image doc must survive; got ${out.map(_._1)}")
+    // exactly ONE image entered the exact image catalog (doc 21's)
+    assert(ExactCatalog.read(spark, s"$tmp/ie",
+      graft.dedup.ImageCatalog.KindExact).count() == 1)
   }
 
   test("optional decontamination tier: eval-overlapping docs drop FIRST, the registry never advances") {
