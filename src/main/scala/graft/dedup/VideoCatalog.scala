@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * catalog family ([[ImageCatalog]] images, [[AudioDedup]] audio). A
   * video's fingerprint is its evenly-sampled frame-hash SEQUENCE, so
   * unlike the scalar-hash catalogs the confirm needs the whole array —
-  * the catalog is therefore TWO tiers under one root, BOTH delegating
+  * the catalog is therefore THREE tiers under one root, ALL delegating
   * every layout concern to [[ExactCatalog]] (the `(fp, h2)` row shape
   * buys meta/kind discipline, bucket pruning, key/range pushdown,
   * retention, per-bucket compaction, rebucket growth and the
@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   *    array). Near-dup videos have near-dup first frames, so the image
   *    tier's pigeonhole guarantee carries over: Hamming ≤ 3 on the first
   *    frame ⇒ a shared quarter ⇒ the candidate is generated.
-  *  - **signature tier** (`<root>/sig`, kind `video_sig_f{n}`): one row
-  *    per (video, sampled frame k) — `fp = (vid << 6) | k` (k < n ≤ 64,
-  *    the kernel's own bound; a bitwise encoding because ANSI mode
+  *  - **signature tier** (`<root>/sig`, kind `video_sig_f{n}_v2`): one
+  *    row per (video, sampled frame k) — `fp = (vid << 6) | k` (k < n ≤
+  *    64, the kernel's own bound; a bitwise encoding because ANSI mode
   *    rejects the wrapping multiply a `vid*n + k` packing would need),
   *    `h2 = the frame-k pHash`. The k-indexed fp encoding is what lets
   *    an array-valued signature live in the scalar catalog layout: the
@@ -32,11 +32,26 @@ import org.apache.spark.sql.functions._
   *    stays bucket-pruned and key-pushed like every delegated probe, and
   *    the array is reassembled by sorting the returned `(k, hash)`
   *    pairs. Distinct `(vid, k)` pairs map to distinct fps, so rows
-  *    never collide across frames; a vid
-  *    collision between two distinct videos (~2⁻⁶⁴ per pair, the
-  *    [[SubstrCatalog]] tolerance class) interleaves their rows at the
-  *    same positions — the contiguity guard below drops such a candidate
-  *    rather than confirm against a chimera array.
+  *    never collide across frames. The `vid << 6` shift discards vid's
+  *    top 6 bits, so the sig tier's effective id space is 58 BITS, not
+  *    64: two distinct videos collide on their packed prefix with
+  *    ~2⁻⁵⁸ probability per pair (honest statement — a re-hash could
+  *    not widen it, since 64 fp bits minus 6 k bits is 58 either way),
+  *    one tolerance class looser than the [[SubstrCatalog]] 2⁻⁶⁴ rows.
+  *    A collision interleaves two videos' rows at the same positions —
+  *    the completeness guard below drops such a candidate (duplicate k
+  *    values can never read as `0..m-1` with one hash each) rather than
+  *    confirm against a chimera array, so the cost is a ~2⁻⁵⁸ missed
+  *    dedup, never a false drop.
+  *  - **count tier** (`<root>/cnt`, kind `video_cnt_f{n}_v2`): one row
+  *    per video — `fp = vid`, `h2 = m`, the video's DECODABLE sampled
+  *    frame count (`size(fhs)`, ≤ n for short videos). This is what
+  *    makes the completeness guard exact: reassembled pairs must number
+  *    exactly the recorded m, so a PREFIX left by a partial sig append
+  *    can never be confirmed against a legitimately short batch video
+  *    (the r13 ADVICE hole — the contiguity check alone accepts any
+  *    contiguous prefix, and [[VideoDedup.alignedMaxHamming]]'s length
+  *    check fails open when the batch video really has m frames).
   *
   * The sampled frame count `n` is a layout property exactly like the
   * bucket count (arrays sampled at a different n are a different
@@ -50,19 +65,26 @@ import org.apache.spark.sql.functions._
   * [[AudioDedup]] precedent.
   *
   * Crash/replay contract (deliver-before-append, as everywhere in the
-  * family): survivors are delivered before any append; sig rows land
-  * before blocking rows, so a crash between the two leaves candidates
-  * that are never generated (blocking row absent) — the replayed batch
-  * re-appends identical rows, which are harmless duplicates that
-  * collapse at the next compaction. A partial sig append (some k rows
-  * missing) reconstructs a non-contiguous pair set the guard drops, so
-  * the replay re-delivers and re-appends — suppression only ever happens
-  * against a COMPLETE catalog signature.
+  * family): survivors are delivered before any append; cnt and sig rows
+  * land before blocking rows, so a crash before the block append leaves
+  * candidates that are never generated (blocking row absent) — the
+  * replayed batch re-appends identical rows, which are harmless
+  * duplicates that collapse at the next compaction. A partial sig
+  * append (some k rows missing, including a contiguous PREFIX)
+  * reconstructs a pair set whose size differs from the count tier's
+  * recorded m, so the guard drops it and the replay re-delivers and
+  * re-appends — suppression only ever happens against a COMPLETE
+  * catalog signature, now including the prefix-vs-short-batch-video
+  * case the contiguity check alone could not see.
   */
 object VideoCatalog {
 
   val BlockKindPrefix = "video_block_q16_f"
   val SigKindPrefix = "video_sig_f"
+  val CntKindPrefix = "video_cnt_f"
+  /** v2 = the three-tier layout (count tier added); v1 two-tier roots
+    * refuse loudly through the kind machinery. */
+  val KindSuffix = "_v2"
 
   /** The SIG probe's own IN-pushdown cap, below the family default: its
     * key set is candidates × n — it grows with CATALOG density times
@@ -76,17 +98,20 @@ object VideoCatalog {
     * steady-state at real batch sizes anyway. */
   val SigProbeMaxPushdownKeys = 1024
 
-  def blockKind(n: Int): String = s"$BlockKindPrefix$n"
-  def sigKind(n: Int): String = s"$SigKindPrefix$n"
+  def blockKind(n: Int): String = s"$BlockKindPrefix$n$KindSuffix"
+  def sigKind(n: Int): String = s"$SigKindPrefix$n$KindSuffix"
+  def cntKind(n: Int): String = s"$CntKindPrefix$n$KindSuffix"
   def blockDir(root: String): String = s"$root/block"
   def sigDir(root: String): String = s"$root/sig"
+  def cntDir(root: String): String = s"$root/cnt"
 
   /** The catalog's recorded sampled-frame count (None: no catalog, or
     * not a video catalog). Regex-parsed like [[SubstrCatalog.metaW]]: a
     * malformed or overflowing suffix falls through to the kind
     * machinery's loud universe-mismatch refusal. */
   private val BlockKindRe =
-    (java.util.regex.Pattern.quote(BlockKindPrefix) + """(\d+)""").r
+    (java.util.regex.Pattern.quote(BlockKindPrefix) + """(\d+)""" +
+      java.util.regex.Pattern.quote(KindSuffix)).r
   def metaFrames(spark: SparkSession, root: String): Option[Int] =
     ExactCatalog.readMetaKind(spark, blockDir(root)).collect {
       case BlockKindRe(n) => n
@@ -124,15 +149,30 @@ object VideoCatalog {
         .as("fp"), col("vid").as("h2"))
       .distinct()
 
-  /** Append a hashed `(id, fhs, vid)` frame's entries to both tiers —
-    * sig first (see class doc crash ordering). Layout parameters are
-    * CREATE-TIME defaults; an existing catalog's meta is authoritative. */
+  /** Count-tier entries: one `(fp = vid, h2 = decodable frame count)`
+    * row per video. Two rows with the same vid always carry the same
+    * count (vid IS the hash of the frame array), so replays collapse at
+    * compaction like every other tier. */
+  def cntEntriesOf(hashed: DataFrame): DataFrame =
+    hashed.filter(col("fhs").isNotNull)
+      .select(col("vid").as("fp"), size(col("fhs")).cast("long").as("h2"))
+      .distinct()
+
+  /** Append a hashed `(id, fhs, vid)` frame's entries to all three
+    * tiers — cnt first, sig second, block LAST (see class doc crash
+    * ordering: the block row is what makes a video a candidate, so a
+    * crash mid-append leaves candidates that are never generated, and
+    * the completeness guard covers every other partial state). Layout
+    * parameters are CREATE-TIME defaults; an existing catalog's meta is
+    * authoritative. */
   def append(hashed: DataFrame, root: String, n: Int,
       numBuckets: Int = ExactCatalog.DefaultBuckets, added: Long = 0L): Unit = {
     val spark = hashed.sparkSession
     val effN = metaFrames(spark, root).getOrElse(n)
     val buckets = ExactCatalog.readMeta(spark, blockDir(root))
       .getOrElse(numBuckets)
+    ExactCatalog.append(cntEntriesOf(hashed), cntDir(root),
+      buckets, added, kind = cntKind(effN))
     ExactCatalog.append(sigEntriesOf(hashed, effN), sigDir(root),
       buckets, added, kind = sigKind(effN))
     ExactCatalog.append(blockEntriesOf(hashed), blockDir(root),
@@ -202,18 +242,30 @@ object VideoCatalog {
       spark, sigDir(root), candFps.select(col("fp")),
       math.min(maxPushdownKeys, SigProbeMaxPushdownKeys),
       kind = sigKind(effN))
+    // ... joined with the count tier so the guard knows each candidate's
+    // RECORDED frame count (pruned read keyed by the candidate vids)
+    val cntCat = ExactCatalog.readForBatch(
+      spark, cntDir(root), cands.select(col("cvid").as("fp")).distinct(),
+      maxPushdownKeys, kind = cntKind(effN))
     val catArrays = candFps
       .join(sigCat.select(col("fp"), col("h2").as("fh")), Seq("fp"))
       .select(col("cvid"), col("k"), col("fh")).distinct()
       .groupBy(col("cvid"))
       .agg(array_sort(collect_list(struct(col("k"), col("fh")))).as("pairs"))
-      // contiguity guard: k must be exactly 0..m-1 with one hash each —
-      // a partial append (or a ~2^-64 vid collision interleaving two
-      // videos) fails it and the candidate is dropped, never confirmed
-      .filter(forall(
-        zip_with(col("pairs"), sequence(lit(0), size(col("pairs")) - 1),
-          (p, i) => p.getField("k") === i),
-        b => b))
+      // completeness guard: the reassembled pairs must be exactly
+      // k = 0..m-1 with one hash each, AND number exactly the count
+      // tier's recorded m (inner join: no cnt row — e.g. a v1-era or
+      // mid-crash state — means no confirm). A partial sig append, a
+      // ~2^-58 packed-id collision interleaving two videos, or a PREFIX
+      // of a longer video probed by a legitimately short batch video
+      // all fail it and the candidate is dropped, never confirmed.
+      .join(cntCat.select(col("fp").as("cvid"), col("h2").as("m"))
+        .distinct(), Seq("cvid"))
+      .filter(size(col("pairs")).cast("long") === col("m") &&
+        forall(
+          zip_with(col("pairs"), sequence(lit(0), size(col("pairs")) - 1),
+            (p, i) => p.getField("k") === i),
+          b => b))
       .select(col("cvid"),
         transform(col("pairs"), p => p.getField("fh")).as("cfhs"))
     val dropped = cands.join(catArrays, Seq("cvid"))
@@ -248,34 +300,40 @@ object VideoCatalog {
   def bucketFileCounts(spark: SparkSession, root: String): Map[Int, Int] = {
     val b = ExactCatalog.bucketFileCounts(spark, blockDir(root))
     val s = ExactCatalog.bucketFileCounts(spark, sigDir(root))
-    (b.keySet ++ s.keySet).map(k =>
-      k -> math.max(b.getOrElse(k, 0), s.getOrElse(k, 0))).toMap
+    val c = ExactCatalog.bucketFileCounts(spark, cntDir(root))
+    (b.keySet ++ s.keySet ++ c.keySet).map(k =>
+      k -> math.max(math.max(b.getOrElse(k, 0), s.getOrElse(k, 0)),
+        c.getOrElse(k, 0))).toMap
   }
 
   def compact(
       spark: SparkSession, root: String,
       retainAddedFrom: Option[Long] = None,
       buckets: Option[Seq[Int]] = None): Unit = {
+    ExactCatalog.compact(spark, cntDir(root), retainAddedFrom, buckets)
     ExactCatalog.compact(spark, sigDir(root), retainAddedFrom, buckets)
     ExactCatalog.compact(spark, blockDir(root), retainAddedFrom, buckets)
   }
 
-  /** Re-shard BOTH tiers into `toRoot` under a new bucket count. Sig
-    * first, block last: [[isCommitted]] requires both metas, and the
-    * block tier's meta doubles as the pair's commit marker — a crash
-    * between the two leaves an uncommitted version every resolve skips. */
+  /** Re-shard ALL tiers into `toRoot` under a new bucket count. Cnt and
+    * sig first, block last: [[isCommitted]] requires all three metas,
+    * and the block tier's meta doubles as the trio's commit marker — a
+    * crash between them leaves an uncommitted version every resolve
+    * skips. */
   def rebucket(
       spark: SparkSession, fromRoot: String, toRoot: String,
       newBuckets: Int): Unit = {
+    ExactCatalog.rebucket(spark, cntDir(fromRoot), cntDir(toRoot), newBuckets)
     ExactCatalog.rebucket(spark, sigDir(fromRoot), sigDir(toRoot), newBuckets)
     ExactCatalog.rebucket(spark, blockDir(fromRoot), blockDir(toRoot),
       newBuckets)
   }
 
-  /** Committed = BOTH tiers carry meta (see [[rebucket]] ordering). */
+  /** Committed = ALL tiers carry meta (see [[rebucket]] ordering). */
   def isCommitted(spark: SparkSession, root: String): Boolean =
     ExactCatalog.readMeta(spark, blockDir(root)).isDefined &&
-      ExactCatalog.readMeta(spark, sigDir(root)).isDefined
+      ExactCatalog.readMeta(spark, sigDir(root)).isDefined &&
+      ExactCatalog.readMeta(spark, cntDir(root)).isDefined
 
   /** Growth signals from the SIG tier (n rows per video vs the block
     * tier's 4 — it is the denser and therefore binding layout); a

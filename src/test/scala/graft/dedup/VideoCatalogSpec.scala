@@ -110,6 +110,40 @@ class VideoCatalogSpec extends AnyFunSuite with SparkTestBase {
       root, "id", "vid", added = 2L).count() == 0)
   }
 
+  test("completeness guard: a sig PREFIX left by a partial append never confirms a short batch video") {
+    import spark.implicits._
+    val root = tmpDir() + "/prefix"
+    val prior = VideoCatalog.withSignature(vids(Seq(0L), _ => 1L), "id", "vid", 4)
+    // the r13 ADVICE crash window: cnt + block landed, sig rows landed
+    // only for frames k = 0..1 — a CONTIGUOUS prefix the old
+    // contiguity-only guard accepted
+    ExactCatalog.append(VideoCatalog.cntEntriesOf(prior),
+      VideoCatalog.cntDir(root), kind = VideoCatalog.cntKind(4))
+    ExactCatalog.append(
+      VideoCatalog.sigEntriesOf(prior, 4)
+        .join(prior.select(VideoCatalog.frameFp(col("vid"), lit(0)).as("fp"))
+          .unionByName(
+            prior.select(VideoCatalog.frameFp(col("vid"), lit(1)).as("fp"))),
+          Seq("fp"), "left_semi"),
+      VideoCatalog.sigDir(root), kind = VideoCatalog.sigKind(4))
+    ExactCatalog.append(VideoCatalog.blockEntriesOf(prior),
+      VideoCatalog.blockDir(root), kind = VideoCatalog.blockKind(4))
+    // a batch video with genuinely TWO frames equal to the catalog
+    // video's first two: aligned Hamming 0 against the prefix, so only
+    // the recorded count (4 != 2) can reject the confirm
+    val shortVid = Seq(
+      (100L, graft.functions.VideoFixtures.syntheticAvi(1L, 0, frames = 2)))
+      .toDF("id", "vid")
+    assert(VideoCatalog.applyBatch(shortVid, root, "id", "vid",
+      added = 1L).count() == 1,
+      "a prefix of a longer catalog video must never confirm a short batch video")
+    // and once a REAL 2-frame video is cataloged, its copy still drops
+    // (the count tier records m = 2 for it)
+    assert(VideoCatalog.applyBatch(
+      Seq((101L, graft.functions.VideoFixtures.syntheticAvi(1L, 0, frames = 2)))
+        .toDF("id", "vid"), root, "id", "vid", added = 2L).count() == 0)
+  }
+
   test("lifecycle: compaction collapses replayed appends; pair rebucket carries both kinds") {
     val root = tmpDir() + "/life"
     val hashed = VideoCatalog.withSignature(
