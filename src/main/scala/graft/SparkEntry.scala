@@ -168,6 +168,18 @@ object SparkEntry {
       when(isImgNear, lit(1)).otherwise(lit(0)))
   }
 
+  /** Planted ISO-BMFF (MP4) payload per doc for the mdat-signature tier
+    * (same −21 stride discipline): %10==7 at or past the stride → a
+    * RE-MUX of (doc_id−21)'s container — identical mdat payload bytes,
+    * different brand/box order/metadata; everything else an original
+    * with its own seeded payload. */
+  private def isMp4Remux: Column =
+    col("doc_id") % 10 === 7 && col("doc_id") >= ImgCopyStride
+  private def plantedMp4: Column =
+    GraftFunctions.syntheticMp4(
+      when(isMp4Remux, col("doc_id") - ImgCopyStride).otherwise(col("doc_id")),
+      when(isMp4Remux, lit(1)).otherwise(lit(0)))
+
   /** Planted decodable AVI payload per doc, the video mirror (same
     * stride scheme): %10==8 → whole-video re-encode (every frame
     * upscaled + brightness-shifted — new bytes and frame sizes, aligned
@@ -1343,6 +1355,60 @@ object SparkEntry {
           (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
           (col("n_small_orig_kept") === col("n_small_originals"))
             .as("small_originals_kept_ok"))
+    }),
+
+    // The MP4/MOV EXACT/RE-MUX leg (r13 verdict gap #1): the dominant
+    // real-crawl container gets byte-level media-data dedup — the
+    // mdat-signature tier drops byte copies AND re-muxes (moved moov,
+    // edited metadata, different brand — same media bytes) while
+    // honest about scope: perceptual H.264 dedup needs a codec the
+    // public JDK lacks. Contract-oracled on planted BMFF containers:
+    // the drop set is pure doc_id arithmetic, the signatures require
+    // the real box walk, and remux_bytes_differ_ok pins that every
+    // dropped re-mux differs BYTEWISE from its original (the drop is
+    // never trivial byte equality).
+    "mp4_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-mp4-q")
+      val prior = d.filter(col("doc_id") % 10 <= 6)
+        .select(col("doc_id"), plantedMp4.as("mp4"))
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.Mp4Dedup.entriesOf(prior, "mp4"), s"$root/cat",
+        kind = graft.dedup.Mp4Dedup.Kind)
+      val batch = d.filter(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 9)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 9,
+            GraftFunctions.syntheticMp4(col("doc_id") + 1000000000L, lit(0)))
+            .otherwise(plantedMp4).as("mp4"))
+      val out = graft.streaming.StreamingMp4Dedup.applyBatch(
+        batch, s"$root/cat", "doc_id", "mp4", added = 1L)
+      val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
+      val keptRemux = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
+      val keptOrig = kept.count(i => i % 10 == 7 && i < ImgCopyStride)
+      val keptFresh = kept.count(_ % 10 == 9)
+      val bytesEqual = d.filter(isMp4Remux)
+        .filter(plantedMp4 === GraftFunctions.syntheticMp4(
+          col("doc_id") - ImgCopyStride, lit(0)))
+        .count()
+      deleteRecursively(root.toFile)
+      import s.implicits._
+      batch.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(isMp4Remux, 1L).otherwise(0L)).as("n_remux"),
+        sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
+        sum(when(col("doc_id") % 10 === 7 && !isMp4Remux, 1L).otherwise(0L))
+          .as("n_small_originals"))
+        .crossJoin(Seq((
+          keptRemux == 0, keptFresh.toLong, keptOrig.toLong,
+          bytesEqual == 0L)).toDF(
+          "remux_all_dropped_ok", "n_fresh_kept", "n_small_orig_kept",
+          "remux_bytes_differ_ok"))
+        .select(col("n_batch"), col("n_remux"), col("n_fresh"),
+          col("n_small_originals"), col("remux_all_dropped_ok"),
+          (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
+          (col("n_small_orig_kept") === col("n_small_originals"))
+            .as("small_originals_kept_ok"),
+          col("remux_bytes_differ_ok"))
     }),
 
     // The AUDIO leg of the multimodal dedup tier: real RIFF/PCM sample
@@ -4796,6 +4862,18 @@ object SparkEntry {
         |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 9) AS n_fresh,
         |  TRUE AS copies_all_dropped_ok, TRUE AS neardups_all_dropped_ok,
         |  TRUE AS fresh_all_kept_ok, TRUE AS small_originals_kept_ok
+        |""".stripMargin,
+
+    "mp4_dedup_exact" ->
+      """SELECT (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 OR doc_id % 10 = 9) AS n_batch,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_remux,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 9) AS n_fresh,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id < 21) AS n_small_originals,
+        |  TRUE AS remux_all_dropped_ok, TRUE AS fresh_all_kept_ok,
+        |  TRUE AS small_originals_kept_ok, TRUE AS remux_bytes_differ_ok
         |""".stripMargin,
 
     "audio_dedup_incremental" ->

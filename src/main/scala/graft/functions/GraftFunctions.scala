@@ -160,6 +160,9 @@ object GraftFunctions {
     column(SyntheticWav(expression(seed), expression(variant)))
   def syntheticAvi(seed: Column, variant: Column): Column =
     column(SyntheticAvi(expression(seed), expression(variant)))
+  def mp4MdatSig(c: Column): Column = column(Mp4MdatSig(expression(c)))
+  def syntheticMp4(seed: Column, variant: Column): Column =
+    column(SyntheticMp4(expression(seed), expression(variant)))
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the optimizer

@@ -212,6 +212,169 @@ object Mp4Kernels {
       org.apache.spark.unsafe.types.UTF8String.fromString(brand),
       timescale.toInt, duration, nTracks)
   }
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** Two-lane signature of the CONCATENATED `mdat` payload bytes — the
+    * EXACT/RE-MUX video dedup fingerprint for ISO-BMFF (MP4/MOV)
+    * containers: a re-mux (moved `moov`, edited metadata, changed
+    * brand, inserted `free` boxes, reordered top-level boxes) rewrites
+    * everything EXCEPT the media data, so hashing only the mdat bytes
+    * sees through it, while full perceptual dedup would need an H.264
+    * decoder the public JDK does not ship (honest scope: byte-identical
+    * and re-muxed copies, not re-ENCODES — the AVI tier's pixel path
+    * covers those for the containers the JDK can decode).
+    *
+    * Returns `(sig1, sig2, mdat_bytes)`: two FNV-1a-64 lanes over the
+    * same one byte pass with independent offset bases, total length
+    * mixed in, and the second lane avalanche-finalized (murmur fmix64)
+    * — the catalog family's paired-hash discipline (a false drop needs
+    * a simultaneous two-lane collision). Null for non-BMFF payloads
+    * (no leading `ftyp`), malformed walks, or containers with no mdat
+    * bytes (header-only stubs carry no media to deduplicate). Same
+    * Long-cursor/clamp discipline as [[mp4Meta]]. */
+  def mdatSig(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 16) return null
+    val n = b.length
+    if (!tag(b, 4, "ftyp")) return null
+    val p = 0x100000001b3L // FNV-1a 64 prime, both lanes
+    var h1 = 0xcbf29ce484222325L // FNV offset basis
+    var h2 = 0x9e3779b97f4a7c15L // golden-ratio alternate basis
+    var total = 0L
+    var i = 0L
+    while (i + 8 <= n) {
+      val s = be32(b, i.toInt)
+      val raw =
+        if (s == 1L) { if (i + 16 > n) -1L else be64(b, i.toInt + 8) }
+        else if (s == 0L) n - i // to end of buffer
+        else s
+      val size = if (raw > n - i) -1L else raw
+      if (size < 8) return null
+      if (tag(b, i.toInt + 4, "mdat")) {
+        val hdr = if (s == 1L) 16L else 8L
+        var j = i + hdr
+        val end = i + size
+        while (j < end) {
+          val x = b(j.toInt) & 0xffL
+          h1 = (h1 ^ x) * p
+          h2 = (h2 ^ x) * p
+          total += 1L
+          j += 1L
+        }
+      }
+      i += size
+    }
+    if (total == 0L) return null
+    h1 = (h1 ^ total) * p
+    h2 = fmix64(h2 ^ java.lang.Long.rotateLeft(total, 32))
+    InternalRow(h1, h2, total)
+  }
+}
+
+/** `mp4_mdat_sig(binary)` → `struct<sig1 long, sig2 long,
+  * mdat_bytes long>` (null for non-BMFF / header-only payloads) — the
+  * re-mux-invariant media-data fingerprint ([[Mp4Kernels.mdatSig]]).
+  * Codegen'd scan-side expression: one byte pass per row, no
+  * allocation beyond the 3-field row. */
+case class Mp4MdatSig(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig1", LongType, nullable = false),
+    StructField("sig2", LongType, nullable = false),
+    StructField("mdat_bytes", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Mp4Kernels.mdatSig(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      InternalRow ${ev.value}Tmp = graft.functions.Mp4Kernels.mdatSig($c);
+      if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Tmp; }
+    """)
+
+  override def prettyName: String = "mp4_mdat_sig"
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4MdatSig =
+    copy(child = newChild)
+}
+
+/** Deterministic ISO-BMFF test fixtures for the mdat-signature tier:
+  * `ftyp` + `moov(mvhd, trak)` + `mdat` with an LCG payload derived
+  * from `seed`. Variant 1 is a RE-MUX of variant 0: IDENTICAL mdat
+  * payload bytes, but a different major brand, `mdat` moved before
+  * `moov`, an inserted `free` box, and different movie metadata — the
+  * exact transformation [[Mp4Kernels.mdatSig]] must see through (and
+  * [[Mp4Kernels.mp4Meta]] must report differently). */
+object Mp4Fixtures {
+
+  private def box(tag: String, body: Array[Byte]): Array[Byte] = {
+    val size = 8 + body.length
+    val out = new Array[Byte](size)
+    out(0) = ((size >> 24) & 0xff).toByte
+    out(1) = ((size >> 16) & 0xff).toByte
+    out(2) = ((size >> 8) & 0xff).toByte
+    out(3) = (size & 0xff).toByte
+    var i = 0
+    while (i < 4) { out(4 + i) = tag.charAt(i).toByte; i += 1 }
+    System.arraycopy(body, 0, out, 8, body.length)
+    out
+  }
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  def syntheticMp4(seed: Long, variant: Int,
+      payloadBytes: Int = 256): Array[Byte] = {
+    val payload = new Array[Byte](payloadBytes)
+    var x = seed
+    var i = 0
+    while (i < payloadBytes) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      payload(i) = (x >>> 33).toByte
+      i += 1
+    }
+    val brand = if (variant == 0) "isom" else "mp42"
+    val ftyp = box("ftyp", (brand + "    ")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    // mvhd v0 body: version+flags, creation, modification, timescale,
+    // duration (the fields mp4Meta reads), then a zero tail
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
+        be32(if (variant == 0) 600L else 1000L) ++
+        be32((seed & 0x7fffffffL) + variant) ++ new Array[Byte](80))
+    val moov = box("moov", mvhd ++ box("trak", Array.empty[Byte]))
+    val mdat = box("mdat", payload)
+    if (variant == 0) ftyp ++ moov ++ mdat
+    else ftyp ++ box("free", new Array[Byte](12)) ++ mdat ++ moov
+  }
+}
+
+/** `synthetic_mp4(seed, variant)` — the deterministic fixture as a
+  * column (gate plumbing only, like [[SyntheticAvi]]). */
+case class SyntheticMp4(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    Mp4Fixtures.syntheticMp4(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, v) => s"graft.functions.Mp4Fixtures.syntheticMp4($s, $v, 256)")
+  override def prettyName: String = "synthetic_mp4"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SyntheticMp4 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `mp4_meta(binary)` → `struct<major_brand string, timescale int,
