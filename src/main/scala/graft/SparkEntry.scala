@@ -2866,6 +2866,27 @@ object SparkEntry {
           graft.ops.Layout.zorderKey(
             col("user_id"), floor(col("value")).cast("long")).as("zkey"))),
 
+    // The 3-DIM Morton key (21 bits/dim — r13 verdict item 5): every
+    // key row-oracled against a 63-term DuckDB bit restatement, same
+    // discipline as zorder_key.
+    "zorder_key3" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          graft.ops.Layout.zorderKeyN(Seq(
+            col("user_id"), floor(col("value")).cast("long"),
+            col("event_id") % 1024)).as("zkey"))),
+
+    // RANK-bucketed z-key (the skew path): value ntile'd into 16
+    // equal-population buckets (ties broken by event_id — a total
+    // order, so the layout is deterministic and both engines agree),
+    // then interleaved with user_id. Row-oracled end to end.
+    "zorder_key_rank" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          graft.ops.Layout.zorderKey(
+            graft.ops.Layout.rankBucket(col("value"), col("event_id"), 16),
+            col("user_id")).as("zkey"))),
+
     // Deterministic stratified train/eval split: the content-hash gate
     // keyed per (source, bucket) — reproducible across engines and
     // partitionings, summarized as per-source split sizes.
@@ -5695,6 +5716,34 @@ object SparkEntry {
       s"""WITH c AS (
          |  SELECT event_id, user_id AS ux,
          |         CAST(floor("value") AS BIGINT) AS uy
+         |  FROM events
+         |)
+         |SELECT event_id, $terms AS zkey FROM c
+         |""".stripMargin
+    },
+
+    "zorder_key3" -> {
+      val terms = (0 until 21).map(k =>
+        s"(((ux >> $k) & 1) << ${3 * k}) | (((uy >> $k) & 1) << ${3 * k + 1})" +
+          s" | (((uz >> $k) & 1) << ${3 * k + 2})")
+        .mkString(" | ")
+      s"""WITH c AS (
+         |  SELECT event_id, user_id AS ux,
+         |         CAST(floor("value") AS BIGINT) AS uy,
+         |         event_id % 1024 AS uz
+         |  FROM events
+         |)
+         |SELECT event_id, $terms AS zkey FROM c
+         |""".stripMargin
+    },
+
+    "zorder_key_rank" -> {
+      val terms = (0 until 31).map(k =>
+        s"(((ux >> $k) & 1) << ${2 * k}) | (((uy >> $k) & 1) << ${2 * k + 1})")
+        .mkString(" | ")
+      s"""WITH c AS (
+         |  SELECT event_id, user_id AS uy,
+         |         ntile(16) OVER (ORDER BY "value", event_id) - 1 AS ux
          |  FROM events
          |)
          |SELECT event_id, $terms AS zkey FROM c

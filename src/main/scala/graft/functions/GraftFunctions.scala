@@ -92,7 +92,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => VideoFramePhashes(exprs.head, kOf(exprs(1)))),
     (FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
-      (exprs: Seq[Expression]) => InterleaveBits(exprs.head, exprs(1)))
+      (exprs: Seq[Expression]) => InterleaveBits(exprs.head, exprs(1))),
+    (FunctionIdentifier("interleave_bits_k"),
+      new ExpressionInfo(classOf[InterleaveBitsK].getName, "interleave_bits_k"),
+      (exprs: Seq[Expression]) => InterleaveBitsK(exprs))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -150,6 +153,10 @@ object GraftFunctions {
   def imagePHash(c: Column): Column = column(ImagePHash(expression(c)))
   def imageDHash(c: Column): Column = column(ImageDHash(expression(c)))
   def audioEnvelopeHash(c: Column): Column = column(AudioEnvelopeHash(expression(c)))
+  def interleaveBitsK(cols: Seq[Column]): Column =
+    column(InterleaveBitsK(cols.map(expression)))
+  def bucketByBounds(v: Column, bounds: Array[Double]): Column =
+    column(BucketByBounds(expression(v), bounds))
   def interleaveBits(a: Column, b: Column): Column =
     column(InterleaveBits(expression(a), expression(b)))
   def videoFramePhashes(c: Column, n: Int): Column =

@@ -28,10 +28,17 @@ object Layout {
     graft.functions.GraftFunctions.interleaveBits(
       a.cast("long"), b.cast("long"))
 
+  /** The k-dim Morton key (3 or 4 coordinates; widths 21/15 bits per
+    * dim — [[graft.functions.ZOrderKernels.bitsForDims]]). Two
+    * coordinates should use [[zorderKey]] (cheaper magic-mask spread). */
+  def zorderKeyN(cols: Seq[Column]): Column =
+    graft.functions.GraftFunctions.interleaveBitsK(cols.map(_.cast("long")))
+
   /** Linear bucketing of a numeric column into [0, buckets) for the
     * z-key: `floor((v - lo) / (hi - lo) * buckets)`, clamped. The
-    * SIMPLE scaler for roughly-uniform domains; skewed domains want a
-    * rank bucketing (ntile) upstream. */
+    * SIMPLE scaler for roughly-uniform domains; skewed domains want the
+    * RANK bucketing below ([[rankBucket]] exact at gate scale,
+    * [[quantileBounds]] + [[bucketByBounds]] at cluster scale). */
   def bucket31(v: Column, lo: Double, hi: Double, buckets: Int): Column = {
     require(buckets > 0 && buckets.toLong <= (1L << 31) - 1,
       s"buckets out of 31-bit range: $buckets")
@@ -42,6 +49,47 @@ object Layout {
       lit(0L)), lit(buckets.toLong - 1L))
   }
 
+  /** EXACT rank bucketing into [0, buckets): `ntile(buckets) − 1` over a
+    * global order — equal-population buckets regardless of skew, the
+    * helper the [[bucket31]] scaladoc promised. `tieBreak` must make the
+    * order total (ntile splits tie runs at bucket edges; an ambiguous
+    * order would make the layout nondeterministic). CAVEAT, stated
+    * plainly: a global window means ONE partition holds the sort — fine
+    * for gate/medium-scale layouts, wrong at 100 TB, where the
+    * [[quantileBounds]] + [[bucketByBounds]] pair below computes the
+    * same equal-population intent from a one-pass mergeable quantile
+    * sketch with no global sort. */
+  def rankBucket(v: Column, tieBreak: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    ntile(buckets).over(Window.orderBy(v, tieBreak)).cast("long") - 1L
+  }
+
+  /** Inner quantile boundaries of `colName` — `buckets − 1` values at
+    * q = i/buckets — for [[bucketByBounds]]. `exact = true` uses the
+    * exact `percentile` aggregate (memory O(distinct values) on one
+    * executor — the oracle-friendly path); `false` uses
+    * `percentile_approx` (mergeable sketch, one scan, the 100 TB path:
+    * boundary error moves a few rows between adjacent buckets, never
+    * breaks ordering). Driver-small result: buckets − 1 doubles. */
+  def quantileBounds(df: DataFrame, colName: String, buckets: Int,
+      exact: Boolean = false): Array[Double] = {
+    require(buckets > 1, s"buckets must be > 1: $buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val agg = df.selectExpr(
+      s"$fn($colName, array(${qs.mkString(", ")})) AS bs")
+      .head.getSeq[Double](0)
+    agg.toArray
+  }
+
+  /** Bucket of `v` against sorted `bounds`: the count of boundaries
+    * ≤ v (a codegen'd binary search —
+    * [[graft.functions.BucketByBounds]]), so bucket i holds
+    * `(bounds(i−1), bounds(i)]`-ish populations. NULL in → NULL out. */
+  def bucketByBounds(v: Column, bounds: Array[Double]): Column =
+    graft.functions.GraftFunctions.bucketByBounds(v.cast("double"), bounds)
+
   /** Re-layout `df` along the z-curve of `(a, b)`: one range exchange
     * on the Morton key + an in-partition sort, so every output file
     * covers a compact curve segment (tight min/max stats on BOTH
@@ -51,8 +99,17 @@ object Layout {
     * range exchange; at cluster scale pick it from the target file
     * size, not the executor count. */
   def zorderBy(df: DataFrame, a: Column, b: Column,
-      numFiles: Int = 0): DataFrame = {
-    val keyed = df.withColumn("__zkey", zorderKey(a, b))
+      numFiles: Int = 0): DataFrame =
+    zorderByKey(df, zorderKey(a, b), numFiles)
+
+  /** [[zorderBy]] for 3–4 coordinates ([[zorderKeyN]] widths). */
+  def zorderByN(df: DataFrame, cols: Seq[Column],
+      numFiles: Int = 0): DataFrame =
+    zorderByKey(df, zorderKeyN(cols), numFiles)
+
+  private def zorderByKey(df: DataFrame, key: Column,
+      numFiles: Int): DataFrame = {
+    val keyed = df.withColumn("__zkey", key)
     val ranged =
       if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__zkey"))
       else keyed.repartitionByRange(col("__zkey"))

@@ -48,6 +48,109 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       ZOrderKernels.interleave(3L, 5L))
   }
 
+  test("k-dim kernel matches the bit-by-bit reference; widths keep the key non-negative") {
+    def reference(vals: Seq[Long], dims: Int, bits: Int): Long =
+      (for (d <- 0 until dims; k <- 0 until bits)
+        yield ((vals(d) >> k) & 1L) << (k * dims + d)).reduce(_ | _)
+    var s = 98765L
+    def next(mask: Long): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33) & mask
+    }
+    for (dims <- Seq(3, 4)) {
+      val bits = ZOrderKernels.bitsForDims(dims)
+      val max = ZOrderKernels.maxCoordForDims(dims)
+      val edges = Seq(0L, 1L, max, max - 1)
+      for (_ <- 0 until 50) {
+        val vals = Array.fill(dims)(next(max))
+        assert(ZOrderKernels.interleaveK(vals, dims) ==
+          reference(vals.toSeq, dims, bits), vals.mkString(","))
+      }
+      // all-max coordinates still give a NON-NEGATIVE key (signed
+      // ordering == curve ordering, the 2-D invariant generalized)
+      assert(ZOrderKernels.interleaveK(Array.fill(dims)(max), dims) > 0L,
+        s"$dims-dim all-max key must stay positive")
+      val _ = edges
+    }
+  }
+
+  test("interleave_bits_k expression: codegen matches kernel, nulls on range") {
+    val df = Seq(
+      (1L, Some(3L), Some(5L), Some(7L)),
+      (2L, Some(-1L), Some(5L), Some(7L)),
+      (3L, Some(3L), Some(1L << 21), Some(7L)),
+      (4L, None, Some(5L), Some(7L))).toDF("id", "a", "b", "c")
+      .select(col("id"), graft.functions.GraftFunctions.interleaveBitsK(
+        Seq(col("a"), col("b"), col("c"))).as("z"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L).contains(ZOrderKernels.interleaveK(Array(3L, 5L, 7L), 3)))
+    assert(rows(2L).isEmpty && rows(3L).isEmpty && rows(4L).isEmpty)
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT interleave_bits_k(3L, 5L, 7L, 2L)").head.getLong(0)
+      == ZOrderKernels.interleaveK(Array(3L, 5L, 7L, 2L), 4))
+  }
+
+  test("rank bucketing: equal populations on a skewed domain where bucket31 collapses") {
+    // zipf-ish: 90% of mass at tiny values, a long tail to 1e6
+    val skewed = spark.range(1000L)
+      .select(col("id"), (when(col("id") % 10 =!= 0, col("id") % 9)
+        .otherwise(col("id") * col("id"))).cast("double").as("v"))
+    // linear bucketing sends ~90% of rows to bucket 0
+    val lin = skewed
+      .select(Layout.bucket31(col("v"), 0.0, 1e6, 16).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lin(0L) >= 900L, s"expected bucket31 collapse, got $lin")
+    // exact rank bucketing balances to ±1
+    val rb = skewed
+      .select(Layout.rankBucket(col("v"), col("id"), 16).as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    assert(rb.length == 16 && rb.max - rb.min <= 1L, rb.mkString(","))
+    // the scale path (bounds + binary search) agrees with the exact
+    // ranks up to boundary ties: every bucket within 2x of ideal
+    val bounds = Layout.quantileBounds(skewed, "v", 16, exact = true)
+    val bb = skewed
+      .select(Layout.bucketByBounds(col("v"), bounds).as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    assert(bb.sum == 1000L)
+    // value-based bounds cannot split a TIE RUN (equal values share a
+    // bucket by definition), so the honest balance bound is ideal
+    // population + the largest tie run — ntile's ±1 needs the total
+    // order a rank has and a value does not
+    val maxTie = skewed.groupBy("v").count()
+      .agg(max("count")).head.getLong(0)
+    assert(bb.max <= 1000L / 16L + maxTie,
+      s"no bounds bucket may exceed ideal+maxTie: ${bb.mkString(",")} (tie $maxTie)")
+    // bucketOf is the documented count-of-bounds-<=-v
+    assert(ZOrderKernels.bucketOf(0.0, Array(1.0, 2.0, 3.0)) == 0L)
+    assert(ZOrderKernels.bucketOf(2.0, Array(1.0, 2.0, 3.0)) == 2L)
+    assert(ZOrderKernels.bucketOf(9.0, Array(1.0, 2.0, 3.0)) == 3L)
+  }
+
+  test("3-dim z-layout clusters every axis: per-file spans shrink vs row-major") {
+    val grid = spark.range(16L * 16L * 16L)
+      .select((col("id") % 16).as("x"), ((col("id") / 16) % 16).as("y"),
+        (col("id") / 256).as("z"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    grid.repartitionByRange(16, col("z") * 256 + col("y") * 16 + col("x"))
+      .sortWithinPartitions(col("z") * 256 + col("y") * 16 + col("x"))
+      .write.parquet(s"$tmp/rowmajor")
+    Layout.zorderByN(grid, Seq(col("x"), col("y"), col("z")), numFiles = 16)
+      .write.parquet(s"$tmp/zorder")
+    def meanXSpan(dir: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x") + 1).as("xs"))
+        .agg(avg("xs")).head.getDouble(0)
+    assert(meanXSpan(s"$tmp/rowmajor") == 16.0)
+    assert(meanXSpan(s"$tmp/zorder") <= 10.0,
+      s"3-dim z-ordered files must cover compact x ranges, got ${meanXSpan(s"$tmp/zorder")}")
+    // layout never changes results
+    assert(spark.read.parquet(s"$tmp/zorder")
+      .filter(col("x") < 4 && col("y") < 4 && col("z") < 4).count() == 64L)
+    graft.SparkEntry.deleteRecursively(new java.io.File(tmp))
+  }
+
   test("bucket31 clamps and scales a numeric domain into the coordinate range") {
     val df = Seq(-5.0, 0.0, 49.9, 99.9, 250.0).toDF("v")
       .select(Layout.bucket31(col("v"), 0.0, 100.0, 64).as("b"))
