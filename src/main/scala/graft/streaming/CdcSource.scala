@@ -23,10 +23,13 @@ import scala.jdk.CollectionConverters._
   * reference's `peek_changes_limit` (65,536 default — `src/config.rs:146-149`)
   * via admission control, so each micro-batch is one bounded WAL peek.
   *
-  * The driver holds only the log's INDEX, never its rows: the sorted seq
-  * values (8 bytes/event — the LSN index a replication slot itself
-  * maintains) for exact maxRows admission control, and per-file seq ranges
-  * (O(files)) for partition pruning. Each micro-batch's data is read ON
+  * The driver holds only the log's INDEX, never its rows — and the index
+  * is O(FILES), not O(events) (r13 verdict item 6 retired the 8-bytes/
+  * event seq array): per-file `(count, minSeq, maxSeq)` triples answer
+  * partition pruning and almost every admission question from metadata;
+  * only when a maxRows budget actually bites does a bounded executor job
+  * scan the boundary file(s) for the exact count and the budget-th seq
+  * ([[CdcLogIndex.endOfWindow]]). Each micro-batch's data is read ON
   * EXECUTORS straight from the parquet files whose [minSeq, maxSeq] range
   * intersects the batch window, with the exact `seq > from AND seq <= to`
   * predicate applied in the partition reader. A live Postgres
@@ -88,7 +91,7 @@ private[streaming] class CdcMicroBatchStream(
   // without this the trigger degrades to one all-available batch.
   @volatile private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(index.seqs.lastOption.getOrElse(Long.MinValue))
+    availableNowTarget = Some(index.maxSeqOption.getOrElse(Long.MinValue))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(limit)
 
@@ -204,7 +207,8 @@ private[streaming] class CdcLogIndex(
   private val seqCol = options.getOrElse("seqcol", "seq")
   val seqIdx: Int = schema.fieldIndex(seqCol)
 
-  private case class FileMeta(url: String, size: Long, minSeq: Long, maxSeq: Long)
+  private case class FileMeta(url: String, size: Long, minSeq: Long,
+    maxSeq: Long, count: Long)
 
   /** Normalize a file reference (FS listing Path vs `input_file_name`'s
     * URL-encoded URI) to its decoded path component, so the two sides key
@@ -236,18 +240,20 @@ private[streaming] class CdcLogIndex(
     val df = spark.read.schema(schema)
       .option("recursiveFileLookup", "true").parquet(path)
     val ranges = df.select(col(seqCol).as("s"), input_file_name().as("f"))
-      .groupBy("f").agg(min("s").as("lo"), max("s").as("hi"))
+      .groupBy("f").agg(min("s").as("lo"), max("s").as("hi"),
+        count(lit(1)).as("n"))
       .collect()
     ranges.map { r =>
       sizes.get(pathKey(r.getString(0))) match {
-        case Some((url, size)) => FileMeta(url, size, r.getLong(1), r.getLong(2))
+        case Some((url, size)) =>
+          FileMeta(url, size, r.getLong(1), r.getLong(2), r.getLong(3))
         case None =>
           // a file appended BETWEEN the listing and the range job: stat it
           // directly rather than dropping its window (or dying) — the
           // listing and the read are not atomic on a live log
           val p = new org.apache.hadoop.fs.Path(r.getString(0))
           FileMeta(p.toUri.toString, fs.getFileStatus(p).getLen,
-            r.getLong(1), r.getLong(2))
+            r.getLong(1), r.getLong(2), r.getLong(3))
       }
     }
   }
@@ -255,45 +261,82 @@ private[streaming] class CdcLogIndex(
   @volatile private var filesRef: Array[FileMeta] = buildFiles()
   private def files: Array[FileMeta] = filesRef
 
-  /** The sorted seq index — 8 bytes/event on the driver, the same scale as
-    * the offsets a replication slot tracks. Exact-row admission control
-    * needs the values, not just ranges. */
-  private def buildSeqs(): Array[Long] = {
-    import spark.implicits._
-    spark.read.schema(schema)
-      .option("recursiveFileLookup", "true").parquet(path)
-      .select(col(seqCol)).as[Long].collect().sorted
-  }
+  /** Total indexed event count (diagnostics/specs). O(files). */
+  def totalCount: Long = files.map(_.count).sum
 
-  @volatile private var seqsRef: Array[Long] = buildSeqs()
-  def seqs: Array[Long] = seqsRef
+  /** High-watermark seq across the indexed log (None = empty log). */
+  def maxSeqOption: Option[Long] = files.map(_.maxSeq).maxOption
 
   /** Re-scan the log directory — called by the stream when a trigger
     * finds itself caught up, so files appended after stream start become
-    * visible. Cost: one recursive listing + two small metadata jobs, the
+    * visible. Cost: one recursive listing + one small metadata job, the
     * same order as FileStreamSource's per-trigger listing. */
   def refresh(): Unit = {
     filesRef = buildFiles()
-    seqsRef = buildSeqs()
   }
 
-  /** End seq of the next ≤ budget events after `from` (None = caught up). */
+  /** Exact count of events with seq > `from` inside the given files —
+    * the BOUNDARY-file offset scan (executors read only the files whose
+    * range straddles `from`; typically one). */
+  private def countAfter(urls: Seq[String], from: Long): Long =
+    spark.read.schema(schema).parquet(urls: _*)
+      .filter(col(seqCol) > from).count()
+
+  /** The k-th smallest seq > `from` across the given files — one
+    * sort+limit+max job (planned as TakeOrdered over only these files;
+    * rows never reach the driver). Caller guarantees ≥ k such events. */
+  private def kthAfter(urls: Seq[String], from: Long, k: Long): Long =
+    spark.read.schema(schema).parquet(urls: _*)
+      .select(col(seqCol).as("s")).filter(col("s") > from)
+      .orderBy(col("s"))
+      .limit(math.min(k, Int.MaxValue.toLong).toInt)
+      .agg(max(col("s"))).head.getLong(0)
+
+  /** End seq of the next ≤ budget events after `from` (None = caught
+    * up). The r13 index held every seq on the driver (8 bytes/event —
+    * O(events) heap); admission now runs off the per-file
+    * (count, min, max) index alone: whole files count from metadata,
+    * the boundary file(s) get an exact in-file count, and only when the
+    * budget actually BITES does a bounded sort+limit job find the
+    * budget-th seq — over the smallest file prefix guaranteed to
+    * contain it (overlap-closed, so interleaved file ranges stay
+    * exact). Budgets past Int.MaxValue quantize to Int.MaxValue rows —
+    * far above any peek limit. */
   def endOfWindow(from: Long, budget: Long, cap: Option[Long]): Option[Long] = {
-    var i = upperBound(from)
-    if (i >= seqs.length) return None
-    val lastIdx = math.min(i + math.min(budget, Int.MaxValue.toLong) - 1, seqs.length - 1).toInt
-    val end = cap.fold(seqs(lastIdx))(c => math.min(seqs(lastIdx), c))
-    if (end > from) Some(end) else None
-  }
-
-  /** First index with seqs(i) > target. */
-  private def upperBound(target: Long): Int = {
-    var lo = 0; var hi = seqs.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (seqs(mid) <= target) lo = mid + 1 else hi = mid
+    val cands = files.filter(_.maxSeq > from).sortBy(f => (f.minSeq, f.maxSeq))
+    if (cands.isEmpty) return None
+    val allMax = cands.map(_.maxSeq).max
+    val end = {
+      // upper bound first: boundary files counted whole — only when the
+      // budget might bite do we pay the exact boundary count
+      val upperBound = cands.map(_.count).sum
+      if (budget >= upperBound) allMax
+      else {
+        val (boundary, whole) = cands.partition(_.minSeq <= from)
+        val boundaryCount =
+          if (boundary.isEmpty) 0L
+          else countAfter(boundary.map(_.url).toSeq, from)
+        val total = boundaryCount + whole.map(_.count).sum
+        if (budget >= total) allMax
+        else {
+          // smallest minSeq-ordered file prefix holding ≥ budget events
+          // after `from`...
+          val prefix = scala.collection.mutable.ArrayBuffer.empty[FileMeta]
+          prefix ++= boundary
+          var cum = boundaryCount
+          val it = whole.iterator
+          while (cum < budget && it.hasNext) {
+            val f = it.next(); prefix += f; cum += f.count
+          }
+          // ...overlap-closed: any file starting at or below the
+          // prefix's high edge can carry values below the budget-th seq
+          val hi = prefix.map(_.maxSeq).max
+          kthAfter(cands.filter(_.minSeq <= hi).map(_.url).toSeq, from, budget)
+        }
+      }
     }
-    lo
+    val capped = cap.fold(end)(c => math.min(end, c))
+    if (capped > from) Some(capped) else None
   }
 
   /** Files whose seq range intersects (from, to] — one partition per file,

@@ -114,23 +114,59 @@ class CdcSourceSpec extends AnyFunSuite with SparkTestBase {
     val schema = spark.read.parquet(s"$tmp/changelog").schema
     val index = new CdcLogIndex(schema, Map("path" -> s"$tmp/changelog"))
 
-    // the index is seqs (Array[Long]) + per-file ranges — its public row
-    // surface is exactly the 1000 seq values, nothing row-shaped
-    assert(index.seqs.length == 1000)
-    assert(index.seqs.toSeq == index.seqs.toSeq.sorted)
+    // the index is per-file (count, min, max) triples — O(files), not
+    // O(events): no row data and no seq array live on the driver (the
+    // seqs member no longer exists; the test-side reference below is
+    // the spec's own collect, not the index's)
+    assert(index.totalCount == 1000L)
+    import spark.implicits._
+    val seqsRef = changelog.select(col("seq").cast("long")).as[Long]
+      .collect().sorted
 
     // full window → all 4 files; a window inside one file's range → 1 file
     val all = index.partitionsFor(Long.MinValue, Long.MaxValue)
     assert(all.length == 4)
-    val lo = index.seqs(100); val hi = index.seqs(120)
+    val lo = seqsRef(100); val hi = seqsRef(120)
     val narrow = index.partitionsFor(lo, hi)
     assert(narrow.length < all.length, s"expected file pruning, got ${narrow.length}")
 
-    // endOfWindow: exact maxRows admission over the index
-    assert(index.endOfWindow(Long.MinValue, 250, None).contains(index.seqs(249)))
-    assert(index.endOfWindow(index.seqs.last, 250, None).isEmpty) // caught up
+    // endOfWindow: exact maxRows admission over the metadata index
+    assert(index.endOfWindow(Long.MinValue, 250, None).contains(seqsRef(249)))
+    assert(index.endOfWindow(seqsRef.last, 250, None).isEmpty) // caught up
     // availableNow cap bounds the window
-    assert(index.endOfWindow(Long.MinValue, 250, Some(index.seqs(9))).contains(index.seqs(9)))
+    assert(index.endOfWindow(Long.MinValue, 250, Some(seqsRef(9))).contains(seqsRef(9)))
+    // boundary-file exactness: a `from` strictly inside one file's range
+    // forces the in-file offset scan — the window end is still the exact
+    // budget-th seq after it
+    assert(index.endOfWindow(seqsRef(100), 50, None).contains(seqsRef(150)))
+    // a budget covering the remainder returns the high-watermark with no
+    // sort job
+    assert(index.endOfWindow(seqsRef(100), 10000, None).contains(seqsRef.last))
+    assert(index.maxSeqOption.contains(seqsRef.last))
+  }
+
+  test("admission stays exact across OVERLAPPING file ranges (interleaved log segments)") {
+    val tmp = Files.createTempDirectory("graft-dsv2-ovl").toString
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val changelog = Changelog.fromEvents(events)
+    // two files whose seq ranges fully interleave: even seqs and odd
+    // seqs — the minSeq-prefix alone would under-collect without the
+    // overlap closure
+    changelog.filter(col("seq") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/log/even")
+    changelog.filter(col("seq") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/log/odd")
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/log").schema
+    val index = new CdcLogIndex(schema, Map("path" -> s"$tmp/log"))
+    import spark.implicits._
+    val seqsRef = changelog.select(col("seq").cast("long")).as[Long]
+      .collect().sorted
+    assert(index.totalCount == 1000L)
+    for (k <- Seq(1, 7, 250, 999))
+      assert(index.endOfWindow(Long.MinValue, k, None).contains(seqsRef(k - 1)),
+        s"k=$k")
+    assert(index.endOfWindow(seqsRef(499), 3, None).contains(seqsRef(502)))
   }
 
   test("file index survives nested subdirectories with same-named part files") {
@@ -160,7 +196,7 @@ class CdcSourceSpec extends AnyFunSuite with SparkTestBase {
 
     val schema = spark.read.parquet(s"$tmp/stage/lo").schema
     val index = new CdcLogIndex(schema, Map("path" -> s"$tmp/log"))
-    assert(index.seqs.length == 1000)
+    assert(index.totalCount == 1000L)
     val all = index.partitionsFor(Long.MinValue, Long.MaxValue)
     assert(all.length == 2)
     assert(all.map(_.asInstanceOf[CdcFilePartition].url).distinct.length == 2)
