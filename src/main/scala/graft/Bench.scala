@@ -50,7 +50,8 @@ object Bench {
     "substr_trigger_1x", "substr_trigger_10x", "curate_trigger",
     "substr_trigger_ovf_10x", "curate_trigger_sem",
     "image_trigger_1x", "image_trigger_10x",
-    "video_trigger_1x", "video_trigger_10x")
+    "video_trigger_1x", "video_trigger_10x",
+    "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
     * middles for even n (so reps=2 takes the min). Contention only ever
@@ -138,6 +139,7 @@ object Bench {
       "chunk_docs", "ppl_hist", "bpe_merges", "embed_topk_pq",
       "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch",
       "window_agg", "stratified_split", "gopher_filters", "zorder_key",
+      "zorder_key3", "zorder_key_rank", "mp4_dedup_exact",
       "html_extract", "dedup_lines", "dsir_select", "bigram_logppl",
       "dedup_cluster_resolve", "pipeline_e2e")
 
@@ -310,7 +312,8 @@ object Bench {
       "substr_trigger_1x", "substr_trigger_10x", "curate_trigger",
       "substr_trigger_ovf_10x", "curate_trigger_sem",
       "image_trigger_1x", "image_trigger_10x",
-      "video_trigger_1x", "video_trigger_10x")
+      "video_trigger_1x", "video_trigger_10x",
+      "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x")
     val catalogTimes: Seq[(String, Double)] =
       if (catalogNames.exists(want)) {
         val docsBase = Tables.read(spark, sfDir, "documents")
@@ -433,6 +436,10 @@ object Bench {
         def videoCatalogEntries(n: Long, root: String): Unit = {
           val ids = spark.range(0, n)
           graft.dedup.ExactCatalog.append(
+            ids.select(xxhash64(col("id")).as("fp"), lit(4L).as("h2")),
+            graft.dedup.VideoCatalog.cntDir(root),
+            kind = graft.dedup.VideoCatalog.cntKind(4))
+          graft.dedup.ExactCatalog.append(
             ids.select(col("id"), explode(sequence(lit(0), lit(3))).as("k"))
               .select(graft.dedup.VideoCatalog.frameFp(
                 xxhash64(col("id")), col("k")).as("fp"),
@@ -448,6 +455,16 @@ object Bench {
         }
         if (want("video_trigger_1x")) videoCatalogEntries(100000L, vid1x)
         if (want("video_trigger_10x")) videoCatalogEntries(1000000L, vid10x)
+        // mp4 mdat-signature catalogs: hash-realistic (fp, h2) mass,
+        // 1x ~100k containers, 10x ~1M
+        val mp4cat1x = s"$tmp/mp4cat1x"; val mp4cat10x = s"$tmp/mp4cat10x"
+        def mp4CatalogEntries(n: Long, dir: String): Unit =
+          graft.dedup.ExactCatalog.append(
+            spark.range(0, n).select(xxhash64(col("id")).as("fp"),
+              xxhash64(col("id"), lit(7L)).as("h2")),
+            dir, kind = graft.dedup.Mp4Dedup.Kind)
+        if (want("mp4_trigger_1x")) mp4CatalogEntries(100000L, mp4cat1x)
+        if (want("mp4_trigger_10x")) mp4CatalogEntries(1000000L, mp4cat10x)
         // a FRESH batch per rep (ids/texts outside every catalog) so
         // replayed reps do the same admit-then-append work each time
         var repC = 0
@@ -464,6 +481,13 @@ object Bench {
             (col("id") + lit(repC * 50000000L)).as("doc_id"),
             graft.functions.GraftFunctions.syntheticAvi(
               col("id") + lit(repC * 50000000L), lit(0)).as("vid"))
+        }
+        def freshMp4Batch(): org.apache.spark.sql.DataFrame = {
+          repC += 1
+          spark.range(0, 20).select(
+            (col("id") + lit(repC * 50000000L)).as("doc_id"),
+            graft.functions.GraftFunctions.syntheticMp4(
+              col("id") + lit(repC * 50000000L), lit(0)).as("mp4"))
         }
         def freshBatch(): DataFrame = {
           repC += 1
@@ -641,12 +665,45 @@ object Bench {
             val _ = graft.streaming.StreamingVideoDedup.applyBatch(
               freshVideoBatch(), vid10x, "doc_id", "vid",
               added = repC.toLong, deliver = d => force(d))
+          }),
+          // mp4 mdat-signature trigger vs catalog mass: 20 real BMFF
+          // box walks + one byte pass each, against the usual pruned
+          // single-tier probe. Flatness = O(batch), not O(catalog).
+          "mp4_trigger_1x" -> (() => {
+            val _ = graft.streaming.StreamingMp4Dedup.applyBatch(
+              freshMp4Batch(), mp4cat1x, "doc_id", "mp4",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          "mp4_trigger_10x" -> (() => {
+            val _ = graft.streaming.StreamingMp4Dedup.applyBatch(
+              freshMp4Batch(), mp4cat10x, "doc_id", "mp4",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          // curate_trigger at 10x the BATCH size (r13 verdict item 8):
+          // the composed operator has a fixed per-trigger exchange
+          // census, so docs/s must IMPROVE with batch size — this row
+          // makes the amortization claim evidence, not assertion.
+          "curate_trigger_b10x" -> (() => {
+            repC += 1
+            val filler = (1 to 24).map(j => s"t$repC$j").mkString(" ")
+            val batch = docsBase.limit(20).select(
+              (col("doc_id") + lit(repC * 50000000L)).as("doc_id"),
+              concat(
+                array_join(slice(split(col("text"), "\\s+"), 1,
+                  SparkEntry.SubstrDedupW), " "),
+                lit(s" $filler")).as("text"))
+            val _ = graft.streaming.StreamingCurate.applyBatch(
+              batch, graft.streaming.StreamingCurate.CurateConfig(
+                exact1x, near1x, substr1x,
+                "doc_id", "text", SparkEntry.SubstrDedupW),
+              added = repC.toLong, deliver = d => force(d))
           }))
         // near + substr triggers want their key IN lists actually pushed
         // (see the threshold note below); exact keeps the r9 regime
         val isNear: String => Boolean =
           n => n.startsWith("neardedup_") || n.startsWith("substr_trigger_") ||
             n == "curate_trigger" || n == "curate_trigger_sem" ||
+            n == "curate_trigger_b10x" ||
             n.startsWith("image_trigger_") || n.startsWith("video_trigger_")
             // all of the above run IN-pushed probes inside
         val out = runs.filter(r => want(r._1) && !isNear(r._1))
@@ -770,11 +827,76 @@ object Bench {
           .filter { case (n, _) => want(n) }
       } else Seq.empty
 
+    // Z-order on a SKEWED domain (r13 verdict item 5's second half):
+    // x = 2^(base/1000) over a uniform base — exponential head, so a
+    // LINEAR bucket31 at 1024 buckets sends two thirds of all rows to
+    // bucket 0 (granularity 2^20 vs a head living below it) and a
+    // dense-head box scan degenerates to y-only pruning; RANK bucketing
+    // (quantileBounds + bucketByBounds, the no-global-sort path) spreads
+    // the head across ~2/3 of the buckets at the SAME key resolution.
+    // Identical raw-column box predicate on both layouts — the contrast
+    // is purely where the curve spends its resolution.
+    val zsNames = Seq("zorder_write_skew", "zorder_scan_skew_lin",
+      "zorder_scan_skew_rank")
+    val zsTimes: Seq[(String, Double)] =
+      if (zsNames.exists(want)) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"),
+            floor(col("value")).cast("long").as("v"))
+        val n0 = math.max(ev.count(), 1L)
+        val reps = math.max(1L, 4000000L / n0)
+        val amp = spark.range(0, reps).toDF("__rep").crossJoin(ev)
+          .select(pow(lit(2.0),
+            (((col("user_id") + col("__rep") * 1500L) % 30000L)
+              .cast("double") / 1000.0)).cast("long").as("x"),
+            col("v").as("y"), col("event_id"))
+        val tmp = scratch("graft-zorder-skew")
+        val hc = spark.sparkContext.hadoopConfiguration
+        val oldBlock = hc.get("parquet.block.size")
+        val oldPage = hc.get("parquet.page.size")
+        hc.setInt("parquet.block.size", 64 * 1024)
+        hc.setInt("parquet.page.size", 16 * 1024)
+        val writeSkewT =
+          try {
+            graft.ops.Layout.zorderBy(amp,
+              graft.ops.Layout.bucket31(col("x"), 0.0, math.pow(2.0, 30.0),
+                1024), col("y"), 32)
+              .write.mode("overwrite").parquet(s"$tmp/lin")
+            timeN("zorder_write_skew") {
+              // the rank layout's cost INCLUDES its bounds job — the
+              // honest price of skew-adaptive resolution
+              val bounds = graft.ops.Layout.quantileBounds(amp, "x", 1024)
+              graft.ops.Layout.zorderBy(amp,
+                graft.ops.Layout.bucketByBounds(col("x"), bounds),
+                col("y"), 32)
+                .write.mode("overwrite").parquet(s"$tmp/rank")
+            }
+          } finally {
+            if (oldBlock == null) hc.unset("parquet.block.size")
+            else hc.set("parquet.block.size", oldBlock)
+            if (oldPage == null) hc.unset("parquet.page.size")
+            else hc.set("parquet.page.size", oldPage)
+          }
+        // dense-head box: x ∈ [128, 256) = base ∈ [7k, 8k) — 1/30 of
+        // rows by count, invisible to a 2^20-granular linear bucket
+        def boxScanSkew(dir: String): Unit =
+          force(spark.read.parquet(dir)
+            .filter(col("x") >= 128 && col("x") < 256 &&
+              col("y") >= 0 && col("y") < 50))
+        Seq(
+          "zorder_write_skew" -> writeSkewT,
+          "zorder_scan_skew_lin" ->
+            timeN("zorder_scan_skew_lin")(boxScanSkew(s"$tmp/lin")),
+          "zorder_scan_skew_rank" ->
+            timeN("zorder_scan_skew_rank")(boxScanSkew(s"$tmp/rank")))
+          .filter { case (n, _) => want(n) }
+      } else Seq.empty
+
     val metricTimes = (Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
       "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec)
-      ++ catalogTimes ++ semddTimes ++ zTimes)
+      ++ catalogTimes ++ semddTimes ++ zTimes ++ zsTimes)
       .filter { case (n, _) => want(n) }
     val all = queryTimes ++ metricTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

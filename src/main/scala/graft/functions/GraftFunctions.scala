@@ -54,6 +54,9 @@ object GraftFunctions {
     (FunctionIdentifier("mp4_meta"),
       new ExpressionInfo(classOf[Mp4Meta].getName, "mp4_meta"),
       (exprs: Seq[Expression]) => Mp4Meta(exprs.head)),
+    (FunctionIdentifier("mp4_mdat_sig"),
+      new ExpressionInfo(classOf[Mp4MdatSig].getName, "mp4_mdat_sig"),
+      (exprs: Seq[Expression]) => Mp4MdatSig(exprs.head)),
     (FunctionIdentifier("tokenize_ws"),
       new ExpressionInfo(classOf[TokenizeWs].getName, "tokenize_ws"),
       (exprs: Seq[Expression]) => TokenizeWs(exprs.head)),

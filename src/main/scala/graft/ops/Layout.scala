@@ -77,8 +77,10 @@ object Layout {
     require(buckets > 1, s"buckets must be > 1: $buckets")
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
     val fn = if (exact) "percentile" else "percentile_approx"
+    // cast to double INSIDE the aggregate: percentile_approx preserves
+    // an integral input type and would hand back longs
     val agg = df.selectExpr(
-      s"$fn($colName, array(${qs.mkString(", ")})) AS bs")
+      s"$fn(CAST($colName AS DOUBLE), array(${qs.mkString(", ")})) AS bs")
       .head.getSeq[Double](0)
     agg.toArray
   }

@@ -66,11 +66,12 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(byName.keySet == Set(
       "fingerprint64", "simhash64", "minhash_signature", "minhash_text",
       "simhash_text", "minhash_fp", "simhash_fp", "image_dims", "wav_meta",
-      "mp4_meta",
+      "mp4_meta", "mp4_mdat_sig",
       "tokenize_ws", "token_count_ws", "distinct_token_count_ws",
       "distinct_ngram_count_ws", "sum_token_chars_ws", "count_substr",
       "extract_html_text", "token_window_fps", "image_phash", "image_dhash",
-      "audio_envelope_hash", "video_frame_phashes", "interleave_bits"))
+      "audio_envelope_hash", "video_frame_phashes", "interleave_bits",
+      "interleave_bits_k"))
     assert(byName("fingerprint64")(Seq(Literal("x"))).isInstanceOf[Fingerprint64])
     val mh = byName("minhash_text")(Seq(Literal("x"), Literal(5), Literal(64)))
     assert(mh == MinHashText(Literal("x"), 5, 64))
