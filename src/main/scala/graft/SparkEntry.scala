@@ -2273,6 +2273,42 @@ object SparkEntry {
       out
     }),
 
+    // The composed pipeline WITH the MP4 exact/re-mux tier engaged:
+    // every doc carries a planted BMFF container; the -21 stride keeps a
+    // re-mux and its base in the SAME %3 class, so the catalogs (prior =
+    // %3==0) never see a batch payload — the mp4 tier's entire drop set
+    // is the IN-BATCH collapse of re-muxes onto their (min-id) bases,
+    // pure doc_id arithmetic for the oracle, while the signatures
+    // require the real box walk. The oracle re-roots the text chain at
+    // the mp4 survivors.
+    "curate_stream_batch_mp4" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        plantedMp4.as("mp4"))
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-mp4-q")
+      val tmp = root.toString
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.Mp4Dedup.entriesOf(prior, "mp4"), s"$tmp/mp4",
+        kind = graft.dedup.Mp4Dedup.Kind)
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0),
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          mp4Col = Some("mp4"), mp4Dir = Some(s"$tmp/mp4")), added = 1L)
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
     // DSIR importance resampling (Dsir): target = every 10th doc (the
     // "trusted" split), raw = the rest. The dense 10k-bucket log-ratio
     // table and the top-200 most-target-like docs are both stated
@@ -4951,6 +4987,12 @@ object SparkEntry {
         "AND NOT (doc_id % 10 = 8 AND doc_id >= 42) " +
         "AND NOT (doc_id % 10 = 9 AND doc_id >= 63) " +
         "AND NOT (doc_id % 10 = 5 AND doc_id >= 84)"),
+
+    // ... and the mp4 exact/re-mux tier: the -21 stride keeps re-mux
+    // and base in one %3 class, so the tier's whole drop set is the
+    // in-batch collapse of re-muxes onto their min-id bases.
+    "curate_stream_batch_mp4" -> curateStreamOracleSql(
+      "AND NOT (doc_id % 10 = 7 AND doc_id >= 21)"),
 
     "dedup_cluster_resolve" ->
       """WITH RECURSIVE e AS (

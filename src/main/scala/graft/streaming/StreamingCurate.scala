@@ -24,6 +24,12 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   *      after the audio tier (the most expensive media decode runs on
   *      the smallest surviving set; like audio, one perceptual tier
   *      subsumes byte-exact video dedup).
+  *   0d. MP4 EXACT/RE-MUX ([[graft.dedup.Mp4Dedup]] via
+  *      [[StreamingMp4Dedup]]) — OPTIONAL, engaged by `mp4Col`: the
+  *      mdat-payload-signature tier for ISO-BMFF containers, LAST among
+  *      the media tiers — its byte pass is the cheapest media decode,
+  *      but it only catches byte-level copies, so the perceptual tiers
+  *      get first claim on cluster representatives.
   *   (before everything) DECONTAMINATION ([[StreamingDecontam]]) —
   *      OPTIONAL, engaged by `decontamDir`: drop docs sharing
   *      ≥ `decontamMinHits` distinct normalized word n-grams with the
@@ -117,10 +123,16 @@ object StreamingCurate {
       videoCol: Option[String] = None,
       videoDir: Option[String] = None,
       videoMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
+      mp4Col: Option[String] = None,
+      mp4Dir: Option[String] = None,
       statsDir: Option[String] = None,
       statsNgram: Int = 3,
       decontamDir: Option[String] = None,
-      decontamMinHits: Long = 1L)
+      decontamDirs: Seq[String] = Nil,
+      decontamMinHits: Long = 1L) {
+    /** All configured decontam registries (single + multi forms). */
+    def allDecontamDirs: Seq[String] = decontamDir.toSeq ++ decontamDirs
+  }
 
   /** One micro-batch through all tiers (pure enough to unit-test
     * without the engine). */
@@ -164,13 +176,21 @@ object StreamingCurate {
         "videoCol is configured but videoDir is not — the video tier " +
           "needs its persistent catalog pair root")
     }
+    mp4Col.foreach { mc =>
+      require(batch.columns.contains(mc),
+        s"mp4Col is configured but the batch has no '$mc' column " +
+          s"(batch columns: ${batch.columns.mkString(", ")})")
+      require(mp4Dir.isDefined,
+        "mp4Col is configured but mp4Dir is not — the mp4 tier needs " +
+          "its persistent mdat-signature catalog")
+    }
     // multi-consumer chains read the batch more than once (the media
     // tiers, tier 1, the embedding re-join, and the decontam probe's
     // gram pass + anti-join) — pin once so later consumers replay a
     // checkpoint, not the upstream
     val src =
       if (semIndexDir.isDefined || imageCol.isDefined || audioCol.isDefined ||
-          videoCol.isDefined || decontamDir.isDefined)
+          videoCol.isDefined || mp4Col.isDefined || allDecontamDirs.nonEmpty)
         graft.ops.Checkpoints.pin(batch)
       else batch
     // the substring rewrite, shared by every chain length
@@ -211,11 +231,26 @@ object StreamingCurate {
             })
         })
     }
-    // the video tier (when engaged) sits between the audio tier and the
-    // text tiers, nested in the same deliver chain so its appends also
-    // land after the final delivery
-    def videoThenText(upstream: DataFrame): Unit = videoCol match {
+    // the mp4 exact/re-mux tier (when engaged) runs LAST among the
+    // media tiers — its mdat byte pass is the cheapest media decode, but
+    // it only catches byte-level copies, so the perceptual tiers get
+    // first claim on cluster representatives; nested in the same deliver
+    // chain so its append also lands after the final delivery
+    def mp4ThenText(upstream: DataFrame): Unit = mp4Col match {
       case None => textTiers(upstream)
+      case Some(mc) =>
+        val _ = StreamingMp4Dedup.applyBatch(
+          upstream, mp4Dir.get, idCol, mc, numBuckets,
+          compactAboveFiles = compactAboveFiles, added = added,
+          retainAddedBehind = retainAddedBehind,
+          retentionSweepEvery = retentionSweepEvery,
+          deliver = mp4Survivors => textTiers(mp4Survivors))
+    }
+    // the video tier (when engaged) sits between the audio tier and the
+    // mp4/text tiers, nested in the same deliver chain so its appends
+    // also land after the final delivery
+    def videoThenText(upstream: DataFrame): Unit = videoCol match {
+      case None => mp4ThenText(upstream)
       case Some(vc) =>
         val _ = StreamingVideoDedup.applyBatch(
           upstream, videoDir.get, idCol, vc,
@@ -223,7 +258,7 @@ object StreamingCurate {
           compactAboveFiles = compactAboveFiles, added = added,
           retainAddedBehind = retainAddedBehind,
           retentionSweepEvery = retentionSweepEvery,
-          deliver = videoSurvivors => textTiers(videoSurvivors))
+          deliver = videoSurvivors => mp4ThenText(videoSurvivors))
     }
     // the audio tier (when engaged) sits between the image tiers and
     // the video/text tiers, nested in the same deliver chain so its
@@ -242,11 +277,10 @@ object StreamingCurate {
     // never pays a media decode and its media fingerprints never enter
     // the persistent media catalogs. A pure lazy filter over the pinned
     // src — single downstream consumer, so no extra pin.
-    val cleanSrc = decontamDir match {
-      case None => src
-      case Some(dd) => StreamingDecontam.applyBatch(
-        src, dd, idCol, textCol, minHits = decontamMinHits)
-    }
+    val cleanSrc =
+      if (allDecontamDirs.isEmpty) src
+      else StreamingDecontam.applyBatchMulti(
+        src, allDecontamDirs, idCol, textCol, minHits = decontamMinHits)
     imageCol match {
       case None => audioThenText(cleanSrc)
       case Some(ic) =>

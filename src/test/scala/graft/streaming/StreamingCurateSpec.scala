@@ -356,6 +356,65 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(ExactCatalog.read(spark, e).filter(col("fp") === fp20).count() == 0)
   }
 
+  test("optional mp4 tier: a re-muxed container drops after the perceptual media tiers") {
+    import graft.functions.Mp4Fixtures
+    val (e, n, s) = dirs("mp4")
+    val tmp = Files.createTempDirectory("graft-curate-mp4cat").toString
+    def mp4(seed: Long, v: Int = 0) = Mp4Fixtures.syntheticMp4(seed, v)
+    val d1 = Seq((1L, b1.head._2, mp4(1)), (2L, b1(1)._2, mp4(2)))
+      .toDF("doc_id", "text", "mp4")
+    val cfg = StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W,
+      mp4Col = Some("mp4"), mp4Dir = Some(s"$tmp/mc"))
+    val _ = StreamingCurate.applyBatch(d1, cfg, added = 0L)
+    // 90 = fresh text but a RE-MUX of doc 1's container (only the mp4
+    // tier can drop it); 91 = fresh on both axes
+    val d2 = Seq(
+      (90L, "totally new text that only the mdat signature could reject", mp4(1, 1)),
+      (91L, "a genuinely novel document with genuinely novel media", mp4(91)))
+      .toDF("doc_id", "text", "mp4")
+    val out = rows(StreamingCurate.applyBatch(d2, cfg, added = 1L))
+    assert(out.map(_._1).toSet == Set(91L),
+      s"mp4 tier must drop 90, got ${out.map(_._1)}")
+    // crash contract covers the mp4 catalog too
+    val before = ExactCatalog.read(spark, s"$tmp/mc",
+      graft.dedup.Mp4Dedup.Kind).count()
+    val _2 = intercept[RuntimeException] {
+      StreamingCurate.applyBatch(
+        Seq((95L, "another fresh doc", mp4(95))).toDF("doc_id", "text", "mp4"),
+        cfg, added = 2L, deliver = _ => throw new RuntimeException("down"))
+    }
+    assert(ExactCatalog.read(spark, s"$tmp/mc",
+      graft.dedup.Mp4Dedup.Kind).count() == before)
+    // misconfiguration fails loudly
+    val boom = intercept[IllegalArgumentException] {
+      StreamingCurate.applyBatch(d2,
+        StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W,
+          mp4Col = Some("mp4")))
+    }
+    assert(boom.getMessage.contains("mp4Dir"))
+  }
+
+  test("multiple decontam registries through the config probe in one pass") {
+    val (e, n, s) = dirs("dcmulti")
+    val tmp = Files.createTempDirectory("graft-curate-dcm").toString
+    StreamingDecontam.register(
+      Seq(900L -> "the secret benchmark answer is forty two exactly")
+        .toDF("doc_id", "text"), s"$tmp/r1", "text")
+    StreamingDecontam.register(
+      Seq(901L -> "rivers flow downhill to the sea at last")
+        .toDF("doc_id", "text"), s"$tmp/r2", "text", n = 4)
+    val batch = Seq(
+      20L -> "students leaked the benchmark answer is printed in books", // r1
+      21L -> "all rivers flow downhill to the sea at last tonight",      // r2
+      22L -> "a perfectly clean training document about the weather")
+      .toDF("doc_id", "text")
+    val out = rows(StreamingCurate.applyBatch(batch,
+      StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W,
+        decontamDirs = Seq(s"$tmp/r1", s"$tmp/r2")), added = 0L))
+    assert(out.map(_._1).toSet == Set(22L),
+      s"both registries must filter, got ${out.map(_._1)}")
+  }
+
   test("crash contract: a failed final delivery advances NO catalog") {
     val (e, n, s) = dirs("crash")
     val _ = StreamingCurate.applyBatch(b1.toDF("doc_id", "text"),
