@@ -38,6 +38,73 @@ class Mp4DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Mp4Kernels.mdatSig(headerOnly) == null)
   }
 
+  test("mdat signature: re-mux invariance under RANDOM box layouts (property)") {
+    import org.scalacheck.{Gen, Prop}
+    // a generic re-muxer: same mdat payload, randomized metadata boxes
+    // (free/skip/udta with random sizes), randomized placement of mdat
+    // among them, random brand — everything a real remux tool touches
+    def box(tag: String, body: Array[Byte]): Array[Byte] = {
+      val size = 8 + body.length
+      Array[Byte](((size >> 24) & 0xff).toByte, ((size >> 16) & 0xff).toByte,
+        ((size >> 8) & 0xff).toByte, (size & 0xff).toByte) ++
+        tag.getBytes("US-ASCII") ++ body
+    }
+    val junkBox: Gen[Array[Byte]] = for {
+      tag <- Gen.oneOf("free", "skip", "udta")
+      n <- Gen.choose(0, 40)
+      bytes <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield box(tag, bytes.toArray)
+    val gen = for {
+      payloadLen <- Gen.choose(1, 512)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+      brand <- Gen.oneOf("isom", "mp42", "qt  ")
+      pre <- Gen.listOf(junkBox).map(_.take(3))
+      post <- Gen.listOf(junkBox).map(_.take(3))
+    } yield (payloadLen, seed, brand, pre, post)
+    graft.PropCheck.check(Prop.forAll(gen) {
+      case (payloadLen, seed, brand, pre, post) =>
+        val payload = new Array[Byte](payloadLen)
+        var x = seed
+        var i = 0
+        while (i < payloadLen) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          payload(i) = (x >>> 33).toByte; i += 1
+        }
+        val ftyp = box("ftyp", (brand + "    ").getBytes("US-ASCII"))
+        val mdat = box("mdat", payload)
+        val mux1 = ftyp ++ pre.foldLeft(Array.empty[Byte])(_ ++ _) ++ mdat ++
+          post.foldLeft(Array.empty[Byte])(_ ++ _)
+        val mux2 = ftyp ++ post.foldLeft(Array.empty[Byte])(_ ++ _) ++
+          pre.foldLeft(Array.empty[Byte])(_ ++ _) ++ mdat
+        val s1 = Mp4Kernels.mdatSig(mux1)
+        val s2 = Mp4Kernels.mdatSig(mux2)
+        // invariant across muxes; sensitive to a single flipped payload byte
+        val flipped = mdat.clone()
+        flipped(8 + payloadLen / 2) = (flipped(8 + payloadLen / 2) ^ 1).toByte
+        val s3 = Mp4Kernels.mdatSig(ftyp ++ flipped)
+        s1 != null && s1 == s2 && s1 != s3 &&
+          s1.getLong(2) == payloadLen.toLong
+    })
+  }
+
+  test("mdat signature: split mdat boxes hash as the CONCATENATED payload") {
+    // a fragmented container (two mdat boxes) must sign like the single-
+    // mdat container carrying the same total payload — the class doc's
+    // concatenation contract
+    def box(tag: String, body: Array[Byte]): Array[Byte] = {
+      val size = 8 + body.length
+      Array[Byte](((size >> 24) & 0xff).toByte, ((size >> 16) & 0xff).toByte,
+        ((size >> 8) & 0xff).toByte, (size & 0xff).toByte) ++
+        tag.getBytes("US-ASCII") ++ body
+    }
+    val payload = (0 until 100).map(_.toByte).toArray
+    val ftyp = box("ftyp", "isom    ".getBytes("US-ASCII"))
+    val whole = ftyp ++ box("mdat", payload)
+    val split = ftyp ++ box("mdat", payload.take(37)) ++
+      box("free", new Array[Byte](5)) ++ box("mdat", payload.drop(37))
+    assert(Mp4Kernels.mdatSig(whole) == Mp4Kernels.mdatSig(split))
+  }
+
   test("cross-batch: byte copies AND re-muxes drop, re-encodes/fresh survive, replay suppressive") {
     val dir = tmpDir() + "/cat"
     val _ = Mp4Dedup.applyBatch(
