@@ -9,11 +9,11 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   *
   *   0. IMAGE ([[graft.dedup.ImageCatalog]] via [[StreamingImageDedup]])
   *      — OPTIONAL, engaged by `imageCol`: byte-exact then perceptual
-  *      (pHash quarter-blocked) image dedup runs FIRST — a 100 TB
-  *      multimodal crawl dedups images before anything else
-  *      (LAION/DataComp-style), and every doc it drops never pays text
-  *      shingling or a second pixel decode. Requires both image catalog
-  *      dirs; checked loudly up front like the semantic tier.
+  *      (pHash quarter-blocked) image dedup runs FIRST among the media
+  *      tiers — a 100 TB multimodal crawl dedups images before anything
+  *      else (LAION/DataComp-style), and every doc it drops never pays
+  *      text shingling or a second pixel decode. Requires both image
+  *      catalog dirs; checked loudly up front like the semantic tier.
   *   0b. AUDIO ([[graft.dedup.AudioDedup]]) — OPTIONAL, engaged by
   *      `audioCol`: the volume-invariant envelope-hash tier over real
   *      PCM decode, after the image tiers (it subsumes byte-exact audio

@@ -55,22 +55,32 @@ object StreamingDecontam {
     }.flatMap(_.toIntOption)
 
   /** `(id, fp, h2)` of a frame's distinct normalized n-grams — the probe
-    * side's shingle pass, shared across registries of the same width. */
+    * side's shingle pass, shared across registries of the same width.
+    * The EMPTY gram is dropped on BOTH sides (here and [[evalEntriesOf]]):
+    * a doc with ZERO normalized tokens (pure punctuation, or entirely
+    * non-ASCII text under the ASCII fold) degrades to [""], and matching
+    * on "" would mark every such training doc contaminated by every such
+    * eval doc — a pure false positive carrying no shared content.
+    * Non-empty short-doc degrades (the whole-token join) stay: an exact
+    * short eval answer should still match. */
   private def gramsOf(batch: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     batch.select(col(idCol).as("id"),
       explode(graft.text.TextOps.normWordShingles(col(textCol), n))
         .as("gram"))
+      .filter(col("gram") =!= "")
       .select(col("id"),
         graft.functions.GraftFunctions.fingerprint64(col("gram")).as("fp"),
         xxhash64(col("gram")).as("h2"))
 
   /** Registry entries of an eval/benchmark frame: the distinct
-    * normalized word n-grams' paired fingerprints. */
+    * normalized word n-grams' paired fingerprints (empty gram dropped —
+    * see [[gramsOf]]). */
   def evalEntriesOf(evalDocs: DataFrame, textCol: String, n: Int): DataFrame =
     evalDocs
       .select(explode(graft.text.TextOps.normWordShingles(col(textCol), n))
         .as("gram"))
+      .filter(col("gram") =!= "")
       .distinct()
       .select(
         graft.functions.GraftFunctions.fingerprint64(col("gram")).as("fp"),

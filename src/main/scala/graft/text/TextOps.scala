@@ -96,11 +96,16 @@ object TextOps {
       train: org.apache.spark.sql.DataFrame,
       eval: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    // the empty gram is dropped on both sides: a zero-normalized-token
+    // doc (pure punctuation / entirely non-ASCII) degrades to [""], and
+    // matching on "" would flag every such pair — no shared content
     val evalGrams = eval
       .select(explode(normWordShingles(col(textCol), n)).as("gram"))
+      .filter(col("gram") =!= "")
       .distinct()
     val trainGrams = train
       .select(col(idCol), explode(normWordShingles(col(textCol), n)).as("gram"))
+      .filter(col("gram") =!= "")
     trainGrams
       .join(org.apache.spark.sql.functions.broadcast(evalGrams), "gram")
       .groupBy(col(idCol))

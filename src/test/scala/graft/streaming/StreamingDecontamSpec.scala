@@ -64,6 +64,33 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(4L))
   }
 
+  test("a zero-normalized-token eval set never false-drops other token-less docs") {
+    val dir = Files.createTempDirectory("graft-dc-empty").toString + "/reg"
+    // entirely non-ASCII / punctuation eval docs: zero normalized tokens,
+    // so the degrade gram is "" — which must NOT enter the registry
+    StreamingDecontam.register(Seq(
+      900L -> "你好世界 这是评估文本",
+      901L -> "!!! ... ???").toDF("doc_id", "text"), dir, "text")
+    assert(graft.dedup.ExactCatalog.read(spark, dir,
+      kind = StreamingDecontam.kindFor(3)).count() == 0,
+      "an all-separator eval set registers nothing")
+    // unrelated token-less training docs pass (no "" match), ASCII docs
+    // obviously pass too
+    val batch = Seq(
+      1L -> "完全不同的培训文本",
+      2L -> ", , , ,",
+      3L -> "a perfectly ordinary ascii training document").toDF("doc_id", "text")
+    assert(StreamingDecontam.applyBatch(batch, dir, "doc_id", "text")
+      .count() == 3)
+    // ...and batch empty-degrades never count as hits against a REAL
+    // registry either
+    val dir2 = Files.createTempDirectory("graft-dc-empty2").toString + "/reg"
+    StreamingDecontam.register(evalDocs, dir2, "text")
+    assert(StreamingDecontam.applyBatch(
+      Seq(4L -> "。。。").toDF("doc_id", "text"), dir2, "doc_id", "text")
+      .count() == 1)
+  }
+
   test("duplicate registry rows never inflate the hit count past minHits") {
     val dir = Files.createTempDirectory("graft-dc-dup").toString + "/reg"
     StreamingDecontam.register(evalDocs, dir, "text")
