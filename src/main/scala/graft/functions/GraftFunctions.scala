@@ -159,7 +159,7 @@ object GraftFunctions {
   def interleaveBitsK(cols: Seq[Column]): Column =
     column(InterleaveBitsK(cols.map(expression)))
   def bucketByBounds(v: Column, bounds: Array[Double]): Column =
-    column(BucketByBounds(expression(v), bounds))
+    column(BucketByBounds(expression(v), bounds.toSeq))
   def interleaveBits(a: Column, b: Column): Column =
     column(InterleaveBits(expression(a), expression(b)))
   def videoFramePhashes(c: Column, n: Int): Column =

@@ -142,7 +142,13 @@ object Mp4Kernels {
     def boxSize(i: Long): Long = {
       val s = be32(b, i.toInt)
       val raw =
-        if (s == 1L) { if (i + 16 > n) -1L else be64(b, i.toInt + 8) }
+        if (s == 1L) {
+          // the largesize header alone is 16 bytes: a declared size in
+          // [8, 16) would advance the cursor into the middle of its own
+          // header and misparse header bytes as boxes — malformed
+          if (i + 16 > n) -1L
+          else { val ls = be64(b, i.toInt + 8); if (ls < 16) -1L else ls }
+        }
         else if (s == 0L) n - i // to end of buffer
         else s
       if (raw > n - i) -1L else raw
@@ -166,7 +172,10 @@ object Mp4Kernels {
           val cs = {
             val s = be32(b, j.toInt)
             val raw =
-              if (s == 1L) { if (j + 16 > end) -1L else be64(b, j.toInt + 8) }
+              if (s == 1L) { // same [8, 16) largesize guard as boxSize
+                if (j + 16 > end) -1L
+                else { val ls = be64(b, j.toInt + 8); if (ls < 16) -1L else ls }
+              }
               else if (s == 0L) end - j
               else s
             if (raw > end - j) -1L else raw
@@ -254,7 +263,10 @@ object Mp4Kernels {
         else if (s == 0L) n - i // to end of buffer
         else s
       val size = if (raw > n - i) -1L else raw
-      if (size < 8) return null
+      // the largesize form's header alone is 16 bytes, so a declared
+      // size in [8, 16) would advance the cursor into the middle of its
+      // own header and misparse header bytes as boxes — malformed, null
+      if (size < 8 || (s == 1L && size < 16)) return null
       if (tag(b, i.toInt + 4, "mdat")) {
         val hdr = if (s == 1L) 16L else 8L
         var j = i + hdr

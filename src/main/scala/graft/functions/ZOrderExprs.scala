@@ -181,18 +181,22 @@ case class InterleaveBitsK(children: Seq[Expression])
   * (approximate or exact) quantile aggregate, the per-row assignment is
   * a codegen'd binary search, and no global sort ever happens. NULL in
   * → NULL out. */
-case class BucketByBounds(child: Expression, bounds: Array[Double])
+case class BucketByBounds(child: Expression, bounds: Seq[Double])
     extends UnaryExpression with ExpectsInputTypes {
   require(bounds.nonEmpty, "bounds must be non-empty")
   require(bounds.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
     "bounds must be sorted ascending")
+  // Seq in the case-class key so two semantically identical expressions
+  // compare structurally equal (canonicalization / common-subexpression
+  // elimination); the double[] the kernel binary-searches is built once
+  @transient private lazy val boundsArr: Array[Double] = bounds.toArray
   override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
-    ZOrderKernels.bucketOf(input.asInstanceOf[Double], bounds)
+    ZOrderKernels.bucketOf(input.asInstanceOf[Double], boundsArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    val ref = ctx.addReferenceObj("bounds", boundsArr, "double[]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ZOrderKernels.bucketOf($c, $ref)")
   }

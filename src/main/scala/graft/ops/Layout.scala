@@ -79,10 +79,14 @@ object Layout {
     val fn = if (exact) "percentile" else "percentile_approx"
     // cast to double INSIDE the aggregate: percentile_approx preserves
     // an integral input type and would hand back longs
-    val agg = df.selectExpr(
+    val row = df.selectExpr(
       s"$fn(CAST($colName AS DOUBLE), array(${qs.mkString(", ")})) AS bs")
-      .head.getSeq[Double](0)
-    agg.toArray
+      .head
+    // percentile over zero rows aggregates to NULL — surface a clear
+    // error instead of the opaque NPE the Seq accessor would throw
+    require(!row.isNullAt(0),
+      s"quantileBounds: no non-null '$colName' values to bucket")
+    row.getSeq[Double](0).toArray
   }
 
   /** Bucket of `v` against sorted `bounds`: the count of boundaries

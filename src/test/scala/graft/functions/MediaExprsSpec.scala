@@ -209,6 +209,35 @@ class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(mp4(sizeZeroTail).contains(("isom", 600, 1200L, 0)))
   }
 
+  test("MP4: a largesize declaring < 16 bytes is malformed (header alone is 16)") {
+    // size==1 box whose 64-bit largesize (12) is smaller than its own
+    // 16-byte header: `i += size` would land mid-header and misparse
+    // header bytes as boxes — both kernels must refuse (null), not
+    // emit an arbitrary meta/signature from the misparse
+    val badFree =
+      "00000001 66726565 000000000000000C"
+    val meta = hexBytes(
+      "00000010 66747970 69736F6D 00000000" + badFree +
+      "00000074 6D6F6F76" +
+      "0000006C 6D766864 00000000 00000000 00000000 00000258 000004B0" +
+      mvhdTail)
+    assert(mp4(meta).isEmpty)
+    // same guard inside the moov child walk
+    val childBad = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000084 6D6F6F76" + badFree +
+      "0000006C 6D766864 00000000 00000000 00000000 00000258 000004B0" +
+      mvhdTail + "00000008 7472616B")
+    assert(mp4(childBad).isEmpty)
+    // ... and in the mdat signature walk (an in-range [8,16) largesize
+    // previously walked on and signed the misparse instead of refusing)
+    val sigBad = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+      "00000001 6D646174 000000000000000C" +
+      "00000010 6D646174 AABBCCDD EEFF0011")
+    assert(Mp4Kernels.mdatSig(sigBad) == null)
+  }
+
   test("MP4: non-BMFF, truncated and malformed sizes return null, never hang") {
     assert(mp4("not a video at all".getBytes).isEmpty)
     assert(mp4(canonicalMp4.take(30)).isEmpty)      // truncated moov

@@ -127,6 +127,29 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(ZOrderKernels.bucketOf(9.0, Array(1.0, 2.0, 3.0)) == 3L)
   }
 
+  test("quantileBounds on an empty/all-null input fails clearly, not with an NPE") {
+    val empty = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS v")
+    val e = intercept[IllegalArgumentException] {
+      Layout.quantileBounds(empty, "v", 4, exact = true)
+    }
+    assert(e.getMessage.contains("quantileBounds"))
+    val allNull = spark.range(5).selectExpr("CAST(NULL AS DOUBLE) AS v")
+    intercept[IllegalArgumentException] {
+      Layout.quantileBounds(allNull, "v", 4)
+    }
+  }
+
+  test("BucketByBounds compares structurally: two same-bounds instances are equal") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // the bounds key is a Seq, not an Array — reference-compared arrays
+    // would defeat canonicalization / common-subexpression elimination
+    val a = graft.functions.BucketByBounds(Literal(2.5), Seq(1.0, 2.0))
+    val b = graft.functions.BucketByBounds(Literal(2.5), Seq(1.0, 2.0))
+    assert(a == b && a.semanticEquals(b))
+    assert(a.canonicalized == b.canonicalized)
+    assert(a.eval(null) == 2L && b.eval(null) == 2L)
+  }
+
   test("3-dim z-layout clusters every axis: per-file spans shrink vs row-major") {
     val grid = spark.range(16L * 16L * 16L)
       .select((col("id") % 16).as("x"), ((col("id") / 16) % 16).as("y"),
