@@ -2243,6 +2243,61 @@ object SparkEntry {
       out
     }),
 
+    // The MULTILINGUAL gate (r14 verdict's one `weak`): six NON-LATIN
+    // eval docs (Chinese, Russian, Japanese, Greek, Arabic, Korean) are
+    // registered, and the probe batch carries a REFLOWED copy of every
+    // one (punctuation injected between CJK characters, Cyrillic
+    // case-flipped and comma-reflowed, Korean spaces removed, Arabic
+    // comma-reflowed) plus three non-Latin CONTROL docs registered
+    // nowhere. Under the v2 ASCII fold every one of these docs had ZERO
+    // grams — copies would sail through AND controls would survive
+    // vacuously; under the Unicode fold every copy must drop and every
+    // control must survive, so the oracle's survivor set (all train
+    // docs + the control ids, no copy ids) breaks on either failure
+    // direction: a blanket-drop of non-ASCII text kills the controls,
+    // a blind spot lets a copy through.
+    "decontam_stream_unicode" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val evalTexts = Seq(
+        "人工智能正在改变世界的面貌",
+        "Быстрая бурая лиса прыгает через ленивую собаку",
+        "東京タワーの高さは三百三十三メートル",
+        "η γρηγορη καφε αλεπου πηδαει πανω απο τον σκυλο",
+        "الذكاء الاصطناعي يغير وجه العالم بسرعة كبيرة",
+        "인공지능은 세상의 모습을 빠르게 바꾸고 있다")
+      // deterministic reflows, one per script family: none of these may
+      // change the normalized token sequence
+      val copies = Seq(
+        evalTexts(0).flatMap(c => s"$c，") + "。",           // zh: per-char punct
+        evalTexts(1).toUpperCase(java.util.Locale.ROOT)
+          .replace(" ", ", ") + "!!",                        // ru: case + reflow
+        evalTexts(2).flatMap(c => s"$c、"),                   // ja: per-char punct
+        evalTexts(3).replace(" ", " ... "),                  // el: punct reflow
+        evalTexts(4).replace(" ", " ، "),                    // ar: Arabic commas
+        evalTexts(5).replace(" ", ""))                       // ko: spaces removed
+      val controls = Seq(
+        "量子计算机尚未成熟但潜力巨大",
+        "Медленный зеленый кот спит под столом весь день",
+        "평화로운 아침 바다는 고요하다")
+      val root = java.nio.file.Files.createTempDirectory("graft-dc-uni-q")
+      graft.streaming.StreamingDecontam.register(
+        evalTexts.zipWithIndex.map { case (t, i) => (40000000L + i, t) }
+          .toDF("doc_id", "text"), s"$root/reg", "text")
+      val probe = d.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .union(copies.zipWithIndex.map { case (t, i) => (30000000L + i, t) }
+          .toDF("doc_id", "text"))
+        .union(controls.zipWithIndex.map { case (t, i) => (20000000L + i, t) }
+          .toDF("doc_id", "text"))
+      val out = graft.ops.Checkpoints.pin(
+        graft.streaming.StreamingDecontam.applyBatch(
+          probe, s"$root/reg", "doc_id", "text")
+          .select(col("doc_id")))
+      deleteRecursively(root.toFile)
+      out
+    }),
+
     // ... and the decontam tier composed into the curation pipeline:
     // the registry is probed FIRST among the text tiers, so the oracle
     // re-roots the chain at the uncontaminated batch (a NOT IN over the
@@ -3684,23 +3739,34 @@ object SparkEntry {
        |WHERE c.cluster_id IS NULL OR f.doc_id = c.cluster_id
        |""".stripMargin
 
-  /** Per-doc NORMALIZED n-gram CTE body (DuckDB): tokens are maximal
-    * ASCII-alphanumeric runs lowercased — the EXACT restatement of
-    * [[graft.functions.TextKernels.normWordNgrams]] (split on
-    * `[^a-zA-Z0-9]+`, drop empties, `lower` each pure-ASCII token; the
-    * out-of-bounds list elements are NULL and `concat_ws` skips them,
-    * which reproduces the fewer-than-n degrade join). Emits
+  /** Per-doc UNICODE-NORMALIZED n-gram CTE body (DuckDB): the EXACT
+    * restatement of [[graft.functions.TextKernels.uniWordNgrams]] —
+    * `lower(text)` (DuckDB's utf8proc lower IS the simple per-code-point
+    * mapping `Character.toLowerCase(int)` applies engine-side; pinned
+    * İ→i, ẞ→ß agreement in TextExprsSpec), isolate Han/Hiragana/
+    * Katakana/Hangul characters as singleton tokens with a spacing
+    * regexp_replace, then extract maximal `[\p{L}\p{Nd}]+` runs
+    * (= `Character.isLetterOrDigit`). The out-of-bounds list elements
+    * are NULL and `concat_ws` skips them, which reproduces the
+    * fewer-than-n degrade join; the EMPTY gram (zero-token degrade) is
+    * filtered exactly like the engine's gram != '' exclusion — without
+    * it, two token-less docs would "share" the empty gram and the
+    * oracle would flag pairs the engine (correctly) never flags. Emits
     * `(doc_id, gram)` rows named `$alias`. */
   private def normGramCteSql(alias: String, n: Int): String = {
     val terms = (0 until n).map(k => s"ntoks[i+$k]").mkString(", ")
     s"""$alias AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(1, greatest(len(ntoks) - ${n - 1}, 1) + 1),
-       |    i -> concat_ws(' ', $terms)))) AS gram
-       |  FROM (SELECT doc_id, list_transform(list_filter(
-       |          regexp_split_to_array(text, '[^a-zA-Z0-9]+'), t -> t != ''),
-       |          t -> lower(t)) AS ntoks
-       |        FROM documents)
+       |  SELECT doc_id, gram FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |      range(1, greatest(len(ntoks) - ${n - 1}, 1) + 1),
+       |      i -> concat_ws(' ', $terms)))) AS gram
+       |    FROM (SELECT doc_id, regexp_extract_all(
+       |            regexp_replace(lower(text),
+       |              '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])',
+       |              ' \\1 ', 'g'),
+       |            '[\\p{L}\\p{Nd}]+') AS ntoks
+       |          FROM documents)
+       |  ) WHERE gram != ''
        |)""".stripMargin
   }
 
@@ -4699,6 +4765,18 @@ object SparkEntry {
          |WHERE doc_id % 20 NOT IN (0, 1)
          |  AND doc_id NOT IN ${contaminatedIdsSql(3, "doc_id % 20 = 0")}
          |  AND doc_id NOT IN ${contaminatedIdsSql(4, "doc_id % 20 = 1")}
+         |""".stripMargin,
+
+    // The MULTILINGUAL evidence: the Spark side registers six non-Latin
+    // eval docs and probes with reflowed copies (must all drop) plus
+    // three unregistered non-Latin controls (must all survive). The
+    // registry holds only non-Latin grams, so no real (pure-ASCII)
+    // train doc can be contaminated: survivors = every train doc + the
+    // three control ids, and nothing else.
+    "decontam_stream_unicode" ->
+      s"""SELECT doc_id FROM documents WHERE doc_id % 20 != 0
+         |UNION ALL
+         |SELECT CAST(20000000 + i AS BIGINT) AS doc_id FROM range(0, 3) t(i)
          |""".stripMargin,
 
     // the curate chain re-rooted at the uncontaminated batch (the

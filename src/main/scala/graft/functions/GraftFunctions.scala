@@ -148,6 +148,8 @@ object GraftFunctions {
     column(WordNgrams(expression(c), n, distinct))
   def normWordNgrams(c: Column, n: Int, distinct: Boolean): Column =
     column(NormWordNgrams(expression(c), n, distinct))
+  def uniWordNgrams(c: Column, n: Int, distinct: Boolean): Column =
+    column(UniWordNgrams(expression(c), n, distinct))
   def bpeMergePair(c: Column, left: String, right: String): Column =
     column(BpeMergePair(expression(c), left, right))
   def bpeEncodeWord(c: Column, merges: Seq[(String, String)]): Column =

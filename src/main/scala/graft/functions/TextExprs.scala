@@ -266,6 +266,76 @@ object TextKernels {
     joinNgrams(toks.toArray, n, distinct)
   }
 
+  /** CJK-family script test for [[uniWordNgrams]]: Han, Hiragana,
+    * Katakana, Hangul — the scripts that write words without
+    * separators, so run-tokenization would glue a whole sentence into
+    * one token and n-gram matching would degenerate to exact-sentence
+    * matching. The fast path skips the binary-search script lookup for
+    * everything below U+1100 (the first Hangul Jamo — Latin, Cyrillic,
+    * Greek, Arabic, Hebrew, all digits). */
+  @inline private def isCjkScript(cp: Int): Boolean =
+    cp >= 0x1100 && {
+      val sc = Character.UnicodeScript.of(cp)
+      (sc eq Character.UnicodeScript.HAN) ||
+        (sc eq Character.UnicodeScript.HIRAGANA) ||
+        (sc eq Character.UnicodeScript.KATAKANA) ||
+        (sc eq Character.UnicodeScript.HANGUL)
+    }
+
+  /** UNICODE-normalized word n-grams — the MULTILINGUAL decontamination
+    * shingling kernel (the [[normWordNgrams]] discipline with the ASCII
+    * fold widened to the full letter/digit space, so non-Latin eval text
+    * registers real grams instead of none):
+    *
+    *  - tokens are maximal runs of code points where
+    *    `Character.isLetterOrDigit` (Unicode categories L* + Nd) —
+    *    EXCEPT that Han / Hiragana / Katakana / Hangul code points are
+    *    emitted as SINGLETON tokens (those scripts write without word
+    *    separators; per-character tokens make the n-gram window a
+    *    character shingle there, the published practice for CJK overlap
+    *    matching — a whole-run token would need an exact full-sentence
+    *    match and punctuation reflow would break even that);
+    *  - every token code point is folded through the SIMPLE per-code-
+    *    point lowercase mapping (`Character.toLowerCase(int)` — the
+    *    UnicodeData single mapping, NOT `String.toLowerCase`'s full
+    *    mapping), which is exactly what DuckDB's utf8proc-backed
+    *    `lower()` applies, so the oracle restates the fold verbatim:
+    *    `lower(text)`, isolate CJK with a `\p{Han}…` regexp_replace,
+    *    extract `[\p{L}\p{Nd}]+` runs. Pinned agreement includes the
+    *    İ (U+0130 → i, where the FULL mapping would emit i + U+0307)
+    *    and ẞ → ß cases. Honest scope: the two engines read different
+    *    Unicode versions (Java 17 = 13.0), so code points whose case
+    *    mapping or letter category CHANGED after 13.0 may diverge —
+    *    none exist in any testdata or planted gate text.
+    *
+    * Degrade contract identical to [[wordNgrams]] (fewer than n tokens →
+    * the whole join; none → [""], which every consumer filters). */
+  def uniWordNgrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val toks = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val cur = new java.lang.StringBuilder()
+    @inline def flush(): Unit =
+      if (cur.length > 0) {
+        toks += UTF8String.fromString(cur.toString); cur.setLength(0)
+      }
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) {
+        if (isCjkScript(cp)) {
+          flush()
+          val one = new java.lang.StringBuilder(2)
+          one.appendCodePoint(Character.toLowerCase(cp))
+          toks += UTF8String.fromString(one.toString)
+        } else cur.appendCodePoint(Character.toLowerCase(cp))
+      } else flush()
+      i += Character.charCount(cp)
+    }
+    flush()
+    joinNgrams(toks.toArray, n, distinct)
+  }
+
   /** Code-point split: "abc" → ["a","b","c"] (multi-byte aware; no regex,
     * no trailing-empty quirks). The BPE symbol-initialization step. */
   def splitChars(s: UTF8String): ArrayData = {
@@ -421,6 +491,25 @@ case class NormWordNgrams(child: Expression, n: Int, distinct: Boolean)
   override protected def withNewChildInternal(newChild: Expression): NormWordNgrams =
     copy(child = newChild)
   override def prettyName: String = "norm_word_ngrams"
+}
+
+/** `uni_word_ngrams(text, n)` — UNICODE-normalized word n-grams (full
+  * letter/digit tokenization, simple-mapping lowercase, CJK singleton
+  * tokens); the MULTILINGUAL decontamination shingle
+  * ([[TextKernels.uniWordNgrams]]). */
+case class UniWordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0 && n <= 32, s"ngram size out of range: $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.uniWordNgrams(input.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.uniWordNgrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): UniWordNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "uni_word_ngrams"
 }
 
 /** `distinct_ngram_count_ws(text, n)` — distinct word-n-gram count. */

@@ -15,15 +15,21 @@ import graft.dedup.ExactCatalog
   * discipline) and every micro-batch probes it with the usual
   * bucket-pruned, key-pushed read.
   *
-  * Grams are NORMALIZED on BOTH sides ([[graft.text.TextOps
-  * .normWordShingles]]: lowercase, ASCII-alphanumeric token runs —
-  * the GPT-3 appendix C / PaLM / Llama normalization), so a benchmark
-  * answer re-flowed as "the capital of france" cannot evade a registry
-  * built from "The capital of France." — the evasion the raw-text
-  * v1 kind permitted. The normalization is part of the fingerprint
-  * UNIVERSE, so the kind carries a `_norm` marker and a v1 (raw-gram)
-  * registry refuses loudly through the shared kind machinery instead of
-  * silently matching nothing.
+  * Grams are UNICODE-NORMALIZED on BOTH sides ([[graft.text.TextOps
+  * .uniWordShingles]]: simple-mapping lowercase, letter/digit token
+  * runs over ALL scripts, CJK characters as singleton tokens — the
+  * GPT-3 appendix C / PaLM / Llama normalization widened past ASCII),
+  * so a benchmark answer re-flowed as "the capital of france" cannot
+  * evade a registry built from "The capital of France.", a Cyrillic
+  * answer cannot evade by case-flipping, and a Chinese answer cannot
+  * evade by punctuation reflow (per-character tokens make the window a
+  * character shingle there). The v2 ASCII-only fold left fully
+  * non-Latin eval text with ZERO grams — the registry silently
+  * protected nothing outside English. The normalization is part of the
+  * fingerprint UNIVERSE, so the kind carries a `_uni` marker and both
+  * the v1 (raw-gram) and v2 (`_norm`, ASCII-fold) kinds refuse loudly
+  * through the shared kind machinery instead of silently matching
+  * nothing.
   *
   * Unlike the dedup tiers this catalog is READ-ONLY from the stream's
   * side: training batches never advance it (a training doc is not
@@ -39,7 +45,7 @@ import graft.dedup.ExactCatalog
 object StreamingDecontam {
 
   val KindPrefix = "decontam_gram_n"
-  val KindSuffix = "_norm" // normalization is a fingerprint-universe property
+  val KindSuffix = "_uni" // normalization is a fingerprint-universe property
   def kindFor(n: Int): String = s"$KindPrefix$n$KindSuffix"
 
   /** The registry's recorded n-gram width (None: no registry, or not a
@@ -57,16 +63,16 @@ object StreamingDecontam {
   /** `(id, fp, h2)` of a frame's distinct normalized n-grams — the probe
     * side's shingle pass, shared across registries of the same width.
     * The EMPTY gram is dropped on BOTH sides (here and [[evalEntriesOf]]):
-    * a doc with ZERO normalized tokens (pure punctuation, or entirely
-    * non-ASCII text under the ASCII fold) degrades to [""], and matching
-    * on "" would mark every such training doc contaminated by every such
-    * eval doc — a pure false positive carrying no shared content.
-    * Non-empty short-doc degrades (the whole-token join) stay: an exact
-    * short eval answer should still match. */
+    * a doc with ZERO normalized tokens (pure punctuation/symbols)
+    * degrades to [""], and matching on "" would mark every such
+    * training doc contaminated by every such eval doc — a pure false
+    * positive carrying no shared content. Non-empty short-doc degrades
+    * (the whole-token join) stay: an exact short eval answer should
+    * still match. */
   private def gramsOf(batch: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     batch.select(col(idCol).as("id"),
-      explode(graft.text.TextOps.normWordShingles(col(textCol), n))
+      explode(graft.text.TextOps.uniWordShingles(col(textCol), n))
         .as("gram"))
       .filter(col("gram") =!= "")
       .select(col("id"),
@@ -78,7 +84,7 @@ object StreamingDecontam {
     * see [[gramsOf]]). */
   def evalEntriesOf(evalDocs: DataFrame, textCol: String, n: Int): DataFrame =
     evalDocs
-      .select(explode(graft.text.TextOps.normWordShingles(col(textCol), n))
+      .select(explode(graft.text.TextOps.uniWordShingles(col(textCol), n))
         .as("gram"))
       .filter(col("gram") =!= "")
       .distinct()

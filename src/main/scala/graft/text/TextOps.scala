@@ -55,6 +55,18 @@ object TextOps {
   def normWordShingles(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.normWordNgrams(text, n, distinct = true)
 
+  /** UNICODE-normalized word n-gram shingles — the MULTILINGUAL
+    * decontamination shingle: tokens are maximal letter/digit code-point
+    * runs (all scripts, not just ASCII) folded through the simple
+    * per-code-point lowercase mapping, with Han/Hiragana/Katakana/Hangul
+    * characters as singleton tokens (character shingles for the scripts
+    * that write without word separators). Identical to
+    * [[normWordShingles]] on pure-ASCII text; see
+    * [[graft.functions.TextKernels.uniWordNgrams]] for the exact
+    * contract and its DuckDB restatement. */
+  def uniWordShingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.uniWordNgrams(text, n, distinct = true)
+
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality
     * filters): the fraction of duplicated tokens / word n-grams inside a
     * document. High values mark boilerplate and degenerate generations.
@@ -79,11 +91,12 @@ object TextOps {
   }
 
   /** Decontamination (train/eval overlap): count per train document of
-    * DISTINCT NORMALIZED word n-grams ([[normWordShingles]] — lowercase,
-    * punctuation-stripped, the published decontamination discipline)
-    * that also occur anywhere in the eval corpus — the standard n-gram
-    * membership test for benchmark leakage, robust to case/punctuation
-    * reflows of the eval text.
+    * DISTINCT UNICODE-NORMALIZED word n-grams ([[uniWordShingles]] —
+    * lowercase, punctuation-stripped, all scripts, the published
+    * decontamination discipline) that also occur anywhere in the eval
+    * corpus — the standard n-gram membership test for benchmark leakage,
+    * robust to case/punctuation reflows of the eval text in ANY
+    * language, not just ASCII English.
     *
     * Shape at 100 TB: the eval side collapses to its distinct gram set
     * (eval corpora are small — benchmarks, held-out splits) and
@@ -97,14 +110,14 @@ object TextOps {
       eval: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
     // the empty gram is dropped on both sides: a zero-normalized-token
-    // doc (pure punctuation / entirely non-ASCII) degrades to [""], and
-    // matching on "" would flag every such pair — no shared content
+    // doc (pure punctuation / symbols) degrades to [""], and matching
+    // on "" would flag every such pair — no shared content
     val evalGrams = eval
-      .select(explode(normWordShingles(col(textCol), n)).as("gram"))
+      .select(explode(uniWordShingles(col(textCol), n)).as("gram"))
       .filter(col("gram") =!= "")
       .distinct()
     val trainGrams = train
-      .select(col(idCol), explode(normWordShingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), explode(uniWordShingles(col(textCol), n)).as("gram"))
       .filter(col("gram") =!= "")
     trainGrams
       .join(org.apache.spark.sql.functions.broadcast(evalGrams), "gram")

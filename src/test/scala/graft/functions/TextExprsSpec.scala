@@ -136,6 +136,67 @@ class TextExprsSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("uniWordNgrams: tokenization pinned against the DuckDB restatement") {
+    def toks(s: String): Seq[String] = {
+      // n = 1 grams ARE the token sequence
+      val ad = TextKernels.uniWordNgrams(UTF8String.fromString(s), 1, false)
+      (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+    }
+    // expectations are VERBATIM duckdb outputs of
+    //   regexp_extract_all(regexp_replace(lower(s),
+    //     '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'),
+    //     '[\p{L}\p{Nd}]+')
+    assert(toks("The capital of France.") ==
+      Seq("the", "capital", "of", "france"))
+    assert(toks("人工智能，正在改变，世界的面貌。") ==
+      Seq("人", "工", "智", "能", "正", "在", "改", "变", "世", "界", "的", "面", "貌"))
+    assert(toks("БЫСТРАЯ, БУРАЯ ЛИСА!") == Seq("быстрая", "бурая", "лиса"))
+    // the Katakana prolonged mark U+30FC is script=Common but \p{L}:
+    // a run character on both sides, isolated here by its CJK neighbors
+    assert(toks("東京タワーの高さは三百三十三メートル") ==
+      Seq("東", "京", "タ", "ワ", "ー", "の", "高", "さ", "は", "三", "百",
+        "三", "十", "三", "メ", "ー", "ト", "ル"))
+    assert(toks("인공지능은세상의모습을빠르게바꾸고있다") ==
+      Seq("인", "공", "지", "능", "은", "세", "상", "의", "모", "습", "을",
+        "빠", "르", "게", "바", "꾸", "고", "있", "다"))
+    assert(toks("mixed 中文 and English words") ==
+      Seq("mixed", "中", "文", "and", "english", "words"))
+    // the SIMPLE-mapping fold agreement cases: İ → i (the full mapping
+    // would emit i + U+0307 and diverge from duckdb), ẞ → ß, ﬀ kept
+    assert(toks("İstanbul ẞharp ﬀi") == Seq("istanbul", "ßharp", "ﬀi"))
+    // zero tokens → the degrade [""] (consumers filter it)
+    assert(toks("...!!!") == Seq(""))
+  }
+
+  test("uniWordNgrams == normWordNgrams on pure-ASCII text (property)") {
+    val asciiGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.oneOf(" ", ".", ",!", "--", "?! "),
+      Gen.oneOf("a", "Ab", "THE", "x1", "Paris", "FrAnCe9"),
+      Gen.alphaNumStr.map(_.take(8)))).map(_.mkString)
+    PropCheck.check(Prop.forAll(asciiGen) { s =>
+      val u = TextKernels.uniWordNgrams(UTF8String.fromString(s), 3, true)
+      val a = TextKernels.normWordNgrams(UTF8String.fromString(s), 3, true)
+      (0 until u.numElements()).map(u.getUTF8String) ==
+        (0 until a.numElements()).map(a.getUTF8String)
+    })
+  }
+
+  test("uniWordNgrams is invariant under multilingual reflows (property)") {
+    // words across scripts; CJK chars shingle per-character so inserted
+    // punctuation and removed spaces never change the token sequence
+    val word = Gen.oneOf("the", "Быстрая", "ЛИСА", "alpha9",
+      "中", "文", "の", "타", "λεξη")
+    PropCheck.check(Prop.forAll(Gen.listOf(word).map(_.mkString(" "))) { s =>
+      val mangled = s.toUpperCase(java.util.Locale.ROOT)
+        .replace(" ", "、 ，") + "。!!"
+      def grams(x: String): Seq[String] = {
+        val ad = TextKernels.uniWordNgrams(UTF8String.fromString(x), 3, true)
+        (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+      }
+      grams(s) == grams(mangled)
+    })
+  }
+
   test("countSubstr: empty needle and overlap discipline") {
     assert(TextKernels.countSubstr(
       UTF8String.fromString("aaaa"), UTF8String.fromString("aa")) == 2L) // non-overlapping

@@ -66,16 +66,17 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkTestBase {
 
   test("a zero-normalized-token eval set never false-drops other token-less docs") {
     val dir = Files.createTempDirectory("graft-dc-empty").toString + "/reg"
-    // entirely non-ASCII / punctuation eval docs: zero normalized tokens,
-    // so the degrade gram is "" — which must NOT enter the registry
+    // pure punctuation/symbol eval docs: zero normalized tokens even
+    // under the Unicode fold (nothing here is a letter or digit), so
+    // the degrade gram is "" — which must NOT enter the registry
     StreamingDecontam.register(Seq(
-      900L -> "你好世界 这是评估文本",
-      901L -> "!!! ... ???").toDF("doc_id", "text"), dir, "text")
+      900L -> "!!! ... ???",
+      901L -> "¶ § …—– ©®™").toDF("doc_id", "text"), dir, "text")
     assert(graft.dedup.ExactCatalog.read(spark, dir,
       kind = StreamingDecontam.kindFor(3)).count() == 0,
       "an all-separator eval set registers nothing")
-    // unrelated token-less training docs pass (no "" match), ASCII docs
-    // obviously pass too
+    // unrelated token-less training docs pass (no "" match), real-token
+    // docs obviously pass too
     val batch = Seq(
       1L -> "完全不同的培训文本",
       2L -> ", , , ,",
@@ -89,6 +90,34 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingDecontam.applyBatch(
       Seq(4L -> "。。。").toDF("doc_id", "text"), dir2, "doc_id", "text")
       .count() == 1)
+  }
+
+  test("multilingual: non-Latin eval text drops its reflowed copies, controls survive") {
+    val dir = Files.createTempDirectory("graft-dc-uni").toString + "/reg"
+    // the r14 hole: under the ASCII fold ALL of these registered zero
+    // grams and the tier protected nothing outside English
+    StreamingDecontam.register(Seq(
+      900L -> "人工智能正在改变世界的面貌",                          // zh: char shingles
+      901L -> "Быстрая бурая лиса прыгает через ленивую собаку",   // ru: cased words
+      902L -> "東京タワーの高さは三百三十三メートル",                 // ja: mixed scripts
+      903L -> "인공지능은 세상의 모습을 빠르게 바꾸고 있다"            // ko: spaced Hangul
+    ).toDF("doc_id", "text"), dir, "text")
+    val batch = Seq(
+      // reflowed copies — every one must drop
+      1L -> "人工智能，正在改变，世界的面貌。",                       // punct injected
+      2L -> "БЫСТРАЯ, БУРАЯ ЛИСА, ПРЫГАЕТ, ЧЕРЕЗ, ЛЕНИВУЮ, СОБАКУ!!", // case+reflow
+      3L -> "東京タワー、の高さ、は三百三十三、メートル",               // punct injected
+      4L -> "인공지능은세상의모습을빠르게바꾸고있다",                   // spaces removed
+      // a PARTIAL leak: three consecutive Chinese chars from the eval
+      // doc inside fresh text — one shared char-3-gram is enough
+      5L -> "本文讨论改变世界这一主题",
+      // controls — registered nowhere, must survive
+      6L -> "量子计算机尚未成熟但潜力巨大",
+      7L -> "Медленный зеленый кот спит под столом весь день",
+      8L -> "a perfectly ordinary ascii training document").toDF("doc_id", "text")
+    val out = StreamingDecontam.applyBatch(batch, dir, "doc_id", "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(6L, 7L, 8L))
   }
 
   test("duplicate registry rows never inflate the hit count past minHits") {
@@ -134,9 +163,9 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkTestBase {
       batch, Seq.empty, "doc_id", "text").count() == 4)
   }
 
-  test("a v1 raw-gram registry refuses loudly instead of matching nothing") {
+  test("v1 raw-gram and v2 ASCII-fold registries refuse loudly, never match nothing") {
+    // v1: pre-normalization kind tag
     val dir = Files.createTempDirectory("graft-dc-v1").toString + "/reg"
-    // simulate a pre-normalization registry: same row shape, old kind tag
     ExactCatalog.append(
       StreamingDecontam.evalEntriesOf(evalDocs, "text", 3), dir,
       kind = "decontam_gram_n3")
@@ -146,6 +175,20 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkTestBase {
         .count()
     }
     assert(e.getMessage.contains("decontam_gram_n3"))
+    // v2: the ASCII-fold `_norm` kind — same fingerprints for pure-ASCII
+    // grams, but a DIFFERENT universe for everything else (non-Latin
+    // text had zero grams), so silently accepting it would resurrect
+    // the r14 blind spot for any registry built before the widening
+    val dir2 = Files.createTempDirectory("graft-dc-v2").toString + "/reg"
+    ExactCatalog.append(
+      StreamingDecontam.evalEntriesOf(evalDocs, "text", 3), dir2,
+      kind = "decontam_gram_n3_norm")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingDecontam.applyBatch(
+        Seq(1L -> "anything").toDF("doc_id", "text"), dir2, "doc_id", "text")
+        .count()
+    }
+    assert(e2.getMessage.contains("decontam_gram_n3_norm"))
   }
 
   test("kind universe guard both ways; an empty registry passes everything") {
