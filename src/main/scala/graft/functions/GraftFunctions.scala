@@ -175,6 +175,10 @@ object GraftFunctions {
   def mp4MdatSig(c: Column): Column = column(Mp4MdatSig(expression(c)))
   def syntheticMp4(seed: Column, variant: Column): Column =
     column(SyntheticMp4(expression(seed), expression(variant)))
+  def mp3FramesSig(c: Column): Column = column(Mp3FramesSig(expression(c)))
+  def mp3Meta(c: Column): Column = column(Mp3MetaExpr(expression(c)))
+  def syntheticMp3(seed: Column, variant: Column): Column =
+    column(SyntheticMp3(expression(seed), expression(variant)))
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the optimizer

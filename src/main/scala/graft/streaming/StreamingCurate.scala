@@ -125,6 +125,8 @@ object StreamingCurate {
       videoMaxHamming: Int = graft.dedup.ImageDedup.MaxBlockedHamming,
       mp4Col: Option[String] = None,
       mp4Dir: Option[String] = None,
+      mp3Col: Option[String] = None,
+      mp3Dir: Option[String] = None,
       statsDir: Option[String] = None,
       statsNgram: Int = 3,
       decontamDir: Option[String] = None,
@@ -184,13 +186,22 @@ object StreamingCurate {
         "mp4Col is configured but mp4Dir is not — the mp4 tier needs " +
           "its persistent mdat-signature catalog")
     }
+    mp3Col.foreach { mc =>
+      require(batch.columns.contains(mc),
+        s"mp3Col is configured but the batch has no '$mc' column " +
+          s"(batch columns: ${batch.columns.mkString(", ")})")
+      require(mp3Dir.isDefined,
+        "mp3Col is configured but mp3Dir is not — the mp3 tier needs " +
+          "its persistent frame-signature catalog")
+    }
     // multi-consumer chains read the batch more than once (the media
     // tiers, tier 1, the embedding re-join, and the decontam probe's
     // gram pass + anti-join) — pin once so later consumers replay a
     // checkpoint, not the upstream
     val src =
       if (semIndexDir.isDefined || imageCol.isDefined || audioCol.isDefined ||
-          videoCol.isDefined || mp4Col.isDefined || allDecontamDirs.nonEmpty)
+          videoCol.isDefined || mp4Col.isDefined || mp3Col.isDefined ||
+          allDecontamDirs.nonEmpty)
         graft.ops.Checkpoints.pin(batch)
       else batch
     // the substring rewrite, shared by every chain length
@@ -231,20 +242,34 @@ object StreamingCurate {
             })
         })
     }
-    // the mp4 exact/re-mux tier (when engaged) runs LAST among the
-    // media tiers — its mdat byte pass is the cheapest media decode, but
-    // it only catches byte-level copies, so the perceptual tiers get
-    // first claim on cluster representatives; nested in the same deliver
-    // chain so its append also lands after the final delivery
-    def mp4ThenText(upstream: DataFrame): Unit = mp4Col match {
+    // the mp3 exact/re-tag tier (when engaged) is the last media tier
+    // before the text chain — byte-level like the mp4 tier, so the
+    // perceptual tiers keep first claim on cluster representatives
+    def mp3ThenText(upstream: DataFrame): Unit = mp3Col match {
       case None => textTiers(upstream)
+      case Some(mc) =>
+        val _ = StreamingMp3Dedup.applyBatch(
+          upstream, mp3Dir.get, idCol, mc, numBuckets,
+          compactAboveFiles = compactAboveFiles, added = added,
+          retainAddedBehind = retainAddedBehind,
+          retentionSweepEvery = retentionSweepEvery,
+          deliver = mp3Survivors => textTiers(mp3Survivors))
+    }
+    // the mp4 exact/re-mux tier (when engaged) runs LAST among the
+    // perceptual media tiers — its mdat byte pass is the cheapest media
+    // decode, but it only catches byte-level copies, so the perceptual
+    // tiers get first claim on cluster representatives; nested in the
+    // same deliver chain so its append also lands after the final
+    // delivery
+    def mp4ThenText(upstream: DataFrame): Unit = mp4Col match {
+      case None => mp3ThenText(upstream)
       case Some(mc) =>
         val _ = StreamingMp4Dedup.applyBatch(
           upstream, mp4Dir.get, idCol, mc, numBuckets,
           compactAboveFiles = compactAboveFiles, added = added,
           retainAddedBehind = retainAddedBehind,
           retentionSweepEvery = retentionSweepEvery,
-          deliver = mp4Survivors => textTiers(mp4Survivors))
+          deliver = mp4Survivors => mp3ThenText(mp4Survivors))
     }
     // the video tier (when engaged) sits between the audio tier and the
     // mp4/text tiers, nested in the same deliver chain so its appends

@@ -394,6 +394,44 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
     assert(boom.getMessage.contains("mp4Dir"))
   }
 
+  test("optional mp3 tier: a re-tagged stream drops after the perceptual media tiers") {
+    import graft.functions.Mp3Fixtures
+    val (e, n, s) = dirs("mp3")
+    val tmp = Files.createTempDirectory("graft-curate-mp3cat").toString
+    def mp3(seed: Long, v: Int = 0) = Mp3Fixtures.syntheticMp3(seed, v)
+    val d1 = Seq((1L, b1.head._2, mp3(1)), (2L, b1(1)._2, mp3(2)))
+      .toDF("doc_id", "text", "mp3")
+    val cfg = StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W,
+      mp3Col = Some("mp3"), mp3Dir = Some(s"$tmp/mc"))
+    val _ = StreamingCurate.applyBatch(d1, cfg, added = 0L)
+    // 90 = fresh text but a RE-TAG of doc 1's stream (only the mp3
+    // tier can drop it); 91 = fresh on both axes
+    val d2 = Seq(
+      (90L, "totally new text that only the frame signature could reject", mp3(1, 1)),
+      (91L, "a genuinely novel document with genuinely novel media", mp3(91)))
+      .toDF("doc_id", "text", "mp3")
+    val out = rows(StreamingCurate.applyBatch(d2, cfg, added = 1L))
+    assert(out.map(_._1).toSet == Set(91L),
+      s"mp3 tier must drop 90, got ${out.map(_._1)}")
+    // crash contract covers the mp3 catalog too
+    val before = ExactCatalog.read(spark, s"$tmp/mc",
+      graft.dedup.Mp3Dedup.Kind).count()
+    val _2 = intercept[RuntimeException] {
+      StreamingCurate.applyBatch(
+        Seq((95L, "another fresh doc", mp3(95))).toDF("doc_id", "text", "mp3"),
+        cfg, added = 2L, deliver = _ => throw new RuntimeException("down"))
+    }
+    assert(ExactCatalog.read(spark, s"$tmp/mc",
+      graft.dedup.Mp3Dedup.Kind).count() == before)
+    // misconfiguration fails loudly
+    val boom = intercept[IllegalArgumentException] {
+      StreamingCurate.applyBatch(d2,
+        StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W,
+          mp3Col = Some("mp3")))
+    }
+    assert(boom.getMessage.contains("mp3Dir"))
+  }
+
   test("multiple decontam registries through the config probe in one pass") {
     val (e, n, s) = dirs("dcmulti")
     val tmp = Files.createTempDirectory("graft-curate-dcm").toString
