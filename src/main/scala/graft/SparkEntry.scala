@@ -3093,6 +3093,32 @@ object SparkEntry {
             graft.ops.Layout.rankBucket(col("value"), col("event_id"), 16),
             col("user_id")).as("zkey"))),
 
+    // BOUNDS-bucketed z-key — the 100 TB skew path ORACLED (r14 verdict
+    // item 3): quantileBounds(exact) computes the 15 inner 1/16-quantile
+    // boundaries in one aggregate (no global sort), bucket_by_bounds
+    // binary-searches each row, and the bucket interleaves with user_id
+    // exactly like the ntile path. DuckDB restates the boundaries with
+    // quantile_cont (the same p·(n−1) linear interpolation Spark's
+    // exact percentile uses) and the bucket as count-of-bounds-≤-v. No
+    // rounding is needed for cross-engine agreement: at integer ranks
+    // both engines emit the data value exactly, and at fractional ranks
+    // the boundary lies strictly between two data values that differ by
+    // ~13 orders of magnitude more than any last-bit interpolation
+    // disagreement, so no data value can sit between the two engines'
+    // boundaries. (The production-scale approx path — percentile_approx
+    // sketch bounds — stays pinned by LayoutSpec and the BENCH skew
+    // rows; this gate pins the shared bucket-assignment kernel and the
+    // exact-bounds variant end to end.)
+    "zorder_key_bounds" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bounds = graft.ops.Layout.quantileBounds(ev, "value", 16,
+        exact = true)
+      ev.select(col("event_id"),
+        graft.ops.Layout.zorderKey(
+          graft.ops.Layout.bucketByBounds(col("value"), bounds),
+          col("user_id")).as("zkey"))
+    }),
+
     // Deterministic stratified train/eval split: the content-hash gate
     // keyed per (source, bucket) — reproducible across engines and
     // partitionings, summarized as per-source split sizes.
@@ -6008,6 +6034,43 @@ object SparkEntry {
          |  SELECT event_id, user_id AS uy,
          |         ntile(16) OVER (ORDER BY "value", event_id) - 1 AS ux
          |  FROM events
+         |)
+         |SELECT event_id, $terms AS zkey FROM c
+         |""".stripMargin
+    },
+
+    // The boundary arithmetic is restated VERBATIM, not via DuckDB's
+    // quantile_cont: Spark's exact percentile interpolates
+    // lo + (hi − lo)·frac while quantile_cont computes lo·(1−f) + hi·f —
+    // algebraically equal, but on a TIE RUN (lo = hi) the second form
+    // rounds twice and lands one ulp off (observed: 28.88 vs
+    // 28.880000000000003 at sf0.1), flipping the bucket of every row
+    // tied with the boundary. Stating rank = p·(n−1), frac = rank −
+    // floor(rank), bound = lo + (hi − lo)·frac reproduces Spark's
+    // floating-point path operation for operation.
+    "zorder_key_bounds" -> {
+      val terms = (0 until 31).map(k =>
+        s"(((ux >> $k) & 1) << ${2 * k}) | (((uy >> $k) & 1) << ${2 * k + 1})")
+        .mkString(" | ")
+      s"""WITH v AS (
+         |  SELECT "value" AS x,
+         |         row_number() OVER (ORDER BY "value") - 1 AS rn
+         |  FROM events
+         |), n AS (SELECT count(*) AS c FROM events),
+         |ranks AS (
+         |  SELECT (i/16.0) * (c - 1) AS r,
+         |         CAST(floor((i/16.0) * (c - 1)) AS BIGINT) AS lo_i,
+         |         CAST(ceil((i/16.0) * (c - 1)) AS BIGINT) AS hi_i
+         |  FROM range(1, 16) t(i) CROSS JOIN n
+         |), b AS (
+         |  SELECT list(lo.x + (hi.x - lo.x) * (r - lo_i) ORDER BY r) AS bs
+         |  FROM ranks
+         |  JOIN v lo ON lo.rn = lo_i
+         |  JOIN v hi ON hi.rn = hi_i
+         |), c AS (
+         |  SELECT event_id, user_id AS uy,
+         |         len(list_filter(b.bs, x -> x <= e."value")) AS ux
+         |  FROM events e CROSS JOIN b
          |)
          |SELECT event_id, $terms AS zkey FROM c
          |""".stripMargin
