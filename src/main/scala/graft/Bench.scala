@@ -51,7 +51,9 @@ object Bench {
     "substr_trigger_ovf_10x", "curate_trigger_sem",
     "image_trigger_1x", "image_trigger_10x",
     "video_trigger_1x", "video_trigger_10x",
-    "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x")
+    "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x",
+    "mp3_trigger_1x", "mp3_trigger_10x",
+    "hygiene_compact_1x", "hygiene_compact_10x")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
     * middles for even n (so reps=2 takes the min). Contention only ever
@@ -104,9 +106,23 @@ object Bench {
 
     val repsNoisy = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val repsAll = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_ALL", "2").toInt)
+    val repsSub = math.max(repsAll,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_SUB", "5").toInt)
     def timeN(name: String)(f: => Unit): Double = {
       val reps = if (Noisy(name)) repsNoisy else repsAll
-      median((1 to reps).map(_ => time(f)))
+      val xs = (1 to reps).map(_ => time(f))
+      val m = median(xs)
+      // SUB-SECOND rows are the noisiest class by construction — they
+      // sit at the job floor, where one scheduler hiccup doubles the
+      // reading (r14: window_agg 0.215 → 0.432 s with untouched code).
+      // Top such rows up to `repsSub` total samples and take the MIN:
+      // contention only ever inflates a wall clock, so for a floor-
+      // bound measurement the lowest sample is the least biased. Scoped
+      // to cheap rows (the top-up costs < repsSub extra seconds) and to
+      // the non-Noisy set (the composites keep their median protocol).
+      if (m < 1.0 && !Noisy(name))
+        (xs ++ (xs.size until repsSub).map(_ => time(f))).min
+      else m
     }
     val only: Set[String] = args.toSet
 
@@ -139,7 +155,8 @@ object Bench {
       "chunk_docs", "ppl_hist", "bpe_merges", "embed_topk_pq",
       "dedup_incremental_bloom", "format_roundtrip", "corpus_sketch",
       "window_agg", "stratified_split", "gopher_filters", "zorder_key",
-      "zorder_key3", "zorder_key_rank", "mp4_dedup_exact",
+      "zorder_key3", "zorder_key_rank", "zorder_key_bounds",
+      "mp4_dedup_exact", "mp3_dedup_exact", "mp3_meta",
       "html_extract", "dedup_lines", "dsir_select", "bigram_logppl",
       "dedup_cluster_resolve", "pipeline_e2e")
 
@@ -313,7 +330,8 @@ object Bench {
       "substr_trigger_ovf_10x", "curate_trigger_sem",
       "image_trigger_1x", "image_trigger_10x",
       "video_trigger_1x", "video_trigger_10x",
-      "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x")
+      "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x",
+      "mp3_trigger_1x", "mp3_trigger_10x")
     val catalogTimes: Seq[(String, Double)] =
       if (catalogNames.exists(want)) {
         val docsBase = Tables.read(spark, sfDir, "documents")
@@ -465,6 +483,15 @@ object Bench {
             dir, kind = graft.dedup.Mp4Dedup.Kind)
         if (want("mp4_trigger_1x")) mp4CatalogEntries(100000L, mp4cat1x)
         if (want("mp4_trigger_10x")) mp4CatalogEntries(1000000L, mp4cat10x)
+        // mp3 frame-signature catalogs: same hash-realistic mass shape
+        val mp3cat1x = s"$tmp/mp3cat1x"; val mp3cat10x = s"$tmp/mp3cat10x"
+        def mp3CatalogEntries(n: Long, dir: String): Unit =
+          graft.dedup.ExactCatalog.append(
+            spark.range(0, n).select(xxhash64(col("id")).as("fp"),
+              xxhash64(col("id"), lit(13L)).as("h2")),
+            dir, kind = graft.dedup.Mp3Dedup.Kind)
+        if (want("mp3_trigger_1x")) mp3CatalogEntries(100000L, mp3cat1x)
+        if (want("mp3_trigger_10x")) mp3CatalogEntries(1000000L, mp3cat10x)
         // a FRESH batch per rep (ids/texts outside every catalog) so
         // replayed reps do the same admit-then-append work each time
         var repC = 0
@@ -488,6 +515,13 @@ object Bench {
             (col("id") + lit(repC * 50000000L)).as("doc_id"),
             graft.functions.GraftFunctions.syntheticMp4(
               col("id") + lit(repC * 50000000L), lit(0)).as("mp4"))
+        }
+        def freshMp3Batch(): org.apache.spark.sql.DataFrame = {
+          repC += 1
+          spark.range(0, 20).select(
+            (col("id") + lit(repC * 50000000L)).as("doc_id"),
+            graft.functions.GraftFunctions.syntheticMp3(
+              col("id") + lit(repC * 50000000L), lit(0)).as("mp3"))
         }
         def freshBatch(): DataFrame = {
           repC += 1
@@ -677,6 +711,19 @@ object Bench {
           "mp4_trigger_10x" -> (() => {
             val _ = graft.streaming.StreamingMp4Dedup.applyBatch(
               freshMp4Batch(), mp4cat10x, "doc_id", "mp4",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          // mp3 frame-signature trigger vs catalog mass: 20 real MPEG
+          // frame walks + one byte pass each, same pruned single-tier
+          // probe shape as the mp4 rows. Flatness = O(batch).
+          "mp3_trigger_1x" -> (() => {
+            val _ = graft.streaming.StreamingMp3Dedup.applyBatch(
+              freshMp3Batch(), mp3cat1x, "doc_id", "mp3",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          "mp3_trigger_10x" -> (() => {
+            val _ = graft.streaming.StreamingMp3Dedup.applyBatch(
+              freshMp3Batch(), mp3cat10x, "doc_id", "mp3",
               added = repC.toLong, deliver = d => force(d))
           }),
           // curate_trigger at 10x the BATCH size (r13 verdict item 8):
@@ -892,11 +939,44 @@ object Bench {
           .filter { case (n, _) => want(n) }
       } else Seq.empty
 
+    // Catalog COMPACTION cost vs catalog mass (r14 verdict item 6): at a
+    // year-long stream the hygiene sweep is the tail-latency story — a
+    // trigger that lands on the compaction batch pays it inline. Build a
+    // FRAGMENTED catalog (16 appends → ~16 files per bucket, the shape
+    // that trips `compactAboveFiles = 16`) at 1x ~100k and 10x ~1M
+    // entries, then time the FULL compact. A fresh catalog per rep —
+    // compaction mutates its input, so a second rep over the same dir
+    // would time a no-op; lower median across reps, the dedup_a1
+    // discipline (timeN's replay model doesn't fit a self-consuming
+    // measurement).
+    val hygNames = Seq("hygiene_compact_1x", "hygiene_compact_10x")
+    val hygTimes: Seq[(String, Double)] =
+      if (hygNames.exists(want)) {
+        val root = scratch("graft-hyg-bench")
+        def buildFragmented(n: Long, dir: String): Unit =
+          (0 until 16).foreach { k =>
+            graft.dedup.ExactCatalog.append(
+              spark.range(k * n / 16, (k + 1) * n / 16)
+                .select(xxhash64(col("id")).as("fp"),
+                  xxhash64(col("id"), lit(3L)).as("h2")),
+              dir, added = k.toLong)
+          }
+        def row(name: String, n: Long): Option[(String, Double)] =
+          if (!want(name)) None
+          else Some(name -> median((1 to repsAll).map { i =>
+            val d = s"$root/$name-$i"
+            buildFragmented(n, d)
+            time(graft.dedup.ExactCatalog.compact(spark, d))
+          }))
+        (row("hygiene_compact_1x", 100000L) ++
+          row("hygiene_compact_10x", 1000000L)).toSeq
+      } else Seq.empty
+
     val metricTimes = (Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
       "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec)
-      ++ catalogTimes ++ semddTimes ++ zTimes ++ zsTimes)
+      ++ catalogTimes ++ semddTimes ++ zTimes ++ zsTimes ++ hygTimes)
       .filter { case (n, _) => want(n) }
     val all = queryTimes ++ metricTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
