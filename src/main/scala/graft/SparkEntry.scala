@@ -2922,6 +2922,26 @@ object SparkEntry {
       graft.text.LanguageModel.encodeDocs(docs(s, dir), "doc_id", "text",
         maxVocab = 24)),
 
+    // Unigram (SentencePiece-style) tokenizer TRAINER (r14 verdict
+    // item 7): hard-EM over the substring candidate set — seed counts →
+    // Viterbi E-step under seed log-probs → usage M-step + prune →
+    // smoothed final vocabulary. Fully row-oracled: DuckDB recomputes
+    // the seed, enumerates every word's segmentations (bounded: ≤4-char
+    // pieces over ≤12-char words, vocabulary-pruned) and picks the best
+    // by the same (score DESC, path ASC) rule the kernel's DP tiebreak
+    // implements; scores accumulate left-to-right on both sides so the
+    // doubles agree bitwise.
+    "unigram_train" -> ((s, dir) =>
+      graft.text.Unigram.train(docs(s, dir), "text")),
+
+    // ... and the encode pass over the trained vocabulary: per-doc piece
+    // counts, overlong words (> MaxWordLen) as single is_unk rows.
+    "unigram_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Unigram.encode(
+        d, "doc_id", "text", graft.text.Unigram.trainedVocab(d, "text"))
+    }),
+
     // Unigram-LM surprisal (the KenLM-style perplexity quality filter,
     // reduced to its exactly-checkable unigram core).
     "unigram_logppl" -> ((s, dir) =>
@@ -3921,6 +3941,75 @@ object SparkEntry {
        |  SELECT DISTINCT gram FROM gg WHERE $evalPred
        |)
        |SELECT DISTINCT gg.doc_id FROM gg JOIN evv USING (gram))""".stripMargin
+
+  /** The unigram-trainer CTE chain (DuckDB), shared by the
+    * `unigram_train` and `unigram_encode` oracles — the EXACT
+    * restatement of [[graft.text.Unigram.train]]: word table (lowered
+    * whitespace tokens, length 1..12, occurrence-weighted), substring
+    * seed counts (lengths 1..4), seed vocabulary (all singles + top-500
+    * multis by (cnt DESC, piece ASC)), seed log-probs
+    * `round(ln(cnt/tot), 6)`, then the Viterbi E-step as a bounded
+    * path ENUMERATION per distinct word — scores accumulate left to
+    * right exactly like the kernel's DP, the best row is picked by
+    * (score DESC, path ASC) which is precisely the DP's exact-tie
+    * lexicographic rule (see [[graft.functions.UnigramVocab]]) — and
+    * finally usage counts + the pruned, add-one-smoothed vocabulary.
+    * Emits CTEs `words` (w, occ), `cnts`, `finals` (piece, n_uses) and
+    * `ftot` (tot, v). */
+  private val unigramTrainCtesSql: String =
+    s"""words0 AS (
+       |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+       |           ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS w
+       |  FROM documents
+       |), words AS (
+       |  SELECT w, count(*) AS occ FROM words0
+       |  WHERE length(w) BETWEEN 1 AND 12 GROUP BY w
+       |), cand AS (
+       |  SELECT substr(w, s, l) AS piece, occ
+       |  FROM words, unnest(range(1, length(w) + 1)) AS ts(s),
+       |       unnest([1, 2, 3, 4]) AS tl(l)
+       |  WHERE s + l <= length(w) + 1
+       |), cnts AS (SELECT piece, sum(occ) AS cnt FROM cand GROUP BY piece),
+       |seed AS (
+       |  SELECT piece, cnt FROM cnts WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM cnts WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece ASC LIMIT 500)
+       |), stot AS (SELECT sum(cnt) AS tot FROM seed),
+       |svocab AS (
+       |  SELECT piece,
+       |         round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS logp
+       |  FROM seed CROSS JOIN stot
+       |), seg AS (
+       |  SELECT w, 0 AS pos, CAST(0.0 AS DOUBLE) AS score, '' AS path
+       |  FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + length(v.piece), s.score + v.logp,
+       |         s.path || chr(1) || v.piece
+       |  FROM seg s JOIN svocab v
+       |    ON substr(s.w, s.pos + 1, length(v.piece)) = v.piece
+       |  WHERE s.pos < length(s.w)
+       |), best AS (
+       |  SELECT w, path FROM (
+       |    SELECT w, path, row_number() OVER (
+       |      PARTITION BY w ORDER BY score DESC, path ASC) AS rn
+       |    FROM seg WHERE pos = length(w)) sub WHERE rn = 1
+       |), used AS (
+       |  SELECT unnest(string_split(substr(b.path, 2), chr(1))) AS piece,
+       |         words.occ
+       |  FROM best b JOIN words ON words.w = b.w
+       |), usage AS (SELECT piece, sum(occ) AS n_uses FROM used GROUP BY piece),
+       |finals AS (
+       |  SELECT s.piece, coalesce(u.n_uses, 0) AS n_uses
+       |  FROM (SELECT piece FROM cnts WHERE length(piece) = 1) s
+       |  LEFT JOIN usage u ON u.piece = s.piece
+       |  UNION ALL
+       |  SELECT piece, n_uses FROM (
+       |    SELECT piece, n_uses FROM usage
+       |    WHERE length(piece) > 1 AND n_uses > 0
+       |    ORDER BY n_uses DESC, piece ASC LIMIT 200)
+       |), ftot AS (SELECT sum(n_uses) AS tot, count(*) AS v FROM finals)""".stripMargin
 
   /** Full `curate_stream_batch` oracle — the three dedup tiers as one
     * CTE chain over the same split (catalogs = id%3=0, batch = rest):
@@ -5471,6 +5560,58 @@ object SparkEntry {
         |       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
         |FROM enc GROUP BY doc_id
         |""".stripMargin,
+
+    "unigram_train" ->
+      s"""WITH RECURSIVE $unigramTrainCtesSql
+         |SELECT piece, CAST(n_uses AS BIGINT) AS n_uses,
+         |       round(ln(CAST(n_uses + 1 AS DOUBLE)
+         |                / CAST(tot + v AS DOUBLE)), 6) AS logp
+         |FROM finals CROSS JOIN ftot
+         |""".stripMargin,
+
+    // encode = a SECOND Viterbi pass, over the FINAL (smoothed)
+    // vocabulary, applied per document: piece counts for words within
+    // the length cap, the whole word as one is_unk row past it.
+    "unigram_encode" ->
+      s"""WITH RECURSIVE $unigramTrainCtesSql,
+         |fvocab AS (
+         |  SELECT piece,
+         |         round(ln(CAST(n_uses + 1 AS DOUBLE)
+         |                  / CAST(tot + v AS DOUBLE)), 6) AS logp
+         |  FROM finals CROSS JOIN ftot
+         |), dwords AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+         |           ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS w
+         |  FROM documents
+         |), dw AS (
+         |  SELECT doc_id, w, count(*) AS n_occ FROM dwords
+         |  WHERE length(w) >= 1 GROUP BY doc_id, w
+         |), dshort AS (SELECT DISTINCT w FROM dw WHERE length(w) <= 12),
+         |seg2 AS (
+         |  SELECT w, 0 AS pos, CAST(0.0 AS DOUBLE) AS score, '' AS path
+         |  FROM dshort
+         |  UNION ALL
+         |  SELECT s.w, s.pos + length(v.piece), s.score + v.logp,
+         |         s.path || chr(1) || v.piece
+         |  FROM seg2 s JOIN fvocab v
+         |    ON substr(s.w, s.pos + 1, length(v.piece)) = v.piece
+         |  WHERE s.pos < length(s.w)
+         |), best2 AS (
+         |  SELECT w, path FROM (
+         |    SELECT w, path, row_number() OVER (
+         |      PARTITION BY w ORDER BY score DESC, path ASC) AS rn
+         |    FROM seg2 WHERE pos = length(w)) sub WHERE rn = 1
+         |)
+         |SELECT doc_id, piece, is_unk, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT dw.doc_id,
+         |         unnest(string_split(substr(b.path, 2), chr(1))) AS piece,
+         |         FALSE AS is_unk, dw.n_occ AS cnt
+         |  FROM best2 b JOIN dw ON dw.w = b.w
+         |  UNION ALL
+         |  SELECT doc_id, w AS piece, TRUE AS is_unk, n_occ AS cnt
+         |  FROM dw WHERE length(w) > 12
+         |) u GROUP BY doc_id, piece, is_unk
+         |""".stripMargin,
 
     "unigram_logppl" ->
       """WITH toks AS (

@@ -176,6 +176,8 @@ object GraftFunctions {
   def syntheticMp4(seed: Column, variant: Column): Column =
     column(SyntheticMp4(expression(seed), expression(variant)))
   def mp3FramesSig(c: Column): Column = column(Mp3FramesSig(expression(c)))
+  def unigramSegment(c: Column, pieces: Seq[String], logps: Seq[Double]): Column =
+    column(UnigramSegment(expression(c), pieces, logps))
   def mp3Meta(c: Column): Column = column(Mp3MetaExpr(expression(c)))
   def syntheticMp3(seed: Column, variant: Column): Column =
     column(SyntheticMp3(expression(seed), expression(variant)))
