@@ -57,6 +57,12 @@ object GraftFunctions {
     (FunctionIdentifier("mp4_mdat_sig"),
       new ExpressionInfo(classOf[Mp4MdatSig].getName, "mp4_mdat_sig"),
       (exprs: Seq[Expression]) => Mp4MdatSig(exprs.head)),
+    (FunctionIdentifier("mp3_frames_sig"),
+      new ExpressionInfo(classOf[Mp3FramesSig].getName, "mp3_frames_sig"),
+      (exprs: Seq[Expression]) => Mp3FramesSig(exprs.head)),
+    (FunctionIdentifier("mp3_meta"),
+      new ExpressionInfo(classOf[Mp3MetaExpr].getName, "mp3_meta"),
+      (exprs: Seq[Expression]) => Mp3MetaExpr(exprs.head)),
     (FunctionIdentifier("tokenize_ws"),
       new ExpressionInfo(classOf[TokenizeWs].getName, "tokenize_ws"),
       (exprs: Seq[Expression]) => TokenizeWs(exprs.head)),
