@@ -53,6 +53,7 @@ object Bench {
     "video_trigger_1x", "video_trigger_10x",
     "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x",
     "mp3_trigger_1x", "mp3_trigger_10x",
+    "flac_trigger_1x", "flac_trigger_10x",
     "hygiene_compact_1x", "hygiene_compact_10x")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
@@ -157,6 +158,7 @@ object Bench {
       "window_agg", "stratified_split", "gopher_filters", "zorder_key",
       "zorder_key3", "zorder_key_rank", "zorder_key_bounds",
       "mp4_dedup_exact", "mp3_dedup_exact", "mp3_meta",
+      "flac_dedup_exact", "flac_meta",
       "html_extract", "dedup_lines", "dsir_select", "bigram_logppl",
       "dedup_cluster_resolve", "pipeline_e2e")
 
@@ -331,7 +333,8 @@ object Bench {
       "image_trigger_1x", "image_trigger_10x",
       "video_trigger_1x", "video_trigger_10x",
       "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x",
-      "mp3_trigger_1x", "mp3_trigger_10x")
+      "mp3_trigger_1x", "mp3_trigger_10x",
+      "flac_trigger_1x", "flac_trigger_10x")
     val catalogTimes: Seq[(String, Double)] =
       if (catalogNames.exists(want)) {
         val docsBase = Tables.read(spark, sfDir, "documents")
@@ -492,6 +495,15 @@ object Bench {
             dir, kind = graft.dedup.Mp3Dedup.Kind)
         if (want("mp3_trigger_1x")) mp3CatalogEntries(100000L, mp3cat1x)
         if (want("mp3_trigger_10x")) mp3CatalogEntries(1000000L, mp3cat10x)
+        // flac stream-signature catalogs: same hash-realistic mass shape
+        val flaccat1x = s"$tmp/flaccat1x"; val flaccat10x = s"$tmp/flaccat10x"
+        def flacCatalogEntries(n: Long, dir: String): Unit =
+          graft.dedup.ExactCatalog.append(
+            spark.range(0, n).select(xxhash64(col("id")).as("fp"),
+              xxhash64(col("id"), lit(17L)).as("h2")),
+            dir, kind = graft.dedup.FlacDedup.Kind)
+        if (want("flac_trigger_1x")) flacCatalogEntries(100000L, flaccat1x)
+        if (want("flac_trigger_10x")) flacCatalogEntries(1000000L, flaccat10x)
         // a FRESH batch per rep (ids/texts outside every catalog) so
         // replayed reps do the same admit-then-append work each time
         var repC = 0
@@ -522,6 +534,13 @@ object Bench {
             (col("id") + lit(repC * 50000000L)).as("doc_id"),
             graft.functions.GraftFunctions.syntheticMp3(
               col("id") + lit(repC * 50000000L), lit(0)).as("mp3"))
+        }
+        def freshFlacBatch(): org.apache.spark.sql.DataFrame = {
+          repC += 1
+          spark.range(0, 20).select(
+            (col("id") + lit(repC * 50000000L)).as("doc_id"),
+            graft.functions.GraftFunctions.syntheticFlac(
+              col("id") + lit(repC * 50000000L), lit(0)).as("flac"))
         }
         def freshBatch(): DataFrame = {
           repC += 1
@@ -724,6 +743,17 @@ object Bench {
           "mp3_trigger_10x" -> (() => {
             val _ = graft.streaming.StreamingMp3Dedup.applyBatch(
               freshMp3Batch(), mp3cat10x, "doc_id", "mp3",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          // flac stream-signature trigger: same pruned single-tier shape
+          "flac_trigger_1x" -> (() => {
+            val _ = graft.streaming.StreamingFlacDedup.applyBatch(
+              freshFlacBatch(), flaccat1x, "doc_id", "flac",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          "flac_trigger_10x" -> (() => {
+            val _ = graft.streaming.StreamingFlacDedup.applyBatch(
+              freshFlacBatch(), flaccat10x, "doc_id", "flac",
               added = repC.toLong, deliver = d => force(d))
           }),
           // curate_trigger at 10x the BATCH size (r13 verdict item 8):

@@ -192,6 +192,14 @@ object SparkEntry {
       when(isMp3Retag, col("doc_id") - ImgCopyStride).otherwise(col("doc_id")),
       when(isMp3Retag, lit(1)).otherwise(lit(0)))
 
+  /** Planted FLAC payload per doc (same −21 stride): %10==7 at or past
+    * the stride → a RE-TAG of (doc_id−21)'s stream — identical frame
+    * bytes under a rewritten metadata chain. */
+  private def plantedFlac: Column =
+    GraftFunctions.syntheticFlac(
+      when(isMp3Retag, col("doc_id") - ImgCopyStride).otherwise(col("doc_id")),
+      when(isMp3Retag, lit(1)).otherwise(lit(0)))
+
   /** Planted decodable AVI payload per doc, the video mirror (same
     * stride scheme): %10==8 → whole-video re-encode (every frame
     * upscaled + brightness-shifted — new bytes and frame sizes, aligned
@@ -1476,6 +1484,69 @@ object SparkEntry {
           col("retag_bytes_differ_ok"))
     }),
 
+    // The LOSSLESS compressed-audio leg: FLAC's frame region is a
+    // contiguous suffix after the metadata chain, so the stream
+    // signature sees through tag rewrites without any frame parser.
+    // Same contract shape and stride scheme as mp3_dedup_exact.
+    "flac_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-flac-q")
+      val prior = d.filter(col("doc_id") % 10 <= 6)
+        .select(col("doc_id"), plantedFlac.as("flac"))
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.FlacDedup.entriesOf(prior, "flac"), s"$root/cat",
+        kind = graft.dedup.FlacDedup.Kind)
+      val batch = d.filter(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 9)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 9,
+            GraftFunctions.syntheticFlac(col("doc_id") + 1000000000L, lit(0)))
+            .otherwise(plantedFlac).as("flac"))
+      val out = graft.streaming.StreamingFlacDedup.applyBatch(
+        batch, s"$root/cat", "doc_id", "flac", added = 1L)
+      val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
+      val keptRetag = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
+      val keptOrig = kept.count(i => i % 10 == 7 && i < ImgCopyStride)
+      val keptFresh = kept.count(_ % 10 == 9)
+      val bytesEqual = d.filter(isMp3Retag)
+        .filter(plantedFlac === GraftFunctions.syntheticFlac(
+          col("doc_id") - ImgCopyStride, lit(0)))
+        .count()
+      deleteRecursively(root.toFile)
+      import s.implicits._
+      batch.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(isMp3Retag, 1L).otherwise(0L)).as("n_retag"),
+        sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
+        sum(when(col("doc_id") % 10 === 7 && !isMp3Retag, 1L).otherwise(0L))
+          .as("n_small_originals"))
+        .crossJoin(Seq((
+          keptRetag == 0, keptFresh.toLong, keptOrig.toLong,
+          bytesEqual == 0L)).toDF(
+          "retag_all_dropped_ok", "n_fresh_kept", "n_small_orig_kept",
+          "retag_bytes_differ_ok"))
+        .select(col("n_batch"), col("n_retag"), col("n_fresh"),
+          col("n_small_originals"), col("retag_all_dropped_ok"),
+          (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
+          (col("n_small_orig_kept") === col("n_small_originals"))
+            .as("small_originals_kept_ok"),
+          col("retag_bytes_differ_ok"))
+    }),
+
+    // FLAC STREAMINFO geometry — every second doc's stream re-tagged
+    // (VORBIS_COMMENT + PADDING inserted), which must not change a
+    // single field.
+    "flac_meta" -> ((s, dir) => {
+      val m = graft.functions.GraftFunctions.flacMeta(
+        GraftFunctions.syntheticFlac(col("doc_id"),
+          (col("doc_id") % 2).cast("int")))
+      docs(s, dir).select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"),
+          col("m.bits").as("bits"),
+          col("m.total_samples").as("total_samples"))
+    }),
+
     // The AUDIO leg of the multimodal dedup tier: real RIFF/PCM sample
     // decode under the volume-invariant energy-envelope hash, same
     // contract shape as image_phash. Near-dups here are HALF-VOLUME
@@ -2458,6 +2529,36 @@ object SparkEntry {
           s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
           "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
           mp3Col = Some("mp3"), mp3Dir = Some(s"$tmp/mp3")), added = 1L)
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
+    // ... and WITH the FLAC exact/re-tag tier engaged (same -21 stride
+    // arithmetic as the mp3/mp4 curate gates).
+    "curate_stream_batch_flac" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        plantedFlac.as("flac"))
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-flac-q")
+      val tmp = root.toString
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.FlacDedup.entriesOf(prior, "flac"), s"$tmp/flac",
+        kind = graft.dedup.FlacDedup.Kind)
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0),
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          flacCol = Some("flac"), flacDir = Some(s"$tmp/flac")), added = 1L)
         .filter(col("n_tokens") > 0)
       deleteRecursively(root.toFile)
       out
@@ -5253,6 +5354,18 @@ object SparkEntry {
         |  TRUE AS small_originals_kept_ok, TRUE AS retag_bytes_differ_ok
         |""".stripMargin,
 
+    "flac_dedup_exact" ->
+      """SELECT (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 OR doc_id % 10 = 9) AS n_batch,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_retag,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 9) AS n_fresh,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id < 21) AS n_small_originals,
+        |  TRUE AS retag_all_dropped_ok, TRUE AS fresh_all_kept_ok,
+        |  TRUE AS small_originals_kept_ok, TRUE AS retag_bytes_differ_ok
+        |""".stripMargin,
+
     "audio_dedup_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 >= 7) AS n_batch,
         |  (SELECT count(*) FROM documents
@@ -5318,6 +5431,10 @@ object SparkEntry {
     // the drop set is the in-batch collapse of re-tags onto their
     // min-id bases.
     "curate_stream_batch_mp3" -> curateStreamOracleSql(
+      "AND NOT (doc_id % 10 = 7 AND doc_id >= 21)"),
+
+    // ... and the flac tier: same stride, same drop set.
+    "curate_stream_batch_flac" -> curateStreamOracleSql(
       "AND NOT (doc_id % 10 = 7 AND doc_id >= 21)"),
 
     "dedup_cluster_resolve" ->
@@ -5525,6 +5642,16 @@ object SparkEntry {
         |       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
         |            WHEN 1 THEN 48000 ELSE 32000 END AS INT) AS sample_rate,
         |       CAST(doc_id % 5 + 2 AS INT) AS n_frames
+        |FROM documents
+        |""".stripMargin,
+
+    "flac_meta" ->
+      """SELECT doc_id,
+        |       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+        |            WHEN 1 THEN 48000 ELSE 96000 END AS INT) AS sample_rate,
+        |       CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |       CAST(CASE WHEN doc_id % 4 >= 2 THEN 24 ELSE 16 END AS INT) AS bits,
+        |       CAST(doc_id % 100000 + 1 AS BIGINT) AS total_samples
         |FROM documents
         |""".stripMargin,
 

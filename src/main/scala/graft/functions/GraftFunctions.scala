@@ -63,6 +63,12 @@ object GraftFunctions {
     (FunctionIdentifier("mp3_meta"),
       new ExpressionInfo(classOf[Mp3MetaExpr].getName, "mp3_meta"),
       (exprs: Seq[Expression]) => Mp3MetaExpr(exprs.head)),
+    (FunctionIdentifier("flac_stream_sig"),
+      new ExpressionInfo(classOf[FlacStreamSig].getName, "flac_stream_sig"),
+      (exprs: Seq[Expression]) => FlacStreamSig(exprs.head)),
+    (FunctionIdentifier("flac_meta"),
+      new ExpressionInfo(classOf[FlacMetaExpr].getName, "flac_meta"),
+      (exprs: Seq[Expression]) => FlacMetaExpr(exprs.head)),
     (FunctionIdentifier("tokenize_ws"),
       new ExpressionInfo(classOf[TokenizeWs].getName, "tokenize_ws"),
       (exprs: Seq[Expression]) => TokenizeWs(exprs.head)),
@@ -184,6 +190,10 @@ object GraftFunctions {
   def mp3FramesSig(c: Column): Column = column(Mp3FramesSig(expression(c)))
   def unigramSegment(c: Column, pieces: Seq[String], logps: Seq[Double]): Column =
     column(UnigramSegment(expression(c), pieces, logps))
+  def flacStreamSig(c: Column): Column = column(FlacStreamSig(expression(c)))
+  def flacMeta(c: Column): Column = column(FlacMetaExpr(expression(c)))
+  def syntheticFlac(seed: Column, variant: Column): Column =
+    column(SyntheticFlac(expression(seed), expression(variant)))
   def mp3Meta(c: Column): Column = column(Mp3MetaExpr(expression(c)))
   def syntheticMp3(seed: Column, variant: Column): Column =
     column(SyntheticMp3(expression(seed), expression(variant)))

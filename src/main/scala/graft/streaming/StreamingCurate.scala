@@ -127,6 +127,8 @@ object StreamingCurate {
       mp4Dir: Option[String] = None,
       mp3Col: Option[String] = None,
       mp3Dir: Option[String] = None,
+      flacCol: Option[String] = None,
+      flacDir: Option[String] = None,
       statsDir: Option[String] = None,
       statsNgram: Int = 3,
       decontamDir: Option[String] = None,
@@ -194,6 +196,14 @@ object StreamingCurate {
         "mp3Col is configured but mp3Dir is not — the mp3 tier needs " +
           "its persistent frame-signature catalog")
     }
+    flacCol.foreach { fc =>
+      require(batch.columns.contains(fc),
+        s"flacCol is configured but the batch has no '$fc' column " +
+          s"(batch columns: ${batch.columns.mkString(", ")})")
+      require(flacDir.isDefined,
+        "flacCol is configured but flacDir is not — the flac tier needs " +
+          "its persistent stream-signature catalog")
+    }
     // multi-consumer chains read the batch more than once (the media
     // tiers, tier 1, the embedding re-join, and the decontam probe's
     // gram pass + anti-join) — pin once so later consumers replay a
@@ -201,7 +211,7 @@ object StreamingCurate {
     val src =
       if (semIndexDir.isDefined || imageCol.isDefined || audioCol.isDefined ||
           videoCol.isDefined || mp4Col.isDefined || mp3Col.isDefined ||
-          allDecontamDirs.nonEmpty)
+          flacCol.isDefined || allDecontamDirs.nonEmpty)
         graft.ops.Checkpoints.pin(batch)
       else batch
     // the substring rewrite, shared by every chain length
@@ -242,18 +252,30 @@ object StreamingCurate {
             })
         })
     }
-    // the mp3 exact/re-tag tier (when engaged) is the last media tier
-    // before the text chain — byte-level like the mp4 tier, so the
-    // perceptual tiers keep first claim on cluster representatives
-    def mp3ThenText(upstream: DataFrame): Unit = mp3Col match {
+    // the flac exact/re-tag tier (when engaged) is the last media tier
+    // before the text chain
+    def flacThenText(upstream: DataFrame): Unit = flacCol match {
       case None => textTiers(upstream)
+      case Some(fc) =>
+        val _ = StreamingFlacDedup.applyBatch(
+          upstream, flacDir.get, idCol, fc, numBuckets,
+          compactAboveFiles = compactAboveFiles, added = added,
+          retainAddedBehind = retainAddedBehind,
+          retentionSweepEvery = retentionSweepEvery,
+          deliver = flacSurvivors => textTiers(flacSurvivors))
+    }
+    // the mp3 exact/re-tag tier (when engaged) — byte-level like the
+    // mp4 tier, so the perceptual tiers keep first claim on cluster
+    // representatives
+    def mp3ThenText(upstream: DataFrame): Unit = mp3Col match {
+      case None => flacThenText(upstream)
       case Some(mc) =>
         val _ = StreamingMp3Dedup.applyBatch(
           upstream, mp3Dir.get, idCol, mc, numBuckets,
           compactAboveFiles = compactAboveFiles, added = added,
           retainAddedBehind = retainAddedBehind,
           retentionSweepEvery = retentionSweepEvery,
-          deliver = mp3Survivors => textTiers(mp3Survivors))
+          deliver = mp3Survivors => flacThenText(mp3Survivors))
     }
     // the mp4 exact/re-mux tier (when engaged) runs LAST among the
     // perceptual media tiers — its mdat byte pass is the cheapest media

@@ -1,12 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import graft.dedup.{ExactCatalog, Mp3Dedup}
+import graft.dedup.ExactCatalog
 
 /** Streaming wrapper for the MP3 frame-signature dedup tier
-  * ([[graft.dedup.Mp3Dedup]]) — per-bucket hygiene and the versioned-
-  * root lifecycle, exactly the [[StreamingMp4Dedup]] shape (the tier
-  * IS one ExactCatalog, so the whole maintenance surface delegates). */
+  * ([[graft.dedup.Mp3Dedup]]) — a [[StreamingSigDedup]] binding:
+  * per-bucket hygiene and the versioned-root lifecycle, exactly the
+  * [[StreamingExactDedup]] shape. */
 object StreamingMp3Dedup {
 
   def applyBatch(
@@ -17,17 +17,12 @@ object StreamingMp3Dedup {
       added: Long = 0L,
       retainAddedBehind: Option[Long] = None,
       retentionSweepEvery: Long = 256L,
-      deliver: DataFrame => Unit = _ => ()): DataFrame = {
-    val spark = batch.sparkSession
-    val survivors = Mp3Dedup.applyBatch(
-      batch, catalogDir, idCol, binCol, numBuckets, added,
-      maxPushdownKeys, deliver)
-    CatalogHygiene.afterAppend(
-      compactAboveFiles, added, retainAddedBehind, retentionSweepEvery)(
-      ExactCatalog.bucketFileCounts(spark, catalogDir),
-      ExactCatalog.compact(spark, catalogDir, _, _))
-    survivors
-  }
+      deliver: DataFrame => Unit = _ => ()): DataFrame =
+    StreamingSigDedup.applyBatch(
+      graft.dedup.Mp3Dedup.applyBatch(_, _, _, _, _, _, _, _))(
+      batch, catalogDir, idCol, binCol, numBuckets, maxPushdownKeys,
+      compactAboveFiles, added, retainAddedBehind, retentionSweepEvery,
+      deliver)
 
   /** [[applyBatch]] against a [[graft.ops.VersionedStore]] ROOT (see
     * [[VersionedTier]]): serving version resolved per trigger, tripped
@@ -42,14 +37,10 @@ object StreamingMp3Dedup {
       retentionSweepEvery: Long = 256L,
       policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
       maintainEvery: Long = 64L,
-      deliver: DataFrame => Unit = _ => ()): DataFrame = {
-    val spark = batch.sparkSession
-    VersionedTier.run(spark, root,
-      d => ExactCatalog.readMeta(spark, d).isDefined,
-      maintainEvery, added,
-      () => { val _ = ExactCatalog.maintainVersioned(spark, root, policy) })(
+      deliver: DataFrame => Unit = _ => ()): DataFrame =
+    StreamingSigDedup.applyBatchVersioned(
       serving => applyBatch(batch, serving, idCol, binCol, numBuckets,
         maxPushdownKeys, compactAboveFiles, added, retainAddedBehind,
-        retentionSweepEvery, deliver))
-  }
+        retentionSweepEvery, deliver))(
+      batch.sparkSession, root, policy, maintainEvery, added)
 }
