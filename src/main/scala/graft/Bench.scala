@@ -54,6 +54,7 @@ object Bench {
     "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x",
     "mp3_trigger_1x", "mp3_trigger_10x",
     "flac_trigger_1x", "flac_trigger_10x",
+    "ogg_trigger_1x", "ogg_trigger_10x",
     "hygiene_compact_1x", "hygiene_compact_10x")
 
   /** Lower median: the middle element for odd n, the LOWER of the two
@@ -158,7 +159,8 @@ object Bench {
       "window_agg", "stratified_split", "gopher_filters", "zorder_key",
       "zorder_key3", "zorder_key_rank", "zorder_key_bounds",
       "mp4_dedup_exact", "mp3_dedup_exact", "mp3_meta",
-      "flac_dedup_exact", "flac_meta",
+      "flac_dedup_exact", "flac_meta", "ogg_dedup_exact", "ogg_meta",
+      "script_profile",
       "html_extract", "dedup_lines", "dsir_select", "bigram_logppl",
       "dedup_cluster_resolve", "pipeline_e2e")
 
@@ -334,7 +336,8 @@ object Bench {
       "video_trigger_1x", "video_trigger_10x",
       "curate_trigger_b10x", "mp4_trigger_1x", "mp4_trigger_10x",
       "mp3_trigger_1x", "mp3_trigger_10x",
-      "flac_trigger_1x", "flac_trigger_10x")
+      "flac_trigger_1x", "flac_trigger_10x",
+      "ogg_trigger_1x", "ogg_trigger_10x")
     val catalogTimes: Seq[(String, Double)] =
       if (catalogNames.exists(want)) {
         val docsBase = Tables.read(spark, sfDir, "documents")
@@ -504,6 +507,15 @@ object Bench {
             dir, kind = graft.dedup.FlacDedup.Kind)
         if (want("flac_trigger_1x")) flacCatalogEntries(100000L, flaccat1x)
         if (want("flac_trigger_10x")) flacCatalogEntries(1000000L, flaccat10x)
+        // ogg packet-signature catalogs: same hash-realistic mass shape
+        val oggcat1x = s"$tmp/oggcat1x"; val oggcat10x = s"$tmp/oggcat10x"
+        def oggCatalogEntries(n: Long, dir: String): Unit =
+          graft.dedup.ExactCatalog.append(
+            spark.range(0, n).select(xxhash64(col("id")).as("fp"),
+              xxhash64(col("id"), lit(19L)).as("h2")),
+            dir, kind = graft.dedup.OggDedup.Kind)
+        if (want("ogg_trigger_1x")) oggCatalogEntries(100000L, oggcat1x)
+        if (want("ogg_trigger_10x")) oggCatalogEntries(1000000L, oggcat10x)
         // a FRESH batch per rep (ids/texts outside every catalog) so
         // replayed reps do the same admit-then-append work each time
         var repC = 0
@@ -541,6 +553,13 @@ object Bench {
             (col("id") + lit(repC * 50000000L)).as("doc_id"),
             graft.functions.GraftFunctions.syntheticFlac(
               col("id") + lit(repC * 50000000L), lit(0)).as("flac"))
+        }
+        def freshOggBatch(): org.apache.spark.sql.DataFrame = {
+          repC += 1
+          spark.range(0, 20).select(
+            (col("id") + lit(repC * 50000000L)).as("doc_id"),
+            graft.functions.GraftFunctions.syntheticOgg(
+              col("id") + lit(repC * 50000000L), lit(0)).as("ogg"))
         }
         def freshBatch(): DataFrame = {
           repC += 1
@@ -754,6 +773,17 @@ object Bench {
           "flac_trigger_10x" -> (() => {
             val _ = graft.streaming.StreamingFlacDedup.applyBatch(
               freshFlacBatch(), flaccat10x, "doc_id", "flac",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          // ogg packet-signature trigger: same pruned single-tier shape
+          "ogg_trigger_1x" -> (() => {
+            val _ = graft.streaming.StreamingOggDedup.applyBatch(
+              freshOggBatch(), oggcat1x, "doc_id", "ogg",
+              added = repC.toLong, deliver = d => force(d))
+          }),
+          "ogg_trigger_10x" -> (() => {
+            val _ = graft.streaming.StreamingOggDedup.applyBatch(
+              freshOggBatch(), oggcat10x, "doc_id", "ogg",
               added = repC.toLong, deliver = d => force(d))
           }),
           // curate_trigger at 10x the BATCH size (r13 verdict item 8):

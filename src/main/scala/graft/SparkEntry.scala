@@ -200,6 +200,15 @@ object SparkEntry {
       when(isMp3Retag, col("doc_id") - ImgCopyStride).otherwise(col("doc_id")),
       when(isMp3Retag, lit(1)).otherwise(lit(0)))
 
+  /** Planted Ogg payload per doc (same −21 stride): the re-tag carries
+    * a different comment packet, page width and sequence numbers over
+    * identical audio packets; codec alternates Vorbis/Opus by seed
+    * parity. */
+  private def plantedOgg: Column =
+    GraftFunctions.syntheticOgg(
+      when(isMp3Retag, col("doc_id") - ImgCopyStride).otherwise(col("doc_id")),
+      when(isMp3Retag, lit(1)).otherwise(lit(0)))
+
   /** Planted decodable AVI payload per doc, the video mirror (same
     * stride scheme): %10==8 → whole-video re-encode (every frame
     * upscaled + brightness-shifted — new bytes and frame sizes, aligned
@@ -1547,6 +1556,71 @@ object SparkEntry {
           col("m.total_samples").as("total_samples"))
     }),
 
+    // The Ogg (Vorbis/Opus) leg — the LAST audio container: packets
+    // reassembled from the page/lacing framing, codec headers sniffed
+    // and skipped, audio packets hashed with boundary mixing. A re-tag
+    // rewrites the comment packet and re-segments/renumbers every page;
+    // the signature must see through all of it.
+    "ogg_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-ogg-q")
+      val prior = d.filter(col("doc_id") % 10 <= 6)
+        .select(col("doc_id"), plantedOgg.as("ogg"))
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.OggDedup.entriesOf(prior, "ogg"), s"$root/cat",
+        kind = graft.dedup.OggDedup.Kind)
+      val batch = d.filter(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 9)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 9,
+            GraftFunctions.syntheticOgg(col("doc_id") + 1000000000L, lit(0)))
+            .otherwise(plantedOgg).as("ogg"))
+      val out = graft.streaming.StreamingOggDedup.applyBatch(
+        batch, s"$root/cat", "doc_id", "ogg", added = 1L)
+      val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
+      val keptRetag = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
+      val keptOrig = kept.count(i => i % 10 == 7 && i < ImgCopyStride)
+      val keptFresh = kept.count(_ % 10 == 9)
+      val bytesEqual = d.filter(isMp3Retag)
+        .filter(plantedOgg === GraftFunctions.syntheticOgg(
+          col("doc_id") - ImgCopyStride, lit(0)))
+        .count()
+      deleteRecursively(root.toFile)
+      import s.implicits._
+      batch.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(isMp3Retag, 1L).otherwise(0L)).as("n_retag"),
+        sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
+        sum(when(col("doc_id") % 10 === 7 && !isMp3Retag, 1L).otherwise(0L))
+          .as("n_small_originals"))
+        .crossJoin(Seq((
+          keptRetag == 0, keptFresh.toLong, keptOrig.toLong,
+          bytesEqual == 0L)).toDF(
+          "retag_all_dropped_ok", "n_fresh_kept", "n_small_orig_kept",
+          "retag_bytes_differ_ok"))
+        .select(col("n_batch"), col("n_retag"), col("n_fresh"),
+          col("n_small_originals"), col("retag_all_dropped_ok"),
+          (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
+          (col("n_small_orig_kept") === col("n_small_originals"))
+            .as("small_originals_kept_ok"),
+          col("retag_bytes_differ_ok"))
+    }),
+
+    // Ogg identification-header geometry — every second doc re-tagged
+    // (comment packet + page width + sequence numbers all differ),
+    // which must not change a single field; codec alternates by seed
+    // parity, so BOTH Vorbis and Opus parse paths are oracled.
+    "ogg_meta" -> ((s, dir) => {
+      val m = graft.functions.GraftFunctions.oggMeta(
+        GraftFunctions.syntheticOgg(col("doc_id"),
+          (col("doc_id") % 2).cast("int")))
+      docs(s, dir).select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          col("m.codec").as("codec"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.n_audio_packets").as("n_audio_packets"))
+    }),
+
     // The AUDIO leg of the multimodal dedup tier: real RIFF/PCM sample
     // decode under the volume-invariant energy-envelope hash, same
     // contract shape as image_phash. Near-dups here are HALF-VOLUME
@@ -2136,6 +2210,37 @@ object SparkEntry {
     "lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
+    // Unicode SCRIPT census — the corpus-routing step BEFORE language
+    // ID: one code-point pass counting the six major script families +
+    // digits and deriving the dominant script. The corpus is ASCII, so
+    // the gate manufactures the multilingual surface IN-ENGINE with
+    // transforms both engines restate identically: a Cyrillic
+    // transliteration of the text (translate over 26 letter pairs) and
+    // a constant mixed-script tail (Greek/Hebrew/Arabic/CJK/digits/
+    // accented Latin), so every script bucket is non-trivially
+    // exercised on every row. dominant_translit profiles ONLY the
+    // transliterated text — Cyrillic wherever the doc has a letter.
+    "script_profile" -> ((s, dir) => {
+      val latin26 = "abcdefghijklmnopqrstuvwxyz"
+      val cyr26 = "абвгдежзийклмнопрстуфхцчшщ"
+      val translit = translate(lower(col("text")), latin26, cyr26)
+      val mixed = concat(col("text"),
+        lit(" Ωμέγα עברית العربية 中文かなハン한국 123 café "), translit)
+      val p = GraftFunctions.scriptProfile(mixed)
+      val pt = GraftFunctions.scriptProfile(translit)
+      docs(s, dir).select(col("doc_id"), p.as("p"), pt.as("pt"))
+        .select(col("doc_id"),
+          col("p.n_latin").as("n_latin"),
+          col("p.n_cyrillic").as("n_cyrillic"),
+          col("p.n_greek").as("n_greek"),
+          col("p.n_arabic").as("n_arabic"),
+          col("p.n_hebrew").as("n_hebrew"),
+          col("p.n_cjk").as("n_cjk"),
+          col("p.n_digit").as("n_digit"),
+          col("p.dominant").as("dominant"),
+          col("pt.dominant").as("dominant_translit"))
+    }),
+
     // Model-based quality scoring with a PINNED linear head (the
     // FineWeb-Edu / DCLM filter shape): margin = intercept + Σ wᵢ·fᵢ over
     // the five scan-time feature columns, summed left-to-right with
@@ -2559,6 +2664,35 @@ object SparkEntry {
           s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
           "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
           flacCol = Some("flac"), flacDir = Some(s"$tmp/flac")), added = 1L)
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
+    // ... and WITH the Ogg tier engaged (same -21 stride arithmetic).
+    "curate_stream_batch_ogg" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        plantedOgg.as("ogg"))
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-ogg-q")
+      val tmp = root.toString
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.OggDedup.entriesOf(prior, "ogg"), s"$tmp/ogg",
+        kind = graft.dedup.OggDedup.Kind)
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        d.filter(col("doc_id") % 3 =!= 0),
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          oggCol = Some("ogg"), oggDir = Some(s"$tmp/ogg")), added = 1L)
         .filter(col("n_tokens") > 0)
       deleteRecursively(root.toFile)
       out
@@ -4921,6 +5055,48 @@ object SparkEntry {
         |FROM q
         |""".stripMargin,
 
+    // script counts = RE2 script-class character counts over the SAME
+    // derived mixed string; dominant = the fixed-priority CASE chain
+    // (first script whose count >= every later one)
+    "script_profile" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         text || ' Ωμέγα עברית العربية 中文かなハン한국 123 café ' ||
+        |           translate(lower(text), 'abcdefghijklmnopqrstuvwxyz',
+        |                     'абвгдежзийклмнопрстуфхцчшщ') AS s,
+        |         translate(lower(text), 'abcdefghijklmnopqrstuvwxyz',
+        |                   'абвгдежзийклмнопрстуфхцчшщ') AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(s, '[^\p{Latin}]', '', 'g')) AS INT) AS n_latin,
+        |    CAST(length(regexp_replace(s, '[^\p{Cyrillic}]', '', 'g')) AS INT) AS n_cyrillic,
+        |    CAST(length(regexp_replace(s, '[^\p{Greek}]', '', 'g')) AS INT) AS n_greek,
+        |    CAST(length(regexp_replace(s, '[^\p{Arabic}]', '', 'g')) AS INT) AS n_arabic,
+        |    CAST(length(regexp_replace(s, '[^\p{Hebrew}]', '', 'g')) AS INT) AS n_hebrew,
+        |    CAST(length(regexp_replace(s,
+        |      '[^\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]', '', 'g')) AS INT) AS n_cjk,
+        |    CAST(length(regexp_replace(s, '[^\p{Nd}]', '', 'g')) AS INT) AS n_digit,
+        |    CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS INT) AS t_cyr
+        |  FROM m
+        |)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+        |       n_cjk, n_digit,
+        |  CASE
+        |    WHEN n_latin + n_cyrillic + n_greek + n_arabic + n_hebrew + n_cjk = 0
+        |      THEN 'none'
+        |    WHEN n_latin >= greatest(n_cyrillic, n_greek, n_arabic, n_hebrew, n_cjk)
+        |      THEN 'latin'
+        |    WHEN n_cyrillic >= greatest(n_greek, n_arabic, n_hebrew, n_cjk)
+        |      THEN 'cyrillic'
+        |    WHEN n_greek >= greatest(n_arabic, n_hebrew, n_cjk) THEN 'greek'
+        |    WHEN n_arabic >= greatest(n_hebrew, n_cjk) THEN 'arabic'
+        |    WHEN n_hebrew >= n_cjk THEN 'hebrew'
+        |    ELSE 'cjk' END AS dominant,
+        |  CASE WHEN t_cyr = 0 THEN 'none' ELSE 'cyrillic' END AS dominant_translit
+        |FROM c
+        |""".stripMargin,
+
     "lang_id" ->
       """WITH p AS (
         |  SELECT doc_id, concat(' ', lower(text), ' ') AS h FROM documents
@@ -5366,6 +5542,18 @@ object SparkEntry {
         |  TRUE AS small_originals_kept_ok, TRUE AS retag_bytes_differ_ok
         |""".stripMargin,
 
+    "ogg_dedup_exact" ->
+      """SELECT (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 OR doc_id % 10 = 9) AS n_batch,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id >= 21) AS n_retag,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 9) AS n_fresh,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 10 = 7 AND doc_id < 21) AS n_small_originals,
+        |  TRUE AS retag_all_dropped_ok, TRUE AS fresh_all_kept_ok,
+        |  TRUE AS small_originals_kept_ok, TRUE AS retag_bytes_differ_ok
+        |""".stripMargin,
+
     "audio_dedup_incremental" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 >= 7) AS n_batch,
         |  (SELECT count(*) FROM documents
@@ -5435,6 +5623,10 @@ object SparkEntry {
 
     // ... and the flac tier: same stride, same drop set.
     "curate_stream_batch_flac" -> curateStreamOracleSql(
+      "AND NOT (doc_id % 10 = 7 AND doc_id >= 21)"),
+
+    // ... and the ogg tier: same stride, same drop set.
+    "curate_stream_batch_ogg" -> curateStreamOracleSql(
       "AND NOT (doc_id % 10 = 7 AND doc_id >= 21)"),
 
     "dedup_cluster_resolve" ->
@@ -5652,6 +5844,16 @@ object SparkEntry {
         |       CAST(doc_id % 2 + 1 AS INT) AS channels,
         |       CAST(CASE WHEN doc_id % 4 >= 2 THEN 24 ELSE 16 END AS INT) AS bits,
         |       CAST(doc_id % 100000 + 1 AS BIGINT) AS total_samples
+        |FROM documents
+        |""".stripMargin,
+
+    "ogg_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+        |       CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+        |            WHEN 1 THEN 48000 ELSE 32000 END AS INT) AS sample_rate,
+        |       CAST(doc_id % 4 + 2 AS INT) AS n_audio_packets
         |FROM documents
         |""".stripMargin,
 

@@ -69,6 +69,15 @@ object GraftFunctions {
     (FunctionIdentifier("flac_meta"),
       new ExpressionInfo(classOf[FlacMetaExpr].getName, "flac_meta"),
       (exprs: Seq[Expression]) => FlacMetaExpr(exprs.head)),
+    (FunctionIdentifier("ogg_packets_sig"),
+      new ExpressionInfo(classOf[OggPacketsSig].getName, "ogg_packets_sig"),
+      (exprs: Seq[Expression]) => OggPacketsSig(exprs.head)),
+    (FunctionIdentifier("ogg_meta"),
+      new ExpressionInfo(classOf[OggMetaExpr].getName, "ogg_meta"),
+      (exprs: Seq[Expression]) => OggMetaExpr(exprs.head)),
+    (FunctionIdentifier("script_profile"),
+      new ExpressionInfo(classOf[ScriptProfile].getName, "script_profile"),
+      (exprs: Seq[Expression]) => ScriptProfile(exprs.head)),
     (FunctionIdentifier("tokenize_ws"),
       new ExpressionInfo(classOf[TokenizeWs].getName, "tokenize_ws"),
       (exprs: Seq[Expression]) => TokenizeWs(exprs.head)),
@@ -194,6 +203,11 @@ object GraftFunctions {
   def flacMeta(c: Column): Column = column(FlacMetaExpr(expression(c)))
   def syntheticFlac(seed: Column, variant: Column): Column =
     column(SyntheticFlac(expression(seed), expression(variant)))
+  def oggPacketsSig(c: Column): Column = column(OggPacketsSig(expression(c)))
+  def oggMeta(c: Column): Column = column(OggMetaExpr(expression(c)))
+  def syntheticOgg(seed: Column, variant: Column): Column =
+    column(SyntheticOgg(expression(seed), expression(variant)))
+  def scriptProfile(c: Column): Column = column(ScriptProfile(expression(c)))
   def mp3Meta(c: Column): Column = column(Mp3MetaExpr(expression(c)))
   def syntheticMp3(seed: Column, variant: Column): Column =
     column(SyntheticMp3(expression(seed), expression(variant)))

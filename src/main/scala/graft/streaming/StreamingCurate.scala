@@ -129,6 +129,8 @@ object StreamingCurate {
       mp3Dir: Option[String] = None,
       flacCol: Option[String] = None,
       flacDir: Option[String] = None,
+      oggCol: Option[String] = None,
+      oggDir: Option[String] = None,
       statsDir: Option[String] = None,
       statsNgram: Int = 3,
       decontamDir: Option[String] = None,
@@ -204,6 +206,14 @@ object StreamingCurate {
         "flacCol is configured but flacDir is not — the flac tier needs " +
           "its persistent stream-signature catalog")
     }
+    oggCol.foreach { oc =>
+      require(batch.columns.contains(oc),
+        s"oggCol is configured but the batch has no '$oc' column " +
+          s"(batch columns: ${batch.columns.mkString(", ")})")
+      require(oggDir.isDefined,
+        "oggCol is configured but oggDir is not — the ogg tier needs " +
+          "its persistent packet-signature catalog")
+    }
     // multi-consumer chains read the batch more than once (the media
     // tiers, tier 1, the embedding re-join, and the decontam probe's
     // gram pass + anti-join) — pin once so later consumers replay a
@@ -211,7 +221,7 @@ object StreamingCurate {
     val src =
       if (semIndexDir.isDefined || imageCol.isDefined || audioCol.isDefined ||
           videoCol.isDefined || mp4Col.isDefined || mp3Col.isDefined ||
-          flacCol.isDefined || allDecontamDirs.nonEmpty)
+          flacCol.isDefined || oggCol.isDefined || allDecontamDirs.nonEmpty)
         graft.ops.Checkpoints.pin(batch)
       else batch
     // the substring rewrite, shared by every chain length
@@ -252,17 +262,28 @@ object StreamingCurate {
             })
         })
     }
-    // the flac exact/re-tag tier (when engaged) is the last media tier
+    // the ogg exact/re-tag tier (when engaged) is the last media tier
     // before the text chain
-    def flacThenText(upstream: DataFrame): Unit = flacCol match {
+    def oggThenText(upstream: DataFrame): Unit = oggCol match {
       case None => textTiers(upstream)
+      case Some(oc) =>
+        val _ = StreamingOggDedup.applyBatch(
+          upstream, oggDir.get, idCol, oc, numBuckets,
+          compactAboveFiles = compactAboveFiles, added = added,
+          retainAddedBehind = retainAddedBehind,
+          retentionSweepEvery = retentionSweepEvery,
+          deliver = oggSurvivors => textTiers(oggSurvivors))
+    }
+    // the flac exact/re-tag tier (when engaged)
+    def flacThenText(upstream: DataFrame): Unit = flacCol match {
+      case None => oggThenText(upstream)
       case Some(fc) =>
         val _ = StreamingFlacDedup.applyBatch(
           upstream, flacDir.get, idCol, fc, numBuckets,
           compactAboveFiles = compactAboveFiles, added = added,
           retainAddedBehind = retainAddedBehind,
           retentionSweepEvery = retentionSweepEvery,
-          deliver = flacSurvivors => textTiers(flacSurvivors))
+          deliver = flacSurvivors => oggThenText(flacSurvivors))
     }
     // the mp3 exact/re-tag tier (when engaged) — byte-level like the
     // mp4 tier, so the perceptual tiers keep first claim on cluster

@@ -77,3 +77,45 @@ object StreamingFlacDedup {
         retentionSweepEvery, deliver))(
       batch.sparkSession, root, policy, maintainEvery, added)
 }
+
+/** Streaming wrapper for the Ogg packet-signature dedup tier
+  * ([[graft.dedup.OggDedup]]). */
+object StreamingOggDedup {
+
+  def applyBatch(
+      batch: org.apache.spark.sql.DataFrame, catalogDir: String,
+      idCol: String, binCol: String,
+      numBuckets: Int = ExactCatalog.DefaultBuckets,
+      maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
+      compactAboveFiles: Int = 16,
+      added: Long = 0L,
+      retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
+      deliver: org.apache.spark.sql.DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.DataFrame =
+    StreamingSigDedup.applyBatch(
+      graft.dedup.OggDedup.applyBatch(_, _, _, _, _, _, _, _))(
+      batch, catalogDir, idCol, binCol, numBuckets, maxPushdownKeys,
+      compactAboveFiles, added, retainAddedBehind, retentionSweepEvery,
+      deliver)
+
+  /** [[applyBatch]] against a [[graft.ops.VersionedStore]] ROOT. */
+  def applyBatchVersioned(
+      batch: org.apache.spark.sql.DataFrame, root: String,
+      idCol: String, binCol: String,
+      numBuckets: Int = ExactCatalog.DefaultBuckets,
+      maxPushdownKeys: Int = ExactCatalog.DefaultMaxPushdownKeys,
+      compactAboveFiles: Int = 16,
+      added: Long = 0L,
+      retainAddedBehind: Option[Long] = None,
+      retentionSweepEvery: Long = 256L,
+      policy: graft.ops.GrowthPolicy.Policy = graft.ops.GrowthPolicy.Policy(),
+      maintainEvery: Long = 64L,
+      deliver: org.apache.spark.sql.DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.DataFrame =
+    StreamingSigDedup.applyBatchVersioned(
+      serving => applyBatch(batch, serving, idCol, binCol, numBuckets,
+        maxPushdownKeys, compactAboveFiles, added, retainAddedBehind,
+        retentionSweepEvery, deliver))(
+      batch.sparkSession, root, policy, maintainEvery, added)
+}

@@ -67,7 +67,8 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
       "fingerprint64", "simhash64", "minhash_signature", "minhash_text",
       "simhash_text", "minhash_fp", "simhash_fp", "image_dims", "wav_meta",
       "mp4_meta", "mp4_mdat_sig", "mp3_frames_sig", "mp3_meta",
-      "flac_stream_sig", "flac_meta",
+      "flac_stream_sig", "flac_meta", "ogg_packets_sig", "ogg_meta",
+      "script_profile",
       "tokenize_ws", "token_count_ws", "distinct_token_count_ws",
       "distinct_ngram_count_ws", "sum_token_chars_ws", "count_substr",
       "extract_html_text", "token_window_fps", "image_phash", "image_dhash",

@@ -197,6 +197,23 @@ class TextExprsSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("scriptProfile: per-script counts, priority tiebreak, none case") {
+    def prof(s: String) = ScriptKernels.scriptProfile(UTF8String.fromString(s))
+    val p = prof("Ωμέγα עברית العربية 中文かなハン한국 123 café мир")
+    assert((0 until 7).map(p.getInt) == Seq(4, 3, 5, 7, 5, 8, 3),
+      "latin(café)=4 cyr(мир)=3 greek=5 arabic=7 hebrew=5 cjk=8 digits=3")
+    assert(p.getUTF8String(7).toString == "cjk")
+    // combining marks are script=Inherited on BOTH sides (Java
+    // UnicodeScript and RE2 agree): the fathatan between these two
+    // Arabic letters counts toward no bucket
+    assert(prof("بًا").getInt(3) == 2)
+    // ties keep the PRIORITY order: 2 latin vs 2 cyrillic → latin
+    assert(prof("abаб").getUTF8String(7).toString == "latin")
+    // digits alone dominate nothing
+    assert(prof("123 456").getUTF8String(7).toString == "none")
+    assert(prof("").getUTF8String(7).toString == "none")
+  }
+
   test("countSubstr: empty needle and overlap discipline") {
     assert(TextKernels.countSubstr(
       UTF8String.fromString("aaaa"), UTF8String.fromString("aa")) == 2L) // non-overlapping
