@@ -161,7 +161,7 @@ object Bench {
       "mp4_dedup_exact", "mp3_dedup_exact", "mp3_meta",
       "flac_dedup_exact", "flac_meta", "ogg_dedup_exact", "ogg_meta",
       "script_profile",
-      "html_extract", "dedup_lines", "dsir_select", "bigram_logppl",
+      "html_extract", "dedup_lines", "dedup_lines_global", "dsir_select", "bigram_logppl",
       "dedup_cluster_resolve", "pipeline_e2e")
 
     val queryTimes = headline

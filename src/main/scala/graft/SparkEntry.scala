@@ -126,9 +126,18 @@ object SparkEntry {
     // components), EOI
     val jpg = concat(lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
       hbe2, wbe2, lit("03012200021101031101FFD9"))
-    unhex(when(col("doc_id") % 3 === 0, png)
-      .when(col("doc_id") % 3 === 1, gif)
-      .otherwise(jpg))
+    // WebP VP8X: RIFF size 22, WEBP form, VP8X chunk (len 10), 4
+    // flag/reserved bytes, then (w−1, h−1) as LE24 pairs
+    def le24hex(c: Column): Column = {
+      val s = lpad(hex(c), 6, "0")
+      concat(substring(s, 5, 2), substring(s, 3, 2), substring(s, 1, 2))
+    }
+    val webp = concat(lit("524946461600000057454250565038580A000000"),
+      lit("00000000"), le24hex(w - 1), le24hex(h - 1))
+    unhex(when(col("doc_id") % 4 === 0, png)
+      .when(col("doc_id") % 4 === 1, gif)
+      .when(col("doc_id") % 4 === 2, jpg)
+      .otherwise(webp))
   }
 
   /** Planted DECODABLE image per doc (real PNG bytes via
@@ -3478,6 +3487,23 @@ object SparkEntry {
       val page = concat_ws("\n", hdr, head5, col("text"), head5, hdr, col("lang"))
       Dedup.dedupLinesWithin(
         docs(s, dir).select(col("doc_id"), page.as("page")), "doc_id", "page")
+    }),
+
+    // CROSS-document line scrub (CCNet/RefinedWeb boilerplate removal):
+    // pages carry a constant banner (doc-frequency = corpus size), a
+    // unique "Doc N" line, the body text (duplicated across doc groups
+    // wherever the corpus has exact text copies), and the lang tag
+    // (doc-frequency = its language-group size). At maxDocFreq = 2 the
+    // banner and lang lines scrub everywhere, unique lines survive, and
+    // body lines survive EXACTLY where the corpus carries the same text
+    // in ≤ 2 documents — all four behaviors statable from the table.
+    "dedup_lines_global" -> ((s, dir) => {
+      val page = concat_ws("\n", lit("BOILERPLATE NAV"),
+        concat(lit("Doc "), col("doc_id").cast("string")),
+        col("text"), col("lang"))
+      Dedup.dedupLinesAcross(
+        docs(s, dir).select(col("doc_id"), page.as("page")), "doc_id", "page",
+        maxDocFreq = 2L)
     })
   )
 
@@ -5807,8 +5833,9 @@ object SparkEntry {
 
     "media_dims" ->
       """SELECT doc_id,
-        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
-        |            WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END AS mime,
+        |       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image/png'
+        |            WHEN 1 THEN 'image/gif' WHEN 2 THEN 'image/jpeg'
+        |            ELSE 'image/webp' END AS mime,
         |       CAST(doc_id % 640 + 1 AS INT) AS width,
         |       CAST(doc_id % 480 + 1 AS INT) AS height
         |FROM documents
@@ -6582,6 +6609,32 @@ object SparkEntry {
         |       text || chr(10) || lang AS page,
         |       CAST(4 AS BIGINT) AS n_lines_kept
         |FROM documents
+        |""".stripMargin,
+
+    // the cross-doc scrub restated: per-line DISTINCT-doc frequencies
+    // over the same 4-line construction, survivors re-joined in order
+    "dedup_lines_global" ->
+      """WITH p AS (
+        |  SELECT doc_id, ['BOILERPLATE NAV',
+        |                  'Doc ' || CAST(doc_id AS VARCHAR),
+        |                  text, lang] AS ls
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, i AS pos, ls[CAST(i AS INT)] AS line
+        |  FROM p, unnest(range(1, 5)) AS t(i)
+        |), f AS (
+        |  SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+        |), a AS (
+        |  SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS page,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM l JOIN f USING (line) WHERE f.df <= 2
+        |  GROUP BY l.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(a.page, '') AS page,
+        |       coalesce(a.n, 0) AS n_lines_kept,
+        |       4 - coalesce(a.n, 0) AS n_lines_removed
+        |FROM documents d LEFT JOIN a USING (doc_id)
         |""".stripMargin
   )
 }

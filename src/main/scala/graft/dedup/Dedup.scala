@@ -686,6 +686,57 @@ object Dedup {
     * (id, line) rather than folding a seen-set per document so a single
     * pathological page with millions of lines still distributes instead
     * of serializing into one task. */
+  /** CROSS-document line scrub — the CCNet/RefinedWeb boilerplate
+    * removal: lines whose DISTINCT-document frequency exceeds
+    * `maxDocFreq` (navigation chrome, cookie banners, footers — content
+    * that repeats across pages) are removed from EVERY document; the
+    * survivors keep their original order. In-document repeats do not
+    * inflate the frequency (it counts documents, not occurrences), so a
+    * legitimately repeated refrain inside one doc survives.
+    *
+    * Shape at 100 TB: explode to (doc, pos, line), shuffle ONCE on the
+    * line FINGERPRINT for the exact distinct-doc count (never the line
+    * text — boilerplate lines are megafrequency keys and the 8-byte key
+    * keeps the exchange narrow), join the frequency back on the same
+    * key, then one shuffle on the doc id to reassemble. Documents whose
+    * every line was scrubbed come back EMPTY (kept, length 0) — the
+    * caller's length filter decides their fate, not this operator.
+    *
+    * Returns `(idCol, textCol, n_lines_kept, n_lines_removed)`. */
+  def dedupLinesAcross(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxDocFreq: Long = 1L): DataFrame = {
+    require(maxDocFreq >= 1L, s"maxDocFreq must be >= 1: $maxDocFreq")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__fp",
+        graft.functions.GraftFunctions.fingerprint64(col("__line")))
+    val freq = lines
+      .groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val assembled = lines
+      .join(freq, Seq("__fp"))
+      .filter(col("__df") <= maxDocFreq)
+      .groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(struct(col("__pos"), col("__line"))))
+          .as("__lines"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__lines"), l => l.getField("__line")))
+          .as(textCol),
+        size(col("__lines")).cast("long").as("n_lines_kept"))
+    val totals = docs.select(col(idCol),
+      size(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .cast("long").as("__total"))
+    totals.join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__total") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+  }
+
   def dedupLinesWithin(
       docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {

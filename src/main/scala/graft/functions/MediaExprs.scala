@@ -21,8 +21,10 @@ object MediaKernels {
   private def le32(b: Array[Byte], i: Int): Long =
     ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
       ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def le24(b: Array[Byte], i: Int): Int =
+    ((b(i + 2) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
 
-  /** (width, height) from PNG / GIF / JPEG / BMP headers, null for
+  /** (width, height) from PNG / GIF / JPEG / WebP / BMP headers, null for
     * anything else (or malformed/truncated headers — never throws).
     *
     *  - PNG: IHDR is mandated first chunk → width/height BE32 at 16/20.
@@ -65,6 +67,38 @@ object MediaKernels {
           if (i + 3 >= n) return null
           i += 2 + be16(b, i + 2)
         }
+      }
+      return null
+    }
+    // WebP (RIFF container) — the dominant modern web image format.
+    // Three published frame layouts:
+    //  - VP8X (extended): canvas (width−1, height−1) as LE24 pairs
+    //    after the 4 flag/reserved bytes;
+    //  - VP8L (lossless): signature 0x2F then 14-bit (w−1, h−1) packed
+    //    LSB-first in the next 32 bits;
+    //  - "VP8 " (lossy): keyframe start code 9D 01 2A then 14-bit LE16
+    //    width/height.
+    if (n >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      if (n >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == 'X') {
+        val w = 1 + le24(b, 24); val h = 1 + le24(b, 27)
+        return InternalRow(w, h)
+      }
+      if (n >= 25 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == 'L' && (b(20) & 0xff) == 0x2f) {
+        val bits = le32(b, 21)
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >> 14) & 0x3fff).toInt + 1
+        return InternalRow(w, h)
+      }
+      if (n >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == ' ' && (b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 &&
+          (b(25) & 0xff) == 0x2a) {
+        val w = le16(b, 26) & 0x3fff
+        val h = le16(b, 28) & 0x3fff
+        if (w <= 0 || h <= 0) return null
+        return InternalRow(w, h)
       }
       return null
     }

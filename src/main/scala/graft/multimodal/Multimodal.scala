@@ -38,6 +38,9 @@ object Multimodal {
       .when(prefix("89504e47"), lit("image/png"))
       .when(prefix("ffd8ff"), lit("image/jpeg"))
       .when(prefix("47494638"), lit("image/gif"))
+      // RIFF disambiguation: bytes 9-12 name the form (WEBP vs WAVE/AVI)
+      .when(prefix("52494646") &&
+        lower(hex(substring(data, 9, 4))) === "57454250", lit("image/webp"))
       .when(prefix("52494646"), lit("audio/wav")) // RIFF (wav/avi family)
       .when(prefix("494433"), lit("audio/mpeg")) // ID3
       .when(prefix("1a45dfa3"), lit("video/webm"))

@@ -26,6 +26,30 @@ class LineDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ("chrome\nb", 2L))
   }
 
+  test("CROSS-doc scrub: boilerplate drops everywhere, unique lines survive, in-doc repeats don't inflate df") {
+    import spark.implicits._
+    def runAcross(pages: Seq[(Long, String)], maxDf: Long): Map[Long, (String, Long, Long)] =
+      Dedup.dedupLinesAcross(pages.toDF("doc_id", "page"), "doc_id", "page",
+        maxDocFreq = maxDf)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val got = runAcross(Seq(
+      1L -> "nav\nunique one\nrefrain\nrefrain\nfooter",
+      2L -> "nav\nunique two\nfooter",
+      3L -> "nav\nunique three\nfooter"), maxDf = 2L)
+    // nav/footer: df = 3 > 2 → scrubbed everywhere; "refrain" repeats
+    // IN doc 1 only → df = 1 → BOTH occurrences survive
+    assert(got(1L) == ("unique one\nrefrain\nrefrain", 3L, 2L))
+    assert(got(2L) == ("unique two", 1L, 2L))
+    assert(got(3L) == ("unique three", 1L, 2L))
+    // a fully-boilerplate doc comes back EMPTY, not missing
+    val got2 = runAcross(Seq(
+      1L -> "nav", 2L -> "nav", 3L -> "nav\nkeep me"), maxDf = 1L)
+    assert(got2(1L) == ("", 0L, 1L))
+    assert(got2(3L) == ("keep me", 1L, 1L))
+    assert(got2.keySet == Set(1L, 2L, 3L))
+  }
+
   test("edge: empty page, all-duplicate page, custom separator") {
     val got = run(Seq(1L -> "", 2L -> "x\nx\nx"))
     assert(got(1L) == ("", 1L))

@@ -47,6 +47,29 @@ class MediaExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(dims(bmp("80020000", "20FEFFFF")).contains((640, 480))) // -480
   }
 
+  test("WebP: VP8X canvas LE24, VP8L packed 14-bit, VP8 lossy keyframe") {
+    // VP8X: canvas 640x480 → (w-1, h-1) LE24 after 4 flag/reserved bytes
+    val vp8x = hexBytes(
+      "52494646 16000000 57454250 56503858 0A000000 00000000 7F0200 DF0100")
+    assert(dims(vp8x).contains((640, 480)))
+    // VP8L: signature 0x2F, then bits = (w-1) | (h-1)<<14 LSB-first;
+    // 640x480: 639 | 479<<14 = 0x77C27F → LE bytes 7F C2 77 00
+    val vp8l = hexBytes(
+      "52494646 11000000 57454250 5650384C 05000000 2F 7FC27700 00")
+    assert(dims(vp8l).contains((640, 480)))
+    // VP8 lossy: 3-byte frame tag, start code 9D 01 2A, then LE16 w/h
+    val vp8 = hexBytes(
+      "52494646 16000000 57454250 56503820 0A000000 000000 9D012A 8002 E001")
+    assert(dims(vp8).contains((640, 480)))
+    // non-WebP RIFF (WAVE) is not an image; truncated/malformed → null
+    assert(dims(hexBytes("52494646 24000000 57415645 666D7420")).isEmpty)
+    assert(dims(java.util.Arrays.copyOf(vp8x, 20)).isEmpty)
+    val badSig = vp8l.clone(); badSig(20) = 0x30
+    assert(dims(badSig).isEmpty)
+    val badStart = vp8.clone(); badStart(23) = 0x00
+    assert(dims(badStart).isEmpty)
+  }
+
   test("garbage, truncation and non-images return null, never throw") {
     assert(dims(Array.emptyByteArray).isEmpty)
     assert(dims("plain text".getBytes).isEmpty)
