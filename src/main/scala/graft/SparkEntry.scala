@@ -107,7 +107,7 @@ object SparkEntry {
       col("source"), lit("&utm_campaign=x&gclid=g#sec"))
   }
 
-  /** A real image header (PNG / GIF89a / JPEG SOF0 rotating on doc_id % 3)
+  /** A real image header (PNG / GIF89a / JPEG SOF0 / WebP VP8X rotating on doc_id % 4)
     * with dimensions derived from doc_id, assembled via hex so the
     * header-parse queries have a column-statable oracle. */
   private def syntheticImage: Column = {
@@ -217,6 +217,91 @@ object SparkEntry {
     GraftFunctions.syntheticOgg(
       when(isMp3Retag, col("doc_id") - ImgCopyStride).otherwise(col("doc_id")),
       when(isMp3Retag, lit(1)).otherwise(lit(0)))
+
+  /** Shared body of the `{mp3,flac,ogg}_dedup_exact` gates — one
+    * planted-re-tag contract over a [[graft.dedup.SigDedup]] tier
+    * (prior catalog from the %10<=6 originals, batch = re-tags +
+    * fresh, kept-set arithmetic, `retag_bytes_differ_ok`): the tiers
+    * share one probe/collapse implementation, so their gates share one
+    * scaffold with only the kernel surface varying. */
+  private def sigRetagGate(
+      s: SparkSession, dir: String, colName: String, planted: Column,
+      freshOf: Column => Column,
+      entriesOf: (DataFrame, String) => DataFrame, kind: String,
+      applyBatch: (DataFrame, String) => DataFrame): DataFrame = {
+    val d = docs(s, dir)
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$colName-q")
+    val prior = d.filter(col("doc_id") % 10 <= 6)
+      .select(col("doc_id"), planted.as(colName))
+    graft.dedup.ExactCatalog.append(
+      entriesOf(prior, colName), s"$root/cat", kind = kind)
+    val batch = d.filter(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 9)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 9, freshOf(col("doc_id") + 1000000000L))
+          .otherwise(planted).as(colName))
+    val out = applyBatch(batch, s"$root/cat")
+    val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
+    val keptRetag = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
+    val keptOrig = kept.count(i => i % 10 == 7 && i < ImgCopyStride)
+    val keptFresh = kept.count(_ % 10 == 9)
+    val bytesEqual = d.filter(isMp3Retag)
+      .filter(planted === freshOf(col("doc_id") - ImgCopyStride))
+      .count()
+    deleteRecursively(root.toFile)
+    import s.implicits._
+    batch.agg(
+      count(lit(1)).as("n_batch"),
+      sum(when(isMp3Retag, 1L).otherwise(0L)).as("n_retag"),
+      sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
+      sum(when(col("doc_id") % 10 === 7 && !isMp3Retag, 1L).otherwise(0L))
+        .as("n_small_originals"))
+      .crossJoin(Seq((
+        keptRetag == 0, keptFresh.toLong, keptOrig.toLong,
+        bytesEqual == 0L)).toDF(
+        "retag_all_dropped_ok", "n_fresh_kept", "n_small_orig_kept",
+        "retag_bytes_differ_ok"))
+      .select(col("n_batch"), col("n_retag"), col("n_fresh"),
+        col("n_small_originals"), col("retag_all_dropped_ok"),
+        (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
+        (col("n_small_orig_kept") === col("n_small_originals"))
+          .as("small_originals_kept_ok"),
+        col("retag_bytes_differ_ok"))
+  }
+
+  /** Shared body of the `curate_stream_batch_{mp4,mp3,flac,ogg}` gates:
+    * the composed pipeline with ONE byte-signature media tier engaged —
+    * catalogs from the %3==0 prior, batch = the rest, only the tier's
+    * config binding varies. */
+  private def curateSigGate(
+      s: SparkSession, dir: String, colName: String, planted: Column,
+      entriesOf: (DataFrame, String) => DataFrame, kind: String,
+      cfgOf: (String, graft.streaming.StreamingCurate.CurateConfig) =>
+        graft.streaming.StreamingCurate.CurateConfig): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      planted.as(colName))
+    val prior = d.filter(col("doc_id") % 3 === 0)
+    val root = java.nio.file.Files.createTempDirectory(s"graft-curate-$colName-q")
+    val tmp = root.toString
+    graft.dedup.ExactCatalog.append(
+      entriesOf(prior, colName), s"$tmp/$colName", kind = kind)
+    graft.dedup.ExactCatalog.append(
+      graft.dedup.ExactCatalog.entriesOf(
+        Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+    graft.dedup.BandedCatalog.append(
+      Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+    graft.dedup.SubstrCatalog.append(
+      graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+      s"$tmp/substr", SubstrDedupW)
+    val base = graft.streaming.StreamingCurate.CurateConfig(
+      s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+      "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8)
+    val out = graft.streaming.StreamingCurate.applyBatch(
+      d.filter(col("doc_id") % 3 =!= 0),
+      cfgOf(s"$tmp/$colName", base), added = 1L)
+      .filter(col("n_tokens") > 0)
+    deleteRecursively(root.toFile)
+    out
+  }
 
   /** Planted decodable AVI payload per doc, the video mirror (same
     * stride scheme): %10==8 → whole-video re-encode (every frame
@@ -1458,97 +1543,23 @@ object SparkEntry {
     // drop set is pure doc_id arithmetic, the signatures require the
     // real frame walk, and retag_bytes_differ_ok pins that every
     // dropped re-tag differs BYTEWISE from its original.
-    "mp3_dedup_exact" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft-mp3-q")
-      val prior = d.filter(col("doc_id") % 10 <= 6)
-        .select(col("doc_id"), plantedMp3.as("mp3"))
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.Mp3Dedup.entriesOf(prior, "mp3"), s"$root/cat",
-        kind = graft.dedup.Mp3Dedup.Kind)
-      val batch = d.filter(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 9)
-        .select(col("doc_id"),
-          when(col("doc_id") % 10 === 9,
-            GraftFunctions.syntheticMp3(col("doc_id") + 1000000000L, lit(0)))
-            .otherwise(plantedMp3).as("mp3"))
-      val out = graft.streaming.StreamingMp3Dedup.applyBatch(
-        batch, s"$root/cat", "doc_id", "mp3", added = 1L)
-      val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
-      val keptRetag = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
-      val keptOrig = kept.count(i => i % 10 == 7 && i < ImgCopyStride)
-      val keptFresh = kept.count(_ % 10 == 9)
-      val bytesEqual = d.filter(isMp3Retag)
-        .filter(plantedMp3 === GraftFunctions.syntheticMp3(
-          col("doc_id") - ImgCopyStride, lit(0)))
-        .count()
-      deleteRecursively(root.toFile)
-      import s.implicits._
-      batch.agg(
-        count(lit(1)).as("n_batch"),
-        sum(when(isMp3Retag, 1L).otherwise(0L)).as("n_retag"),
-        sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
-        sum(when(col("doc_id") % 10 === 7 && !isMp3Retag, 1L).otherwise(0L))
-          .as("n_small_originals"))
-        .crossJoin(Seq((
-          keptRetag == 0, keptFresh.toLong, keptOrig.toLong,
-          bytesEqual == 0L)).toDF(
-          "retag_all_dropped_ok", "n_fresh_kept", "n_small_orig_kept",
-          "retag_bytes_differ_ok"))
-        .select(col("n_batch"), col("n_retag"), col("n_fresh"),
-          col("n_small_originals"), col("retag_all_dropped_ok"),
-          (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
-          (col("n_small_orig_kept") === col("n_small_originals"))
-            .as("small_originals_kept_ok"),
-          col("retag_bytes_differ_ok"))
-    }),
+    "mp3_dedup_exact" -> ((s, dir) =>
+      sigRetagGate(s, dir, "mp3", plantedMp3,
+        seed => GraftFunctions.syntheticMp3(seed, lit(0)),
+        graft.dedup.Mp3Dedup.entriesOf, graft.dedup.Mp3Dedup.Kind,
+        (b, cat) => graft.streaming.StreamingMp3Dedup.applyBatch(
+          b, cat, "doc_id", "mp3", added = 1L))),
 
     // The LOSSLESS compressed-audio leg: FLAC's frame region is a
     // contiguous suffix after the metadata chain, so the stream
     // signature sees through tag rewrites without any frame parser.
     // Same contract shape and stride scheme as mp3_dedup_exact.
-    "flac_dedup_exact" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft-flac-q")
-      val prior = d.filter(col("doc_id") % 10 <= 6)
-        .select(col("doc_id"), plantedFlac.as("flac"))
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.FlacDedup.entriesOf(prior, "flac"), s"$root/cat",
-        kind = graft.dedup.FlacDedup.Kind)
-      val batch = d.filter(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 9)
-        .select(col("doc_id"),
-          when(col("doc_id") % 10 === 9,
-            GraftFunctions.syntheticFlac(col("doc_id") + 1000000000L, lit(0)))
-            .otherwise(plantedFlac).as("flac"))
-      val out = graft.streaming.StreamingFlacDedup.applyBatch(
-        batch, s"$root/cat", "doc_id", "flac", added = 1L)
-      val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
-      val keptRetag = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
-      val keptOrig = kept.count(i => i % 10 == 7 && i < ImgCopyStride)
-      val keptFresh = kept.count(_ % 10 == 9)
-      val bytesEqual = d.filter(isMp3Retag)
-        .filter(plantedFlac === GraftFunctions.syntheticFlac(
-          col("doc_id") - ImgCopyStride, lit(0)))
-        .count()
-      deleteRecursively(root.toFile)
-      import s.implicits._
-      batch.agg(
-        count(lit(1)).as("n_batch"),
-        sum(when(isMp3Retag, 1L).otherwise(0L)).as("n_retag"),
-        sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
-        sum(when(col("doc_id") % 10 === 7 && !isMp3Retag, 1L).otherwise(0L))
-          .as("n_small_originals"))
-        .crossJoin(Seq((
-          keptRetag == 0, keptFresh.toLong, keptOrig.toLong,
-          bytesEqual == 0L)).toDF(
-          "retag_all_dropped_ok", "n_fresh_kept", "n_small_orig_kept",
-          "retag_bytes_differ_ok"))
-        .select(col("n_batch"), col("n_retag"), col("n_fresh"),
-          col("n_small_originals"), col("retag_all_dropped_ok"),
-          (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
-          (col("n_small_orig_kept") === col("n_small_originals"))
-            .as("small_originals_kept_ok"),
-          col("retag_bytes_differ_ok"))
-    }),
+    "flac_dedup_exact" -> ((s, dir) =>
+      sigRetagGate(s, dir, "flac", plantedFlac,
+        seed => GraftFunctions.syntheticFlac(seed, lit(0)),
+        graft.dedup.FlacDedup.entriesOf, graft.dedup.FlacDedup.Kind,
+        (b, cat) => graft.streaming.StreamingFlacDedup.applyBatch(
+          b, cat, "doc_id", "flac", added = 1L))),
 
     // FLAC STREAMINFO geometry — every second doc's stream re-tagged
     // (VORBIS_COMMENT + PADDING inserted), which must not change a
@@ -1570,49 +1581,12 @@ object SparkEntry {
     // and skipped, audio packets hashed with boundary mixing. A re-tag
     // rewrites the comment packet and re-segments/renumbers every page;
     // the signature must see through all of it.
-    "ogg_dedup_exact" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft-ogg-q")
-      val prior = d.filter(col("doc_id") % 10 <= 6)
-        .select(col("doc_id"), plantedOgg.as("ogg"))
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.OggDedup.entriesOf(prior, "ogg"), s"$root/cat",
-        kind = graft.dedup.OggDedup.Kind)
-      val batch = d.filter(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 9)
-        .select(col("doc_id"),
-          when(col("doc_id") % 10 === 9,
-            GraftFunctions.syntheticOgg(col("doc_id") + 1000000000L, lit(0)))
-            .otherwise(plantedOgg).as("ogg"))
-      val out = graft.streaming.StreamingOggDedup.applyBatch(
-        batch, s"$root/cat", "doc_id", "ogg", added = 1L)
-      val kept = out.select(col("doc_id")).collect().map(_.getLong(0))
-      val keptRetag = kept.count(i => i % 10 == 7 && i >= ImgCopyStride)
-      val keptOrig = kept.count(i => i % 10 == 7 && i < ImgCopyStride)
-      val keptFresh = kept.count(_ % 10 == 9)
-      val bytesEqual = d.filter(isMp3Retag)
-        .filter(plantedOgg === GraftFunctions.syntheticOgg(
-          col("doc_id") - ImgCopyStride, lit(0)))
-        .count()
-      deleteRecursively(root.toFile)
-      import s.implicits._
-      batch.agg(
-        count(lit(1)).as("n_batch"),
-        sum(when(isMp3Retag, 1L).otherwise(0L)).as("n_retag"),
-        sum(when(col("doc_id") % 10 === 9, 1L).otherwise(0L)).as("n_fresh"),
-        sum(when(col("doc_id") % 10 === 7 && !isMp3Retag, 1L).otherwise(0L))
-          .as("n_small_originals"))
-        .crossJoin(Seq((
-          keptRetag == 0, keptFresh.toLong, keptOrig.toLong,
-          bytesEqual == 0L)).toDF(
-          "retag_all_dropped_ok", "n_fresh_kept", "n_small_orig_kept",
-          "retag_bytes_differ_ok"))
-        .select(col("n_batch"), col("n_retag"), col("n_fresh"),
-          col("n_small_originals"), col("retag_all_dropped_ok"),
-          (col("n_fresh_kept") === col("n_fresh")).as("fresh_all_kept_ok"),
-          (col("n_small_orig_kept") === col("n_small_originals"))
-            .as("small_originals_kept_ok"),
-          col("retag_bytes_differ_ok"))
-    }),
+    "ogg_dedup_exact" -> ((s, dir) =>
+      sigRetagGate(s, dir, "ogg", plantedOgg,
+        seed => GraftFunctions.syntheticOgg(seed, lit(0)),
+        graft.dedup.OggDedup.entriesOf, graft.dedup.OggDedup.Kind,
+        (b, cat) => graft.streaming.StreamingOggDedup.applyBatch(
+          b, cat, "doc_id", "ogg", added = 1L))),
 
     // Ogg identification-header geometry — every second doc re-tagged
     // (comment packet + page width + sequence numbers all differ),
@@ -2586,33 +2560,11 @@ object SparkEntry {
     // pure doc_id arithmetic for the oracle, while the signatures
     // require the real box walk. The oracle re-roots the text chain at
     // the mp4 survivors.
-    "curate_stream_batch_mp4" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"),
-        plantedMp4.as("mp4"))
-      val prior = d.filter(col("doc_id") % 3 === 0)
-      val root = java.nio.file.Files.createTempDirectory("graft-curate-mp4-q")
-      val tmp = root.toString
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.Mp4Dedup.entriesOf(prior, "mp4"), s"$tmp/mp4",
-        kind = graft.dedup.Mp4Dedup.Kind)
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.ExactCatalog.entriesOf(
-          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
-      graft.dedup.BandedCatalog.append(
-        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
-      graft.dedup.SubstrCatalog.append(
-        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
-        s"$tmp/substr", SubstrDedupW)
-      val out = graft.streaming.StreamingCurate.applyBatch(
-        d.filter(col("doc_id") % 3 =!= 0),
-        graft.streaming.StreamingCurate.CurateConfig(
-          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
-          mp4Col = Some("mp4"), mp4Dir = Some(s"$tmp/mp4")), added = 1L)
-        .filter(col("n_tokens") > 0)
-      deleteRecursively(root.toFile)
-      out
-    }),
+    "curate_stream_batch_mp4" -> ((s, dir) =>
+      curateSigGate(s, dir, "mp4", plantedMp4,
+        graft.dedup.Mp4Dedup.entriesOf, graft.dedup.Mp4Dedup.Kind,
+        (catDir, base) => base.copy(mp4Col = Some("mp4"),
+          mp4Dir = Some(catDir)))),
 
     // ... and WITH the MP3 exact/re-tag tier engaged (same -21 stride:
     // re-tag and base share a %3 class, so the tier's whole drop set is
@@ -2620,92 +2572,26 @@ object SparkEntry {
     // doc_id arithmetic for the oracle, real frame walk for the
     // signatures). The oracle re-roots the text chain at the mp3
     // survivors.
-    "curate_stream_batch_mp3" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"),
-        plantedMp3.as("mp3"))
-      val prior = d.filter(col("doc_id") % 3 === 0)
-      val root = java.nio.file.Files.createTempDirectory("graft-curate-mp3-q")
-      val tmp = root.toString
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.Mp3Dedup.entriesOf(prior, "mp3"), s"$tmp/mp3",
-        kind = graft.dedup.Mp3Dedup.Kind)
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.ExactCatalog.entriesOf(
-          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
-      graft.dedup.BandedCatalog.append(
-        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
-      graft.dedup.SubstrCatalog.append(
-        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
-        s"$tmp/substr", SubstrDedupW)
-      val out = graft.streaming.StreamingCurate.applyBatch(
-        d.filter(col("doc_id") % 3 =!= 0),
-        graft.streaming.StreamingCurate.CurateConfig(
-          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
-          mp3Col = Some("mp3"), mp3Dir = Some(s"$tmp/mp3")), added = 1L)
-        .filter(col("n_tokens") > 0)
-      deleteRecursively(root.toFile)
-      out
-    }),
+    "curate_stream_batch_mp3" -> ((s, dir) =>
+      curateSigGate(s, dir, "mp3", plantedMp3,
+        graft.dedup.Mp3Dedup.entriesOf, graft.dedup.Mp3Dedup.Kind,
+        (catDir, base) => base.copy(mp3Col = Some("mp3"),
+          mp3Dir = Some(catDir)))),
 
     // ... and WITH the FLAC exact/re-tag tier engaged (same -21 stride
     // arithmetic as the mp3/mp4 curate gates).
-    "curate_stream_batch_flac" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"),
-        plantedFlac.as("flac"))
-      val prior = d.filter(col("doc_id") % 3 === 0)
-      val root = java.nio.file.Files.createTempDirectory("graft-curate-flac-q")
-      val tmp = root.toString
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.FlacDedup.entriesOf(prior, "flac"), s"$tmp/flac",
-        kind = graft.dedup.FlacDedup.Kind)
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.ExactCatalog.entriesOf(
-          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
-      graft.dedup.BandedCatalog.append(
-        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
-      graft.dedup.SubstrCatalog.append(
-        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
-        s"$tmp/substr", SubstrDedupW)
-      val out = graft.streaming.StreamingCurate.applyBatch(
-        d.filter(col("doc_id") % 3 =!= 0),
-        graft.streaming.StreamingCurate.CurateConfig(
-          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
-          flacCol = Some("flac"), flacDir = Some(s"$tmp/flac")), added = 1L)
-        .filter(col("n_tokens") > 0)
-      deleteRecursively(root.toFile)
-      out
-    }),
+    "curate_stream_batch_flac" -> ((s, dir) =>
+      curateSigGate(s, dir, "flac", plantedFlac,
+        graft.dedup.FlacDedup.entriesOf, graft.dedup.FlacDedup.Kind,
+        (catDir, base) => base.copy(flacCol = Some("flac"),
+          flacDir = Some(catDir)))),
 
     // ... and WITH the Ogg tier engaged (same -21 stride arithmetic).
-    "curate_stream_batch_ogg" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"),
-        plantedOgg.as("ogg"))
-      val prior = d.filter(col("doc_id") % 3 === 0)
-      val root = java.nio.file.Files.createTempDirectory("graft-curate-ogg-q")
-      val tmp = root.toString
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.OggDedup.entriesOf(prior, "ogg"), s"$tmp/ogg",
-        kind = graft.dedup.OggDedup.Kind)
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.ExactCatalog.entriesOf(
-          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
-      graft.dedup.BandedCatalog.append(
-        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
-      graft.dedup.SubstrCatalog.append(
-        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
-        s"$tmp/substr", SubstrDedupW)
-      val out = graft.streaming.StreamingCurate.applyBatch(
-        d.filter(col("doc_id") % 3 =!= 0),
-        graft.streaming.StreamingCurate.CurateConfig(
-          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
-          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
-          oggCol = Some("ogg"), oggDir = Some(s"$tmp/ogg")), added = 1L)
-        .filter(col("n_tokens") > 0)
-      deleteRecursively(root.toFile)
-      out
-    }),
+    "curate_stream_batch_ogg" -> ((s, dir) =>
+      curateSigGate(s, dir, "ogg", plantedOgg,
+        graft.dedup.OggDedup.entriesOf, graft.dedup.OggDedup.Kind,
+        (catDir, base) => base.copy(oggCol = Some("ogg"),
+          oggDir = Some(catDir)))),
 
     // DSIR importance resampling (Dsir): target = every 10th doc (the
     // "trusted" split), raw = the rest. The dense 10k-bucket log-ratio
@@ -6623,11 +6509,13 @@ object SparkEntry {
         |  SELECT doc_id, i AS pos, ls[CAST(i AS INT)] AS line
         |  FROM p, unnest(range(1, 5)) AS t(i)
         |), f AS (
-        |  SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+        |  SELECT line, count(DISTINCT doc_id) AS df FROM l
+        |  WHERE line != '' GROUP BY line
         |), a AS (
         |  SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS page,
         |         CAST(count(*) AS BIGINT) AS n
-        |  FROM l JOIN f USING (line) WHERE f.df <= 2
+        |  FROM l LEFT JOIN f USING (line)
+        |  WHERE l.line = '' OR f.df <= 2
         |  GROUP BY l.doc_id
         |)
         |SELECT d.doc_id,

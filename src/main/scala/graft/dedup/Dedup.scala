@@ -694,30 +694,41 @@ object Dedup {
     * inflate the frequency (it counts documents, not occurrences), so a
     * legitimately repeated refrain inside one doc survives.
     *
-    * Shape at 100 TB: explode to (doc, pos, line), shuffle ONCE on the
-    * line FINGERPRINT for the exact distinct-doc count (never the line
-    * text — boilerplate lines are megafrequency keys and the 8-byte key
-    * keeps the exchange narrow), join the frequency back on the same
-    * key, then one shuffle on the doc id to reassemble. Documents whose
-    * every line was scrubbed come back EMPTY (kept, length 0) — the
-    * caller's length filter decides their fate, not this operator.
+    * EMPTY lines are EXEMPT: a blank line is a paragraph separator, not
+    * boilerplate — on a real corpus virtually every document has them,
+    * so counting the empty line's document frequency would delete every
+    * paragraph break corpus-wide (the empty-decontam-gram rule, one
+    * operator over). They are kept verbatim and never enter the
+    * frequency table.
+    *
+    * Shape at 100 TB: explode to (doc, pos, line) ONCE (pinned — the
+    * explode+hash pass over the full corpus must not re-run for each of
+    * its three consumers), shuffle on the line FINGERPRINT for the
+    * exact distinct-doc count (never the line text — boilerplate lines
+    * are megafrequency keys and the 8-byte key keeps the exchange
+    * narrow), join the frequency back on the same key, then one shuffle
+    * on the doc id to reassemble. Documents whose every line was
+    * scrubbed come back EMPTY (kept, length 0) — the caller's length
+    * filter decides their fate, not this operator.
     *
     * Returns `(idCol, textCol, n_lines_kept, n_lines_removed)`. */
   def dedupLinesAcross(
       docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", maxDocFreq: Long = 1L): DataFrame = {
     require(maxDocFreq >= 1L, s"maxDocFreq must be >= 1: $maxDocFreq")
-    val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
-        .as(Seq("__pos", "__line")))
-      .withColumn("__fp",
-        graft.functions.GraftFunctions.fingerprint64(col("__line")))
+    val lines = graft.ops.Checkpoints.pin(
+      docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("__pos", "__line")))
+        .withColumn("__fp",
+          graft.functions.GraftFunctions.fingerprint64(col("__line"))))
     val freq = lines
+      .filter(col("__line") =!= "") // paragraph separators are exempt
       .groupBy(col("__fp"))
       .agg(countDistinct(col(idCol)).as("__df"))
     val assembled = lines
-      .join(freq, Seq("__fp"))
-      .filter(col("__df") <= maxDocFreq)
+      .join(freq, Seq("__fp"), "left")
+      .filter(col("__line") === "" || col("__df") <= maxDocFreq)
       .groupBy(col(idCol))
       .agg(
         array_sort(collect_list(struct(col("__pos"), col("__line"))))
@@ -726,9 +737,8 @@ object Dedup {
         concat_ws(sep, transform(col("__lines"), l => l.getField("__line")))
           .as(textCol),
         size(col("__lines")).cast("long").as("n_lines_kept"))
-    val totals = docs.select(col(idCol),
-      size(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
-        .cast("long").as("__total"))
+    val totals = lines.groupBy(col(idCol))
+      .agg((max(col("__pos")) + 1L).cast("long").as("__total"))
     totals.join(assembled, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col(textCol), lit("")).as(textCol),

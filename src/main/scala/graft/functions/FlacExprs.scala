@@ -22,13 +22,6 @@ import org.apache.spark.sql.types._
   * produces different frame bytes and correctly passes. */
 object FlacKernels {
 
-  private def fmix64(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33; x
-  }
-
   /** Byte offset of the first audio frame (past the magic and the whole
     * metadata chain), or -1 for non-FLAC / malformed chains. */
   private def frameStart(b: Array[Byte]): Int = {
@@ -54,9 +47,9 @@ object FlacKernels {
   def streamSig(b: Array[Byte]): InternalRow = {
     val start = frameStart(b)
     if (start < 0 || start >= b.length) return null
-    val p = 0x100000001b3L
-    var h1 = 0xcbf29ce484222325L
-    var h2 = 0x9e3779b97f4a7c15L
+    val p = SigHash.Prime
+    var h1 = SigHash.Basis1
+    var h2 = SigHash.Basis2
     var j = start
     while (j < b.length) {
       val x = b(j) & 0xffL
@@ -64,10 +57,7 @@ object FlacKernels {
       h2 = (h2 ^ x) * p
       j += 1
     }
-    val total = (b.length - start).toLong
-    h1 = (h1 ^ total) * p
-    h2 = fmix64(h2 ^ java.lang.Long.rotateLeft(total, 32))
-    InternalRow(h1, h2, total)
+    SigHash.finish(h1, h2, (b.length - start).toLong)
   }
 
   /** (sample_rate, channels, bits, total_samples) from the STREAMINFO

@@ -256,13 +256,6 @@ object Mp4Kernels {
       timescale.toInt, duration, nTracks)
   }
 
-  private def fmix64(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33; x
-  }
-
   /** Two-lane signature of the CONCATENATED `mdat` payload bytes — the
     * EXACT/RE-MUX video dedup fingerprint for ISO-BMFF (MP4/MOV)
     * containers: a re-mux (moved `moov`, edited metadata, changed
@@ -285,9 +278,9 @@ object Mp4Kernels {
     if (b == null || b.length < 16) return null
     val n = b.length
     if (!tag(b, 4, "ftyp")) return null
-    val p = 0x100000001b3L // FNV-1a 64 prime, both lanes
-    var h1 = 0xcbf29ce484222325L // FNV offset basis
-    var h2 = 0x9e3779b97f4a7c15L // golden-ratio alternate basis
+    val p = SigHash.Prime
+    var h1 = SigHash.Basis1
+    var h2 = SigHash.Basis2
     var total = 0L
     var i = 0L
     while (i + 8 <= n) {
@@ -316,9 +309,7 @@ object Mp4Kernels {
       i += size
     }
     if (total == 0L) return null
-    h1 = (h1 ^ total) * p
-    h2 = fmix64(h2 ^ java.lang.Long.rotateLeft(total, 32))
-    InternalRow(h1, h2, total)
+    SigHash.finish(h1, h2, total)
   }
 }
 

@@ -90,13 +90,6 @@ object Mp3Kernels {
     if (len < 4) -1 else len
   }
 
-  private def fmix64(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33; x
-  }
-
   /** Position of the first MPEG frame (past any stacked leading ID3v2
     * tags), or -1 for malformed/oversized tag headers. */
   private def skipLeadingTags(b: Array[Byte]): Int = {
@@ -124,9 +117,9 @@ object Mp3Kernels {
     val n = b.length
     var i = skipLeadingTags(b)
     if (i < 0) return null
-    val p = 0x100000001b3L // FNV-1a 64 prime, both lanes
-    var h1 = 0xcbf29ce484222325L // FNV offset basis
-    var h2 = 0x9e3779b97f4a7c15L // golden-ratio alternate basis
+    val p = SigHash.Prime
+    var h1 = SigHash.Basis1
+    var h2 = SigHash.Basis2
     var total = 0L
     var frames = 0
     var done = false
@@ -151,9 +144,7 @@ object Mp3Kernels {
       }
     }
     if (frames == 0) return null
-    h1 = (h1 ^ total) * p
-    h2 = fmix64(h2 ^ java.lang.Long.rotateLeft(total, 32))
-    InternalRow(h1, h2, total)
+    SigHash.finish(h1, h2, total)
   }
 
   /** (mpeg_version, layer, sample_rate, n_frames) of a tag-wrapped MPEG

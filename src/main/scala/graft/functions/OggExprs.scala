@@ -33,13 +33,6 @@ object OggKernels {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
-  private def fmix64(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33; x
-  }
-
   private val VorbisMagic = Array[Byte](1, 'v', 'o', 'r', 'b', 'i', 's')
   private val OpusMagic = "OpusHead".getBytes("US-ASCII")
 
@@ -56,9 +49,9 @@ object OggKernels {
     * the format / malformed / header-only streams. */
   def packetsSig(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 28) return null
-    val p = 0x100000001b3L
-    var h1 = 0xcbf29ce484222325L
-    var h2 = 0x9e3779b97f4a7c15L
+    val p = SigHash.Prime
+    var h1 = SigHash.Basis1
+    var h2 = SigHash.Basis2
     var total = 0L
     var serial = 0L
     var first = true
@@ -128,9 +121,7 @@ object OggKernels {
     // bytes) and carry at least one audio packet
     if (!eos || packetLen != 0L || i != b.length || skip < 0 ||
       packetIdx <= skip || total == 0L) return null
-    h1 = (h1 ^ total) * p
-    h2 = fmix64(h2 ^ java.lang.Long.rotateLeft(total, 32))
-    InternalRow(h1, h2, total)
+    SigHash.finish(h1, h2, total)
   }
 
   /** (codec, channels, sample_rate, n_audio_packets) from the
@@ -152,7 +143,7 @@ object OggKernels {
     val isVorbis = b(d0) == 1 && b(d0 + 1) == 'v'
     val codec = if (isVorbis) "vorbis" else "opus"
     val channels = if (isVorbis) b(d0 + 11) & 0xff else b(d0 + 9) & 0xff
-    val rate = (if (isVorbis) le32(b, d0 + 12) else le32(b, d0 + 12)).toInt
+    val rate = le32(b, d0 + 12).toInt // both codecs carry the rate at +12
     if (channels <= 0 || rate <= 0) return null
     // count audio packets by re-walking lacing boundaries
     var audioPackets = 0

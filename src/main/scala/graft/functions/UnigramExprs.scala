@@ -34,6 +34,24 @@ final class UnigramVocab(val pieces: Array[String], val logps: Array[Double])
     extends Serializable {
   require(pieces.length == logps.length,
     s"pieces/logps length mismatch: ${pieces.length} vs ${logps.length}")
+  require(pieces.forall(_.nonEmpty), "empty vocabulary piece")
+  require(pieces.forall(!_.contains('\u0001')),
+    "vocabulary piece contains the U+0001 path separator")
+
+  /** UTF-8 BYTE order (= code-point order) — what DuckDB's binary
+    * `ORDER BY path ASC` compares. Java `String.compareTo` is UTF-16
+    * code-UNIT order, which sorts supplementary-plane characters
+    * (surrogates 0xD800–DFFF) BEFORE U+E000.. BMP characters and would
+    * diverge from the oracle on exact ties between such pieces. */
+  private def utf8Compare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 
   @transient private lazy val byFirst: Map[Char, Array[Int]] =
     pieces.indices.groupBy(i => pieces(i).charAt(0))
@@ -59,7 +77,8 @@ final class UnigramVocab(val pieces: Array[String], val logps: Array[Double])
               val s = score(i) + logps(pi)
               val pp = path(i) + "\u0001" + p
               if (s > score(j) ||
-                (s == score(j) && (path(j) == null || pp.compareTo(path(j)) < 0))) {
+                (s == score(j) &&
+                  (path(j) == null || utf8Compare(pp, path(j)) < 0))) {
                 score(j) = s
                 path(j) = pp
               }

@@ -48,6 +48,15 @@ class LineDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got2(1L) == ("", 0L, 1L))
     assert(got2(3L) == ("keep me", 1L, 1L))
     assert(got2.keySet == Set(1L, 2L, 3L))
+    // EMPTY lines are paragraph separators, NOT boilerplate: present in
+    // every doc, they must never be scrubbed (the empty-gram rule)
+    val got3 = runAcross(Seq(
+      1L -> "para one\n\npara two",
+      2L -> "alpha\n\nbeta",
+      3L -> "gamma\n\ndelta"), maxDf = 1L)
+    assert(got3(1L) == ("para one\n\npara two", 3L, 0L),
+      "blank paragraph separators must survive corpus-wide repetition")
+    assert(got3(2L) == ("alpha\n\nbeta", 3L, 0L))
   }
 
   test("edge: empty page, all-duplicate page, custom separator") {
