@@ -1059,7 +1059,12 @@ object Bench {
       f""""load_start":$loadStart%.2f,"load_end":${loadavg()}%.2f,""" +
         f""""wall_clock_sec":${(System.nanoTime() - wall0) / 1e9}%.1f,""" +
         s""""reps_all":$repsAll,"reps_noisy":$repsNoisy,""" +
-        s""""contended":${loadStart > 1.0}"""
+        s""""contended":${loadStart > 1.0},""" +
+        // timing-protocol version, bumped whenever the sampling rule for
+        // any row class changes so cross-round deltas stay like-for-like:
+        // v1 = median everywhere (r7-r14); v2 = min-of-REPS_SUB for
+        // sub-second non-noisy rows, median for composites (r15+).
+        s""""timing_protocol":"v2-min-subsec""""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,$env,"sf":"$sfDir"}"""
     println(line)

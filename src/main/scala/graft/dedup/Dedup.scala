@@ -703,13 +703,20 @@ object Dedup {
     *
     * Shape at 100 TB: explode to (doc, pos, line) ONCE (pinned — the
     * explode+hash pass over the full corpus must not re-run for each of
-    * its three consumers), shuffle on the line FINGERPRINT for the
-    * exact distinct-doc count (never the line text — boilerplate lines
-    * are megafrequency keys and the 8-byte key keeps the exchange
-    * narrow), join the frequency back on the same key, then one shuffle
-    * on the doc id to reassemble. Documents whose every line was
-    * scrubbed come back EMPTY (kept, length 0) — the caller's length
-    * filter decides their fate, not this operator.
+    * its three consumers), shuffle on a TWO-LANE line fingerprint for
+    * the exact distinct-doc count (never the line text — boilerplate
+    * lines are megafrequency keys and the 16-byte key keeps the
+    * exchange narrow), join the frequency back on the same key pair,
+    * then one shuffle on the doc id to reassemble. Two lanes, not one:
+    * `fingerprint64` alone is a base-31 polynomial mod 1e9+7 (~2^30
+    * values), whose birthday bound (~30-50k distinct lines) is far
+    * below corpus line counts — a collision would merge two different
+    * lines' doc-frequencies and falsely scrub a unique line corpus-wide.
+    * Pairing it with the independent xxhash64 lane pushes the collision
+    * probability to ~2^-94 per pair (the exactDupGroups/dedupCatalog
+    * two-lane discipline). Documents whose every line was scrubbed come
+    * back EMPTY (kept, length 0) — the caller's length filter decides
+    * their fate, not this operator.
     *
     * Returns `(idCol, textCol, n_lines_kept, n_lines_removed)`. */
   def dedupLinesAcross(
@@ -721,13 +728,14 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
           .as(Seq("__pos", "__line")))
         .withColumn("__fp",
-          graft.functions.GraftFunctions.fingerprint64(col("__line"))))
+          graft.functions.GraftFunctions.fingerprint64(col("__line")))
+        .withColumn("__fp2", xxhash64(col("__line"))))
     val freq = lines
       .filter(col("__line") =!= "") // paragraph separators are exempt
-      .groupBy(col("__fp"))
+      .groupBy(col("__fp"), col("__fp2"))
       .agg(countDistinct(col(idCol)).as("__df"))
     val assembled = lines
-      .join(freq, Seq("__fp"), "left")
+      .join(freq, Seq("__fp", "__fp2"), "left")
       .filter(col("__line") === "" || col("__df") <= maxDocFreq)
       .groupBy(col(idCol))
       .agg(

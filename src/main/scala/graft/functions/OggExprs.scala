@@ -139,8 +139,24 @@ object OggKernels {
     // the specs require it; enforced loosely by reading page 0 only)
     val nseg = b(26) & 0xff
     val d0 = 27 + nseg
-    if (d0 + 16 > b.length) return null
+    // packet 0's OWN length from page 0's lacing table: the id header
+    // must cover the fixed field offsets, else a malformed magic-only
+    // first packet (7-byte \x01vorbis / 8-byte OpusHead — enough to pass
+    // the sniff) would read channels/rate from the NEXT packet's bytes
+    var p0len = 0
+    var seg = 0
+    var p0done = false
+    while (seg < nseg && !p0done) {
+      val lac0 = b(27 + seg) & 0xff
+      p0len += lac0
+      if (lac0 < 255) p0done = true
+      seg += 1
+    }
+    // id header must terminate on page 0 (the specs require it alone
+    // there) and meet the smaller spec minimum (OpusHead = 19 bytes)
+    if (!p0done || p0len < 19 || d0 + p0len > b.length) return null
     val isVorbis = b(d0) == 1 && b(d0 + 1) == 'v'
+    if (isVorbis && p0len < 30) return null // Vorbis id header spec minimum
     val codec = if (isVorbis) "vorbis" else "opus"
     val channels = if (isVorbis) b(d0 + 11) & 0xff else b(d0 + 9) & 0xff
     val rate = le32(b, d0 + 12).toInt // both codecs carry the rate at +12
@@ -293,9 +309,11 @@ object OggFixtures {
     val nAudio = math.floorMod(seed, 4L).toInt + 2
     val id: Array[Byte] =
       if (vorbis)
+        // spec-complete 30 bytes: type+magic+version+channels+rate+
+        // 3 bitrates + blocksizes (0xB8 = 256/2048) + framing bit
         Array[Byte](1) ++ "vorbis".getBytes("US-ASCII") ++
           new Array[Byte](4) ++ Array(channels.toByte) ++ le32(rate) ++
-          new Array[Byte](13)
+          new Array[Byte](12) ++ Array[Byte](0xb8.toByte, 1)
       else
         "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1, channels.toByte) ++
           new Array[Byte](2) ++ le32(rate) ++ new Array[Byte](3)

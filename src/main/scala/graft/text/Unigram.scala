@@ -86,7 +86,12 @@ object Unigram {
   /** Collect a (piece, cnt) frame into a [[Vocab]] with
     * `logp = round(ln(cnt/total), 6)` — bounded driver state. */
   private def collectVocab(vocab: DataFrame, cntCol: String): Vocab = {
-    val total = vocab.agg(sum(col(cntCol))).head.getLong(0)
+    val totalRow = vocab.agg(sum(col(cntCol))).head
+    // sum() over zero rows is NULL — surface "nothing to train on"
+    // instead of an opaque NPE (the Layout.quantileBounds discipline)
+    require(!totalRow.isNullAt(0),
+      "unigram trainer: no words to train on (empty or whitespace-only corpus)")
+    val total = totalRow.getLong(0)
     val rows = vocab
       .select(col("piece"),
         round(log(col(cntCol).cast("double") / lit(total.toDouble)), 6)

@@ -131,6 +131,41 @@ class OggDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(OggKernels.oggMeta("junk".getBytes) == null)
   }
 
+  test("meta: id header shorter than its fields refuses instead of reading the next packet") {
+    def vorbisTail(n: Int): Array[Byte] = new Array[Byte](n)
+    val comment = Array[Byte](3) ++ "vorbis".getBytes("US-ASCII") ++
+      vorbisTail(8)
+    val setup = Array[Byte](5) ++ "vorbis".getBytes("US-ASCII") ++
+      vorbisTail(20)
+    val audio = Array.fill[Byte](50)(7)
+    // packet 0 = the bare 7-byte \x01vorbis magic: enough to pass the
+    // codec sniff, but carrying no channel/rate fields — before the
+    // lacing-derived length guard, oggMeta read those from the COMMENT
+    // packet's bytes and returned garbage
+    val bare = Array[Byte](1) ++ "vorbis".getBytes("US-ASCII")
+    val f1 = OggFixtures.buildPages(Seq(bare, comment, setup, audio), 9L, 10, 0L)
+    assert(OggKernels.packetsSig(f1) != null,
+      "framing itself is valid — the sniff alone must pass packetsSig")
+    assert(OggKernels.oggMeta(f1) == null)
+    // 29-byte Vorbis id (one short of the 30-byte spec minimum) with
+    // PLAUSIBLE channel/rate fields: only the length guard catches it
+    val short = Array[Byte](1) ++ "vorbis".getBytes("US-ASCII") ++
+      new Array[Byte](4) ++ Array[Byte](2) ++
+      Array[Byte](0x44, 0xac.toByte, 0, 0) ++ new Array[Byte](13)
+    assert(short.length == 29)
+    val f2 = OggFixtures.buildPages(Seq(short, comment, setup, audio), 9L, 10, 0L)
+    assert(OggKernels.oggMeta(f2) == null)
+    // 18-byte OpusHead (one short of the 19-byte spec minimum), same shape
+    val shortOpus = "OpusHead".getBytes("US-ASCII") ++
+      Array[Byte](1, 2) ++ new Array[Byte](2) ++
+      Array[Byte](0x80.toByte, 0xbb.toByte, 0, 0) ++ new Array[Byte](2)
+    assert(shortOpus.length == 18)
+    val f3 = OggFixtures.buildPages(
+      Seq(shortOpus, "OpusTags".getBytes("US-ASCII") ++ vorbisTail(8), audio),
+      9L, 10, 0L)
+    assert(OggKernels.oggMeta(f3) == null)
+  }
+
   test("tier: cross-batch drops, in-batch collapse, kind guard through the SigDedup binding") {
     val dir = tmpDir() + "/cat"
     val _ = OggDedup.applyBatch(

@@ -29,6 +29,12 @@ class UnigramSpec extends AnyFunSuite with SparkTestBase {
     assert(v.segment("").isEmpty)
   }
 
+  test("train: empty/whitespace-only corpus refuses with a clear message, not an NPE") {
+    val docs = Seq((1L, ""), (2L, " \t "), (3L, "   ")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](Unigram.train(docs, "text"))
+    assert(e.getMessage.contains("no words to train on"))
+  }
+
   test("train: seed/usage/smoothing pipeline is deterministic and coverage-complete") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
