@@ -1180,6 +1180,90 @@ object SparkEntry {
       out
     }),
 
+    // Crawl-archive ingestion (the pipeline's FRONT DOOR): each doc's
+    // text is framed into a synthetic WARC segment — warcinfo + request
+    // + response records, the response wrapping the text in a full HTTP
+    // message — then parsed BACK through the production kernels
+    // (multi-member gunzip → record walk → HTTP layer). Every field the
+    // reader recovers is oracled against doc_id arithmetic and the
+    // documents table itself; gzip-member framing alternates by parity
+    // so both crawl layouts stay pinned. A single corrupted byte
+    // anywhere in the framing chain nulls the whole file and
+    // hash-mismatches.
+    "warc_extract" -> ((s, dir) => {
+      val seg = GraftFunctions.syntheticWarc(
+        col("doc_id"), (col("doc_id") % 2).cast("int"), col("text"))
+      val recs = GraftFunctions.warcRecords(seg)
+      val resp = element_at(
+        filter(col("__recs"), r => r.getField("rec_type") === "response"), 1)
+      docs(s, dir)
+        .select(col("doc_id"), col("text").as("__orig"), recs.as("__recs"))
+        .select(col("doc_id"), col("__orig"),
+          size(col("__recs")).as("n_records"),
+          resp.getField("url").as("url"),
+          resp.getField("date").as("fetch_date"),
+          GraftFunctions.httpResponse(resp.getField("block")).as("__h"))
+        .select(col("doc_id"), col("n_records"), col("url"), col("fetch_date"),
+          col("__h.status").as("status"),
+          col("__h.mime").as("mime"),
+          col("__h.body").cast("string").as("body_text"),
+          (col("__h.body").cast("string") === col("__orig"))
+            .as("roundtrip_exact"))
+    }),
+
+    // The WET leg: `conversion` records carry extracted plain text with
+    // no HTTP layer; the reader must surface it verbatim.
+    "warc_wet_text" -> ((s, dir) => {
+      val seg = GraftFunctions.syntheticWarc(col("doc_id"), lit(2), col("text"))
+      val conv = element_at(
+        filter(GraftFunctions.warcRecords(seg),
+          r => r.getField("rec_type") === "conversion"), 1)
+      docs(s, dir)
+        .select(col("doc_id"),
+          conv.getField("url").as("url"),
+          conv.getField("block").cast("string").as("text"))
+    }),
+
+    // The composed curation chain FED FROM WARC RECORDS — the
+    // end-to-end pipeline a crawl user runs: segment bytes → record
+    // walk → HTTP parse → (doc_id from the URL, text from the payload)
+    // → the 3-tier curate chain against catalogs built from the prior
+    // corpus. The oracle is curate_stream_batch's own (the front door
+    // must be LOSSLESS — any parse deviation shifts a doc's text or id
+    // and hash-mismatches the tier outcomes).
+    "curate_stream_batch_warc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-warc-q")
+      val tmp = root.toString
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val batch = d.filter(col("doc_id") % 3 =!= 0)
+        .select(GraftFunctions.syntheticWarc(
+          col("doc_id"), (col("doc_id") % 2).cast("int"), col("text")).as("seg"))
+        .select(explode(GraftFunctions.warcRecords(col("seg"))).as("r"))
+        .filter(col("r.rec_type") === "response")
+        .select(col("r.url").as("url"),
+          GraftFunctions.httpResponse(col("r.block")).as("h"))
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("h.body").cast("string").as("text"))
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        batch,
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8), added = 1L)
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
     // The composed pipeline WITH the statistics surface engaged: same
     // 3-tier chain as curate_stream_batch, plus the per-trigger CMS +
     // HLL fold over the CURATED output's trigrams (StreamingCurate's
@@ -3082,6 +3166,13 @@ object SparkEntry {
     "bigram_logppl" -> ((s, dir) =>
       graft.text.LanguageModel.bigramSurprisal(docs(s, dir), "doc_id", "text")),
 
+    // Interpolated KNESER-NEY trigram surprisal — the published CCNet/
+    // KenLM smoothing with D = 0.75 (binary-exact): discounted counts +
+    // type-based continuation probabilities, all integer-exact, the
+    // oracle restating the identical expression tree.
+    "kn_trigram_logppl" -> ((s, dir) =>
+      graft.text.LanguageModel.knTrigramSurprisal(docs(s, dir), "doc_id", "text")),
+
     // Weighted mixture sampling: per-source keep rates (200/500/800‰ by
     // source index mod 3) through the deterministic content-hash gate.
     "mixture_sample" -> ((s, dir) => {
@@ -3269,6 +3360,58 @@ object SparkEntry {
           col("user_id")).as("zkey"))
     }),
 
+    // The APPROX quantile-bounds path — the one `quantileBounds` mode
+    // the exact-path gate above does NOT cover, and the mode the 100 TB
+    // layout actually runs (mergeable percentile_approx sketch, no
+    // global sort). Not directly value-statable cross-engine (DuckDB's
+    // sketch differs), so the gate states the sketch's CONTRACT, the
+    // trained-ANN/corpus_sketch pattern: per bucket, (a) the engine's
+    // approx left boundary sits within the GK rank-error interval
+    // (ε = 1/accuracy, default 10⁴) of its target rank — measured
+    // EXACTLY with strict/inclusive rank counts; (b) the bucket's
+    // population deviates from n/B by at most 2εn + the largest tie
+    // run (a tie run is indivisible mass no boundary can split — its
+    // size is oracled exactly, not hand-waved). The row also carries
+    // the EXACT interpolated boundary (value-oracled bit for bit via
+    // the rank-interpolation SQL, as the exact gate), so the output is
+    // hash-sensitive to real data, not just booleans. All driver state
+    // is B-bounded (the collected bounds/aggregate row — the capped
+    // probe-key discipline).
+    "zorder_key_bounds_approx" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val B = 16
+      val eps = 1.0 / 10000.0 // percentile_approx default accuracy
+      val approx = graft.ops.Layout.quantileBounds(ev, "value", B)
+      val exacts = graft.ops.Layout.quantileBounds(ev, "value", B,
+        exact = true)
+      val rankAggs = approx.zipWithIndex.flatMap { case (b, i) => Seq(
+        sum(when(col("value") < b, 1L).otherwise(0L)).as(s"lt_$i"),
+        sum(when(col("value") <= b, 1L).otherwise(0L)).as(s"le_$i")) }
+      val agg = ev.agg(count(lit(1)).as("n"), rankAggs.toSeq: _*).head
+      val n = agg.getAs[Long]("n")
+      val maxTie = ev.groupBy(col("value")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head.getLong(0)
+      val pops = ev
+        .select(graft.ops.Layout.bucketByBounds(col("value"), approx).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("pop"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slack = eps * n
+      val rows = (0 until B).map { i =>
+        val rankOk = i == 0 || {
+          val q = i.toDouble / B
+          agg.getAs[Long](s"lt_${i - 1}") <= q * n + slack + 1 &&
+            agg.getAs[Long](s"le_${i - 1}") >= q * n - slack - 1
+        }
+        val popOk = math.abs(pops.getOrElse(i.toLong, 0L) - n.toDouble / B) <=
+          2 * slack + maxTie + 1
+        (i, n, maxTie,
+          if (i == 0) None else Some(exacts(i - 1)), rankOk, popOk)
+      }
+      rows.toDF("bucket", "n", "max_tie", "exact_left_bound",
+        "rank_ok", "pop_ok")
+    }),
+
     // Deterministic stratified train/eval split: the content-hash gate
     // keyed per (source, bucket) — reproducible across engines and
     // partitionings, summarized as per-source split sizes.
@@ -3359,6 +3502,46 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), graft.text.Html.extractText(page).as("clean_text"))
         .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
+    }),
+
+    // MAIN-CONTENT extraction (the boilerpipe-style block classifier —
+    // html_extract above strips MARKUP, this drops whole BOILERPLATE
+    // BLOCKS): each doc's text is planted inside a realistic page —
+    // title, nav bar, link-list sidebar, article body, share bar,
+    // footer — and the block-density rule must recover EXACTLY the
+    // body (plus the fixed diagnostics: non-empty block count, kept
+    // count, total anchor words). The chrome carries NO corpus-level
+    // repetition signal here — a single page suffices to drop it,
+    // which is precisely what the line-scrub family cannot do.
+    "html_extract_main" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { color: red; }</style>" +
+          "<script>if (1<2) { track(); }</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+          " <a href=\"/contact\">Contact</a></nav>" +
+          "<div class=\"sidebar\"><ul>" +
+          "<li><a href=\"/p1\">Latest posts</a></li>" +
+          "<li><a href=\"/p2\">Archive index</a></li>" +
+          "<li><a href=\"/p3\">Tag cloud</a></li></ul></div>" +
+          "<article><p>"), col("text"),
+        lit("</p></article>" +
+          "<div class=\"share\">Share this: <a href=\"#\">Tweet</a>" +
+          " <a href=\"#\">Like</a></div>" +
+          "<footer>&copy; 2026 <a href=\"/privacy\">Privacy policy</a>" +
+          " <a href=\"/terms\">Terms of use</a></footer>" +
+          "</body></html>"))
+      val blocks = graft.text.Html.mainBlocks(page)
+      docs(s, dir)
+        .select(col("doc_id"), page.as("__page"), blocks.as("__blocks"))
+        .select(col("doc_id"),
+          graft.text.Html.extractMainText(col("__page")).as("main_text"),
+          size(col("__blocks")).as("n_blocks"),
+          size(filter(col("__blocks"),
+            b => graft.text.Html.isContentBlock(b))).as("n_kept"),
+          aggregate(col("__blocks"), lit(0),
+            (acc, b) => acc + b.getField("link_words"))
+            .as("link_words_total"))
     }),
 
     // Intra-document line dedup (C4's repeated-paragraph removal): pages
@@ -3494,10 +3677,10 @@ object SparkEntry {
     * `SubstrDedupW`-token window fingerprints with positions. */
   private def substrWndSql: String = {
     val w = SubstrDedupW
-    s"""WITH t AS (
+    s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents
-       |), wnd AS (
+       |), wnd AS MATERIALIZED (
        |  SELECT doc_id, CAST(i AS INT) AS pos,
        |    ${windowFpSql(s"concat_ws(' ', toks[CAST(i AS INT) : CAST(i + ${w - 1} AS INT)])")} AS fp
        |  FROM t, unnest(range(1, len(toks) - ${w - 2})) AS u(i)
@@ -3787,16 +3970,25 @@ object SparkEntry {
   private def embedTopkPqFixedOracleSql: String = {
     val cents = fixedPqModel.cents.mkString("[", ", ", "]")
     val m = PqM; val k = PqK; val dsub = PqDsub
+    // the codebook rides as a cross-joined one-row CTE COLUMN (`cba`),
+    // never as an inline literal inside a lambda: DuckDB re-materializes
+    // an inline list literal on every lambda evaluation, which made the
+    // original form ~2000× slower (219 s → 0.1 s at sf0.01, verified
+    // EXACT against the engine dump before shipping). Same reason `sub`
+    // is unnested to rows and the per-subspace distance list is computed
+    // ONCE (the old shape recomputed it for list_indexof AND list_min).
     val diffs = s"list_transform(range(0, $dsub), d -> " +
-      s"nv[CAST(sub * $dsub + d + 1 AS INT)] - ($cents)[CAST(sub * ${k * dsub} + c * $dsub + d + 1 AS INT)])"
+      s"nv[CAST(sub * $dsub + d + 1 AS INT)] - cba[CAST(sub * ${k * dsub} + c * $dsub + d + 1 AS INT)])"
     val dists = s"list_transform(range(0, $k), c -> " +
       s"${duckFold(s"list_transform($diffs, x -> x * x)")})"
     val lutProds = s"list_transform(range(0, $dsub), d -> " +
-      s"nv[CAST(sub * $dsub + d + 1 AS INT)] * ($cents)[CAST(sub * ${k * dsub} + c * $dsub + d + 1 AS INT)])"
+      s"nv[CAST(sub * $dsub + d + 1 AS INT)] * cba[CAST(sub * ${k * dsub} + c * $dsub + d + 1 AS INT)])"
     val lut = s"list_transform(range(0, $k), c -> ${duckFold(lutProds)})"
     val adc = duckFold(s"list_transform(range(0, $m), sub -> " +
       s"q.lut[CAST(sub + 1 AS INT)][CAST(c.codes[CAST(sub + 1 AS INT)] + 1 AS INT)])")
-    s"""WITH dv AS (
+    s"""WITH cbt AS (
+       |  SELECT $cents AS cba
+       |), dv AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
        |         sqrt($duckN2) AS nrm
@@ -3806,15 +3998,20 @@ object SparkEntry {
        |         CASE WHEN nrm = 0 THEN v
        |              ELSE list_transform(v, x -> x / nrm) END AS nv
        |  FROM dv
+       |), encsub AS (
+       |  SELECT vec_id, sub, $dists AS ds
+       |  FROM nrm, cbt, range(0, $m) AS t(sub)
        |), enc AS (
        |  SELECT vec_id,
-       |         list_transform(range(0, $m), sub ->
-       |           list_indexof($dists, list_min($dists)) - 1) AS codes
-       |  FROM nrm
+       |         array_agg(list_indexof(ds, list_min(ds)) - 1 ORDER BY sub) AS codes
+       |  FROM encsub GROUP BY vec_id
+       |), lutsub AS (
+       |  SELECT vec_id, sub, $lut AS lu
+       |  FROM nrm, cbt, range(0, $m) AS t(sub)
+       |  WHERE vec_id % 100 = 0
        |), luts AS (
-       |  SELECT vec_id,
-       |         list_transform(range(0, $m), sub -> $lut) AS lut
-       |  FROM nrm WHERE vec_id % 100 = 0
+       |  SELECT vec_id, array_agg(lu ORDER BY sub) AS lut
+       |  FROM lutsub GROUP BY vec_id
        |), scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $adc AS adc_raw
        |  FROM enc c, luts q
@@ -3837,23 +4034,23 @@ object SparkEntry {
     * aggregate (min kept id, lower-dup count, round-6 max cosine) —
     * [[graft.sim.SemDedup.semDupReport]] stated end to end. */
   private def semdedupFixedOracleSql: String = {
-    s"""WITH pl AS (
+    s"""WITH pl AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
        |  WHERE vec_id % 10 = 0
-       |), s AS (
+       |), s AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${fixedCentroidScoresSql} AS ss, $duckN2 AS n2
        |  FROM pl
-       |), asg AS (
+       |), asg AS MATERIALIZED (
        |  SELECT vec_id, embedding, n2,
        |         CAST(len(ss) - list_indexof(list_reverse(ss), list_max(ss)) AS INT) AS cluster
        |  FROM s
-       |), ok AS (
+       |), ok AS MATERIALIZED (
        |  SELECT cluster FROM asg GROUP BY cluster HAVING count(*) <= 10000
-       |), sized AS (
+       |), sized AS MATERIALIZED (
        |  SELECT a.* FROM asg a JOIN ok USING (cluster)
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT hi.vec_id AS dropped, lo.vec_id AS lower_id,
        |         ${duckCos("hi", "lo")} AS cos_raw
        |  FROM sized hi JOIN sized lo
@@ -3892,16 +4089,16 @@ object SparkEntry {
     * bytes hash whole, exactly
     * [[graft.functions.GraftHash.minhashFpSignature]]), k lanes. */
   private def minhashSigCtesSql: String =
-    s"""mb AS (
+    s"""mb AS MATERIALIZED (
        |  SELECT doc_id, ${utf8BytesSql("text")} AS bs FROM documents
-       |), msh AS (
+       |), msh AS MATERIALIZED (
        |  SELECT doc_id, list_transform(
        |         CASE WHEN len(bs) <= 5 THEN [${foldSql("bs")}]
        |         ELSE list_transform(range(1, len(bs) - 3),
        |                i -> ${foldSql("bs[CAST(i AS INT):CAST(i + 4 AS INT)]")}) END,
        |         f -> (f * f + f) % 1000000007) AS hs
        |  FROM mb
-       |), sg AS (
+       |), sg AS MATERIALIZED (
        |  SELECT doc_id, ${minhashLanesSql(MinhashK)} AS sig FROM msh
        |)""".stripMargin
 
@@ -4176,73 +4373,73 @@ object SparkEntry {
     val w = SubstrDedupW
     s"""WITH RECURSIVE ${minhashSigCtesSql},
        |${substrWndSql.stripPrefix("WITH ")},
-       |exact_cat AS (
+       |exact_cat AS MATERIALIZED (
        |  SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
-       |), b0 AS (
+       |), b0 AS MATERIALIZED (
        |  SELECT min(doc_id) AS doc_id, text
        |  FROM documents WHERE doc_id % 3 != 0 $batchPred GROUP BY text
-       |), exact_surv AS (
+       |), exact_surv AS MATERIALIZED (
        |  SELECT f.doc_id FROM b0 f
        |  LEFT JOIN exact_cat c ON f.text = c.text
        |  WHERE c.text IS NULL
-       |), ncat AS (SELECT * FROM sg WHERE doc_id % 3 = 0),
-       |nw AS (
+       |), ncat AS MATERIALIZED (SELECT * FROM sg WHERE doc_id % 3 = 0),
+       |nw AS MATERIALIZED (
        |  SELECT * FROM sg WHERE doc_id IN (SELECT doc_id FROM exact_surv)
-       |), nb AS (
+       |), nb AS MATERIALIZED (
        |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
        |         unnest(${minhashBandKeysSql}) AS band_key FROM nw
-       |), ob AS (
+       |), ob AS MATERIALIZED (
        |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
        |         unnest(${minhashBandKeysSql}) AS band_key FROM ncat
-       |), hitp AS (
+       |), hitp AS MATERIALIZED (
        |  SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
        |  FROM nb JOIN ob USING (band, band_key)
-       |), drops AS (
+       |), drops AS MATERIALIZED (
        |  SELECT DISTINCT new_id FROM hitp
        |  JOIN nw sa ON sa.doc_id = new_id
        |  JOIN ncat sb ON sb.doc_id = old_id
        |  WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.8
-       |), fresh AS (
+       |), fresh AS MATERIALIZED (
        |  SELECT * FROM nw WHERE doc_id NOT IN (SELECT new_id FROM drops)
-       |), fb AS (
+       |), fb AS MATERIALIZED (
        |  SELECT doc_id, unnest(range($MinhashBands)) AS band,
        |         unnest(${minhashBandKeysSql}) AS band_key FROM fresh
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |  FROM fb a JOIN fb b2 USING (band, band_key)
        |  WHERE a.doc_id < b2.doc_id
-       |), epairs AS (
+       |), epairs AS MATERIALIZED (
        |  SELECT id_a, id_b
        |  FROM cand JOIN fresh sa ON sa.doc_id = id_a JOIN fresh sb ON sb.doc_id = id_b
        |  WHERE CAST(${minhashMatchSql("sa", "sb")} AS DOUBLE) / $MinhashK >= 0.8
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM epairs
        |  UNION ALL SELECT id_b AS a, id_a AS b FROM epairs
        |), reach(id, m) AS (
        |  SELECT a, a FROM e
        |  UNION
        |  SELECT e.b, reach.m FROM reach JOIN e ON e.a = reach.id
-       |), clusters AS (
+       |), clusters AS MATERIALIZED (
        |  SELECT id, min(m) AS cluster_id FROM reach GROUP BY id
-       |), near_surv AS (
+       |), near_surv AS MATERIALIZED (
        |  SELECT f.doc_id FROM fresh f LEFT JOIN clusters c ON c.id = f.doc_id
        |  WHERE c.cluster_id IS NULL OR f.doc_id = c.cluster_id
-       |), scat AS (
+       |), scat AS MATERIALIZED (
        |  SELECT DISTINCT fp FROM wnd WHERE doc_id % 3 = 0
-       |), bocc AS (
+       |), bocc AS MATERIALIZED (
        |  SELECT * FROM wnd WHERE doc_id IN (SELECT doc_id FROM near_surv)
-       |), bown AS (
+       |), bown AS MATERIALIZED (
        |  SELECT fp, min(doc_id) AS owner FROM bocc GROUP BY fp
        |  HAVING min(doc_id) <> max(doc_id)
-       |), rem AS (
+       |), rem AS MATERIALIZED (
        |  SELECT bocc.doc_id, bocc.pos FROM bocc
        |  LEFT JOIN scat ON scat.fp = bocc.fp
        |  LEFT JOIN bown ON bown.fp = bocc.fp
        |  WHERE scat.fp IS NOT NULL OR bocc.doc_id > bown.owner
-       |), remtok AS (
+       |), remtok AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, pos + o AS idx
        |  FROM rem, unnest(range(0, $w)) AS v(o)
-       |), tok AS (
+       |), tok AS MATERIALIZED (
        |  SELECT t.doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT)] AS tok
        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
        |  WHERE t.doc_id IN (SELECT doc_id FROM near_surv)
@@ -5343,6 +5540,28 @@ object SparkEntry {
 
     "curate_stream_batch" -> curateStreamOracleSql(),
 
+    // WARC ingestion: the reader's recovered fields restated from
+    // doc_id arithmetic + the documents table itself (the fixture's
+    // deterministic URL/date scheme); roundtrip_exact pinned literal.
+    "warc_extract" ->
+      """SELECT doc_id, CAST(3 AS INT) AS n_records,
+        |  'http://example.com/doc/' || doc_id AS url,
+        |  '2026-08-16T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+        |    || 'Z' AS fetch_date,
+        |  CAST(200 AS INT) AS status, 'text/plain' AS mime,
+        |  text AS body_text, TRUE AS roundtrip_exact
+        |FROM documents
+        |""".stripMargin,
+
+    "warc_wet_text" ->
+      """SELECT doc_id, 'http://example.com/doc/' || doc_id AS url, text
+        |FROM documents
+        |""".stripMargin,
+
+    // the WARC-fed curate chain must land EXACTLY where the plain-text
+    // chain lands — the front door is lossless by construction
+    "curate_stream_batch_warc" -> curateStreamOracleSql(),
+
     // Image dedup gates: counts are pure doc_id arithmetic (the planted
     // -21/-42 stride scheme — see plantedImage); the decode-derived
     // booleans are asserted literal TRUE.
@@ -5895,6 +6114,51 @@ object SparkEntry {
         |GROUP BY doc_id
         |""".stripMargin,
 
+    // Kneser-Ney: the same count tables and the same expression tree,
+    // operation for operation (left-associative products, integer/
+    // integer double divisions, greatest(x−0.75, 0) discounts).
+    "kn_trigram_logppl" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+        |  FROM documents
+        |), p AS MATERIALIZED (
+        |  SELECT doc_id, tg.u AS u, tg.v AS v, tg.w AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+        |            i -> struct_pack(u := ws[i], v := ws[i+1], w := ws[i+2]))) AS tg
+        |        FROM d)
+        |), tri AS MATERIALIZED (
+        |  SELECT u, v, w, count(*) AS c_uvw FROM p GROUP BY 1, 2, 3
+        |), ctx2 AS MATERIALIZED (
+        |  SELECT u, v, sum(c_uvw) AS c_uv, count(*) AS n1p_uv_dot
+        |  FROM tri GROUP BY 1, 2
+        |), mid AS MATERIALIZED (
+        |  SELECT v, w, count(*) AS n1p_dot_vw FROM tri GROUP BY 1, 2
+        |), midctx AS MATERIALIZED (
+        |  SELECT v, count(*) AS n1p_dot_v_dot,
+        |         count(DISTINCT w) AS n1p_v_dot
+        |  FROM tri GROUP BY 1
+        |), cont AS MATERIALIZED (
+        |  SELECT w, count(*) AS n1p_dot_w FROM mid GROUP BY 1
+        |), tot AS (SELECT count(*) AS n1p_dot_dot FROM mid)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round(avg(-ln(
+        |    greatest(c_uvw - 0.75, 0.0) / c_uv +
+        |    0.75 * n1p_uv_dot / c_uv *
+        |      (greatest(n1p_dot_vw - 0.75, 0.0) / n1p_dot_v_dot +
+        |       0.75 * n1p_v_dot / n1p_dot_v_dot * (n1p_dot_w / n1p_dot_dot))
+        |  )), 6) AS avg_neglogp
+        |FROM p
+        |JOIN tri USING (u, v, w)
+        |JOIN ctx2 USING (u, v)
+        |JOIN mid USING (v, w)
+        |JOIN midctx USING (v)
+        |JOIN cont USING (w)
+        |CROSS JOIN tot
+        |GROUP BY doc_id
+        |""".stripMargin,
+
     "frames_sample" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |       CAST(floor(i * CAST(octet_length(encode(text)) AS BIGINT) / 4.0) AS BIGINT) AS byte_offset
@@ -6423,14 +6687,14 @@ object SparkEntry {
     },
 
     // The boundary arithmetic is restated VERBATIM, not via DuckDB's
-    // quantile_cont: Spark's exact percentile interpolates
-    // lo + (hi − lo)·frac while quantile_cont computes lo·(1−f) + hi·f —
-    // algebraically equal, but on a TIE RUN (lo = hi) the second form
-    // rounds twice and lands one ulp off (observed: 28.88 vs
-    // 28.880000000000003 at sf0.1), flipping the bucket of every row
-    // tied with the boundary. Stating rank = p·(n−1), frac = rank −
-    // floor(rank), bound = lo + (hi − lo)·frac reproduces Spark's
-    // floating-point path operation for operation.
+    // quantile_cont. Spark's exact Percentile (r16 correction, surfaced
+    // when zorder_key_bounds_approx value-compared raw boundary
+    // doubles): rank = p·(n−1); floor(rank) == ceil(rank) OR a tie run
+    // (lowerKey == higherKey) returns the order statistic DIRECTLY (no
+    // arithmetic — where quantile_cont's lo·(1−f) + hi·f double-rounds
+    // one ulp high, observed 28.88 vs 28.880000000000003 at sf0.1);
+    // otherwise the two-product form (ceil−rank)·lo + (rank−floor)·hi,
+    // stated here operation for operation.
     "zorder_key_bounds" -> {
       val terms = (0 until 31).map(k =>
         s"(((ux >> $k) & 1) << ${2 * k}) | (((uy >> $k) & 1) << ${2 * k + 1})")
@@ -6446,7 +6710,9 @@ object SparkEntry {
          |         CAST(ceil((i/16.0) * (c - 1)) AS BIGINT) AS hi_i
          |  FROM range(1, 16) t(i) CROSS JOIN n
          |), b AS (
-         |  SELECT list(lo.x + (hi.x - lo.x) * (r - lo_i) ORDER BY r) AS bs
+         |  SELECT list(CASE WHEN hi_i = lo_i OR lo.x = hi.x THEN lo.x
+         |         ELSE (hi_i - r) * lo.x + (r - lo_i) * hi.x END
+         |         ORDER BY r) AS bs
          |  FROM ranks
          |  JOIN v lo ON lo.rn = lo_i
          |  JOIN v hi ON hi.rn = hi_i
@@ -6458,6 +6724,43 @@ object SparkEntry {
          |SELECT event_id, $terms AS zkey FROM c
          |""".stripMargin
     },
+
+    // approx-bounds contract: n / max-tie-run / the exact interpolated
+    // boundary restated numerically — Spark's Percentile computes the
+    // TWO-PRODUCT form `(higher−pos)·lo + (pos−lower)·hi` with an early
+    // return when floor(pos) == ceil(pos) (surfaced the first time raw
+    // boundary DOUBLES are value-compared; the membership-compared
+    // bounds gate was insensitive to the one-ulp difference vs
+    // lo + (hi−lo)·frac). Sketch contract booleans asserted literal
+    // TRUE.
+    "zorder_key_bounds_approx" ->
+      """WITH v AS (
+        |  SELECT "value" AS x,
+        |         row_number() OVER (ORDER BY "value") - 1 AS rn
+        |  FROM events
+        |), n AS (SELECT count(*) AS c FROM events),
+        |mt AS (
+        |  SELECT max(c) AS m FROM (
+        |    SELECT count(*) AS c FROM events GROUP BY "value")
+        |), ranks AS (
+        |  SELECT i, (i/16.0) * (c - 1) AS r,
+        |         CAST(floor((i/16.0) * (c - 1)) AS BIGINT) AS lo_i,
+        |         CAST(ceil((i/16.0) * (c - 1)) AS BIGINT) AS hi_i
+        |  FROM range(1, 16) t(i) CROSS JOIN n
+        |), eb AS (
+        |  SELECT i, CASE WHEN hi_i = lo_i OR lo.x = hi.x THEN lo.x
+        |         ELSE (hi_i - r) * lo.x + (r - lo_i) * hi.x END
+        |         AS exact_left_bound
+        |  FROM ranks
+        |  JOIN v lo ON lo.rn = lo_i
+        |  JOIN v hi ON hi.rn = hi_i
+        |)
+        |SELECT CAST(b.i AS INT) AS bucket, n.c AS n, mt.m AS max_tie,
+        |       eb.exact_left_bound,
+        |       TRUE AS rank_ok, TRUE AS pop_ok
+        |FROM range(0, 16) b(i) CROSS JOIN n CROSS JOIN mt
+        |LEFT JOIN eb ON eb.i = b.i
+        |""".stripMargin,
 
     "format_roundtrip" ->
       """SELECT f AS format, n_docs, n_distinct, total_chars
@@ -6482,6 +6785,23 @@ object SparkEntry {
         |SELECT doc_id, clean_text,
         |       CAST(length(clean_text) AS BIGINT) AS n_clean_chars
         |FROM c
+        |""".stripMargin,
+
+    // main-content extraction over the constructed page: main_text is
+    // the body verbatim (ws-normalized; kept iff it meets the 5-word
+    // floor — all testdata docs do); the diagnostics are fixture
+    // constants — 8 non-empty blocks (title, nav, 3 sidebar items,
+    // article, share, footer) and 3+6+2+5 = 16 anchor words.
+    "html_extract_main" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |       THEN regexp_replace(trim(text), '\s+', ' ', 'g')
+        |       ELSE '' END AS main_text,
+        |  CAST(8 AS INT) AS n_blocks,
+        |  CAST(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |       THEN 1 ELSE 0 END AS INT) AS n_kept,
+        |  CAST(16 AS INT) AS link_words_total
+        |FROM documents
         |""".stripMargin,
 
     // The deduped page stated directly: of the six constructed lines

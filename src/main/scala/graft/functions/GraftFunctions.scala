@@ -119,7 +119,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => InterleaveBits(exprs.head, exprs(1))),
     (FunctionIdentifier("interleave_bits_k"),
       new ExpressionInfo(classOf[InterleaveBitsK].getName, "interleave_bits_k"),
-      (exprs: Seq[Expression]) => InterleaveBitsK(exprs))
+      (exprs: Seq[Expression]) => InterleaveBitsK(exprs)),
+    (FunctionIdentifier("warc_records"),
+      new ExpressionInfo(classOf[WarcRecordsExpr].getName, "warc_records"),
+      (exprs: Seq[Expression]) => WarcRecordsExpr(exprs.head)),
+    (FunctionIdentifier("http_response"),
+      new ExpressionInfo(classOf[HttpResponseExpr].getName, "http_response"),
+      (exprs: Seq[Expression]) => HttpResponseExpr(exprs.head))
   )
 
   /** Install into an existing session (idempotent) for SQL-text call
@@ -211,6 +217,10 @@ object GraftFunctions {
   def mp3Meta(c: Column): Column = column(Mp3MetaExpr(expression(c)))
   def syntheticMp3(seed: Column, variant: Column): Column =
     column(SyntheticMp3(expression(seed), expression(variant)))
+  def warcRecords(c: Column): Column = column(WarcRecordsExpr(expression(c)))
+  def httpResponse(c: Column): Column = column(HttpResponseExpr(expression(c)))
+  def syntheticWarc(seed: Column, variant: Column, body: Column): Column =
+    column(SyntheticWarc(expression(seed), expression(variant), expression(body)))
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the optimizer

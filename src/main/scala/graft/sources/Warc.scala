@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Crawl-archive (WARC/WET) scan — the front door of a training-data
+  * pipeline. Everything downstream of here is the existing curation
+  * surface (`Html.extractText`, quality filters, the dedup tiers,
+  * `StreamingCurate`); this module only turns segment FILES into a
+  * records DataFrame.
+  *
+  * Scan shape, stated for the 100 TB case: a gzipped WARC segment is
+  * NON-SPLITTABLE (concatenated gzip members), so the parallel unit is
+  * the FILE — exactly how the published crawls are laid out (tens of
+  * thousands of ~1 GB segments per crawl; Spark schedules one segment
+  * per task, and a 1000-executor cluster is saturated by any real
+  * crawl's segment count, not by intra-file parallelism). The
+  * `binaryFile` source carries each file as one row (content bytes +
+  * path), the `warc_records` kernel explodes it into records in one
+  * codegen'd byte walk, and everything after the explode is ordinary
+  * narrow projection. Per-task memory = one segment, inflated —
+  * bounded by crawl convention (segments are sized ~1 GB precisely so
+  * readers can hold one), and the 2 GB `binaryFile` row cap matches
+  * that convention. Pathological single files beyond that belong to a
+  * re-segmentation job, not this scan.
+  *
+  * `pathGlobFilter`/partition pruning: pass a glob (e.g.
+  * `.../segments/&#42;/wet/&#42;.warc.wet.gz`) — file listing prunes
+  * driver-side exactly like any file source. */
+object Warc {
+
+  /** All records of every WARC/WET file under `path` (glob ok):
+    * `(path, rec_type, url, date, content_type, block)`. A malformed
+    * FILE surfaces as null record fields off a non-null path (the
+    * kernel's whole-file refusal), so corrupt segments are countable —
+    * `filter(col("rec_type").isNull)` — instead of silently absent. */
+  def records(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), GraftFunctions.warcRecords(col("content")).as("__recs"))
+    // explode_outer keeps refused files as one null-fielded row each
+    files
+      .select(col("path"), explode_outer(col("__recs")).as("__r"))
+      .select(col("path"),
+        col("__r.rec_type").as("rec_type"),
+        col("__r.url").as("url"),
+        col("__r.date").as("date"),
+        col("__r.content_type").as("content_type"),
+        col("__r.block").as("block"))
+  }
+
+  /** The fetched-page view of a crawl: `response` records parsed
+    * through the HTTP layer → `(url, fetch_ts, status, mime, payload)`.
+    * Non-HTTP or truncated-header responses are dropped (they carry no
+    * payload to curate). */
+  def responses(spark: SparkSession, path: String): DataFrame =
+    records(spark, path)
+      .filter(col("rec_type") === "response")
+      .select(col("url"),
+        to_timestamp(col("date"), "yyyy-MM-dd'T'HH:mm:ssX").as("fetch_ts"),
+        GraftFunctions.httpResponse(col("block")).as("__h"))
+      .filter(col("__h").isNotNull)
+      .select(col("url"), col("fetch_ts"),
+        col("__h.status").as("status"),
+        col("__h.mime").as("mime"),
+        col("__h.body").as("payload"))
+
+  /** The WET view: `conversion` records' plain text →
+    * `(url, fetch_ts, text)`. */
+  def wetText(spark: SparkSession, path: String): DataFrame =
+    records(spark, path)
+      .filter(col("rec_type") === "conversion")
+      .select(col("url"),
+        to_timestamp(col("date"), "yyyy-MM-dd'T'HH:mm:ssX").as("fetch_ts"),
+        col("block").cast("string").as("text"))
+}

@@ -157,62 +157,30 @@ object StreamingCurate {
           s"column (batch columns: ${batch.columns.mkString(", ")})")
       val _ = graft.sim.IvfIndex.readCentroids(batch.sparkSession, idx)
     }
-    // the image/audio tiers' caller contracts, same up-front discipline
-    imageCol.foreach { ic =>
-      require(batch.columns.contains(ic),
-        s"imageCol is configured but the batch has no '$ic' column " +
-          s"(batch columns: ${batch.columns.mkString(", ")})")
-      require(imageExactDir.isDefined && imagePhashDir.isDefined,
-        "imageCol is configured but imageExactDir/imagePhashDir are not — " +
-          "the image tier needs both persistent catalogs")
-    }
-    audioCol.foreach { ac =>
-      require(batch.columns.contains(ac),
-        s"audioCol is configured but the batch has no '$ac' column " +
-          s"(batch columns: ${batch.columns.mkString(", ")})")
-      require(audioEnvDir.isDefined,
-        "audioCol is configured but audioEnvDir is not — the audio tier " +
-          "needs its persistent envelope catalog")
-    }
-    videoCol.foreach { vc =>
-      require(batch.columns.contains(vc),
-        s"videoCol is configured but the batch has no '$vc' column " +
-          s"(batch columns: ${batch.columns.mkString(", ")})")
-      require(videoDir.isDefined,
-        "videoCol is configured but videoDir is not — the video tier " +
-          "needs its persistent catalog pair root")
-    }
-    mp4Col.foreach { mc =>
-      require(batch.columns.contains(mc),
-        s"mp4Col is configured but the batch has no '$mc' column " +
-          s"(batch columns: ${batch.columns.mkString(", ")})")
-      require(mp4Dir.isDefined,
-        "mp4Col is configured but mp4Dir is not — the mp4 tier needs " +
-          "its persistent mdat-signature catalog")
-    }
-    mp3Col.foreach { mc =>
-      require(batch.columns.contains(mc),
-        s"mp3Col is configured but the batch has no '$mc' column " +
-          s"(batch columns: ${batch.columns.mkString(", ")})")
-      require(mp3Dir.isDefined,
-        "mp3Col is configured but mp3Dir is not — the mp3 tier needs " +
-          "its persistent frame-signature catalog")
-    }
-    flacCol.foreach { fc =>
-      require(batch.columns.contains(fc),
-        s"flacCol is configured but the batch has no '$fc' column " +
-          s"(batch columns: ${batch.columns.mkString(", ")})")
-      require(flacDir.isDefined,
-        "flacCol is configured but flacDir is not — the flac tier needs " +
-          "its persistent stream-signature catalog")
-    }
-    oggCol.foreach { oc =>
-      require(batch.columns.contains(oc),
-        s"oggCol is configured but the batch has no '$oc' column " +
-          s"(batch columns: ${batch.columns.mkString(", ")})")
-      require(oggDir.isDefined,
-        "oggCol is configured but oggDir is not — the ogg tier needs " +
-          "its persistent packet-signature catalog")
+    // the media tiers' caller contracts, same up-front discipline — one
+    // data-driven pass (a new tier adds a ROW here, not a stanza):
+    // (tier name, configured column, required catalog dirs with their
+    // config-field names)
+    val mediaContracts: Seq[(String, Option[String], Seq[(String, Option[String])])] = Seq(
+      ("image", imageCol, Seq(
+        "imageExactDir" -> imageExactDir, "imagePhashDir" -> imagePhashDir)),
+      ("audio", audioCol, Seq("audioEnvDir" -> audioEnvDir)),
+      ("video", videoCol, Seq("videoDir" -> videoDir)),
+      ("mp4", mp4Col, Seq("mp4Dir" -> mp4Dir)),
+      ("mp3", mp3Col, Seq("mp3Dir" -> mp3Dir)),
+      ("flac", flacCol, Seq("flacDir" -> flacDir)),
+      ("ogg", oggCol, Seq("oggDir" -> oggDir)))
+    mediaContracts.foreach { case (tier, colOpt, dirs) =>
+      colOpt.foreach { c =>
+        require(batch.columns.contains(c),
+          s"${tier}Col is configured but the batch has no '$c' column " +
+            s"(batch columns: ${batch.columns.mkString(", ")})")
+        val missing = dirs.collect { case (n, None) => n }
+        require(missing.isEmpty,
+          s"${tier}Col is configured but ${missing.mkString("/")} " +
+            s"${if (missing.size > 1) "are" else "is"} not — the $tier " +
+            "tier needs its persistent catalog(s)")
+      }
     }
     // multi-consumer chains read the batch more than once (the media
     // tiers, tier 1, the embedding re-join, and the decontam probe's

@@ -41,16 +41,23 @@ object Html {
     "&#39;" -> "'",
     "&amp;" -> "&")
 
-  /** Script/style payloads and comments vanish entirely; every other tag
-    * becomes a space (block boundaries must not glue words together). */
-  def stripMarkup(c: Column): Column = {
+  /** The invisible payloads only: script/style contents and comments
+    * vanish entirely (their text was never page content). Shared by
+    * [[stripMarkup]] and the block splitter ([[mainBlocks]]), which
+    * must drop them BEFORE block segmentation — script text is not a
+    * block. */
+  def dropInvisible(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** Script/style payloads and comments vanish entirely; every other tag
+    * becomes a space (block boundaries must not glue words together). */
+  def stripMarkup(c: Column): Column =
     // a tag starts with a letter or '/' — a bare '<' followed by space or
     // digit is text (common in scraped pages: "a < b", "<3")
-    regexp_replace(noComment, "(?s)</?[a-zA-Z][^>]*>", " ")
-  }
+    regexp_replace(dropInvisible(c), "(?s)</?[a-zA-Z][^>]*>", " ")
 
   /** Decode the common named entities (post-strip; see [[entities]]). */
   def decodeEntities(c: Column): Column =
@@ -67,4 +74,66 @@ object Html {
     * pins the kernel against it. */
   def extractTextReference(c: Column): Column =
     trim(regexp_replace(decodeEntities(stripMarkup(c)), "\\s+", " "))
+
+  // --- MAIN-CONTENT extraction (boilerplate blocks OUT, not just tags) —
+  // the Kohlschütter 2010 insight reduced to its deterministic core:
+  // page text splits into BLOCKS at block-level tag boundaries, and
+  // navigation/footer/sidebar chrome is separable from body text by two
+  // per-block densities alone — word count (boilerplate blocks are
+  // short) and link density (boilerplate words live inside anchors).
+  // The within/cross-doc line scrubs catch repeated chrome only when it
+  // repeats; this classifier drops it from a SINGLE page. Pure scalar
+  // pipeline (split + array lambdas over one row), zero shuffles.
+
+  /** Block-level tag boundary: the HTML5 flow/sectioning set. Inline
+    * markup (`<a>`, `<b>`, `<span>`, …) stays INSIDE its block — the
+    * link-density signal needs the anchors in place. */
+  private val BlockTagPattern =
+    "(?is)</?(?:html|head|body|title|p|div|h[1-6]|li|ul|ol|dl|dt|dd|" +
+      "table|thead|tbody|tfoot|tr|td|th|nav|header|footer|aside|" +
+      "section|article|main|blockquote|pre|br|hr|form)\\b[^>]*>"
+
+  /** Default minimum words for a content block (short fragments —
+    * titles, buttons, copyright lines — are chrome even without links). */
+  val DefaultMinWords = 5
+
+  /** Non-empty text blocks of a page:
+    * `array<struct<text, words int, link_words int>>` — `text` fully
+    * extracted (tags stripped, entities decoded, whitespace collapsed),
+    * `link_words` the word count inside `<a>` anchors (nested inline
+    * markup normalized the same way). */
+  def mainBlocks(c: Column): Column = {
+    def wordsOf(t: Column): Column =
+      when(t === "", 0).otherwise(size(split(t, " ")))
+    val blocks = split(dropInvisible(c), BlockTagPattern)
+    filter(
+      transform(blocks, b => {
+        val t = extractText(b)
+        val linkWords = aggregate(
+          regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+          lit(0), (acc, l) => acc + wordsOf(extractText(l)))
+        struct(t.as("text"), wordsOf(t).as("words"),
+          linkWords.as("link_words"))
+      }),
+      b => b.getField("words") > 0)
+  }
+
+  /** The content rule, integer-exact (the cross-multiplied-threshold
+    * discipline — no float compare): a block is CONTENT iff it has at
+    * least `minWords` words AND its link density is under 1/3
+    * (`3·link_words < words`). */
+  def isContentBlock(b: Column, minWords: Int = DefaultMinWords): Column =
+    b.getField("words") >= minWords &&
+      b.getField("link_words") * 3 < b.getField("words")
+
+  /** Main text of a page: content blocks' text, document order,
+    * single-space joined. A page of pure chrome comes back EMPTY — the
+    * caller's length filter decides its fate (the dedupLinesAcross
+    * contract). */
+  def extractMainText(c: Column, minWords: Int = DefaultMinWords): Column =
+    array_join(
+      transform(
+        filter(mainBlocks(c), b => isContentBlock(b, minWords)),
+        b => b.getField("text")),
+      " ")
 }

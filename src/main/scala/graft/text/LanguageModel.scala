@@ -117,6 +117,79 @@ object LanguageModel {
             lit(1 - lambda) * (col("cur_cnt") / col("tot")))), 6).as("avg_neglogp"))
   }
 
+  /** Interpolated KNESER-NEY trigram surprisal — the actual CCNet/KenLM
+    * filter formulation (Chen & Goodman 1999), one order up from
+    * [[bigramSurprisal]] and with the published smoothing instead of
+    * MLE interpolation. Self-scoring the counted corpus keeps every
+    * scored trigram's count ≥ 1, so the absolute-discount numerators
+    * stay positive and no unseen-mass fallback path is exercised.
+    *
+    * All counts are INTEGER-EXACT and derived from the one trigram
+    * table (so the context identity c(uv) = Σ_w c(uvw) holds by
+    * construction — a raw bigram count would disagree at document
+    * tails):
+    *   - c(uvw), c(uv) = Σ_w c(uvw), N1+(uv·) = |{w : c(uvw)>0}|
+    *   - N1+(·vw) = |{u}|, N1+(·v·) = |{(u,w)}|, N1+(v·) = |{w}|
+    *   - N1+(·w) = |{v}| over the (v,w) type table, N1+(··) = its size
+    * with the standard three-level interpolation, fixed discount
+    * D = 0.75 (binary-exact, the λ discipline of [[bigramSurprisal]]):
+    *   p(w|uv) = (c(uvw)−D)/c(uv) + D·N1+(uv·)/c(uv) · p(w|v)
+    *   p(w|v)  = (N1+(·vw)−D)/N1+(·v·) + D·N1+(v·)/N1+(·v·) · p(w)
+    *   p(w)    = N1+(·w)/N1+(··)
+    * Per-doc score = round(avg(−ln p), 6) — the established cross-
+    * engine float contract (integer ratios, one expression-tree shape,
+    * 6-dp rounding on both sides). Documents with < 3 tokens carry no
+    * trigram and produce no row.
+    *
+    * Scale: trigram positions come straight off the token array; the
+    * count tables are combiner-backed shuffles on their keys; scoring
+    * joins shuffle on (u,v,w)/(u,v)/(v,w)/v/w — vocabulary-scale sides,
+    * deliberately never broadcast; the trigram table is pinned once for
+    * its five aggregate consumers. */
+  def knTrigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val d = lit(discount)
+    val ws = TextOps.tokens(col(textCol))
+    val nTris = greatest(size(ws) - 2, lit(0))
+    val tris = df.select(col(idCol),
+      explode(zip_with(
+        zip_with(slice(ws, lit(1), nTris), slice(ws, lit(2), nTris),
+          (a, b) => struct(a.as("u"), b.as("v"))),
+        slice(ws, lit(3), nTris),
+        (p, c) => struct(p.getField("u").as("u"), p.getField("v").as("v"),
+          c.as("w")))).as("tg"))
+      .select(col(idCol), col("tg.u").as("u"), col("tg.v").as("v"),
+        col("tg.w").as("w"))
+    val tri = graft.ops.Checkpoints.pin(
+      tris.groupBy(col("u"), col("v"), col("w"))
+        .agg(count(lit(1)).as("c_uvw")))
+    val ctx2 = tri.groupBy(col("u"), col("v"))
+      .agg(sum(col("c_uvw")).as("c_uv"), count(lit(1)).as("n1p_uv_dot"))
+    // (v,w) TYPES — the Kneser-Ney continuation universe
+    val mid = graft.ops.Checkpoints.pin(
+      tri.groupBy(col("v"), col("w")).agg(count(lit(1)).as("n1p_dot_vw")))
+    val midctx = tri.groupBy(col("v"))
+      .agg(count(lit(1)).as("n1p_dot_v_dot"),
+        countDistinct(col("w")).as("n1p_v_dot"))
+    val cont = mid.groupBy(col("w")).agg(count(lit(1)).as("n1p_dot_w"))
+    val total = mid.agg(count(lit(1)).as("n1p_dot_dot"))
+    val p3 = col("n1p_dot_w") / col("n1p_dot_dot")
+    val p2 = greatest(col("n1p_dot_vw") - d, lit(0.0)) / col("n1p_dot_v_dot") +
+      d * col("n1p_v_dot") / col("n1p_dot_v_dot") * p3
+    val p1 = greatest(col("c_uvw") - d, lit(0.0)) / col("c_uv") +
+      d * col("n1p_uv_dot") / col("c_uv") * p2
+    tris
+      .join(tri, Seq("u", "v", "w"))
+      .join(ctx2, Seq("u", "v"))
+      .join(mid, Seq("v", "w"))
+      .join(midctx, Seq("v"))
+      .join(cont, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(-log(p1)), 6).as("avg_neglogp"))
+  }
+
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("word"))

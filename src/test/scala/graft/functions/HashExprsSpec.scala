@@ -73,7 +73,7 @@ class HashExprsSpec extends AnyFunSuite with SparkTestBase {
       "distinct_ngram_count_ws", "sum_token_chars_ws", "count_substr",
       "extract_html_text", "token_window_fps", "image_phash", "image_dhash",
       "audio_envelope_hash", "video_frame_phashes", "interleave_bits",
-      "interleave_bits_k"))
+      "interleave_bits_k", "warc_records", "http_response"))
     assert(byName("fingerprint64")(Seq(Literal("x"))).isInstanceOf[Fingerprint64])
     val mh = byName("minhash_text")(Seq(Literal("x"), Literal(5), Literal(64)))
     assert(mh == MinHashText(Literal("x"), 5, 64))

@@ -132,6 +132,56 @@ class LivePgPipeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("snapshot↔CDC handoff: writes committed MID-COPY land exactly once") {
+    // the reference's create-slot-BEFORE-COPY contract (its pipe
+    // initializes the slot, then snapshots, so writes concurrent with
+    // the snapshot replay through CDC): here the concurrent commit
+    // lands between slot creation and the COPY reads, so the snapshot
+    // ALREADY CONTAINS the new/updated rows AND the WAL replays the
+    // same changes — the adversarial overlap. Exactly-once final state
+    // requires the upsert collapse (duplicate insert), update
+    // idempotence, and a harmless delete-of-absent-row.
+    val slot = "pgstub_slot_handoff"
+    val derbyUrl = "jdbc:derby:memory:pgstubh;create=true"
+    val derby = new JdbcClient(JdbcConnInfo(derbyUrl))
+    val offsets = new java.io.File(s"${graft.Main.offsetsDir}/$slot.offset")
+    try {
+      val engine = mkEngine()
+      var injected = false
+      val client = new PgStubClient(engine, copyChunkSize = 3,
+        beforeCopy = () => if (!injected) { // before the FIRST table's chunks
+          injected = true
+          engine.commit(xid = 77L, Seq(
+            Insert("public", "users", Seq(Some("4"), Some("eve"), Some("mid-copy"))),
+            Update("public", "users", Seq(Some("1"), Some("ada2"), Some("b2"))),
+            Delete("public", "users", Map("id" -> "2"))))
+          engine.commit(xid = 78L, Seq(
+            Insert("public", "orders", Seq(Some("12"), Some("5.5")))))
+        })
+      val cfg = config(slot, derbyUrl)
+      graft.Main.runPostgresWith(spark, cfg, cfg.source.postgres.get, client,
+        JdbcConnInfo(derbyUrl), "jdbc:postgresql://h:5432/d")
+      assert(injected, "the COPY path must have been exercised")
+      // final-state parity with the stub's CURRENT tables: snapshot +
+      // replay collapsed exactly once, the deleted row gone, nothing
+      // duplicated
+      val users = derby.query(
+        "SELECT id, name, bio FROM APP.users ORDER BY id")._2
+      assert(users.map(r => (r.get(0), r.get(1), r.get(2))) == Vector(
+        (1L, "ada2", "b2"),
+        (4L, "eve", "mid-copy")))
+      val orders = derby.query("SELECT id, total FROM APP.orders ORDER BY id")._2
+      assert(orders.map(r => (r.get(0), r.get(1))) == Vector(
+        (10L, 99.5), (12L, 5.5)))
+      // the overlap frames were really REPLAYED (not skipped): the slot
+      // advanced past the injected transactions' DML
+      assert(engine.confirmedLsn(slot) == engine.maxWalLsn - 1)
+    } finally {
+      derby.close()
+      offsets.delete()
+    }
+  }
+
   test("a failed write re-peeks the SAME frames; the slot advances only after the write commits") {
     val slot = "pgstub_slot2"
     val engine = mkEngine()

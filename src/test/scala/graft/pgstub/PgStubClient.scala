@@ -17,7 +17,8 @@ import graft.live.{JdbcClient, JdbcConnInfo}
   * (defaults to a deliberately awkward 7 bytes) so escapes and multi-byte
   * UTF-8 sequences split across chunks — the D6 chunk-state contract.
   */
-final class PgStubClient(val engine: PgStubEngine, copyChunkSize: Int = 7)
+final class PgStubClient(val engine: PgStubEngine, copyChunkSize: Int = 7,
+    beforeCopy: () => Unit = () => ())
     extends JdbcClient(JdbcConnInfo("jdbc:graft-pgstub:none")) {
 
   override def ping(): Boolean = true
@@ -35,10 +36,15 @@ final class PgStubClient(val engine: PgStubEngine, copyChunkSize: Int = 7)
         .toVector)
   }
 
-  override protected def copyOutSql(sql: String): Option[graft.live.JdbcClient.CopyStream] =
+  override protected def copyOutSql(sql: String): Option[graft.live.JdbcClient.CopyStream] = {
+    // interleave seam: commits injected here land between slot creation
+    // and the COPY reads — the snapshot↔CDC overlap window
+    // (LivePgPipeSpec's handoff case)
+    beforeCopy()
     // abort is a no-op: the in-memory stub holds no protocol state
     Some(new graft.live.JdbcClient.CopyStream(
       engine.copyChunks(sql, copyChunkSize), () => ()))
+  }
 
   /** First non-null value decides the column type; all-null (or empty)
     * columns degrade to string, which every consumer null-checks. */

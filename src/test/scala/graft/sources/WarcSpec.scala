@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.{WarcFixtures, WarcKernels}
+import java.nio.charset.StandardCharsets.UTF_8
+
+class WarcSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def rowsOf(b: Array[Byte]): Seq[(String, String, String)] = {
+    val arr = WarcKernels.warcRecords(b)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 5)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+        new String(r.getBinary(4), UTF_8))
+    }
+  }
+
+  test("roundtrip: plain and gzip-member framings parse identically, WET carries raw text") {
+    val body = "the quick brown fox\njumps twice".getBytes(UTF_8)
+    val plain = WarcFixtures.syntheticWarc(7L, 0, body)
+    val gz = WarcFixtures.syntheticWarc(7L, 1, body)
+    assert(!java.util.Arrays.equals(plain, gz), "framings must differ bytewise")
+    val p = rowsOf(plain)
+    assert(p == rowsOf(gz), "gzip members must parse byte-identically to plain")
+    assert(p.map(_._1) == Seq("warcinfo", "request", "response"))
+    assert(p(1)._2 == "http://example.com/doc/7" && p(2)._2 == p(1)._2)
+    assert(p(0)._2 == null, "warcinfo carries no target URI")
+    // the response block is a full HTTP message wrapping the body
+    val http = WarcKernels.httpResponse(
+      p(2)._3.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(http.getInt(0) == 200)
+    assert(http.getUTF8String(1).toString == "text/plain")
+    assert(new String(http.getBinary(2), UTF_8) == new String(body, UTF_8))
+    // WET variant: warcinfo + one conversion record whose block IS the text
+    val wet = rowsOf(WarcFixtures.syntheticWarc(7L, 2, body))
+    assert(wet.map(_._1) == Seq("warcinfo", "conversion"))
+    assert(wet(1)._3 == new String(body, UTF_8))
+  }
+
+  test("whole-file refusal on every malformation class") {
+    val good = WarcFixtures.syntheticWarc(3L, 0, "abc def".getBytes(UTF_8))
+    assert(WarcKernels.warcRecords(good) != null)
+    // bad version line
+    val badVer = good.clone(); badVer(0) = 'X'
+    assert(WarcKernels.warcRecords(badVer) == null)
+    // truncated mid-block
+    assert(WarcKernels.warcRecords(
+      java.util.Arrays.copyOf(good, good.length - 10)) == null)
+    // missing the inter-record double-CRLF (chop the final one)
+    assert(WarcKernels.warcRecords(
+      java.util.Arrays.copyOf(good, good.length - 2)) == null)
+    // header line without a colon
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val noColon = s.replaceFirst("WARC-Type: warcinfo", "WARC-Type warcinfo")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(WarcKernels.warcRecords(noColon) == null)
+    // non-numeric content-length
+    val badLen = s.replaceFirst("Content-Length: ", "Content-Length: x")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(WarcKernels.warcRecords(badLen) == null)
+    // corrupt gzip (magic intact, body garbage)
+    val gz = WarcFixtures.syntheticWarc(3L, 1, "abc".getBytes(UTF_8))
+    val corrupt = gz.clone()
+    var i = 20
+    while (i < corrupt.length) { corrupt(i) = (corrupt(i) ^ 0x5a).toByte; i += 7 }
+    assert(WarcKernels.warcRecords(corrupt) == null)
+    // empty file = zero records, NOT a refusal
+    assert(WarcKernels.warcRecords(Array.emptyByteArray).numElements() == 0)
+    // http layer refusals
+    assert(WarcKernels.httpResponse("not http".getBytes(UTF_8)) == null)
+    assert(WarcKernels.httpResponse("HTTP/1.1 abc OK\r\n\r\n".getBytes(UTF_8)) == null)
+  }
+
+  test("property: parse is framing-invariant and lossless across random bodies") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val bodyGen = Gen.listOf(Gen.frequency(
+      9 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.const('\n'),
+      1 -> Gen.oneOf('é', '中', 'ß'))).map(_.mkString)
+    val prop = Prop.forAll(Gen.choose(0L, 10000L), bodyGen) { (seed, body) =>
+      val bytes = body.getBytes(UTF_8)
+      val p = rowsOf(WarcFixtures.syntheticWarc(seed, 0, bytes))
+      val g = rowsOf(WarcFixtures.syntheticWarc(seed, 1, bytes))
+      val http = WarcKernels.httpResponse(
+        WarcKernels.warcRecords(WarcFixtures.syntheticWarc(seed, 0, bytes))
+          .getStruct(2, 5).getBinary(4))
+      p == g && p.length == 3 &&
+        new String(http.getBinary(2), UTF_8) == body
+    }
+    val res = scCheck(Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("Warc.records/responses/wetText read segment files; corrupt files surface as null rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-spec")
+    def put(name: String, b: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), b)
+    put("seg-0.warc.gz", WarcFixtures.syntheticWarc(1L, 1, "alpha beta".getBytes(UTF_8)))
+    put("seg-1.warc.gz", WarcFixtures.syntheticWarc(2L, 1, "gamma".getBytes(UTF_8)))
+    put("seg-2.warc.wet.gz", WarcFixtures.syntheticWarc(3L, 2, "delta eps".getBytes(UTF_8)))
+    put("seg-bad.warc.gz", "totally not a warc".getBytes(UTF_8))
+    val recs = Warc.records(spark, dir.toString + "/*")
+    assert(recs.count() == 3 + 3 + 2 + 1)
+    // the corrupt segment is COUNTABLE, not silently absent
+    val bad = recs.filter(col("rec_type").isNull).select(col("path")).as[String].collect()
+    assert(bad.length == 1 && bad(0).endsWith("seg-bad.warc.gz"))
+    val resp = Warc.responses(spark, dir.toString + "/*")
+      .orderBy(col("url"))
+      .select(col("url"), col("status"), col("mime"),
+        col("payload").cast("string").as("text"),
+        date_format(col("fetch_ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts"))
+      .as[(String, Int, String, String, String)].collect()
+    assert(resp.toSeq == Seq(
+      ("http://example.com/doc/1", 200, "text/plain", "alpha beta", "2026-08-16T00:00:01"),
+      ("http://example.com/doc/2", 200, "text/plain", "gamma", "2026-08-16T00:00:02")))
+    val wet = Warc.wetText(spark, dir.toString + "/*")
+      .select(col("url"), col("text")).as[(String, String)].collect()
+    assert(wet.toSeq == Seq(("http://example.com/doc/3", "delta eps")))
+    // SQL-registered too
+    spark.sql("SELECT 1").collect() // session warm
+    val viaSql = spark.sql(
+      s"SELECT size(warc_records(content)) FROM binaryFile.`${dir.toString}/seg-0.warc.gz`")
+      .collect().head.getInt(0)
+    assert(viaSql == 3)
+  }
+}

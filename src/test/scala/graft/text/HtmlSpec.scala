@@ -109,6 +109,46 @@ class HtmlSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("main-content: chrome blocks drop by density, body survives verbatim") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog tonight"
+    val page =
+      "<html><head><title>My Site</title><style>p{}</style>" +
+        "<script>if(1<2){track();}</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+        "<ul><li><a>First link</a></li><li><a>Second link</a></li></ul>" +
+        s"<article><p>$body</p></article>" +
+        "<footer>&copy; 2026 <a>Privacy policy</a> <a>Terms of use</a></footer>" +
+        "</body></html>"
+    val cases = Seq(
+      page,
+      // pure chrome → EMPTY, not null
+      "<body><nav><a>Home</a> <a>About</a></nav><footer><a>T</a></footer></body>",
+      // link density EXACTLY 1/3 must DROP (strict 3·lw < w), 2/7 keeps
+      "<p>one two three four five <a>six seven eight</a> nine</p>",
+      "<p>one two three four five <a>six seven</a></p>",
+      // under the 5-word floor drops even with zero links
+      "<p>four words not five</p>",
+      // nested inline markup inside the anchor still counts as link words
+      "<p>alpha beta gamma delta <a><b>x y z w</b></a> eps zeta eta theta iota kappa</p>")
+    val got = cases.toDF("h")
+      .select(Html.extractMainText(col("h"))).as[String].collect().toSeq
+    assert(got == Seq(
+      body,
+      "",
+      "", // 9 words, 3 link words: 3·3 < 9 is FALSE — dropped
+      "one two three four five six seven", // 7 words, 2 link: kept
+      "",
+      "alpha beta gamma delta x y z w eps zeta eta theta iota kappa"))
+    // block census on the realistic page: title, nav, 2 list items,
+    // article, footer = 6 non-empty blocks, 1 kept
+    val b = cases.take(1).toDF("h").select(
+      size(Html.mainBlocks(col("h"))),
+      size(filter(Html.mainBlocks(col("h")), x => Html.isContentBlock(x))))
+      .head
+    assert((b.getInt(0), b.getInt(1)) == (6, 1))
+  }
+
   test("property: markup-free text is whitespace-normalized identity") {
     import spark.implicits._
     // all cases ride ONE DataFrame (a Spark job per ScalaCheck case is
