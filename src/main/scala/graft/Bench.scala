@@ -162,7 +162,10 @@ object Bench {
       "flac_dedup_exact", "flac_meta", "ogg_dedup_exact", "ogg_meta",
       "script_profile",
       "html_extract", "dedup_lines", "dedup_lines_global", "dsir_select", "bigram_logppl",
-      "dedup_cluster_resolve", "pipeline_e2e")
+      "dedup_cluster_resolve", "pipeline_e2e",
+      // r16: crawl front door, KN smoothing, block classifier, approx layout
+      "warc_extract", "kn_trigram_logppl", "html_extract_main",
+      "zorder_key_bounds_approx")
 
     val queryTimes = headline
       .filter(n => only.isEmpty || only(n))

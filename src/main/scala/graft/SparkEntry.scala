@@ -1211,6 +1211,47 @@ object SparkEntry {
             .as("roundtrip_exact"))
     }),
 
+    // The crawl FRONT DOOR end to end — the first three stages of a real
+    // web pipeline composed: WARC segment bytes (gzip members by parity)
+    // → record walk → HTTP layer → an HTML page WITH nav/sidebar/share/
+    // footer chrome → block-density main-content extraction → token
+    // count. The recovered main text must be the planted body verbatim
+    // through ALL of it; doc identity travels via the URL.
+    "crawl_pipeline" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { color: red; }</style>" +
+          "<script>if (1<2) { track(); }</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+          " <a href=\"/contact\">Contact</a></nav>" +
+          "<div class=\"sidebar\"><ul>" +
+          "<li><a href=\"/p1\">Latest posts</a></li>" +
+          "<li><a href=\"/p2\">Archive index</a></li>" +
+          "<li><a href=\"/p3\">Tag cloud</a></li></ul></div>" +
+          "<article><p>"), col("text"),
+        lit("</p></article>" +
+          "<div class=\"share\">Share this: <a href=\"#\">Tweet</a>" +
+          " <a href=\"#\">Like</a></div>" +
+          "<footer>&copy; 2026 <a href=\"/privacy\">Privacy policy</a>" +
+          " <a href=\"/terms\">Terms of use</a></footer>" +
+          "</body></html>"))
+      val seg = GraftFunctions.syntheticWarc(
+        col("doc_id"), (col("doc_id") % 2).cast("int"), page)
+      docs(s, dir)
+        .select(seg.as("seg"))
+        .select(explode(GraftFunctions.warcRecords(col("seg"))).as("r"))
+        .filter(col("r.rec_type") === "response")
+        .select(col("r.url").as("url"),
+          GraftFunctions.httpResponse(col("r.block")).as("h"))
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          graft.text.Html.extractMainText(col("h.body").cast("string"))
+            .as("main_text"))
+        .select(col("doc_id"), col("main_text"),
+          graft.functions.GraftFunctions.tokenCountWs(col("main_text"))
+            .cast("long").as("n_tokens"))
+    }),
+
     // The WET leg: `conversion` records carry extracted plain text with
     // no HTTP layer; the reader must surface it verbatim.
     "warc_wet_text" -> ((s, dir) => {
@@ -5555,6 +5596,19 @@ object SparkEntry {
 
     "warc_wet_text" ->
       """SELECT doc_id, 'http://example.com/doc/' || doc_id AS url, text
+        |FROM documents
+        |""".stripMargin,
+
+    // the composed front door must deliver the planted body verbatim —
+    // tokens counted with the tokenize_ws edge contract (blank → 0)
+    "crawl_pipeline" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |       THEN regexp_replace(trim(text), '\s+', ' ', 'g')
+        |       ELSE '' END AS main_text,
+        |  CAST(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |       THEN len(regexp_split_to_array(trim(text), '\s+'))
+        |       ELSE 0 END AS BIGINT) AS n_tokens
         |FROM documents
         |""".stripMargin,
 
