@@ -291,11 +291,21 @@ object TextOps {
       .otherwise(transform(
         sequence(lit(1), length(text) - (k - 1)),
         i => graft.functions.GraftFunctions.fingerprint64(text.substr(i, lit(k)))))
-    val mins = when(size(hashes) <= w, array(array_min(hashes)))
-      .otherwise(transform(
-        sequence(lit(1), size(hashes) - (w - 1)),
-        j => array_min(slice(hashes, j, lit(w)))))
-    array_distinct(mins)
+    // Bind the hash array ONCE per row: the minima expression references
+    // it from INSIDE a higher-order-function lambda, and Spark performs
+    // no common-subexpression elimination across HOF boundaries —
+    // inlining `hashes` re-evaluated the whole O(len·k) hashing pass per
+    // window position (O(len²·k) per row; measured 68 s for the sf0.01
+    // gate, ~1 s bound). A one-element transform makes it the lambda
+    // ARGUMENT, evaluated exactly once; same values, same null shape.
+    element_at(
+      transform(array(hashes), h =>
+        array_distinct(
+          when(size(h) <= w, array(array_min(h)))
+            .otherwise(transform(
+              sequence(lit(1), size(h) - (w - 1)),
+              j => array_min(slice(h, j, lit(w))))))),
+      1)
   }
 
   /** Gopher-style heuristic document filters (Rae et al. 2021, §A1.1),
