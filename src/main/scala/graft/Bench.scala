@@ -165,7 +165,7 @@ object Bench {
       "dedup_cluster_resolve", "pipeline_e2e",
       // r16: crawl front door, KN smoothing, block classifier, approx layout
       "warc_extract", "kn_trigram_logppl", "html_extract_main",
-      "zorder_key_bounds_approx")
+      "zorder_key_bounds_approx", "crawl_pipeline", "pii_scrub")
 
     val queryTimes = headline
       .filter(n => only.isEmpty || only(n))

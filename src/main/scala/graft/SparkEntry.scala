@@ -3214,6 +3214,32 @@ object SparkEntry {
     "kn_trigram_logppl" -> ((s, dir) =>
       graft.text.LanguageModel.knTrigramSurprisal(docs(s, dir), "doc_id", "text")),
 
+    // PII scrubbing (the redaction stage before text reaches a training
+    // shard): every doc gets a deterministic planted email, an
+    // international phone, a US-form phone and a dotted-quad IP appended
+    // (the corpus itself is digit-and-@-free at all SFs — checked — so
+    // the plants are the ONLY matchable surface); the masked text and
+    // the per-kind counts are stated directly by the oracle, so a regex
+    // that over- or under-matches by one character hash-mismatches.
+    "pii_scrub" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555 01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" and (303) 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"), lit("."))
+      val r = graft.text.Pii.scrubWithCounts(planted)
+      docs(s, dir)
+        .select(col("doc_id"), r.as("__r"))
+        .select(col("doc_id"),
+          col("__r.clean_text").as("clean_text"),
+          col("__r.n_emails").as("n_emails"),
+          col("__r.n_phones").as("n_phones"),
+          col("__r.n_ips").as("n_ips"))
+    }),
+
     // Weighted mixture sampling: per-source keep rates (200/500/800‰ by
     // source index mod 3) through the deterministic content-hash gate.
     "mixture_sample" -> ((s, dir) => {
@@ -6166,6 +6192,19 @@ object SparkEntry {
         |JOIN (SELECT word AS prev, ucnt AS prev_cnt FROM uni) USING (prev)
         |CROSS JOIN tot
         |GROUP BY doc_id
+        |""".stripMargin,
+
+    // PII: expected masked text and counts stated DIRECTLY from columns
+    // (the plants are the only matchable surface — no oracle-side regex,
+    // so no Java-vs-RE2 parity risk in the oracle itself)
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |  text || ' Contact <EMAIL> or <PHONE> and <PHONE> from <IP>.'
+        |    AS clean_text,
+        |  CAST(1 AS BIGINT) AS n_emails,
+        |  CAST(2 AS BIGINT) AS n_phones,
+        |  CAST(1 AS BIGINT) AS n_ips
+        |FROM documents
         |""".stripMargin,
 
     // Kneser-Ney: the same count tables and the same expression tree,
