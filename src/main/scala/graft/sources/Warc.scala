@@ -30,16 +30,25 @@ import graft.functions.GraftFunctions
   * driver-side exactly like any file source. */
 object Warc {
 
-  /** All records of every WARC/WET file under `path` (glob ok):
-    * `(path, rec_type, url, date, content_type, block)`. A malformed
-    * FILE surfaces as null record fields off a non-null path (the
-    * kernel's whole-file refusal), so corrupt segments are countable —
-    * `filter(col("rec_type").isNull)` — instead of silently absent. */
-  def records(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile").load(path)
-      .select(col("path"), GraftFunctions.warcRecords(col("content")).as("__recs"))
-    // explode_outer keeps refused files as one null-fielded row each
+  /** The fixed binaryFile source schema (needed explicitly for the
+    * STREAMING reader — file stream sources take no inference pass). */
+  private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** One (path, content) row per segment file → records. Shared by the
+    * batch and streaming readers — the parse is a pure projection, so
+    * the streaming plan is the batch plan under a file-stream scan. */
+  private def recordsOf(files: DataFrame): DataFrame =
     files
+      .select(col("path"), GraftFunctions.warcRecords(col("content")).as("__recs"))
+      // explode_outer keeps refused files as one null-fielded row each
       .select(col("path"), explode_outer(col("__recs")).as("__r"))
       .select(col("path"),
         col("__r.rec_type").as("rec_type"),
@@ -47,14 +56,27 @@ object Warc {
         col("__r.date").as("date"),
         col("__r.content_type").as("content_type"),
         col("__r.block").as("block"))
-  }
 
-  /** The fetched-page view of a crawl: `response` records parsed
-    * through the HTTP layer → `(url, fetch_ts, status, mime, payload)`.
-    * Non-HTTP or truncated-header responses are dropped (they carry no
-    * payload to curate). */
-  def responses(spark: SparkSession, path: String): DataFrame =
-    records(spark, path)
+  /** All records of every WARC/WET file under `path` (glob ok):
+    * `(path, rec_type, url, date, content_type, block)`. A malformed
+    * FILE surfaces as null record fields off a non-null path (the
+    * kernel's whole-file refusal), so corrupt segments are countable —
+    * `filter(col("rec_type").isNull)` — instead of silently absent. */
+  def records(spark: SparkSession, path: String): DataFrame =
+    recordsOf(spark.read.format("binaryFile").load(path))
+
+  /** STREAMING records: the same parse over a file-stream scan — new
+    * segment files under `path` become micro-batches as the crawler
+    * lands them (checkpointed file discovery; each segment is processed
+    * exactly once per checkpoint). Compose with
+    * [[graft.streaming.StreamingCurate.writer]] for the year-long-crawl
+    * topology: segments → records → HTTP/WET text → curate tiers. */
+  def recordsStream(spark: SparkSession, path: String): DataFrame =
+    recordsOf(spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema).load(path))
+
+  private def responsesOf(recs: DataFrame): DataFrame =
+    recs
       .filter(col("rec_type") === "response")
       .select(col("url"),
         to_timestamp(col("date"), "yyyy-MM-dd'T'HH:mm:ssX").as("fetch_ts"),
@@ -65,12 +87,30 @@ object Warc {
         col("__h.mime").as("mime"),
         col("__h.body").as("payload"))
 
-  /** The WET view: `conversion` records' plain text →
-    * `(url, fetch_ts, text)`. */
-  def wetText(spark: SparkSession, path: String): DataFrame =
-    records(spark, path)
+  private def wetTextOf(recs: DataFrame): DataFrame =
+    recs
       .filter(col("rec_type") === "conversion")
       .select(col("url"),
         to_timestamp(col("date"), "yyyy-MM-dd'T'HH:mm:ssX").as("fetch_ts"),
         col("block").cast("string").as("text"))
+
+  /** The fetched-page view of a crawl: `response` records parsed
+    * through the HTTP layer → `(url, fetch_ts, status, mime, payload)`.
+    * Non-HTTP or truncated-header responses are dropped (they carry no
+    * payload to curate). */
+  def responses(spark: SparkSession, path: String): DataFrame =
+    responsesOf(records(spark, path))
+
+  /** Streaming twin of [[responses]]. */
+  def responsesStream(spark: SparkSession, path: String): DataFrame =
+    responsesOf(recordsStream(spark, path))
+
+  /** The WET view: `conversion` records' plain text →
+    * `(url, fetch_ts, text)`. */
+  def wetText(spark: SparkSession, path: String): DataFrame =
+    wetTextOf(records(spark, path))
+
+  /** Streaming twin of [[wetText]]. */
+  def wetTextStream(spark: SparkSession, path: String): DataFrame =
+    wetTextOf(recordsStream(spark, path))
 }

@@ -96,6 +96,51 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("streaming front door: segments become micro-batches, curate drops a cross-segment duplicate") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingCurate
+    val root = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    val seg = root.resolve("segments"); java.nio.file.Files.createDirectory(seg)
+    def put(name: String, seed: Long, body: String): Unit =
+      java.nio.file.Files.write(seg.resolve(name),
+        WarcFixtures.syntheticWarc(seed, 1, body.getBytes(UTF_8)))
+    val bodyA = "alpha beta gamma delta epsilon zeta"
+    val bodyB = "one two three four five six seven"
+    put("seg-000.warc.gz", 1L, bodyA)
+    put("seg-001.warc.gz", 2L, bodyB)
+
+    val cfg = StreamingCurate.CurateConfig(
+      s"$root/exact", s"$root/near", s"$root/substr",
+      "doc_id", "text", w = 5, jaccardThreshold = 0.8)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def runPass(): Unit = {
+      val docs = Warc.responsesStream(spark, seg.toString + "/*.warc.gz")
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+      val q = StreamingCurate.writer(docs, cfg, s"$root/ckpt",
+        Trigger.AvailableNow()) { batch =>
+        delivered ++= batch.select(col("doc_id"), col("clean_text"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+      }.start()
+      q.awaitTermination()
+    }
+    runPass()
+    assert(delivered.toSet == Set(1L -> bodyA, 2L -> bodyB))
+
+    // a later crawl pass lands two more segments: one byte-different
+    // re-crawl of doc 1's TEXT (exact dup by content) and one fresh doc.
+    // The checkpoint must skip the already-processed segments; the exact
+    // catalog must drop the re-crawl ACROSS micro-batches.
+    delivered.clear()
+    put("seg-002.warc.gz", 7L, bodyA) // same text, different url/doc
+    put("seg-003.warc.gz", 8L, "brand new content entirely here")
+    runPass()
+    assert(delivered.toSet == Set(8L -> "brand new content entirely here"),
+      s"re-crawled duplicate must drop against the persistent catalog: $delivered")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("Warc.records/responses/wetText read segment files; corrupt files surface as null rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-spec")
     def put(name: String, b: Array[Byte]): Unit =
