@@ -1211,6 +1211,50 @@ object SparkEntry {
             .as("roundtrip_exact"))
     }),
 
+    // The curate chain with the PII SCRUB engaged (CurateConfig
+    // scrubPii): batch docs carry RAW planted PII (doc-id-varying email/
+    // phones/IP), the prior catalogs carry the MASKED form — the scrub
+    // stage must produce the masked text BYTE-EXACTLY before any tier
+    // fingerprints it, or every exact-catalog probe misses and the
+    // survivor set hash-mismatches. The oracle is the standard curate
+    // chain restated over the masked text expression.
+    "curate_stream_batch_pii" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val maskedSuffix =
+        lit(" Contact <EMAIL> or <PHONE> and <PHONE> from <IP>.")
+      val rawSuffix = concat(
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555 01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" and (303) 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"), lit("."))
+      val prior = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(col("text"), maskedSuffix))
+      val batch = d.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("text", concat(col("text"), rawSuffix))
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-pii-q")
+      val tmp = root.toString
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        batch,
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          scrubPii = true), added = 1L)
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
     // The crawl FRONT DOOR end to end — the first three stages of a real
     // web pipeline composed: WARC segment bytes (gzip members by parity)
     // → record walk → HTTP layer → an HTML page WITH nav/sidebar/share/
@@ -3742,10 +3786,12 @@ object SparkEntry {
 
   /** Oracle CTEs shared by every `substr_dedup_*` row: tokens → all
     * `SubstrDedupW`-token window fingerprints with positions. */
-  private def substrWndSql: String = {
+  private def substrWndSql: String = substrWndSqlFor("text")
+
+  private def substrWndSqlFor(textExpr: String): String = {
     val w = SubstrDedupW
     s"""WITH t AS MATERIALIZED (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  SELECT doc_id, regexp_split_to_array(trim($textExpr), '\\s+') AS toks
        |  FROM documents
        |), wnd AS MATERIALIZED (
        |  SELECT doc_id, CAST(i AS INT) AS pos,
@@ -4155,9 +4201,11 @@ object SparkEntry {
     * (`(h² + h) % p` — the kernel's min-wise-bias breaker; texts ≤ 5
     * bytes hash whole, exactly
     * [[graft.functions.GraftHash.minhashFpSignature]]), k lanes. */
-  private def minhashSigCtesSql: String =
+  private def minhashSigCtesSql: String = minhashSigCtesSqlFor("text")
+
+  private def minhashSigCtesSqlFor(textExpr: String): String =
     s"""mb AS MATERIALIZED (
-       |  SELECT doc_id, ${utf8BytesSql("text")} AS bs FROM documents
+       |  SELECT doc_id, ${utf8BytesSql(textExpr)} AS bs FROM documents
        |), msh AS MATERIALIZED (
        |  SELECT doc_id, list_transform(
        |         CASE WHEN len(bs) <= 5 THEN [${foldSql("bs")}]
@@ -4436,15 +4484,16 @@ object SparkEntry {
     * tier restatement for `curate_stream_batch_img` (the planted image
     * scheme makes the image tiers' drop set pure doc_id arithmetic, so
     * the oracle re-roots the text chain at the image survivors). */
-  private def curateStreamOracleSql(batchPred: String = ""): String = {
+  private def curateStreamOracleSql(batchPred: String = "",
+      textExpr: String = "text"): String = {
     val w = SubstrDedupW
-    s"""WITH RECURSIVE ${minhashSigCtesSql},
-       |${substrWndSql.stripPrefix("WITH ")},
+    s"""WITH RECURSIVE ${minhashSigCtesSqlFor(textExpr)},
+       |${substrWndSqlFor(textExpr).stripPrefix("WITH ")},
        |exact_cat AS MATERIALIZED (
-       |  SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
+       |  SELECT DISTINCT $textExpr AS text FROM documents WHERE doc_id % 3 = 0
        |), b0 AS MATERIALIZED (
-       |  SELECT min(doc_id) AS doc_id, text
-       |  FROM documents WHERE doc_id % 3 != 0 $batchPred GROUP BY text
+       |  SELECT min(doc_id) AS doc_id, $textExpr AS text
+       |  FROM documents WHERE doc_id % 3 != 0 $batchPred GROUP BY 2
        |), exact_surv AS MATERIALIZED (
        |  SELECT f.doc_id FROM b0 f
        |  LEFT JOIN exact_cat c ON f.text = c.text
@@ -5641,6 +5690,11 @@ object SparkEntry {
     // the WARC-fed curate chain must land EXACTLY where the plain-text
     // chain lands — the front door is lossless by construction
     "curate_stream_batch_warc" -> curateStreamOracleSql(),
+
+    // the PII-scrubbed chain: the standard curate chain restated over
+    // the masked text expression — byte-exact scrub or hash mismatch
+    "curate_stream_batch_pii" -> curateStreamOracleSql(textExpr =
+      "(text || ' Contact <EMAIL> or <PHONE> and <PHONE> from <IP>.')"),
 
     // Image dedup gates: counts are pure doc_id arithmetic (the planted
     // -21/-42 stride scheme — see plantedImage); the decode-derived

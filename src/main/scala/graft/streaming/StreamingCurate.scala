@@ -135,7 +135,8 @@ object StreamingCurate {
       statsNgram: Int = 3,
       decontamDir: Option[String] = None,
       decontamDirs: Seq[String] = Nil,
-      decontamMinHits: Long = 1L) {
+      decontamMinHits: Long = 1L,
+      scrubPii: Boolean = false) {
     /** All configured decontam registries (single + multi forms). */
     def allDecontamDirs: Seq[String] = decontamDir.toSeq ++ decontamDirs
   }
@@ -143,9 +144,18 @@ object StreamingCurate {
   /** One micro-batch through all tiers (pure enough to unit-test
     * without the engine). */
   def applyBatch(
-      batch: DataFrame, cfg: CurateConfig, added: Long = 0L,
+      batch0: DataFrame, cfg: CurateConfig, added: Long = 0L,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     import cfg._
+    // PII scrub runs FIRST — before any tier fingerprints or catalogs
+    // the text, so an email/phone/IP can never persist in a catalog
+    // entry, a delivered rewrite, or a stats accumulator. A pure scalar
+    // map: plan cost is absorbed into the batch's first projection.
+    val batch =
+      if (scrubPii)
+        batch0.withColumn(textCol,
+          graft.text.Pii.scrub(org.apache.spark.sql.functions.col(textCol)))
+      else batch0
     var out: DataFrame = batch.sparkSession.emptyDataFrame
     // the semantic tier's caller contract, checked BEFORE any tier
     // probes or appends: a missing embedding column (or an unbuilt

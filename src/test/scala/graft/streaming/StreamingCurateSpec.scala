@@ -49,6 +49,29 @@ class StreamingCurateSpec extends AnyFunSuite with SparkTestBase {
       BandedCatalog.read(spark, n).count(),
       ExactCatalog.read(spark, s, graft.dedup.SubstrCatalog.kindFor(W)).count())
 
+  test("pii scrub stage: raw PII never reaches delivered text; catalogs key on the MASKED form") {
+    val (e, n, s) = dirs("pii")
+    val cfg = StreamingCurate.CurateConfig(e, n, s, "doc_id", "text", W,
+      scrubPii = true)
+    val base = "please reach our support team at the main office today"
+    val out1 = StreamingCurate.applyBatch(
+      Seq(1L -> (base + " mail a.b@example.com or +1 555 0100 now"))
+        .toDF("doc_id", "text"), cfg, added = 0L)
+      .select("clean_text").as[String].collect()
+    assert(out1.length == 1)
+    assert(!out1(0).contains("@") && !out1(0).contains("555"),
+      s"raw PII leaked into delivered text: ${out1(0)}")
+    assert(out1(0).contains("<EMAIL>") && out1(0).contains("<PHONE>"))
+    // a SECOND batch with a DIFFERENT raw email/phone on the same base
+    // text scrubs to the SAME masked form → the exact catalog (which
+    // fingerprinted the masked text) must drop it across batches
+    val out2 = StreamingCurate.applyBatch(
+      Seq(2L -> (base + " mail z.q@other.org or +44 20 7946 0958 now"))
+        .toDF("doc_id", "text"), cfg, added = 1L)
+    assert(out2.count() == 0,
+      "differently-PII'd copies of one doc must collapse on the masked form")
+  }
+
   test("all three tiers fire; streaming equals sequential batch composition") {
     implicit val sqlCtx = spark.sqlContext
     // reference: sequential applyBatch into its own catalog set
