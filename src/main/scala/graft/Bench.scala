@@ -97,6 +97,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed-join rows use saveAsTable: keep the warehouse out of
+      // the working tree (default would be ./spark-warehouse)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -1002,6 +1006,41 @@ object Bench {
           .filter { case (n, _) => want(n) }
       } else Seq.empty
 
+    // BUCKETED CO-LOCATION (r16): the one-shuffle-amortized-forever
+    // layout move — lineitem and orders bucketed by order key, then the
+    // repeated join+agg a pipeline runs every day, co-located (zero
+    // exchanges on the fact side — LayoutSpec pins the plan) vs the
+    // same join planned from raw parquet (two exchanges every run).
+    // `merge` hints on BOTH variants so the broadcast path never
+    // muddies the comparison. The build row prices the amortized cost.
+    val bkNames = Seq("bucketed_join_build", "join_colocated", "join_shuffled")
+    val bkTimes =
+      if (only.isEmpty || bkNames.exists(only)) {
+        val li = Tables.read(spark, sfDir, "lineitem")
+        val ord = Tables.read(spark, sfDir, "orders")
+        spark.sql("DROP TABLE IF EXISTS graft_bench_li_b")
+        spark.sql("DROP TABLE IF EXISTS graft_bench_ord_b")
+        val buildT = timeN("bucketed_join_build") {
+          graft.ops.Layout.writeBucketed(li, "graft_bench_li_b", "l_orderkey", 32)
+          graft.ops.Layout.writeBucketed(ord, "graft_bench_ord_b", "o_orderkey", 32)
+        }
+        def joinAgg(l: org.apache.spark.sql.DataFrame,
+            o: org.apache.spark.sql.DataFrame): Unit =
+          force(l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_extendedprice")).as("rev")))
+        val rows = Seq(
+          "bucketed_join_build" -> buildT,
+          "join_colocated" -> timeN("join_colocated")(joinAgg(
+            spark.table("graft_bench_li_b"), spark.table("graft_bench_ord_b"))),
+          "join_shuffled" -> timeN("join_shuffled")(joinAgg(li, ord)))
+          .filter { case (n, _) => want(n) }
+        spark.sql("DROP TABLE IF EXISTS graft_bench_li_b")
+        spark.sql("DROP TABLE IF EXISTS graft_bench_ord_b")
+        rows
+      } else Seq.empty
+
     // Catalog COMPACTION cost vs catalog mass (r14 verdict item 6): at a
     // year-long stream the hygiene sweep is the tail-latency story — a
     // trigger that lands on the compaction batch pays it inline. Build a
@@ -1039,7 +1078,7 @@ object Bench {
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
       "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec)
-      ++ catalogTimes ++ semddTimes ++ zTimes ++ zsTimes ++ hygTimes)
+      ++ catalogTimes ++ semddTimes ++ zTimes ++ zsTimes ++ bkTimes ++ hygTimes)
       .filter { case (n, _) => want(n) }
     val all = queryTimes ++ metricTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -113,6 +113,32 @@ object Layout {
       numFiles: Int = 0): DataFrame =
     zorderByKey(df, zorderKeyN(cols), numFiles)
 
+  /** Write `df` BUCKETED by `key` into the session catalog as
+    * `tableName` — the co-location move for keys that are joined or
+    * aggregated repeatedly: hash-bucketed files carry
+    * `HashPartitioning(key, buckets)` as their scan-time output
+    * partitioning, so every later equi-join or aggregation on `key`
+    * (against another table bucketed to the SAME count, or a repeated
+    * self-read) plans with ZERO shuffle exchanges — one layout shuffle
+    * at write time amortized across every downstream read. `sortBy` the
+    * same key so in-bucket files are merge-join-ready without a sort.
+    *
+    * 100 TB guidance: pick `buckets` from the target in-bucket file
+    * size (total size / bucket count per partition), not the executor
+    * count — buckets are the JOIN parallelism for every consumer; the
+    * reference pipelines' fact tables (events by user, lineitem by
+    * order) want thousands. Bucket counts must MATCH across the tables
+    * to be co-joined (Spark only recognizes equal counts). LayoutSpec
+    * pins the zero-exchange plan; the BENCH pair
+    * `join_colocated`/`join_shuffled` prices it. */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+      buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(tableName)
+  }
+
   private def zorderByKey(df: DataFrame, key: Column,
       numFiles: Int): DataFrame = {
     val keyed = df.withColumn("__zkey", key)

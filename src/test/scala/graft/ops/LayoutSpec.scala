@@ -227,4 +227,39 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(zo <= rm, s"z-ordered mean box area $zo vs row-major $rm")
     graft.SparkEntry.deleteRecursively(new java.io.File(tmp))
   }
+
+  test("bucketed tables join and aggregate with ZERO shuffle exchanges") {
+    import spark.implicits._
+    val facts = (1 to 4000).map(i => (i.toLong % 97, i.toLong, s"v$i"))
+      .toDF("k", "seq", "payload")
+    val dims = (0L until 97L).map(k => (k, s"dim$k")).toDF("dk", "name")
+    graft.ops.Layout.writeBucketed(facts, "graft_spec_facts_b", "k", 8)
+    graft.ops.Layout.writeBucketed(dims, "graft_spec_dims_b", "dk", 8)
+    try {
+      // merge hint keeps the small side off the broadcast path — the
+      // point is the co-partitioned sort-merge plan, not a broadcast
+      val joined = spark.table("graft_spec_facts_b")
+        .join(spark.table("graft_spec_dims_b").hint("merge"),
+          col("k") === col("dk"))
+      val plan = joined.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed equi-join must plan no exchange:\n$plan")
+      // an aggregation on the bucket key is exchange-free too
+      val agg = spark.table("graft_spec_facts_b")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val aggEx = agg.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(aggEx.isEmpty, "bucket-key aggregation must plan no exchange")
+      // and the layout never changes results
+      assert(joined.count() == 4000L)
+      assert(agg.agg(sum(col("n"))).head.getLong(0) == 4000L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_spec_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_dims_b")
+    }
+  }
 }
