@@ -2455,16 +2455,6 @@ object SparkEntry {
           .cast("long").as("chars_composed"))
     }),
 
-    // PII scrub over synthesized contact lines (the corpus itself carries
-    // none, so both sides build identical inputs, then ours scrubs).
-    "pii_scrub" -> ((s, dir) => {
-      val synthesized = concat(
-        substring(col("text"), 1, 30), lit(" mail "), col("source"),
-        lit("@example.com tel +1 (555) 123-4567 done"))
-      docs(s, dir).select(col("doc_id"),
-        TextOps.scrubPii(synthesized).as("clean"))
-    }),
-
     // Corpus profiling: per-source document statistics (count, mean and
     // exact interpolated median/p95 of lengths) — the dataset report a
     // curation run starts from. One shuffle on the (small) source key.
@@ -5363,17 +5353,6 @@ object SparkEntry {
         |     - length(nfc_normalize(text || ' cafe' || chr(769) || ' A'
         |              || chr(778) || ' ' || chr(8491))) AS BIGINT)
         |    AS chars_composed
-        |FROM documents
-        |""".stripMargin,
-
-    "pii_scrub" ->
-      """SELECT doc_id,
-        |       regexp_replace(
-        |         regexp_replace(
-        |           concat(substr(text, 1, 30), ' mail ', source,
-        |                  '@example.com tel +1 (555) 123-4567 done'),
-        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |         '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM documents
         |""".stripMargin,
 

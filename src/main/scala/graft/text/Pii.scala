@@ -36,10 +36,12 @@ object Pii {
   val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 
   /** Phone numbers, two anchored shapes: international `+CC` prefixed
-    * (7–14 further digits with optional single separators) and the US
-    * `(nnn) nnn-nnnn` / `nnn-nnn-nnnn` form. */
+    * (optional parenthesized area code, then 6–14 digits with optional
+    * single separators) and the US `(nnn) nnn-nnnn` / `nnn-nnn-nnnn`
+    * form. */
   val PhonePattern =
-    "\\+\\d{1,3}(?:[ -]?\\d){7,14}|\\(?\\d{3}\\)?[ -]\\d{3}[ -]\\d{4}"
+    "\\+\\d{1,3}[ -]?(?:\\(\\d{1,4}\\)[ -]?)?(?:[ -]?\\d){6,14}|" +
+      "\\(?\\d{3}\\)?[ -]\\d{3}[ -]\\d{4}"
 
   val DefaultEmailMask = "<EMAIL>"
   val DefaultPhoneMask = "<PHONE>"

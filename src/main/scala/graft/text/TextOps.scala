@@ -172,20 +172,13 @@ object TextOps {
       lenScore * 0.5 + stopScore * 0.3 - punctPenalty * 0.2 + lit(0.2)), 6)
   }
 
-  /** PII scrubbing patterns — deliberately simple, portable regex (no
-    * lookaround/backrefs, identical semantics in Java regex and RE2) so
-    * the DuckDB oracle can restate them verbatim. Replacement order
-    * matters: emails first (a phone scrub could otherwise eat digits in
-    * a mailbox name). */
-  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhonePattern = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
-
-  /** Replace emails and phone numbers with sentinels — the curation
-    * pipeline's PII pass; pure scalar, stays in the scan. */
-  def scrubPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, EmailPattern, "<EMAIL>"),
-      PhonePattern, "<PHONE>")
+  /** Replace emails, phone numbers and IPv4 addresses with sentinels —
+    * the curation pipeline's PII pass; pure scalar, stays in the scan.
+    * Delegates to [[Pii]], the canonical redaction module (r16
+    * unification — this alias keeps the original call sites
+    * source-compatible; the fixed order and pattern discipline live
+    * there). */
+  def scrubPii(text: Column): Column = Pii.scrub(text)
 
   /** Deterministic content-hash sampling: keep a row iff
     * fingerprint64(text) mod `outOf` < `keep`. Reproducible across runs,

@@ -19,6 +19,10 @@ class PiiSpec extends AnyFunSuite with SparkTestBase {
       ("mail <EMAIL> now", 1L, 0L, 0L))
     assert(scrubOne("call +44 20 7946 0958 or (303) 555-0175 or 303-555-0175") ==
       ("call <PHONE> or <PHONE> or <PHONE>", 0L, 3L, 0L))
+    // the +CC (area) form masks as ONE number (the TextOps.scrubPii
+    // contract, unified here in r16)
+    assert(scrubOne("tel +1 (555) 123-4567 done") ==
+      ("tel <PHONE> done", 0L, 1L, 0L))
     assert(scrubOne("from 192.168.0.1 and 999.1.2.3 end") ==
       ("from <IP> and <IP> end", 0L, 0L, 2L)) // no octet validation, by design
     // all three kinds in one line, fixed scrub order email→phone→ip
