@@ -47,6 +47,45 @@ object SparkEntry {
       .withColumn("total_value", round(col("total_value"), 6))
 
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
+
+  /** The chrome-laden fixture page shared BYTE-FOR-BYTE by
+    * `html_extract_main` and `crawl_pipeline` (their oracles hardcode
+    * its block/anchor census — one definition so the paired gates can
+    * never drift): title, nav bar, 3-item link sidebar, the doc's text
+    * as the article body, share bar, footer. */
+  private def chromeFixturePage: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>p { color: red; }</style>" +
+      "<script>if (1<2) { track(); }</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+      " <a href=\"/contact\">Contact</a></nav>" +
+      "<div class=\"sidebar\"><ul>" +
+      "<li><a href=\"/p1\">Latest posts</a></li>" +
+      "<li><a href=\"/p2\">Archive index</a></li>" +
+      "<li><a href=\"/p3\">Tag cloud</a></li></ul></div>" +
+      "<article><p>"), col("text"),
+    lit("</p></article>" +
+      "<div class=\"share\">Share this: <a href=\"#\">Tweet</a>" +
+      " <a href=\"#\">Like</a></div>" +
+      "<footer>&copy; 2026 <a href=\"/privacy\">Privacy policy</a>" +
+      " <a href=\"/terms\">Terms of use</a></footer>" +
+      "</body></html>"))
+
+  /** The planted RAW PII suffix (doc-id-varying email + intl phone +
+    * US phone + IP) and its scrubbed image — shared by `pii_scrub` and
+    * `curate_stream_batch_pii` so the gates and their oracles stay in
+    * lockstep by construction. */
+  private def piiRawSuffix: Column = concat(
+    lit(" Contact user"), col("doc_id").cast("string"),
+    lit("@example.com or +1 555 01"),
+    lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+    lit(" and (303) 555-01"),
+    lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+    lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+    lit("."), (col("doc_id") % 100).cast("string"), lit("."))
+
+  private val PiiMaskedSuffix =
+    " Contact <EMAIL> or <PHONE> and <PHONE> from <IP>."
   private def emb(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
 
   /** embeddings ∪ exact copies of every 10th vector under shifted ids.
@@ -1220,16 +1259,8 @@ object SparkEntry {
     // chain restated over the masked text expression.
     "curate_stream_batch_pii" -> ((s, dir) => {
       val d = docs(s, dir)
-      val maskedSuffix =
-        lit(" Contact <EMAIL> or <PHONE> and <PHONE> from <IP>.")
-      val rawSuffix = concat(
-        lit(" Contact user"), col("doc_id").cast("string"),
-        lit("@example.com or +1 555 01"),
-        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
-        lit(" and (303) 555-01"),
-        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
-        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-        lit("."), (col("doc_id") % 100).cast("string"), lit("."))
+      val maskedSuffix = lit(PiiMaskedSuffix)
+      val rawSuffix = piiRawSuffix
       val prior = d.filter(col("doc_id") % 3 === 0)
         .withColumn("text", concat(col("text"), maskedSuffix))
       val batch = d.filter(col("doc_id") % 3 =!= 0)
@@ -1262,23 +1293,7 @@ object SparkEntry {
     // count. The recovered main text must be the planted body verbatim
     // through ALL of it; doc identity travels via the URL.
     "crawl_pipeline" -> ((s, dir) => {
-      val page = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title><style>p { color: red; }</style>" +
-          "<script>if (1<2) { track(); }</script></head><body>" +
-          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
-          " <a href=\"/contact\">Contact</a></nav>" +
-          "<div class=\"sidebar\"><ul>" +
-          "<li><a href=\"/p1\">Latest posts</a></li>" +
-          "<li><a href=\"/p2\">Archive index</a></li>" +
-          "<li><a href=\"/p3\">Tag cloud</a></li></ul></div>" +
-          "<article><p>"), col("text"),
-        lit("</p></article>" +
-          "<div class=\"share\">Share this: <a href=\"#\">Tweet</a>" +
-          " <a href=\"#\">Like</a></div>" +
-          "<footer>&copy; 2026 <a href=\"/privacy\">Privacy policy</a>" +
-          " <a href=\"/terms\">Terms of use</a></footer>" +
-          "</body></html>"))
+      val page = chromeFixturePage
       val seg = GraftFunctions.syntheticWarc(
         col("doc_id"), (col("doc_id") % 2).cast("int"), page)
       docs(s, dir)
@@ -3256,14 +3271,7 @@ object SparkEntry {
     // the per-kind counts are stated directly by the oracle, so a regex
     // that over- or under-matches by one character hash-mismatches.
     "pii_scrub" -> ((s, dir) => {
-      val planted = concat(col("text"),
-        lit(" Contact user"), col("doc_id").cast("string"),
-        lit("@example.com or +1 555 01"),
-        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
-        lit(" and (303) 555-01"),
-        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
-        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-        lit("."), (col("doc_id") % 100).cast("string"), lit("."))
+      val planted = concat(col("text"), piiRawSuffix)
       val r = graft.text.Pii.scrubWithCounts(planted)
       docs(s, dir)
         .select(col("doc_id"), r.as("__r"))
@@ -3615,23 +3623,7 @@ object SparkEntry {
     // repetition signal here — a single page suffices to drop it,
     // which is precisely what the line-scrub family cannot do.
     "html_extract_main" -> ((s, dir) => {
-      val page = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title><style>p { color: red; }</style>" +
-          "<script>if (1<2) { track(); }</script></head><body>" +
-          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
-          " <a href=\"/contact\">Contact</a></nav>" +
-          "<div class=\"sidebar\"><ul>" +
-          "<li><a href=\"/p1\">Latest posts</a></li>" +
-          "<li><a href=\"/p2\">Archive index</a></li>" +
-          "<li><a href=\"/p3\">Tag cloud</a></li></ul></div>" +
-          "<article><p>"), col("text"),
-        lit("</p></article>" +
-          "<div class=\"share\">Share this: <a href=\"#\">Tweet</a>" +
-          " <a href=\"#\">Like</a></div>" +
-          "<footer>&copy; 2026 <a href=\"/privacy\">Privacy policy</a>" +
-          " <a href=\"/terms\">Terms of use</a></footer>" +
-          "</body></html>"))
+      val page = chromeFixturePage
       val blocks = graft.text.Html.mainBlocks(page)
       docs(s, dir)
         .select(col("doc_id"), page.as("__page"), blocks.as("__blocks"))
@@ -5673,7 +5665,7 @@ object SparkEntry {
     // the PII-scrubbed chain: the standard curate chain restated over
     // the masked text expression — byte-exact scrub or hash mismatch
     "curate_stream_batch_pii" -> curateStreamOracleSql(textExpr =
-      "(text || ' Contact <EMAIL> or <PHONE> and <PHONE> from <IP>.')"),
+      s"(text || '$PiiMaskedSuffix')"),
 
     // Image dedup gates: counts are pure doc_id arithmetic (the planted
     // -21/-42 stride scheme — see plantedImage); the decode-derived
@@ -6231,9 +6223,8 @@ object SparkEntry {
     // (the plants are the only matchable surface — no oracle-side regex,
     // so no Java-vs-RE2 parity risk in the oracle itself)
     "pii_scrub" ->
-      """SELECT doc_id,
-        |  text || ' Contact <EMAIL> or <PHONE> and <PHONE> from <IP>.'
-        |    AS clean_text,
+      s"""SELECT doc_id,
+        |  text || '$PiiMaskedSuffix' AS clean_text,
         |  CAST(1 AS BIGINT) AS n_emails,
         |  CAST(2 AS BIGINT) AS n_phones,
         |  CAST(1 AS BIGINT) AS n_ips

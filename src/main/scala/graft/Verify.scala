@@ -43,8 +43,14 @@ object Verify {
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     todo.foreach(queue.add)
-    val threads = (1 to workers).map { _ =>
+    val threads = (1 to workers).map { w =>
       val t = new Thread(() => {
+        // one FAIR pool PER WORKER: without this, every job lands in the
+        // single default pool, whose internal order is FIFO — a slow
+        // composite would still head-of-line-block the queue (pools are
+        // created on demand with equal weight; local properties are
+        // thread-scoped, so each worker's jobs share its pool)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"verify-$w")
         var next = queue.poll()
         while (next != null) {
           val (name, fn) = next

@@ -46,21 +46,83 @@ object WarcKernels {
   private val GzipMagic1: Byte = 0x8b.toByte
 
   /** Inflate ALL gzip members of a concatenated-member stream (the
-    * crawl-archive layout; `GZIPInputStream` consumes subsequent
-    * members natively). Null on corrupt input. Non-gzip input is
-    * returned as-is — plain WARC concatenations are legal too. */
+    * crawl-archive layout). Null on corrupt input. Non-gzip input is
+    * returned as-is — plain WARC concatenations are legal too.
+    *
+    * This is a MANUAL member walk (header parse → raw Inflater → CRC32
+    * + ISIZE trailer check per member), not `GZIPInputStream`, for two
+    * review-found reasons: (a) `GZIPInputStream` treats a MALFORMED
+    * next-member header as clean EOF, silently returning a PREFIX of
+    * the segment — exactly the half-parsed-tail completeness bug the
+    * whole-file-refusal contract exists to prevent (a corrupt second
+    * member or trailing garbage must be null, not a shorter parse);
+    * (b) pre-sizing an output buffer from `b.length * 4` overflows Int
+    * on ordinary ~0.5 GB segments. Here every byte of input must be
+    * accounted for by a valid member, every member's CRC32 and ISIZE
+    * must check out, and the output buffer grows from a constant. */
   def gunzipAll(b: Array[Byte]): Array[Byte] = {
     if (b == null) return null
     if (b.length < 2 || b(0) != GzipMagic0 || b(1) != GzipMagic1) return b
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b), 64 * 1024)
-      val out = new java.io.ByteArrayOutputStream(b.length * 4)
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } catch { case _: java.io.IOException => null }
+    val out = new java.io.ByteArrayOutputStream(256 * 1024)
+    val buf = new Array[Byte](64 * 1024)
+    var i = 0
+    while (i < b.length) {
+      // fixed header: magic, CM=8 (deflate), FLG, MTIME(4), XFL, OS
+      if (i + 10 > b.length || b(i) != GzipMagic0 || b(i + 1) != GzipMagic1 ||
+        b(i + 2) != 8) return null
+      val flg = b(i + 3) & 0xff
+      var p = i + 10
+      if ((flg & 4) != 0) { // FEXTRA: LE16 length + payload
+        if (p + 2 > b.length) return null
+        val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+        if (p > b.length) return null
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return null
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return null
+        p += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC: LE16, not verified (deflate+CRC32 are)
+        p += 2
+        if (p > b.length) return null
+      }
+      val inf = new java.util.zip.Inflater(true)
+      val crc = new java.util.zip.CRC32
+      var memberLen = 0L
+      var failed = false
+      try {
+        inf.setInput(b, p, b.length - p)
+        while (!failed && !inf.finished()) {
+          val n = try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => failed = true; 0 }
+          if (!failed) {
+            if (n == 0 && inf.needsInput()) failed = true // truncated deflate
+            else {
+              crc.update(buf, 0, n)
+              out.write(buf, 0, n)
+              memberLen += n
+            }
+          }
+        }
+        if (!failed) p += (b.length - p) - inf.getRemaining
+      } finally inf.end()
+      if (failed) return null
+      // trailer: CRC32 + ISIZE (uncompressed length mod 2^32), both LE32
+      if (p + 8 > b.length) return null
+      def le32u(at: Int): Long =
+        (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+          ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+      if (le32u(p) != crc.getValue) return null
+      if (le32u(p + 4) != (memberLen & 0xffffffffL)) return null
+      i = p + 8
+    }
+    out.toByteArray
   }
 
   /** Index of the first `\r\n` at/after `i`, or -1. */

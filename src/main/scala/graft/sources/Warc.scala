@@ -48,7 +48,12 @@ object Warc {
   private def recordsOf(files: DataFrame): DataFrame =
     files
       .select(col("path"), GraftFunctions.warcRecords(col("content")).as("__recs"))
-      // explode_outer keeps refused files as one null-fielded row each
+      // explode_outer keeps REFUSED files (null array) as one
+      // null-fielded row each; a legitimately EMPTY file (zero records,
+      // which the kernel parses to an empty array, NOT a refusal) is
+      // dropped entirely — explode_outer alone would emit a null row
+      // for it too and the corrupt-segment count would overstate
+      .filter(col("__recs").isNull || size(col("__recs")) > 0)
       .select(col("path"), explode_outer(col("__recs")).as("__r"))
       .select(col("path"),
         col("__r.rec_type").as("rec_type"),

@@ -35,13 +35,26 @@ object Pii {
     * non-address costs nothing, leaking a real one costs a lot). */
   val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 
-  /** Phone numbers, two anchored shapes: international `+CC` prefixed
-    * (optional parenthesized area code, then 6–14 digits with optional
-    * single separators) and the US `(nnn) nnn-nnnn` / `nnn-nnn-nnnn`
-    * form. */
+  /** Phone numbers, three anchored shapes:
+    *   - international `+CC` prefixed (optional parenthesized area
+    *     code, then 6–14 digits with optional single separators);
+    *   - the US `(nnn) nnn-nnnn` / `nnn-nnn-nnnn` form, word-bounded
+    *     on BOTH ends so it can never start mid-digit-run (review
+    *     catch: un-anchored it matched '234-567-8901' inside
+    *     '1234-567-8901', leaving a stray digit beside the mask; the
+    *     leading \b sits INSIDE the optional paren — before '(' the
+    *     position is non-word/non-word and no boundary exists);
+    *   - national trunk-prefixed groups `0nn[n[n]] nnn[n] nnn[n]`
+    *     ('020 7946 0958') — the leading-zero convention is the
+    *     anchor that keeps years, prices and number lists unmasked.
+    * Out of scope, stated: bare unseparated national digit runs
+    * ('5551234567') are indistinguishable from ids/quantities at
+    * acceptable precision — the published scrubbers draw the same
+    * line. */
   val PhonePattern =
     "\\+\\d{1,3}[ -]?(?:\\(\\d{1,4}\\)[ -]?)?(?:[ -]?\\d){6,14}|" +
-      "\\(?\\d{3}\\)?[ -]\\d{3}[ -]\\d{4}"
+      "\\(?\\b\\d{3}\\)?[ -]\\d{3}[ -]\\d{4}\\b|" +
+      "\\b0\\d{1,3}[ -]\\d{3,4}[ -]\\d{3,4}\\b"
 
   val DefaultEmailMask = "<EMAIL>"
   val DefaultPhoneMask = "<PHONE>"
@@ -76,10 +89,20 @@ object Pii {
     maskPhones(maskIps(maskEmails(c)))
 
   /** `(clean_text, n_emails, n_phones, n_ips)` struct for select-style
-    * use. */
-  def scrubWithCounts(c: Column): Column = struct(
-    scrub(c).as("clean_text"),
-    countEmails(c).cast("long").as("n_emails"),
-    countPhones(c).cast("long").as("n_phones"),
-    countIps(c).cast("long").as("n_ips"))
+    * use. Each kind is counted on the text with the EARLIER stages'
+    * masks applied — i.e. exactly what [[scrub]] masks for that kind —
+    * so the counts equal the number of sentinels actually inserted
+    * (review catch: counting every kind on the original text reported
+    * n_phones = 1 for '555-123-4567@example.com' whose digits the
+    * email mask had already consumed, so accounting and output
+    * disagreed). */
+  def scrubWithCounts(c: Column): Column = {
+    val afterEmail = maskEmails(c)
+    val afterIp = maskIps(afterEmail)
+    struct(
+      maskPhones(afterIp).as("clean_text"),
+      countEmails(c).cast("long").as("n_emails"),
+      countPhones(afterIp).cast("long").as("n_phones"),
+      countIps(afterEmail).cast("long").as("n_ips"))
+  }
 }

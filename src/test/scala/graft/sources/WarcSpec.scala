@@ -69,6 +69,26 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     var i = 20
     while (i < corrupt.length) { corrupt(i) = (corrupt(i) ^ 0x5a).toByte; i += 7 }
     assert(WarcKernels.warcRecords(corrupt) == null)
+    // trailing garbage AFTER valid members: refuse, never a silent prefix
+    assert(WarcKernels.warcRecords(gz ++ Array[Byte](1, 2, 3)) == null)
+    // a corrupt LATER member refuses the WHOLE file (GZIPInputStream
+    // would have treated the bad next-header as clean EOF and silently
+    // dropped the tail — the manual member walk must not)
+    val gz2 = WarcFixtures.syntheticWarc(4L, 1, "def".getBytes(UTF_8))
+    val two = gz ++ gz2
+    assert(WarcKernels.warcRecords(two).numElements() == 6,
+      "two concatenated segments parse as six records")
+    val badTail = two.clone()
+    var j = gz.length + 20
+    while (j < badTail.length) { badTail(j) = (badTail(j) ^ 0x5a).toByte; j += 7 }
+    assert(WarcKernels.warcRecords(badTail) == null)
+    // a flipped payload byte fails the member CRC even when the deflate
+    // stream stays decodable
+    val gzp = WarcFixtures.syntheticWarc(5L, 1, "payload body".getBytes(UTF_8))
+    val lastByteFlips = gzp.clone()
+    lastByteFlips(gzp.length - 1) = (lastByteFlips(gzp.length - 1) ^ 1).toByte
+    assert(WarcKernels.warcRecords(lastByteFlips) == null,
+      "a corrupted ISIZE/CRC trailer must refuse")
     // empty file = zero records, NOT a refusal
     assert(WarcKernels.warcRecords(Array.emptyByteArray).numElements() == 0)
     // http layer refusals
@@ -149,6 +169,9 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     put("seg-1.warc.gz", WarcFixtures.syntheticWarc(2L, 1, "gamma".getBytes(UTF_8)))
     put("seg-2.warc.wet.gz", WarcFixtures.syntheticWarc(3L, 2, "delta eps".getBytes(UTF_8)))
     put("seg-bad.warc.gz", "totally not a warc".getBytes(UTF_8))
+    // a legitimately EMPTY segment: zero records, NOT a refusal — it
+    // must neither add rows nor inflate the corrupt count
+    put("seg-empty.warc.gz", Array.emptyByteArray)
     val recs = Warc.records(spark, dir.toString + "/*")
     assert(recs.count() == 3 + 3 + 2 + 1)
     // the corrupt segment is COUNTABLE, not silently absent

@@ -30,6 +30,23 @@ class PiiSpec extends AnyFunSuite with SparkTestBase {
       ("<EMAIL> <PHONE> <IP>", 1L, 1L, 1L))
   }
 
+  test("review catches: anchors, national formats, mask-aware accounting") {
+    // the US form cannot start mid-digit-run — a longer run is left
+    // WHOLE (no stray-digit partial mask), documented out of scope
+    assert(scrubOne("card 1234-567-8901 on file") ==
+      ("card 1234-567-8901 on file", 0L, 0L, 0L))
+    // national trunk-prefixed groups mask ('020 7946 0958')
+    assert(scrubOne("ring 020 7946 0958 today") ==
+      ("ring <PHONE> today", 0L, 1L, 0L))
+    // ...but years and number lists have no trunk zero and survive
+    assert(scrubOne("from 1914 1918 and 10 20 30") ==
+      ("from 1914 1918 and 10 20 30", 0L, 0L, 0L))
+    // digits the email mask consumed are NOT phone-counted: counts
+    // equal the sentinels actually inserted
+    assert(scrubOne("reach 555-123-4567@example.com now") ==
+      ("reach <EMAIL> now", 1L, 0L, 0L))
+  }
+
   test("non-PII neighbors survive: versions, years, decimals, section numbers") {
     // a dotted version is NOT an IPv4 unless it has exactly four parts
     assert(scrubOne("upgrade to version 2.4.1 today") ==
