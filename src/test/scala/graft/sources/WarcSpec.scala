@@ -96,6 +96,74 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(WarcKernels.httpResponse("HTTP/1.1 abc OK\r\n\r\n".getBytes(UTF_8)) == null)
   }
 
+  test("gunzip member walk: optional header fields, roundtrip and corruption-safety properties") {
+    import java.util.zip.{CRC32, Deflater}
+    // hand-built member with FEXTRA + FNAME + FCOMMENT + FHCRC — the
+    // JDK's GZIPOutputStream never emits these, so the header-skipping
+    // paths need a custom fixture
+    def memberWithExtras(payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16 | 2).toByte))
+      out.write(new Array[Byte](6)) // MTIME + XFL + OS
+      out.write(Array[Byte](3, 0)) // XLEN = 3
+      out.write(Array[Byte](9, 9, 9)) // extra payload
+      out.write("name.warc".getBytes("US-ASCII")); out.write(0)
+      out.write("a comment".getBytes("US-ASCII")); out.write(0)
+      out.write(Array[Byte](0x42, 0x42)) // FHCRC (not validated, skipped)
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](1024)
+      var n = d.deflate(buf)
+      while (n > 0) { out.write(buf, 0, n); n = d.deflate(buf) }
+      d.end()
+      val crc = new CRC32; crc.update(payload)
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      out.write(le32(crc.getValue)); out.write(le32(payload.length.toLong))
+      out.toByteArray
+    }
+    def gzipPlain(payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(payload); gz.close(); bos.toByteArray
+    }
+    val p1 = "first payload".getBytes("UTF-8")
+    val p2 = "and a second one".getBytes("UTF-8")
+    val mixed = memberWithExtras(p1) ++ gzipPlain(p2)
+    assert(java.util.Arrays.equals(WarcKernels.gunzipAll(mixed), p1 ++ p2),
+      "extras-laden member + plain member must inflate losslessly")
+
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val payloadGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.toArray)
+    val membersGen = Gen.nonEmptyListOf(payloadGen).map(_.take(4))
+    val roundtrip = Prop.forAll(membersGen) { ps =>
+      val stream = ps.map(gzipPlain).reduce(_ ++ _)
+      java.util.Arrays.equals(
+        WarcKernels.gunzipAll(stream), ps.reduce(_ ++ _))
+    }
+    assert(scCheck(Parameters.default.withMinSuccessfulTests(40), roundtrip).passed)
+    // corruption safety: flipping ANY single byte either refuses (null)
+    // or yields the IDENTICAL output (non-validated header bytes like
+    // MTIME) — NEVER a different successful parse
+    val safety = Prop.forAll(membersGen, Gen.chooseNum(0, 1 << 20)) { (ps, seed) =>
+      val stream = ps.map(gzipPlain).reduce(_ ++ _)
+      val want = ps.reduce(_ ++ _)
+      val at = seed % stream.length
+      val bad = stream.clone()
+      bad(at) = (bad(at) ^ (1 + (seed % 255))).toByte
+      val got = WarcKernels.gunzipAll(bad)
+      got == null ||
+        (got.length == want.length && java.util.Arrays.equals(got, want)) ||
+        // the corrupted byte may turn the stream non-gzip entirely
+        // (magic byte flip) — then the identity fallback returns `bad`
+        (at <= 1 && java.util.Arrays.equals(got, bad))
+    }
+    assert(scCheck(Parameters.default.withMinSuccessfulTests(120), safety).passed)
+  }
+
   test("property: parse is framing-invariant and lossless across random bodies") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check => scCheck, Parameters}
