@@ -3025,6 +3025,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Domain blocklist filtering (the URL-filter stage): one
+    // registered-domain entry (blocks its whole subtree — every odd
+    // doc's example.org) and one full-host entry (blocks only src0's
+    // even docs) through the broadcast-anti-join shape; survivors'
+    // host/domain are restated by the oracle, so over- OR
+    // under-blocking either key hash-mismatches.
+    "url_blocklist" -> ((s, dir) => {
+      val blocklist = Seq("example.org", "src0.example.com")
+      graft.text.UrlOps.filterBlocked(
+        docs(s, dir), dirtyUrl,
+        s.createDataFrame(s.sparkContext.parallelize(
+          blocklist.map(org.apache.spark.sql.Row(_))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("domain",
+              org.apache.spark.sql.types.StringType)))))
+        .select(col("doc_id"),
+          graft.text.UrlOps.host(dirtyUrl).as("host"),
+          graft.text.UrlOps.registeredDomain(
+            graft.text.UrlOps.host(dirtyUrl)).as("domain"))
+    }),
+
     // -------------------------------------------------------- multimodal
     "media_meta" -> ((s, dir) => {
       val bin = docs(s, dir).withColumn("payload", col("text").cast("binary"))
@@ -6039,6 +6060,20 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents
         |GROUP BY 1
+        |""".stripMargin,
+
+    // blocklist: survivors = NOT (registered domain listed OR host
+    // listed) over the same host/domain restatement as url_normalize
+    "url_blocklist" ->
+      """SELECT doc_id,
+        |       source || '.example.' || tld AS host,
+        |       'example.' || tld AS domain
+        |FROM (SELECT doc_id, source,
+        |        CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END AS tld
+        |      FROM documents) t
+        |WHERE ('example.' || tld) NOT IN ('example.org', 'src0.example.com')
+        |  AND (source || '.example.' || tld)
+        |        NOT IN ('example.org', 'src0.example.com')
         |""".stripMargin,
 
     "media_dims" ->

@@ -75,4 +75,37 @@ object UrlOps {
     when(sch === "" || h === "", lit(null).cast("string"))
       .otherwise(concat(sch, lit("://"), h, portPart, path(url), queryPart))
   }
+
+  // --- domain blocklist filtering (the Dolma/RefinedWeb URL-filter
+  // stage: a curated list of domains whose pages never enter the
+  // corpus). An entry blocks its whole subtree: a row drops when its
+  // full (www-stripped, lowercased) host OR its registered domain is
+  // listed — listing `example.org` blocks `sub.example.org`, listing
+  // `bad.example.com` blocks only that host.
+
+  /** True when `url`'s host or registered domain is in `domains` — the
+    * literal-list shape for the usual few-hundred-entry safety lists
+    * (compiled into the scan as a codegen'd in-set; zero shuffles). */
+  def blockedBy(url: Column, domains: Seq[String]): Column = {
+    val h = host(url)
+    h.isInCollection(domains) || registeredDomain(h).isInCollection(domains)
+  }
+
+  /** Blocklist as a DataFrame (one `domain` column) for web-scale
+    * lists: two broadcast LEFT ANTI joins (host key, then
+    * registered-domain key). Even a million-domain list is a few MB —
+    * always broadcastable — so the corpus side stays SHUFFLE-FREE
+    * (UrlOpsSpec pins the zero-exchange plan). */
+  def filterBlocked(df: org.apache.spark.sql.DataFrame, urlCol: Column,
+      blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keyed = df
+      .withColumn("__block_h", host(urlCol))
+      .withColumn("__block_rd", registeredDomain(col("__block_h")))
+    keyed
+      .join(broadcast(blocklist.select(col("domain").as("__block_h"))),
+        Seq("__block_h"), "left_anti")
+      .join(broadcast(blocklist.select(col("domain").as("__block_rd"))),
+        Seq("__block_rd"), "left_anti")
+      .drop("__block_h", "__block_rd")
+  }
 }

@@ -44,4 +44,30 @@ class UrlOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("example.com", "example.org", "localhost"))
   }
+
+  test("blocklist: domain entries block their subtree, host entries only themselves; anti-join plan stays shuffle-free") {
+    import spark.implicits._
+    val urls = Seq(
+      1L -> "https://sub.bad.org/a", // blocked: registered domain listed
+      2L -> "https://bad.org/b", // blocked: is the listed domain
+      3L -> "https://evil.good.com/c", // blocked: full host listed
+      4L -> "https://other.good.com/d", // kept: sibling host, domain not listed
+      5L -> "https://fine.net/e") // kept
+    val block = Seq("bad.org", "evil.good.com")
+    // literal shape
+    val kept1 = urls.toDF("id", "url")
+      .filter(!UrlOps.blockedBy(col("url"), block))
+      .select("id").as[Long].collect().toSet
+    assert(kept1 == Set(4L, 5L))
+    // DataFrame / broadcast-anti-join shape agrees
+    val keptDf = UrlOps.filterBlocked(
+      urls.toDF("id", "url"), col("url"), block.toDF("domain"))
+    assert(keptDf.select("id").as[Long].collect().toSet == Set(4L, 5L))
+    // and plans with ZERO shuffle exchanges on the corpus side (two
+    // broadcast left-anti joins)
+    val exchanges = keptDf.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"blocklist filter must not shuffle the corpus")
+  }
 }
