@@ -1109,7 +1109,19 @@ object Bench {
         s""""timing_protocol":"v2-min-subsec""""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,$env,"sf":"$sfDir"}"""
+    // The driver captures only the LAST ~2 KB of stdout, and the full
+    // line (160+ query timings) outgrew that window rounds ago — its
+    // head gets truncated and the driver's parse comes back null. Emit
+    // a COMPACT summary (headline metrics + environment, no per-query
+    // map) as its own line BEFORE and AFTER the full line: the leading
+    // copy serves head-readers, the trailing copy is what a tail window
+    // is guaranteed to contain whole (it is the last thing printed).
+    // The full line stays for humans and for the *_idle.json artifact.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec",$extra,$env,"sf":"$sfDir"}"""
+    println(compact)
     println(line)
+    println(compact)
     // Artifact naming encodes the noise protocol (r11 verdict item 7):
     // when asked to write the JSON to a file, a run that FAILED the
     // contention gate (load_start > 1.0 at JVM start) refuses the given

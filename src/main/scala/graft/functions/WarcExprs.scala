@@ -60,7 +60,21 @@ object WarcKernels {
     * on ordinary ~0.5 GB segments. Here every byte of input must be
     * accounted for by a valid member, every member's CRC32 and ISIZE
     * must check out, and the output buffer grows from a constant. */
-  def gunzipAll(b: Array[Byte]): Array[Byte] = {
+  def gunzipAll(b: Array[Byte]): Array[Byte] = gunzipAll(b, MaxInflatedBytes)
+
+  /** Inflated-size ceiling for [[gunzipAll]]: one byte array holds the
+    * whole inflated segment, so the JVM's array limit is the hard wall —
+    * a segment inflating past it must REFUSE (null, countable like every
+    * other corruption) rather than die mid-allocation with
+    * OutOfMemoryError, which would fail the task instead of surfacing a
+    * countable refusal row. Segments near this wall belong to a
+    * re-segmentation job (the ~1 GB-compressed crawl convention keeps
+    * real segments far below it). */
+  val MaxInflatedBytes: Int = Int.MaxValue - 16
+
+  /** [[gunzipAll]] with an explicit inflated-size cap (test seam — the
+    * production cap is a 2 GB allocation nobody unit-tests). */
+  def gunzipAll(b: Array[Byte], maxInflated: Int): Array[Byte] = {
     if (b == null) return null
     if (b.length < 2 || b(0) != GzipMagic0 || b(1) != GzipMagic1) return b
     val out = new java.io.ByteArrayOutputStream(256 * 1024)
@@ -103,6 +117,7 @@ object WarcKernels {
             catch { case _: java.util.zip.DataFormatException => failed = true; 0 }
           if (!failed) {
             if (n == 0 && inf.needsInput()) failed = true // truncated deflate
+            else if (out.size().toLong + n > maxInflated) return null // cap
             else {
               crc.update(buf, 0, n)
               out.write(buf, 0, n)
@@ -135,8 +150,19 @@ object WarcKernels {
     -1
   }
 
+  /** HTTP header-line decode: RFC 9110 field values are historically
+    * Latin-1 (and in practice opaque bytes) — ISO-8859-1 round-trips
+    * every byte, so nothing is lost. WARC headers use [[utf8]] instead. */
   private def ascii(b: Array[Byte], from: Int, until: Int): String =
     new String(b, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** WARC header-line decode: ISO 28500 §4 headers are UTF-8 — a
+    * WARC-Target-URI with multi-byte UTF-8 must surface intact, not as
+    * Latin-1 mojibake. Framing stays byte-based ([[crlf]]), so a
+    * malformed UTF-8 sequence cannot shift record boundaries (it decodes
+    * to U+FFFD inside the value only). */
+  private def utf8(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
 
   /** Parse a (possibly multi-member-gzipped) WARC/WET file into its
     * records: `array<struct<rec_type, url, date, content_type string,
@@ -152,7 +178,7 @@ object WarcKernels {
     while (i < b.length) {
       // version line
       val ve = crlf(b, i)
-      if (ve < 0 || !ascii(b, i, ve).startsWith("WARC/")) return null
+      if (ve < 0 || !utf8(b, i, ve).startsWith("WARC/")) return null
       i = ve + 2
       // header lines until the blank line
       var recType: String = null
@@ -167,7 +193,7 @@ object WarcKernels {
         if (le < 0) return null
         if (le == i) { headerDone = true; i += 2 }
         else {
-          val line = ascii(b, i, le)
+          val line = utf8(b, i, le)
           i = le + 2
           if ((line.charAt(0) == ' ' || line.charAt(0) == '\t') &&
               lastName != null) {

@@ -99,10 +99,35 @@ object Warc {
         to_timestamp(col("date"), "yyyy-MM-dd'T'HH:mm:ssX").as("fetch_ts"),
         col("block").cast("string").as("text"))
 
+  /** The corrupt-segment ACCOUNTING view: one `(path)` row per file the
+    * kernel refused whole (`rec_type IS NULL` off [[records]]).
+    *
+    * This exists because the typed views below FILTER on `rec_type` —
+    * `responses()`/`wetText()` (and their streaming twins) necessarily
+    * drop the null-fielded refusal rows, so a pipeline composed only
+    * from a filtered view loses the corrupt-segment signal. Run this
+    * over the same `path` (batch), or fork the [[recordsStream]]
+    * topology through it (streaming — same checkpointed scan, second
+    * sink), to keep the whole-file-refusal count observable; the
+    * refusal CONTRACT itself (refused files never contribute partial
+    * records to any view) is the kernel's, not the filter's. */
+  def corruptSegments(spark: SparkSession, path: String): DataFrame =
+    corruptSegmentsOf(records(spark, path))
+
+  /** Streaming twin of [[corruptSegments]] — attach as its own sink
+    * next to the curate topology so refusals stay countable live. */
+  def corruptSegmentsStream(spark: SparkSession, path: String): DataFrame =
+    corruptSegmentsOf(recordsStream(spark, path))
+
+  private def corruptSegmentsOf(recs: DataFrame): DataFrame =
+    recs.filter(col("rec_type").isNull).select(col("path"))
+
   /** The fetched-page view of a crawl: `response` records parsed
     * through the HTTP layer → `(url, fetch_ts, status, mime, payload)`.
     * Non-HTTP or truncated-header responses are dropped (they carry no
-    * payload to curate). */
+    * payload to curate). NOTE the filter also drops whole-file REFUSAL
+    * rows — account for those with [[corruptSegments]] (this view alone
+    * cannot distinguish "no responses" from "segment refused"). */
   def responses(spark: SparkSession, path: String): DataFrame =
     responsesOf(records(spark, path))
 
@@ -111,7 +136,8 @@ object Warc {
     responsesOf(recordsStream(spark, path))
 
   /** The WET view: `conversion` records' plain text →
-    * `(url, fetch_ts, text)`. */
+    * `(url, fetch_ts, text)`. Refusal rows are filtered out here too —
+    * see [[corruptSegments]] for the accounting side. */
   def wetText(spark: SparkSession, path: String): DataFrame =
     wetTextOf(records(spark, path))
 

@@ -229,6 +229,75 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("WARC headers decode as UTF-8: a multi-byte Target-URI surfaces intact, framing unshifted") {
+    // build a record whose WARC-Target-URI carries multi-byte UTF-8
+    // (IRI per ISO 28500 §4 — headers are UTF-8, not Latin-1); the
+    // Content-Length framing is byte-based, so the record must parse
+    // with the URI intact AND the neighbouring record unaffected
+    val uri = "http://example.com/café/中文?q=żółć"
+    val crlf = "\r\n"
+    val block = "plain body".getBytes(UTF_8)
+    val rec =
+      (s"WARC/1.0${crlf}WARC-Type: resource${crlf}WARC-Target-URI: $uri$crlf" +
+        s"Content-Length: ${block.length}$crlf$crlf").getBytes(UTF_8) ++
+        block ++ s"$crlf$crlf".getBytes(UTF_8)
+    val tail = WarcFixtures.syntheticWarc(9L, 0, "tail doc".getBytes(UTF_8))
+    val arr = WarcKernels.warcRecords(rec ++ tail)
+    assert(arr != null && arr.numElements() == 4)
+    assert(arr.getStruct(0, 5).getUTF8String(1).toString == uri,
+      "multi-byte UTF-8 in WARC headers must not surface as mojibake")
+    assert(arr.getStruct(3, 5).getUTF8String(0).toString == "response",
+      "byte-based framing must be unshifted by multi-byte header values")
+  }
+
+  test("gunzipAll refuses (null) past the inflated-size cap instead of dying mid-allocation") {
+    def gzipPlain(payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(payload); gz.close(); bos.toByteArray
+    }
+    val small = ("x" * 1000).getBytes(UTF_8)
+    val member = gzipPlain(small)
+    // under the cap: inflates fine
+    assert(java.util.Arrays.equals(WarcKernels.gunzipAll(member, 2000), small))
+    // over the cap: whole-file refusal, not an exception — and the cap
+    // applies to the CUMULATIVE stream, so a second member trips it too
+    assert(WarcKernels.gunzipAll(member, 999) == null)
+    assert(WarcKernels.gunzipAll(member ++ member, 1500) == null)
+    // the production entry point wires the array-limit cap
+    assert(WarcKernels.MaxInflatedBytes == Int.MaxValue - 16)
+  }
+
+  test("corruptSegments: the accounting view survives the filtered responses/wetText composition") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-corrupt")
+    def put(name: String, b: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), b)
+    put("seg-0.warc.gz", WarcFixtures.syntheticWarc(1L, 1, "alpha".getBytes(UTF_8)))
+    put("seg-bad1.warc.gz", "garbage one".getBytes(UTF_8))
+    put("seg-bad2.warc.gz", Array[Byte](0x1f, 0x8b.toByte, 8, 0, 1, 2, 3))
+    // batch: responses() drops the refusal rows; corruptSegments keeps
+    // them countable off the same path
+    assert(Warc.responses(spark, dir.toString + "/*").count() == 1)
+    val bad = Warc.corruptSegments(spark, dir.toString + "/*")
+      .as[String].collect().map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+    assert(bad.toSeq == Seq("seg-bad1.warc.gz", "seg-bad2.warc.gz"))
+    // streaming: the refusal count rides its own sink next to the
+    // filtered topology — same scan contract, separate checkpoint
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Warc.corruptSegmentsStream(spark, dir.toString + "/*.warc.gz")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt-corrupt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= batch.as[String].collect()
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(seen.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted.toSeq ==
+      Seq("seg-bad1.warc.gz", "seg-bad2.warc.gz"))
+  }
+
   test("Warc.records/responses/wetText read segment files; corrupt files surface as null rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-spec")
     def put(name: String, b: Array[Byte]): Unit =
