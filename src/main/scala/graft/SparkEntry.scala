@@ -1286,6 +1286,40 @@ object SparkEntry {
       out
     }),
 
+    // The curate chain with the WORD BLOCKLIST engaged (CurateConfig
+    // wordBlocklist, doc-level C4 semantics): every doc with
+    // doc_id % 5 == 2 carries a planted listed word — prior and batch
+    // alike, so the catalogs are built from the same planted text the
+    // oracle restates — and the stage must drop exactly those batch
+    // docs BEFORE any tier probes (the oracle re-roots the whole chain
+    // at the reduced batch; an over- or under-drop shifts every
+    // downstream tier outcome and hash-mismatches).
+    "curate_stream_batch_words" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 2, " badwordone").otherwise("")))
+      val prior = d.filter(col("doc_id") % 3 === 0)
+      val batch = d.filter(col("doc_id") % 3 =!= 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-words-q")
+      val tmp = root.toString
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val out = graft.streaming.StreamingCurate.applyBatch(
+        batch,
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8,
+          wordBlocklist = Seq("badwordone")), added = 1L)
+        .filter(col("n_tokens") > 0)
+      deleteRecursively(root.toFile)
+      out
+    }),
+
     // The crawl FRONT DOOR end to end — the first three stages of a real
     // web pipeline composed: WARC segment bytes (gzip members by parity)
     // → record walk → HTTP layer → an HTML page WITH nav/sidebar/share/
@@ -3044,6 +3078,32 @@ object SparkEntry {
           graft.text.UrlOps.host(dirtyUrl).as("host"),
           graft.text.UrlOps.registeredDomain(
             graft.text.UrlOps.host(dirtyUrl)).as("domain"))
+    }),
+
+    // Word blocklist (the C4 "bad words" stage + the Dolma/RefinedWeb
+    // line-level variant) — BOTH published semantics in one gate over
+    // planted multi-line text: lines carrying a listed word (planted by
+    // doc_id arithmetic, with case/punctuation noise and one non-Latin
+    // entry so the normalized-token membership is what's tested, not
+    // substring luck) must flip the doc-level flag AND vanish from the
+    // line-level rewrite. The oracle restates the same uni-tokenizer per
+    // line, so an over- or under-match of one token hash-mismatches.
+    "word_blocklist" -> ((s, dir) => {
+      val words = Seq("BadWordOne", "żółć", "badwordtwo")
+      val t2 = concat(col("text"), lit("\nalways clean line"),
+        when(col("doc_id") % 5 === 2, "\nhas BadWordOne, inside").otherwise(""),
+        when(col("doc_id") % 7 === 3, "\nforbidden żółć content").otherwise(""),
+        when(col("doc_id") % 11 === 5, "\nBADWORDTWO!").otherwise(""))
+      docs(s, dir)
+        .withColumn("__t2", t2)
+        .select(col("doc_id"),
+          graft.text.WordBlocklist.docBlocked(col("__t2"), words)
+            .as("doc_blocked"),
+          size(split(col("__t2"), "\n", -1)).as("n_lines"),
+          size(graft.text.WordBlocklist.keepLines(col("__t2"), words))
+            .as("n_lines_kept"),
+          graft.text.WordBlocklist.scrubLines(col("__t2"), words)
+            .as("clean_text"))
     }),
 
     // -------------------------------------------------------- multimodal
@@ -5688,6 +5748,14 @@ object SparkEntry {
     "curate_stream_batch_pii" -> curateStreamOracleSql(textExpr =
       s"(text || '$PiiMaskedSuffix')"),
 
+    // the word-blocklist chain: planted listed word on doc_id % 5 = 2
+    // (prior AND batch), the stage drops exactly those batch docs, and
+    // the whole chain re-roots at the survivors
+    "curate_stream_batch_words" -> curateStreamOracleSql(
+      batchPred = "AND doc_id % 5 != 2",
+      textExpr =
+        "(text || CASE WHEN doc_id % 5 = 2 THEN ' badwordone' ELSE '' END)"),
+
     // Image dedup gates: counts are pure doc_id arithmetic (the planted
     // -21/-42 stride scheme — see plantedImage); the decode-derived
     // booleans are asserted literal TRUE.
@@ -6074,6 +6142,46 @@ object SparkEntry {
         |WHERE ('example.' || tld) NOT IN ('example.org', 'src0.example.com')
         |  AND (source || '.example.' || tld)
         |        NOT IN ('example.org', 'src0.example.com')
+        |""".stripMargin,
+
+    // per-line uni-tokenizer restated (the decontam CTE's expression,
+    // applied inside a per-line lambda); the planted blocked lines and
+    // the whole-doc flag are both derived from the same token pass
+    "word_blocklist" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         text || chr(10) || 'always clean line'
+        |           || CASE WHEN doc_id % 5 = 2
+        |                THEN chr(10) || 'has BadWordOne, inside' ELSE '' END
+        |           || CASE WHEN doc_id % 7 = 3
+        |                THEN chr(10) || 'forbidden żółć content' ELSE '' END
+        |           || CASE WHEN doc_id % 11 = 5
+        |                THEN chr(10) || 'BADWORDTWO!' ELSE '' END AS t2
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, t2, string_split(t2, chr(10)) AS ls,
+        |         list_filter(string_split(t2, chr(10)), l ->
+        |           len(list_filter(regexp_extract_all(
+        |                 regexp_replace(lower(l),
+        |                   '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+        |                   ' \1 ', 'g'),
+        |                 '[\p{L}\p{Nd}]+'),
+        |               tk -> list_contains(['badwordone','żółć','badwordtwo'], tk))) = 0
+        |         ) AS kept
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       len(list_filter(regexp_extract_all(
+        |             regexp_replace(lower(t2),
+        |               '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+        |               ' \1 ', 'g'),
+        |             '[\p{L}\p{Nd}]+'),
+        |           tk -> list_contains(['badwordone','żółć','badwordtwo'], tk))) > 0
+        |         AS doc_blocked,
+        |       CAST(len(ls) AS INT) AS n_lines,
+        |       CAST(len(kept) AS INT) AS n_lines_kept,
+        |       array_to_string(kept, chr(10)) AS clean_text
+        |FROM k
         |""".stripMargin,
 
     "media_dims" ->

@@ -30,6 +30,11 @@ import graft.dedup.{BandedCatalog, ExactCatalog, SubstrCatalog}
   *      the media tiers — its byte pass is the cheapest media decode,
   *      but it only catches byte-level copies, so the perceptual tiers
   *      get first claim on cluster representatives.
+  *   (before everything) WORD BLOCKLIST ([[graft.text.WordBlocklist]])
+  *      — OPTIONAL, engaged by `wordBlocklist`: the C4/Dolma bad-word
+  *      stage over the ORIGINAL text (doc-level drop, or line-level
+  *      rewrite with `wordBlocklistLineLevel`), then PII SCRUB
+  *      (`scrubPii`) — both pure map-side stages ahead of every tier.
   *   (before everything) DECONTAMINATION ([[StreamingDecontam]]) —
   *      OPTIONAL, engaged by `decontamDir`: drop docs sharing
   *      ≥ `decontamMinHits` distinct normalized word n-grams with the
@@ -136,7 +141,9 @@ object StreamingCurate {
       decontamDir: Option[String] = None,
       decontamDirs: Seq[String] = Nil,
       decontamMinHits: Long = 1L,
-      scrubPii: Boolean = false) {
+      scrubPii: Boolean = false,
+      wordBlocklist: Seq[String] = Nil,
+      wordBlocklistLineLevel: Boolean = false) {
     /** All configured decontam registries (single + multi forms). */
     def allDecontamDirs: Seq[String] = decontamDir.toSeq ++ decontamDirs
   }
@@ -147,15 +154,28 @@ object StreamingCurate {
       batch0: DataFrame, cfg: CurateConfig, added: Long = 0L,
       deliver: DataFrame => Unit = _ => ()): DataFrame = {
     import cfg._
-    // PII scrub runs FIRST — before any tier fingerprints or catalogs
+    // WORD BLOCKLIST runs before everything (the published C4/Dolma
+    // stage evaluates the ORIGINAL page text, so it precedes even the
+    // PII scrub — a masked token must not hide a listed word, and a
+    // blocked doc never pays the scrub): doc-level drops the document,
+    // line-level rewrites it with offending lines removed. Both are
+    // pure map-side column work — zero shuffles, no catalog, no crash
+    // ordering (a replay re-drops/re-scrubs identically).
+    val batchW =
+      if (wordBlocklist.isEmpty) batch0
+      else if (wordBlocklistLineLevel)
+        batch0.withColumn(textCol, graft.text.WordBlocklist.scrubLines(
+          org.apache.spark.sql.functions.col(textCol), wordBlocklist))
+      else graft.text.WordBlocklist.filterDocs(batch0, textCol, wordBlocklist)
+    // PII scrub runs next — before any tier fingerprints or catalogs
     // the text, so an email/phone/IP can never persist in a catalog
     // entry, a delivered rewrite, or a stats accumulator. A pure scalar
     // map: plan cost is absorbed into the batch's first projection.
     val batch =
       if (scrubPii)
-        batch0.withColumn(textCol,
+        batchW.withColumn(textCol,
           graft.text.Pii.scrub(org.apache.spark.sql.functions.col(textCol)))
-      else batch0
+      else batchW
     var out: DataFrame = batch.sparkSession.emptyDataFrame
     // the semantic tier's caller contract, checked BEFORE any tier
     // probes or appends: a missing embedding column (or an unbuilt
