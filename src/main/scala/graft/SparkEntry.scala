@@ -3479,6 +3479,18 @@ object SparkEntry {
       graft.text.Bpe.encode(docs(s, dir), "doc_id", "text",
         graft.text.Bpe.fixedMerges)),
 
+    // BYTE-LEVEL encode over the pinned byte merges (GPT-2-style byte
+    // fallback): every doc gets a planted multi-byte suffix (two- and
+    // three-byte UTF-8, plus "the" for the chained ASCII merges), so
+    // the hex-symbol init, the lead+continuation merges and the
+    // fallback ceiling (n_bytes) are all under the hash gate — the
+    // oracle restates the full greedy encode over hex(encode(word)).
+    "bpe_encode_bytes" -> ((s, dir) =>
+      graft.text.Bpe.encodeBytes(
+        docs(s, dir).withColumn("text",
+          concat(col("text"), lit(BpeBytePlant))),
+        "doc_id", "text", graft.text.Bpe.fixedByteMerges)),
+
     // Tumbling-window event aggregation: the batch twin of the streaming
     // windowedCounts path — hourly (window_start, event_type) counts and
     // exact-decimal value sums. One shuffle on the window key.
@@ -4729,6 +4741,46 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The multi-byte plant for `bpe_encode_bytes` — all lowercase (the
+    * encode lowers text, and simple-vs-full case folds diverge across
+    * engines on exotic uppercase, so the plant never exercises that):
+    * two-byte (é, ż ó ł ć), three-byte (€, 中文) UTF-8 plus "the" for
+    * the chained ASCII merges. */
+  private val BpeBytePlant = " café the €100 中文 żółć"
+
+  /** Full greedy BYTE-LEVEL BPE encode over
+    * [[graft.text.Bpe.fixedByteMerges]] as portable SQL — the
+    * [[bpeFixedOracleSql]] replace-chain discipline with the symbol
+    * alphabet swapped from code points to UTF-8 hex byte pairs
+    * (`regexp_extract_all(hex(encode(word)), '..')`), which is exactly
+    * what makes the hex symbol choice oracle-statable. */
+  private def bpeBytesOracleSql: String = {
+    val d = ""
+    val chain = graft.text.Bpe.fixedByteMerges.foldLeft(
+      s"'$d$d' || array_to_string(regexp_extract_all(hex(encode(word)), '..'), '$d$d') || '$d$d'") {
+      case (acc, m) =>
+        s"replace($acc, '$d${m.left}$d$d${m.right}$d', '$d${m.left}${m.right}$d')"
+    }
+    s"""WITH docs_t AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(trim(lower(text || '$BpeBytePlant'))) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(lower(text || '$BpeBytePlant')), '\\s+') END AS ws
+       |  FROM documents
+       |), words AS (
+       |  SELECT doc_id, w AS word FROM docs_t, unnest(ws) AS t(w) WHERE length(w) > 0
+       |), enc AS (
+       |  SELECT doc_id, len(string_split($chain, '$d$d')) - 2 AS n_sub,
+       |         length(hex(encode(word))) // 2 AS n_b
+       |  FROM words
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |       CAST(sum(n_b) AS BIGINT) AS n_bytes,
+       |       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM enc GROUP BY doc_id
+       |""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "cdc_user_state" ->
       s"""WITH typed AS (
@@ -5232,6 +5284,7 @@ object SparkEntry {
         |""".stripMargin,
 
     "bpe_encode_fixed" -> bpeFixedOracleSql,
+    "bpe_encode_bytes" -> bpeBytesOracleSql,
     "bpe_merges" -> bpeMergesOracleSql,
     "bpe_encode" -> bpeTrainedEncodeOracleSql,
 

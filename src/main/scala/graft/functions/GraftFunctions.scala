@@ -181,6 +181,9 @@ object GraftFunctions {
     column(BpeMergePair(expression(c), left, right))
   def bpeEncodeWord(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncodeWord(expression(c), merges))
+  def splitBytesHex(c: Column): Column = column(SplitBytesHex(expression(c)))
+  def bpeEncodeWordBytes(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeEncodeWordBytes(expression(c), merges))
   def extractHtmlText(c: Column): Column = column(ExtractHtmlText(expression(c)))
   def imagePHash(c: Column): Column = column(ImagePHash(expression(c)))
   def imageDHash(c: Column): Column = column(ImageDHash(expression(c)))

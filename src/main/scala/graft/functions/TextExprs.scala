@@ -351,6 +351,40 @@ object TextKernels {
     ArrayData.toArrayData(out.toArray)
   }
 
+  /** UTF-8 BYTE split as two-uppercase-hex-char symbols: "é" → ["C3",
+    * "A9"], "the" → ["74","68","65"] — the BYTE-LEVEL BPE symbol
+    * initializer (GPT-2-style byte fallback: every word is first its
+    * UTF-8 byte sequence, so NO text is ever out-of-vocabulary and
+    * multi-byte characters tokenize as learnable byte merges). The hex
+    * alphabet stands in for GPT-2's printable byte↔unicode remap table
+    * — both are bijections byte↔symbol whose only job is making byte
+    * symbols string-safe; hex additionally makes a merged symbol the
+    * hex of its merged byte RUN ("C3"+"A9" → "C3A9"), which is what
+    * lets the oracle restate the whole encode over
+    * `hex(encode(word))`. */
+  def splitBytesHex(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[UTF8String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i) = UTF8String.fromString(
+        new String(Array(HexDigits(b >>> 4), HexDigits(b & 0xf))))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** Full BYTE-LEVEL BPE encode of one word: split to hex byte symbols
+    * ([[splitBytesHex]]), then the same rank-ordered left-to-right
+    * non-overlapping merge fold as [[bpeEncodeWord]]. */
+  def bpeEncodeWordBytes(word: UTF8String, merges: Array[UTF8String]): ArrayData = {
+    val ad = splitBytesHex(word)
+    mergeFold(Array.tabulate(ad.numElements())(ad.getUTF8String), merges)
+  }
+
   /** One BPE merge step over a symbol array: every left-to-right
     * NON-OVERLAPPING adjacent (left, right) occurrence becomes the single
     * symbol left+right — ["a","a","a"] with merge (a,a) → ["aa","a"].
@@ -378,10 +412,16 @@ object TextKernels {
     * r1, …] pair list. O(merges × len) worst case — the encode pass of
     * the trained tokenizer. */
   def bpeEncodeWord(word: UTF8String, merges: Array[UTF8String]): ArrayData = {
-    var syms = {
-      val ad = splitChars(word)
-      Array.tabulate(ad.numElements())(ad.getUTF8String)
-    }
+    val ad = splitChars(word)
+    mergeFold(Array.tabulate(ad.numElements())(ad.getUTF8String), merges)
+  }
+
+  /** The shared encode fold: `merges` flattened [l0, r0, l1, r1, …],
+    * applied in rank order, each as one left-to-right non-overlapping
+    * pass. */
+  private def mergeFold(init: Array[UTF8String],
+      merges: Array[UTF8String]): ArrayData = {
+    var syms = init
     var m = 0
     while (m < merges.length) {
       val l = merges(m); val r = merges(m + 1)
@@ -637,6 +677,43 @@ case class BpeEncodeWord(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeWord =
     copy(child = newChild)
   override def prettyName: String = "bpe_encode_word"
+}
+
+/** `split_bytes_hex(text)` — UTF-8 byte split as hex-pair symbols, the
+  * BYTE-LEVEL BPE symbol initializer ([[TextKernels.splitBytesHex]]). */
+case class SplitBytesHex(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.splitBytesHex(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.splitBytesHex($c)")
+  override protected def withNewChildInternal(newChild: Expression): SplitBytesHex =
+    copy(child = newChild)
+  override def prettyName: String = "split_bytes_hex"
+}
+
+/** Full BYTE-LEVEL BPE encode of one word (hex byte symbols + the merge
+  * list in rank order) — the GPT-2-style byte-fallback encode. */
+case class BpeEncodeWordBytes(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  @transient private lazy val flat: Array[UTF8String] =
+    merges.flatMap { case (l, r) => Seq(l, r) }
+      .map(UTF8String.fromString).toArray
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeEncodeWordBytes(input.asInstanceOf[UTF8String], flat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeByteMerges", flat,
+      s"${classOf[UTF8String].getName}[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.bpeEncodeWordBytes($c, $mRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWordBytes =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_encode_word_bytes"
 }
 
 /** Unicode NFC normalization kernel + expression. Training corpora mix

@@ -53,13 +53,43 @@ object Bpe {
     ("m", "e"), ("c", "h"), ("s", "e"), ("c", "o"), ("d", "e")
   ).zipWithIndex.map { case ((l, r), i) => Merge(i, l, r, 0L) }
 
-  /** Word-frequency table with initial code-point symbol arrays:
-    * (word, cnt, syms). Lowercased, whitespace-tokenized. */
-  def wordTable(df: DataFrame, textCol: String): DataFrame =
+  /** A pinned BYTE-LEVEL merge list (GPT-2-style byte fallback): symbols
+    * are uppercase hex byte pairs ([[graft.functions.TextKernels
+    * .splitBytesHex]]), so a merged symbol is the hex of its merged byte
+    * run and the encode is statable over `hex(encode(word))` in portable
+    * SQL. The list deliberately mixes the English-frequency merges of
+    * [[fixedMerges]] (as bytes — chained `74 68`→`7468`→`746865` =
+    * "the") with multi-byte UTF-8 completions: two-byte Latin-ext
+    * (é ü ó ż ł ć), and chained three-byte sequences (€, 中, 文) whose
+    * lead+continuation merges are exactly how byte-level vocabularies
+    * learn non-Latin characters. Data-independent → full greedy-encode
+    * oracle, like `bpe_encode_fixed`. */
+  val fixedByteMerges: Seq[Merge] = Seq(
+    // English pair/chain merges (hex of t,h / th,e / i,n / a,n / an,d /
+    // e,r / o,n / r,e / a,t / e,n / o,r / e,s)
+    ("74", "68"), ("7468", "65"), ("69", "6E"), ("61", "6E"), ("616E", "64"),
+    ("65", "72"), ("6F", "6E"), ("72", "65"), ("61", "74"), ("65", "6E"),
+    ("6F", "72"), ("65", "73"),
+    // two-byte UTF-8 characters: é ü ó ż ł ć
+    ("C3", "A9"), ("C3", "BC"), ("C3", "B3"),
+    ("C5", "BC"), ("C5", "82"), ("C4", "87"),
+    // three-byte UTF-8, lead+continuation chains: € 中 文
+    ("E2", "82"), ("E282", "AC"),
+    ("E4", "B8"), ("E4B8", "AD"),
+    ("E6", "96"), ("E696", "87")
+  ).zipWithIndex.map { case ((l, r), i) => Merge(i, l, r, 0L) }
+
+  /** Word-frequency table with initial symbol arrays: (word, cnt, syms).
+    * Lowercased, whitespace-tokenized; symbols are code points, or UTF-8
+    * hex byte pairs when `byteLevel`. */
+  def wordTable(df: DataFrame, textCol: String,
+      byteLevel: Boolean = false): DataFrame =
     df.select(explode(TextOps.tokens(lower(col(textCol)))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("syms", GraftFunctions.splitChars(col("word")))
+      .withColumn("syms",
+        if (byteLevel) GraftFunctions.splitBytesHex(col("word"))
+        else GraftFunctions.splitChars(col("word")))
 
   /** Learn `numMerges` merges; stop early when the best pair's count
     * drops below `minPairCount`.
@@ -77,16 +107,17 @@ object Bpe {
   def train(
       df: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L, checkpointEvery: Int = 8,
-      localVocabThreshold: Long = 200000L): Seq[Merge] = {
+      localVocabThreshold: Long = 200000L,
+      byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
-    var words = wordTable(df, textCol).cache()
+    var words = wordTable(df, textCol, byteLevel).cache()
     val vocabSize = words.count() // materialize before the loop
 
     if (vocabSize <= localVocabThreshold) {
       val localWords = words.select(col("word"), col("cnt")).collect()
         .map(r => r.getString(0) -> r.getLong(1))
       words.unpersist()
-      return trainLocal(localWords, numMerges, minPairCount)
+      return trainLocal(localWords, numMerges, minPairCount, byteLevel)
     }
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -131,17 +162,25 @@ object Bpe {
     * (count desc, left asc, right asc). */
   private def trainLocal(
       wordCounts: Array[(String, Long)], numMerges: Int,
-      minPairCount: Long): Seq[Merge] = {
+      minPairCount: Long, byteLevel: Boolean = false): Seq[Merge] = {
+    val hexDigits = "0123456789ABCDEF"
     var words: Map[Vector[String], Long] = wordCounts.groupBy { case (w, _) =>
-      val out = Vector.newBuilder[String]
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        val n = Character.charCount(cp)
-        out += w.substring(i, i + n)
-        i += n
+      if (byteLevel) {
+        // same init as TextKernels.splitBytesHex: UTF-8 hex byte pairs
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toVector.map { b =>
+          new String(Array(hexDigits((b & 0xff) >>> 4), hexDigits(b & 0xf)))
+        }
+      } else {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          val n = Character.charCount(cp)
+          out += w.substring(i, i + n)
+          i += n
+        }
+        out.result()
       }
-      out.result()
     }.map { case (syms, ws) => syms -> ws.map(_._2).sum }
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -221,6 +260,33 @@ object Bpe {
     subs.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("n_subwords").cast("long")).as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** BYTE-LEVEL encode (GPT-2-style byte fallback): like [[encode]] but
+    * words split to UTF-8 byte symbols before the merge fold — so a
+    * vocabulary trained byte-level (or the pinned [[fixedByteMerges]])
+    * counts tokens the way production byte-level tokenizers do on
+    * non-ASCII text: an unmerged multi-byte character costs its BYTE
+    * count, never an out-of-vocabulary token. Adds `n_bytes` (the
+    * pre-merge symbol count — the fallback ceiling on n_subwords) to
+    * the per-doc output. Pure scan, merges inlined into the codegen'd
+    * kernel, no join. */
+  def encodeBytes(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val subs = df.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("n_subwords",
+        size(GraftFunctions.bpeEncodeWordBytes(col("word"), pairs)))
+      .withColumn("n_bytes", octet_length(col("word")))
+    subs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_subwords").cast("long")).as("n_subwords"),
+        sum(col("n_bytes").cast("long")).as("n_bytes"))
       .withColumn("fertility",
         round(col("n_subwords").cast("double") / col("n_tokens"), 6))
   }

@@ -128,6 +128,57 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       == Seq("aa", "a"))
   }
 
+  test("byte-level: hex symbol init, multi-byte fallback encode, and path equality") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    // splitBytesHex is the UTF-8 byte sequence as uppercase hex pairs
+    def hx(w: String): Seq[String] = {
+      val out = graft.functions.TextKernels.splitBytesHex(UTF8String.fromString(w))
+      (0 until out.numElements()).map(out.getUTF8String(_).toString)
+    }
+    assert(hx("é") == Seq("C3", "A9"))
+    assert(hx("ab") == Seq("61", "62"))
+    assert(hx("中") == Seq("E4", "B8", "AD"))
+    assert(hx("") == Seq())
+    // fixedByteMerges encode: chained ASCII and lead+continuation UTF-8
+    val flat = Bpe.fixedByteMerges.flatMap(m => Seq(m.left, m.right))
+      .map(UTF8String.fromString).toArray
+    def enc(w: String): Seq[String] = {
+      val out = graft.functions.TextKernels.bpeEncodeWordBytes(
+        UTF8String.fromString(w), flat)
+      (0 until out.numElements()).map(out.getUTF8String(_).toString)
+    }
+    assert(enc("the") == Seq("746865"))
+    assert(enc("café") == Seq("63", "61", "66", "C3A9"))
+    assert(enc("€") == Seq("E282AC"))
+    assert(enc("中文") == Seq("E4B8AD", "E69687"))
+    assert(enc("żółć") == Seq("C5BC", "C3B3", "C582", "C487"))
+    // an UNMERGED multi-byte char costs its byte count — the fallback
+    // ceiling, never an OOV
+    assert(enc("ß") == Seq("C3", "9F"))
+    // byte-level training: distributed path == driver-local fast path
+    // on a corpus with multi-byte words (the char-path equality pin,
+    // re-run under byteLevel)
+    val df = (corpus ++ Seq("café café café żółć żółć the the")).toDF("text")
+    val local = Bpe.train(df, "text", numMerges = 12, byteLevel = true)
+    val dist = Bpe.train(df, "text", numMerges = 12,
+      localVocabThreshold = 0L, byteLevel = true)
+    assert(local == dist, s"byte-level paths diverged:\n$local\n$dist")
+    // every merged symbol is even-length hex (byte-run closed)
+    local.foreach { m =>
+      assert((m.left + m.right).matches("[0-9A-F]+")
+        && (m.left.length + m.right.length) % 2 == 0)
+    }
+    // encodeBytes: n_bytes is the fallback ceiling, counts add up
+    val got = Bpe.encodeBytes(
+      Seq((1L, "the café 中文")).toDF("doc_id", "text"),
+      "doc_id", "text", Bpe.fixedByteMerges)
+      .select("n_tokens", "n_subwords", "n_bytes")
+      .as[(Long, Long, Long)].head()
+    // the→1, café→4 (c,a,f,é), 中文→2; bytes 3+5+6
+    assert(got == ((3L, 7L, 14L)))
+  }
+
   test("fixedMerges: rank-chained merges compose (ti+on -> tion) and ranks are dense") {
     import org.apache.spark.unsafe.types.UTF8String
     val m = Bpe.fixedMerges
