@@ -1345,6 +1345,63 @@ object SparkEntry {
             .cast("long").as("n_tokens"))
     }),
 
+    // The FULL ingest-to-training-shards path as ONE oracle (closing the
+    // pipeline back door: crawl_pipeline stops at token counts, and
+    // stage-ORDER hazards — extract-before-curate, sample-after-curate,
+    // pack-over-the-REWRITE — only a composed gate can catch): WARC
+    // segment bytes (both framings by parity) → record walk → HTTP →
+    // chrome-laden HTML → main-content extraction (its ≥5-word rule IS
+    // the quality gate) → the 3-tier curate chain against prior-corpus
+    // catalogs → deterministic 80% mixture sample on the REWRITE →
+    // sharded pack planning over clean_text. Catalogs are built from
+    // extraction-NORMALIZED prior text (the extractor re-joins tokens
+    // single-spaced, and tier fingerprints must be comparable across
+    // crawls that differ only in whitespace).
+    "crawl_to_shards" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prior = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", regexp_replace(trim(col("text")), "\\s+", " "))
+      val root = java.nio.file.Files.createTempDirectory("graft-crawl-shards-q")
+      val tmp = root.toString
+      graft.dedup.ExactCatalog.append(
+        graft.dedup.ExactCatalog.entriesOf(
+          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
+      graft.dedup.BandedCatalog.append(
+        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
+      graft.dedup.SubstrCatalog.append(
+        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+        s"$tmp/substr", SubstrDedupW)
+      val page = chromeFixturePage
+      val batch = d.filter(col("doc_id") % 3 =!= 0)
+        .select(GraftFunctions.syntheticWarc(
+          col("doc_id"), (col("doc_id") % 2).cast("int"), page).as("seg"))
+        .select(explode(GraftFunctions.warcRecords(col("seg"))).as("r"))
+        .filter(col("r.rec_type") === "response")
+        .select(col("r.url").as("url"),
+          GraftFunctions.httpResponse(col("r.block")).as("h"))
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          graft.text.Html.extractMainText(col("h.body").cast("string"))
+            .as("text"))
+        // quality: the extractor refuses <5-word pages to "" — drop them
+        .filter(GraftFunctions.tokenCountWs(col("text")) >= 5)
+      val curated = graft.streaming.StreamingCurate.applyBatch(
+        batch,
+        graft.streaming.StreamingCurate.CurateConfig(
+          s"$tmp/exact", s"$tmp/near", s"$tmp/substr",
+          "doc_id", "text", SubstrDedupW, jaccardThreshold = 0.8), added = 1L)
+        .filter(col("n_tokens") > 0)
+      val sampled = curated.filter(
+        pmod(GraftFunctions.fingerprint64(col("clean_text")), lit(1000L)) < 800)
+      val out = graft.text.Packing.packPlanSharded(
+        sampled.withColumn("source", lit("crawl")),
+        "doc_id", "clean_text", "source", tokenBudget = 256, nShards = 4,
+        shardBy = Some(pmod(
+          GraftFunctions.fingerprint64(col("clean_text")), lit(4L))))
+      deleteRecursively(root.toFile)
+      out
+    }),
+
     // The WET leg: `conversion` records carry extracted plain text with
     // no HTTP layer; the reader must surface it verbatim.
     "warc_wet_text" -> ((s, dir) => {
@@ -4560,9 +4617,18 @@ object SparkEntry {
     * scheme makes the image tiers' drop set pure doc_id arithmetic, so
     * the oracle re-roots the text chain at the image survivors). */
   private def curateStreamOracleSql(batchPred: String = "",
+      textExpr: String = "text"): String =
+    s"WITH RECURSIVE ${curateStreamOracleCtes(batchPred, textExpr)}\n" +
+      curateStreamFinalSelectSql
+
+  /** The same chain as a REUSABLE CTE body (no WITH prefix, no final
+    * SELECT) — composed gates (`crawl_to_shards`) append their own
+    * downstream CTEs after it and wrap [[curateStreamFinalSelectSql]]
+    * as a `curated` CTE. */
+  private def curateStreamOracleCtes(batchPred: String = "",
       textExpr: String = "text"): String = {
     val w = SubstrDedupW
-    s"""WITH RECURSIVE ${minhashSigCtesSqlFor(textExpr)},
+    s"""${minhashSigCtesSqlFor(textExpr)},
        |${substrWndSqlFor(textExpr).stripPrefix("WITH ")},
        |exact_cat AS MATERIALIZED (
        |  SELECT DISTINCT $textExpr AS text FROM documents WHERE doc_id % 3 = 0
@@ -4634,16 +4700,71 @@ object SparkEntry {
        |  SELECT t.doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT)] AS tok
        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
        |  WHERE t.doc_id IN (SELECT doc_id FROM near_surv)
+       |)""".stripMargin
+  }
+
+  /** `crawl_to_shards` oracle: the curate CTE chain over
+    * extraction-normalized text (textExpr = the main-content extractor's
+    * whitespace re-join; batchPred = its ≥5-word quality rule), wrapped
+    * as `curated`, then the deterministic mixture sample and the
+    * pack_plan_sharded arithmetic over the REWRITE — the portable
+    * fingerprint keys both the sample and the shard split exactly like
+    * the Spark side. */
+  private def crawlToShardsOracleSql: String = {
+    val ctes = curateStreamOracleCtes(
+      batchPred = "AND (CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 5",
+      textExpr = "regexp_replace(trim(text), '\\s+', ' ', 'g')")
+    val sel = curateStreamFinalSelectSql.trim
+    s"""WITH RECURSIVE $ctes,
+       |curated AS MATERIALIZED ($sel),
+       |surv AS MATERIALIZED (
+       |  SELECT doc_id, clean_text FROM curated
+       |  WHERE n_tokens > 0 AND ${fingerprintSql("clean_text")} % 1000 < 800
+       |), pt AS MATERIALIZED (
+       |  SELECT 'crawl' AS source, doc_id,
+       |         ${fingerprintSql("clean_text")} % 4 AS shard,
+       |         CASE WHEN length(trim(clean_text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END AS n_tokens
+       |  FROM surv
+       |), pl AS MATERIALIZED (
+       |  SELECT source, shard, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+       |  FROM pt
+       |), plp AS MATERIALIZED (
+       |  SELECT source, shard, doc_id, n_tokens,
+       |         cum_before // 256 AS local_pack, cum_before % 256 AS pack_offset
+       |  FROM pl
+       |), pb AS MATERIALIZED (
+       |  SELECT source, shard,
+       |         greatest((sum(n_tokens) + 255) // 256, max(local_pack) + 1) AS n_packs
+       |  FROM plp GROUP BY source, shard
+       |), pbo AS MATERIALIZED (
+       |  SELECT source, shard,
+       |         sum(n_packs) OVER (PARTITION BY source ORDER BY shard
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_packs AS base
+       |  FROM pb
        |)
-       |SELECT tok.doc_id,
-       |  CAST(count(*) AS BIGINT) AS n_tokens,
-       |  CAST(count(r.idx) AS BIGINT) AS n_removed,
-       |  coalesce(string_agg(CASE WHEN r.idx IS NULL THEN tok.tok END,
-       |                      ' ' ORDER BY tok.idx), '') AS clean_text
-       |FROM tok LEFT JOIN remtok r ON r.doc_id = tok.doc_id AND r.idx = tok.idx
-       |GROUP BY tok.doc_id
+       |SELECT plp.source, CAST(plp.shard AS BIGINT) AS shard, plp.doc_id,
+       |       CAST(plp.n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(pbo.base + plp.local_pack AS BIGINT) AS pack_id,
+       |       CAST(plp.pack_offset AS BIGINT) AS pack_offset
+       |FROM plp JOIN pbo USING (source, shard)
        |""".stripMargin
   }
+
+  /** Final SELECT of the curate-chain oracle (the per-survivor rewrite),
+    * over the CTEs of [[curateStreamOracleCtes]]. */
+  private val curateStreamFinalSelectSql: String =
+    """SELECT tok.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(r.idx) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN r.idx IS NULL THEN tok.tok END,
+      |                      ' ' ORDER BY tok.idx), '') AS clean_text
+      |FROM tok LEFT JOIN remtok r ON r.doc_id = tok.doc_id AND r.idx = tok.idx
+      |GROUP BY tok.doc_id
+      |""".stripMargin
 
   /** Shared CTE prefix for the DSIR oracles: whitespace tokens → hashed
     * bucket (the `doc_fingerprint` rolling hash over UTF-8 bytes, mod
@@ -5808,6 +5929,11 @@ object SparkEntry {
       batchPred = "AND doc_id % 5 != 2",
       textExpr =
         "(text || CASE WHEN doc_id % 5 = 2 THEN ' badwordone' ELSE '' END)"),
+
+    // ingest-to-shards: the curate chain (over extraction-normalized
+    // text, batch = quality survivors) extended by the mixture sample
+    // and the sharded pack arithmetic — all four stages in ONE hash gate
+    "crawl_to_shards" -> crawlToShardsOracleSql,
 
     // Image dedup gates: counts are pure doc_id arithmetic (the planted
     // -21/-42 stride scheme — see plantedImage); the decode-derived
