@@ -105,6 +105,46 @@ object StreamingDecontam {
       kind = kindFor(effN))
   }
 
+  /** One-call registry MIGRATION for fingerprint-universe bumps (the
+    * docs/MIGRATION.md v2→v3 runbook as an operation): a registry whose
+    * recorded kind is not the CURRENT universe (v1 raw-gram, v2
+    * ASCII-fold `_norm`, or any future stale marker) is rebuilt from
+    * the eval corpus — the durable input; the registry is derived state
+    * — into a sibling directory and swapped into place. Returns true
+    * when a rebuild happened, false when the registry was already
+    * current (idempotent — safe to run unconditionally on every
+    * deploy). A missing/empty dir registers fresh.
+    *
+    * Operational contract: stop the stream at a trigger boundary, run
+    * this once, resume from the SAME checkpoint — admission is
+    * idempotent and the probe is stateless per trigger, so admitted
+    * batches are unaffected (spec-pinned: stale-kind refusal → migrate
+    * → green resume). The swap is delete-then-rename of the registry
+    * dir; the stream is stopped per the contract, so no trigger can
+    * observe the window between them. */
+  def migrateRegistry(evalDocs: DataFrame, dir: String, textCol: String,
+      n: Int = 3, numBuckets: Int = ExactCatalog.DefaultBuckets,
+      added: Long = 0L): Boolean = {
+    val spark = evalDocs.sparkSession
+    if (metaN(spark, dir).isDefined) return false // already current
+    if (ExactCatalog.readMetaKind(spark, dir).isEmpty) {
+      // nothing (or kindless dir) there: plain fresh registration
+      register(evalDocs, dir, textCol, n, numBuckets, added)
+      return true
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".rebuild")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    register(evalDocs, tmp.toString, textCol, n, numBuckets, added)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path),
+      s"migrateRegistry: rename $tmp -> $path failed (old registry " +
+        "already removed; rerun to re-register from the eval corpus)")
+    true
+  }
+
   /** One micro-batch against ONE registry — [[applyBatchMulti]] with a
     * single dir; see there for the semantics. */
   def applyBatch(

@@ -229,6 +229,55 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("crash/replay: a checkpoint rollback re-delivers segments without double-inserting catalogs or double-counting stats") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{StreamingCurate, StreamingSketch, StreamingDistinct}
+    val root = java.nio.file.Files.createTempDirectory("graft-warc-replay")
+    val seg = root.resolve("segments"); java.nio.file.Files.createDirectory(seg)
+    def put(name: String, seed: Long, body: String): Unit =
+      java.nio.file.Files.write(seg.resolve(name),
+        WarcFixtures.syntheticWarc(seed, 1, body.getBytes(UTF_8)))
+    put("seg-000.warc.gz", 1L, "alpha beta gamma delta epsilon zeta")
+    put("seg-001.warc.gz", 2L, "one two three four five six seven")
+    val cfg = StreamingCurate.CurateConfig(
+      s"$root/exact", s"$root/near", s"$root/substr",
+      "doc_id", "text", w = 5, jaccardThreshold = 0.8,
+      statsDir = Some(s"$root/stats"))
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runPass(ckpt: String): Unit = {
+      val docs = Warc.responsesStream(spark, seg.toString + "/*.warc.gz")
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+      val q = StreamingCurate.writer(docs, cfg, ckpt, Trigger.AvailableNow()) {
+        batch => delivered ++= batch.select(col("doc_id")).as[Long].collect()
+      }.start()
+      q.awaitTermination()
+    }
+    runPass(s"$root/ckpt")
+    assert(delivered.sorted == Seq(1L, 2L))
+    def exactDistinct(): Long = graft.dedup.ExactCatalog.read(spark,
+      s"$root/exact").select("fp", "h2").distinct().count()
+    def cmsTotal(): Long =
+      StreamingSketch.read(spark, s"$root/stats/cms").get.totalCount()
+    val (d0, c0) = (exactDistinct(), cmsTotal())
+    val hll0 = StreamingDistinct.estimate(spark, s"$root/stats/hll")
+    // CHECKPOINT ROLLBACK: lose the file-source checkpoint entirely —
+    // the next run re-discovers and re-delivers BOTH segments under a
+    // fresh batch id. The curate topology must hold its contracts
+    // anyway: first-delivery-wins (the exact catalog re-drops the
+    // replayed docs), catalog distinct keys unchanged, stats unchanged
+    // (a suppressed replay contributes zero grams).
+    delivered.clear()
+    runPass(s"$root/ckpt-after-rollback")
+    assert(delivered.isEmpty,
+      s"replayed segments must be suppressed by the catalogs: $delivered")
+    assert(exactDistinct() == d0, "replay must not add catalog keys")
+    assert(cmsTotal() == c0, "replay must not double-count CMS stats")
+    assert(StreamingDistinct.estimate(spark, s"$root/stats/hll") == hll0,
+      "replay must not change the HLL estimate")
+  }
+
   test("WARC headers decode as UTF-8: a multi-byte Target-URI surfaces intact, framing unshifted") {
     // build a record whose WARC-Target-URI carries multi-byte UTF-8
     // (IRI per ISO 28500 §4 — headers are UTF-8, not Latin-1); the

@@ -191,6 +191,35 @@ class StreamingDecontamSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("decontam_gram_n3_norm"))
   }
 
+  test("migrateRegistry: stale-kind refusal -> one call -> green resume; idempotent on current") {
+    val dir = Files.createTempDirectory("graft-dc-mig").toString + "/reg"
+    // a v2 ASCII-fold registry (the pre-Unicode universe)
+    ExactCatalog.append(
+      StreamingDecontam.evalEntriesOf(evalDocs, "text", 3), dir,
+      kind = "decontam_gram_n3_norm")
+    val batch = Seq(
+      1L -> "the capital of france is paris obviously", // contaminated
+      2L -> "a wholly unrelated training document").toDF("doc_id", "text")
+    // before: the stream's next trigger refuses loudly
+    intercept[IllegalArgumentException] {
+      StreamingDecontam.applyBatch(batch, dir, "doc_id", "text").count()
+    }
+    // the one-call migration (rebuild from the eval corpus + swap)
+    assert(StreamingDecontam.migrateRegistry(evalDocs, dir, "text"))
+    // after: same dir, same checkpoint semantics — probe is green and
+    // drops the contaminated doc
+    assert(StreamingDecontam.applyBatch(batch, dir, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    // idempotent: a second call is a no-op on a current registry
+    assert(!StreamingDecontam.migrateRegistry(evalDocs, dir, "text"))
+    assert(StreamingDecontam.metaN(spark, dir).contains(3))
+    // missing dir: registers fresh (deploy-script safe)
+    val fresh = Files.createTempDirectory("graft-dc-mig2").toString + "/reg"
+    assert(StreamingDecontam.migrateRegistry(evalDocs, fresh, "text"))
+    assert(StreamingDecontam.applyBatch(batch, fresh, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("kind universe guard both ways; an empty registry passes everything") {
     val dir = Files.createTempDirectory("graft-dc-k").toString + "/reg"
     StreamingDecontam.register(evalDocs, dir, "text")
