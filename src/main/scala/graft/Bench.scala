@@ -44,7 +44,7 @@ object Bench {
   private val Noisy = Set(
     "cdc_user_state", "sessionize", "q21_waiting", "minhash_pairs",
     "semdedup_report", "dedup_cluster_resolve", "minhash_20k", "cdc_apply",
-    "cluster_deep_chain", "pipeline_e2e_20k",
+    "cluster_deep_chain", "pipeline_e2e_20k", "crawl_to_shards",
     "exact_trigger_1x", "exact_trigger_10x", "exact_flat_1x",
     "exact_flat_10x", "neardedup_trigger_1x", "neardedup_trigger_10x",
     "substr_trigger_1x", "substr_trigger_10x", "curate_trigger",
@@ -169,7 +169,10 @@ object Bench {
       "dedup_cluster_resolve", "pipeline_e2e",
       // r16: crawl front door, KN smoothing, block classifier, approx layout
       "warc_extract", "kn_trigram_logppl", "html_extract_main",
-      "zorder_key_bounds_approx", "crawl_pipeline", "pii_scrub")
+      "zorder_key_bounds_approx", "crawl_pipeline", "pii_scrub",
+      // r17: list filters, byte-level BPE, the composed ingest-to-shards
+      "url_blocklist", "word_blocklist", "bpe_encode_bytes",
+      "crawl_to_shards")
 
     val queryTimes = headline
       .filter(n => only.isEmpty || only(n))
@@ -1074,11 +1077,76 @@ object Bench {
           row("hygiene_compact_10x", 1000000L)).toSeq
       } else Seq.empty
 
+    // WARC ingestion throughput (r16 verdict item 4): the crawl FRONT
+    // DOOR gets a standing cost number like every other family. The
+    // real layout — segment files, one gzip member per record — built
+    // once outside the timer; the clean leg prices segments → records →
+    // responses end to end (the docs/s headline metric), the corrupt
+    // leg prices the refusal path over the same layout with 1/4 of the
+    // segments truncated mid-member (the manual member walk still
+    // accounts every byte of a bad segment before refusing it, so
+    // corruption is NOT free — that cost belongs in the artifact).
+    val warcNames = Seq("warc_ingest", "warc_ingest_corrupt")
+    var nWarcDocs = 0L
+    var warcSec = 0.0
+    val warcTimes: Seq[(String, Double)] =
+      if (warcNames.exists(want)) {
+        val root = scratch("graft-warc-bench")
+        val nSeg = 32
+        val perSeg = 1000
+        val body = ("crawl ingestion benchmark body token stream " * 6).trim
+        val u8 = java.nio.charset.StandardCharsets.UTF_8
+        def buildSegs(sub: String, corruptEvery: Int): String = {
+          val dir = java.nio.file.Paths.get(root, sub)
+          java.nio.file.Files.createDirectories(dir)
+          (0 until nSeg).foreach { s =>
+            val bos = new java.io.ByteArrayOutputStream(1 << 20)
+            var r = 0
+            while (r < perSeg) {
+              bos.write(graft.functions.WarcFixtures.syntheticWarc(
+                s.toLong * perSeg + r, 1,
+                s"$body ${s.toLong * perSeg + r}".getBytes(u8)))
+              r += 1
+            }
+            val bytes = bos.toByteArray
+            val outB =
+              if (corruptEvery > 0 && s % corruptEvery == 0)
+                java.util.Arrays.copyOf(bytes, bytes.length - 7)
+              else bytes
+            java.nio.file.Files.write(dir.resolve(f"seg-$s%03d.warc.gz"), outB)
+          }
+          dir.toString
+        }
+        val clean = buildSegs("clean", corruptEvery = 0)
+        val mixed = buildSegs("mixed", corruptEvery = 4)
+        nWarcDocs = nSeg.toLong * perSeg
+        val ingest = if (want("warc_ingest")) timeN("warc_ingest") {
+          val r = graft.sources.Warc.responses(spark, s"$clean/*.warc.gz")
+            .agg(count(lit(1)), sum(octet_length(col("payload").cast("string"))))
+            .collect()(0)
+          require(r.getLong(0) == nWarcDocs, s"warc_ingest parsed ${r.get(0)}")
+        } else 0.0
+        warcSec = ingest
+        val corrupt = if (want("warc_ingest_corrupt")) timeN("warc_ingest_corrupt") {
+          val r = graft.sources.Warc.records(spark, s"$mixed/*.warc.gz")
+            .agg(
+              sum(when(col("rec_type").isNull, 1L).otherwise(0L)),
+              count(when(col("rec_type") === "response", lit(1))))
+            .collect()(0)
+          require(r.getLong(0) == (nSeg + 3) / 4,
+            s"warc_ingest_corrupt refusals ${r.get(0)}")
+        } else 0.0
+        (if (want("warc_ingest")) Seq("warc_ingest" -> ingest) else Nil) ++
+          (if (want("warc_ingest_corrupt"))
+            Seq("warc_ingest_corrupt" -> corrupt) else Nil)
+      } else Seq.empty
+
     val metricTimes = (Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
       "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec)
-      ++ catalogTimes ++ semddTimes ++ zTimes ++ zsTimes ++ bkTimes ++ hygTimes)
+      ++ catalogTimes ++ semddTimes ++ zTimes ++ zsTimes ++ bkTimes ++ hygTimes
+      ++ warcTimes)
       .filter { case (n, _) => want(n) }
     val all = queryTimes ++ metricTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -1091,7 +1159,8 @@ object Bench {
         f""""cdc_events_per_s":${rate(nEvents, cdcSec)}%.0f,""" +
         f""""dedup_overhead_x":$dedupOverheadX%.2f,""" +
         f""""text_docs_per_s":${rate(nDocs, textSec)}%.0f,""" +
-        f""""minhash_docs_per_s":${rate(nDocs, minhashSec)}%.0f"""
+        f""""minhash_docs_per_s":${rate(nDocs, minhashSec)}%.0f,""" +
+        f""""warc_docs_per_s":${rate(nWarcDocs, warcSec)}%.0f"""
     // contention self-identification: 1-min loadavg before/after plus the
     // run's own wall clock (>> sum of medians on a contended box). The
     // one-line verdict flag keys on load_start alone — the pre-run load
