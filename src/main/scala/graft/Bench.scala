@@ -262,13 +262,25 @@ object Bench {
           .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"), col("text"))
           .cache()
         val n = amplified.count()
-        val text = if (want("text_pipeline_20k")) timeN("text_pipeline_20k") {
+        // RATE-LEG protocol (v3, r16 verdict item 1): text_pipeline_20k
+        // and minhash_20k feed the headline docs/s metrics, which swung
+        // ~40% round over round on host-ambient noise (the r17 A/B:
+        // r15 and r16 code statistically indistinguishable on
+        // minhash_20k, both elevated vs both idle artifacts — the delta
+        // follows the HOST). Both are pure compute rows (no
+        // self-consuming state, no catalog), so MIN over
+        // max(repsNoisy, 5) samples is the least-biased floor measure —
+        // contention only ever inflates a wall clock. The e2e composite
+        // keeps its median protocol (cross-round comparability).
+        def timeRate(f: => Unit): Double =
+          (1 to math.max(repsNoisy, 5)).map(_ => time(f)).min
+        val text = if (want("text_pipeline_20k")) timeRate {
           force(amplified.select(col("doc_id"),
             graft.text.TextOps.tokenCount(col("text")).as("nt"),
             graft.text.TextOps.qualityScore(col("text")).as("q"),
             graft.functions.GraftFunctions.fingerprint64(col("text")).as("fp")))
         } else 0.0
-        val minhash = if (want("minhash_20k")) timeN("minhash_20k") {
+        val minhash = if (want("minhash_20k")) timeRate {
           // banding matched to the 0.9 threshold (8×8 over the same 64
           // lanes): provably the same survivor set as the default 16×4 —
           // see Dedup.exactRecallBanding — with ~16× fewer false
@@ -1174,8 +1186,11 @@ object Bench {
         // timing-protocol version, bumped whenever the sampling rule for
         // any row class changes so cross-round deltas stay like-for-like:
         // v1 = median everywhere (r7-r14); v2 = min-of-REPS_SUB for
-        // sub-second non-noisy rows, median for composites (r15+).
-        s""""timing_protocol":"v2-min-subsec""""
+        // sub-second non-noisy rows, median for composites (r15+);
+        // v3 = additionally min-of-max(repsNoisy,5) for the docs/s RATE
+        // legs text_pipeline_20k + minhash_20k (r17 — host-ambient
+        // swings were moving the headline metrics 40%).
+        s""""timing_protocol":"v3-min-rates""""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,$env,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2 KB of stdout, and the full
