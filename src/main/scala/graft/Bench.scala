@@ -172,7 +172,7 @@ object Bench {
       "zorder_key_bounds_approx", "crawl_pipeline", "pii_scrub",
       // r17: list filters, byte-level BPE, the composed ingest-to-shards
       "url_blocklist", "word_blocklist", "bpe_encode_bytes",
-      "crawl_to_shards")
+      "crawl_to_shards", "c4_clean", "bpe_merges_bytes")
 
     val queryTimes = headline
       .filter(n => only.isEmpty || only(n))

@@ -3163,6 +3163,41 @@ object SparkEntry {
             .as("clean_text"))
     }),
 
+    // The FULL published C4 cleaning recipe (Raffel et al. 2020 §2.2)
+    // over planted multi-line pages — every rule is exercised by
+    // doc_id arithmetic and the gate emits ALL docs with the keep flag
+    // and diagnostics, so both sides of every rule are under the hash:
+    // line rules (terminal punctuation, >=5 words, no-javascript) and
+    // page rules (>=3 sentences of kept text, bad-word list, lorem
+    // ipsum phrase, curly bracket).
+    "c4_clean" -> ((s, dir) => {
+      val badWords = Seq("darkmagic")
+      val page = concat(
+        col("text"), lit("."),
+        lit("\ntoo short."),
+        lit("\nthis line lacks terminal punctuation entirely"),
+        when(col("doc_id") % 4 === 1,
+          "\nthe javascript snippet line should vanish now.").otherwise(""),
+        lit("\nanother proper sentence appears right here!"),
+        when(col("doc_id") % 5 =!= 3,
+          "\na third good sentence closes the page.").otherwise(""),
+        when(col("doc_id") % 7 === 2,
+          "\nstray { brace here breaks the page rule.").otherwise(""),
+        when(col("doc_id") % 9 === 4,
+          "\nLorem Ipsum dolor sit amet consectetur adipiscing.").otherwise(""),
+        when(col("doc_id") % 11 === 6,
+          "\nthis page mentions darkmagic once too often here.").otherwise(""))
+      docs(s, dir)
+        .withColumn("__page", page)
+        .withColumn("__kept", graft.text.C4.cleanText(col("__page")))
+        .select(col("doc_id"),
+          graft.text.C4.pageKept(col("__page"), col("__kept"), badWords)
+            .as("page_kept"),
+          graft.text.C4.sentenceCount(col("__kept")).as("n_sentences"),
+          size(graft.text.C4.keptLines(col("__page"))).as("n_lines_kept"),
+          col("__kept").as("clean_text"))
+    }),
+
     // -------------------------------------------------------- multimodal
     "media_meta" -> ((s, dir) => {
       val bin = docs(s, dir).withColumn("payload", col("text").cast("binary"))
@@ -3515,6 +3550,21 @@ object SparkEntry {
         .toDF("rank", "left", "right", "pair_count")
     }),
 
+    // BYTE-LEVEL training under the same merge-for-merge oracle: the
+    // corpus gets the multi-byte plant REPEATED ×6 per doc, which
+    // lifts the UTF-8 pairs (count 6·n_docs) above the learn threshold
+    // so lead+continuation merges are actually LEARNED inside the 30
+    // ranks, not just applied — a trainer that mishandles byte symbols
+    // anywhere in the chain reorders the merge list and hash-
+    // mismatches. The oracle reruns the identical 30-stage chain with
+    // hex-pair symbol init; tie-breaks compare only [0-9A-F] strings,
+    // where both engines' orderings agree trivially.
+    "bpe_merges_bytes" -> ((s, dir) =>
+      graft.text.Bpe.trainDf(s,
+        docs(s, dir).withColumn("text",
+          concat(col("text"), lit(BpeBytePlant * 6))),
+        "text", numMerges = 30, byteLevel = true)),
+
     // Encode the corpus with the trained merges: per-doc token/subword
     // counts and fertility — the tokenizer-fit metric. Oracled: the
     // unrolled training stages already encode every distinct word, so
@@ -3836,17 +3886,28 @@ object SparkEntry {
     * limitation: a corpus whose TEXT contains the U+001F delimiter would
     * corrupt the SQL symbol encoding (the Spark side is unaffected) —
     * U+001F is a C0 control char that real text corpora do not carry. */
-  private def bpeTrainStagesSql(n: Int): String = {
+  /** The merge-for-merge BPE training restatement: `symsExpr` is the
+    * symbol-initialization expression over `word` — code-point split
+    * for the char-level trainer, UTF-8 hex byte pairs
+    * ([[graft.functions.TextKernels.splitBytesHex]]'s SQL image) for
+    * the byte-level one; `textExpr` lets the byte gate plant its
+    * multi-byte suffix. Hex symbols have a second parity bonus: the
+    * tie-break (`ORDER BY c DESC, l, r`) compares only `[0-9A-F]`
+    * strings, where DuckDB collation and Spark's UTF8String byte order
+    * agree trivially. */
+  private def bpeTrainStagesSql(n: Int,
+      symsExpr: String = "regexp_split_to_array(word, '')",
+      textExpr: String = "text"): String = {
     val d = "\u001f"
     val dd = d + d
     val words0 =
       s"""words0 AS MATERIALIZED (
          |  SELECT word, cnt,
-         |         '$dd' || array_to_string(regexp_split_to_array(word, ''), '$dd') || '$dd' AS syms
+         |         '$dd' || array_to_string($symsExpr, '$dd') || '$dd' AS syms
          |  FROM (
          |    SELECT w AS word, count(*) AS cnt FROM (
-         |      SELECT unnest(CASE WHEN length(trim(lower(text))) = 0 THEN []
-         |             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS w
+         |      SELECT unnest(CASE WHEN length(trim(lower($textExpr))) = 0 THEN []
+         |             ELSE regexp_split_to_array(trim(lower($textExpr)), '\\s+') END) AS w
          |      FROM documents) WHERE length(w) > 0 GROUP BY 1)
          |)""".stripMargin
     val stages = (0 until n).map { i =>
@@ -4810,6 +4871,18 @@ object SparkEntry {
       }.mkString("\n  UNION ALL ") +
       "\n)\nSELECT rank, \"left\", \"right\", pair_count FROM merges"
 
+  /** Full training-equality oracle for `bpe_merges_bytes` — the char
+    * trainer's stage chain with hex-pair symbol init and the
+    * multi-byte plant. */
+  private def bpeMergesBytesOracleSql: String =
+    "WITH " + bpeTrainStagesSql(BpeNumMerges,
+      symsExpr = "regexp_extract_all(hex(encode(word)), '..')",
+      textExpr = s"(text || '${BpeBytePlant * 6}')") + ",\nmerges AS (\n" +
+      (0 until BpeNumMerges).map { i =>
+        s"""SELECT CAST(${i + 1} AS INT) AS rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count FROM best$i"""
+      }.mkString("\n  UNION ALL ") +
+      "\n)\nSELECT rank, \"left\", \"right\", pair_count FROM merges"
+
   /** Trained-tokenizer encode oracle for `bpe_encode`: the fold already
     * encoded every distinct word, so per-doc subword counts are a join. */
   private def bpeTrainedEncodeOracleSql: String = {
@@ -5407,6 +5480,7 @@ object SparkEntry {
     "bpe_encode_fixed" -> bpeFixedOracleSql,
     "bpe_encode_bytes" -> bpeBytesOracleSql,
     "bpe_merges" -> bpeMergesOracleSql,
+    "bpe_merges_bytes" -> bpeMergesBytesOracleSql,
     "bpe_encode" -> bpeTrainedEncodeOracleSql,
 
     "text_metrics" ->
@@ -6321,6 +6395,64 @@ object SparkEntry {
         |WHERE ('example.' || tld) NOT IN ('example.org', 'src0.example.com')
         |  AND (source || '.example.' || tld)
         |        NOT IN ('example.org', 'src0.example.com')
+        |""".stripMargin,
+
+    // the C4 recipe restated rule for rule: per-line (trimmed) terminal
+    // punctuation + word count + javascript-token checks inside a
+    // list_filter, then the page rules over the original page and the
+    // kept text's sentence count
+    "c4_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         text || '.'
+        |           || chr(10) || 'too short.'
+        |           || chr(10) || 'this line lacks terminal punctuation entirely'
+        |           || CASE WHEN doc_id % 4 = 1
+        |                THEN chr(10) || 'the javascript snippet line should vanish now.' ELSE '' END
+        |           || chr(10) || 'another proper sentence appears right here!'
+        |           || CASE WHEN doc_id % 5 != 3
+        |                THEN chr(10) || 'a third good sentence closes the page.' ELSE '' END
+        |           || CASE WHEN doc_id % 7 = 2
+        |                THEN chr(10) || 'stray { brace here breaks the page rule.' ELSE '' END
+        |           || CASE WHEN doc_id % 9 = 4
+        |                THEN chr(10) || 'Lorem Ipsum dolor sit amet consectetur adipiscing.' ELSE '' END
+        |           || CASE WHEN doc_id % 11 = 6
+        |                THEN chr(10) || 'this page mentions darkmagic once too often here.' ELSE '' END
+        |           AS page
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, page,
+        |         list_filter(list_transform(string_split(page, chr(10)), l -> trim(l)), l ->
+        |           regexp_matches(l, '[.!?"'']$')
+        |           AND (CASE WHEN length(l) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(l, '\s+')) END) >= 5
+        |           AND len(list_filter(regexp_extract_all(
+        |                 regexp_replace(lower(l),
+        |                   '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+        |                   ' \1 ', 'g'),
+        |                 '[\p{L}\p{Nd}]+'),
+        |               tk -> tk = 'javascript')) = 0
+        |         ) AS kept
+        |  FROM t
+        |), kt AS (
+        |  SELECT doc_id, page, kept, array_to_string(kept, chr(10)) AS ktext FROM k
+        |)
+        |SELECT doc_id,
+        |       (length(ktext) - length(regexp_replace(ktext, '[.!?]', '', 'g')) >= 3
+        |        AND len(list_filter(regexp_extract_all(
+        |              regexp_replace(lower(page),
+        |                '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])',
+        |                ' \1 ', 'g'),
+        |              '[\p{L}\p{Nd}]+'),
+        |            tk -> tk = 'darkmagic')) = 0
+        |        AND NOT contains(lower(page), 'lorem ipsum')
+        |        AND NOT contains(page, '{') AND NOT contains(page, '}'))
+        |         AS page_kept,
+        |       CAST(length(ktext) - length(regexp_replace(ktext, '[.!?]', '', 'g')) AS INT)
+        |         AS n_sentences,
+        |       CAST(len(kept) AS INT) AS n_lines_kept,
+        |       ktext AS clean_text
+        |FROM kt
         |""".stripMargin,
 
     // per-line uni-tokenizer restated (the decontam CTE's expression,

@@ -238,9 +238,10 @@ object Bpe {
     * declared-query surface. */
   def trainDf(
       spark: SparkSession, df: DataFrame, textCol: String,
-      numMerges: Int, minPairCount: Long = 2L): DataFrame = {
+      numMerges: Int, minPairCount: Long = 2L,
+      byteLevel: Boolean = false): DataFrame = {
     import spark.implicits._
-    train(df, textCol, numMerges, minPairCount)
+    train(df, textCol, numMerges, minPairCount, byteLevel = byteLevel)
       .map(m => (m.rank, m.left, m.right, m.pairCount))
       .toDF("rank", "left", "right", "pair_count")
   }
