@@ -44,7 +44,8 @@ object Bench {
   private val Noisy = Set(
     "cdc_user_state", "sessionize", "q21_waiting", "minhash_pairs",
     "semdedup_report", "dedup_cluster_resolve", "minhash_20k", "cdc_apply",
-    "cluster_deep_chain", "pipeline_e2e_20k", "crawl_to_shards",
+    "cluster_deep_chain", "cluster_deep_chain_dist", "pipeline_e2e_20k",
+    "crawl_to_shards",
     "exact_trigger_1x", "exact_trigger_10x", "exact_flat_1x",
     "exact_flat_10x", "neardedup_trigger_1x", "neardedup_trigger_10x",
     "substr_trigger_1x", "substr_trigger_10x", "curate_trigger",
@@ -331,6 +332,12 @@ object Bench {
     // (Dedup.clusterPairs round >= 8) gets a standing perf number — the
     // 7-run graph the dedup_cluster_resolve query times converges in
     // one-hop rounds and never engages it.
+    // r17: clusterPairs gained a driver union-find fast path for edge
+    // lists under DriverMaxEdges (the production path for this 2k-edge
+    // chain — and for every micro-batch's in-batch graph). The original
+    // row keeps its name and now prices the production path; the `_dist`
+    // row pins the distributed pointer-doubling loop's standing number
+    // (driverMaxEdges = 0) so the at-scale branch stays measured.
     val chainSec = if (want("cluster_deep_chain")) {
       val pairs = Tables.read(spark, sfDir, "documents")
         .select(col("doc_id"))
@@ -338,6 +345,15 @@ object Bench {
         .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
       timeN("cluster_deep_chain") {
         force(graft.dedup.Dedup.clusterPairs(pairs))
+      }
+    } else 0.0
+    val chainDistSec = if (want("cluster_deep_chain_dist")) {
+      val pairs = Tables.read(spark, sfDir, "documents")
+        .select(col("doc_id"))
+        .filter(col("doc_id") >= 1 && col("doc_id") < 2000)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      timeN("cluster_deep_chain_dist") {
+        force(graft.dedup.Dedup.clusterPairs(pairs, driverMaxEdges = 0L))
       }
     } else 0.0
 
@@ -1156,7 +1172,8 @@ object Bench {
     val metricTimes = (Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
-      "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec)
+      "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec,
+      "cluster_deep_chain_dist" -> chainDistSec)
       ++ catalogTimes ++ semddTimes ++ zTimes ++ zsTimes ++ bkTimes ++ hygTimes
       ++ warcTimes)
       .filter { case (n, _) => want(n) }

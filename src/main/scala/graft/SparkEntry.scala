@@ -53,7 +53,7 @@ object SparkEntry {
     * its block/anchor census — one definition so the paired gates can
     * never drift): title, nav bar, 3-item link sidebar, the doc's text
     * as the article body, share bar, footer. */
-  private def chromeFixturePage: Column = concat(
+  private[graft] def chromeFixturePage: Column = concat(
     lit("<html><head><title>Doc "), col("doc_id").cast("string"),
     lit("</title><style>p { color: red; }</style>" +
       "<script>if (1<2) { track(); }</script></head><body>" +
@@ -487,6 +487,22 @@ object SparkEntry {
 
   /** Local-filesystem tree delete (shared with [[Bench]]'s scratch
     * lifecycle — keep the one copy). */
+  /** Run independent Spark actions (catalog builds into DISJOINT dirs)
+    * concurrently from driver threads — guide §2.6: actions are only
+    * sequential because driver code calls them sequentially, and each
+    * tiny build's task tail otherwise leaves the cores idle. FIFO
+    * scheduling gives exactly the back-fill behaviour wanted; failures
+    * propagate (first throwable rethrown after all threads join). */
+  private[graft] def parallelBuilds(builds: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = builds.map { b =>
+      val t = new Thread(() => try b() catch { case e: Throwable => errs.add(e) })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   private[graft] def deleteRecursively(p: java.io.File): Unit = {
     Option(p.listFiles).foreach(_.foreach(deleteRecursively))
     val _ = p.delete()
@@ -1359,18 +1375,26 @@ object SparkEntry {
     // crawls that differ only in whitespace).
     "crawl_to_shards" -> ((s, dir) => {
       val d = docs(s, dir)
-      val prior = d.filter(col("doc_id") % 3 === 0)
-        .withColumn("text", regexp_replace(trim(col("text")), "\\s+", " "))
+      // r17 optimization: pin the normalized prior corpus ONCE — it
+      // feeds three catalog builds (exact window, MinHash scan, window
+      // fps), which otherwise each re-scan the parquet and re-run the
+      // whitespace normalization; and run the three INDEPENDENT builds
+      // from a small thread pool (guide §2.6) so each build's tail
+      // back-fills the others' idle cores. Same catalogs, same rows.
+      val prior = graft.ops.Checkpoints.pin(
+        d.filter(col("doc_id") % 3 === 0)
+          .withColumn("text", regexp_replace(trim(col("text")), "\\s+", " ")))
       val root = java.nio.file.Files.createTempDirectory("graft-crawl-shards-q")
       val tmp = root.toString
-      graft.dedup.ExactCatalog.append(
-        graft.dedup.ExactCatalog.entriesOf(
-          Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact")
-      graft.dedup.BandedCatalog.append(
-        Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near")
-      graft.dedup.SubstrCatalog.append(
-        graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
-        s"$tmp/substr", SubstrDedupW)
+      parallelBuilds(
+        () => graft.dedup.ExactCatalog.append(
+          graft.dedup.ExactCatalog.entriesOf(
+            Dedup.dedupExact(prior, "doc_id", "text"), "text"), s"$tmp/exact"),
+        () => graft.dedup.BandedCatalog.append(
+          Dedup.minhashNearCatalog(prior, "doc_id", "text"), s"$tmp/near"),
+        () => graft.dedup.SubstrCatalog.append(
+          graft.dedup.SubstrCatalog.entriesOf(prior, "text", SubstrDedupW),
+          s"$tmp/substr", SubstrDedupW))
       val page = chromeFixturePage
       val batch = d.filter(col("doc_id") % 3 =!= 0)
         .select(GraftFunctions.syntheticWarc(

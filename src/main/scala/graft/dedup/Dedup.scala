@@ -322,11 +322,18 @@ object Dedup {
       shingleSize: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.7,
       newSigs: Option[DataFrame] = None): DataFrame = {
-    val oldBanded = bandedCatalog
+    // pin the pruned catalog read ONCE (r17): it feeds both the band
+    // join and the signature re-join below — unpinned, the parquet
+    // probe scan (the trigger's I/O) executes twice per trigger, once
+    // per consumer subtree. Bounded by construction: the pruned read is
+    // O(batch × bucket occupancy), the same bound the whole trigger
+    // design rests on.
+    val cat = graft.ops.Checkpoints.pin(bandedCatalog)
+    val oldBanded = cat
       .select(col("band"), col("band_key"), col("id").as("old_id"))
     // one signature row per catalog doc: a doc repeats across its band
     // rows (and possibly across duplicate-tolerant compaction leftovers)
-    val oldSigs = bandedCatalog
+    val oldSigs = cat
       .select(col("id").as("old_id"), col("__sig").as("sig_o"))
       .dropDuplicates("old_id")
     dedupNearIncrementalCore(newDocs, oldBanded, oldSigs, idCol, textCol,
@@ -362,7 +369,14 @@ object Dedup {
       .filter(col("est_jaccard") >= jaccardThreshold)
       .select(col("new_id").as(idCol)).distinct()
 
-    val fresh = newDocs.join(hits, Seq(idCol), "left_anti")
+    // pin the catalog-surviving set ONCE (r17): `fresh` anchors BOTH the
+    // in-batch pair generation (via freshSigs, evaluated eagerly inside
+    // clusterPairs) and the final cluster join — unpinned, the whole
+    // `hits` join chain (band join + two signature re-joins over the
+    // pruned catalog read) re-executed once per consumer, the dominant
+    // duplicated work in every near trigger
+    val fresh = graft.ops.Checkpoints.pin(
+      newDocs.join(hits, Seq(idCol), "left_anti"))
     // in-batch pairs band the SAME pinned signatures, filtered to the
     // surviving ids — a projection over checkpoint blocks, not a rescan
     val freshSigs = newSig.join(
@@ -480,8 +494,25 @@ object Dedup {
     * a |V|-row self-join; labels are checkpointed to keep plan depth
     * bounded.
     */
+  /** Edge cap for the driver-local fast path (r17 optimization): an
+    * edge list at or under this many DISTINCT undirected pairs is
+    * collected (16 bytes/edge — ~4 MB at the default) and resolved with
+    * one union-find pass instead of the iterative label-propagation
+    * loop. Near-dup graphs are tiny relative to their corpus (pairs are
+    * LSH-candidate-confirmed duplicates), so in practice every
+    * micro-batch and most batch corpora take this path — the iterative
+    * loop costs 2-4 Spark jobs PER ROUND (propagation + checkpoint),
+    * ~10-20 jobs for a shallow graph, all scheduler overhead at micro-
+    * batch sizes and still O(log diameter) barriers at corpus scale.
+    * The distributed loop remains the path for genuinely large graphs.
+    * Output is IDENTICAL (min-id label per component; union-by-min
+    * keeps every root the component minimum, so no second pass is
+    * needed) — parity is spec-pinned. */
+  val DriverMaxEdges: Long = 1L << 18
+
   def clusterPairs(
-      pairs: DataFrame, maxIters: Int = 16): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 16,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.sql.functions.{min => fmin}
     // symmetric edge list + self-loops (keeps isolated-after-filter nodes)
@@ -489,6 +520,52 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
+
+    // DRIVER FAST PATH: the first job any round would run is the edge
+    // materialization; riding a bounded count on it is free. At or
+    // under the cap, collect and union-find — one job total instead of
+    // rounds × (propagation + checkpoint) jobs.
+    val nEdges = edges.count()
+    if (nEdges <= 2 * driverMaxEdges) { // edges carries both directions
+      val arr = edges.collect()
+      edges.unpersist()
+      val parent = new java.util.HashMap[Long, java.lang.Long](
+        math.max(16, (arr.length * 2)))
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      var i = 0
+      while (i < arr.length) {
+        val a = arr(i).getLong(0); val b = arr(i).getLong(1)
+        if (parent.get(a) == null) parent.put(a, a)
+        if (parent.get(b) == null) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN id: the root of every tree is its component's
+        // minimum at all times, so find(id) IS the cluster label
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+        i += 1
+      }
+      val out = new Array[org.apache.spark.sql.Row](parent.size())
+      val it = parent.keySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val id = it.next()
+        out(j) = org.apache.spark.sql.Row(id, find(id))
+        j += 1
+      }
+      // LocalRelation (not an RDD-backed frame): the label table's size
+      // is then statistics-known, so downstream joins broadcast it
+      return spark.createDataFrame(
+        java.util.Arrays.asList(out: _*),
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("cluster_id", LongType, nullable = false))))
+    }
 
     // one propagation round: returns (new labels, #nodes whose label
     // changed). Each node takes min(own label, neighbors' labels). The

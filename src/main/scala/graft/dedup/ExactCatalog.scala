@@ -233,24 +233,27 @@ object ExactCatalog {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
       case Some(numBuckets) =>
         requireKind(spark, dir, kind)
-        val full = spark.read.schema(DataSchema).parquet(dir)
         // ONE bounded collect in the common case (see
         // [[BandedCatalog.readForBatch]]): capped distinct fingerprints,
         // buckets derived driver-side (bucket = pmod(fp, numBuckets));
         // only a key overflow pays a second job, for the per-bucket
-        // ranges (≤ numBuckets rows).
+        // ranges (≤ numBuckets rows). The collect runs BEFORE any
+        // relation is built, and the relation covers ONLY the probed
+        // buckets' directories ([[BandedCatalog.readBucketDirs]]) — the
+        // per-trigger file listing is O(probed buckets), not O(catalog).
         val fps = batchEntries.select(col("fp"))
           .distinct().limit(maxPushdownKeys + 1)
           .collect().map(_.getLong(0))
-        if (fps.isEmpty) full.limit(0)
+        if (fps.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
         else if (fps.length > maxPushdownKeys) {
           val ranges = batchEntries
             .select(bucketOf(col("fp"), numBuckets).as("bucket"), col("fp"))
             .groupBy(col("bucket"))
             .agg(min(col("fp")).as("lo"), max(col("fp")).as("hi"))
             .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-          val pruned = full.filter(
-            col("bucket").isin(ranges.map(_._1).toSeq: _*))
+          val pruned = BandedCatalog.readBucketDirs(
+            spark, dir, ranges.map(_._1).toSeq, DataSchema, numBuckets)
           // BALANCED or-tree: a left-deep reduce of ~1k arms recurses
           // ~1k deep through every Catalyst tree walk (StackOverflow on
           // default stacks); pairwise folding keeps depth at log2(arms)
@@ -266,7 +269,7 @@ object ExactCatalog {
           val buckets = fps
             .map(f => (((f % numBuckets) + numBuckets) % numBuckets).toInt)
             .distinct
-          full.filter(col("bucket").isin(buckets.toSeq: _*))
+          BandedCatalog.readBucketDirs(spark, dir, buckets.toSeq, DataSchema, numBuckets)
             .filter(col("fp").isin(fps.toSeq: _*))
         }
     }

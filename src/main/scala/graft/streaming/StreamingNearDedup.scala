@@ -104,15 +104,16 @@ object StreamingNearDedup {
     val m = BandedCatalog.readMeta(spark, catalogDir)
       .getOrElse(BandedCatalog.Meta(numBuckets, bands, rowsPerBand, shingleSize))
     // the engine re-plans foreachBatch frames; pin so the dedup's
-    // self-joins don't recompute the upstream per reference
-    val docs = Checkpoints.pin(batch.select(col(idCol), col(textCol)))
-    // signatures ONCE per batch: the same pinned frame feeds the
-    // pruning probe, the incremental join, the in-batch pairs (via
-    // newSigs) and the survivor append — the MinHash scan is the
-    // trigger's dominant compute, so every extra consumer used to
-    // double it
-    val sigs = Checkpoints.pin(Dedup.minhashNearCatalog(
-      docs, idCol, textCol, m.shingleSize, m.bands, m.rowsPerBand))
+    // self-joins don't recompute the upstream per reference. ONE pin
+    // for (id, text, __sig) — r17: the former docs-pin + sigs-pin pair
+    // ran two checkpoint jobs per trigger for frames that are
+    // projections of each other; the MinHash scan still runs exactly
+    // once, inside this single pin.
+    val pinned = Checkpoints.pin(Dedup.withMinhashSignature(
+      batch.select(col(idCol), col(textCol)), textCol,
+      m.shingleSize, m.bands * m.rowsPerBand))
+    val docs = pinned.select(col(idCol), col(textCol))
+    val sigs = pinned.select(col(idCol).as("id"), col("__sig"))
     val probe = BandedCatalog.bandRows(sigs, m.bands, m.rowsPerBand,
       m.numBuckets, 0L)
     val catalog = BandedCatalog.readForBatch(

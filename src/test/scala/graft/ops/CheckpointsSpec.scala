@@ -54,11 +54,13 @@ class CheckpointsSpec extends AnyFunSuite with SparkTestBase {
   test("clusterPairs honors the seam: reliable rounds, same clusters") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ckpt-cp").toString
+    // driverMaxEdges = 0: the seam under test is the iterative loop's
+    // round pins — the r17 driver fast path runs no rounds at all
     val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val expect = graft.dedup.Dedup.clusterPairs(pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = graft.dedup.Dedup.clusterPairs(pairs, driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = withConf(Checkpoints.ConfKey, Some(dir)) {
-      graft.dedup.Dedup.clusterPairs(pairs).collect()
+      graft.dedup.Dedup.clusterPairs(pairs, driverMaxEdges = 0L).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     assert(got == expect)

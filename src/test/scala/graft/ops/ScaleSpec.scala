@@ -288,8 +288,11 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     }
     spark.listenerManager.register(ql)
     try {
+      // driverMaxEdges = 0 forces the iterative loop — the shape this
+      // test pins (the r17 driver fast path runs no propagation rounds)
       val pairs = (0L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-      val labels = graft.dedup.Dedup.clusterPairs(pairs).collect()
+      val labels = graft.dedup.Dedup.clusterPairs(pairs, driverMaxEdges = 0L)
+        .collect()
       assert(labels.length == 7 && labels.forall(_.getLong(1) == 0L))
       // the listener bus is async: wait for the event count to go stable
       var last = -1
@@ -312,8 +315,25 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     // comfortably inside the 16-round default instead of throwing or
     // (the pre-r7 failure mode) silently splitting
     val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = graft.dedup.Dedup.clusterPairs(pairs).collect()
+    val labels = graft.dedup.Dedup.clusterPairs(pairs, driverMaxEdges = 0L)
+      .collect()
     assert(labels.length == 301 && labels.forall(_.getLong(1) == 0L))
+  }
+
+  test("clusterPairs: driver fast path = iterative loop, label for label") {
+    import spark.implicits._
+    // r17 optimization parity pin: chains, a cycle, a star, duplicate and
+    // reversed edges — the collected union-find must produce the exact
+    // (id, min-id) map the propagation loop does
+    val pairs = (Seq((5L, 9L), (9L, 5L), (9L, 13L), (40L, 41L), (41L, 42L),
+      (42L, 40L), (100L, 7L), (100L, 3L), (100L, 55L)) ++
+      (200L until 260L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val fast = graft.dedup.Dedup.clusterPairs(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = graft.dedup.Dedup.clusterPairs(pairs, driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == slow)
+    assert(fast.contains((13L, 5L)) && fast.contains((55L, 3L)))
   }
 
   test("clusterPairs: convergence exactly on the valve round verifies, not throws") {
@@ -322,14 +342,18 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     // that round IS the valve round and still reports a changed label.
     // r7 ADVICE: the old code threw here because no confirming
     // zero-change round ever ran — the fix runs one verification round.
+    // (driverMaxEdges = 0: the valve under test belongs to the
+    // iterative loop — the driver fast path always converges)
     val pair = Seq((0L, 1L)).toDF("id_a", "id_b")
-    val labels = graft.dedup.Dedup.clusterPairs(pair, maxIters = 1).collect()
+    val labels = graft.dedup.Dedup.clusterPairs(pair, maxIters = 1,
+      driverMaxEdges = 0L).collect()
     assert(labels.length == 2 && labels.forall(_.getLong(1) == 0L))
     // and a genuinely unconverged component under the same tiny valve
     // must still throw rather than return split clusters
     val deep = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      graft.dedup.Dedup.clusterPairs(deep, maxIters = 1).collect()
+      graft.dedup.Dedup.clusterPairs(deep, maxIters = 1, driverMaxEdges = 0L)
+        .collect()
     }
   }
 
@@ -354,8 +378,14 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       numBuckets = graft.dedup.BandedCatalog.DefaultBuckets, added = 0L)
     val pruned = graft.dedup.BandedCatalog.readForBatch(spark, dir, probe)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined,
-      s"catalog scan must partition-prune on bucket:\n$plan")
+    // r17: bucket pruning moved from a PartitionFilters entry to the
+    // FILE INDEX itself (readBucketDirs lists only probed buckets — the
+    // listing is O(batch), not O(catalog)); the witness is the relation
+    // covering strictly fewer paths than the catalog has buckets
+    val nPaths = """InMemoryFileIndex\((\d+) paths\)""".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(nPaths.exists(_ < graft.dedup.BandedCatalog.DefaultBuckets),
+      s"catalog relation must cover only the probed buckets' dirs:\n$plan")
     assert(plan.contains("In(band_key"),
       s"batch band keys must push into the parquet scan:\n$plan")
     pruned.collect()
