@@ -42,6 +42,10 @@ object ProfileOpt {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // experiment knob: SPARK_GRAFT_LIST_THRESHOLD overrides the parallel
+    // partition-discovery threshold (default 32) for listing A/Bs
+    sys.env.get("SPARK_GRAFT_LIST_THRESHOLD").foreach(v =>
+      spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", v))
     val which = if (args.isEmpty) Set("near", "crawl") else args.toSet
 
     // per-JOB wall breakdown: callsite + duration, so a composed
@@ -144,6 +148,123 @@ object ProfileOpt {
         }
         phase("bucketFileCounts (hygiene)") {
           val _ = graft.dedup.BandedCatalog.bucketFileCounts(spark, s"$tmp/near1x")
+        }
+        footer()
+      }
+      SparkEntry.deleteRecursively(new java.io.File(tmp))
+    }
+
+    if (which("vid")) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-prof-vid").toString
+      val vid1x = s"$tmp/vid1x"
+      def videoCatalogEntries(n: Long, root: String): Unit = {
+        val ids = spark.range(0, n)
+        graft.dedup.ExactCatalog.append(
+          ids.select(xxhash64(col("id")).as("fp"), lit(4L).as("h2")),
+          graft.dedup.VideoCatalog.cntDir(root),
+          kind = graft.dedup.VideoCatalog.cntKind(4))
+        graft.dedup.ExactCatalog.append(
+          ids.select(col("id"), explode(sequence(lit(0), lit(3))).as("k"))
+            .select(graft.dedup.VideoCatalog.frameFp(
+              xxhash64(col("id")), col("k")).as("fp"),
+              xxhash64(col("id"), col("k")).as("h2")),
+          graft.dedup.VideoCatalog.sigDir(root),
+          kind = graft.dedup.VideoCatalog.sigKind(4))
+        graft.dedup.ExactCatalog.append(
+          ids.select(explode(graft.dedup.ImageDedup.quarterKeys(
+            xxhash64(col("id"), lit(0)))).as("fp"),
+            xxhash64(col("id")).as("h2")),
+          graft.dedup.VideoCatalog.blockDir(root),
+          kind = graft.dedup.VideoCatalog.blockKind(4))
+      }
+      videoCatalogEntries(100000L, vid1x)
+      var repC = 0
+      def freshVideoBatch(): DataFrame = {
+        repC += 1
+        spark.range(0, 12).select(
+          (col("id") + lit(repC * 50000000L)).as("doc_id"),
+          GraftFunctions.syntheticAvi(
+            col("id") + lit(repC * 50000000L), lit(0)).as("vid"))
+      }
+      // warm one trigger
+      graft.streaming.StreamingVideoDedup.applyBatch(
+        freshVideoBatch(), vid1x, "doc_id", "vid",
+        added = repC.toLong, deliver = d => force(d))
+      (1 to 3).foreach { _ =>
+        header("video_trigger_1x")
+        phase("applyBatch") {
+          val _ = graft.streaming.StreamingVideoDedup.applyBatch(
+            freshVideoBatch(), vid1x, "doc_id", "vid",
+            added = repC.toLong, deliver = d => force(d))
+        }
+        footer()
+      }
+      SparkEntry.deleteRecursively(new java.io.File(tmp))
+    }
+
+    if (which("substrovf")) {
+      // mirror Bench's substr_trigger_ovf_10x: 1024-bucket window-fp
+      // catalog at 10x mass, 20-doc batch, forced key cap of 64
+      val tmp = java.nio.file.Files.createTempDirectory("graft-prof-sovf").toString
+      val NearBuckets = 1024
+      val dir = s"$tmp/substr10x"
+      val subEntries = graft.dedup.SubstrCatalog.entriesOf(
+        docsBase, "text", SparkEntry.SubstrDedupW).cache()
+      val subN = subEntries.count()
+      val subCopies = math.max(1, (100000L / math.max(subN, 1L)).toInt)
+      val subAmplified = spark.range(0, subCopies * 10).toDF("__rep")
+        .crossJoin(subEntries)
+        .select((col("fp") + col("__rep") * 1000003L).as("fp"),
+          (col("fp") + col("__rep") * 1000003L).as("h2"))
+      locally { // bench parity: small row groups so skipping is real
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.setInt("parquet.block.size", 64 * 1024)
+        hc.setInt("parquet.page.size", 16 * 1024)
+        try graft.dedup.SubstrCatalog.append(
+          subAmplified, dir, SparkEntry.SubstrDedupW, numBuckets = NearBuckets)
+        finally { hc.unset("parquet.block.size"); hc.unset("parquet.page.size") }
+      }
+      var repC = 0
+      def freshBatch(): DataFrame = {
+        repC += 1
+        val filler = (1 to 24).map(j => s"v$repC$j").mkString(" ")
+        docsBase.limit(20).select(
+          (col("doc_id") + lit(repC * 50000000L)).as("doc_id"),
+          concat(col("text"), lit(s" $filler")).as("text"))
+      }
+      // warm one trigger
+      graft.dedup.SubstrCatalog.applyBatch(
+        freshBatch(), dir, "doc_id", "text", SparkEntry.SubstrDedupW,
+        numBuckets = NearBuckets, added = repC.toLong,
+        maxPushdownKeys = 64, deliver = d => force(d))
+      if (which("listab")) {
+        // interleaved A/B on the parallel partition-discovery threshold:
+        // A = default 32 (listing via Spark job), B = driver-side listing
+        val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        val times = collection.mutable.Map("A" -> List.empty[Double],
+          "B" -> List.empty[Double])
+        (1 to 10).foreach { i =>
+          val tag = if (i % 2 == 1) "A" else "B"
+          spark.conf.set(key, if (tag == "A") "32" else "100000")
+          val s = System.nanoTime()
+          val _ = graft.dedup.SubstrCatalog.applyBatch(
+            freshBatch(), dir, "doc_id", "text", SparkEntry.SubstrDedupW,
+            numBuckets = NearBuckets, added = repC.toLong,
+            maxPushdownKeys = 64, deliver = d => force(d))
+          val dt = (System.nanoTime() - s) / 1e9
+          times(tag) = times(tag) :+ dt
+          println(f"[ab] $tag $dt%8.3f s")
+        }
+        spark.conf.set(key, "32")
+        times.foreach { case (t, xs) =>
+          println(f"[ab-summary] $t min=${xs.min}%.3f median=${xs.sorted.apply((xs.size - 1) / 2)}%.3f") }
+      } else (1 to 3).foreach { _ =>
+        header("substr_trigger_ovf_10x")
+        phase("applyBatch") {
+          val _ = graft.dedup.SubstrCatalog.applyBatch(
+            freshBatch(), dir, "doc_id", "text", SparkEntry.SubstrDedupW,
+            numBuckets = NearBuckets, added = repC.toLong,
+            maxPushdownKeys = 64, deliver = d => force(d))
         }
         footer()
       }

@@ -179,7 +179,9 @@ object BandedCatalog {
     if (!fs(spark, dir).exists(new Path(dir)) || readMeta(spark, dir).isEmpty) {
       if (fs(spark, dir).exists(new Path(dir))) rejectOrphanData(spark, dir)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
-    } else spark.read.schema(DataSchema).parquet(dir)
+    } else graft.ops.Listing.driverSide(spark) {
+      spark.read.schema(DataSchema).parquet(dir)
+    }
 
   /** Relation over ONLY the probed buckets' directories (r17
     * optimization, guide §6): `spark.read.parquet(dir)` lists EVERY
@@ -205,19 +207,23 @@ object BandedCatalog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else if (sel.size * 2 <= numBuckets)
       // SPARSE probe (≤ half the buckets): explicit directories — the
-      // listing covers O(probed) dirs, not O(catalog)
-      spark.read.schema(schema).option("basePath", dir)
-        .parquet(sel.map(b => new Path(dir, s"bucket=$b").toString): _*)
+      // listing covers O(probed) dirs, not O(catalog); driver-side
+      // listing (Listing scaladoc) keeps >32 dirs from paying a
+      // distributed listing job per trigger
+      graft.ops.Listing.driverSide(spark) {
+        spark.read.schema(schema).option("basePath", dir)
+          .parquet(sel.map(b => new Path(dir, s"bucket=$b").toString): _*)
+      }
     else
       // DENSE probe: most buckets are touched anyway, so a single-root
       // relation + partition filter is strictly cheaper — one root path
-      // lists once (and Spark parallelizes it when the dir count is
-      // large), instead of |probed| top-level paths each globbed and
+      // lists once, instead of |probed| top-level paths each globbed and
       // listed as their own parallel-discovery input (measured 1.6 →
       // 5.4 s regression on the 64-bucket exact catalog's full-width
       // probes before this guard)
-      spark.read.schema(schema).parquet(dir)
-        .filter(col("bucket").isin(sel: _*))
+      graft.ops.Listing.driverSide(spark) {
+        spark.read.schema(schema).parquet(dir)
+      }.filter(col("bucket").isin(sel: _*))
   }
 
   /** The catalog rows a batch of banded keys can possibly match:
@@ -431,9 +437,12 @@ object BandedCatalog {
 
     val scoped = buckets match {
       case Some(bs) =>
+        graft.ops.Listing.driverSide(spark) {
+          spark.read.schema(DataSchema).parquet(dir)
+        }.filter(col("bucket").isin(bs: _*))
+      case None => graft.ops.Listing.driverSide(spark) {
         spark.read.schema(DataSchema).parquet(dir)
-          .filter(col("bucket").isin(bs: _*))
-      case None => spark.read.schema(DataSchema).parquet(dir)
+      }
     }
     val kept = retainAddedFrom match {
       case Some(cutoff) => scoped.filter(col("added") >= cutoff)

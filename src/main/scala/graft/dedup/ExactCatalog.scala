@@ -203,7 +203,9 @@ object ExactCatalog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
     } else {
       requireKind(spark, dir, kind)
-      spark.read.schema(DataSchema).parquet(dir)
+      graft.ops.Listing.driverSide(spark) {
+        spark.read.schema(DataSchema).parquet(dir)
+      }
     }
 
   /** The catalog rows a batch can possibly match: bucket partition
@@ -250,10 +252,10 @@ object ExactCatalog {
           val ranges = batchEntries
             .select(bucketOf(col("fp"), numBuckets).as("bucket"), col("fp"))
             .groupBy(col("bucket"))
-            .agg(min(col("fp")).as("lo"), max(col("fp")).as("hi"))
-            .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-          val pruned = BandedCatalog.readBucketDirs(
-            spark, dir, ranges.map(_._1).toSeq, DataSchema, numBuckets)
+            .agg(min(col("fp")).as("lo"), max(col("fp")).as("hi"),
+              countDistinct(col("fp")).as("n"))
+            .collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
           // BALANCED or-tree: a left-deep reduce of ~1k arms recurses
           // ~1k deep through every Catalyst tree walk (StackOverflow on
           // default stacks); pairwise folding keeps depth at log2(arms)
@@ -261,10 +263,51 @@ object ExactCatalog {
             if (xs.length == 1) xs.head
             else orBalanced(xs.grouped(2)
               .map(g => if (g.length == 2) g(0) || g(1) else g(0)).toIndexedSeq)
-          if (ranges.length > MaxRangePushdownArms) pruned
-          else pruned.filter(orBalanced(ranges.map { case (_, lo, hi) =>
-            col("fp").between(lo, hi)
-          }.toIndexedSeq))
+          // DENSITY-SPLIT probe (r17, guide §1.2/§2.3 — don't pay a
+          // predicate that skips nothing). k hash-uniform keys inside
+          // one bucket span ~(k−1)/(k+1) of that bucket's fp domain, so
+          // a per-bucket range only skips row groups while the bucket
+          // holds ~≤3 batch keys (coverage ≤ 50%). Split the probed
+          // buckets by that density:
+          //  - 1 key  → the range IS the key: fold every such bucket
+          //    into ONE `fp IN (…)` arm (a single InSet node — hash-set
+          //    eval instead of the per-row OR walk that made ~600 point
+          //    ranges cost ~3 s per trigger on the window-fp bench row);
+          //  - 2-3 keys → keep the BETWEEN arm (still skips);
+          //  - >3 keys (dense) → read that bucket UNFILTERED in a second
+          //    scan — its range covers most of the bucket anyway, and
+          //    keeping dense buckets out of the filtered scan keeps the
+          //    filter parquet-convertible for the sparse ones.
+          // Both scans list disjoint bucket dirs (still O(probed
+          // buckets)); each read stays a sound SUPERSET — the downstream
+          // anti-join does the equality.
+          val (skippable, dense) = ranges.partition(_._4 <= 3L)
+          val denseRead =
+            if (dense.isEmpty) None
+            else Some(BandedCatalog.readBucketDirs(
+              spark, dir, dense.map(_._1).toSeq, DataSchema, numBuckets))
+          val sparseRead =
+            if (skippable.isEmpty) None
+            else {
+              val base = BandedCatalog.readBucketDirs(
+                spark, dir, skippable.map(_._1).toSeq, DataSchema, numBuckets)
+              val singles = skippable.filter(_._4 == 1L).map(_._2)
+              val multi = skippable.filter(_._4 > 1L)
+              val arms =
+                (if (singles.isEmpty) IndexedSeq.empty[Column]
+                 else IndexedSeq(col("fp").isin(singles.toSeq: _*))) ++
+                  multi.map { case (_, lo, hi, _) =>
+                    col("fp").between(lo, hi) }
+              if (arms.length > MaxRangePushdownArms) Some(base)
+              else Some(base.filter(orBalanced(arms)))
+            }
+          (sparseRead, denseRead) match {
+            case (Some(s), Some(d)) => s.unionAll(d)
+            case (Some(s), None) => s
+            case (None, Some(d)) => d
+            case (None, None) => // unreachable: fps nonEmpty ⇒ ranges nonEmpty
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
+          }
         } else {
           val buckets = fps
             .map(f => (((f % numBuckets) + numBuckets) % numBuckets).toInt)
@@ -475,9 +518,12 @@ object ExactCatalog {
     if (oldFiles.isEmpty) return
     val scoped = buckets match {
       case Some(bs) =>
+        graft.ops.Listing.driverSide(spark) {
+          spark.read.schema(DataSchema).parquet(dir)
+        }.filter(col("bucket").isin(bs: _*))
+      case None => graft.ops.Listing.driverSide(spark) {
         spark.read.schema(DataSchema).parquet(dir)
-          .filter(col("bucket").isin(bs: _*))
-      case None => spark.read.schema(DataSchema).parquet(dir)
+      }
     }
     val kept = retainAddedFrom match {
       case Some(cutoff) => scoped.filter(col("added") >= cutoff)

@@ -261,7 +261,9 @@ object IvfIndex {
     * rebuilds; queries should use [[topK]]). */
   def vectors(spark: SparkSession, dir: String): DataFrame = {
     requireMeta(spark, dir)
-    spark.read.schema(VecSchema).parquet(s"$dir/vectors")
+    graft.ops.Listing.driverSide(spark) {
+      spark.read.schema(VecSchema).parquet(s"$dir/vectors")
+    }
   }
 
   // ------------------------------------------------------- compaction
@@ -475,9 +477,12 @@ object IvfIndex {
     if (oldFiles.isEmpty) return
     val subDir = s"$dir/$sub"
     val scoped = lists match {
-      case Some(ls) => spark.read.schema(schema).parquet(subDir)
-        .filter(col("list").isin(ls: _*))
-      case None => spark.read.schema(schema).parquet(subDir)
+      case Some(ls) => graft.ops.Listing.driverSide(spark) {
+        spark.read.schema(schema).parquet(subDir)
+      }.filter(col("list").isin(ls: _*))
+      case None => graft.ops.Listing.driverSide(spark) {
+        spark.read.schema(schema).parquet(subDir)
+      }
     }
     val tmp = s"$dir/_compacting"
     f.delete(new Path(tmp), true)
@@ -714,7 +719,9 @@ object IvfIndex {
   /** All stored PQ codes (parity tests; probes use [[topKPq]]). */
   def codes(spark: SparkSession, dir: String): DataFrame = {
     requirePqMeta(spark, dir)
-    spark.read.schema(CodeSchema).parquet(s"$dir/codes")
+    graft.ops.Listing.driverSide(spark) {
+      spark.read.schema(CodeSchema).parquet(s"$dir/codes")
+    }
   }
 
   /** ANN top-k through the compressed leg: probe the `nProbe` nearest

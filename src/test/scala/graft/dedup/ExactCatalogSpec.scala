@@ -84,11 +84,13 @@ class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(cappedFps.subsetOf(overflowFps),
       s"overflow probe lost matches: ${cappedFps -- overflowFps}")
 
-    // the fp ranges reached the parquet scan as pushed data filters
-    // (row-group skipping evidence — files are fp-sorted on disk)
+    // the fp predicate reached the parquet scan as pushed data filters
+    // (row-group skipping evidence — files are fp-sorted on disk). At
+    // ~1 key/bucket the single-key buckets fold into one In(fp, …) arm
+    // (r17 density split); multi-key buckets keep their BETWEEN arm.
     val plan = overflow.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [Or(") && plan.contains("(fp"),
-      s"no pushed fp range in:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters: [") && plan.contains("In(fp"),
+      s"no pushed fp predicate in:\n${plan.take(2000)}")
 
     // OPERATOR-level parity: applyBatch under a forced-overflow cap
     // admits exactly the same survivors as under the default cap
@@ -106,6 +108,53 @@ class ExactCatalogSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(viaOverflow == viaCapped)
     assert(viaOverflow == (1L to 10L).map(3000L + _).toSet)
+  }
+
+  test("dense key-overflow probe skips the fp predicate but stays a sound superset") {
+    // r17 density split: hash-uniform keys at >3 per probed bucket make
+    // per-bucket ranges cover most of each bucket's fp domain — a
+    // pushed predicate then skips nothing and costs per-row evaluation,
+    // so dense buckets must be read UNFILTERED; the read still returns
+    // every capped-path row.
+    val dir = tmpDir()
+    val corpus = docs((1L to 300L).map(i => i -> s"doc $i"): _*)
+    ExactCatalog.append(ExactCatalog.entriesOf(corpus, "text"), dir,
+      numBuckets = 4) // 4 buckets × ~40 batch keys ≈ density 10 ≫ 3
+    val batch = ExactCatalog.entriesOf(
+      docs((1L to 40L).map(i => (1000L + i) -> s"doc $i"): _*), "text")
+    val overflow = ExactCatalog.readForBatch(spark, dir, batch,
+      maxPushdownKeys = 8)
+    val plan = overflow.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [Or(") && !plan.contains("In(fp"),
+      s"dense overflow probe must not pay a per-row fp predicate:\n${plan.take(1500)}")
+    val capped = ExactCatalog.readForBatch(spark, dir, batch)
+    val overflowFps = overflow.select("fp").as[Long].collect().toSet
+    val cappedFps = capped.select("fp").as[Long].collect().toSet
+    assert(cappedFps.subsetOf(overflowFps),
+      s"dense overflow probe lost matches: ${cappedFps -- overflowFps}")
+  }
+
+  test("mixed-density overflow probes stay sound supersets at every bucket count") {
+    // the density split sends single-key buckets through the In arm,
+    // 2-3-key buckets through BETWEENs, and dense buckets through the
+    // unfiltered scan — whichever way the hash happens to distribute
+    // the batch, the union must contain every capped-path match
+    for (buckets <- Seq(4, 8, 16, 64)) {
+      val dir = tmpDir()
+      val corpus = docs((1L to 300L).map(i => i -> s"doc $i"): _*)
+      ExactCatalog.append(ExactCatalog.entriesOf(corpus, "text"), dir,
+        numBuckets = buckets)
+      val batch = ExactCatalog.entriesOf(
+        docs((1L to 40L).map(i => (1000L + i) -> s"doc $i"): _*), "text")
+      val overflow = ExactCatalog.readForBatch(spark, dir, batch,
+        maxPushdownKeys = 8)
+      val capped = ExactCatalog.readForBatch(spark, dir, batch)
+      val overflowFps = overflow.select("fp").as[Long].collect().toSet
+      val cappedFps = capped.select("fp").as[Long].collect().toSet
+      assert(cappedFps.subsetOf(overflowFps),
+        s"numBuckets=$buckets lost matches: ${cappedFps -- overflowFps}")
+      assert(cappedFps.nonEmpty, s"numBuckets=$buckets: degenerate fixture")
+    }
   }
 
   test("retention: expired signatures stop suppressing, retained keep dropping") {
