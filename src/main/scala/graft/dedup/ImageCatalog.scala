@@ -147,10 +147,16 @@ object ImageCatalog {
     // anti-join on a nullable key would also pass the null-phash rows
     // (null never matches) — split them out explicitly so they are
     // neither dropped nor double-counted
-    val freshIds = hashed.filter(col("phash").isNotNull)
-      .join(hits, Seq("phash"), "left_anti")
-      .select(col("id").as(idCol))
-      .unionByName(hashed.filter(col("phash").isNull).select(col("id").as(idCol)))
+    // pinned (r17 optimization round): ids only, consumed by the
+    // fresh-batch semi-join AND (via fresh) the freshHashes projection
+    // — unpinned, the hits subtree (catalog scan + Hamming filter)
+    // re-executed once per consumer
+    val freshIds = graft.ops.Checkpoints.pin(
+      hashed.filter(col("phash").isNotNull)
+        .join(hits, Seq("phash"), "left_anti")
+        .select(col("id").as(idCol))
+        .unionByName(hashed.filter(col("phash").isNull)
+          .select(col("id").as(idCol))))
     val fresh = batch.join(freshIds, Seq(idCol), "left_semi")
     // in-batch collapse over the SAME pinned hashes, restricted to the
     // catalog survivors — a projection over checkpoint blocks, no rescan

@@ -60,8 +60,13 @@ object SigDedup {
         col("sig.sig1") === col("fp") && col("sig.sig2") === col("h2"),
         "left_semi")
       .select(col("id"))
-    // in-batch collapse among the catalog survivors: min id per signature
-    val catSurvivors = sigged.join(dropped, Seq("id"), "left_anti")
+    // in-batch collapse among the catalog survivors: min id per
+    // signature. Pinned (r17 optimization round): consumed by keepers
+    // (itself read twice — the survivor join and the append) and by the
+    // append's entry projection — unpinned, the catalog scan + semi-join
+    // subtree re-executed ~3x per trigger
+    val catSurvivors = graft.ops.Checkpoints.pin(
+      sigged.join(dropped, Seq("id"), "left_anti"))
     val keepers = catSurvivors
       .groupBy(col("sig")).agg(min(col("id")).as("id"))
       .select(col("id"))

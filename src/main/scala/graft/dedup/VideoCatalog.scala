@@ -227,11 +227,15 @@ object VideoCatalog {
     val hotKeys = blockCat.groupBy(col("fp"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxCandidatesPerKey).select(col("fp"))
-    val cands = probeKeys
+    // pinned (r17 optimization round): the candidate set feeds the sig
+    // probe's key collect, the cnt probe's key collect, the catArrays
+    // join AND (via dropped) both survivor branches — unpinned, this
+    // multi-join subtree re-executed ~5x per trigger
+    val cands = graft.ops.Checkpoints.pin(probeKeys
       .join(blockCat.join(hotKeys, Seq("fp"), "left_anti")
         .select(col("fp"), col("h2").as("cvid")), Seq("fp"))
       .dropDuplicates("id", "cvid")
-      .select(col("id"), col("fhs"), col("cvid"))
+      .select(col("id"), col("fhs"), col("cvid")))
     // tier 2: candidate vids -> reassembled catalog frame arrays. The
     // prober generates the k-indexed fps itself, so the read is pruned
     // exactly like every delegated probe.
@@ -273,8 +277,11 @@ object VideoCatalog {
         .isNotNull &&
         VideoDedup.alignedMaxHamming(col("fhs"), col("cfhs")) <= maxHamming)
       .select(col("id")).distinct()
-    val freshIds = hashed.select(col("id"))
-      .join(dropped, Seq("id"), "left_anti")
+    // pinned: ids only, consumed by the fresh-batch semi-join AND the
+    // freshHashes projection — saves a re-execution of the dropped
+    // subtree (sig-catalog scan + reassembly aggregate) per consumer
+    val freshIds = graft.ops.Checkpoints.pin(hashed.select(col("id"))
+      .join(dropped, Seq("id"), "left_anti"))
     val fresh = batch.join(freshIds.select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
     // in-batch collapse over the SAME pinned hashes, restricted to the
