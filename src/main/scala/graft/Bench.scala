@@ -1213,13 +1213,35 @@ object Bench {
     // The driver captures only the LAST ~2 KB of stdout, and the full
     // line (160+ query timings) outgrew that window rounds ago — its
     // head gets truncated and the driver's parse comes back null. Emit
-    // a COMPACT summary (headline metrics + environment, no per-query
-    // map) as its own line BEFORE and AFTER the full line: the leading
-    // copy serves head-readers, the trailing copy is what a tail window
-    // is guaranteed to contain whole (it is the last thing printed).
-    // The full line stays for humans and for the *_idle.json artifact.
+    // a COMPACT summary as its own line BEFORE and AFTER the full line:
+    // the leading copy serves head-readers, the trailing copy is what a
+    // tail window is guaranteed to contain whole (it is the last thing
+    // printed). The full line stays for humans and for the *_idle.json
+    // artifact.
+    //
+    // r18 (verdict item 2): the compact line now carries a `queries`
+    // map of the HEAVIEST rows, as many as fit a fixed byte budget —
+    // the r17 compact line restored the driver-visible total but left
+    // its per-query comparison empty (PERF_r17 `n_common: 0`). Budgeted
+    // at 1500 bytes so the whole line survives the ~2 KB tail window
+    // even with sbt's trailing "[success]" lines after it. Heaviest-
+    // first means the rows that matter for round-over-round comparison
+    // are exactly the ones the driver can see; `queries_shown` says how
+    // many of the full map made the cut (the artifact keeps them all).
+    val compactBudget = 1500
+    val topEntries = {
+      val sorted = all.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      val baseLen = s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"queries_shown":000,$extra,$env,"sf":"$sfDir"}""".length
+      val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = baseLen
+      sorted.foreach { e =>
+        if (used + e.length + 1 <= compactBudget) { picked += e; used += e.length + 1 }
+      }
+      picked.toSeq
+    }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec",$extra,$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${topEntries.mkString("{", ",", "}")},"queries_shown":${topEntries.size},$extra,$env,"sf":"$sfDir"}"""
     println(compact)
     println(line)
     println(compact)

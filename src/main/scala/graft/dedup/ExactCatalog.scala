@@ -256,58 +256,7 @@ object ExactCatalog {
               countDistinct(col("fp")).as("n"))
             .collect()
             .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-          // BALANCED or-tree: a left-deep reduce of ~1k arms recurses
-          // ~1k deep through every Catalyst tree walk (StackOverflow on
-          // default stacks); pairwise folding keeps depth at log2(arms)
-          def orBalanced(xs: IndexedSeq[Column]): Column =
-            if (xs.length == 1) xs.head
-            else orBalanced(xs.grouped(2)
-              .map(g => if (g.length == 2) g(0) || g(1) else g(0)).toIndexedSeq)
-          // DENSITY-SPLIT probe (r17, guide §1.2/§2.3 — don't pay a
-          // predicate that skips nothing). k hash-uniform keys inside
-          // one bucket span ~(k−1)/(k+1) of that bucket's fp domain, so
-          // a per-bucket range only skips row groups while the bucket
-          // holds ~≤3 batch keys (coverage ≤ 50%). Split the probed
-          // buckets by that density:
-          //  - 1 key  → the range IS the key: fold every such bucket
-          //    into ONE `fp IN (…)` arm (a single InSet node — hash-set
-          //    eval instead of the per-row OR walk that made ~600 point
-          //    ranges cost ~3 s per trigger on the window-fp bench row);
-          //  - 2-3 keys → keep the BETWEEN arm (still skips);
-          //  - >3 keys (dense) → read that bucket UNFILTERED in a second
-          //    scan — its range covers most of the bucket anyway, and
-          //    keeping dense buckets out of the filtered scan keeps the
-          //    filter parquet-convertible for the sparse ones.
-          // Both scans list disjoint bucket dirs (still O(probed
-          // buckets)); each read stays a sound SUPERSET — the downstream
-          // anti-join does the equality.
-          val (skippable, dense) = ranges.partition(_._4 <= 3L)
-          val denseRead =
-            if (dense.isEmpty) None
-            else Some(BandedCatalog.readBucketDirs(
-              spark, dir, dense.map(_._1).toSeq, DataSchema, numBuckets))
-          val sparseRead =
-            if (skippable.isEmpty) None
-            else {
-              val base = BandedCatalog.readBucketDirs(
-                spark, dir, skippable.map(_._1).toSeq, DataSchema, numBuckets)
-              val singles = skippable.filter(_._4 == 1L).map(_._2)
-              val multi = skippable.filter(_._4 > 1L)
-              val arms =
-                (if (singles.isEmpty) IndexedSeq.empty[Column]
-                 else IndexedSeq(col("fp").isin(singles.toSeq: _*))) ++
-                  multi.map { case (_, lo, hi, _) =>
-                    col("fp").between(lo, hi) }
-              if (arms.length > MaxRangePushdownArms) Some(base)
-              else Some(base.filter(orBalanced(arms)))
-            }
-          (sparseRead, denseRead) match {
-            case (Some(s), Some(d)) => s.unionAll(d)
-            case (Some(s), None) => s
-            case (None, Some(d)) => d
-            case (None, None) => // unreachable: fps nonEmpty ⇒ ranges nonEmpty
-              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
-          }
+          readRangeSplit(spark, dir, ranges.toIndexedSeq, numBuckets)
         } else {
           val buckets = fps
             .map(f => (((f % numBuckets) + numBuckets) % numBuckets).toInt)
@@ -316,6 +265,100 @@ object ExactCatalog {
             .filter(col("fp").isin(fps.toSeq: _*))
         }
     }
+
+  /** [[readForBatch]] for a key set that is ALREADY on the driver (r18,
+    * guide §1.2 — remove work that buys nothing): probes whose keys are
+    * GENERATED driver-side (the video sig/cnt tiers derive them from
+    * the collected candidate vids) were paying a per-probe
+    * distinct+limit+collect job round just to get back keys the caller
+    * could compute itself. Here bucket derivation, overflow detection
+    * and the density split are pure driver arithmetic — zero Spark jobs
+    * before the pruned scan itself. Read semantics identical to
+    * [[readForBatch]]: a sound superset, `fp IN (…)` pushdown under
+    * `maxPushdownKeys`, density-split per-bucket ranges past it. */
+  def readForKeys(
+      spark: SparkSession, dir: String, keys: Array[Long],
+      maxPushdownKeys: Int = DefaultMaxPushdownKeys,
+      kind: String = KindExact): DataFrame =
+    readMeta(spark, dir) match {
+      case None =>
+        rejectOrphanData(spark, dir)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
+      case Some(numBuckets) =>
+        requireKind(spark, dir, kind)
+        val fps = keys.distinct
+        def bucketOfKey(f: Long): Int =
+          (((f % numBuckets) + numBuckets) % numBuckets).toInt
+        if (fps.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
+        else if (fps.length > maxPushdownKeys) {
+          val ranges = fps.groupBy(bucketOfKey).map { case (b, ks) =>
+            (b, ks.min, ks.max, ks.length.toLong)
+          }.toIndexedSeq
+          readRangeSplit(spark, dir, ranges, numBuckets)
+        } else {
+          val buckets = fps.map(bucketOfKey).distinct
+          BandedCatalog.readBucketDirs(spark, dir, buckets.toSeq, DataSchema, numBuckets)
+            .filter(col("fp").isin(fps.toSeq: _*))
+        }
+    }
+
+  /** The DENSITY-SPLIT overflow read shared by [[readForBatch]] and
+    * [[readForKeys]] (r17, guide §1.2/§2.3 — don't pay a predicate that
+    * skips nothing). k hash-uniform keys inside one bucket span
+    * ~(k−1)/(k+1) of that bucket's fp domain, so a per-bucket range only
+    * skips row groups while the bucket holds ~≤3 batch keys (coverage
+    * ≤ 50%). Split the probed buckets by that density:
+    *  - 1 key  → the range IS the key: fold every such bucket into ONE
+    *    `fp IN (…)` arm (a single InSet node — hash-set eval instead of
+    *    the per-row OR walk that made ~600 point ranges cost ~3 s per
+    *    trigger on the window-fp bench row);
+    *  - 2-3 keys → keep the BETWEEN arm (still skips);
+    *  - >3 keys (dense) → read that bucket UNFILTERED in a second scan —
+    *    its range covers most of the bucket anyway, and keeping dense
+    *    buckets out of the filtered scan keeps the filter
+    *    parquet-convertible for the sparse ones.
+    * Both scans list disjoint bucket dirs (still O(probed buckets));
+    * each read stays a sound SUPERSET — the downstream anti-join does
+    * the equality. `ranges` rows are (bucket, lo, hi, nDistinct). */
+  private def readRangeSplit(
+      spark: SparkSession, dir: String,
+      ranges: IndexedSeq[(Int, Long, Long, Long)], numBuckets: Int): DataFrame = {
+    // BALANCED or-tree: a left-deep reduce of ~1k arms recurses ~1k deep
+    // through every Catalyst tree walk (StackOverflow on default
+    // stacks); pairwise folding keeps depth at log2(arms)
+    def orBalanced(xs: IndexedSeq[Column]): Column =
+      if (xs.length == 1) xs.head
+      else orBalanced(xs.grouped(2)
+        .map(g => if (g.length == 2) g(0) || g(1) else g(0)).toIndexedSeq)
+    val (skippable, dense) = ranges.partition(_._4 <= 3L)
+    val denseRead =
+      if (dense.isEmpty) None
+      else Some(BandedCatalog.readBucketDirs(
+        spark, dir, dense.map(_._1).toSeq, DataSchema, numBuckets))
+    val sparseRead =
+      if (skippable.isEmpty) None
+      else {
+        val base = BandedCatalog.readBucketDirs(
+          spark, dir, skippable.map(_._1).toSeq, DataSchema, numBuckets)
+        val singles = skippable.filter(_._4 == 1L).map(_._2)
+        val multi = skippable.filter(_._4 > 1L)
+        val arms =
+          (if (singles.isEmpty) IndexedSeq.empty[Column]
+           else IndexedSeq(col("fp").isin(singles.toSeq: _*))) ++
+            multi.map { case (_, lo, hi, _) =>
+              col("fp").between(lo, hi) }
+        if (arms.length > MaxRangePushdownArms) Some(base)
+        else Some(base.filter(orBalanced(arms)))
+      }
+    (sparseRead, denseRead) match {
+      case (Some(s), Some(d)) => s.unionAll(d)
+      case (Some(s), None) => s
+      case (None, Some(d)) => d
+      case (None, None) => // unreachable: callers pass non-empty ranges
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], DataSchema)
+    }
+  }
 
   // ------------------------------------------------------- incremental
 

@@ -98,6 +98,12 @@ object VideoCatalog {
     * steady-state at real batch sizes anyway. */
   val SigProbeMaxPushdownKeys = 1024
 
+  /** Cap on the candidate-vid set the fused sig+cnt probe collects to
+    * the driver (r18): 2 MB of longs — far above any sane micro-batch's
+    * candidate fan-out, far below driver-memory risk. Past it the probe
+    * falls back to the distributed r17 shape (per-tier readForBatch). */
+  val MaxDriverProbeVids = 1 << 18
+
   def blockKind(n: Int): String = s"$BlockKindPrefix$n$KindSuffix"
   def sigKind(n: Int): String = s"$SigKindPrefix$n$KindSuffix"
   def cntKind(n: Int): String = s"$CntKindPrefix$n$KindSuffix"
@@ -171,10 +177,17 @@ object VideoCatalog {
     val effN = metaFrames(spark, root).getOrElse(n)
     val buckets = ExactCatalog.readMeta(spark, blockDir(root))
       .getOrElse(numBuckets)
-    ExactCatalog.append(cntEntriesOf(hashed), cntDir(root),
-      buckets, added, kind = cntKind(effN))
-    ExactCatalog.append(sigEntriesOf(hashed, effN), sigDir(root),
-      buckets, added, kind = sigKind(effN))
+    // cnt ∥ sig, then block LAST (r18, guide §2.6): the crash contract
+    // only orders the BLOCK append after the other two — the block row
+    // is what makes a video a candidate, and ANY partial {cnt, sig}
+    // state without it is invisible to probes (the completeness guard
+    // covers the rest) — so the cnt and sig writes overlap; their job
+    // tails back-fill each other's idle executors.
+    graft.ops.CoreOps.inParallel(
+      ExactCatalog.append(cntEntriesOf(hashed), cntDir(root),
+        buckets, added, kind = cntKind(effN)),
+      ExactCatalog.append(sigEntriesOf(hashed, effN), sigDir(root),
+        buckets, added, kind = sigKind(effN)))
     ExactCatalog.append(blockEntriesOf(hashed), blockDir(root),
       buckets, added, kind = blockKind(effN))
   }
@@ -212,9 +225,14 @@ object VideoCatalog {
     val effN = metaFrames(spark, root).getOrElse(n)
     val hashed = graft.ops.Checkpoints.pin(
       withSignature(batch, idCol, binCol, effN))
-    // tier 1: first-frame quarter keys -> candidate catalog vids
+    // tier 1: first-frame quarter keys -> candidate catalog vids. The
+    // probe carries (id, fp) ONLY — the frame-hash arrays are re-joined
+    // from the pinned `hashed` exactly where the Hamming confirm needs
+    // them (guide §2.3/§8: decide with small rows; the r17 shape carried
+    // `fhs` through the join and the (id, cvid) dedup exchange, shuffling
+    // every candidate's array payload once per hop).
     val probeKeys = hashed.filter(col("fhs").isNotNull)
-      .select(col("id"), col("fhs"),
+      .select(col("id"),
         explode(ImageDedup.quarterKeys(element_at(col("fhs"), 1))).as("fp"))
     val blockCat = ExactCatalog.readForBatch(
       spark, blockDir(root), probeKeys.select(col("fp")), maxPushdownKeys,
@@ -227,35 +245,65 @@ object VideoCatalog {
     val hotKeys = blockCat.groupBy(col("fp"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxCandidatesPerKey).select(col("fp"))
-    // pinned (r17 optimization round): the candidate set feeds the sig
-    // probe's key collect, the cnt probe's key collect, the catArrays
-    // join AND (via dropped) both survivor branches — unpinned, this
-    // multi-join subtree re-executed ~5x per trigger
+    // pinned (r17 optimization round): the candidate set feeds the fused
+    // sig+cnt probe key collect, the catArrays join AND (via dropped)
+    // both survivor branches — unpinned, this multi-join subtree
+    // re-executed ~5x per trigger. distinct replaces the r17
+    // dropDuplicates("id","cvid"): same pairs, 16 B/row instead of
+    // array-carrying rows through the exchange and the checkpoint.
     val cands = graft.ops.Checkpoints.pin(probeKeys
       .join(blockCat.join(hotKeys, Seq("fp"), "left_anti")
         .select(col("fp"), col("h2").as("cvid")), Seq("fp"))
-      .dropDuplicates("id", "cvid")
-      .select(col("id"), col("fhs"), col("cvid")))
-    // tier 2: candidate vids -> reassembled catalog frame arrays. The
-    // prober generates the k-indexed fps itself, so the read is pruned
-    // exactly like every delegated probe.
-    val candFps = cands.select(col("cvid")).distinct()
-      .select(col("cvid"), explode(sequence(lit(0), lit(effN - 1))).as("k"))
-      .withColumn("fp", frameFp(col("cvid"), col("k")))
-    val sigCat = ExactCatalog.readForBatch(
-      spark, sigDir(root), candFps.select(col("fp")),
-      math.min(maxPushdownKeys, SigProbeMaxPushdownKeys),
-      kind = sigKind(effN))
-    // ... joined with the count tier so the guard knows each candidate's
-    // RECORDED frame count (pruned read keyed by the candidate vids)
-    val cntCat = ExactCatalog.readForBatch(
-      spark, cntDir(root), cands.select(col("cvid").as("fp")).distinct(),
-      maxPushdownKeys, kind = cntKind(effN))
+      .select(col("id"), col("cvid")).distinct())
+    // tier 2+3, FUSED key side (r18, guide §1.2): the sig probe's fps
+    // and the cnt probe's fps both derive from the SAME candidate vid
+    // set, so ONE bounded collect serves both reads — the r17 shape ran
+    // a distinct+limit+collect job round per tier (and, past the sig IN
+    // cap, a second per-bucket ranges job; with driver-side keys the
+    // density split is pure arithmetic — ExactCatalog.readForKeys). The
+    // (cvid, k, fp) reassembly mapping becomes a LocalRelation, so the
+    // sigCat join broadcasts it without touching the cluster. Past
+    // MaxDriverProbeVids the distributed r17 shape takes over — the
+    // driver never holds an unbounded candidate set.
+    val cvidsCapped = cands.select(col("cvid")).distinct()
+      .limit(MaxDriverProbeVids + 1).collect().map(_.getLong(0))
+    val (sigCat, cntCat, candFps) =
+      if (cvidsCapped.length <= MaxDriverProbeVids) {
+        val sigFps = cvidsCapped.flatMap(v =>
+          Array.tabulate(effN)(k => (v << 6) | k.toLong))
+        val sc = ExactCatalog.readForKeys(
+          spark, sigDir(root), sigFps,
+          math.min(maxPushdownKeys, SigProbeMaxPushdownKeys),
+          kind = sigKind(effN))
+        val cc = ExactCatalog.readForKeys(
+          spark, cntDir(root), cvidsCapped, maxPushdownKeys,
+          kind = cntKind(effN))
+        import spark.implicits._
+        val cf = cvidsCapped.toSeq.toDF("cvid")
+          .select(col("cvid"), explode(sequence(lit(0), lit(effN - 1))).as("k"))
+          .withColumn("fp", frameFp(col("cvid"), col("k")))
+        (sc, cc, cf)
+      } else {
+        val cf = cands.select(col("cvid")).distinct()
+          .select(col("cvid"), explode(sequence(lit(0), lit(effN - 1))).as("k"))
+          .withColumn("fp", frameFp(col("cvid"), col("k")))
+        val sc = ExactCatalog.readForBatch(
+          spark, sigDir(root), cf.select(col("fp")),
+          math.min(maxPushdownKeys, SigProbeMaxPushdownKeys),
+          kind = sigKind(effN))
+        val cc = ExactCatalog.readForBatch(
+          spark, cntDir(root), cands.select(col("cvid").as("fp")).distinct(),
+          maxPushdownKeys, kind = cntKind(effN))
+        (sc, cc, cf)
+      }
     val catArrays = candFps
       .join(sigCat.select(col("fp"), col("h2").as("fh")), Seq("fp"))
-      .select(col("cvid"), col("k"), col("fh")).distinct()
       .groupBy(col("cvid"))
-      .agg(array_sort(collect_list(struct(col("k"), col("fh")))).as("pairs"))
+      // collect_set folds the r17 pre-aggregation distinct into the
+      // aggregate itself (one exchange instead of two): array_sort over
+      // the DISTINCT (k, fh) structs is exactly the sorted distinct
+      // list the guard compares against the recorded count
+      .agg(array_sort(collect_set(struct(col("k"), col("fh")))).as("pairs"))
       // completeness guard: the reassembled pairs must be exactly
       // k = 0..m-1 with one hash each, AND number exactly the count
       // tier's recorded m (inner join: no cnt row — e.g. a v1-era or
@@ -272,7 +320,11 @@ object VideoCatalog {
           b => b))
       .select(col("cvid"),
         transform(col("pairs"), p => p.getField("fh")).as("cfhs"))
+    // the Hamming confirm re-attaches the frame arrays HERE, from the
+    // pinned hashed frame (a broadcast-sized id join at micro-batch
+    // scale) — the only place the probe side ever needs them
     val dropped = cands.join(catArrays, Seq("cvid"))
+      .join(hashed.select(col("id"), col("fhs")), Seq("id"))
       .filter(VideoDedup.alignedMaxHamming(col("fhs"), col("cfhs"))
         .isNotNull &&
         VideoDedup.alignedMaxHamming(col("fhs"), col("cfhs")) <= maxHamming)

@@ -14,6 +14,23 @@ import graft.types.{CHColumn, CHType}
   */
 object CoreOps {
 
+  /** Run two independent Spark actions concurrently from driver threads
+    * (guide §2.6: actions are only sequential because driver code calls
+    * them sequentially — each small job's task tail otherwise leaves the
+    * executors idle). FIFO scheduling gives the back-fill behaviour
+    * wanted; a failure on either side propagates after both complete.
+    * Callers own the independence claim (disjoint output dirs, no
+    * ordering contract between the two). */
+  def inParallel(a: => Unit, b: => Unit): Unit = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val t = new Thread(() => try b catch { case e: Throwable => err.set(e) })
+    t.setDaemon(true)
+    t.start()
+    try a
+    finally t.join()
+    Option(err.get()).foreach(throw _)
+  }
+
   // ---------------------------------------------------------------------
   // P5/P6/P7/P9: scalar value semantics
   // ---------------------------------------------------------------------
