@@ -131,10 +131,16 @@ object SubstrCatalog {
     // ownership aggregate, the catalog join AND the advance
     val occ = graft.ops.Checkpoints.pin(
       SubstrDedup.windowOccurrences(batch, idCol, textCol, effW))
-    val catFps = ExactCatalog.readForBatch(
+    // pinned (r18, guide §1.2/§5): the pruned catalog read feeds the
+    // rewrite's removal-start join AND the append's novel anti-join —
+    // unpinned, the probe scan (on overflow batches, the range-filtered
+    // scan over every probed bucket — the expensive half of this
+    // operator) re-executed once per consumer. The pin holds only the
+    // matched fps, bounded by the batch's window superset.
+    val catFps = graft.ops.Checkpoints.pin(ExactCatalog.readForBatch(
       spark, dir, occ.select(col("fp")), maxPushdownKeys,
       kind = kindFor(effW))
-      .select(col("fp"))
+      .select(col("fp")))
     // pin the rewrite (like every applyBatch in the family): deliver AND
     // the returned frame must see one materialized result — unpinned,
     // the return value would re-run the rewrite against the catalog's

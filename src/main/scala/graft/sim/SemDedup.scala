@@ -41,10 +41,20 @@ object SemDedup {
   def semDupReport(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
-      maxClusterSize: Int = 10000): DataFrame = {
-    val assigned = Similarity.withIvfList(
+      maxClusterSize: Int = 10000, pinAssigned: Boolean = false): DataFrame = {
+    // `pinAssigned` (r18, guide §1.2/§5): the assigned frame feeds the
+    // size valve, BOTH sides of the within-cluster self-join and (via
+    // the report) the anti-join — four executions of the scan + the
+    // argmin-over-centroids assignment expression per run. Batch-scale
+    // callers ([[applyBatchIndexed]]) pin it so the assignment runs
+    // once; the corpus-scale paths (semdedup_report over the whole
+    // table) keep the default — checkpointing a full corpus's vectors
+    // trades executor storage for a recompute that scans parquet anyway.
+    val assigned0 = Similarity.withIvfList(
       df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
       "__v", centroids, "__cluster")
+    val assigned =
+      if (pinAssigned) graft.ops.Checkpoints.pin(assigned0) else assigned0
     // the valve reads cluster sizes from a ≤ nLists-row aggregate joined
     // back broadcast — no window sort over the corpus
     val okClusters = assigned.groupBy(col("__cluster")).count()
@@ -70,9 +80,9 @@ object SemDedup {
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
-      maxClusterSize: Int = 10000): DataFrame = {
+      maxClusterSize: Int = 10000, pinAssigned: Boolean = false): DataFrame = {
     val dropped = semDupReport(df, idCol, vecCol, centroids, threshold,
-      maxClusterSize).select(col("dropped_id"))
+      maxClusterSize, pinAssigned).select(col("dropped_id"))
     df.join(dropped, col(idCol) === col("dropped_id"), "left_anti")
   }
 
@@ -116,9 +126,12 @@ object SemDedup {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
     val spark = batch.sparkSession
     val centroids = IvfIndex.readCentroids(spark, indexDir)
-    // stage 1: in-batch dedup under the index's own quantizer
+    // stage 1: in-batch dedup under the index's own quantizer; the
+    // assignment is pinned (batch-scale — see semDupReport) so the
+    // centroid argmin runs once, not once per self-join side
     val inBatch = graft.ops.Checkpoints.pin(
-      semDedup(batch, idCol, vecCol, centroids, threshold, maxClusterSize))
+      semDedup(batch, idCol, vecCol, centroids, threshold, maxClusterSize,
+        pinAssigned = true))
     // stage 2: the pruned catalog probe (one list per doc — the paper's
     // within-cluster rule, identical to stage 1's pairing scope)
     val q = graft.ops.Checkpoints.pin(Similarity.withIvfList(
