@@ -326,6 +326,42 @@ object Bench {
         (n, text, minhash, e2e)
       } else (0L, 0.0, 0.0, 0.0)
 
+    // PARALLEL-SCALING evidence leg (r18, r17 verdict item 4): at sf0.1
+    // every headline row is fixed-overhead-bound, so the c8-vs-c32
+    // comparison showed no core-ratio scaling anywhere — the 100 TB
+    // story rested on plan shapes alone. This row is sized so PER-CORE
+    // COMPUTE dominates: ~120k docs through the 64-lane MinHash
+    // signature kernel, a map-only scan with no exchange (shingling +
+    // 64 hash lanes per doc ≈ seconds of pure CPU at 32 cores), forced
+    // through the noop sink. The input is cached and counted OUTSIDE
+    // the timed region (the 20k rate-leg precedent) so the timing is
+    // compute, not parquet scan — the c8/c32 ratio on this row is the
+    // artifact's direct evidence that the engine scales with cores once
+    // rows are big enough to amortize orchestration.
+    val scaleSec = if (want("scale_minhash_sigs")) {
+      val docsBase = Tables.read(spark, sfDir, "documents")
+      val baseCount = docsBase.count()
+      val reps = math.max(1L, 1200000L / math.max(baseCount, 1L))
+      // repartition BEFORE the cache (outside the timer): the amplified
+      // frame otherwise inherits the single-file source's 1-2 scan
+      // partitions and the kernel runs on 2 cores no matter how many
+      // the session has — measured c8/c32 = 1.02 before this line.
+      // 4 partitions per core keeps the tail short at either count.
+      val amp = spark.range(0, reps).toDF("__rep")
+        .crossJoin(docsBase)
+        .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+          col("text"))
+        .repartition(cpus.toInt * 4)
+        .cache()
+      amp.count()
+      val t = timeN("scale_minhash_sigs") {
+        force(graft.dedup.Dedup.withMinhashSignature(amp, "text", 5, 64)
+          .select(col("doc_id"), col("__sig")))
+      }
+      amp.unpersist()
+      t
+    } else 0.0
+
     // Deep-chain cluster resolution: ONE maximal chain over the documents
     // ids (2,000 hops — inside the default converge valve, ~250x the
     // bench graph's 7-hop diameter), so the pointer-doubling branch
@@ -1172,7 +1208,8 @@ object Bench {
     val metricTimes = (Seq(
       "snapshot_copy" -> snapSec, "cdc_apply" -> cdcSec, "dedup_a1" -> dedupSec,
       "text_pipeline_20k" -> textSec, "minhash_20k" -> minhashSec,
-      "pipeline_e2e_20k" -> e2eSec, "cluster_deep_chain" -> chainSec,
+      "pipeline_e2e_20k" -> e2eSec, "scale_minhash_sigs" -> scaleSec,
+      "cluster_deep_chain" -> chainSec,
       "cluster_deep_chain_dist" -> chainDistSec)
       ++ catalogTimes ++ semddTimes ++ zTimes ++ zsTimes ++ bkTimes ++ hygTimes
       ++ warcTimes)
