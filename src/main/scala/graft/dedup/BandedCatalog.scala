@@ -160,7 +160,13 @@ object BandedCatalog {
       rejectOrphanData(spark, dir)
       writeMeta(spark, dir, m)
     }
-    bandRows(signatures, bands, rowsPerBand, numBuckets, added)
+    val frame = bandRows(signatures, bands, rowsPerBand, numBuckets, added)
+    // manifest bookkeeping rides the write as an observed aggregate —
+    // see ExactCatalog.append
+    val obs =
+      if (graft.ops.Manifest.enabled) Some(org.apache.spark.sql.Observation())
+      else None
+    obs.fold(frame)(o => frame.observe(o, collect_set(col("bucket")).as("touched")))
       .repartition(col("bucket"))
       // bucket FIRST: the partitioned-file writer requires ordering by
       // the partition column and would insert its own Sort(bucket) over
@@ -170,6 +176,9 @@ object BandedCatalog {
       // already satisfied and the band_key order survives verbatim.
       .sortWithinPartitions("bucket", "band_key")
       .write.mode("append").partitionBy("bucket").parquet(dir)
+    obs.foreach(o => graft.ops.Manifest.recordAppend(spark, dir,
+      o.get("touched").asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Number].intValue).toSeq))
   }
 
   // ------------------------------------------------------------ read
@@ -197,34 +206,42 @@ object BandedCatalog {
     * verbatim by [[ExactCatalog.readForBatch]]. */
   private[dedup] def readBucketDirs(
       spark: SparkSession, dir: String, buckets: Seq[Int],
-      schema: StructType, numBuckets: Int): DataFrame = {
-    val f = fs(spark, dir)
-    val present = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .map(_.getPath.getName.stripPrefix("bucket=").toInt).toSet
-    val sel = buckets.distinct.filter(present)
-    if (sel.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else if (sel.size * 2 <= numBuckets)
-      // SPARSE probe (≤ half the buckets): explicit directories — the
-      // listing covers O(probed) dirs, not O(catalog); driver-side
-      // listing (Listing scaladoc) keeps >32 dirs from paying a
-      // distributed listing job per trigger
-      graft.ops.Listing.driverSide(spark) {
-        spark.read.schema(schema).option("basePath", dir)
-          .parquet(sel.map(b => new Path(dir, s"bucket=$b").toString): _*)
+      schema: StructType, numBuckets: Int): DataFrame =
+    // MANIFEST-FIRST (r18, guide §6): a catalog with a manifest builds
+    // the relation from recorded file statuses — zero listStatus calls
+    // on the probe path, on any store. Rows are identical to the
+    // listing relation over the same buckets (Manifest scaladoc); dirs
+    // without a manifest (pre-r18 catalogs, torn writes) fall through
+    // to the listing branches below.
+    graft.ops.Manifest.relation(spark, dir, buckets.distinct, schema)
+      .getOrElse {
+        val f = fs(spark, dir)
+        val present = f.listStatus(new Path(dir)).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          .map(_.getPath.getName.stripPrefix("bucket=").toInt).toSet
+        val sel = buckets.distinct.filter(present)
+        if (sel.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else if (sel.size * 2 <= numBuckets)
+          // SPARSE probe (≤ half the buckets): explicit directories — the
+          // listing covers O(probed) dirs, not O(catalog); driver-side
+          // listing (Listing scaladoc) keeps >32 dirs from paying a
+          // distributed listing job per trigger
+          graft.ops.Listing.driverSide(spark) {
+            spark.read.schema(schema).option("basePath", dir)
+              .parquet(sel.map(b => new Path(dir, s"bucket=$b").toString): _*)
+          }
+        else
+          // DENSE probe: most buckets are touched anyway, so a single-root
+          // relation + partition filter is strictly cheaper — one root path
+          // lists once, instead of |probed| top-level paths each globbed and
+          // listed as their own parallel-discovery input (measured 1.6 →
+          // 5.4 s regression on the 64-bucket exact catalog's full-width
+          // probes before this guard)
+          graft.ops.Listing.driverSide(spark) {
+            spark.read.schema(schema).parquet(dir)
+          }.filter(col("bucket").isin(sel: _*))
       }
-    else
-      // DENSE probe: most buckets are touched anyway, so a single-root
-      // relation + partition filter is strictly cheaper — one root path
-      // lists once, instead of |probed| top-level paths each globbed and
-      // listed as their own parallel-discovery input (measured 1.6 →
-      // 5.4 s regression on the 64-bucket exact catalog's full-width
-      // probes before this guard)
-      graft.ops.Listing.driverSide(spark) {
-        spark.read.schema(schema).parquet(dir)
-      }.filter(col("bucket").isin(sel: _*))
-  }
 
   /** The catalog rows a batch of banded keys can possibly match:
     * partition-prunes to the batch's buckets — by building the relation

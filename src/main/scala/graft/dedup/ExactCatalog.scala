@@ -183,14 +183,24 @@ object ExactCatalog {
       // kind-validated above (a kind-less meta only admits the exact
       // reader) — self-heal the tag so the catalog is guarded from now on
       writeMeta(spark, dir, readMeta(spark, dir).get, kind)
-    entries.select(col("fp"), col("h2"), lit(added).as("added"),
+    val frame = entries.select(col("fp"), col("h2"), lit(added).as("added"),
       bucketOf(col("fp"), numBuckets).as("bucket"))
+    // manifest bookkeeping (r18, guide §6): the touched buckets ride the
+    // write itself as an observed aggregate — no extra job, no listing
+    // beyond the touched dirs when the manifest is updated after commit
+    val obs =
+      if (graft.ops.Manifest.enabled) Some(org.apache.spark.sql.Observation())
+      else None
+    obs.fold(frame)(o => frame.observe(o, collect_set(col("bucket")).as("touched")))
       .repartition(col("bucket"))
       // bucket prefix: satisfies the partitioned writer's required
       // ordering so no extra Sort is planned and the fp file order
       // (row-group min/max skipping) survives — see BandedCatalog.append
       .sortWithinPartitions("bucket", "fp")
       .write.mode("append").partitionBy("bucket").parquet(dir)
+    obs.foreach(o => graft.ops.Manifest.recordAppend(spark, dir,
+      o.get("touched").asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Number].intValue).toSeq))
   }
 
   // -------------------------------------------------------------- read
@@ -445,6 +455,9 @@ object ExactCatalog {
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "fp") // see append(): bucket prefix
       .write.mode("append").partitionBy("bucket").parquet(toDir)
+    // manifest before meta: the meta is the commit marker, so a crash
+    // here leaves an uncommitted dir whether or not the manifest landed
+    graft.ops.Manifest.rebuild(spark, toDir)
     // commit marker: rows are complete; kind carries over — a rebucket
     // never changes the fingerprint universe
     writeMeta(spark, toDir, newBuckets,
@@ -581,6 +594,7 @@ object ExactCatalog {
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "fp") // see append(): bucket prefix
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[graft.ops.Manifest.Entry]
     for (bucketDir <- f.listStatus(new Path(tmp)).toSeq
          if bucketDir.isDirectory && bucketDir.getPath.getName.startsWith("bucket=")) {
       val target = new Path(dir, bucketDir.getPath.getName)
@@ -593,8 +607,15 @@ object ExactCatalog {
         if (!f.rename(part.getPath, dest)) throw new java.io.IOException(
           s"catalog compaction: rename ${part.getPath} -> $dest failed; " +
             "old files left in place (duplicates only, no loss)")
+        moved += graft.ops.Manifest.Entry(
+          s"${target.getName}/${dest.getName}", part.getLen,
+          part.getModificationTime)
       }
     }
+    // manifest swap AFTER the moves, BEFORE the deletes (Manifest class
+    // doc): no window ever has a manifest naming a missing file
+    graft.ops.Manifest.replaceScope(spark, dir,
+      oldFiles.map(graft.ops.Manifest.relPath).toSet, moved.toSeq)
     oldFiles.foreach(p => f.delete(p, false))
     f.delete(new Path(tmp), true)
   }
